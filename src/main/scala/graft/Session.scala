@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Defaults are tuned for the harness environment (single-JVM
+  * `local[32]`, 128 GiB) but every knob is the one you would also set on
+  * a real cluster:
+  *
+  *   - `spark.sql.shuffle.partitions` sized to the available parallelism
+  *     instead of the 200 default (on a 1000-executor cluster this would
+  *     be a multiple of total cores; AQE coalesces down from it).
+  *   - AQE on: runtime re-planning (skew-join splitting, partition
+  *     coalescing, broadcast demotion/promotion) is the main defence at
+  *     100 TB where static stats are wrong.
+  *   - UTC session time zone so timestamp semantics are stable across
+  *     engines (DuckDB oracle parity) and clusters.
+  */
+object Session {
+  def defaultParallelism: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+
+  def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized
+      // reader rejects; read as long and convert in Tables.load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

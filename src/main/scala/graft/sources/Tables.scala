@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table catalog over the driver-generated parquet directory layout
+  * (`/root/testdata/sf{N}/{table}.parquet`, see TESTDATA.md).
+  *
+  * Mirrors the reference's parquet-scan entry point
+  * (`dags/tutorial_objectstorage.py:118` — DuckDB `read_parquet(path)`),
+  * re-expressed as `spark.read.parquet` so Catalyst owns predicate
+  * pushdown / column pruning / partition pruning on every downstream
+  * query. At 100 TB these would be partitioned directories or catalog
+  * tables; the accessor shape is identical.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+    // (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros —
+    // same truncation DuckDB applies when casting TIMESTAMP_NS down.
+    if (table == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+    else df
+  }
+
+  /** Register every table as a temp view named after itself, so both the
+    * DataFrame API and `spark.sql` surfaces see the same catalog that the
+    * DuckDB oracle does. Idempotent per session.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
