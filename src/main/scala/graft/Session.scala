@@ -31,6 +31,10 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Explicit (it is the Spark 4 default): arithmetic overflow —
+      // notably DECIMAL(38,*) sum overflow at large scale — must fail
+      // loudly, never return silent NULLs.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as long and convert in Tables.load.

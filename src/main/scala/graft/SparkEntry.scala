@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Analytic, Golden, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,7 +10,8 @@ import graft.queries.Relational
   */
 object SparkEntry {
 
-  def all: Seq[QueryDef] = Relational.defs
+  def all: Seq[QueryDef] =
+    Relational.defs ++ Analytic.defs ++ Golden.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own headline semantics: interval-bounded extract +

@@ -62,20 +62,23 @@ object Relational {
       "q02_filter_project",
       (spark, dir) => {
         val li = Tables.load(spark, dir, "lineitem")
+        // No trailing ORDER BY: the driver canonicalizes row order before
+        // hashing, so a global sort here would be a pure range-partition
+        // exchange at scale for zero semantic value. floor() pins the
+        // double→int semantics (Spark truncates, DuckDB rounds — floor on
+        // both sides makes the cast data-independent).
         li.filter(col("l_quantity") > 45 && col("l_discount").between(0.02, 0.08))
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity").cast("int").as("qty_int"),
+            floor(col("l_quantity")).cast("int").as("qty_int"),
             upper(col("l_returnflag")).as("flag"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""
         SELECT l_orderkey, l_linenumber,
-               CAST(l_quantity AS INT) AS qty_int,
+               CAST(floor(l_quantity) AS INT) AS qty_int,
                upper(l_returnflag) AS flag
         FROM lineitem
-        WHERE l_quantity > 45 AND l_discount BETWEEN 0.02 AND 0.08
-        ORDER BY l_orderkey, l_linenumber""")),
+        WHERE l_quantity > 45 AND l_discount BETWEEN 0.02 AND 0.08""")),
 
     // ----- J1/O3: 3-way join + group + top-k (TPC-H Q3-style) -----
     QueryDef(

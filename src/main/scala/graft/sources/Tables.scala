@@ -22,9 +22,11 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
     // (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros —
     // same truncation DuckDB applies when casting TIMESTAMP_NS down.
+    // `div` is exact integer division; `/` would promote to DOUBLE whose
+    // 2^53 mantissa cannot represent 2024-epoch nanos (~1.7e18) exactly.
     if (table == "events")
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 
