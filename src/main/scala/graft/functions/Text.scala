@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for large-scale corpus pipelines:
+  * normalization, tokenization, shingling, language-ID heuristics,
+  * quality scoring, token counting, and content fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — whole-stage-codegen'd, no UDFs —
+  * so at 100 TB these run inside the scan/project pipeline with zero
+  * extra shuffles and full predicate/column pruning.
+  *
+  * The reference corpus has no text analysis (it is an orchestration
+  * repo); this extends its data-pipeline surface per the north star
+  * (training-data pipelines: language-ID, quality, dedup signals).
+  */
+object Text {
+
+  /** Canonical form: trim, collapse whitespace runs, lowercase. The
+    * anchor for exact dedup — byte-identical after normalization. */
+  def normalize(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  /** Distinct word n-gram shingles (the unit of near-dup detection).
+    * 1-based `element_at`; `sequence` is empty when the doc is shorter
+    * than n, yielding an empty shingle set (never null). */
+  def shingles(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** MD5 of the normalized content — the exact-dedup key. (Content
+    * hashing beats raw-string grouping at scale: fixed-width shuffle
+    * keys instead of multi-KB documents.) */
+  def contentHash(c: Column): Column = md5(normalize(c))
+
+  /** Stopword hit-count per language: |distinct(tokens) ∩ stopwords|. */
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit")
+  val StopEs = Seq("el", "la", "los", "de", "que", "y", "es", "una")
+  val StopFr = Seq("le", "la", "les", "et", "est", "une", "dans", "pour")
+
+  /** N-gram/stopword language-ID heuristic producing one of
+    * en/de/es/fr/zh/und. CJK codepoints short-circuit to zh; otherwise
+    * the language with strictly the most stopword hits wins, ties
+    * resolving toward English (fixed CASE order — deterministic on any
+    * engine). "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = hits(toks, StopEn); val de = hits(toks, StopDe)
+    val es = hits(toks, StopEs); val fr = hits(toks, StopFr)
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(de > en && de > es && de > fr, "de")
+      .when(es > en && es > fr, "es")
+      .when(fr > en, "fr")
+      .when(en > 0, "en")
+      .otherwise("und")
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs + digit runs + individual
+    * punctuation, the standard pre-tokenizer shape. ASCII classes only
+    * so the regex means the same thing under Java regex and RE2. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality score in [0,1] from cheap surface statistics — the
+    * length/punctuation/stopword-ratio heuristics used to filter web
+    * corpora before training. Deterministic double arithmetic (fixed
+    * operation order), rounded to 6 digits at the boundary. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val stopRatio = least(lit(1.0),
+      (hits(toks, StopEn) + hits(toks, StopDe) + hits(toks, StopEs) + hits(toks, StopFr))
+        .cast("double") * lit(3.0) / greatest(nTok, lit(1.0)))
+    val alphaRatio =
+      length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") / greatest(nChar, lit(1.0))
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val meanTokLen = nChar / greatest(nTok, lit(1.0))
+    val tokLenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(stopRatio * 0.2 + alphaRatio * 0.4 + lenScore * 0.2 + tokLenScore * 0.2, 6)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the normalized content:
+    * fold codepoints through acc*31+cp mod 1e9+7. Cheap 64-bit content
+    * identity with a well-defined cross-engine formula (unlike xxhash,
+    * whose seed/variant differs per engine). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(normalize(text), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, cp) => (acc * 31L + cp) % 1000000007L)
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Corpus deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+  * and SimHash. Training-data-pipeline extensions per the north star —
+  * the reference corpus has no analog, so these are designed Spark-first
+  * for the 100 TB case:
+  *
+  *   - NOTHING here is all-pairs. Exact dedup is a hash groupBy;
+  *     Jaccard uses an inverted-index (shingle) join; MinHash/SimHash
+  *     use banded LSH bucket joins. Candidate generation is always
+  *     equi-join shaped so Catalyst plans shuffle/broadcast hash joins,
+  *     and AQE handles bucket skew.
+  *   - All signatures are built from `xxhash64`/bit ops inside
+  *     whole-stage codegen (no UDFs, no ml.Vector boxing).
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-content hash, keep the smallest
+    * id per group (the canonical survivor). Shuffles fixed-width
+    * (hash, id) pairs, never document bodies. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Text.contentHash(col(textCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  private def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
+
+  /** All-pairs n-gram Jaccard ≥ tau via inverted-index self-join:
+    * J(a,b) = |A∩B| / (|A|+|B|−|A∩B|), counting common shingles by
+    * joining on the shingle itself. Only documents sharing ≥1 shingle
+    * ever meet — no cartesian product. At 100 TB, ultra-common
+    * ("stop") shingles are the skew risk: AQE skew-join splitting
+    * handles moderate cases; for pathological ones add a document-
+    * frequency cap on shingles before the join (prefix filtering). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val sh = docShingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent permutations simulated by seeded
+    * xxhash64 of each shingle; the signature element is the min hash
+    * per seed. One explode + one groupBy — signature width k costs k
+    * codegen'd min-aggregates, not k passes. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sh = docShingles(df, idCol, textCol, n)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` bands of
+    * k/bands rows each; docs sharing any band hash become candidates.
+    * The band join is an equi-join on (band_idx, band_hash) — the
+    * classic sub-quadratic near-dup candidate generator. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
+    val banded = sigs.select(col("id"),
+        posexplode(split_sig(col("sig"), bands)).as(Seq("band", "band_hash")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** Slice a signature array into `bands` equal slices, hashing each
+    * slice to one value (xxhash64 over the concatenation). */
+  private def split_sig(sig: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(concat_ws(",",
+        slice(sig, b * (size(sig) / bands) + 1, size(sig) / bands))))
+
+  /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    * exact Jaccard verification of candidates only. Output = verified
+    * pairs with their exact Jaccard. Verification joins candidates back
+    * to the inverted index, so cost is proportional to candidate count,
+    * not corpus². */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, tau: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val cand = lshCandidatePairs(sigs, bands)
+    val sh = docShingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // Common shingles per candidate pair: attach a's shingles, then
+    // equi-join on (b, shingle) — both joins are hash joins keyed on
+    // (id) and (id, shingle); no per-pair array materialization.
+    val common = cand
+      .join(sh.toDF("a", "sh"), "a")
+      .join(sh.toDF("b", "sh"), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: each token occurrence votes ±1 on
+    * every bit of its xxhash64 (term-frequency weighting — near-dup
+    * docs have near-identical counts, so their vote margins track);
+    * bit i of the simhash is 1 iff the vote sum is positive. One
+    * explode + one 64-column codegen'd aggregate. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val votes = (0 until 64).map { i =>
+      sum(when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"v$i")
+    }
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
+    * banded LSH over 8×8-bit slices: two hashes within Hamming 7 must
+    * agree on at least one 8-bit band (pigeonhole), so candidates come
+    * from equi-joins on (band, slice) — never all-pairs — then are
+    * verified with bit_count(xor). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 7): DataFrame = {
+    require(maxDist <= 7, "8-band slicing guarantees recall only to Hamming 7")
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("band", "slice")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.slice") === col("y.slice") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

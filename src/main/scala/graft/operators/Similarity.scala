@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline and a random-
+  * hyperplane-LSH bucketed variant as the 100 TB scale path.
+  *
+  * All vector math is `zip_with`/`aggregate` over array columns —
+  * declarative Catalyst expressions, not UDFs — computed in double
+  * with a fixed left-to-right reduction so results are deterministic
+  * across partitionings and engines.
+  */
+object Similarity {
+
+  /** Sequential dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 for zero-norm vectors (never NaN/null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Exact top-k nearest neighbours by cosine for each query vector.
+    *
+    * The query set is broadcast (it is small by construction — a batch
+    * of probes); the corpus streams through one scan. The only shuffle
+    * is the per-query top-k, which Catalyst runs as partial top-k per
+    * partition then merge (rank ≤ k window over a broadcast-joined
+    * scan). Exact, and at 100 TB exactly one pass over the data —
+    * the right baseline to grade ANN recall against.
+    *
+    * Output: (query_id, neighbor_id, rank, cos) with rank 1 = nearest;
+    * ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d): xxhash64 of the pair, mapped to [-1, 1). Generated inside
+    * codegen — no hyperplane matrix to ship or store. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-random-projection bucket id from `nPlanes` hyperplanes: bit p
+    * = sign(v · r_p). Vectors within a small angle land in the same
+    * bucket with high probability. */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN top-k: candidates = corpus vectors sharing any of the query's
+    * LSH buckets across `tables` independent hash tables (multi-table
+    * = the standard recall knob), then exact cosine + top-k within
+    * candidates only.
+    *
+    * Scale shape: bucket assignment is a map-side expression; the
+    * candidate join is an equi-join on (table, bucket) — shuffle keyed
+    * by bucket, never corpus × queries. Recall vs [[bruteForceTopK]]
+    * is graded in AnnSpec. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 6, tables: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"),
+              // per-table planes: offset the plane index so tables are
+              // independent hash families
+              lshBucketOffset(col(vecCol), nPlanes, t * nPlanes).as("bucket"))): _*))
+            .as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val c = bucketed(corpus, "neighbor_id", "cvec")
+    val q = bucketed(queries, "query_id", "qvec")
+    val cand = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cvec"), col("qvec"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine(col("cvec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** [[lshBucket]] with the plane family shifted by `offset` — gives
+    * each hash table an independent set of hyperplanes. */
+  private def lshBucketOffset(vec: Column, nPlanes: Int, offset: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(offset + p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+}

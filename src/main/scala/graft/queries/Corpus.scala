@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * text analysis, dedup (exact / n-gram Jaccard / MinHash / SimHash),
+  * and similarity search. North-star extensions (no reference analog);
+  * every oracle-expressible pipeline has a DuckDB twin, the rest are
+  * rows-only here and property-graded in the test suite.
+  */
+object Corpus {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- Text analysis: lang-ID heuristic + quality + token counts -----
+    QueryDef(
+      "q30_text_stats",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.select(
+          col("doc_id"),
+          Text.langId(col("text")).as("lang_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.bpeTokenCount(col("text")).as("n_bpe"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.contentHash(col("text")).as("content_hash"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, norm, toks,
+                 len(list_intersect(toks, ${duckList(Text.StopEn)})) AS s_en,
+                 len(list_intersect(toks, ${duckList(Text.StopDe)})) AS s_de,
+                 len(list_intersect(toks, ${duckList(Text.StopEs)})) AS s_es,
+                 len(list_intersect(toks, ${duckList(Text.StopFr)})) AS s_fr,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                    WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                    WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+                    WHEN s_fr > s_en THEN 'fr'
+                    WHEN s_en > 0 THEN 'en'
+                    ELSE 'und' END AS lang_id,
+               n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+               round(
+                 least(1.0, (s_en+s_de+s_es+s_fr)::DOUBLE * 3.0 / greatest(n_tokens::DOUBLE, 1.0)) * 0.2
+                 + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) * 0.4
+                 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2
+                 + (CASE WHEN n_chars::DOUBLE / greatest(n_tokens::DOUBLE, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+               , 6) AS quality,
+               md5(norm) AS content_hash
+        FROM s""")),
+
+    // ----- Exact dedup: content-hash groupBy, min-id survivor -----
+    QueryDef(
+      "q31_dedup_exact",
+      (spark, dir) =>
+        Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text"),
+      Some("""
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY 1""")),
+
+    // ----- N-gram Jaccard near-dup via inverted-index join -----
+    // Oracle computes exact all-pairs Jaccard with list ops (fine at
+    // sf0.01's 500 docs); the Spark side is the sub-quadratic
+    // shingle-join formulation that holds at corpus scale.
+    QueryDef(
+      "q32_dedup_jaccard",
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", n = 3, tau = 0.8),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS s
+          FROM toks WHERE len(w) >= 3
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""),
+      bench = false),
+
+    // ----- MinHash+LSH near-dup: banded candidates + exact verify -----
+    // Output pairs carry their EXACT Jaccard (candidates are verified),
+    // so when LSH recall is 1.0 — which 16 bands × 4 rows gives at
+    // tau=0.8 on this corpus — the result equals q32's oracle set.
+    QueryDef(
+      "q33_dedup_minhash",
+      (spark, dir) =>
+        Dedup.minhashNearDups(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", n = 3, k = 64, bands = 16, tau = 0.8),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS s
+          FROM toks WHERE len(w) >= 3
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""),
+      bench = false),
+
+    // ----- SimHash near-dup: banded Hamming candidates + verify -----
+    // xxhash64-derived bit votes have no DuckDB twin → rows-only here;
+    // SimHashSpec grades that the pair set ⊇ the planted near-identical
+    // pairs and that hamming(a,a)=0.
+    QueryDef(
+      "q34_dedup_simhash",
+      (spark, dir) =>
+        Dedup.simhashNearDups(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", maxDist = 7),
+      None,
+      bench = false),
+
+    // ----- Content fingerprint: polynomial rolling hash -----
+    QueryDef(
+      "q35_fingerprint",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      },
+      Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   [ascii(c)::BIGINT for c in
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '')]),
+                 (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
+        FROM documents"""),
+      bench = false),
+
+    // ----- Brute-force cosine top-k (exact ANN baseline) -----
+    // Query set = vec_id < 10 (broadcast); corpus = all vectors. Cosine
+    // rounded to 6 digits at the output boundary on both engines.
+    QueryDef(
+      "q37_embed_knn",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 10)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                   FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec
+                   FROM embeddings),
+             scored AS (
+               SELECT query_id, neighbor_id,
+                      CASE WHEN list_dot_product(cvec, cvec) = 0
+                             OR list_dot_product(qvec, qvec) = 0 THEN 0.0
+                           ELSE list_dot_product(cvec, qvec)
+                                / (sqrt(list_dot_product(cvec, cvec))
+                                   * sqrt(list_dot_product(qvec, qvec))) END AS cos
+               FROM c, q WHERE neighbor_id <> query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10"""),
+      bench = false),
+
+    // ----- LSH-bucketed ANN (the scale path; recall graded in spec) -----
+    QueryDef(
+      "q38_ann_lsh",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        Similarity.annTopK(e, e.filter(col("vec_id") < 10), k = 10)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None,
+      bench = false),
+
+    // ----- Embedding near-dup: exact cosine ≥ 0.45 pairs -----
+    // (Threshold calibrated to the synthetic corpus: its top pair
+    // cosine is ~0.51, so 0.45 yields a small non-empty pair set.)
+    // Self-join shape mirrors bruteForceTopK but symmetric; at corpus
+    // scale the LSH-bucketed variant (q38 machinery) generates the
+    // candidates instead — this is the exact form the oracle can check.
+    QueryDef(
+      "q39_embed_neardup",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+        a.join(b, col("a") < col("b"))
+          .select(col("a"), col("b"),
+            round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+          .filter(col("cos") >= 0.45)
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(CASE WHEN list_dot_product(a.vec, a.vec) = 0
+                            OR list_dot_product(b.vec, b.vec) = 0 THEN 0.0
+                          ELSE list_dot_product(a.vec, b.vec)
+                               / (sqrt(list_dot_product(a.vec, a.vec))
+                                  * sqrt(list_dot_product(b.vec, b.vec))) END, 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(CASE WHEN list_dot_product(a.vec, a.vec) = 0
+                           OR list_dot_product(b.vec, b.vec) = 0 THEN 0.0
+                         ELSE list_dot_product(a.vec, b.vec)
+                              / (sqrt(list_dot_product(a.vec, a.vec))
+                                 * sqrt(list_dot_product(b.vec, b.vec))) END, 6) >= 0.45"""),
+      bench = false),
+
+    // ----- Multimodal: decode-stub metadata + feature aggregation -----
+    // Binary payload plumbing through typed Dataset stages; the decode
+    // is a deterministic stub (see Multimodal.fakeDecode scaladoc), so
+    // no DuckDB twin — schema/batch shape graded in MultimodalSpec.
+    QueryDef(
+      "q40_multimodal_meta",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val media = Multimodal.syntheticMedia(spark, docs)
+        Multimodal.decode(media).toDF()
+          .select(col("mediaId"), col("meta.kind").as("kind"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("meta.durationMs").as("duration_ms"),
+            round(aggregate(col("features"), lit(0.0d),
+              (acc, v) => acc + v.cast("double")), 6).as("feat_sum"))
+      },
+      None,
+      bench = false)
+  )
+
+  /** Render a Scala string list as a DuckDB list literal. */
+  private def duckList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Grades the dedup operators that have no DuckDB twin, plus the
+  * HLL-estimate query (q15). */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  /** Exact 3-gram Jaccard pairs ≥ tau — the ground truth. */
+  private lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup groups cover every doc exactly once") {
+    val res = Dedup.exact(docs, "doc_id", "text")
+    val total = res.agg(sum(col("n_copies"))).head().getLong(0)
+    assert(total == docs.count())
+    // survivors are distinct docs
+    val keeps = res.select("keep_id").collect().map(_.getLong(0))
+    assert(keeps.distinct.length == keeps.length)
+  }
+
+  test("minhash LSH candidates achieve full recall of exact pairs at tau=0.8") {
+    val nd = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification guarantees precision; recall must be total on this
+    // corpus (0.99-Jaccard planted dups vs 16-band LSH at 0.8)
+    assert(nd == exactPairs, s"minhash=${nd.size} exact=${exactPairs.size}")
+  }
+
+  test("simhash near-dups include the planted near-identical pairs") {
+    val planted = exactPairs
+    assert(planted.nonEmpty, "test corpus should contain planted near-dups")
+    val sim = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count(sim.contains).toDouble / planted.size
+    info(s"simhash recall of planted pairs = $recall (pairs found = ${sim.size})")
+    // SimHash is token-frequency-based (coarser than 3-gram Jaccard, and
+    // this tiny-vocab corpus is its adversarial case — every doc shares
+    // most of the vocabulary). The 0.99-Jaccard planted pairs must still
+    // mostly collapse to within Hamming 7.
+    assert(recall >= 0.7, s"simhash recall of planted pairs = $recall")
+  }
+
+  test("simhash of identical content is identical (hamming 0)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val hs = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+
+  test("approx_count_distinct within 5% of exact (q15 contract)") {
+    val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL estimate $approx vs exact $exact")
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Grades ANN recall against the exact baseline and the multimodal
+  * plumbing (schema / batch shape / determinism). */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("cosine: orthogonal→0, identical→1, zero-vector→0 (not NaN)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), "ortho"),
+      (Array(1f, 2f), Array(1f, 2f), "same"),
+      (Array(0f, 0f), Array(1f, 2f), "zero")).toDF("a", "b", "case")
+    val got = df.select(col("case"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("ortho") == 0.0)
+    assert(math.abs(got("same") - 1.0) < 1e-12)
+    assert(got("zero") == 0.0)
+  }
+
+  test("brute-force top-k is exact: matches naive local computation") {
+    val local = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (qid, qv) = local.find(_._1 == 0L).get
+    val want = local.filter(_._1 != qid)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == want)
+  }
+
+  test("ANN recall@10 vs brute force is useful (≥ 0.3 on random vectors)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annTopK(emb, queries, 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    info(s"ANN recall@10 = $recall (candidates=${ann.size})")
+    // Uniform random 64-dim vectors are the adversarial case for
+    // angle-LSH (no cluster structure); ≥0.3 proves the bucketing is
+    // genuinely angle-correlated rather than random (which would give
+    // ~tables*k/n ≈ 0.05 here).
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("ANN never returns a pair the brute-force scorer would rank zero-sim") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val ann = Similarity.annTopK(emb, queries, 10).collect()
+    ann.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id"),
+        "self-match leaked through")
+    }
+  }
+
+  test("multimodal decode preserves rows, schema, and determinism") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val decoded = Multimodal.decode(media)
+    assert(decoded.count() == docs.count())
+    val df = decoded.toDF()
+    assert(df.schema.fieldNames.toSet == Set("mediaId", "meta", "features"))
+    assert(df.select("features").head().getSeq[Float](0).length == 8)
+    // determinism: same payload → same decode (stub is hash-based).
+    // Compare fields, not case classes — Array[Float] uses reference ==.
+    val a = decoded.filter(col("mediaId") === 0).head()
+    val b = Multimodal.decode(media).filter(col("mediaId") === 0).head()
+    assert(a.meta == b.meta && a.features.sameElements(b.features))
+  }
+
+  test("frame sampling yields monotone offsets bounded by duration") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val frames = Multimodal.sampleFrames(media, everyMs = 40000L)
+    val byMedia = frames.collect().groupBy(_.mediaId)
+    assert(byMedia.nonEmpty, "no video rows sampled")
+    byMedia.foreach { case (_, fs) =>
+      val offs = fs.sortBy(_.frameIdx).map(_.offsetMs)
+      assert(offs.zip(offs.drop(1)).forall { case (x, y) => x < y })
+      assert(offs.head == 0L)
+    }
+    // only audio/video (duration>0) produce frames; images never do
+    val kinds = Multimodal.decode(media).toDF()
+      .select(col("mediaId"), col("meta.durationMs")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byMedia.keySet.forall(id => kinds(id) > 0))
+  }
+}
