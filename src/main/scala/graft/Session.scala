@@ -41,6 +41,10 @@ object Session {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // Catalog-table writes (CTAS) land in a scratch warehouse, never
+      // the working directory.
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-path connectors (SURVEY.md §2.1 S4/S6/S7/S9/S10).
+  *
+  * The reference's core loop is WRITE parquet to object storage, then
+  * SQL over it: `df.to_parquet("s3://…/air_quality_YYYYMMDD.parquet")`
+  * then `CREATE OR REPLACE TABLE … AS SELECT * FROM read_parquet(…)`
+  * (`dags/tutorial_objectstorage.py:94-101,116-120`). Here the same
+  * shapes target any Hadoop-FS URI (local file://, hdfs://, s3a:// on a
+  * real cluster — the API surface is identical, only the URI changes).
+  */
+object Sinks {
+
+  /** S4: partitioned parquet sink. Date-partitioned layouts
+    * (`partitionBy("dt")`) are the scale-critical choice: downstream
+    * interval queries prune whole directories instead of row-group
+    * filtering (static partition pruning, zero I/O for other days). */
+  def parquetPartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** S6: CTAS over the session catalog. "CREATE OR REPLACE" semantics
+    * spelled as drop+create (the session catalog's v1 path doesn't
+    * support REPLACE TABLE; the observable behavior is identical). */
+  def ctas(spark: SparkSession, table: String, selectSql: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // The session catalog is in-memory but the warehouse dir is durable:
+    // a table written by a previous JVM leaves an orphaned location that
+    // DROP (no catalog entry) won't clear. Replace semantics require
+    // clearing it.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(s"CREATE TABLE $table USING parquet AS $selectSql")
+    ()
+  }
+
+  /** S7: DDL table creation (the reference's `sample.sql` Orders DDL —
+    * `dags/sql/sample.sql:20-24`). PRIMARY KEY is metadata-only in
+    * Spark (not enforced), matching the survey's note. */
+  def createTable(spark: SparkSession, ddl: String): Unit = { spark.sql(ddl); () }
+
+  /** S9: console/log sink (`print(total_order_value)` /
+    * `df2.head()` — `dags/tutorial_dag.py:84-89`). Truncate-safe show
+    * of the first n rows; an action, used at pipeline ends only. */
+  def console(df: DataFrame, n: Int = 5): Unit = df.show(n, truncate = false)
+
+  /** S10: notification sink after an action (EmailOperator analog,
+    * `dags/example_dag_decorator.py:69-71`). SMTP is out of scope in
+    * this environment; the hook is the engine surface — the default
+    * implementation logs, a production one would deliver. */
+  trait Notifier { def notify(to: String, subject: String, body: String): Unit }
+  object LogNotifier extends Notifier {
+    private val log = org.apache.log4j.Logger.getLogger(getClass)
+    def notify(to: String, subject: String, body: String): Unit =
+      log.info(s"[notify to=$to] $subject: $body")
+  }
+}
