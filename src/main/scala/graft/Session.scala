@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSession factory for the graft engine.
   *
@@ -25,6 +27,18 @@ object Session {
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
+      // Engine-native expressions (SURVEY §2.11): registered through the
+      // public extensions hook so `expr("cosine_f(a,b)")`/call_function
+      // resolve in every session this factory builds.
+      .withExtensions { ext =>
+        ext.injectFunction((
+          FunctionIdentifier("cosine_f"),
+          new ExpressionInfo(classOf[graft.functions.CosineFloat].getName, "cosine_f"),
+          (args: Seq[Expression]) => {
+            require(args.length == 2, "cosine_f(arrayA, arrayB)")
+            graft.functions.CosineFloat(args(0), args(1))
+          }))
+      }
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -22,11 +22,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 for zero-norm vectors (never NaN/null). */
+  /** Cosine similarity; 0 for zero-norm vectors (never NaN/null).
+    * Composable reference form — bit-identical to [[cosineFast]]. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b); val na = norm(a); val nb = norm(b)
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
+
+  /** Cosine via the native codegen expression
+    * [[graft.functions.CosineFloat]] (registered as `cosine_f` by
+    * [[graft.Session]]): one fused loop per pair instead of
+    * HigherOrderFunction lambda frames — the hot-path form used by the
+    * top-k/ANN operators. Same double math, same results. */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("cosine_f", a, b)
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
     *
@@ -46,7 +55,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("cvec"), col("qvec")).as("cos"))
+        cosineFast(col("cvec"), col("qvec")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -101,7 +110,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.select(col("query_id"), col("neighbor_id"),
-        cosine(col("cvec"), col("qvec")).as("cos"))
+        cosineFast(col("cvec"), col("qvec")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }

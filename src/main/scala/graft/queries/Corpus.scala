@@ -214,7 +214,7 @@ object Corpus {
         val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
         a.join(b, col("a") < col("b"))
           .select(col("a"), col("b"),
-            round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+            round(Similarity.cosineFast(col("va"), col("vb")), 6).as("cos"))
           .filter(col("cos") >= 0.45)
       },
       Some("""

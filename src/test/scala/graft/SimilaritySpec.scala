@@ -24,6 +24,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got("zero") == 0.0)
   }
 
+  test("native cosine_f expression equals the composable form bit-for-bit") {
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val mismatches = a.join(b, col("a") < col("b")).limit(5000)
+      .select(
+        graft.operators.Similarity.cosine(col("va"), col("vb")).as("slow"),
+        graft.operators.Similarity.cosineFast(col("va"), col("vb")).as("fast"))
+      .filter(col("slow") =!= col("fast"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("brute-force top-k is exact: matches naive local computation") {
     val local = emb.collect().map(r =>
       r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray)
