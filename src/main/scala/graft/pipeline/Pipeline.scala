@@ -16,6 +16,23 @@ import scala.util.control.NonFatal
   * propagation (C7, `dags/example_skip_dag.py:47-73`,
   * `dags/example_nested_branch_dag.py:41-57`) is its hard part; the
   * truth table is ported faithfully and property-tested.
+  *
+  * Documented-N/A rows (SURVEY §2.10):
+  *   - C11 (virtualenv / external-python isolation,
+  *     `dags/example_python_operator.py:96-148`): the reference isolates
+  *     per-task Python interpreters because tasks are arbitrary Python
+  *     with conflicting deps. A single-JVM Scala engine has one
+  *     classpath; the closest analogs are per-session conf
+  *     (`SparkSession.newSession`) and `spark.jars` isolation on a real
+  *     cluster. No engine code — by design, not omission.
+  *   - C12 (Kubernetes pod overrides — volumes, sidecars, resources,
+  *     affinity, `dags/example_kubernetes_executor.py:55-239`): per-task
+  *     placement is the cluster manager's job in Spark
+  *     (`spark.executor.*`, dynamic allocation, scheduler pools), i.e.
+  *     deployment configuration, not engine code. The per-task knob the
+  *     engine does own is scheduler-pool assignment
+  *     (`sc.setLocalProperty("spark.scheduler.pool", …)`) — config, per
+  *     SURVEY §2.10 C18.
   */
 object Pipeline {
 

