@@ -67,6 +67,70 @@ object Temporal {
           AND event_type IN ('click', 'view')
           AND props LIKE '%k%'
           AND value IS NOT NULL
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ----- J1 completion: right + full outer equi-joins -----
+    // supplier⟗nation on a key subset so both sides have non-matching
+    // rows: suppliers keep nulls for missing nations (full), and the
+    // right join is the mirror of q08's left.
+    QueryDef(
+      "q43_join_outer",
+      (spark, dir) => {
+        val s = Tables.load(spark, dir, "supplier")
+          .filter(col("s_suppkey") % 3 =!= 0)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val n = Tables.load(spark, dir, "nation")
+          .filter(col("n_nationkey") < 15)
+          .select(col("n_nationkey"), col("n_name"))
+        val full = s.join(n, col("s_nationkey") === col("n_nationkey"), "full")
+          .select(lit("full").as("kind"), col("s_suppkey"), col("n_name"))
+        val right = s.join(n, col("s_nationkey") === col("n_nationkey"), "right")
+          .select(lit("right").as("kind"), col("s_suppkey"), col("n_name"))
+        full.unionByName(right)
+      },
+      Some("""
+        WITH s AS (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_suppkey % 3 <> 0),
+             n AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15)
+        SELECT 'full' AS kind, s_suppkey, n_name
+        FROM s FULL OUTER JOIN n ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'right' AS kind, s_suppkey, n_name
+        FROM s RIGHT JOIN n ON s_nationkey = n_nationkey"""),
+      bench = false),
+
+    // ----- F9/F13/F14: clamp, map_keys, math/regexp scalar breadth -----
+    QueryDef(
+      "q44_scalar_breadth",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+        e.filter(col("event_id") < 2000)
+          .select(
+            col("event_id"),
+            greatest(lit(1.0), least(col("value"), lit(100.0))).as("clamped"),
+            concat_ws(",", array_sort(map_keys(m))).as("prop_keys"),
+            round(sqrt(abs(col("value"))), 6).as("root"),
+            round(exp(col("value") / 1000.0), 6).as("ex"),
+            round(log(col("value") + 1000.0), 6).as("ln"),
+            pow(lit(2.0), floor(col("value") / 100.0)).as("p2"),
+            abs(col("value")).as("mag"),
+            regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"),
+            (col("user_id") % 7).as("mod7"))
+      },
+      Some("""
+        SELECT event_id,
+               greatest(1.0, least(value, 100.0)) AS clamped,
+               array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+               round(sqrt(abs(value)), 6) AS root,
+               round(exp(value / 1000.0), 6) AS ex,
+               round(ln(value + 1000.0), 6) AS ln,
+               pow(2.0, floor(value / 100.0)) AS p2,
+               abs(value) AS mag,
+               regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled,
+               user_id % 7 AS mod7
+        FROM events
+        WHERE event_id < 2000"""),
+      bench = false)
   )
 }
