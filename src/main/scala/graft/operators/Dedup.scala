@@ -40,8 +40,19 @@ object Dedup {
     * handles moderate cases; for pathological ones add a document-
     * frequency cap on shingles before the join (prefix filtering). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double): DataFrame = {
-    val sh = docShingles(df, idCol, textCol, n)
+      n: Int, tau: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = docShingles(df, idCol, textCol, n)
+    // Prefix filtering (the 100 TB knob): drop shingles appearing in
+    // more than maxDocFreq documents before the self-join — "stop
+    // shingles" contribute df² candidate pairs but almost no Jaccard
+    // discrimination. Changes |A∩B| for affected pairs, so enable it
+    // only when approximate pair discovery is acceptable; the exact
+    // default keeps oracle parity.
+    val sh = maxDocFreq.fold(all) { cap =>
+      val hot = all.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("sh"))
+      all.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("x")
       .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
