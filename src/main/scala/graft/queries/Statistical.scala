@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Statistical / analytic breadth beyond [[Analytic]]: distribution
+  * statistics, exact percentiles, pivot, lateral explode with outer
+  * semantics, GROUPING SETS, correlated + scalar subqueries, the
+  * extended string library, and a generated date spine.
+  *
+  * The reference reaches these through its embedded-SQL surface
+  * (`dags/tutorial_objectstorage.py:118-120` — arbitrary analytic SQL
+  * over loaded parquet) and its reporting DAGs' summary steps
+  * (`dags/sql/sample.sql:20-24`). Each row is a declarative Catalyst
+  * plan (or `spark.sql` over the registered catalog — same plan space)
+  * with a DuckDB oracle twin.
+  *
+  * Cross-engine determinism notes:
+  *   - double-valued statistics (stddev/corr/percentile) are rounded at
+  *     the output boundary: summation order may differ between engines
+  *     and partitions, so the raw last ulp is not comparable. Rounding
+  *     precision is chosen per column so the rounding slack (~1e-4
+  *     relative) dwarfs double accumulation error (~1e-12 relative);
+  *   - skewness/kurtosis are deliberately absent from the oracle rows:
+  *     Spark computes population (g1/g2) moments while DuckDB
+  *     bias-corrects, so their values legitimately differ;
+  *   - Spark `percentile` and DuckDB `quantile_cont` both implement
+  *     type-7 linear interpolation, so exact quantiles DO match.
+  */
+object Statistical {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private def sql(q: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (spark, dir) => { Tables.registerAll(spark, dir); spark.sql(q) }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- A5/F14: distribution statistics per group -----
+    // One partial-aggregated shuffle on the 3-value group key; every
+    // statistic here has a distributive/algebraic merge (M2 moments,
+    // co-moments), so the plan is partial→final HashAggregate — no
+    // re-shuffle per statistic. Exact percentiles collect per-group
+    // value sketches (ObjectHashAggregate); at 100 TB prefer
+    // approx_percentile (q15's HLL cousin) unless exactness is required.
+    QueryDef(
+      "q45_stats",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+            round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25_qty"),
+            round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75_qty"),
+            round(median(col("l_extendedprice")), 2).as("med_price"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(stddev_pop(l_quantity), 4) AS sdp_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+               round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+               round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+               round(median(l_extendedprice), 2) AS med_price
+        FROM lineitem
+        GROUP BY l_returnflag""")),
+
+    // ----- A5: pivot (wide conditional aggregation) -----
+    // Explicit value list (A/N/R) keeps the plan a single aggregate —
+    // no discovery pass — and makes the output schema static, which is
+    // what you want at scale (pivot without values = extra distinct job).
+    QueryDef(
+      "q46_pivot",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+        li.groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(dec(col("l_quantity"))).cast("double"))
+      },
+      Some("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        FROM lineitem
+        GROUP BY l_linestatus""")),
+
+    // ----- F12/O1: positional explode with OUTER semantics -----
+    // posexplode_outer keeps rows whose array is empty (pos/tok NULL) —
+    // the lateral-view shape the reference's map-iteration step implies
+    // when a document has no matching tokens. Narrow transform: no
+    // shuffle, generator runs inside the scan stage.
+    QueryDef(
+      "q47_explode_pos",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val zs = filter(split(col("text"), " "), w => startswith(w, lit("z")))
+        docs.filter(col("doc_id") < 200)
+          .select(col("doc_id"), posexplode_outer(zs).as(Seq("pos", "tok")))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> starts_with(w, 'z')) AS arr
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id, NULL::INT AS pos, NULL::VARCHAR AS tok FROM t WHERE len(arr) = 0
+        UNION ALL
+        SELECT doc_id, unnest(range(len(arr)))::INT AS pos, unnest(arr) AS tok
+        FROM t WHERE len(arr) > 0""")),
+
+    // ----- A5: GROUPING SETS with grouping() markers -----
+    // Sentinel coalescing alone is ambiguous when a real group value
+    // could equal the sentinel; grouping() disambiguates. Spark expands
+    // grouping sets via a single Expand + one aggregate — one shuffle.
+    QueryDef(
+      "q48_grouping_sets",
+      sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
+    // ----- J2/P6: correlated EXISTS / NOT EXISTS + scalar subquery -----
+    // Catalyst rewrites EXISTS → left-semi and NOT EXISTS → left-anti
+    // joins; the scalar subquery becomes a broadcast single-row plan.
+    // Same physical shape as q09, reached from the SQL surface.
+    QueryDef(
+      "q49_subqueries",
+      sql("""
+        SELECT c_custkey, 'big_spender' AS tag FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        UNION ALL
+        SELECT c_custkey, 'quiet' AS tag FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND c_acctbal <= (SELECT avg(c_acctbal) FROM customer)"""),
+      Some("""
+        SELECT c_custkey, 'big_spender' AS tag FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        UNION ALL
+        SELECT c_custkey, 'quiet' AS tag FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND c_acctbal <= (SELECT avg(c_acctbal) FROM customer)""")),
+
+    // ----- F14: extended string library (edit distance, translate, …) -----
+    QueryDef(
+      "q50_strings2",
+      (spark, dir) => {
+        val p = Tables.load(spark, dir, "part")
+        p.filter(col("p_partkey") < 500)
+          .select(
+            col("p_partkey"),
+            levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+            expr("split_part(p_name, ' ', 1)").as("first_word"),
+            instr(col("p_name"), "o").as("first_o"),
+            expr("repeat('*', p_size % 4)").as("stars"),
+            reverse(col("p_brand")).as("brand_rev"))
+      },
+      Some("""
+        SELECT p_partkey,
+               levenshtein(p_brand, p_type) AS edit_dist,
+               translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+               split_part(p_name, ' ', 1) AS first_word,
+               strpos(p_name, 'o') AS first_o,
+               repeat('*', p_size % 4) AS stars,
+               reverse(p_brand) AS brand_rev
+        FROM part
+        WHERE p_partkey < 500""")),
+
+    // ----- F7/F12: generated date spine + zero-preserving daily counts -----
+    // sequence() generates the spine from the observed [min, max] date
+    // range (single-row aggregate, broadcast); the left join keeps days
+    // with no events at 0 — the gap-filling shape every reporting DAG
+    // needs. At 100 TB the spine is still tiny (one row per day):
+    // broadcast side, never shuffled.
+    QueryDef(
+      "q51_date_spine",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val bounds = e.agg(
+          min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+        val spine = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+        val daily = e.groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n_events"))
+        broadcast(spine).join(daily, Seq("d"), "left")
+          .select(col("d"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      },
+      Some("""
+        WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+                   FROM events),
+             spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+                       FROM b),
+             daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+                       FROM events GROUP BY 1)
+        SELECT spine.d, coalesce(daily.n_events, 0) AS n_events
+        FROM spine LEFT JOIN daily USING (d)"""))
+  )
+}
