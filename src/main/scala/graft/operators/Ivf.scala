@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour search — the
+  * cluster-partitioned counterpart to [[Similarity.annTopK]]'s LSH
+  * path. Standard IVF shape (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011, §IV-A — the coarse quantizer
+  * without the PQ refinement):
+  *
+  *   1. train k coarse centroids (k-means, spherical assignment);
+  *   2. index: assign every corpus vector to its nearest centroid —
+  *      the inverted lists;
+  *   3. search: assign each query to its `nprobe` nearest centroids
+  *      and scan only those lists.
+  *
+  * Scale design (100 TB corpus, 1000 executors):
+  *   - centroids are k×dim doubles (k ≤ a few thousand) — they live in
+  *     the plan as a literal array and reach executors with the task
+  *     binary; no shuffle, no lookup table;
+  *   - training iterates on a SAMPLE (`trainFraction`): k-means quality
+  *     needs only a representative subset, so the full corpus is never
+  *     scanned during training;
+  *   - assignment is a narrow projection (transform over the centroid
+  *     literal + array_position argmax) — embarrassingly parallel,
+  *     stays inside whole-stage codegen's task, no shuffle;
+  *   - the probe is an equi-join on `cluster`: candidates =
+  *     corpus ∩ probed lists ≈ nprobe/k of the data. Written out with
+  *     `partitionBy("cluster")` (see [[graft.sources.Sinks]]), the scan
+  *     prunes to the probed partitions — reading nprobe/k of 100 TB
+  *     instead of all of it.
+  *
+  * Everything is deterministic: seeding is by xxhash64 order of vector
+  * ids, assignment ties break toward the lower cluster id, and all
+  * reductions are fixed-order (see [[Similarity.dot]]).
+  */
+object Ivf {
+
+  /** Cosine similarity of a vector column against one literal centroid,
+    * fixed-order double math (mirrors [[Similarity.cosine]] but with a
+    * constant-foldable left side). */
+  private def cosineToCentroid(centroid: Seq[Double], vec: Column): Column = {
+    val c = typedlit(centroid)
+    val d = aggregate(zip_with(c, vec, (x, y) => x * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nc = math.sqrt(centroid.map(x => x * x).sum)
+    val nv = sqrt(aggregate(
+      zip_with(vec, vec, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    when(lit(nc) === 0.0 || nv === 0.0, 0.0).otherwise(d / (lit(nc) * nv))
+  }
+
+  /** Array of cosine similarities from `vec` to every centroid. */
+  private def simsToCentroids(centroids: Seq[Seq[Double]], vec: Column): Column =
+    array(centroids.map(c => cosineToCentroid(c, vec)): _*)
+
+  /** Nearest-centroid id (argmax cosine; first/lowest id wins ties). */
+  def assignCluster(centroids: Seq[Seq[Double]], vec: Column): Column = {
+    val sims = simsToCentroids(centroids, vec)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Train `k` centroids by spherical k-means over a deterministic
+    * sample. Seeds = the `k` vectors with the lowest xxhash64(id);
+    * each Lloyd iteration reassigns the sample (narrow projection) and
+    * recomputes centroids as per-dimension means (one partial-aggregated
+    * shuffle on (cluster, dim) — k×dim groups, tiny). Clusters that go
+    * empty keep their previous centroid. Only k×dim doubles ever reach
+    * the driver.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 3,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val sample =
+      if (trainFraction >= 1.0) corpus
+      // deterministic hash-sample: stable across runs and partitionings
+      else corpus.filter(
+        pmod(xxhash64(col(idCol)), lit(10000)) < lit((trainFraction * 10000).toLong))
+    val train = sample.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+    var centroids: Seq[Seq[Double]] =
+      train.orderBy(xxhash64(col("id")), col("id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toVector).toVector
+
+    for (_ <- 0 until iters) {
+      val assigned = train.select(
+        assignCluster(centroids, col("v")).as("cluster"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      val means = assigned.groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (means.contains((c, 0))) old.indices.map(d => means((c, d))).toVector
+        else old
+      }
+    }
+    centroids
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest inverted lists per query,
+    * exact cosine + top-k within candidates. Output schema matches
+    * [[Similarity.bruteForceTopK]]: (query_id, neighbor_id, rank, cos).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
+
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      assignCluster(centroids, col(vecCol)).as("cluster"))
+
+    // rank clusters per query by similarity, keep the top nprobe:
+    // zip (sim, id), sort by sim desc (id asc on ties), slice, explode
+    val sims = simsToCentroids(centroids, col(vecCol))
+    val ranked = array_sort(
+      arrays_zip(sims.as("sim"), sequence(lit(0), lit(nClusters - 1)).as("cid")),
+      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1)
+        .otherwise(a.getField("cid") - b.getField("cid")))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(slice(transform(ranked, s => s.getField("cid")), 1, nprobe))
+          .as("cluster"))
+
+    val cand = indexed.join(broadcast(probes), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("cvec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

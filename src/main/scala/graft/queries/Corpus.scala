@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Ivf, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -195,6 +195,22 @@ object Corpus {
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
         Similarity.annTopK(e, e.filter(col("vec_id") < 10), k = 10)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None,
+      bench = false),
+
+    // ----- IVF ANN (cluster-partitioned scale path; recall in IvfSpec) -----
+    // k-means centroids are trained inside the call (deterministic
+    // hash-order seeding), so the row set is stable run-to-run; it is
+    // still engine-specific (no DuckDB k-means) → rows-only check here,
+    // exactness-when-probing-all-lists graded in IvfSpec.
+    QueryDef(
+      "q52_ann_ivf",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        Ivf.ivfTopK(e, e.filter(col("vec_id") < 10), k = 10,
+            nClusters = 16, nprobe = 4)
           .withColumn("cos", round(col("cos"), 6))
       },
       None,
