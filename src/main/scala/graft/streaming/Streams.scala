@@ -51,6 +51,34 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T15: stream-stream inner join bounded by a time range — the
+    * impression↔click attribution shape. Both sides carry watermarks
+    * and the join condition bounds `rightTs` to
+    * [leftTs, leftTs + within], so state on each side is evictable
+    * once the other side's watermark passes the bound — bounded state
+    * regardless of stream volume. Column names must be disjoint; the
+    * join key columns are `leftKey`/`rightKey`.
+    */
+  def timeBoundJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      watermark: String, within: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
+  /** Streaming exact dedup with bounded state: duplicates of a key are
+    * suppressed while the key is younger than the watermark delay, then
+    * the key's state is evicted — the streaming counterpart of
+    * [[graft.operators.Dedup.exact]] for at-least-once sources. Unlike
+    * plain `dropDuplicates`, state does NOT grow with the key universe.
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+      watermark: String, keyCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   // ----- custom state: sessionization via flatMapGroupsWithState -----
 
   final case class Event(userId: Long, tsMs: Long)

@@ -66,6 +66,71 @@ class StreamsSpec extends SparkSpec {
     assert(!got.exists(_.getTimestamp(0).toString.startsWith("2024-01-01 03")))
   }
 
+  test("stream-stream time-bounded join attributes clicks within the window (T15)") {
+    val s = spark
+    import s.implicits._
+    val impDir = Files.createTempDirectory("graft_imp_").toString
+    val clkDir = Files.createTempDirectory("graft_clk_").toString
+    val out = Files.createTempDirectory("graft_join_out_").toString
+    val ckpt = Files.createTempDirectory("graft_join_ckpt_").toString
+
+    Seq(("ad1", "2024-01-01 00:00:00"), ("ad2", "2024-01-01 00:00:00"))
+      .toDF("imp_ad", "imp_ts_s")
+      .select(col("imp_ad"), col("imp_ts_s").cast("timestamp").as("imp_ts"))
+      .coalesce(1).write.mode("append").parquet(impDir)
+    Seq(("ad1", "2024-01-01 00:00:10"),   // within 30s → attributed
+        ("ad1", "2024-01-01 00:02:00"))   // 120s later → outside window
+      .toDF("clk_ad", "clk_ts_s")
+      .select(col("clk_ad"), col("clk_ts_s").cast("timestamp").as("clk_ts"))
+      .coalesce(1).write.mode("append").parquet(clkDir)
+
+    val imps = Streams.fileArrival(spark, impDir, "imp_ad STRING, imp_ts TIMESTAMP")
+    val clks = Streams.fileArrival(spark, clkDir, "clk_ad STRING, clk_ts TIMESTAMP")
+    val joined = Streams.timeBoundJoin(imps, clks,
+      "imp_ad", "clk_ad", "imp_ts", "clk_ts", "0 seconds", "30 seconds")
+    Streams.runAvailableNow(
+      joined.select(col("imp_ad"), col("imp_ts"), col("clk_ts")), out, ckpt)
+
+    val got = spark.read.parquet(out).collect()
+    assert(got.length == 1, got.mkString(";"))
+    assert(got.head.getString(0) == "ad1")
+    assert(got.head.getTimestamp(2).toString == "2024-01-01 00:00:10.0")
+  }
+
+  test("dropDuplicatesWithinWatermark: dups suppressed, state evicted after horizon") {
+    val in = Files.createTempDirectory("graft_dedup_in_").toString
+    val out = Files.createTempDirectory("graft_dedup_out_").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt_").toString
+    def run(): Unit = {
+      val stream = Streams.fileArrival(spark, in, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      Streams.runAvailableNow(
+        Streams.dedupWithinWatermark(stream, "ts", "1 hour", "user_id"), out, ckpt)
+    }
+    // duplicates inside one watermark horizon collapse to the first row
+    writeBatch(in, Seq(
+      (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:10:00", 99.0),
+      (2L, "2024-01-01 00:20:00", 2.0)))
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // a day later the key is STILL suppressed in the batch that carries
+    // it: the checkpointed watermark (advanced only at batch END) hasn't
+    // passed the key's expiry when the batch starts
+    writeBatch(in, Seq((1L, "2024-01-02 12:00:00", 7.0)))
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // …but that run advanced the watermark past the expiry, evicting the
+    // state — the NEXT occurrence of the key is re-emitted
+    writeBatch(in, Seq((1L, "2024-01-03 00:00:00", 11.0)))
+    run()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 3, rows.mkString(";"))
+    assert(rows.count(_.getLong(0) == 1L) == 2)
+    // suppressed duplicates (99.0 within horizon, 7.0 pre-eviction)
+    // never reached the sink; the post-eviction 11.0 did
+    assert(!rows.exists(_.getDouble(2) == 99.0) && !rows.exists(_.getDouble(2) == 7.0))
+    assert(rows.exists(_.getDouble(2) == 11.0))
+  }
+
   test("sessionization with flatMapGroupsWithState: gap splits sessions") {
     val s = spark
     import s.implicits._
