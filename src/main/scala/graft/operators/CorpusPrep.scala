@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Training-data preparation operators over a document corpus: sliding-
+  * window chunking, sequential sequence-packing, and TF-IDF keyword
+  * extraction. North-star extensions (no reference analog) — the
+  * operations an LLM data pipeline applies between dedup
+  * ([[Dedup]]) and tokenizer hand-off.
+  *
+  * All three are pure DataFrame programs: chunking is a narrow
+  * generator (no shuffle), packing is a per-shard window, TF-IDF is
+  * two partial-aggregated shuffles and a join — each shape survives a
+  * 100 TB corpus (see per-method notes).
+  */
+object CorpusPrep {
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Sliding-window chunking: split each document's token stream into
+    * overlapping windows of `size` tokens advancing by `stride`
+    * (stride < size ⇒ overlap = size − stride, the context-continuity
+    * trick). The last window may be shorter; a document shorter than
+    * `size` yields exactly one chunk.
+    *
+    * Scale: `explode` over a per-row `sequence` — a narrow generator
+    * inside the scan stage, zero shuffles, output rows ∝ input tokens.
+    */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, s"need 0 < stride <= size")
+    val t = toks(col(textCol))
+    val n = F.size(t)
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(ceil((n - lit(size)).cast("double") / stride).cast("int") + 1)
+    docs.select(col(idCol), t.as("t"), n.as("n_toks"), nChunks.as("n_chunks"))
+      .select(col(idCol), col("t"), col("n_toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        concat_ws(" ", slice(col("t"), col("chunk_id") * stride + 1, lit(size)))
+          .as("chunk_text"),
+        least(lit(size), col("n_toks") - col("chunk_id") * stride).as("chunk_len"))
+  }
+
+  /** Sequential sequence-packing: lay documents end-to-end per shard
+    * and record, for each document, which fixed-`budget` token sequence
+    * it starts in (`seq_id`) and at which offset. This is the
+    * "concatenate then split at budget boundaries" packing used for
+    * pre-training batches (documents may straddle two sequences).
+    *
+    * Packing is inherently sequential, so it is SHARDED: the running
+    * total runs inside each `shardCol` partition (a per-shard window),
+    * never globally — a global ORDER BY window would serialize the
+    * corpus through one task at 100 TB. Shards pack independently;
+    * choose the shard key to balance token mass (e.g. hash of doc id).
+    */
+  def packSequential(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shardCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), shardCol.as("shard"),
+        size(toks(col(textCol))).as("n_toks"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_toks"),
+        expr(s"cum_before div $budget").as("seq_id"),
+        pmod(col("cum_before"), lit(budget)).as("offset"))
+  }
+
+  /** Top-`k` TF-IDF terms per document. tf = term count / document
+    * length; idf = ln(N / df) (no smoothing — df ≥ 1 by construction).
+    * Ties break toward the lexicographically smaller term.
+    *
+    * Scale: one shuffle for (doc, term) counts (partial-aggregated),
+    * one for document frequencies (term cardinality ≪ corpus size),
+    * a join keyed on term (AQE: broadcast if the vocabulary is small,
+    * sort-merge otherwise), and a per-document top-k window (partial
+    * top-k per partition). N is a scalar single-row broadcast.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val exploded = docs.select(col(idCol), size(toks(col(textCol))).as("doc_len"),
+        explode(toks(col(textCol))).as("term"))
+    val tf = exploded.groupBy(col(idCol), col("term"), col("doc_len"))
+      .agg(count(lit(1)).as("tf_count"))
+    val df_ = exploded.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round((col("tf_count").cast("double") / col("doc_len")) *
+          log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("rnk"), col("tfidf"))
+  }
+}

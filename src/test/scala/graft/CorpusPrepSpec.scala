@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusPrep
+import graft.sources.Tables
+
+/** Structural properties of the corpus-preparation operators — the
+  * invariants the oracle rows can't express directly. */
+class CorpusPrepSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("chunking covers every token: sum of steps + last chunk == n_toks") {
+    val chunks = CorpusPrep.chunkSliding(docs, "doc_id", "text", size = 32, stride = 24)
+    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    // per doc: max(chunk_id)*stride + last chunk_len must land exactly
+    // at n_toks — no token dropped past the end, no phantom chunk
+    val bad = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_id")).as("last_id"),
+        max_by(col("chunk_len"), col("chunk_id")).as("last_len"),
+        min(col("chunk_len")).as("min_len"))
+      .join(toks, "doc_id")
+      .filter(col("last_id") * 24 + col("last_len") =!= col("n_toks")
+        || col("min_len") <= 0)
+      .count()
+    assert(bad == 0L)
+    // overlap: every non-final chunk is exactly `size` long
+    val shortMid = chunks.join(
+        chunks.groupBy("doc_id").agg(max("chunk_id").as("last_id")), "doc_id")
+      .filter(col("chunk_id") < col("last_id") && col("chunk_len") =!= 32)
+      .count()
+    assert(shortMid == 0L)
+  }
+
+  test("chunk_text round-trips: stride-prefixes of chunks reassemble the doc") {
+    val chunks = CorpusPrep.chunkSliding(docs, "doc_id", "text", size = 16, stride = 16)
+    // stride == size → zero overlap → concatenation restores the text
+    // collect_list order is not defined through the aggregation shuffle —
+    // sort the collected (chunk_id, text) pairs explicitly
+    val rebuilt = chunks.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        s => s.getField("chunk_text")), " ").as("rebuilt"))
+    val diff = rebuilt.join(docs, "doc_id")
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(diff == 0L)
+  }
+
+  test("packing: offsets advance by exactly n_toks within each shard") {
+    val packed = CorpusPrep.packSequential(docs, "doc_id", "text",
+      budget = 256, shardCol = pmod(col("doc_id"), lit(8)))
+    val rows = packed.orderBy("shard", "doc_id").collect()
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.foreach { r =>
+        assert(r.getAs[Long]("seq_id") == cum / 256)
+        assert(r.getAs[Long]("offset") == cum % 256)
+        cum += r.getAs[Int]("n_toks")
+      }
+    }
+    // shard-local packing: every shard starts its own sequence 0
+    assert(rows.groupBy(_.getAs[Long]("shard"))
+      .forall { case (_, rs) => rs.map(_.getAs[Long]("seq_id")).min == 0L })
+  }
+
+  test("tfidf: rarer terms outrank common ones at equal tf") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(
+      (1L, "apple banana common common"),
+      (2L, "apple cherry common common"),
+      (3L, "apple durian common common")).toDF("doc_id", "text")
+    val top = CorpusPrep.tfidfTopTerms(tiny, "doc_id", "text", k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // 'common' (df=3, idf=0) and 'apple' (df=3, idf=0) can never win over
+    // the per-doc unique fruit (df=1, idf=ln 3)
+    assert(top == Map(1L -> "banana", 2L -> "cherry", 3L -> "durian"))
+  }
+}
