@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.functions.Text
 import graft.operators.CorpusPrep
 import graft.sources.Tables
 
@@ -118,6 +119,82 @@ object Prep {
                  row_number() OVER (PARTITION BY len_bucket
                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           FROM t)
-        SELECT doc_id, len_bucket, rn FROM r WHERE rn <= 10"""))
+        SELECT doc_id, len_bucket, rn FROM r WHERE rn <= 10""")),
+
+    // ----- Composed curation pipeline: the north-star end-to-end -----
+    // quality-score → language filter → exact dedup (min-id survivor,
+    // left-semi) → sliding-window chunking. Every stage is one of the
+    // already-proven operators; the oracle checks the COMPOSITION —
+    // filter interplay, dedup survivor choice, chunk arithmetic — not
+    // just the parts. Plan shape: scan → project (scores) → filter →
+    // one dedup shuffle (semi-join against min-id survivors) → narrow
+    // chunk generator. At 100 TB: the near-dup stage (q33's MinHash)
+    // slots between dedup and chunking — engine-specific, so the
+    // oracle-checked composition stops at exact dedup.
+    QueryDef(
+      "q57_curation",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val scored = d.select(col("doc_id"), col("text"),
+          Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.contentHash(col("text")).as("content_hash"))
+        val kept = scored.filter(col("lang_id") === "en" && col("quality") >= 0.72)
+        val survivors = kept.groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = kept.join(survivors, Seq("content_hash", "doc_id"), "left_semi")
+        CorpusPrep.chunkSliding(deduped, "doc_id", "text", size = 32, stride = 24)
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, norm, toks,
+                 len(list_intersect(toks, ${duckList(Text.StopEn)})) AS s_en,
+                 len(list_intersect(toks, ${duckList(Text.StopDe)})) AS s_de,
+                 len(list_intersect(toks, ${duckList(Text.StopEs)})) AS s_es,
+                 len(list_intersect(toks, ${duckList(Text.StopFr)})) AS s_fr,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars
+          FROM t
+        ), scored AS (
+          SELECT doc_id, text, md5(norm) AS content_hash,
+                 CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                      WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                      WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+                      WHEN s_fr > s_en THEN 'fr'
+                      WHEN s_en > 0 THEN 'en'
+                      ELSE 'und' END AS lang_id,
+                 round(
+                   least(1.0, (s_en+s_de+s_es+s_fr)::DOUBLE * 3.0 / greatest(n_tokens::DOUBLE, 1.0)) * 0.2
+                   + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) * 0.4
+                   + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2
+                   + (CASE WHEN n_chars::DOUBLE / greatest(n_tokens::DOUBLE, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                 , 6) AS quality
+          FROM s
+        ), kept AS (
+          SELECT * FROM scored WHERE lang_id = 'en' AND quality >= 0.72
+        ), surv AS (
+          SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY 1
+        ), ded AS (
+          SELECT k.doc_id, k.text FROM kept k JOIN surv USING (content_hash, doc_id)
+        ), c AS (
+          SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n,
+                 CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                      ELSE CAST(ceil((len(string_split(text, ' ')) - 32)::DOUBLE / 24) AS INT) + 1 END AS n_chunks
+          FROM ded)
+        SELECT doc_id,
+               unnest(range(n_chunks))::INT AS chunk_id,
+               array_to_string(w[unnest(range(n_chunks))*24 + 1 :
+                                 unnest(range(n_chunks))*24 + 32], ' ') AS chunk_text,
+               least(32, n - unnest(range(n_chunks))*24)::INT AS chunk_len
+        FROM c"""))
   )
+
+  /** Render a Scala string list as a DuckDB list literal. */
+  private def duckList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
 }
