@@ -38,23 +38,31 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Cosine similarity of a vector column against one literal centroid,
-    * fixed-order double math (mirrors [[Similarity.cosine]] but with a
-    * constant-foldable left side). */
-  private def cosineToCentroid(centroid: Seq[Double], vec: Column): Column = {
-    val c = typedlit(centroid)
-    val d = aggregate(zip_with(c, vec, (x, y) => x * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nc = math.sqrt(centroid.map(x => x * x).sum)
+  /** L2-normalize a centroid driver-side (zero vector stays zero). */
+  private def unit(c: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+
+  /** Array of cosine similarities from `vec` to every centroid.
+    *
+    * The centroid matrix is ONE nested literal and the per-centroid
+    * loop is a single `transform` lambda — not k unrolled expression
+    * trees. Centroids are pre-normalized driver-side, so cosine
+    * reduces to dot(unitCentroid, vec) / ‖vec‖ and ‖vec‖ is computed
+    * once. (The first, unrolled formulation compiled k×dim literal
+    * subtrees per reference and made plan compilation — not execution —
+    * the dominant cost.) */
+  private def simsToCentroids(centroids: Seq[Seq[Double]], vec: Column): Column = {
+    val cn = typedlit(centroids.map(unit))
     val nv = sqrt(aggregate(
       zip_with(vec, vec, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v))
-    when(lit(nc) === 0.0 || nv === 0.0, 0.0).otherwise(d / (lit(nc) * nv))
+    transform(cn, c =>
+      when(nv === 0.0, 0.0).otherwise(
+        aggregate(zip_with(c, vec, (x, y) => x * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v) / nv))
   }
-
-  /** Array of cosine similarities from `vec` to every centroid. */
-  private def simsToCentroids(centroids: Seq[Seq[Double]], vec: Column): Column =
-    array(centroids.map(c => cosineToCentroid(c, vec)): _*)
 
   /** Nearest-centroid id (argmax cosine; first/lowest id wins ties). */
   def assignCluster(centroids: Seq[Seq[Double]], vec: Column): Column = {
@@ -86,9 +94,13 @@ object Ivf {
         .select(col("v")).collect().map(_.getSeq[Double](0).toVector).toVector
 
     for (_ <- 0 until iters) {
-      val assigned = train.select(
-        assignCluster(centroids, col("v")).as("cluster"),
-        posexplode(col("v")).as(Seq("dim", "x")))
+      // assignment in its OWN projection below the Generate: a single
+      // select(assign, posexplode(v)) would hoist the centroid-distance
+      // expression above the generator and re-evaluate it once per
+      // exploded ELEMENT (dim× per vector) instead of once per vector
+      val assigned = train
+        .select(assignCluster(centroids, col("v")).as("cluster"), col("v"))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
       val means = assigned.groupBy(col("cluster"), col("dim"))
         .agg(avg(col("x")).as("m"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
@@ -121,9 +133,10 @@ object Ivf {
       (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
         .when(a.getField("sim") < b.getField("sim"), 1)
         .otherwise(a.getField("cid") - b.getField("cid")))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        explode(slice(transform(ranked, s => s.getField("cid")), 1, nprobe))
-          .as("cluster"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        slice(transform(ranked, s => s.getField("cid")), 1, nprobe).as("probe_list"))
+      .select(col("query_id"), col("qvec"), explode(col("probe_list")).as("cluster"))
 
     val cand = indexed.join(broadcast(probes), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -125,8 +125,9 @@ object Corpus {
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""),
-      bench = false),
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""")),
+    // (benched: MinHash+LSH is the dedup scale path — its sf0.1 number
+    // is the one that matters, unlike the all-pairs oracle forms.)
 
     // ----- SimHash near-dup: banded Hamming candidates + verify -----
     // xxhash64-derived bit votes have no DuckDB twin → rows-only here;
@@ -213,8 +214,7 @@ object Corpus {
             nClusters = 16, nprobe = 4)
           .withColumn("cos", round(col("cos"), 6))
       },
-      None,
-      bench = false),
+      None), // benched: IVF is the ANN scale path
 
     // ----- Embedding near-dup: exact cosine ≥ 0.45 pairs -----
     // (Threshold calibrated to the synthetic corpus: its top pair
