@@ -220,6 +220,63 @@ object Statistical {
              daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
                        FROM events GROUP BY 1)
         SELECT spine.d, coalesce(daily.n_events, 0) AS n_events
-        FROM spine LEFT JOIN daily USING (d)"""))
+        FROM spine LEFT JOIN daily USING (d)""")),
+
+    // ----- W1: distribution window functions + positional values -----
+    // Total per-partition order (price desc, key asc) so ntile/nth_value
+    // never depend on partitioning; percent_rank/cume_dist rounded at
+    // the boundary (double ratios).
+    QueryDef(
+      "q58_window_dist",
+      (spark, dir) => {
+        val o = Tables.load(spark, dir, "orders")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wFull = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        o.select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("nt"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"),
+          first_value(col("o_orderkey")).over(w).as("top_key"),
+          last_value(col("o_orderkey")).over(wFull).as("bottom_key"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS nt,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               nth_value(o_orderkey, 2) OVER wf AS second_key,
+               first_value(o_orderkey) OVER w AS top_key,
+               last_value(o_orderkey) OVER wf AS bottom_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // ----- A5/F12: unpivot (wide → long, the inverse of q46's pivot) -----
+    QueryDef(
+      "q59_unpivot",
+      (spark, dir) => {
+        val li = Tables.load(spark, dir, "lineitem")
+        val wide = li.groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(count(lit(1)))
+        wide.unpivot(Array(col("l_linestatus")),
+          Array(col("A"), col("N"), col("R")), "flag", "n")
+      },
+      Some("""
+        WITH agg AS (
+          SELECT l_linestatus,
+                 CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS "A",
+                 CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT) AS "N",
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS "R"
+          FROM lineitem GROUP BY 1)
+        SELECT l_linestatus, flag, n
+        FROM agg UNPIVOT (n FOR flag IN ("A", "N", "R"))"""))
   )
 }
