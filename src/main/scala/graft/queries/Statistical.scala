@@ -277,6 +277,41 @@ object Statistical {
                  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS "R"
           FROM lineitem GROUP BY 1)
         SELECT l_linestatus, flag, n
-        FROM agg UNPIVOT (n FOR flag IN ("A", "N", "R"))"""))
+        FROM agg UNPIVOT (n FOR flag IN ("A", "N", "R"))""")),
+
+    // ----- F11/F14: higher-order array functions -----
+    // transform/filter/exists/forall/aggregate/zip_with — the lambda
+    // surface. Array outputs are string-joined at the boundary (array
+    // rendering differs across engines; strings don't). Narrow
+    // projection: no shuffle, all lambdas run inside the scan stage.
+    QueryDef(
+      "q60_array_hof",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val t = split(col("text"), " ")
+        d.filter(col("doc_id") < 50).select(
+          col("doc_id"),
+          concat_ws("-", transform(slice(t, 1, 3), w => upper(w))).as("up3"),
+          size(filter(t, w => length(w) > 4)).as("n_long"),
+          exists(t, w => startswith(w, lit("z"))).as("has_z"),
+          forall(t, w => w.rlike("^[a-z]+$")).as("all_alpha"),
+          aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("total_chars"),
+          concat_ws("|", zip_with(sequence(lit(1), lit(3)), slice(t, 1, 3),
+            (i, w) => concat(i.cast("string"), lit(":"), w))).as("indexed3"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE doc_id < 50)
+        SELECT doc_id,
+               array_to_string(list_transform(w[1:3], x -> upper(x)), '-') AS up3,
+               CAST(len(list_filter(w, x -> length(x) > 4)) AS INT) AS n_long,
+               len(list_filter(w, x -> starts_with(x, 'z'))) > 0 AS has_z,
+               len(list_filter(w, x -> NOT regexp_matches(x, '^[a-z]+$'))) = 0 AS all_alpha,
+               list_reduce(
+                 list_prepend(0::BIGINT, list_transform(w, x -> length(x)::BIGINT)),
+                 (acc, x) -> acc + x) AS total_chars,
+               array_to_string(list_transform([1, 2, 3],
+                 i -> i::VARCHAR || ':' || w[i]), '|') AS indexed3
+        FROM t"""))
   )
 }
