@@ -20,6 +20,28 @@ object Sinks {
   def parquetPartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed catalog table: co-locate rows by `keys` into a fixed
+    * number of buckets, pre-sorted within each bucket. Two tables
+    * bucketed the same way join WITHOUT a shuffle — the scan's bucket
+    * layout satisfies the join's required distribution, so the
+    * exchange disappears (and with `sortBy`, so does the sort). This
+    * is the 100 TB answer for fact-fact joins repeated across runs:
+    * pay the shuffle once at write time, never again at read time.
+    * BucketingSpec asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** S6: CTAS over the session catalog. "CREATE OR REPLACE" semantics
     * spelled as drop+create (the session catalog's v1 path doesn't
     * support REPLACE TABLE; the observable behavior is identical). */
