@@ -2,11 +2,11 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.AsOf
+import graft.operators.{AsOf, Ranges}
 import graft.sources.Tables
 
-/** As-of join (J5) and the remaining predicate rows (P3/P4, P6's
-  * LIKE/IN/IS NULL combos). */
+/** As-of join (J5), binned range join (J4 at scale), and the remaining
+  * predicate rows (P3/P4, P6's LIKE/IN/IS NULL combos). */
 object Temporal {
 
   val defs: Seq[QueryDef] = Seq(
@@ -131,6 +131,45 @@ object Temporal {
                user_id % 7 AS mod7
         FROM events
         WHERE event_id < 2000"""),
-      bench = false)
+      bench = false),
+
+    // ----- J4 at scale: binned range join (events × daily windows) -----
+    // Count events inside each day's [06:00, 18:00) window. The Spark
+    // side goes through Ranges.binnedRangeJoin (bin equi-join + exact
+    // filter — no nested loop); the oracle is the plain inequality
+    // join, so the hash-match proves the binning rewrite is lossless.
+    // Epochs are exact integer seconds on both sides (micros div 1e6).
+    QueryDef(
+      "q61_range_join",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val pts = e.select(col("event_id"), col("ts").cast("long").as("pt"))
+        val bounds = e.agg(min(to_date(col("ts"))).as("lo_d"),
+          max(to_date(col("ts"))).as("hi_d"))
+        val windows = bounds
+          .select(explode(sequence(col("lo_d"), col("hi_d"),
+            expr("interval 1 day"))).as("d"))
+          .select(col("d"),
+            (col("d").cast("timestamp").cast("long") + 6 * 3600).as("lo"),
+            (col("d").cast("timestamp").cast("long") + 18 * 3600).as("hi"))
+        Ranges.binnedRangeJoin(pts, "pt", windows, "lo", "hi", binWidth = 21600L)
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n"),
+            min(col("pt")).as("first_pt"), max(col("pt")).as("last_pt"))
+      },
+      Some("""
+        WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo_d, max(CAST(ts AS DATE)) AS hi_d
+                   FROM events),
+        days AS (SELECT CAST(unnest(generate_series(lo_d, hi_d, INTERVAL 1 DAY)) AS DATE) AS d
+                 FROM b),
+        w AS (SELECT d,
+                     epoch_us(CAST(d AS TIMESTAMP)) // 1000000 + 21600 AS lo,
+                     epoch_us(CAST(d AS TIMESTAMP)) // 1000000 + 64800 AS hi
+              FROM days),
+        p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS pt
+              FROM events)
+        SELECT d, count(*) AS n, min(pt) AS first_pt, max(pt) AS last_pt
+        FROM p JOIN w ON pt >= lo AND pt < hi
+        GROUP BY d"""))
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ranges
+
+/** Binned range join: semantics identical to the nested-loop reference,
+  * including half-open boundaries, bin-spanning intervals, and empty
+  * intervals. */
+class RangesSpec extends SparkSpec {
+
+  test("binned == naive on adversarial intervals, boundaries half-open") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(0L, 5L, 9L, 10L, 11L, 19L, 20L, 25L, 99L, 100L, 101L)
+      .toDF("pt").withColumn("pid", col("pt"))
+    val ivs = Seq(
+      (1L, 10L, 20L),   // aligned to one bin (width 10)
+      (2L, 5L, 25L),    // spans three bins
+      (3L, 15L, 15L),   // empty: matches nothing
+      (4L, 99L, 101L),  // spans a bin edge
+      (5L, 0L, 1L)      // single-point-wide
+    ).toDF("iid", "lo", "hi")
+
+    val got = Ranges.binnedRangeJoin(pts, "pt", ivs, "lo", "hi", binWidth = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Ranges.naiveRangeJoin(pts, "pt", ivs, "lo", "hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // spot-check the half-open contract: hi excluded, lo included
+    assert(got.contains((10L, 1L)) && !got.contains((20L, 1L)))
+    assert(got.contains((0L, 5L)) && !got.contains((1L, 5L)))
+    assert(!got.exists(_._2 == 3L), "empty interval matched a point")
+  }
+
+  test("binned join is an equi-join, not a nested loop") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq.tabulate(100)(i => i.toLong).toDF("pt")
+    val ivs = Seq((0L, 10L), (50L, 60L)).toDF("lo", "hi")
+    val plan = Ranges.binnedRangeJoin(pts, "pt", ivs, "lo", "hi", binWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned range join fell back to a nested loop:\n$plan")
+  }
+}
