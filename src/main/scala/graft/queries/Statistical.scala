@@ -312,6 +312,36 @@ object Statistical {
                  (acc, x) -> acc + x) AS total_chars,
                array_to_string(list_transform([1, 2, 3],
                  i -> i::VARCHAR || ':' || w[i]), '|') AS indexed3
-        FROM t"""))
+        FROM t""")),
+
+    // ----- F12/F13: map transforms (filter / transform_values /
+    // concat / from_entries), exploded to rows at the boundary -----
+    // The map pipeline runs entirely inside one narrow projection; the
+    // explode is the only generator. DuckDB has no map lambdas, so the
+    // oracle works on the exploded entry set — same observable rows.
+    QueryDef(
+      "q62_map_functions",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+        val big = map_filter(m, (_, v) => v > 50)
+        val doubled = transform_values(big, (_, v) => v * 2)
+        val tagged = map_concat(doubled,
+          map_from_entries(array(struct(lit("event_id"), col("event_id")))))
+        e.filter(col("event_id") < 500)
+          .select(col("event_id"), explode(tagged).as(Seq("k", "v")))
+      },
+      Some("""
+        WITH entries AS (
+          SELECT event_id,
+                 unnest(json_keys(props)) AS k,
+                 CAST(json_extract_string(props, '$.' ||
+                   unnest(json_keys(props))) AS BIGINT) AS v
+          FROM events WHERE event_id < 500)
+        SELECT event_id, k, v * 2 AS v FROM entries WHERE v > 50
+        UNION ALL
+        SELECT event_id, 'event_id' AS k, event_id AS v
+        FROM events WHERE event_id < 500"""))
   )
 }
