@@ -74,10 +74,15 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val sh = docShingles(df, idCol, textCol, n)
+    // n_sh rides along with the signature aggregation: shingle counts
+    // are needed again for Jaccard verification, and carrying them here
+    // saves a whole extra pass over the corpus (shingles are distinct
+    // per doc, so count(*) == |shingle set|)
     val mins = (0 until k).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      .select(col("id"), col("n_sh"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH banding: split the k-wide signature into `bands` bands of
@@ -112,7 +117,7 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val cand = lshCandidatePairs(sigs, bands)
     val sh = docShingles(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val sizes = sigs.select(col("id"), col("n_sh"))
     // Common shingles per candidate pair: attach a's shingles, then
     // equi-join on (b, shingle) — both joins are hash joins keyed on
     // (id) and (id, shingle); no per-pair array materialization.
