@@ -342,6 +342,41 @@ object Statistical {
         SELECT event_id, k, v * 2 AS v FROM entries WHERE v > 50
         UNION ALL
         SELECT event_id, 'event_id' AS k, event_id AS v
-        FROM events WHERE event_id < 500"""))
+        FROM events WHERE event_id < 500""")),
+
+    // ----- A5/W1: FILTER-clause aggregates + lag default + IGNORE NULLS -----
+    // Conditional aggregation without CASE-wrapping every argument, a
+    // defaulted lag, and gap-filling navigation (last non-null purchase
+    // value seen so far per user). Window order is total (ts, event_id).
+    QueryDef(
+      "q63_filter_ignore_nulls",
+      sql("""
+        SELECT e.event_id, e.user_id,
+               lag(e.value, 1, -1.0) OVER w AS prev_or_default,
+               last_value(CASE WHEN e.event_type = 'purchase' THEN e.value END)
+                 IGNORE NULLS OVER w AS last_purchase,
+               a.n_big, a.n
+        FROM events e
+        JOIN (SELECT user_id,
+                     count(*) AS n,
+                     count(*) FILTER (WHERE value > 50) AS n_big
+              FROM events GROUP BY user_id) a
+          ON e.user_id = a.user_id
+        WHERE e.event_id < 1000
+        WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)"""),
+      Some("""
+        SELECT e.event_id, e.user_id,
+               lag(e.value, 1, -1.0) OVER w AS prev_or_default,
+               last_value(CASE WHEN e.event_type = 'purchase' THEN e.value END
+                 IGNORE NULLS) OVER w AS last_purchase,
+               a.n_big, a.n
+        FROM events e
+        JOIN (SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) FILTER (value > 50) AS BIGINT) AS n_big
+              FROM events GROUP BY user_id) a
+          ON e.user_id = a.user_id
+        WHERE e.event_id < 1000
+        WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)"""))
   )
 }
