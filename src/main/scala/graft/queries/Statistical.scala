@@ -377,6 +377,55 @@ object Statistical {
               FROM events GROUP BY user_id) a
           ON e.user_id = a.user_id
         WHERE e.event_id < 1000
-        WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)"""))
+        WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)""")),
+
+    // ----- Recursive CTE (Spark 4): month spine + zero-preserving counts -----
+    // The iterative-generation alternative to q51's sequence() spine.
+    // Recursion depth = number of months (bounded, well under the
+    // engine's recursion limit); each step is one incremental union.
+    QueryDef(
+      "q64_recursive_cte",
+      sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+                     FROM orders)
+        )
+        SELECT m, count(o_orderkey) AS n
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m"""),
+      Some("""
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+          WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+                     FROM orders)
+        )
+        SELECT m, count(o_orderkey) AS n
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m""")),
+
+    // ----- LATERAL correlated subquery (per-row aggregate probe) -----
+    // Catalyst decorrelates the lateral into a left outer aggregate
+    // join — same plan family as q08, reached from the SQL surface the
+    // reference's embedded-SQL step exposes.
+    QueryDef(
+      "q65_lateral",
+      sql("""
+        SELECT c_custkey, c_mktsegment, t.top_price, t.n_orders
+        FROM customer c,
+        LATERAL (SELECT max(o_totalprice) AS top_price, count(*) AS n_orders
+                 FROM orders WHERE o_custkey = c_custkey) t"""),
+      Some("""
+        SELECT c_custkey, c_mktsegment, t.top_price,
+               CAST(t.n_orders AS BIGINT) AS n_orders
+        FROM customer c,
+        LATERAL (SELECT max(o_totalprice) AS top_price, count(*) AS n_orders
+                 FROM orders WHERE o_custkey = c_custkey) t"""))
   )
 }
