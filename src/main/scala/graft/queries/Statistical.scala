@@ -426,6 +426,31 @@ object Statistical {
                CAST(t.n_orders AS BIGINT) AS n_orders
         FROM customer c,
         LATERAL (SELECT max(o_totalprice) AS top_price, count(*) AS n_orders
-                 FROM orders WHERE o_custkey = c_custkey) t"""))
+                 FROM orders WHERE o_custkey = c_custkey) t""")),
+
+    // ----- Null semantics under ANSI mode: TRY_CAST, null-safe
+    // equality, nullif/ifnull -----
+    // The session runs ANSI (overflow/bad casts THROW — see Session);
+    // TRY_CAST is the explicit opt-back-in to NULL-on-failure, and the
+    // null-safe comparison surface is what joins/dedup on nullable
+    // keys are built from. Spark `<=>` ≡ DuckDB IS NOT DISTINCT FROM.
+    QueryDef(
+      "q66_null_semantics",
+      sql("""
+        SELECT p_partkey,
+               TRY_CAST(substring(p_type, 1, 3) AS INT) AS bad_cast,
+               TRY_CAST(CAST(p_size AS STRING) AS INT) AS good_cast,
+               nullif(p_brand, 'Brand#13') AS brand_or_null,
+               (nullif(p_brand, 'Brand#13') <=> NULL) AS was_13,
+               ifnull(nullif(p_brand, 'Brand#13'), 'THIRTEEN') AS relabeled
+        FROM part WHERE p_partkey < 300"""),
+      Some("""
+        SELECT p_partkey,
+               TRY_CAST(substring(p_type, 1, 3) AS INT) AS bad_cast,
+               TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_cast,
+               nullif(p_brand, 'Brand#13') AS brand_or_null,
+               (nullif(p_brand, 'Brand#13') IS NOT DISTINCT FROM NULL) AS was_13,
+               ifnull(nullif(p_brand, 'Brand#13'), 'THIRTEEN') AS relabeled
+        FROM part WHERE p_partkey < 300"""))
   )
 }
