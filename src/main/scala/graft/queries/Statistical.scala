@@ -408,7 +408,11 @@ object Statistical {
         SELECT m, count(o_orderkey) AS n
         FROM months LEFT JOIN orders
           ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
-        GROUP BY m""")),
+        GROUP BY m"""),
+      // not benched: wall time is ~80 driver-side recursion steps —
+      // constant in data size, so it measures iteration machinery, not
+      // throughput (the scale answer for spines is q51's sequence())
+      bench = false),
 
     // ----- LATERAL correlated subquery (per-row aggregate probe) -----
     // Catalyst decorrelates the lateral into a left outer aggregate
