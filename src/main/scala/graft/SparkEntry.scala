@@ -12,7 +12,8 @@ object SparkEntry {
 
   def all: Seq[QueryDef] =
     Relational.defs ++ Analytic.defs ++ Statistical.defs ++ Golden.defs ++
-      Corpus.defs ++ Prep.defs ++ Io.defs ++ Udx.defs ++ Temporal.defs
+      Corpus.defs ++ Prep.defs ++ Prep.defs2 ++ Io.defs ++ Udx.defs ++
+      Temporal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own headline semantics: interval-bounded extract +

@@ -197,4 +197,87 @@ object Prep {
   /** Render a Scala string list as a DuckDB list literal. */
   private def duckList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val defs2: Seq[QueryDef] = Seq(
+
+    // ----- Unigram log-probability scoring (perplexity-style filter) -----
+    // The CCNet-shaped quality signal: score each document by the mean
+    // log-probability of its tokens under the corpus's own unigram
+    // model. Two shuffles build the model (term counts; corpus total is
+    // a 1-row broadcast); scoring joins tokens to the model on term —
+    // AQE broadcasts a small vocabulary, sort-merges a large one. Docs
+    // full of rare/garbage tokens score low — the filter knob.
+    QueryDef(
+      "q67_unigram_logprob",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        val total = freqs.agg(sum(col("tf")).as("corpus_n"))
+        toks.join(freqs, "term").crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(
+            round(avg(log(col("tf").cast("double") / col("corpus_n"))), 6)
+              .as("mean_logp"),
+            count(lit(1)).as("n_toks"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        freqs AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+        total AS (SELECT sum(tf) AS corpus_n FROM freqs)
+        SELECT doc_id,
+               round(avg(ln(tf::DOUBLE / corpus_n)), 6) AS mean_logp,
+               count(*) AS n_toks
+        FROM toks JOIN freqs USING (term) CROSS JOIN total
+        GROUP BY doc_id""")),
+
+    // ----- PII pattern scan (email / phone / long digit runs) -----
+    // The redaction-precursor pass: count pattern hits per document so
+    // a downstream filter or masker can act. Pure narrow projection —
+    // regex CPU, linear scan, no shuffle. The synthetic corpus contains
+    // no PII, so both engines first plant identical deterministic PII
+    // in every 7th document — the scan must find exactly that.
+    QueryDef(
+      "q68_pii_scan",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val augmented = concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com or 555-123-4567 ref 98765432")))
+            .otherwise(lit("")))
+        d.select(col("doc_id"), augmented.as("t"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("t"),
+              lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), lit(0)))
+              .as("n_email"),
+            size(regexp_extract_all(col("t"),
+              lit("\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"), lit(0))).as("n_phone"),
+            size(regexp_extract_all(col("t"), lit("\\d{6,}"), lit(0)))
+              .as("n_digit_runs"))
+          .withColumn("flagged",
+            col("n_email") + col("n_phone") + col("n_digit_runs") > 0)
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id ||
+                        '@example.com or 555-123-4567 ref 98765432'
+                   ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(t,
+                 '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS INT) AS n_phone,
+               CAST(len(regexp_extract_all(t, '\d{6,}')) AS INT) AS n_digit_runs,
+               len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                 + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))
+                 + len(regexp_extract_all(t, '\d{6,}')) > 0 AS flagged
+        FROM aug"""))
+  )
 }
