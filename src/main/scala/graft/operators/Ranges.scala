@@ -26,19 +26,27 @@ object Ranges {
     * all `points` columns + all `intervals` columns, one row per
     * (point, containing interval).
     */
+  /** Floor division as integer arithmetic (`div` truncates toward
+    * zero, which mis-bins negative values: -10 div 3 = -3 but -10
+    * belongs to bin floor(-10/3) = -4). pmod's non-negative remainder
+    * makes the numerator an exact multiple, so the `div` is exact. */
+  private def floorDiv(e: String, w: Long): String =
+    s"(($e - pmod($e, ${w}L)) div ${w}L)"
+
   def binnedRangeJoin(points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("_bin", expr(s"$ptCol div $binWidth"))
-    // hi is exclusive: the last covered bin is (hi - 1) div W, so an
+    val p = points.withColumn("_bin", expr(floorDiv(ptCol, binWidth)))
+    // hi is exclusive: the last covered bin is floor((hi-1)/W), so an
     // interval never fans into a bin it cannot contain a point of
     val i = intervals
       // empty intervals contain nothing — and would make the bin
       // sequence run BACKWARDS (sequence auto-steps -1 when start>stop)
       .filter(col(hiCol) > col(loCol))
       .withColumn("_bin", explode(sequence(
-        expr(s"$loCol div $binWidth"), expr(s"($hiCol - 1) div $binWidth"))))
+        expr(floorDiv(loCol, binWidth)),
+        expr(floorDiv(s"($hiCol - 1)", binWidth)))))
     p.join(i, Seq("_bin"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("_bin")

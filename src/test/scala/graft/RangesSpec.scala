@@ -32,6 +32,34 @@ class RangesSpec extends SparkSpec {
     assert(!got.exists(_._2 == 3L), "empty interval matched a point")
   }
 
+  test("property: binned == naive for random intervals and bin widths") {
+    import org.scalacheck.{Gen, Prop}
+    val s = spark
+    import s.implicits._
+    // negative points included: truncating division would mis-bin them
+    val pts = Seq.tabulate(60)(i => (i * 3L) % 100 - 50).distinct.toDF("pt")
+    val genCase = for {
+      width <- Gen.choose(1L, 40L)
+      ivs <- Gen.listOfN(6, for {
+        lo <- Gen.choose(-60L, 100L)
+        len <- Gen.choose(0L, 50L)
+      } yield (lo, lo + len))
+    } yield (width, ivs)
+    val prop = Prop.forAll(genCase) { case (width, ivsList) =>
+      val ivs = ivsList.zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = Ranges.binnedRangeJoin(pts, "pt", ivs, "lo", "hi", width)
+        .select("pt", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Ranges.naiveRangeJoin(pts, "pt", ivs, "lo", "hi")
+        .select("pt", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("binned join is an equi-join, not a nested loop") {
     val s = spark
     import s.implicits._
