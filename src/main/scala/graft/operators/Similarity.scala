@@ -115,6 +115,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** All-pairs cosine near-duplicates above `tau`, sub-quadratic:
+    * multi-table sign-random-projection LSH generates candidate pairs
+    * (equi-join on (table, bucket) — never a nested-loop product), and
+    * only candidates get the exact cosine + threshold verify. The
+    * output therefore carries EXACT cosines; completeness is governed
+    * by the (nPlanes, tables) recall knobs.
+    *
+    * Knob physics: per-plane collision probability for angle θ is
+    * 1 − θ/π, per-table p^nPlanes, overall 1 − (1 − p^nPlanes)^tables.
+    * At real near-dup thresholds (τ ≥ 0.8, θ ≤ 37°) a handful of
+    * planes prunes aggressively; at weak thresholds (τ ≈ 0.45, as the
+    * synthetic-corpus q39 calibration requires) planes must stay low
+    * for recall, so the candidate set is dense — that is inherent to
+    * random projections, not to this plan. Defaults (4, 24) give
+    * verified recall 1.0 on the test corpora (CosineNearDupSpec grades
+    * equality with the exact all-pairs set at sf0.001 and sf0.01;
+    * tables=16 already suffices, 24 is margin).
+    *
+    * Scale shape: bucket assignment is one map-side pass (tables ×
+    * nPlanes × dim hashes per row, all codegen); the self equi-join
+    * shuffles (table, bucket, id) triples — never vectors; vectors are
+    * re-attached to the deduplicated candidate list by two hash joins
+    * on id. At 100 TB nothing here is driver-side or all-pairs.
+    */
+  def cosineNearDupPairs(df: DataFrame, tau: Double,
+      nPlanes: Int = 4, tables: Int = 24,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = vecs.select(col("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lshBucketOffset(col("vec"), nPlanes, t * nPlanes).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    cand
+      .join(vecs.toDF("a", "va"), "a")
+      .join(vecs.toDF("b", "vb"), "b")
+      .select(col("a"), col("b"), cosineFast(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** [[lshBucket]] with the plane family shifted by `offset` — gives
     * each hash table an independent set of hyperplanes. */
   private def lshBucketOffset(vec: Column, nPlanes: Int, offset: Int): Column =
