@@ -128,10 +128,9 @@ object Similarity {
     * planes prunes aggressively; at weak thresholds (τ ≈ 0.45, as the
     * synthetic-corpus q39 calibration requires) planes must stay low
     * for recall, so the candidate set is dense — that is inherent to
-    * random projections, not to this plan. Defaults (4, 24) give
-    * verified recall 1.0 on the test corpora (CosineNearDupSpec grades
-    * equality with the exact all-pairs set at sf0.001 and sf0.01;
-    * tables=16 already suffices, 24 is margin).
+    * random projections, not to this plan. CosineNearDupSpec grades
+    * the defaults against the exact all-pairs pair set at sf0.001 and
+    * sf0.01 (set equality, not just recall).
     *
     * Scale shape: bucket assignment is one map-side pass (tables ×
     * nPlanes × dim hashes per row, all codegen); the self equi-join

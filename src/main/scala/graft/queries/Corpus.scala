@@ -219,18 +219,19 @@ object Corpus {
     // ----- Embedding near-dup: exact cosine ≥ 0.45 pairs -----
     // (Threshold calibrated to the synthetic corpus: its top pair
     // cosine is ~0.51, so 0.45 yields a small non-empty pair set.)
-    // Self-join shape mirrors bruteForceTopK but symmetric; at corpus
-    // scale the LSH-bucketed variant (q38 machinery) generates the
-    // candidates instead — this is the exact form the oracle can check.
+    // Candidates come from multi-table LSH (equi-join on (table,
+    // bucket) — no BroadcastNestedLoopJoin anywhere in the plan), then
+    // exact cosine verifies each candidate. The inner prune runs at a
+    // margin below the declared threshold (0.445 < round-6 boundary
+    // 0.4499995) so the rounded filter here decides membership exactly
+    // as the oracle's rounded filter does. Pair-set equality with the
+    // exact all-pairs form is additionally pinned by CosineNearDupSpec.
     QueryDef(
       "q39_embed_neardup",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
-        val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
-        a.join(b, col("a") < col("b"))
-          .select(col("a"), col("b"),
-            round(Similarity.cosineFast(col("va"), col("vb")), 6).as("cos"))
+        Similarity.cosineNearDupPairs(e, tau = 0.445)
+          .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
           .filter(col("cos") >= 0.45)
       },
       Some("""
