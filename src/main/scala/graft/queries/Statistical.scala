@@ -195,10 +195,12 @@ object Statistical {
 
     // ----- F7/F12: generated date spine + zero-preserving daily counts -----
     // sequence() generates the spine from the observed [min, max] date
-    // range (single-row aggregate, broadcast); the left join keeps days
-    // with no events at 0 — the gap-filling shape every reporting DAG
-    // needs. At 100 TB the spine is still tiny (one row per day):
-    // broadcast side, never shuffled.
+    // range (single-row aggregate); the left join keeps days with no
+    // events at 0 — the gap-filling shape every reporting DAG needs.
+    // The broadcast hint goes on `daily` (the build/right side of the
+    // left outer join — Spark cannot build on the preserved side, so a
+    // hint there is silently dropped): daily is O(days) rows even at
+    // 100 TB, so the join never shuffles either input.
     QueryDef(
       "q51_date_spine",
       (spark, dir) => {
@@ -209,7 +211,7 @@ object Statistical {
           explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
         val daily = e.groupBy(to_date(col("ts")).as("d"))
           .agg(count(lit(1)).as("n_events"))
-        broadcast(spine).join(daily, Seq("d"), "left")
+        spine.join(broadcast(daily), Seq("d"), "left")
           .select(col("d"), coalesce(col("n_events"), lit(0L)).as("n_events"))
       },
       Some("""
