@@ -121,6 +121,12 @@ object Ivf {
       trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
+    // a corpus smaller than nClusters trains fewer centroids (seeding
+    // takes the k lowest-hash vectors — there may not be k); every
+    // cluster-count reference below must use the TRAINED size, or
+    // arrays_zip null-pads and malformed probe clusters enter the join
+    val nTrained = centroids.size
+    val probeN = math.min(nprobe, nTrained)
 
     val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       assignCluster(centroids, col(vecCol)).as("cluster"))
@@ -129,13 +135,13 @@ object Ivf {
     // zip (sim, id), sort by sim desc (id asc on ties), slice, explode
     val sims = simsToCentroids(centroids, col(vecCol))
     val ranked = array_sort(
-      arrays_zip(sims.as("sim"), sequence(lit(0), lit(nClusters - 1)).as("cid")),
+      arrays_zip(sims.as("sim"), sequence(lit(0), lit(nTrained - 1)).as("cid")),
       (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
         .when(a.getField("sim") < b.getField("sim"), 1)
         .otherwise(a.getField("cid") - b.getField("cid")))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        slice(transform(ranked, s => s.getField("cid")), 1, nprobe).as("probe_list"))
+        slice(transform(ranked, s => s.getField("cid")), 1, probeN).as("probe_list"))
       .select(col("query_id"), col("qvec"), explode(col("probe_list")).as("cluster"))
 
     val cand = indexed.join(broadcast(probes), Seq("cluster"))

@@ -53,6 +53,22 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.45, s"recall=$recall")
   }
 
+  test("corpus smaller than nClusters: fewer centroids trained, probe-all still exact") {
+    val tiny = emb.filter(col("vec_id") < 6)
+    val centroids = Ivf.trainCentroids(tiny, k = 16, iters = 2)
+    assert(centroids.size == 6, "seeding is bounded by the corpus size")
+    val queries = tiny.filter(col("vec_id") < 2)
+    val exact = Similarity.bruteForceTopK(tiny, queries, 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    // nClusters/nprobe far beyond the trained count must clamp, not
+    // null-pad the probe list with phantom cluster ids
+    val ivf = Ivf.ivfTopK(tiny, queries, 3, nClusters = 16, nprobe = 16, iters = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(ivf == exact)
+  }
+
   test("training on a sample still assigns the full corpus") {
     val centroids = Ivf.trainCentroids(emb, k = 4, iters = 2, trainFraction = 0.5)
     assert(centroids.size == 4)
