@@ -37,19 +37,23 @@ object Ranges {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("_bin", expr(floorDiv(ptCol, binWidth)))
+    // internal join key must not shadow (and later drop) a caller
+    // column of the same name on EITHER side — grow until collision-free
+    val taken = (points.columns ++ intervals.columns).toSet
+    val bin = Iterator.iterate("_bin")(_ + "_").dropWhile(taken).next()
+    val p = points.withColumn(bin, expr(floorDiv(ptCol, binWidth)))
     // hi is exclusive: the last covered bin is floor((hi-1)/W), so an
     // interval never fans into a bin it cannot contain a point of
     val i = intervals
       // empty intervals contain nothing — and would make the bin
       // sequence run BACKWARDS (sequence auto-steps -1 when start>stop)
       .filter(col(hiCol) > col(loCol))
-      .withColumn("_bin", explode(sequence(
+      .withColumn(bin, explode(sequence(
         expr(floorDiv(loCol, binWidth)),
         expr(floorDiv(s"($hiCol - 1)", binWidth)))))
-    p.join(i, Seq("_bin"))
+    p.join(i, Seq(bin))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
-      .drop("_bin")
+      .drop(bin)
   }
 
   /** Reference formulation: the same join as a nested-loop predicate.

@@ -60,6 +60,20 @@ class RangesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("a caller-owned _bin column survives untouched") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((5L, 42L), (25L, 43L)).toDF("pt", "_bin")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val out = Ranges.binnedRangeJoin(pts, "pt", ivs, "lo", "hi", binWidth = 10L)
+    assert(out.columns.count(_ == "_bin") == 1, "internal bin column leaked")
+    val rows = out.select("pt", "_bin", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only pt=5 is inside [0,10); its _bin value must be the caller's 42,
+    // not the internal bin id (0) — and must not have been dropped
+    assert(rows == Set((5L, 42L, 1L)))
+  }
+
   test("binned join is an equi-join, not a nested loop") {
     val s = spark
     import s.implicits._
