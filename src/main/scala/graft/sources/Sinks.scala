@@ -13,6 +13,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sinks {
 
+  private val IdentPart = "[A-Za-z_][A-Za-z0-9_]*"
+  private val Qualified = s"$IdentPart(\\.$IdentPart)?".r
+
+  /** Validate a table name (`tbl` or `db.tbl`, word chars only — it is
+    * interpolated into DDL) and split into (database, table), filling
+    * the current database for unqualified names. */
+  private def parseIdent(spark: SparkSession, table: String): (String, String) = {
+    require(Qualified.matches(table),
+      s"invalid table identifier (expected tbl or db.tbl of [A-Za-z0-9_]): $table")
+    table.split('.') match {
+      case Array(db, t) => (db, t)
+      case Array(t)     => (spark.catalog.currentDatabase, t)
+    }
+  }
+
+  /** Managed-table data path: <database location>/<table> — resolved
+    * through the catalog (`db.db` dirs, custom db locations), never by
+    * string-gluing onto the warehouse root. */
+  private def managedPath(spark: SparkSession, db: String, tbl: String) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new java.net.URI(
+        spark.catalog.getDatabase(db).locationUri)), tbl.toLowerCase)
+
+  /** Drop `db`.`tbl` AND clear its managed location: the session
+    * catalog is in-memory but the warehouse dir is durable, so a table
+    * written by a previous JVM leaves an orphaned location that DROP
+    * alone (no catalog entry) won't clear; replace semantics require
+    * clearing it. */
+  private def dropWithLocation(spark: SparkSession, db: String, tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tbl`")
+    val loc = managedPath(spark, db, tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    ()
+  }
+
   /** S4: partitioned parquet sink. Date-partitioned layouts
     * (`partitionBy("dt")`) are the scale-critical choice: downstream
     * interval queries prune whole directories instead of row-group
@@ -31,31 +67,21 @@ object Sinks {
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String]): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val (db, tbl) = parseIdent(spark, table)
+    dropWithLocation(spark, db, tbl)
     df.write.format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+      .saveAsTable(s"`$db`.`$tbl`")
   }
 
   /** S6: CTAS over the session catalog. "CREATE OR REPLACE" semantics
     * spelled as drop+create (the session catalog's v1 path doesn't
     * support REPLACE TABLE; the observable behavior is identical). */
   def ctas(spark: SparkSession, table: String, selectSql: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // The session catalog is in-memory but the warehouse dir is durable:
-    // a table written by a previous JVM leaves an orphaned location that
-    // DROP (no catalog entry) won't clear. Replace semantics require
-    // clearing it.
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    spark.sql(s"CREATE TABLE $table USING parquet AS $selectSql")
+    val (db, tbl) = parseIdent(spark, table)
+    dropWithLocation(spark, db, tbl)
+    spark.sql(s"CREATE TABLE `$db`.`$tbl` USING parquet AS $selectSql")
     ()
   }
 

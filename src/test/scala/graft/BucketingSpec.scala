@@ -48,4 +48,31 @@ class BucketingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows == expect)
   }
+
+  test("qualified db.tbl names resolve via the catalog and replace cleanly") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bdb")
+    val orders = Tables.load(spark, sfDir, "orders")
+    Sinks.writeBucketed(orders.select("o_orderkey", "o_orderpriority"),
+      "graft_bdb.orders_q", buckets = 4, keys = Seq("o_orderkey"))
+    assert(spark.table("graft_bdb.orders_q").count() == orders.count())
+    // the data must live under the DATABASE location (db.db dir), which
+    // the old warehouseDir/<name> string-glue got wrong for db.tbl
+    val dbLoc = new java.net.URI(spark.catalog.getDatabase("graft_bdb").locationUri).getPath
+    val dataDir = new java.io.File(dbLoc, "orders_q")
+    assert(dataDir.isDirectory, s"no data at db location $dataDir")
+    // replace semantics: a second write with a different schema wins
+    Sinks.writeBucketed(orders.select("o_orderkey"),
+      "graft_bdb.orders_q", buckets = 4, keys = Seq("o_orderkey"))
+    assert(spark.table("graft_bdb.orders_q").columns.toSeq == Seq("o_orderkey"))
+  }
+
+  test("malformed table identifiers are rejected, not interpolated into DDL") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    intercept[IllegalArgumentException] {
+      Sinks.writeBucketed(orders, "x; DROP TABLE y", 4, Seq("o_orderkey"))
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.writeBucketed(orders, "a.b.c", 4, Seq("o_orderkey"))
+    }
+  }
 }
