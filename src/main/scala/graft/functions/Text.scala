@@ -28,7 +28,14 @@ object Text {
 
   /** Distinct word n-gram shingles (the unit of near-dup detection).
     * 1-based `element_at`; `sequence` is empty when the doc is shorter
-    * than n, yielding an empty shingle set (never null). */
+    * than n, yielding an empty shingle set (never null).
+    *
+    * PERF: pass `toks` as a BOUND COLUMN (stage `tokens(...)` in its
+    * own projection first), not as the raw `tokens(text)` expression —
+    * the lambda's `element_at(toks, …)` copies the argument tree into
+    * the per-element path, so an unbound tree re-runs its regex+split
+    * once per shingle position (quadratic per doc; HOFs evaluate
+    * interpreted, with no codegen subexpression elimination). */
   def shingles(toks: Column, n: Int): Column = {
     require(n >= 1)
     array_distinct(

@@ -27,10 +27,20 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  /** Distinct (id, shingle) pairs — the inverted-index input.
+    *
+    * Tokens are bound to an attribute in their OWN projection before
+    * shingling: `Text.shingles` reads its token array inside a
+    * `transform` lambda, and handing it the raw `split(normalize(…))`
+    * tree would re-run the regex+split once per shingle POSITION
+    * (quadratic per document, and un-CSE'd because higher-order
+    * functions evaluate interpreted). Staging makes the lambda read a
+    * per-row array attribute instead — measured 24× on q33's corpus
+    * (the optimizer keeps the stage: CollapseProject refuses to inline
+    * a non-cheap expression with multiple references). */
   private def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(Text.shingles(col("toks"), n)).as("sh"))
 
   /** All-pairs n-gram Jaccard ≥ tau via inverted-index self-join:
     * J(a,b) = |A∩B| / (|A|+|B|−|A∩B|), counting common shingles by
