@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Dedup, Ivf, Multimodal, Similarity}
+import graft.operators.{Components, Dedup, Ivf, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -267,7 +267,50 @@ object Corpus {
               (acc, v) => acc + v.cast("double")), 6).as("feat_sum"))
       },
       None,
-      bench = false)
+      bench = false),
+
+    // ----- Dedup grouping: near-dup pairs → connected components -----
+    // The keep-one-per-group stage every near-dup pipeline ends with:
+    // MinHash pairs (whose pair set hash-matches the exact-Jaccard
+    // oracle, q33) become groups via alternating large-star/small-star,
+    // and every document maps to its group's minimum doc_id (itself
+    // when it has no near-dup). Oracle = recursive-CTE min-label
+    // propagation over the same exact pair set.
+    QueryDef(
+      "q69_dedup_groups",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+            n = 3, k = 64, bands = 16, tau = 0.8)
+          .select(col("a"), col("b"))
+        Components.dedupGroups(d.select(col("doc_id")), pairs)
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS s
+          FROM toks WHERE len(w) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ), edges AS (
+          SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+        )
+        SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS keep_id
+        FROM reach GROUP BY node""")
+      // benched: components is the dedup-grouping scale path; its cost
+      // rides on the same MinHash pipeline q33 already measures.
+    )
   )
 
   /** Render a Scala string list as a DuckDB list literal. */

@@ -170,6 +170,58 @@ object Temporal {
               FROM events)
         SELECT d, count(*) AS n, min(pt) AS first_pt, max(pt) AS last_pt
         FROM p JOIN w ON pt >= lo AND pt < hi
-        GROUP BY d"""))
+        GROUP BY d""")),
+
+    // ----- Batch sessionization: 30-min-gap sessions per user -----
+    // The classic clickstream shape: a new session starts when the gap
+    // to the previous event exceeds 30 minutes; session_id is the
+    // running count of session starts. One shuffle on user_id serves
+    // both windows AND the final per-session aggregate (same key
+    // prefix, no re-exchange). Doubles are aggregated min/max only
+    // (order-independent — see q23's precedent); ties on ts are broken
+    // by event_id so the lag/sum windows are deterministic. The
+    // streaming sibling of this operator is session_window /
+    // flatMapGroupsWithState (StreamsSpec); this is the backfill form.
+    QueryDef(
+      "q70_sessionize",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(spark, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(w)
+        val sess = e.select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("new_sess",
+            when(prev.isNull ||
+              col("ts") > prev + expr("interval 30 minutes"), 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("sess_start"),
+            max(col("ts")).as("sess_end"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ), f AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM o
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM f
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               CAST(min(ts) AS TIMESTAMP) AS sess_start,
+               CAST(max(ts) AS TIMESTAMP) AS sess_end
+        FROM s GROUP BY user_id, session_id"""))
   )
 }
