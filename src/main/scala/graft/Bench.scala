@@ -51,8 +51,16 @@ object Bench {
     val qs = timings.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The one-line contract is stdout; the line is duplicated to stderr
+    // and to target/bench_last.json because sbt appends its own
+    // "[success] …" after us on stdout — a parser that grabs the LAST
+    // line there gets sbt's, not ours. The file is the reliable pickup.
+    println(json)
+    System.err.println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

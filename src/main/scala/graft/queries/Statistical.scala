@@ -457,6 +457,47 @@ object Statistical {
                nullif(p_brand, 'Brand#13') AS brand_or_null,
                (nullif(p_brand, 'Brand#13') IS NOT DISTINCT FROM NULL) AS was_13,
                ifnull(nullif(p_brand, 'Brand#13'), 'THIRTEEN') AS relabeled
-        FROM part WHERE p_partkey < 300"""))
+        FROM part WHERE p_partkey < 300""")),
+
+    // ----- A5 closure: fixed-width histogram + width_bucket + share -----
+    // Document-length distribution: one partial→final aggregate builds
+    // the histogram; the per-bucket share is a window over the tiny
+    // AGGREGATED result (bucket count ≈ dozens of rows — the single
+    // partition there is by construction not a scale concern).
+    // width_bucket is pinned against its SQL-standard definition
+    // spelled out in the oracle (DuckDB has no width_bucket builtin).
+    QueryDef(
+      "q71_histogram",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(spark, dir, "documents")
+        val h = d.groupBy(
+            (floor(col("n_chars") / 50L) * 50L).cast("long").as("bucket_lo"),
+            width_bucket(col("n_chars").cast("double"),
+              lit(0.0), lit(600.0), lit(12L)).as("wb"))
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+        h.withColumn("share",
+          round(col("n") / sum(col("n")).over(
+            Window.partitionBy(lit(1))), 6))
+      },
+      Some("""
+        WITH h AS (
+          SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+                 CAST(CASE WHEN n_chars < 0 THEN 0
+                           WHEN n_chars >= 600 THEN 13
+                           ELSE 1 + floor(CAST(n_chars AS DOUBLE) / 50.0)
+                      END AS BIGINT) AS wb,
+                 count(*) AS n,
+                 min(n_chars) AS min_chars,
+                 max(n_chars) AS max_chars
+          FROM documents
+          GROUP BY 1, 2
+        )
+        SELECT bucket_lo, wb, n, min_chars, max_chars,
+               round(n / (sum(n) OVER ()), 6) AS share
+        FROM h"""),
+      bench = false)
   )
 }
