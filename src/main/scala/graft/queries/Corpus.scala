@@ -210,8 +210,13 @@ object Corpus {
       "q52_ann_ivf",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
+        // trainFraction < 1: k-means trains on a deterministic hash
+        // sample — the scale path (16 centroids need thousands of
+        // vectors, not the corpus; at 100 TB training never scans all
+        // data). Probe-time exactness is independent of centroid
+        // quality (IvfSpec: nprobe = k degrades to brute force).
         Ivf.ivfTopK(e, e.filter(col("vec_id") < 10), k = 10,
-            nClusters = 16, nprobe = 4)
+            nClusters = 16, nprobe = 4, trainFraction = 0.25)
           .withColumn("cos", round(col("cos"), 6))
       },
       None), // benched: IVF is the ANN scale path

@@ -140,9 +140,16 @@ object Prep {
           Text.qualityScore(col("text")).as("quality"),
           Text.contentHash(col("text")).as("content_hash"))
         val kept = scored.filter(col("lang_id") === "en" && col("quality") >= 0.72)
-        val survivors = kept.groupBy(col("content_hash"))
-          .agg(min(col("doc_id")).as("doc_id"))
-        val deduped = kept.join(survivors, Seq("content_hash", "doc_id"), "left_semi")
+        // keep min(doc_id) per content_hash via ONE window pass — the
+        // groupBy+semi-join formulation re-evaluates the regex-heavy
+        // scoring projection on BOTH join inputs (Spark plans are trees,
+        // not DAGs: an unpersisted frame used twice is computed twice)
+        // and costs a second shuffle. Same survivor set either way.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+        val deduped = kept
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
         CorpusPrep.chunkSliding(deduped, "doc_id", "text", size = 32, stride = 24)
       },
       Some(s"""
@@ -278,6 +285,58 @@ object Prep {
                len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
                  + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))
                  + len(regexp_extract_all(t, '\d{6,}')) > 0 AS flagged
-        FROM aug"""))
+        FROM aug""")),
+
+    // ----- Source-mixture (temperature) sampling -----
+    // The data-mixing step of a training pipeline: per-source quotas
+    // ∝ n_s^α (α = 0.5 flattens the source distribution — big sources
+    // down-weighted, rare sources kept), documents chosen per quota in
+    // deterministic md5 order (q56's sampling idiom). Quotas come from
+    // a window over the per-source COUNT aggregate (a handful of rows);
+    // the double weight is rounded to 6 digits before floor so a
+    // last-ulp summation difference between engines cannot flip the
+    // integer boundary. The per-source row_number sort is exact-quota
+    // semantics; at 100 TB with giant sources you'd trade exactness for
+    // a threshold filter on the hash (no sort) — documented tradeoff,
+    // same operator family.
+    QueryDef(
+      "q72_mixture_sample",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(spark, dir, "documents")
+        val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val quota = counts
+          .withColumn("w", pow(col("n_s").cast("double"), 0.5))
+          .withColumn("t_s", least(col("n_s"),
+            floor(round(lit(200) * col("w") /
+              sum(col("w")).over(Window.partitionBy(lit(1))), 6)).cast("long")))
+          .select(col("source"), col("t_s"))
+        val ranked = d.withColumn("rk",
+          row_number().over(Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+            .cast("long"))
+        ranked.join(quota, "source")
+          .filter(col("rk") <= col("t_s"))
+          .select(col("doc_id"), col("source"), col("rk"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, count(*) AS n_s FROM documents GROUP BY source
+        ), q AS (
+          SELECT source,
+                 least(n_s, CAST(floor(round(
+                   200 * pow(n_s, 0.5) / sum(pow(n_s, 0.5)) OVER (), 6))
+                   AS BIGINT)) AS t_s
+          FROM c
+        ), r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents
+        )
+        SELECT r.doc_id, r.source, r.rk
+        FROM r JOIN q USING (source)
+        WHERE r.rk <= q.t_s"""))
   )
 }
