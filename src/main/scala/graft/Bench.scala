@@ -48,7 +48,11 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Locale.ROOT: f"$v%.3f" uses the JVM default locale, which under
+    // e.g. de_DE renders "1,234" — invalid JSON.
+    val qs = timings.map { case (k, v) =>
+      jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
     val json =
@@ -59,8 +63,16 @@ object Bench {
     // line there gets sbt's, not ours. The file is the reliable pickup.
     println(json)
     System.err.println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
+    // Best-effort: a missing/read-only cwd must not fail a bench run
+    // whose results were already printed.
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write target/bench_last.json: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

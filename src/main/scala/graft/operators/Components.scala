@@ -92,6 +92,10 @@ object Components {
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val nsig = checksum(next)
+      // next is materialized (checkpoint job + checksum action ran), so
+      // the previous round's blocks are dead — free them now rather
+      // than letting up to maxIter edge-set copies pile up in storage.
+      cur.unpersist()
       converged = nsig == sig
       cur = next
       sig = nsig

@@ -122,15 +122,15 @@ object Prep {
         SELECT doc_id, len_bucket, rn FROM r WHERE rn <= 10""")),
 
     // ----- Composed curation pipeline: the north-star end-to-end -----
-    // quality-score → language filter → exact dedup (min-id survivor,
-    // left-semi) → sliding-window chunking. Every stage is one of the
-    // already-proven operators; the oracle checks the COMPOSITION —
-    // filter interplay, dedup survivor choice, chunk arithmetic — not
-    // just the parts. Plan shape: scan → project (scores) → filter →
-    // one dedup shuffle (semi-join against min-id survivors) → narrow
-    // chunk generator. At 100 TB: the near-dup stage (q33's MinHash)
-    // slots between dedup and chunking — engine-specific, so the
-    // oracle-checked composition stops at exact dedup.
+    // quality-score → language filter → exact dedup (min-id survivor
+    // via row_number window) → sliding-window chunking. Every stage is
+    // one of the already-proven operators; the oracle checks the
+    // COMPOSITION — filter interplay, dedup survivor choice, chunk
+    // arithmetic — not just the parts. Plan shape: scan → project
+    // (scores) → filter → one dedup shuffle (content_hash window) →
+    // narrow chunk generator. At 100 TB: the near-dup stage (q33's
+    // MinHash) slots between dedup and chunking — engine-specific, so
+    // the oracle-checked composition stops at exact dedup.
     QueryDef(
       "q57_curation",
       (spark, dir) => {
