@@ -96,9 +96,9 @@ object Sinks {
   def console(df: DataFrame, n: Int = 5): Unit = df.show(n, truncate = false)
 
   /** S10: notification sink after an action (EmailOperator analog,
-    * `dags/example_dag_decorator.py:69-71`). SMTP is out of scope in
-    * this environment; the hook is the engine surface — the default
-    * implementation logs, a production one would deliver. */
+    * `dags/example_dag_decorator.py:69-71`). The hook is the engine
+    * surface; [[LogNotifier]] logs, [[graft.sources.Smtp.notifier]]
+    * delivers over real SMTP (SmtpSpec: loopback round-trip). */
   trait Notifier { def notify(to: String, subject: String, body: String): Unit }
   object LogNotifier extends Notifier {
     private val log = org.apache.log4j.Logger.getLogger(getClass)
