@@ -186,4 +186,31 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** Benchmark decontamination: cross-corpus n-gram overlap — for each
+    * corpus document, the number of distinct n-gram shingles it shares
+    * with each benchmark document (self-matches excluded so a benchmark
+    * that also lives in the corpus never flags itself). The standard
+    * training-data hygiene step: drop/flag corpus docs whose overlap
+    * with any eval-set document exceeds `minCommon`.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] but the join is
+    * corpus×benchmark, not a self-join: the benchmark side (eval sets —
+    * thousands of docs, not billions) is broadcast, so the corpus is
+    * ONE narrow pass — shingle explode, broadcast hash join, partial
+    * count agg; no shuffle of corpus text and no all-pairs anything.
+    */
+  def crossCorpusOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      minCommon: Long = 1L): DataFrame = {
+    val c = docShingles(corpus, idCol, textCol, n)
+    val b = docShingles(benchmark, idCol, textCol, n)
+      .withColumnRenamed("id", "bench_id")
+    c.join(broadcast(b), Seq("sh"))
+      .filter(col("id") =!= col("bench_id"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .select(col("id").as("doc_id"), col("bench_id"), col("n_common"))
+  }
 }

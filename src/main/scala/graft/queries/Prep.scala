@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.CorpusPrep
+import graft.operators.{CorpusPrep, Dedup}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -337,6 +337,86 @@ object Prep {
         )
         SELECT r.doc_id, r.source, r.rk
         FROM r JOIN q USING (source)
-        WHERE r.rk <= q.t_s"""))
+        WHERE r.rk <= q.t_s""")),
+
+    // ----- Benchmark decontamination: cross-corpus n-gram overlap -----
+    // The eval-set hygiene step: flag corpus docs sharing ≥2 distinct
+    // trigram shingles with any benchmark doc (here: a deterministic
+    // doc_id % 97 slice standing in for an eval set). Inverted-index
+    // join with the benchmark side BROADCAST — the corpus is one narrow
+    // pass; nothing all-pairs, no corpus shuffle.
+    QueryDef(
+      "q73_decontaminate",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val bench = d.filter(col("doc_id") % 97 === 0)
+        Dedup.crossCorpusOverlap(d, bench, "doc_id", "text",
+          n = 3, minCommon = 2L)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS s
+          FROM toks WHERE len(w) >= 3
+        ), bench AS (
+          SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0
+        )
+        SELECT c.doc_id, b.bench_id,
+               CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_common
+        FROM sh c JOIN bench b ON c.doc_id <> b.bench_id
+        WHERE len(list_intersect(c.s, b.s)) >= 2""")),
+
+    // ----- PII redaction: q68's scan, acted on -----
+    // Same planted PII and patterns as q68, but the text is REWRITTEN:
+    // emails → [EMAIL], phones → [PHONE], long digit runs → [NUM], in
+    // that order (later patterns never match inside earlier
+    // placeholders). Narrow projection — regex CPU, no shuffle.
+    QueryDef(
+      "q74_pii_redact",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val aug = concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com or 555-123-4567 ref 98765432")))
+            .otherwise(lit("")))
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+        val digits = "\\d{6,}"
+        d.select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("t"), email, "[EMAIL]"),
+                phone, "[PHONE]"),
+              digits, "[NUM]").as("redacted"),
+            (size(regexp_extract_all(col("t"), lit(email), lit(0)))
+              + size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+              + size(regexp_extract_all(col("t"), lit(digits), lit(0))))
+              .as("n_redactions"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id ||
+                        '@example.com or 555-123-4567 ref 98765432'
+                   ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                   '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
+                 '\d{6,}', '[NUM]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                 + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))
+                 + len(regexp_extract_all(t, '\d{6,}')) AS INT) AS n_redactions
+        FROM aug"""))
   )
 }
