@@ -417,6 +417,112 @@ object Prep {
                CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
                  + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))
                  + len(regexp_extract_all(t, '\d{6,}')) AS INT) AS n_redactions
-        FROM aug"""))
+        FROM aug""")),
+
+    // ----- Full curation incl. NEAR-dup grouping, oracle-checked -----
+    // q57 stops at exact dedup because its oracle predates q69's
+    // recursive-CTE components. This is the complete stack under ONE
+    // oracle: quality → language → exact dedup (window min-id) →
+    // MinHash near-dup pairs → connected components → keep each
+    // group's min doc_id → sliding-window chunking. The DuckDB twin
+    // recomputes the pair set exactly (all-pairs Jaccard) and resolves
+    // groups with recursive label propagation, so the hash-match
+    // verifies the ENTIRE composition including the LSH pair recall
+    // and the group survivor choice. Scale shape: q57's narrow scoring
+    // pass + one window shuffle, q33's banded equi-joins, q69's
+    // O(log n) component rounds, then the zero-shuffle chunk generator.
+    QueryDef(
+      "q75_curation_neardup",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(spark, dir, "documents")
+        val scored = d.select(col("doc_id"), col("text"),
+          Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.contentHash(col("text")).as("content_hash"))
+        val kept = scored.filter(col("lang_id") === "en" && col("quality") >= 0.72)
+        val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+        val ded = kept.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashNearDups(ded, "doc_id", "text",
+          n = 3, k = 64, bands = 16, tau = 0.8).select(col("a"), col("b"))
+        val groups = graft.operators.Components
+          .dedupGroups(ded.select(col("doc_id")), pairs)
+        val survivors = ded.join(
+          groups.filter(col("doc_id") === col("keep_id")).select(col("doc_id")),
+          "doc_id")
+        CorpusPrep.chunkSliding(survivors, "doc_id", "text", size = 32, stride = 24)
+      },
+      Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, text,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, norm, toks,
+                 len(list_intersect(toks, ${duckList(Text.StopEn)})) AS s_en,
+                 len(list_intersect(toks, ${duckList(Text.StopDe)})) AS s_de,
+                 len(list_intersect(toks, ${duckList(Text.StopEs)})) AS s_es,
+                 len(list_intersect(toks, ${duckList(Text.StopFr)})) AS s_fr,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars
+          FROM t
+        ), scored AS (
+          SELECT doc_id, text, md5(norm) AS content_hash,
+                 CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                      WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                      WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+                      WHEN s_fr > s_en THEN 'fr'
+                      WHEN s_en > 0 THEN 'en'
+                      ELSE 'und' END AS lang_id,
+                 round(
+                   least(1.0, (s_en+s_de+s_es+s_fr)::DOUBLE * 3.0 / greatest(n_tokens::DOUBLE, 1.0)) * 0.2
+                   + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) * 0.4
+                   + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2
+                   + (CASE WHEN n_chars::DOUBLE / greatest(n_tokens::DOUBLE, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                 , 6) AS quality
+          FROM s
+        ), kept AS (
+          SELECT * FROM scored WHERE lang_id = 'en' AND quality >= 0.72
+        ), surv AS (
+          SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY 1
+        ), ded AS (
+          SELECT k.doc_id, k.text FROM kept k JOIN surv USING (content_hash, doc_id)
+        ), dt AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w2
+          FROM ded
+        ), dsh AS (
+          SELECT doc_id,
+                 list_distinct([w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]
+                                for i in range(1, len(w2) - 1)]) AS sgl
+          FROM dt WHERE len(w2) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE
+                  / (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))) >= 0.8
+        ), edges AS (
+          SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM ded
+          UNION
+          SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+        ), comp AS (
+          SELECT node AS doc_id, min(lbl) AS keep FROM reach GROUP BY node
+        ), fin AS (
+          SELECT d.doc_id, d.text FROM ded d
+          JOIN comp c ON d.doc_id = c.doc_id AND d.doc_id = c.keep
+        ), c AS (
+          SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n,
+                 CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                      ELSE CAST(ceil((len(string_split(text, ' ')) - 32)::DOUBLE / 24) AS INT) + 1 END AS n_chunks
+          FROM fin)
+        SELECT doc_id,
+               unnest(range(n_chunks))::INT AS chunk_id,
+               array_to_string(w[unnest(range(n_chunks))*24 + 1 :
+                                 unnest(range(n_chunks))*24 + 32], ' ') AS chunk_text,
+               least(32, n - unnest(range(n_chunks))*24)::INT AS chunk_len
+        FROM c"""))
   )
 }
