@@ -82,6 +82,29 @@ class SmtpSpec extends AnyFunSuite {
     assert(data.contains("Subject: sla missed") && data.contains("<b>late</b>"))
   }
 
+  test("pipeline SLA miss delivers mail through the SMTP notifier") {
+    // The reference combines these as EmailOperator + sla_miss_callback
+    // (dags/example_dag_decorator.py:69-71, dags/example_sla_dag.py:30-61);
+    // here the engine's C16 hook drives the real S10 sink end-to-end.
+    import graft.pipeline.Pipeline
+    import graft.pipeline.Pipeline._
+    val (commands, data) = withServer { port =>
+      val n = graft.sources.Smtp.notifier("127.0.0.1", port)
+      val listener = new Pipeline.Listener {
+        override def onSlaMiss(task: String, elapsedMs: Long, slaMs: Long): Unit =
+          n.notify("ops@example.com", s"SLA missed: $task",
+            s"<p>$task exceeded ${slaMs}ms</p>")
+      }
+      val r = Pipeline.run(
+        Seq(Task("slow", _ => { Thread.sleep(20); Value(()) })),
+        listener = listener, slaMs = Map("slow" -> 1L))
+      assert(r.status("slow") == Success)
+    }
+    assert(commands.contains("RCPT TO:<ops@example.com>"))
+    assert(data.contains("Subject: SLA missed: slow"))
+    assert(data.contains("<p>slow exceeded 1ms</p>"))
+  }
+
   test("address injection is rejected before any connection") {
     intercept[IllegalArgumentException] {
       Smtp.send("127.0.0.1", 1,
