@@ -79,6 +79,30 @@ object Multimodal {
     }
   }
 
+  /** Resize stage (images; audio/video pass through untouched): narrow
+    * and partition-preserving like [[decode]]. The STUB "resampler"
+    * deterministically re-derives a payload whose length is
+    * proportional to the target pixel count (a real implementation
+    * decodes, scales, re-encodes — same signature, same plan shape);
+    * metadata downstream then reports the target dimensions. */
+  def resize(ds: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    require(width > 0 && height > 0)
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        if (r.kind != "image") r
+        else {
+          // stub resample: payload bytes cycled to pixel-count length
+          val target = math.max(1, (width.toLong * height / 1024).toInt)
+          val out = Array.tabulate(target)(i =>
+            if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
+          r.copy(payload = out)
+        }
+      }
+    }
+  }
+
   /** Build a synthetic media table from the documents corpus: payload =
     * UTF-8 bytes of the text (an opaque deterministic blob), kind
     * round-robins image/audio/video. Stands in for `spark.read.format

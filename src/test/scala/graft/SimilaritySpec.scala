@@ -112,4 +112,24 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byMedia.keySet.forall(id => kinds(id) > 0))
   }
+
+  test("resize touches only images, is deterministic, stays narrow") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val resized = Multimodal.resize(media, 224, 224)
+    // no exchange: the stage must be partition-preserving
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+    val before = media.collect().map(r => r.mediaId -> r).toMap
+    val after = resized.collect()
+    assert(after.length == before.size)
+    after.foreach { r =>
+      if (r.kind == "image") {
+        assert(r.payload.length == 224 * 224 / 1024)
+        val again = Multimodal.resize(media, 224, 224)
+          .filter(_.mediaId == r.mediaId).head()
+        assert(again.payload.sameElements(r.payload))
+      } else
+        assert(r.payload.sameElements(before(r.mediaId).payload))
+    }
+  }
 }
