@@ -50,6 +50,19 @@ class ComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("high-degree hub: 5000-leaf star resolves without neighbor arrays") {
+    // The shape that OOMs collect_list formulations: one node adjacent
+    // to everything. Join-based stars keep the hub's neighborhood as a
+    // partial aggregate, so this must converge quickly and correctly.
+    val s = spark
+    import s.implicits._
+    val hub = 2500L
+    val edges = (0L until 5000L).filter(_ != hub).map(l => (hub, l))
+    val got = Components.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 5000 && got.values.forall(_ == 0L))
+  }
+
   test("empty edge list yields empty mapping") {
     val s = spark
     import s.implicits._

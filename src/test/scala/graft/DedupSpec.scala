@@ -57,6 +57,30 @@ class DedupSpec extends SparkSpec {
     assert(hs(1L) != hs(3L))
   }
 
+  test("crossCorpusOverlap: exact counts, self-matches excluded") {
+    val s = spark
+    import s.implicits._
+    // doc 1 ≡ bench 10 (4 shared trigrams), doc 2 shares 1, doc 3 none;
+    // doc 10 is ALSO in the corpus (a benchmark leaked verbatim) and
+    // must not flag against itself.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "a quick brown fox sleeps instead now"),
+      (3L, "completely unrelated text with nothing shared"),
+      (10L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+    val bench = Seq((10L, "the quick brown fox jumps over it"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusOverlap(corpus, bench, "doc_id", "text",
+        n = 3, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // "the quick brown fox jumps over it" = 5 trigram shingles; doc 2
+    // shares exactly "a/quick/brown..." → "quick brown fox" only.
+    assert(got((1L, 10L)) == 5L)
+    assert(got((2L, 10L)) == 1L)
+    assert(!got.contains((3L, 10L)))
+    assert(!got.contains((10L, 10L)), "benchmark flagged itself")
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>
