@@ -98,15 +98,23 @@ object Dedup {
   /** LSH banding: split the k-wide signature into `bands` bands of
     * k/bands rows each; docs sharing any band hash become candidates.
     * The band join is an equi-join on (band_idx, band_hash) — the
-    * classic sub-quadratic near-dup candidate generator. */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
-    val banded = sigs.select(col("id"),
-        posexplode(split_sig(col("sig"), bands)).as(Seq("band", "band_hash")))
+    * classic sub-quadratic near-dup candidate generator. Input is
+    * [[minhashSignatures]] output. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int): DataFrame =
+    sizedCandidatePairs(sigs, bands).select(col("a"), col("b"))
+
+  /** [[lshCandidatePairs]] with each side's shingle-set size carried
+    * through the banding — so verification never needs a second
+    * signature pass just to recover the counts. */
+  private def sizedCandidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
+    val banded = sigs.select(col("id"), col("n_sh"),
+      posexplode(split_sig(col("sig"), bands)).as(Seq("band", "band_hash")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .distinct()
   }
 
@@ -125,19 +133,25 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, tau: Double = 0.8): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
-    val cand = lshCandidatePairs(sigs, bands)
+    // n_sh rides through the banding so candidate pairs surface with
+    // BOTH set sizes already attached: Spark plans are trees, so a
+    // separate `sigs.select(id, n_sh)` branch would re-scan the corpus
+    // and re-run the k-wide signature aggregate just for the counts
+    // (measured: one of four corpus scans in the old plan), plus two
+    // extra hash joins to attach them.
+    val cand = sizedCandidatePairs(sigs, bands)
     val sh = docShingles(df, idCol, textCol, n)
-    val sizes = sigs.select(col("id"), col("n_sh"))
     // Common shingles per candidate pair: attach a's shingles, then
     // equi-join on (b, shingle) — both joins are hash joins keyed on
     // (id) and (id, shingle); no per-pair array materialization.
+    // na/nb are functionally determined by (a, b), so adding them to
+    // the group key changes nothing but keeps them available.
     val common = cand
       .join(sh.toDF("a", "sh"), "a")
       .join(sh.toDF("b", "sh"), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"))
     common
-      .join(sizes.toDF("a", "na"), "a")
-      .join(sizes.toDF("b", "nb"), "b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= tau)

@@ -32,6 +32,23 @@ class DedupSpec extends SparkSpec {
     assert(nd == exactPairs, s"minhash=${nd.size} exact=${exactPairs.size}")
   }
 
+  test("lshCandidatePairs: identical docs always collide, disjoint never") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"), // identical → all bands agree
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", n = 3, k = 64)
+    val cand = Dedup.lshCandidatePairs(sigs, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    // docs 1/2 vs 3 share no shingles → no band can collide (min-hashes
+    // are over disjoint shingle sets; equality would need a hash tie)
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
   test("simhash near-dups include the planted near-identical pairs") {
     val planted = exactPairs
     assert(planted.nonEmpty, "test corpus should contain planted near-dups")
