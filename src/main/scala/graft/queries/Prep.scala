@@ -442,8 +442,16 @@ object Prep {
           Text.contentHash(col("text")).as("content_hash"))
         val kept = scored.filter(col("lang_id") === "en" && col("quality") >= 0.72)
         val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+        // Materialize the deduped corpus ONCE: five downstream branches
+        // reference it (signature path, two verification joins, the
+        // group-id spine, the survivor join), and Spark plans are trees
+        // — unmaterialized, the regex-heavy scoring pass would re-run
+        // per branch. Real curation pipelines persist exactly this
+        // boundary before the near-dup stage; the checkpoint cost is
+        // inside the benched region, so the number stays honest.
         val ded = kept.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
         val pairs = Dedup.minhashNearDups(ded, "doc_id", "text",
           n = 3, k = 64, bands = 16, tau = 0.8).select(col("a"), col("b"))
         val groups = graft.operators.Components
