@@ -76,4 +76,23 @@ object Ops {
   def triggerWithPayload(target: Seq[Task], payload: Map[String, Any],
       listener: Listener = new Listener {}): RunResult =
     Pipeline.run(target, params = payload, listener = listener)
+
+  /** C11 analog: run a stage in an ISOLATED session. The reference
+    * isolates per-task Python interpreters
+    * (`dags/example_python_operator.py:96-148`) because tasks carry
+    * conflicting deps; the single-JVM counterpart is
+    * `SparkSession.newSession()` — the stage gets its OWN SQL conf,
+    * temp-view catalog, UDF registry and current database over the
+    * SHARED SparkContext (executors, caches, listeners stay pooled,
+    * like the reference's shared worker host). Conf tweaks and temp
+    * views made by the stage never leak into the caller's session;
+    * jar-level isolation remains a deployment concern (`spark.jars`),
+    * documented in [[Pipeline]]. */
+  def withIsolatedSession[A](spark: org.apache.spark.sql.SparkSession,
+      conf: Map[String, String] = Map.empty)(
+      f: org.apache.spark.sql.SparkSession => A): A = {
+    val s = spark.newSession()
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    f(s)
+  }
 }

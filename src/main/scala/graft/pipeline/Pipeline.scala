@@ -17,14 +17,15 @@ import scala.util.control.NonFatal
   * `dags/example_nested_branch_dag.py:41-57`) is its hard part; the
   * truth table is ported faithfully and property-tested.
   *
-  * Documented-N/A rows (SURVEY §2.10):
+  * Partially-N/A rows (SURVEY §2.10):
   *   - C11 (virtualenv / external-python isolation,
   *     `dags/example_python_operator.py:96-148`): the reference isolates
   *     per-task Python interpreters because tasks are arbitrary Python
-  *     with conflicting deps. A single-JVM Scala engine has one
-  *     classpath; the closest analogs are per-session conf
-  *     (`SparkSession.newSession`) and `spark.jars` isolation on a real
-  *     cluster. No engine code — by design, not omission.
+  *     with conflicting deps. The single-JVM counterpart IS implemented:
+  *     [[Ops.withIsolatedSession]] (per-stage `SparkSession.newSession`
+  *     — own SQL conf / temp views / UDFs over the shared context;
+  *     OpsSpec proves no leakage). Jar/classpath-level isolation stays
+  *     a deployment concern (`spark.jars`) — that part by design.
   *   - C12 (Kubernetes pod overrides — volumes, sidecars, resources,
   *     affinity, `dags/example_kubernetes_executor.py:55-239`): per-task
   *     placement is the cluster manager's job in Spark

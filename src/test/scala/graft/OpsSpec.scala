@@ -79,4 +79,20 @@ class OpsSpec extends SparkSpec {
     val r = Ops.triggerWithPayload(target, Map("message" -> "world"))
     assert(r.value[String]("greet") == "hello world")
   }
+
+  test("isolated session: conf and temp views don't leak; context shared (C11)") {
+    val outer = spark
+    val before = outer.conf.get("spark.sql.shuffle.partitions")
+    val n = Ops.withIsolatedSession(outer,
+        Map("spark.sql.shuffle.partitions" -> "7")) { s =>
+      assert(s.sparkContext eq outer.sparkContext) // shared executors
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "7")
+      s.range(5).createOrReplaceTempView("c11_isolated_view")
+      s.sql("SELECT count(*) AS n FROM c11_isolated_view").head().getLong(0)
+    }
+    assert(n == 5L)
+    // nothing leaked into the caller's session
+    assert(outer.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(!outer.catalog.tableExists("c11_isolated_view"))
+  }
 }
