@@ -102,6 +102,8 @@ object Components {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    org.apache.log4j.Logger.getLogger(getClass)
+      .info(s"connectedComponents converged in $iter rounds (${sig._1} star edges)")
     // At the fixpoint every edge is (node, componentMin).
     cur.select(col("a").as("node"), col("b").as("component"))
       .union(cur.select(col("b").as("node"), col("b").as("component")))
