@@ -41,7 +41,7 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val e0 = edges.select(
-      edges.columns(0) match { case c => col(c).cast("long").as("a") },
+      col(edges.columns(0)).cast("long").as("a"),
       col(edges.columns(1)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("a"),
@@ -72,11 +72,11 @@ object Components {
 
     // small-star on (hi, lo)-oriented edges: ∀u, m = min of its smaller
     // neighbors; re-attach every smaller neighbor AND u itself to m.
+    // input is already oriented a > b by construction/largeStar output
     def smallStar(e: DataFrame): DataFrame = {
-      val or = e // already oriented a > b by construction/largeStar output
-      val mins = or.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val mins = e.groupBy(col("a")).agg(min(col("b")).as("m"))
         .select(col("a").as("u"), col("m"))
-      val joined = or.join(mins, or("a") === mins("u"))
+      val joined = e.join(mins, e("a") === mins("u"))
       joined.select(col("b").as("a"), col("m").as("b"))
         .union(joined.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))

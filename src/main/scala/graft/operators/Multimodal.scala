@@ -95,8 +95,9 @@ object Multimodal {
         else {
           // stub resample: payload bytes cycled to pixel-count length
           val target = math.max(1, (width.toLong * height / 1024).toInt)
-          val out = Array.tabulate(target)(i =>
-            if (r.payload.isEmpty) 0.toByte else r.payload(i % r.payload.length))
+          val out =
+            if (r.payload.isEmpty) new Array[Byte](target)
+            else Array.tabulate(target)(i => r.payload(i % r.payload.length))
           r.copy(payload = out)
         }
       }

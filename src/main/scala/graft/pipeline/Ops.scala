@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.SparkSession
 import scala.sys.process.{Process, ProcessLogger}
 import graft.pipeline.Pipeline._
 
@@ -88,9 +89,9 @@ object Ops {
     * views made by the stage never leak into the caller's session;
     * jar-level isolation remains a deployment concern (`spark.jars`),
     * documented in [[Pipeline]]. */
-  def withIsolatedSession[A](spark: org.apache.spark.sql.SparkSession,
+  def withIsolatedSession[A](spark: SparkSession,
       conf: Map[String, String] = Map.empty)(
-      f: org.apache.spark.sql.SparkSession => A): A = {
+      f: SparkSession => A): A = {
     val s = spark.newSession()
     conf.foreach { case (k, v) => s.conf.set(k, v) }
     f(s)

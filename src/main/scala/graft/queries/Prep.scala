@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{CorpusPrep, Dedup}
+import graft.operators.{Components, CorpusPrep, Dedup}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -102,8 +103,7 @@ object Prep {
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
         val bucket = floor(size(split(col("text"), " ")) / 20).as("len_bucket")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("len_bucket"))
+        val w = Window.partitionBy(col("len_bucket"))
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         d.select(col("doc_id"), bucket)
           .withColumn("rn", row_number().over(w))
@@ -145,8 +145,7 @@ object Prep {
         // scoring projection on BOTH join inputs (Spark plans are trees,
         // not DAGs: an unpersisted frame used twice is computed twice)
         // and costs a second shuffle. Same survivor set either way.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+        val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
         val deduped = kept
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
@@ -302,7 +301,6 @@ object Prep {
     QueryDef(
       "q72_mixture_sample",
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = Tables.load(spark, dir, "documents")
         val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
         val quota = counts
@@ -434,7 +432,6 @@ object Prep {
     QueryDef(
       "q75_curation_neardup",
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = Tables.load(spark, dir, "documents")
         val scored = d.select(col("doc_id"), col("text"),
           Text.langId(col("text")).as("lang_id"),
@@ -454,8 +451,7 @@ object Prep {
           .localCheckpoint(true)
         val pairs = Dedup.minhashNearDups(ded, "doc_id", "text",
           n = 3, k = 64, bands = 16, tau = 0.8).select(col("a"), col("b"))
-        val groups = graft.operators.Components
-          .dedupGroups(ded.select(col("doc_id")), pairs)
+        val groups = Components.dedupGroups(ded.select(col("doc_id")), pairs)
         val survivors = ded.join(
           groups.filter(col("doc_id") === col("keep_id")).select(col("doc_id")),
           "doc_id")

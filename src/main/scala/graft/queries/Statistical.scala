@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.QueryDef
 import graft.sources.Tables
@@ -469,7 +470,6 @@ object Statistical {
     QueryDef(
       "q71_histogram",
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = Tables.load(spark, dir, "documents")
         val h = d.groupBy(
             (floor(col("n_chars") / 50L) * 50L).cast("long").as("bucket_lo"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.operators.{AsOf, Ranges}
@@ -185,7 +186,6 @@ object Temporal {
     QueryDef(
       "q70_sessionize",
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val e = Tables.load(spark, dir, "events")
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
