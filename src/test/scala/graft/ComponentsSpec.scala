@@ -63,6 +63,19 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 5000 && got.values.forall(_ == 0L))
   }
 
+  test("result is invariant under adversarial repartitioning") {
+    // Iterative graph algorithms are where partition-sensitivity bugs
+    // hide; the label mapping must not depend on physical layout.
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 7L), (4L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    def run(parts: Int): Map[Long, Long] =
+      Components.connectedComponents(edges.toDF("a", "b").repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(7))
+  }
+
   test("empty edge list yields empty mapping") {
     val s = spark
     import s.implicits._
