@@ -1,0 +1,30 @@
+package graft
+
+/** Plan-shape regression guard: the PLANS.md audit promises no
+  * accidental all-pairs joins anywhere in the declared surface. This
+  * pins that property so a refactor that silently degrades an equi-join
+  * into BroadcastNestedLoopJoin/CartesianProduct fails the suite, not
+  * a later round's audit. The allowlist is the documented set whose
+  * nested loop IS the design (tiny broadcast side or exact-baseline
+  * semantics — see PLANS.md).
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private val declaredNestedLoop = Set(
+    "q10_join_theta",          // theta demo on a 3-row bucket table
+    "q29_custom_expr_cosine",  // small filtered pair set, broadcast
+    "q37_embed_knn",           // exact-kNN baseline: broadcast query batch
+    "q55_tfidf_top_terms",     // 1-row corpus-total broadcast (IDF)
+    "q67_unigram_logprob")     // 1-row corpus-total broadcast
+
+  test("no undeclared nested-loop or cartesian join in any query plan") {
+    val offenders = SparkEntry.all.flatMap { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      val nested = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      if (nested && !declaredNestedLoop(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"undeclared nested-loop joins in: ${offenders.mkString(", ")}")
+  }
+}
