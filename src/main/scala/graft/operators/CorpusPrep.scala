@@ -99,4 +99,33 @@ object CorpusPrep {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("rnk"), col("tfidf"))
   }
+
+  /** Hash-threshold mixture sampling — the giant-source form of q72's
+    * temperature sampling. Per-source quota ∝ n_s^alpha as there, but
+    * membership is a FILTER, not a rank: accept a row iff its id-hash
+    * (uniform in [0,1)) falls below the source's acceptance rate
+    * quota_s / n_s. No per-source sort exists anywhere in the plan —
+    * a 10-billion-row source costs the same narrow pass as a small
+    * one, at the price of hitting the quota only in expectation
+    * (±binomial noise) rather than exactly. Deterministic: the hash is
+    * a pure function of the id, so the SAME rows are chosen on every
+    * run, partitioning, and cluster size.
+    */
+  def mixtureSampleThreshold(docs: DataFrame, idCol: String,
+      sourceCol: String, alpha: Double, budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+    val rates = counts
+      .withColumn("w", pow(col("n_s").cast("double"), alpha))
+      .withColumn("rate", least(lit(1.0),
+        lit(budget) * col("w") /
+          sum(col("w")).over(Window.partitionBy(lit(1))) / col("n_s")))
+      .select(col(sourceCol), col("rate"))
+    // uniform in [0,1) from the id hash; xxhash64 spans the full long
+    // range, so normalize via the unsigned-ish shift to [0, 2^63)
+    val u = shiftrightunsigned(xxhash64(col(idCol)), 1)
+      .cast("double") / lit(Long.MaxValue.toDouble)
+    docs.join(broadcast(rates), sourceCol)
+      .filter(u < col("rate"))
+      .drop("rate")
+  }
 }

@@ -76,4 +76,30 @@ class CorpusPrepSpec extends SparkSpec {
     // the per-doc unique fruit (df=1, idf=ln 3)
     assert(top == Map(1L -> "banana", 2L -> "cherry", 3L -> "durian"))
   }
+
+  test("threshold mixture sample: near-quota, deterministic, partition-stable") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val got = CorpusPrep.mixtureSampleThreshold(docs, "doc_id", "source",
+      alpha = 0.5, budget = 200L)
+    val bySource = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expectation: quota_s = 200 * sqrt(n_s) / Σ sqrt(n_s); binomial
+    // noise at these sizes is σ ≈ √quota — allow 5σ so the test is
+    // deterministic-in-practice while still catching a broken rate.
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wsum = counts.values.map(n => math.sqrt(n.toDouble)).sum
+    counts.foreach { case (src, n) =>
+      val quota = 200.0 * math.sqrt(n.toDouble) / wsum
+      val tol = 5.0 * math.sqrt(quota) + 1
+      val actual = bySource.getOrElse(src, 0L).toDouble
+      assert(math.abs(actual - quota) <= tol,
+        s"$src: accepted $actual, quota $quota ± $tol")
+    }
+    // determinism incl. under adversarial repartitioning
+    val again = CorpusPrep.mixtureSampleThreshold(docs.repartition(7),
+        "doc_id", "source", alpha = 0.5, budget = 200L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
