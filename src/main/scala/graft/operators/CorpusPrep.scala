@@ -87,8 +87,13 @@ object CorpusPrep {
         explode(toks(col(textCol))).as("term"))
     val tf = exploded.groupBy(col(idCol), col("term"), col("doc_len"))
       .agg(count(lit(1)).as("tf_count"))
-    val df_ = exploded.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency FROM tf — its rows are exactly the distinct
+    // (doc, term) pairs, so a second tokenize+explode pass over the
+    // corpus for DF would be pure tree duplication; deriving it here
+    // also lets AQE reuse tf's shuffle stage for both consumers.
+    // (n_docs stays a direct corpus count: it must include docs that
+    // produce no tokens, which never reach tf.)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(df_, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"),
