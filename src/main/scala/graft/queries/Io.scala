@@ -19,8 +19,10 @@ object Io {
     QueryDef(
       "q21_write_roundtrip",
       (spark, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_roundtrip_").toString
+        // fixed scratch path + overwrite mode: repeated invocations
+        // (verify × warmup × bench runs) reuse it instead of leaking a
+        // fresh temp directory each time
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_roundtrip"
         val o = Tables.load(spark, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
         // S4: date-partitioned parquet sink — downstream year predicates
