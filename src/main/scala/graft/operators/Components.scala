@@ -85,16 +85,22 @@ object Components {
         .distinct()
     }
 
-    var cur = e0.localCheckpoint(true)
+    // LAZY localCheckpoint: the checksum action both materializes the
+    // round's edge set into the checkpoint AND digests it — ONE Spark
+    // job per round instead of an eager-checkpoint job plus a checksum
+    // job. Each round is latency-bound (the edge set shrinks fast), so
+    // halving the action count halves the loop's scheduler-latency
+    // exposure. The empty-input check rides the same digest (count 0).
+    var cur = e0.localCheckpoint(false)
     var sig = checksum(cur)
     var iter = 0
-    var converged = cur.isEmpty
+    var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nsig = checksum(next)
-      // next is materialized (checkpoint job + checksum action ran), so
-      // the previous round's blocks are dead — free them now rather
-      // than letting up to maxIter edge-set copies pile up in storage.
+      // next is materialized by its checksum, so the previous round's
+      // blocks are dead — free them now rather than letting up to
+      // maxIter edge-set copies pile up in storage.
       cur.unpersist()
       converged = nsig == sig
       cur = next
