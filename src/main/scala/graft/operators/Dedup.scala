@@ -201,6 +201,41 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Incremental near-dup: match a NEW batch of documents against an
+    * EXISTING signature index — the daily-ingestion shape, where the
+    * historical corpus exists only as its [[minhashSignatures]] table
+    * (k longs per doc) and its text is never re-read. Candidates come
+    * from the same banded equi-join as the batch form; verification
+    * uses the signature-estimated Jaccard (fraction of agreeing
+    * signature components — unbiased estimator of J, σ = √(J(1−J)/k) ≈
+    * 0.05 at k=64), because exact verification would require the
+    * corpus shingles the index deliberately doesn't store.
+    *
+    * Scale shape: the index is read once (k×8 bytes/doc — 0.5 TB per
+    * trillion docs, not the corpus's 100 TB), banding is narrow on
+    * both sides, and the only joins are (band, hash) and id-keyed
+    * signature attachments. Output: (id, corpus_id, est_jaccard).
+    */
+  def minhashNearDupsAgainstIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, index: DataFrame,
+      n: Int = 3, k: Int = 64, bands: Int = 16, tau: Double = 0.8): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+    def band(sigs: DataFrame, idAs: String): DataFrame =
+      sigs.select(col("id").as(idAs), col("sig").as(s"${idAs}_sig"),
+        posexplode(split_sig(col("sig"), bands)).as(Seq("band", "band_hash")))
+    val cand = band(newSigs, "id").as("x")
+      .join(band(index, "corpus_id").as("y"), Seq("band", "band_hash"))
+      .select(col("id"), col("corpus_id"),
+        col("id_sig").as("sa"), col("corpus_id_sig").as("sb"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
+          x => x)).cast("double") / k)
+      .filter(col("est_jaccard") >= tau)
+      .select(col("id"), col("corpus_id"), col("est_jaccard"))
+  }
+
   /** Benchmark decontamination: cross-corpus n-gram overlap — for each
     * corpus document, the number of distinct n-gram shingles it shares
     * with each benchmark document (self-matches excluded so a benchmark

@@ -74,6 +74,29 @@ class DedupSpec extends SparkSpec {
     assert(hs(1L) != hs(3L))
   }
 
+  test("incremental near-dup vs signature index finds re-ingested docs") {
+    // index = corpus signatures (text never re-read); new batch =
+    // verbatim copy of doc 0, near-copy of doc 1, one unrelated doc.
+    val s = spark
+    import s.implicits._
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val index = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 64)
+    val batch = Seq(
+      (100000L, texts(0L)),                       // exact re-ingest
+      (100001L, texts(1L) + " tail token"),       // near-dup
+      (100002L, "zz yy xx ww vv uu tt ss rr qq")) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsAgainstIndex(batch, "doc_id", "text",
+        index, n = 3, k = 64, bands = 16, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byNew = got.groupBy(_._1)
+    // identical text → identical signatures → estimate exactly 1.0
+    assert(byNew(100000L).exists(m => m._2 == 0L && m._3 == 1.0))
+    assert(byNew.get(100001L).exists(_.exists(_._2 == 1L)))
+    assert(!byNew.contains(100002L))
+  }
+
   test("crossCorpusOverlap: exact counts, self-matches excluded") {
     val s = spark
     import s.implicits._
