@@ -68,18 +68,6 @@ object Similarity {
   private def planeComponent(p: Int, d: Column): Column =
     (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** Sign-random-projection bucket id from `nPlanes` hyperplanes: bit p
-    * = sign(v · r_p). Vectors within a small angle land in the same
-    * bucket with high probability. */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-
   /** ANN top-k: candidates = corpus vectors sharing any of the query's
     * LSH buckets across `tables` independent hash tables (multi-table
     * = the standard recall knob), then exact cosine + top-k within
@@ -159,8 +147,10 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
-  /** [[lshBucket]] with the plane family shifted by `offset` — gives
-    * each hash table an independent set of hyperplanes. */
+  /** Sign-random-projection bucket id: bit p = sign(v · r_(offset+p)).
+    * Vectors within a small angle share a bucket with high probability;
+    * the `offset` shifts the plane family so each hash table gets an
+    * independent set of hyperplanes. */
   private def lshBucketOffset(vec: Column, nPlanes: Int, offset: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(

@@ -28,4 +28,19 @@ class SqlTemplatesSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](SqlTemplates.load("nope.sql"))
     assert(e.getMessage.contains("nope.sql"))
   }
+
+  test("S7/S9: the reference's Orders DDL creates a table; console previews") {
+    // dags/sql/sample.sql:20-24 — PRIMARY KEY is metadata-only in Spark,
+    // so the DDL ports minus the constraint (documented in Sinks).
+    graft.sources.Sinks.createTable(spark,
+      """CREATE TABLE IF NOT EXISTS graft_orders_ddl (
+        |  order_id INT, name STRING, description STRING)""".stripMargin)
+    try {
+      assert(spark.catalog.tableExists("graft_orders_ddl"))
+      spark.sql(
+        "INSERT INTO graft_orders_ddl VALUES (1, 'widget', 'a widget')")
+      graft.sources.Sinks.console(spark.table("graft_orders_ddl"), n = 1)
+      assert(spark.table("graft_orders_ddl").count() == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_orders_ddl")
+  }
 }
