@@ -41,6 +41,19 @@ class SensorsSpec extends SparkSpec {
     assert(r.value[String]("use") == "PAYLOAD-42")
   }
 
+  test("time sensor: past target fires immediately, future target waits (T7)") {
+    import java.time.Instant
+    val past = Instant.now().minusSeconds(60)
+    assert(Sensors.timeProbe(past)().contains(past))
+    val future = Instant.now().plusSeconds(3600)
+    assert(Sensors.timeProbe(future)().isEmpty)
+    // through the poke loop: past target completes without timing out
+    Sensors.poll(timeoutMs = 1000)(Sensors.timeProbe(past)) match {
+      case Sensors.Found(v, _) => assert(v == past)
+      case other => fail(s"expected Found, got $other")
+    }
+  }
+
   test("workday timetable skips weekends and holidays (T14)") {
     import java.time.LocalDate
     val holidays = Set(LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 15))
