@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   *     literal + array_position argmax) — embarrassingly parallel,
   *     stays inside whole-stage codegen's task, no shuffle;
   *   - the probe is an equi-join on `cluster`: candidates =
-  *     corpus ∩ probed lists ≈ nprobe/k of the data. Written out with
-  *     `partitionBy("cluster")` (see [[graft.sources.Sinks]]), the scan
-  *     prunes to the probed partitions — reading nprobe/k of 100 TB
-  *     instead of all of it.
+  *     corpus ∩ probed lists ≈ nprobe/k of the data. [[writeIndex]]
+  *     persists the lists `partitionBy("cluster")` and [[probeIndex]]
+  *     pushes the probed ids as a partition filter, so the scan prunes
+  *     to the probed directories — reading nprobe/k of 100 TB instead
+  *     of all of it (IvfSpec asserts the pruned file set).
   *
   * Everything is deterministic: seeding is by xxhash64 order of vector
   * ids, assignment ties break toward the lower cluster id, and all
@@ -112,6 +113,42 @@ object Ivf {
     centroids
   }
 
+  /** (query_id, qvec, cluster): one row per (query, probed list) — each
+    * query's `nprobe` nearest centroids by cosine (lower cluster id
+    * wins ties). Package-private so IvfSpec can derive the expected
+    * probed-partition set independently of [[probeIndex]]. */
+  private[graft] def probeAssignments(centroids: Seq[Seq[Double]],
+      queries: DataFrame, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val nTrained = centroids.size
+    val probeN = math.min(nprobe, nTrained)
+    // rank clusters per query by similarity, keep the top nprobe:
+    // zip (sim, id), sort by sim desc (id asc on ties), slice, explode
+    val sims = simsToCentroids(centroids, col(vecCol))
+    val ranked = array_sort(
+      arrays_zip(sims.as("sim"), sequence(lit(0), lit(nTrained - 1)).as("cid")),
+      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1)
+        .otherwise(a.getField("cid") - b.getField("cid")))
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        slice(transform(ranked, s => s.getField("cid")), 1, probeN).as("probe_list"))
+      .select(col("query_id"), col("qvec"), explode(col("probe_list")).as("cluster"))
+  }
+
+  /** Exact cosine + per-query top-k over (cluster-joined) candidates.
+    * Input needs (query_id, qvec, neighbor_id, cvec); output matches
+    * [[Similarity.bruteForceTopK]]: (query_id, neighbor_id, rank, cos). */
+  private def topKOverCandidates(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("cvec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest inverted lists per query,
     * exact cosine + top-k within candidates. Output schema matches
     * [[Similarity.bruteForceTopK]]: (query_id, neighbor_id, rank, cos).
@@ -125,32 +162,45 @@ object Ivf {
     // takes the k lowest-hash vectors — there may not be k); every
     // cluster-count reference below must use the TRAINED size, or
     // arrays_zip null-pads and malformed probe clusters enter the join
-    val nTrained = centroids.size
-    val probeN = math.min(nprobe, nTrained)
-
     val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       assignCluster(centroids, col(vecCol)).as("cluster"))
+    val probes = probeAssignments(centroids, queries, nprobe, idCol, vecCol)
+    topKOverCandidates(indexed.join(broadcast(probes), Seq("cluster")), k)
+  }
 
-    // rank clusters per query by similarity, keep the top nprobe:
-    // zip (sim, id), sort by sim desc (id asc on ties), slice, explode
-    val sims = simsToCentroids(centroids, col(vecCol))
-    val ranked = array_sort(
-      arrays_zip(sims.as("sim"), sequence(lit(0), lit(nTrained - 1)).as("cid")),
-      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-        .when(a.getField("sim") < b.getField("sim"), 1)
-        .otherwise(a.getField("cid") - b.getField("cid")))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        slice(transform(ranked, s => s.getField("cid")), 1, probeN).as("probe_list"))
-      .select(col("query_id"), col("qvec"), explode(col("probe_list")).as("cluster"))
+  /** Index side of the on-disk IVF layout: train centroids, assign every
+    * corpus vector, and write the inverted lists
+    * `partitionBy("cluster")` — one directory per list, so a probe's
+    * scan PRUNES to the probed lists (see [[probeIndex]]). Returns the
+    * trained centroids: k×dim doubles, the only state a searcher needs
+    * besides the path. */
+  def writeIndex(corpus: DataFrame, path: String, nClusters: Int,
+      iters: Int = 3, trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      assignCluster(centroids, col(vecCol)).as("cluster"))
+    graft.sources.Sinks.parquetPartitioned(indexed, path, "cluster")
+    centroids
+  }
 
-    val cand = indexed.join(broadcast(probes), Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
-        Similarity.cosineFast(col("cvec"), col("qvec")).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  /** Search side over [[writeIndex]]'s layout. The probed cluster ids
+    * are collected to the driver (bounded: ≤ min(nClusters, nprobe ×
+    * queries) ints — never corpus data) and pushed as a static `isin`
+    * predicate on the PARTITION column, so the scan lists and reads
+    * only the probed directories: nprobe/k of a 100 TB corpus, the
+    * rest is zero I/O. IvfSpec asserts the predicate lands in
+    * `PartitionFilters` and that the files actually read come from
+    * exactly the probed directories. */
+  def probeIndex(spark: SparkSession, path: String,
+      centroids: Seq[Seq[Double]], queries: DataFrame, k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = probeAssignments(centroids, queries, nprobe, idCol, vecCol)
+    val probed = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(path)
+      .filter(col("cluster").isin(probed.map(Int.box): _*))
+    topKOverCandidates(lists.join(broadcast(probes), Seq("cluster")), k)
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.operators.{Ivf, Similarity}
 import graft.sources.Tables
@@ -67,6 +68,52 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Int]("rank"))).toSet
     assert(ivf == exact)
+  }
+
+  test("on-disk inverted lists: the probe scan prunes to the probed partitions") {
+    val dir = Files.createTempDirectory("graft_ivf_idx_").toString
+    val centroids = Ivf.writeIndex(emb, dir, nClusters = 8, iters = 2)
+    assert(centroids.size == 8)
+    // all 8 list directories exist on disk
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("cluster=")).toSet
+    assert(onDisk == (0 until 8).map(c => s"cluster=$c").toSet)
+
+    // one query probing 3 of 8 lists — the pruning claim is per-query
+    val q1 = emb.filter(col("vec_id") === 0)
+    val expectedProbed = Ivf
+      .probeAssignments(centroids, q1, nprobe = 3, "vec_id", "embedding")
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    assert(expectedProbed.size == 3)
+
+    val res = Ivf.probeIndex(spark, dir, centroids, q1, k = 5, nprobe = 3)
+
+    // 1) plan: the cluster predicate lands in PartitionFilters
+    //    (directory pruning at listing time), not PushedFilters
+    val plan = res.queryExecution.executedPlan.toString
+    // several scans appear (index + query side): find the one whose
+    // PartitionFilters carries the static cluster IN-list
+    assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]* IN \\(".r
+      .findFirstIn(plan).isDefined,
+      s"cluster predicate did not reach PartitionFilters:\n$plan")
+
+    // 2) behavior: the files feeding the probe live in EXACTLY the
+    //    probed directories — 3 of the 8 lists, never the corpus
+    val readDirs = spark.read.parquet(dir)
+      .filter(col("cluster").isin(expectedProbed.toSeq.map(Int.box): _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0).split("/").init.last).toSet
+    assert(readDirs == expectedProbed.map(c => s"cluster=$c"),
+      s"scan touched $readDirs, expected ${expectedProbed.map(c => s"cluster=$c")}")
+
+    // 3) result: identical to the in-memory probe path (training is
+    //    deterministic, so same params give the same centroids)
+    val inMem = Ivf.ivfTopK(emb, q1, k = 5, nClusters = 8, nprobe = 3, iters = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val disk = res.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    assert(disk == inMem)
   }
 
   test("training on a sample still assigns the full corpus") {
