@@ -497,7 +497,6 @@ object Statistical {
         )
         SELECT bucket_lo, wb, n, min_chars, max_chars,
                round(n / (sum(n) OVER ()), 6) AS share
-        FROM h"""),
-      bench = false)
+        FROM h"""))
   )
 }

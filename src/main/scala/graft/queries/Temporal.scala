@@ -33,8 +33,7 @@ object Temporal {
         )
         SELECT c.event_id, c.user_id, c.ts, p.value AS asof_value
         FROM clicks c ASOF LEFT JOIN purchases p
-          ON c.user_id = p.user_id AND c.ts >= p.ts"""),
-      bench = false),
+          ON c.user_id = p.user_id AND c.ts >= p.ts""")),
 
     // ----- P3/P4/P6: key-presence, equality guard, LIKE/IN/IS NULL -----
     QueryDef(
@@ -96,8 +95,7 @@ object Temporal {
         FROM s FULL OUTER JOIN n ON s_nationkey = n_nationkey
         UNION ALL
         SELECT 'right' AS kind, s_suppkey, n_name
-        FROM s RIGHT JOIN n ON s_nationkey = n_nationkey"""),
-      bench = false),
+        FROM s RIGHT JOIN n ON s_nationkey = n_nationkey""")),
 
     // ----- F9/F13/F14: clamp, map_keys, math/regexp scalar breadth -----
     QueryDef(
@@ -131,8 +129,7 @@ object Temporal {
                regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled,
                user_id % 7 AS mod7
         FROM events
-        WHERE event_id < 2000"""),
-      bench = false),
+        WHERE event_id < 2000""")),
 
     // ----- J4 at scale: binned range join (events × daily windows) -----
     // Count events inside each day's [06:00, 18:00) window. The Spark
