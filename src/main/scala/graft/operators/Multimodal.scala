@@ -35,7 +35,7 @@ object Multimodal {
   final case class Frame(mediaId: Long, frameIdx: Int, offsetMs: Long,
       payload: Array[Byte])
 
-  /** STUB decoder ???-equivalent: a real implementation would parse the
+  /** STUB decoder: a real implementation would parse the
     * container/codec headers and decode pixels/samples. Here metadata
     * and an 8-dim feature vector are derived deterministically from the
     * payload bytes so the pipeline is testable end-to-end. */

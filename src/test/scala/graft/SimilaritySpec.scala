@@ -1,11 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.Similarity
 import graft.sources.Tables
 
-/** Grades ANN recall against the exact baseline and the multimodal
-  * plumbing (schema / batch shape / determinism). */
+/** Grades the cosine expressions and ANN recall against the exact
+  * baseline (multimodal plumbing lives in MultimodalSpec). */
 class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = Tables.load(spark, sfDir, "embeddings")
@@ -77,59 +77,6 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach { r =>
       assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id"),
         "self-match leaked through")
-    }
-  }
-
-  test("multimodal decode preserves rows, schema, and determinism") {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val media = Multimodal.syntheticMedia(spark, docs)
-    val decoded = Multimodal.decode(media)
-    assert(decoded.count() == docs.count())
-    val df = decoded.toDF()
-    assert(df.schema.fieldNames.toSet == Set("mediaId", "meta", "features"))
-    assert(df.select("features").head().getSeq[Float](0).length == 8)
-    // determinism: same payload → same decode (stub is hash-based).
-    // Compare fields, not case classes — Array[Float] uses reference ==.
-    val a = decoded.filter(col("mediaId") === 0).head()
-    val b = Multimodal.decode(media).filter(col("mediaId") === 0).head()
-    assert(a.meta == b.meta && a.features.sameElements(b.features))
-  }
-
-  test("frame sampling yields monotone offsets bounded by duration") {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val media = Multimodal.syntheticMedia(spark, docs)
-    val frames = Multimodal.sampleFrames(media, everyMs = 40000L)
-    val byMedia = frames.collect().groupBy(_.mediaId)
-    assert(byMedia.nonEmpty, "no video rows sampled")
-    byMedia.foreach { case (_, fs) =>
-      val offs = fs.sortBy(_.frameIdx).map(_.offsetMs)
-      assert(offs.zip(offs.drop(1)).forall { case (x, y) => x < y })
-      assert(offs.head == 0L)
-    }
-    // only audio/video (duration>0) produce frames; images never do
-    val kinds = Multimodal.decode(media).toDF()
-      .select(col("mediaId"), col("meta.durationMs")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(byMedia.keySet.forall(id => kinds(id) > 0))
-  }
-
-  test("resize touches only images, is deterministic, stays narrow") {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val media = Multimodal.syntheticMedia(spark, docs)
-    val resized = Multimodal.resize(media, 224, 224)
-    // no exchange: the stage must be partition-preserving
-    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
-    val before = media.collect().map(r => r.mediaId -> r).toMap
-    val after = resized.collect()
-    assert(after.length == before.size)
-    after.foreach { r =>
-      if (r.kind == "image") {
-        assert(r.payload.length == 224 * 224 / 1024)
-        val again = Multimodal.resize(media, 224, 224)
-          .filter(_.mediaId == r.mediaId).head()
-        assert(again.payload.sameElements(r.payload))
-      } else
-        assert(r.payload.sameElements(before(r.mediaId).payload))
     }
   }
 }
