@@ -104,6 +104,72 @@ object Text {
     round(stopRatio * 0.2 + alphaRatio * 0.4 + lenScore * 0.2 + tokLenScore * 0.2, 6)
   }
 
+  // --- Gopher/C4-style repetition + ratio signals (Rae et al. 2021,
+  // "Scaling Language Models" §A1.1; Raffel et al. 2020 C4 filters).
+  // All pure Column expressions: at 100 TB these are one zero-shuffle
+  // projection over the corpus, like qualityScore.
+
+  /** Fraction of lines that exactly repeat an earlier line of the SAME
+    * document (Gopher's duplicate-line fraction — boilerplate/nav-bar
+    * detector). Input is the line ARRAY (split at the caller, where the
+    * line convention is known); 0.0 when there are no lines. */
+  def duplicateLineFraction(lines: Column): Column =
+    when(size(lines) <= 0, 0.0).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double")
+        / size(lines).cast("double"))
+
+  /** All word n-grams WITH repeats (unlike [[shingles]], counts matter
+    * here). Same binding caveat as [[shingles]]: stage `toks` in its
+    * own projection first. */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Share of all n-grams taken by the single most frequent one
+    * (Gopher's top-n-gram share — repeated-phrase detector). Input is
+    * a BOUND [[wordNgrams]] column; the per-row cost is
+    * O(distinct × total) interpreted lambda steps, fine for documents
+    * (bounded), and the stage stays shuffle-free. */
+  def topNgramShare(ng: Column): Column =
+    when(size(ng) <= 0, 0.0).otherwise(
+      array_max(transform(array_distinct(ng),
+        g => size(filter(ng, x => x === g))))
+        .cast("double") / size(ng).cast("double"))
+
+  /** Symbol-to-word ratio: non-alphanumeric, non-space characters per
+    * token (Gopher uses #/… hashes and ellipses; this counts the whole
+    * symbol class so it is alphabet-agnostic). */
+  def symbolToWordRatio(text: Column, toks: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  private val AllStops = StopEn ++ StopDe ++ StopEs ++ StopFr
+
+  /** Fraction of token OCCURRENCES that are stopwords (C4/Gopher's
+    * stop-word fraction; occurrence-weighted, unlike [[qualityScore]]'s
+    * distinct-intersect hit count). */
+  def stopwordFraction(toks: Column): Column =
+    when(size(toks) <= 0, 0.0).otherwise(
+      size(filter(toks, t => AllStops.map(w => t === lit(w)).reduce(_ || _)))
+        .cast("double") / size(toks).cast("double"))
+
+  /** Mean token length of the normalized tokens (Gopher gates on
+    * 3 ≤ mean ≤ 10 — gibberish/code detector). */
+  def meanWordLength(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
+
+  /** Fraction of tokens containing at least one alphabetic character
+    * (C4 drops pages where this is low — symbol soup / data dumps). */
+  def alphaTokenFraction(toks: Column): Column =
+    when(size(toks) <= 0, 0.0).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]")))
+        .cast("double") / size(toks).cast("double"))
+
   /** Polynomial rolling-hash fingerprint of the normalized content:
     * fold codepoints through acc*31+cp mod 1e9+7. Cheap 64-bit content
     * identity with a well-defined cross-engine formula (unlike xxhash,

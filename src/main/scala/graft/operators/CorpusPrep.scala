@@ -115,20 +115,27 @@ object CorpusPrep {
     * (±binomial noise) rather than exactly. Deterministic: the hash is
     * a pure function of the id, so the SAME rows are chosen on every
     * run, partitioning, and cluster size.
-    */
+    *
+    * The acceptance rate is rounded to 6 digits (q72's idiom: a
+    * last-ulp window-sum difference must not flip membership across
+    * engines/plans). `uniform` overrides the id→[0,1) hash — the
+    * default xxhash64 is the cheap scale path; q78 passes an
+    * md5-derived uniform that DuckDB can reproduce bit-for-bit. */
   def mixtureSampleThreshold(docs: DataFrame, idCol: String,
-      sourceCol: String, alpha: Double, budget: Long): DataFrame = {
+      sourceCol: String, alpha: Double, budget: Long,
+      uniform: Option[Column] = None): DataFrame = {
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
     val rates = counts
       .withColumn("w", pow(col("n_s").cast("double"), alpha))
-      .withColumn("rate", least(lit(1.0),
+      .withColumn("rate", round(least(lit(1.0),
         lit(budget) * col("w") /
-          sum(col("w")).over(Window.partitionBy(lit(1))) / col("n_s")))
+          sum(col("w")).over(Window.partitionBy(lit(1))) / col("n_s")), 6))
       .select(col(sourceCol), col("rate"))
     // uniform in [0,1) from the id hash; xxhash64 spans the full long
     // range, so normalize via the unsigned-ish shift to [0, 2^63)
-    val u = shiftrightunsigned(xxhash64(col(idCol)), 1)
-      .cast("double") / lit(Long.MaxValue.toDouble)
+    val u = uniform.getOrElse(
+      shiftrightunsigned(xxhash64(col(idCol)), 1)
+        .cast("double") / lit(Long.MaxValue.toDouble))
     docs.join(broadcast(rates), sourceCol)
       .filter(u < col("rate"))
       .drop("rate")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -234,6 +235,48 @@ object Dedup {
           x => x)).cast("double") / k)
       .filter(col("est_jaccard") >= tau)
       .select(col("id"), col("corpus_id"), col("est_jaccard"))
+  }
+
+  /** Line-level exact dedup (the C4/CCNet idiom): remove duplicate
+    * LINES across the corpus, keeping only the first occurrence
+    * corpus-wide (ordered by document id, then line position) — the
+    * complement of whole-document dedup ([[exact]]) and fuzzy dedup
+    * ([[minhashNearDups]]) that strips boilerplate headers/footers/
+    * navigation repeated across pages.
+    *
+    * Shape: posexplode lines → ONE shuffle partitioned by the line
+    * value (a window ranked by (id, pos) marks the one survivor per
+    * distinct line) → one id-keyed aggregate reassembles each document
+    * from its surviving lines in original order. The collect_list is
+    * bounded by a single document's own line count — never a
+    * cross-document neighbor set. At 100 TB the only tuning is the
+    * usual skew lever: an ultra-hot line (the empty line, "Home") is
+    * one window partition — pre-aggregating (line, min(id, pos)) with
+    * partial aggregation and joining back trades the window for a
+    * map-side-combined groupBy if that ever dominates; semantics are
+    * identical because the keep rule is a pure min.
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped); documents whose
+    * every line was dropped survive with clean_text = ''. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    // partition by the line VALUE (exact semantics, no collision risk);
+    // the shuffle must carry the line anyway for reassembly, so hashing
+    // first would not shrink it
+    val w = Window.partitionBy(col("line")).orderBy(col("id"), col("pos"))
+    lines.withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .withColumnRenamed("id", idCol)
   }
 
   /** Benchmark decontamination: cross-corpus n-gram overlap — for each

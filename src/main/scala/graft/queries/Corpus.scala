@@ -315,7 +315,123 @@ object Corpus {
         FROM reach GROUP BY node""")
       // benched: components is the dedup-grouping scale path; its cost
       // rides on the same MinHash pipeline q33 already measures.
-    )
+    ),
+
+    // ----- Line-level dedup (C4/CCNet): drop repeated lines corpus-wide -----
+    // The corpus text has no newlines, so the query first chunks each
+    // document's tokens into deterministic 8-token "lines" (mirrored
+    // exactly in the oracle), then Dedup.dedupLines keeps only the
+    // first occurrence of each distinct line (by doc_id, position) and
+    // reassembles documents in original order. Pos is 0-based on the
+    // Spark side and 1-based in DuckDB — only its ORDER matters.
+    QueryDef(
+      "q76_dedup_lines",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val lined = d
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            concat_ws("\n",
+              transform(
+                sequence(lit(1), ceil(size(col("toks")) / lit(8.0)).cast("int")),
+                i => array_join(slice(col("toks"), (i - 1) * 8 + 1, lit(8)), " ")))
+              .as("text"))
+        Dedup.dedupLines(lined, "doc_id", "text")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), lined AS (
+          SELECT doc_id,
+                 [struct_pack(pos := i, line := array_to_string(w[(i-1)*8+1 : i*8], ' '))
+                  for i in range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)] AS ls
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(ls, recursive := true) FROM lined
+        ), flagged AS (
+          SELECT doc_id, pos, line,
+                 (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)) = 1 AS keep
+          FROM ex
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM flagged
+        GROUP BY doc_id""")),
+
+    // ----- Gopher/C4 quality signals: repetition + ratio filters -----
+    // The filter battery web-scale curation runs before training
+    // (Gopher §A1.1 / C4): duplicate-line fraction, top-2-gram share,
+    // symbol-to-word ratio, stopword fraction, mean word length, alpha
+    // token fraction — every one a pure Column expression, so the whole
+    // battery is ONE zero-shuffle projection over the corpus (q30's
+    // plan shape) and each signal composes as a conjunct into
+    // q57/q75's filter stage. `passes_gopher` is the combined gate with
+    // Gopher-flavored thresholds. Lines = q76's 8-token chunking
+    // (corpus text has no newlines); ngrams/lines/tokens are staged as
+    // bound columns per the HOF binding rule (Text.shingles scaladoc).
+    QueryDef(
+      "q77_quality_signals",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val staged = d
+          .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"), col("toks"),
+            Text.wordNgrams(col("toks"), 2).as("ng"),
+            transform(
+              sequence(lit(1), ceil(size(col("toks")) / lit(8.0)).cast("int")),
+              i => array_join(slice(col("toks"), (i - 1) * 8 + 1, lit(8)), " "))
+              .as("ls"))
+          .select(col("doc_id"),
+            round(Text.duplicateLineFraction(col("ls")), 6).as("dup_line_frac"),
+            round(Text.topNgramShare(col("ng")), 6).as("top2gram_share"),
+            round(Text.symbolToWordRatio(col("text"), col("toks")), 6).as("symbol_ratio"),
+            round(Text.stopwordFraction(col("toks")), 6).as("stop_frac"),
+            round(Text.meanWordLength(col("toks")), 6).as("mean_word_len"),
+            round(Text.alphaTokenFraction(col("toks")), 6).as("alpha_frac"))
+        staged.withColumn("passes_gopher",
+          col("dup_line_frac") <= 0.3 && col("top2gram_share") <= 0.2 &&
+          col("symbol_ratio") <= 0.1 && col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8)
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), staged AS (
+          SELECT doc_id, text, w,
+                 [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS ng,
+                 [array_to_string(w[(i-1)*8+1 : i*8], ' ')
+                  for i in range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)] AS ls
+          FROM t
+        ), sig AS (
+          SELECT doc_id,
+                 round(CASE WHEN len(ls) = 0 THEN 0.0
+                       ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) END, 6) AS dup_line_frac,
+                 round(CASE WHEN len(ng) = 0 THEN 0.0
+                       ELSE list_max([len(list_filter(ng, x -> x = g))
+                                      for g in list_distinct(ng)])::DOUBLE / len(ng) END, 6) AS top2gram_share,
+                 round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                       / greatest(len(w), 1), 6) AS symbol_ratio,
+                 round(CASE WHEN len(w) = 0 THEN 0.0
+                       ELSE len(list_filter(w, t -> list_contains(${duckList(Text.StopEn ++ Text.StopDe ++ Text.StopEs ++ Text.StopFr)}, t)))::DOUBLE
+                            / len(w) END, 6) AS stop_frac,
+                 round(coalesce(list_sum([length(t)::BIGINT for t in w]), 0)::DOUBLE
+                       / greatest(len(w), 1), 6) AS mean_word_len,
+                 round(CASE WHEN len(w) = 0 THEN 0.0
+                       ELSE len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                            / len(w) END, 6) AS alpha_frac
+          FROM staged
+        )
+        SELECT doc_id, dup_line_frac, top2gram_share, symbol_ratio, stop_frac,
+               mean_word_len, alpha_frac,
+               (dup_line_frac <= 0.3 AND top2gram_share <= 0.2 AND
+                symbol_ratio <= 0.1 AND mean_word_len BETWEEN 3.0 AND 10.0 AND
+                alpha_frac >= 0.8) AS passes_gopher
+        FROM sig"""))
   )
 
   /** Render a Scala string list as a DuckDB list literal. */

@@ -337,6 +337,38 @@ object Prep {
         FROM r JOIN q USING (source)
         WHERE r.rk <= q.t_s""")),
 
+    // ----- Mixture sampling, hash-threshold form (the giant-source path) -----
+    // q72's scale variant as a declared, oracle-checked query: same
+    // n_s^α quotas, but membership is a FILTER (accept iff id-hash <
+    // per-source rate) — no per-source sort anywhere in the plan, so a
+    // 10-billion-row source costs one narrow pass. The uniform here is
+    // md5-derived (15 hex digits → [0,1)) so DuckDB reproduces the
+    // exact accepted set; the operator's default (xxhash64) is the
+    // cheaper production hash, contract-graded in CorpusPrepSpec.
+    QueryDef(
+      "q78_mixture_threshold",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").cast("double") / lit(math.pow(2.0, 60))
+        CorpusPrep.mixtureSampleThreshold(d, "doc_id", "source",
+            alpha = 0.5, budget = 200, uniform = Some(u))
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, count(*) AS n_s FROM documents GROUP BY source
+        ), r AS (
+          SELECT source,
+                 round(least(1.0,
+                   200 * pow(n_s, 0.5) / sum(pow(n_s, 0.5)) OVER () / n_s), 6) AS rate
+          FROM c
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)::DOUBLE
+                / pow(2, 60) < r.rate""")),
+
     // ----- Benchmark decontamination: cross-corpus n-gram overlap -----
     // The eval-set hygiene step: flag corpus docs sharing ≥2 distinct
     // trigram shingles with any benchmark doc (here: a deterministic

@@ -34,6 +34,42 @@ class BoundarySpec extends SparkSpec {
     assert(sess == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("gopher signals flag planted defects the clean corpus never shows") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Text
+    // q77's corpus passes every gate (clean synthetic text), so pin the
+    // DISCRIMINATION here: each planted defect trips exactly its signal.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near a river bank today"),
+      (2L, "buy now buy now buy now buy now buy now buy now"),      // repeated phrase
+      (3L, "$$$ ### !!! %%% @@@ ^^^ &&& *** ((( )))"),              // symbol soup
+      (4L, "a\nb\nc\na\nb\nc\na\nb"),                               // repeated lines
+      (5L, "supercalifragilisticexpialidocious pneumonoultramicroscopicsilicovolcanoconiosis"))
+      .toDF("doc_id", "text")
+    val sig = docs
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        Text.wordNgrams(col("toks"), 2).as("ng"),
+        split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"),
+        Text.duplicateLineFraction(col("ls")).as("dup"),
+        Text.topNgramShare(col("ng")).as("top2"),
+        Text.symbolToWordRatio(col("text"), col("toks")).as("sym"),
+        Text.stopwordFraction(col("toks")).as("stop"),
+        Text.meanWordLength(col("toks")).as("mwl"),
+        Text.alphaTokenFraction(col("toks")).as("alpha"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(sig(1L).getAs[Double]("top2") < 0.2 && sig(1L).getAs[Double]("sym") == 0.0)
+    assert(sig(1L).getAs[Double]("stop") > 0.2, "clean English has stopwords")
+    // "buy now" = 6 of 11 bigrams
+    assert(sig(2L).getAs[Double]("top2") > 0.5, "repeated phrase must dominate")
+    assert(sig(3L).getAs[Double]("sym") > 1.0 && sig(3L).getAs[Double]("alpha") == 0.0)
+    assert(sig(4L).getAs[Double]("dup") == 5.0 / 8.0, "5 of 8 lines are repeats")
+    assert(sig(5L).getAs[Double]("mwl") > 10.0, "gibberish-length words")
+  }
+
   test("width_bucket matches its SQL-standard definition on every edge") {
     val s = spark
     import s.implicits._

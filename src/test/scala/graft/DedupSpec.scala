@@ -121,6 +121,24 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((10L, 10L)), "benchmark flagged itself")
   }
 
+  test("dedupLines: first occurrence survives, later copies drop, order kept") {
+    val s = spark
+    import s.implicits._
+    // doc 1 owns "alpha" and "beta"; doc 2 repeats "alpha" (dropped)
+    // around its own line; doc 3 is ALL repeats → survives empty; the
+    // in-doc repeat of "beta" inside doc 1 also drops (first pos wins).
+    val docs = Seq(
+      (1L, "alpha\nbeta\nbeta"),
+      (2L, "alpha\ngamma\nbeta"),
+      (3L, "beta\nalpha")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha\nbeta", 2L, 1L)))
+    assert(got(2L) == (("gamma", 1L, 2L)))
+    assert(got(3L) == (("", 0L, 2L)), "fully-duplicated doc must survive as a row")
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>
