@@ -39,7 +39,14 @@ object Components {
     * integral type). Output: (node, component). Nodes with no edges
     * don't appear — callers union isolated nodes back (see q69).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsCounted(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took to
+    * converge — the observable graft.ScaleProbe records to pin the
+    * O(log n) round bound against growing-diameter graphs. */
+  def connectedComponentsCounted(edges: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
     val e0 = edges.select(
       col(edges.columns(0)).cast("long").as("a"),
       col(edges.columns(1)).cast("long").as("b"))
@@ -111,9 +118,9 @@ object Components {
     org.apache.log4j.Logger.getLogger(getClass)
       .info(s"connectedComponents converged in $iter rounds (${sig._1} star edges)")
     // At the fixpoint every edge is (node, componentMin).
-    cur.select(col("a").as("node"), col("b").as("component"))
+    (cur.select(col("a").as("node"), col("b").as("component"))
       .union(cur.select(col("b").as("node"), col("b").as("component")))
-      .distinct()
+      .distinct(), iter)
   }
 
   /** Dedup grouping: every id in `ids` (single-column DF) mapped to the
