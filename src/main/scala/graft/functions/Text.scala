@@ -109,6 +109,23 @@ object Text {
   // All pure Column expressions: at 100 TB these are one zero-shuffle
   // projection over the corpus, like qualityScore.
 
+  /** Deterministic fixed-width token "lines": chunk a BOUND token array
+    * into `width`-token groups joined by spaces — the line convention
+    * q76/q77/q80 use over corpora whose text has no newlines. Guarded
+    * for NULL/empty input: `sequence(1, 0)` DESCENDS in Spark (default
+    * step is -1 when start > stop), so an unguarded chunk count of 0
+    * would fabricate two bogus lines where a SQL oracle's
+    * `range(1, 1)` yields none. */
+  def tokenChunks(toks: Column, width: Int = 8): Column = {
+    require(width >= 1)
+    val n = greatest(
+      coalesce(ceil(size(toks) / lit(width.toDouble)).cast("int"), lit(0)), lit(0))
+    when(n > 0,
+      transform(sequence(lit(1), n),
+        i => array_join(slice(toks, (i - 1) * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Fraction of lines that exactly repeat an earlier line of the SAME
     * document (Gopher's duplicate-line fraction — boilerplate/nav-bar
     * detector). Input is the line ARRAY (split at the caller, where the
@@ -131,13 +148,28 @@ object Text {
 
   /** Share of all n-grams taken by the single most frequent one
     * (Gopher's top-n-gram share — repeated-phrase detector). Input is
-    * a BOUND [[wordNgrams]] column; the per-row cost is
-    * O(distinct × total) interpreted lambda steps, fine for documents
-    * (bounded), and the stage stays shuffle-free. */
+    * a BOUND [[wordNgrams]] column.
+    *
+    * Computed as the longest equal-run of the SORTED n-gram array — a
+    * single `aggregate` fold carrying (prev, run-length, best) — so the
+    * per-row cost is O(n log n) in the document's n-gram count. The
+    * naive filter-per-distinct form is O(distinct × total) interpreted
+    * lambda steps per row, which on a 100k-token web document is ~10^10
+    * steps; the sorted scan keeps the same exact value (max multiplicity
+    * over distinct grams) at document-length-bounded cost, and the stage
+    * stays a zero-shuffle projection. */
   def topNgramShare(ng: Column): Column =
     when(size(ng) <= 0, 0.0).otherwise(
-      array_max(transform(array_distinct(ng),
-        g => size(filter(ng, x => x === g))))
+      aggregate(
+        array_sort(ng),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, g) => {
+          val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
         .cast("double") / size(ng).cast("double"))
 
   /** Symbol-to-word ratio: non-alphanumeric, non-space characters per

@@ -244,31 +244,48 @@ object Dedup {
     * ([[minhashNearDups]]) that strips boilerplate headers/footers/
     * navigation repeated across pages.
     *
-    * Shape: posexplode lines → ONE shuffle partitioned by the line
-    * value (a window ranked by (id, pos) marks the one survivor per
-    * distinct line) → one id-keyed aggregate reassembles each document
-    * from its surviving lines in original order. The collect_list is
-    * bounded by a single document's own line count — never a
-    * cross-document neighbor set. At 100 TB the only tuning is the
-    * usual skew lever: an ultra-hot line (the empty line, "Home") is
-    * one window partition — pre-aggregating (line, min(id, pos)) with
-    * partial aggregation and joining back trades the window for a
-    * map-side-combined groupBy if that ever dominates; semantics are
-    * identical because the keep rule is a pure min.
+    * Shape (default, skew-safe): posexplode lines → a map-side-combined
+    * `groupBy(line).agg(min(struct(id, pos)))` marks the corpus-wide
+    * first occurrence of every distinct line — an ultra-hot line (the
+    * empty line, "Home", a cookie banner) collapses to ONE row per map
+    * task before the shuffle, so no reducer ever sees all its
+    * occurrences. The survivor set (one unique (id, pos) per distinct
+    * line) then joins back to the exploded lines on (id, pos) — a
+    * UNIQUE, uniformly distributed key, so the join-back cannot be
+    * skewed either (joining back on the line value would just move the
+    * hot key from the window to the join probe). Finally one id-keyed
+    * aggregate reassembles each document from its surviving lines in
+    * original order; the collect_list is bounded by a single document's
+    * own line count — never a cross-document neighbor set.
+    *
+    * `skewSafe = false` selects the original value-partitioned window
+    * form (row_number over partitionBy(line)) — identical semantics
+    * because the keep rule is a pure min over (id, pos), but a
+    * corpus-wide hot line is a single window partition, i.e. one task
+    * at scale. Kept for the DedupSpec equivalence proof and for small
+    * corpora where one shuffle beats two.
     *
     * Output: (idCol, clean_text, n_kept, n_dropped); documents whose
     * every line was dropped survive with clean_text = ''. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n", skewSafe: Boolean = true): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-    // partition by the line VALUE (exact semantics, no collision risk);
-    // the shuffle must carry the line anyway for reassembly, so hashing
-    // first would not shrink it
-    val w = Window.partitionBy(col("line")).orderBy(col("id"), col("pos"))
-    lines.withColumn("keep", row_number().over(w) === 1)
-      .groupBy(col("id"))
+    val marked = if (skewSafe) {
+      // distinct lines are far fewer than line occurrences, and each
+      // survivor row is just (id, pos) — the join-back side is narrow
+      val firsts = lines.groupBy(col("line"))
+        .agg(min(struct(col("id"), col("pos"))).as("first"))
+        .select(col("first.id").as("id"), col("first.pos").as("pos"),
+          lit(true).as("keep"))
+      lines.join(firsts, Seq("id", "pos"), "left")
+        .withColumn("keep", coalesce(col("keep"), lit(false)))
+    } else {
+      val w = Window.partitionBy(col("line")).orderBy(col("id"), col("pos"))
+      lines.withColumn("keep", row_number().over(w) === 1)
+    }
+    marked.groupBy(col("id"))
       .agg(
         concat_ws(sep, transform(
           array_sort(collect_list(when(col("keep"),
@@ -277,6 +294,44 @@ object Dedup {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
       .withColumnRenamed("id", idCol)
+  }
+
+  /** Incremental EXACT dedup: dedup a NEW batch of documents against a
+    * persisted `(content_hash, keep_id)` index — the daily-ingestion
+    * sibling of [[minhashNearDupsAgainstIndex]] for byte-identical
+    * content. The historical corpus is represented ONLY by its hash
+    * index (16 bytes + id per doc); its text is never re-read.
+    *
+    * Rules (matching [[exact]]'s min-id survivor semantics):
+    *   1. within the batch, the lowest id per content_hash survives;
+    *   2. a batch survivor whose hash already exists in the index is
+    *      dropped (the corpus saw that content first).
+    *
+    * Returns (survivors, updatedIndex): `survivors` = the batch rows
+    * (all columns) that enter the corpus; `updatedIndex` = the old
+    * index plus one `(content_hash, keep_id)` row per novel hash —
+    * persist it to serve the next batch.
+    *
+    * Scale shape: the batch hash+groupBy shuffles fixed-width
+    * (hash, id) pairs; the anti-join against the index shuffles index
+    * KEYS, never corpus text — and disappears entirely as an exchange
+    * if the index is persisted bucketed by content_hash
+    * (`Sinks.writeBucketed`), the layout a daily pipeline would use.
+    * The survivor join-back broadcasts the (small) novel-id set into
+    * the batch. Nothing here scans the historical corpus. */
+  def exactAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = batch.select(col(idCol),
+      Text.contentHash(col(textCol)).as("content_hash"))
+    val batchFirst = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    val novel = batchFirst.join(index.select(col("content_hash")),
+      Seq("content_hash"), "left_anti")
+    val survivors = batch.join(
+      broadcast(novel.select(col(idCol))), Seq(idCol))
+    val updated = index.select(col("content_hash"), col("keep_id"))
+      .unionByName(novel.select(col("content_hash"), col(idCol).as("keep_id")))
+    (survivors, updated)
   }
 
   /** Benchmark decontamination: cross-corpus n-gram overlap — for each

@@ -249,6 +249,8 @@ object Analytic {
             countDistinct(col("l_partkey")).as("exact_parts"))
       },
       None,
+      // bench = false: exists to grade HLL error vs exact (DedupSpec 5%
+      // contract); the scan+agg cost it would measure is q13's, twice
       bench = false),
 
     // ----- F3/F4/F5/F7: date arithmetic + formatting + ISO weekday -----

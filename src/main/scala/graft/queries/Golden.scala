@@ -33,6 +33,8 @@ object Golden {
       Some(s"""
         SELECT CAST(sum(CAST(json_extract_string('$OrderDataJson', '$$.' || k) AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value
         FROM (SELECT unnest(json_keys('$OrderDataJson')) AS k)"""),
+      // bench = false: golden one-rower over a literal JSON payload —
+      // constant in data size, nothing to measure
       bench = false),
 
     // ----- A4/F6/F7: hourly re-aggregation of the events stream -----

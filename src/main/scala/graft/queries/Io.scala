@@ -49,6 +49,9 @@ object Io {
         FROM orders
         WHERE year(o_orderdate) >= 1995
         GROUP BY o_year, o_orderpriority"""),
+      // bench = false: measures tmpdir disk write + catalog DDL, not
+      // query throughput — sink cost at scale is storage-bound, and the
+      // agg it ends with is q01's shape
       bench = false)
   )
 }

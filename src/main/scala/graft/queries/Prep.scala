@@ -204,6 +204,32 @@ object Prep {
   private def duckList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q75/q80's shared tail: exact dedup (min doc_id per content_hash)
+    * → MinHash near-dup pairs → connected components → keep each
+    * group's min doc_id → sliding-window chunking. Input needs
+    * (doc_id, text, content_hash).
+    *
+    * Materializes the deduped corpus ONCE: five downstream branches
+    * reference it (signature path, two verification joins, the
+    * group-id spine, the survivor join), and Spark plans are trees —
+    * unmaterialized, the regex-heavy scoring pass would re-run per
+    * branch. Real curation pipelines persist exactly this boundary
+    * before the near-dup stage; the checkpoint cost is inside the
+    * benched region, so the number stays honest. */
+  private def neardupChunkTail(kept: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val ded = kept.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val pairs = Dedup.minhashNearDups(ded, "doc_id", "text",
+      n = 3, k = 64, bands = 16, tau = 0.8).select(col("a"), col("b"))
+    val groups = Components.dedupGroups(ded.select(col("doc_id")), pairs)
+    val survivors = ded.join(
+      groups.filter(col("doc_id") === col("keep_id")).select(col("doc_id")),
+      "doc_id")
+    CorpusPrep.chunkSliding(survivors, "doc_id", "text", size = 32, stride = 24)
+  }
+
   val defs2: Seq[QueryDef] = Seq(
 
     // ----- Unigram log-probability scoring (perplexity-style filter) -----
@@ -470,24 +496,7 @@ object Prep {
           Text.qualityScore(col("text")).as("quality"),
           Text.contentHash(col("text")).as("content_hash"))
         val kept = scored.filter(col("lang_id") === "en" && col("quality") >= 0.72)
-        val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-        // Materialize the deduped corpus ONCE: five downstream branches
-        // reference it (signature path, two verification joins, the
-        // group-id spine, the survivor join), and Spark plans are trees
-        // — unmaterialized, the regex-heavy scoring pass would re-run
-        // per branch. Real curation pipelines persist exactly this
-        // boundary before the near-dup stage; the checkpoint cost is
-        // inside the benched region, so the number stays honest.
-        val ded = kept.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("doc_id"), col("text"))
-          .localCheckpoint(true)
-        val pairs = Dedup.minhashNearDups(ded, "doc_id", "text",
-          n = 3, k = 64, bands = 16, tau = 0.8).select(col("a"), col("b"))
-        val groups = Components.dedupGroups(ded.select(col("doc_id")), pairs)
-        val survivors = ded.join(
-          groups.filter(col("doc_id") === col("keep_id")).select(col("doc_id")),
-          "doc_id")
-        CorpusPrep.chunkSliding(survivors, "doc_id", "text", size = 32, stride = 24)
+        neardupChunkTail(kept)
       },
       Some(s"""
         WITH RECURSIVE t AS (
@@ -521,6 +530,135 @@ object Prep {
           FROM s
         ), kept AS (
           SELECT * FROM scored WHERE lang_id = 'en' AND quality >= 0.72
+        ), surv AS (
+          SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY 1
+        ), ded AS (
+          SELECT k.doc_id, k.text FROM kept k JOIN surv USING (content_hash, doc_id)
+        ), dt AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w2
+          FROM ded
+        ), dsh AS (
+          SELECT doc_id,
+                 list_distinct([w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]
+                                for i in range(1, len(w2) - 1)]) AS sgl
+          FROM dt WHERE len(w2) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE
+                  / (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))) >= 0.8
+        ), edges AS (
+          SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM ded
+          UNION
+          SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+        ), comp AS (
+          SELECT node AS doc_id, min(lbl) AS keep FROM reach GROUP BY node
+        ), fin AS (
+          SELECT d.doc_id, d.text FROM ded d
+          JOIN comp c ON d.doc_id = c.doc_id AND d.doc_id = c.keep
+        ), c AS (
+          SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n,
+                 CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                      ELSE CAST(ceil((len(string_split(text, ' ')) - 32)::DOUBLE / 24) AS INT) + 1 END AS n_chunks
+          FROM fin)
+        SELECT doc_id,
+               unnest(range(n_chunks))::INT AS chunk_id,
+               array_to_string(w[unnest(range(n_chunks))*24 + 1 :
+                                 unnest(range(n_chunks))*24 + 32], ' ') AS chunk_text,
+               least(32, n - unnest(range(n_chunks))*24)::INT AS chunk_len
+        FROM c""")),
+
+    // ----- q75 under the FULL Gopher gate: signals compose end-to-end -----
+    // Identical pipeline to q75 with the quality stage extended by
+    // q77's signal battery (both engines): the extra conjuncts prune
+    // BEFORE the near-dup stage, so at scale the cheap zero-shuffle
+    // gate cuts the corpus ahead of the only shuffling stages. The
+    // oracle recomputes every signal and the whole tail, so the
+    // hash-match proves the signals compose with exact dedup, LSH
+    // near-dup, components, and chunking — not just in isolation (q77).
+    QueryDef(
+      "q80_curation_gopher",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        // stage toks, then ng/ls, per the HOF binding rule (Text.shingles)
+        val staged = d
+          .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"), col("toks"),
+            Text.wordNgrams(col("toks"), 2).as("ng"),
+            Text.tokenChunks(col("toks"), 8).as("ls"))
+        val scored = staged.select(col("doc_id"), col("text"),
+          Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.contentHash(col("text")).as("content_hash"),
+          round(Text.duplicateLineFraction(col("ls")), 6).as("dup_line_frac"),
+          round(Text.topNgramShare(col("ng")), 6).as("top2gram_share"),
+          round(Text.symbolToWordRatio(col("text"), col("toks")), 6).as("symbol_ratio"),
+          round(Text.stopwordFraction(col("toks")), 6).as("stop_frac"),
+          round(Text.meanWordLength(col("toks")), 6).as("mean_word_len"),
+          round(Text.alphaTokenFraction(col("toks")), 6).as("alpha_frac"))
+        val kept = scored.filter(
+          col("lang_id") === "en" && col("quality") >= 0.72 &&
+          col("dup_line_frac") <= 0.3 && col("top2gram_share") <= 0.2 &&
+          col("symbol_ratio") <= 0.1 && col("stop_frac") >= 0.05 &&
+          col("mean_word_len").between(3.0, 10.0) && col("alpha_frac") >= 0.8)
+        neardupChunkTail(kept)
+      },
+      Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, text,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, norm, toks,
+                 [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS ng,
+                 [array_to_string(toks[(i-1)*8+1 : i*8], ' ')
+                  for i in range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1)] AS ls,
+                 len(list_intersect(toks, ${duckList(Text.StopEn)})) AS s_en,
+                 len(list_intersect(toks, ${duckList(Text.StopDe)})) AS s_de,
+                 len(list_intersect(toks, ${duckList(Text.StopEs)})) AS s_es,
+                 len(list_intersect(toks, ${duckList(Text.StopFr)})) AS s_fr,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars
+          FROM t
+        ), scored AS (
+          SELECT doc_id, text, md5(norm) AS content_hash,
+                 CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                      WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                      WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+                      WHEN s_fr > s_en THEN 'fr'
+                      WHEN s_en > 0 THEN 'en'
+                      ELSE 'und' END AS lang_id,
+                 round(
+                   least(1.0, (s_en+s_de+s_es+s_fr)::DOUBLE * 3.0 / greatest(n_tokens::DOUBLE, 1.0)) * 0.2
+                   + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) * 0.4
+                   + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2
+                   + (CASE WHEN n_chars::DOUBLE / greatest(n_tokens::DOUBLE, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                 , 6) AS quality,
+                 round(CASE WHEN len(ls) = 0 THEN 0.0
+                       ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) END, 6) AS dup_line_frac,
+                 round(CASE WHEN len(ng) = 0 THEN 0.0
+                       ELSE list_max([len(list_filter(ng, x -> x = g))
+                                      for g in list_distinct(ng)])::DOUBLE / len(ng) END, 6) AS top2gram_share,
+                 round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                       / greatest(len(toks), 1), 6) AS symbol_ratio,
+                 round(CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE len(list_filter(toks, t -> list_contains(${duckList(Text.StopEn ++ Text.StopDe ++ Text.StopEs ++ Text.StopFr)}, t)))::DOUBLE
+                            / len(toks) END, 6) AS stop_frac,
+                 round(coalesce(list_sum([length(t)::BIGINT for t in toks]), 0)::DOUBLE
+                       / greatest(len(toks), 1), 6) AS mean_word_len,
+                 round(CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                            / len(toks) END, 6) AS alpha_frac
+          FROM s
+        ), kept AS (
+          SELECT * FROM scored
+          WHERE lang_id = 'en' AND quality >= 0.72
+            AND dup_line_frac <= 0.3 AND top2gram_share <= 0.2
+            AND symbol_ratio <= 0.1 AND stop_frac >= 0.05
+            AND mean_word_len BETWEEN 3.0 AND 10.0 AND alpha_frac >= 0.8
         ), surv AS (
           SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY 1
         ), ded AS (

@@ -91,6 +91,9 @@ object Udx {
         FROM (SELECT doc_id,
                      string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
               FROM documents WHERE doc_id < 50)"""),
+      // bench = false: typed-Dataset flatMap demo pinned to a 50-doc
+      // subset (deserialization path on purpose); the codegen'd token
+      // explode at scale is q47/q53's generator shape, benched there
       bench = false),
 
     // ----- Custom Catalyst Expression with codegen: cosine_f -----
@@ -114,6 +117,9 @@ object Udx {
                                / (sqrt(list_dot_product(a.vec, a.vec))
                                   * sqrt(list_dot_product(b.vec, b.vec))) END, 6) AS cos
         FROM v a JOIN v b ON a.vec_id < b.vec_id"""),
+      // bench = false: 40-vector all-pairs parity check for the codegen
+      // Expression (bit-equality in SimilaritySpec); cosine_f's hot-path
+      // cost is measured where it runs at scale — q52's IVF probe
       bench = false)
   )
 }

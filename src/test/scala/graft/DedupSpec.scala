@@ -139,6 +139,56 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == (("", 0L, 2L)), "fully-duplicated doc must survive as a row")
   }
 
+  test("dedupLines: skew-safe pre-aggregate form == window form under a hot line") {
+    val s = spark
+    import s.implicits._
+    // plant ONE line in 50% of the docs (twice per doc) — the corpus-wide
+    // hot-line shape (empty line / nav boilerplate) that makes the window
+    // form a single-task straggler at scale; both forms must agree exactly
+    val docs = (1L to 200L).map { i =>
+      val text =
+        if (i % 2 == 0) s"every page has this line\nunique line $i\nevery page has this line"
+        else s"unique line $i\nalso unique $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val safe = rows(Dedup.dedupLines(docs, "doc_id", "text"))
+    val win = rows(Dedup.dedupLines(docs, "doc_id", "text", skewSafe = false))
+    assert(safe == win, "pre-aggregate and window forms diverged")
+    // the hot line survives exactly once corpus-wide — in doc 2 (lowest
+    // id containing it), at its first position
+    assert(safe.count(_._2.contains("every page has this line")) == 1)
+    assert(safe.find(_._1 == 2L).get._2
+      == "every page has this line\nunique line 2")
+  }
+
+  test("exactAgainstIndex: re-ingest drops vs index, min id wins within batch") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val index = Dedup.exact(corpus, "doc_id", "text")
+      .select(col("content_hash"), col("keep_id"))
+    val batch = Seq(
+      (10L, "alpha doc"),     // corpus re-ingest → dropped vs index
+      (14L, " ALPHA   Doc "), // normalized dup of corpus content → dropped
+      (11L, "gamma doc"),     // novel → survives
+      (13L, "delta doc"),     // within-batch dup, higher id → dropped
+      (12L, "delta doc"))     // within-batch dup, min id → survives
+      .toDF("doc_id", "text")
+    val (survivors, updated) =
+      Dedup.exactAgainstIndex(batch, "doc_id", "text", index)
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(11L, 12L))
+    // updated index: 2 corpus hashes (keep ids unchanged) + gamma + delta
+    assert(updated.select("keep_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 11L, 12L))
+    // idempotence: the same batch against the UPDATED index is all dups
+    val (again, _) = Dedup.exactAgainstIndex(batch, "doc_id", "text", updated)
+    assert(again.count() == 0)
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>
