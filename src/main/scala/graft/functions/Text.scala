@@ -64,8 +64,15 @@ object Text {
     * the language with strictly the most stopword hits wins, ties
     * resolving toward English (fixed CASE order — deterministic on any
     * engine). "und" (undetermined) when nothing matches. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langId(text, tokens(text))
+
+  /** [[langId]] over a BOUND token array — when the caller has already
+    * staged `tokens(text)` in its own projection, this variant reads
+    * the attribute instead of embedding four copies of the regex+split
+    * tree per stopword intersect (which only whole-stage codegen CSE
+    * can deduplicate — and a projection that also carries lambda-HOF
+    * columns evaluates interpreted, where no CSE exists). */
+  def langId(text: Column, toks: Column): Column = {
     val en = hits(toks, StopEn); val de = hits(toks, StopDe)
     val es = hits(toks, StopEs); val fr = hits(toks, StopFr)
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
@@ -89,8 +96,11 @@ object Text {
     * length/punctuation/stopword-ratio heuristics used to filter web
     * corpora before training. Deterministic double arithmetic (fixed
     * operation order), rounded to 6 digits at the boundary. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = qualityScore(text, tokens(text))
+
+  /** [[qualityScore]] over a BOUND token array — same rationale as the
+    * [[langId]] overload. */
+  def qualityScore(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
     val stopRatio = least(lit(1.0),

@@ -588,9 +588,18 @@ object Prep {
           .select(col("doc_id"), col("text"), col("toks"),
             Text.wordNgrams(col("toks"), 2).as("ng"),
             Text.tokenChunks(col("toks"), 8).as("ls"))
+        // The scored table is MATERIALIZED (eager localCheckpoint)
+        // before the gate. Without the barrier, predicate pushdown
+        // substitutes each gate conjunct's alias definition below the
+        // projection — 8 conjuncts × the full tokenize/ngram/chunk
+        // tree, per row, and the lambda-HOF signals are CodegenFallback
+        // so no codegen CSE ever deduplicates them (measured 23 s vs
+        // ~5 s at sf0.1). Annotate-once-then-gate is also the real
+        // pipeline shape: signal tables are persisted for threshold
+        // tuning, and the barrier keeps the corpus pass at exactly one.
         val scored = staged.select(col("doc_id"), col("text"),
-          Text.langId(col("text")).as("lang_id"),
-          Text.qualityScore(col("text")).as("quality"),
+          Text.langId(col("text"), col("toks")).as("lang_id"),
+          Text.qualityScore(col("text"), col("toks")).as("quality"),
           Text.contentHash(col("text")).as("content_hash"),
           round(Text.duplicateLineFraction(col("ls")), 6).as("dup_line_frac"),
           round(Text.topNgramShare(col("ng")), 6).as("top2gram_share"),
@@ -598,6 +607,7 @@ object Prep {
           round(Text.stopwordFraction(col("toks")), 6).as("stop_frac"),
           round(Text.meanWordLength(col("toks")), 6).as("mean_word_len"),
           round(Text.alphaTokenFraction(col("toks")), 6).as("alpha_frac"))
+          .localCheckpoint(true)
         val kept = scored.filter(
           col("lang_id") === "en" && col("quality") >= 0.72 &&
           col("dup_line_frac") <= 0.3 && col("top2gram_share") <= 0.2 &&
