@@ -182,6 +182,53 @@ object Text {
         acc => acc.getField("best"))
         .cast("double") / size(ng).cast("double"))
 
+  /** CHARACTER-weighted duplicate fraction over any string array
+    * (Gopher's "duplicate line character fraction" when fed lines,
+    * "duplicate n-gram fraction" when fed [[wordNgrams]]): the share of
+    * characters belonging to occurrences BEYOND the first of each
+    * distinct value — sum_len(all) − sum_len(distinct) over
+    * sum_len(all). Two linear folds per row; 0.0 for empty input or
+    * all-empty strings. A long boilerplate paragraph repeated once
+    * scores its full length here while the count-based
+    * [[duplicateLineFraction]] sees only 1/n — which is why Gopher
+    * gates on both. */
+  def duplicateCharFraction(lines: Column): Column = {
+    def sumLen(a: Column): Column =
+      aggregate(a, lit(0L), (acc, s) => acc + length(s))
+    val total = sumLen(lines)
+    when(size(lines) <= 0 || total <= 0L, 0.0)
+      .otherwise((total - sumLen(array_distinct(lines))).cast("double")
+        / total.cast("double"))
+  }
+
+  /** Characters covered by the single best-covering n-gram —
+    * max over distinct grams of count(g) × len(g) — as a fraction of
+    * the document's characters (Gopher's "top n-gram character
+    * fraction", with the tie/selection rule made deterministic by
+    * maximizing coverage directly). Same sorted-run fold as
+    * [[topNgramShare]] (O(g log g) per row), finalizing each run as
+    * run × length(gram). `nChars` is the denominator — pass
+    * `length(text)` so the fraction is of the ORIGINAL document. */
+  def topNgramCharFraction(ng: Column, nChars: Column): Column =
+    when(size(ng) <= 0 || nChars <= 0, 0.0).otherwise(
+      least(lit(1.0),
+        aggregate(
+          array_sort(ng),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, g) => {
+            val closed = greatest(acc.getField("best"),
+              acc.getField("run") * length(acc.getField("prev")))
+            val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(g.as("prev"),
+              run.as("run"),
+              when(g === acc.getField("prev"), acc.getField("best"))
+                .otherwise(closed).as("best"))
+          },
+          acc => greatest(acc.getField("best"),
+            acc.getField("run") * length(acc.getField("prev"))))
+          .cast("double") / nChars.cast("double")))
+
   /** Symbol-to-word ratio: non-alphanumeric, non-space characters per
     * token (Gopher uses #/… hashes and ellipses; this counts the whole
     * symbol class so it is alphabet-agnostic). */

@@ -296,6 +296,58 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Incremental LINE-level dedup: [[dedupLines]]'s daily-ingest
+    * sibling (the CCNet shape) — strip from a NEW batch every line
+    * whose hash already exists in a persisted line-hash index, and
+    * dedup the remaining lines within the batch (first occurrence by
+    * (id, pos) survives, matching [[dedupLines]]'s keep rule). The
+    * historical corpus is represented ONLY by its distinct line hashes
+    * (8 bytes/line as xxhash64); its text is never re-read.
+    *
+    * Returns (cleanedDocs, updatedIndex): `cleanedDocs` has
+    * (idCol, clean_text, n_kept, n_dropped) like [[dedupLines]];
+    * `updatedIndex` = old index ∪ hashes of the batch's surviving
+    * lines — persist it to serve the next batch.
+    *
+    * Scale shape, same skew discipline as [[dedupLines]]: the batch
+    * pre-aggregates `(line_hash) → min(id, pos)` with map-side combine
+    * (a corpus-wide hot line collapses per map task), the index join
+    * is a left-anti on the uniformly-distributed hash (exchange-free
+    * when the index is persisted bucketed on line_hash), and the
+    * join-back key (id, pos) is unique. Hash identity: xxhash64
+    * collisions (~2⁻⁶⁴ per pair) silently drop a novel line — the
+    * standard CCNet tradeoff for an index 100× smaller than the lines;
+    * use the raw line as the index key where that is unacceptable. */
+  def dedupLinesAgainstIndex(batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame,
+      sep: String = "\n"): (DataFrame, DataFrame) = {
+    val lines = batch.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .withColumn("line_hash", xxhash64(col("line")))
+    val batchFirst = lines.groupBy(col("line_hash"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val novel = batchFirst
+      .join(index.select(col("line_hash")), Seq("line_hash"), "left_anti")
+    val keepKeys = novel
+      .select(col("first.id").as("id"), col("first.pos").as("pos"),
+        lit(true).as("keep"))
+    val cleaned = lines.join(keepKeys, Seq("id", "pos"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .withColumnRenamed("id", idCol)
+    val updated = index.select(col("line_hash"))
+      .unionByName(novel.select(col("line_hash")))
+    (cleaned, updated)
+  }
+
   /** Incremental EXACT dedup: dedup a NEW batch of documents against a
     * persisted `(content_hash, keep_id)` index — the daily-ingestion
     * sibling of [[minhashNearDupsAgainstIndex]] for byte-identical

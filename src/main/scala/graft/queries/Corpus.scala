@@ -521,7 +521,119 @@ object Corpus {
                 symbol_ratio <= 0.1 AND stop_frac >= 0.05 AND
                 mean_word_len BETWEEN 3.0 AND 10.0 AND
                 alpha_frac >= 0.8) AS passes_gopher
-        FROM sig"""))
+        FROM sig""")),
+
+    // ----- Gopher CHARACTER-weighted repetition signals -----
+    // Completes q77's battery with Gopher §A1.1's char-weighted
+    // variants: duplicate-line CHARACTER fraction (a repeated long
+    // boilerplate paragraph scores its full length, where the
+    // count-based q77 signal sees 1/n), top-3-gram character coverage,
+    // and duplicate-5-gram fraction. All three are folds over the same
+    // staged arrays — the battery stays ONE zero-shuffle projection.
+    // Character denominators are of the NORMALIZED text
+    // (array_join(toks, " ")), the same string the grams are built
+    // from, so numerator and denominator count the same alphabet.
+    QueryDef(
+      "q82_repetition_signals",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            length(array_join(col("toks"), " ")).as("n_chars"),
+            Text.wordNgrams(col("toks"), 3).as("ng3"),
+            Text.wordNgrams(col("toks"), 5).as("ng5"),
+            tokenChunks(col("toks")).as("ls"))
+          .select(col("doc_id"),
+            round(Text.duplicateCharFraction(col("ls")), 6)
+              .as("dup_line_char_frac"),
+            round(Text.topNgramCharFraction(col("ng3"), col("n_chars")), 6)
+              .as("top3gram_char_frac"),
+            round(Text.duplicateLineFraction(col("ng5")), 6)
+              .as("dup_5gram_frac"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), staged AS (
+          SELECT doc_id, w,
+                 length(array_to_string(w, ' ')) AS n_chars,
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS ng3,
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                  for i in range(1, len(w) - 3)] AS ng5,
+                 [array_to_string(w[(i-1)*8+1 : i*8], ' ')
+                  for i in range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)] AS ls
+          FROM t
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(ls) = 0
+                            OR coalesce(list_sum([length(x)::BIGINT for x in ls]), 0) = 0 THEN 0.0
+                     ELSE (coalesce(list_sum([length(x)::BIGINT for x in ls]), 0)
+                           - coalesce(list_sum([length(x)::BIGINT for x in list_distinct(ls)]), 0))::DOUBLE
+                          / coalesce(list_sum([length(x)::BIGINT for x in ls]), 0) END, 6)
+                 AS dup_line_char_frac,
+               round(CASE WHEN len(ng3) = 0 OR n_chars = 0 THEN 0.0
+                     ELSE least(1.0,
+                       list_max([len(list_filter(ng3, x -> x = g)) * length(g)
+                                 for g in list_distinct(ng3)])::DOUBLE / n_chars) END, 6)
+                 AS top3gram_char_frac,
+               round(CASE WHEN len(ng5) = 0 THEN 0.0
+                     ELSE (len(ng5) - len(list_distinct(ng5)))::DOUBLE / len(ng5) END, 6)
+                 AS dup_5gram_frac
+        FROM staged""")),
+
+    // ----- Incremental line dedup vs a stored line-hash index -----
+    // q76's daily-ingest sibling (the CCNet shape), completing the
+    // incremental trio (q81 exact docs, DedupSpec's near-dup index,
+    // and now lines): docs < 400 are the historical corpus, existing
+    // only as their DISTINCT line-hash set (8 bytes/line); the batch
+    // (docs >= 400) drops every line already in the index and then
+    // line-dedups within itself with q76's first-occurrence rule. The
+    // oracle reproduces both rules on raw lines (hash identity modulo
+    // xxhash64 collisions — see dedupLinesAgainstIndex scaladoc).
+    QueryDef(
+      "q83_dedup_lines_incremental",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val lined = d
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            concat_ws("\n", tokenChunks(col("toks"))).as("text"))
+        val corpus = lined.filter(col("doc_id") < 400)
+        val index = corpus
+          .select(explode(split(col("text"), "\n")).as("line"))
+          .select(xxhash64(col("line")).as("line_hash")).distinct()
+        val batch = lined.filter(col("doc_id") >= 400)
+        val (cleaned, _) =
+          Dedup.dedupLinesAgainstIndex(batch, "doc_id", "text", index)
+        cleaned
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), lined AS (
+          SELECT doc_id,
+                 [struct_pack(pos := i, line := array_to_string(w[(i-1)*8+1 : i*8], ' '))
+                  for i in range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)] AS ls
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(ls, recursive := true) FROM lined
+        ), idx AS (
+          SELECT DISTINCT line FROM ex WHERE doc_id < 400
+        ), flagged AS (
+          SELECT doc_id, pos, line,
+                 line NOT IN (SELECT line FROM idx)
+                 AND (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)) = 1 AS keep
+          FROM ex WHERE doc_id >= 400
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM flagged
+        GROUP BY doc_id"""))
   )
 
   /** Render a Scala string list as a DuckDB list literal. */

@@ -70,6 +70,46 @@ class BoundarySpec extends SparkSpec {
     assert(sig(5L).getAs[Double]("mwl") > 10.0, "gibberish-length words")
   }
 
+  test("char-weighted repetition signals see what count-weighted ones miss") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Text
+    // One LONG boilerplate line repeated once among short unique lines:
+    // count-weighted dup fraction says 1/4, char-weighted says ~half the
+    // document — the case Gopher gates on both for.
+    val long = "x" * 16
+    val one = Seq(Tuple1(s"$long\na\nb\n$long")).toDF("text")
+      .select(split(col("text"), "\n").as("ls"))
+      .select(
+        Text.duplicateLineFraction(col("ls")).as("cnt"),
+        Text.duplicateCharFraction(col("ls")).as("chr"))
+      .head()
+    assert(one.getAs[Double]("cnt") == 0.25)
+    assert(one.getAs[Double]("chr") == 16.0 / 34.0)
+
+    // top-3-gram char coverage: "buy now buy now buy now" — best 3-gram
+    // covers 2 × 11 chars of the 23-char normalized text
+    val cov = Seq(Tuple1("buy now buy now buy now")).toDF("text")
+      .select(Text.tokens(col("text")).as("toks"))
+      .select(
+        Text.topNgramCharFraction(Text.wordNgrams(col("toks"), 3),
+          length(array_join(col("toks"), " "))).as("c3"),
+        Text.duplicateLineFraction(Text.wordNgrams(col("toks"), 5)).as("d5"))
+      .head()
+    assert(cov.getAs[Double]("c3") == 22.0 / 23.0)
+    // 5-grams: [b n b n b, n b n b n] → no repeats in 2 grams
+    assert(cov.getAs[Double]("d5") == 0.0)
+
+    // empty / degenerate inputs stay 0.0, never NaN
+    val z = Seq(Tuple1("")).toDF("text")
+      .select(split(col("text"), "\n").as("ls"))
+      .select(
+        Text.duplicateCharFraction(col("ls")).as("chr"),
+        Text.topNgramCharFraction(array().cast("array<string>"), lit(0)).as("c3"))
+      .head()
+    assert(z.getAs[Double]("chr") == 0.0 && z.getAs[Double]("c3") == 0.0)
+  }
+
   test("width_bucket matches its SQL-standard definition on every edge") {
     val s = spark
     import s.implicits._

@@ -164,6 +164,35 @@ class DedupSpec extends SparkSpec {
       == "every page has this line\nunique line 2")
   }
 
+  test("dedupLinesAgainstIndex: index lines drop, batch-first survives, index grows") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "nav bar\nalpha"), (2L, "nav bar\nbeta"))
+      .toDF("doc_id", "text")
+    val index = corpus
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .select(xxhash64(col("line")).as("line_hash")).distinct()
+    val batch = Seq(
+      (10L, "nav bar\ngamma\ndelta"), // nav bar → index hit; gamma/delta novel
+      (11L, "gamma\nepsilon"),        // gamma lost to (10, pos 1); epsilon first here
+      (12L, "alpha\nepsilon"))        // alpha → index hit; epsilon lost to (11, pos 1)
+      .toDF("doc_id", "text")
+    val (cleaned, updated) =
+      Dedup.dedupLinesAgainstIndex(batch, "doc_id", "text", index)
+    val got = cleaned.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == (("gamma\ndelta", 2L, 1L)))
+    assert(got(11L) == (("epsilon", 1L, 1L)))
+    assert(got(12L) == (("", 0L, 2L)), "all-dup doc must survive as a row")
+    // updated index = 3 historical lines + 3 novel survivors
+    assert(updated.count() == 6L)
+    // idempotence: the same batch against the UPDATED index is all dups
+    val (again, _) =
+      Dedup.dedupLinesAgainstIndex(batch, "doc_id", "text", updated)
+    assert(again.collect().forall(_.getLong(2) == 0L),
+      "re-ingest against updated index must keep zero lines")
+  }
+
   test("exactAgainstIndex: re-ingest drops vs index, min id wins within batch") {
     val s = spark
     import s.implicits._
