@@ -62,6 +62,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** kNN majority-vote classification: predict each query vector's
+    * label from its k nearest labeled corpus vectors (the label-
+    * propagation / quality-classifier shape of training-data
+    * pipelines — score unlabeled data by vote of its labeled
+    * neighbors). Same scan shape as [[bruteForceTopK]] with the
+    * neighbor label CARRIED THROUGH the top-k window, so no second
+    * corpus join is needed; then one (query, label) vote count and a
+    * deterministic argmax (most votes, ties to the smallest label).
+    *
+    * Scale shape: broadcast query batch × one corpus pass + partial
+    * top-k per partition; the vote aggregate sees ≤ k rows per query.
+    * For corpus-scale query sets swap the candidate stage for
+    * [[annTopK]]'s bucketed join — the vote tail is identical.
+    *
+    * Output: (query_id, predicted, votes). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("nlabel"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("nlabel"),
+        cosineFast(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val nn = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val votes = nn.groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("rn", row_number().over(vw)).filter(col("rn") === 1)
+      .select(col("query_id"), col("nlabel").as("predicted"), col("votes"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): xxhash64 of the pair, mapped to [-1, 1). Generated inside
     * codegen — no hyperplane matrix to ship or store. */

@@ -633,7 +633,60 @@ object Corpus {
                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         FROM flagged
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ----- kNN majority-vote classification over labeled embeddings -----
+    // The label-propagation shape of training-data pipelines: score a
+    // query batch by vote of its 10 nearest LABELED corpus vectors
+    // (the `label` column is the ground truth the synthetic table
+    // carries). Exercises the kNN scan with a carried payload column +
+    // deterministic argmax tail; `correct` compares the vote to the
+    // query's own held-out label. Oracle recomputes the full stack
+    // (quadratic at sf0.01 — fine; the Spark side is one corpus pass).
+    QueryDef(
+      "q84_knn_classify",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 50)
+        val corpus = e.filter(col("vec_id") >= 50)
+        Similarity.knnClassify(corpus, queries, k = 10)
+          .join(queries.select(col("vec_id").as("query_id"),
+            col("label").as("actual")), "query_id")
+          .withColumn("correct", col("predicted") === col("actual"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings
+        ), q AS (
+          SELECT * FROM v WHERE vec_id < 50
+        ), c AS (
+          SELECT * FROM v WHERE vec_id >= 50
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 c.label AS nlabel,
+                 CASE WHEN list_dot_product(c.vec, c.vec) = 0
+                        OR list_dot_product(q.vec, q.vec) = 0 THEN 0.0
+                      ELSE list_dot_product(c.vec, q.vec)
+                           / (sqrt(list_dot_product(c.vec, c.vec))
+                              * sqrt(list_dot_product(q.vec, q.vec))) END AS cos
+          FROM q JOIN c ON c.vec_id <> q.vec_id
+        ), nn AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        ), votes AS (
+          SELECT query_id, nlabel, count(*) AS votes
+          FROM nn WHERE rank <= 10 GROUP BY 1, 2
+        ), pred AS (
+          SELECT query_id, nlabel AS predicted, votes,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, nlabel) AS rn
+          FROM votes
+        )
+        SELECT p.query_id, p.predicted, CAST(p.votes AS BIGINT) AS votes,
+               q.label AS actual, p.predicted = q.label AS correct
+        FROM pred p JOIN q ON p.query_id = q.vec_id
+        WHERE p.rn = 1"""))
   )
 
   /** Render a Scala string list as a DuckDB list literal. */

@@ -14,6 +14,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q10_join_theta",          // theta demo on a 3-row bucket table
     "q29_custom_expr_cosine",  // small filtered pair set, broadcast
     "q37_embed_knn",           // exact-kNN baseline: broadcast query batch
+    "q84_knn_classify",        // same broadcast-query-batch kNN scan
     "q55_tfidf_top_terms",     // 1-row corpus-total broadcast (IDF)
     "q67_unigram_logprob")     // 1-row corpus-total broadcast
 

@@ -56,6 +56,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("knnClassify: majority wins, exact vote ties go to the smallest label") {
+    val s = spark
+    import s.implicits._
+    // query (1,0); four nearest split 2-2 between labels 7 and 3 at
+    // k=4 → tie → smallest label (3) must win deterministically; the
+    // far label-9 vector stays outside the neighborhood
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.1f), 7), (11L, Array(1.0f, -0.1f), 7),
+      (12L, Array(1.0f, 0.2f), 3), (13L, Array(1.0f, -0.2f), 3),
+      (14L, Array(0.0f, 1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val tied = Similarity.knnClassify(corpus, queries, k = 4).head()
+    assert(tied.getAs[Long]("query_id") == 0L)
+    assert(tied.getAs[Int]("predicted") == 3, "2-2 tie must resolve to min label")
+    assert(tied.getAs[Long]("votes") == 2L)
+    // k=5 pulls in label 9 but 7/3 still hold 2 votes each → still 3
+    val k5 = Similarity.knnClassify(corpus, queries, k = 5).head()
+    assert(k5.getAs[Int]("predicted") == 3)
+    // k=2 → the two closest are both label 7 → clear majority
+    val k2 = Similarity.knnClassify(corpus, queries, k = 2).head()
+    assert(k2.getAs[Int]("predicted") == 7 && k2.getAs[Long]("votes") == 2L)
+  }
+
   test("ANN recall@10 vs brute force is useful (≥ 0.3 on random vectors)") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)
