@@ -686,7 +686,62 @@ object Corpus {
         SELECT p.query_id, p.predicted, CAST(p.votes AS BIGINT) AS votes,
                q.label AS actual, p.predicted = q.label AS correct
         FROM pred p JOIN q ON p.query_id = q.vec_id
-        WHERE p.rn = 1"""))
+        WHERE p.rn = 1""")),
+
+    // ----- Language-ID accuracy vs the corpus ground truth -----
+    // The eval loop a real pipeline runs before trusting a heuristic
+    // gate at scale: grade Text.langId against the documents table's
+    // `lang` label per language (n, n_correct, accuracy). One
+    // zero-shuffle scoring pass + a 5-group aggregate; the oracle
+    // re-spells the heuristic (q57's CTE) and the same rollup.
+    //
+    // HONEST CAVEAT about the numbers on THIS corpus: the synthetic
+    // `lang` column is a metadata label over one shared English-ish
+    // vocabulary (the "de"/"es"/"fr" text contains no German/Spanish/
+    // French stopwords and "zh" no CJK), so the heuristic can only
+    // ever emit en/und here — accuracy is ~0.91 for en and 0.0
+    // elsewhere BY CONSTRUCTION OF THE DATA. The query's value is the
+    // oracle-checked eval mechanics; the numbers grade the corpus, not
+    // the heuristic.
+    QueryDef(
+      "q85_langid_eval",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.select(col("lang"),
+            (Text.langId(col("text")) === col("lang")).as("ok"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
+          .withColumn("accuracy",
+            round(col("n_correct").cast("double") / col("n"), 6))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang, text,
+                 len(list_intersect(toks, ${duckList(Text.StopEn)})) AS s_en,
+                 len(list_intersect(toks, ${duckList(Text.StopDe)})) AS s_de,
+                 len(list_intersect(toks, ${duckList(Text.StopEs)})) AS s_es,
+                 len(list_intersect(toks, ${duckList(Text.StopFr)})) AS s_fr
+          FROM t
+        ), pred AS (
+          SELECT lang,
+                 CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                      WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                      WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+                      WHEN s_fr > s_en THEN 'fr'
+                      WHEN s_en > 0 THEN 'en'
+                      ELSE 'und' END AS lang_id
+          FROM s
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang_id = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(sum(CASE WHEN lang_id = lang THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS accuracy
+        FROM pred GROUP BY lang"""))
   )
 
   /** Render a Scala string list as a DuckDB list literal. */
