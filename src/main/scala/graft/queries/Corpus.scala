@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Components, Dedup, Ivf, Multimodal, Similarity}
+import graft.operators.{Components, Dedup, Ivf, Multimodal, Quantize, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -741,7 +741,170 @@ object Corpus {
                CAST(sum(CASE WHEN lang_id = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
                round(sum(CASE WHEN lang_id = lang THEN 1 ELSE 0 END)::DOUBLE
                      / count(*), 6) AS accuracy
-        FROM pred GROUP BY lang"""))
+        FROM pred GROUP BY lang""")),
+
+    // ----- uint8 embedding quantization + fidelity check -----
+    // The storage/IO lever of an embedding pipeline (4× smaller
+    // vectors, 4× fewer probe-scan bytes at 100 TB) with the fidelity
+    // stats a pipeline asserts before swapping the float column out:
+    // per-dimension max reconstruction error (bounded by range/510 by
+    // construction) and cosine(original, reconstruction). Per-vector
+    // min-max parameters — no corpus calibration pass, so the whole
+    // operator is one zero-shuffle projection. mn/scale are staged as
+    // bound attributes per the HOF binding rule (Quantize.codes
+    // scaladoc).
+    QueryDef(
+      "q86_embed_quantize",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val staged = e.select(col("vec_id"), col("embedding").as("vec"))
+          .select(col("vec_id"), col("vec"),
+            array_min(col("vec")).cast("double").as("mn"),
+            Quantize.scale(col("vec")).as("qscale"))
+          .select(col("vec_id"), col("vec"), col("mn"), col("qscale"),
+            Quantize.codes(col("vec"), col("mn"), col("qscale")).as("codes"))
+        // metrics get their OWN projection: aliasing round(qscale) to
+        // the name "qscale" in the same select would capture the
+        // rounded value inside the metric lambdas (self-referencing
+        // projection — measured: max_abs_err off by 255 × the rounding
+        // delta), so round/rename only after the metrics are computed
+        val metrics = staged.select(col("vec_id"), col("mn"),
+          col("qscale"), col("codes"),
+          Quantize.maxAbsError(col("vec"), col("codes"),
+            col("mn"), col("qscale")).as("err_raw"),
+          Similarity.cosine(col("vec"),
+            Quantize.dequantize(col("codes"), col("mn"), col("qscale")))
+            .as("cos_raw"))
+        metrics.select(col("vec_id"),
+          round(col("mn"), 6).as("mn"),
+          round(col("qscale"), 6).as("qscale"),
+          col("codes"),
+          round(col("err_raw"), 6).as("max_abs_err"),
+          round(col("cos_raw"), 6).as("cos_fidelity"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ), p AS (
+          SELECT vec_id, vec, list_min(vec) AS mn,
+                 (list_max(vec) - list_min(vec)) / 255.0 AS s
+          FROM v
+        ), c AS (
+          SELECT vec_id, vec, mn, s,
+                 CASE WHEN s = 0 THEN [0 for x in vec]
+                      ELSE [CAST(round((x - mn) / s) AS INT) for x in vec]
+                 END AS codes
+          FROM p
+        ), d AS (
+          SELECT vec_id, vec, mn, s, codes,
+                 [mn + c * s for c in codes] AS dq
+          FROM c
+        )
+        SELECT vec_id, round(mn, 6) AS mn, round(s, 6) AS qscale, codes,
+               round(coalesce(list_max(
+                 [abs(dq[i] - vec[i]) for i in range(1, len(vec) + 1)]), 0.0), 6)
+                 AS max_abs_err,
+               round(CASE WHEN list_dot_product(vec, vec) = 0
+                            OR list_dot_product(dq, dq) = 0 THEN 0.0
+                     ELSE list_dot_product(vec, dq)
+                          / (sqrt(list_dot_product(vec, vec))
+                             * sqrt(list_dot_product(dq, dq))) END, 6)
+                 AS cos_fidelity
+        FROM d""")),
+
+    // ----- Curation funnel: survivors after each successive gate -----
+    // The ops report every pipeline runs before committing thresholds:
+    // how many documents survive each gate of q80's battery, applied
+    // in order (lang → quality → dup-line → top-2-gram → symbol →
+    // stopword → mean-word-len → alpha). One scoring projection (the
+    // gates become boolean attributes; cumulative conjunctions are
+    // attribute ANDs, nothing recomputed) + a single 1-row aggregate —
+    // zero shuffles beyond the final partial/final agg. The last
+    // column equals q80's kept-count by construction.
+    QueryDef(
+      "q87_curation_funnel",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val staged = d
+          .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"), col("toks"),
+            Text.wordNgrams(col("toks"), 2).as("ng"),
+            tokenChunks(col("toks")).as("ls"))
+        val gated = staged.select(
+          (Text.langId(col("text"), col("toks")) === "en").as("g_lang"),
+          (Text.qualityScore(col("text"), col("toks")) >= 0.72).as("g_quality"),
+          (round(Text.duplicateLineFraction(col("ls")), 6) <= 0.3).as("g_dup_line"),
+          (round(Text.topNgramShare(col("ng")), 6) <= 0.2).as("g_top2gram"),
+          (round(Text.symbolToWordRatio(col("text"), col("toks")), 6) <= 0.1).as("g_symbol"),
+          (round(Text.stopwordFraction(col("toks")), 6) >= 0.05).as("g_stop"),
+          round(Text.meanWordLength(col("toks")), 6).between(3.0, 10.0).as("g_mwl"),
+          (round(Text.alphaTokenFraction(col("toks")), 6) >= 0.8).as("g_alpha"))
+        val gates = Seq("g_lang", "g_quality", "g_dup_line", "g_top2gram",
+          "g_symbol", "g_stop", "g_mwl", "g_alpha")
+        val prefixes = gates.scanLeft(lit(true))((acc, g) => acc && col(g)).tail
+        gated.agg(count(lit(1)).as("n_total"),
+          prefixes.zip(gates).map { case (p, g) =>
+            sum(when(p, 1L).otherwise(0L)).as("n_after_" + g.stripPrefix("g_"))
+          }: _*)
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, toks,
+                 [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS ng,
+                 [array_to_string(toks[(i-1)*8+1 : i*8], ' ')
+                  for i in range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1)] AS ls,
+                 len(list_intersect(toks, ${duckList(Text.StopEn)})) AS s_en,
+                 len(list_intersect(toks, ${duckList(Text.StopDe)})) AS s_de,
+                 len(list_intersect(toks, ${duckList(Text.StopEs)})) AS s_es,
+                 len(list_intersect(toks, ${duckList(Text.StopFr)})) AS s_fr,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars
+          FROM t
+        ), g AS (
+          SELECT
+            (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                  WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+                  WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+                  WHEN s_fr > s_en THEN 'fr'
+                  WHEN s_en > 0 THEN 'en'
+                  ELSE 'und' END) = 'en' AS g_lang,
+            round(
+              least(1.0, (s_en+s_de+s_es+s_fr)::DOUBLE * 3.0 / greatest(n_tokens::DOUBLE, 1.0)) * 0.2
+              + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) * 0.4
+              + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2
+              + (CASE WHEN n_chars::DOUBLE / greatest(n_tokens::DOUBLE, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+            , 6) >= 0.72 AS g_quality,
+            round(CASE WHEN len(ls) = 0 THEN 0.0
+                  ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) END, 6) <= 0.3 AS g_dup_line,
+            round(CASE WHEN len(ng) = 0 THEN 0.0
+                  ELSE list_max([len(list_filter(ng, x -> x = g))
+                                 for g in list_distinct(ng)])::DOUBLE / len(ng) END, 6) <= 0.2 AS g_top2gram,
+            round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                  / greatest(len(toks), 1), 6) <= 0.1 AS g_symbol,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> list_contains(${duckList(Text.StopEn ++ Text.StopDe ++ Text.StopEs ++ Text.StopFr)}, t)))::DOUBLE
+                       / len(toks) END, 6) >= 0.05 AS g_stop,
+            round(coalesce(list_sum([length(t)::BIGINT for t in toks]), 0)::DOUBLE
+                  / greatest(len(toks), 1), 6) BETWEEN 3.0 AND 10.0 AS g_mwl,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                       / len(toks) END, 6) >= 0.8 AS g_alpha
+          FROM s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN g_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+               CAST(sum(CASE WHEN g_lang AND g_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+               CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dup_line,
+               CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line AND g_top2gram THEN 1 ELSE 0 END) AS BIGINT) AS n_after_top2gram,
+               CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line AND g_top2gram AND g_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_after_symbol,
+               CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line AND g_top2gram AND g_symbol AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_after_stop,
+               CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line AND g_top2gram AND g_symbol AND g_stop AND g_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_after_mwl,
+               CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line AND g_top2gram AND g_symbol AND g_stop AND g_mwl AND g_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_after_alpha
+        FROM g"""))
   )
 
   /** Render a Scala string list as a DuckDB list literal. */
