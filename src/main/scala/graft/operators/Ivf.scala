@@ -87,30 +87,38 @@ object Ivf {
       // deterministic hash-sample: stable across runs and partitionings
       else corpus.filter(
         pmod(xxhash64(col(idCol)), lit(10000)) < lit((trainFraction * 10000).toLong))
+    // CACHED across Lloyd iterations: each iteration is an action
+    // (seeding + one means-collect per iter), and without the cache
+    // every one re-scans the corpus just to re-derive the same sample —
+    // at 100 TB that is iters × a full-corpus read for a sample that
+    // fits in cluster memory by construction (trainFraction exists
+    // precisely to make it small). Unpersisted before returning;
+    // results are unchanged (the sample is deterministic either way).
     val train = sample.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      transform(col(vecCol), x => x.cast("double")).as("v")).cache()
+    try {
+      var centroids: Seq[Seq[Double]] =
+        train.orderBy(xxhash64(col("id")), col("id")).limit(k)
+          .select(col("v")).collect().map(_.getSeq[Double](0).toVector).toVector
 
-    var centroids: Seq[Seq[Double]] =
-      train.orderBy(xxhash64(col("id")), col("id")).limit(k)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toVector).toVector
-
-    for (_ <- 0 until iters) {
-      // assignment in its OWN projection below the Generate: a single
-      // select(assign, posexplode(v)) would hoist the centroid-distance
-      // expression above the generator and re-evaluate it once per
-      // exploded ELEMENT (dim× per vector) instead of once per vector
-      val assigned = train
-        .select(assignCluster(centroids, col("v")).as("cluster"), col("v"))
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      val means = assigned.groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (means.contains((c, 0))) old.indices.map(d => means((c, d))).toVector
-        else old
+      for (_ <- 0 until iters) {
+        // assignment in its OWN projection below the Generate: a single
+        // select(assign, posexplode(v)) would hoist the centroid-distance
+        // expression above the generator and re-evaluate it once per
+        // exploded ELEMENT (dim× per vector) instead of once per vector
+        val assigned = train
+          .select(assignCluster(centroids, col("v")).as("cluster"), col("v"))
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        val means = assigned.groupBy(col("cluster"), col("dim"))
+          .agg(avg(col("x")).as("m"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          if (means.contains((c, 0))) old.indices.map(d => means((c, d))).toVector
+          else old
+        }
       }
-    }
-    centroids
+      centroids
+    } finally train.unpersist(false)
   }
 
   /** (query_id, qvec, cluster): one row per (query, probed list) — each

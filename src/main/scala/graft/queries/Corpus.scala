@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
@@ -904,7 +905,61 @@ object Corpus {
                CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line AND g_top2gram AND g_symbol AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_after_stop,
                CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line AND g_top2gram AND g_symbol AND g_stop AND g_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_after_mwl,
                CAST(sum(CASE WHEN g_lang AND g_quality AND g_dup_line AND g_top2gram AND g_symbol AND g_stop AND g_mwl AND g_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_after_alpha
-        FROM g"""))
+        FROM g""")),
+
+    // ----- Top-quantile quality selection per source -----
+    // The FineWeb-Edu-style selection step: keep each source's top 25%
+    // by quality score, rank-based (percent_rank over (quality DESC,
+    // doc_id)) so the cutoff is exact integer arithmetic — no
+    // floating-point quantile interpolation to diverge across engines.
+    // One shuffle on source. At 100 TB the per-source sort is the
+    // documented tradeoff: the sort-free sibling is a threshold from
+    // approx_percentile (one pass + broadcast cutoff), traded here for
+    // oracle-exact selection semantics.
+    QueryDef(
+      "q88_top_quantile",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val scored = d.select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        scored.withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") <= 0.25)
+          .select(col("doc_id"), col("source"), col("quality"),
+            round(col("pr"), 6).as("pr"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, text,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, source, text,
+                 len(list_intersect(toks, ${duckList(Text.StopEn)})) AS s_en,
+                 len(list_intersect(toks, ${duckList(Text.StopDe)})) AS s_de,
+                 len(list_intersect(toks, ${duckList(Text.StopEs)})) AS s_es,
+                 len(list_intersect(toks, ${duckList(Text.StopFr)})) AS s_fr,
+                 len(toks) AS n_tokens,
+                 length(text) AS n_chars
+          FROM t
+        ), scored AS (
+          SELECT doc_id, source,
+                 round(
+                   least(1.0, (s_en+s_de+s_es+s_fr)::DOUBLE * 3.0 / greatest(n_tokens::DOUBLE, 1.0)) * 0.2
+                   + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) * 0.4
+                   + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2
+                   + (CASE WHEN n_chars::DOUBLE / greatest(n_tokens::DOUBLE, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                 , 6) AS quality
+          FROM s
+        ), ranked AS (
+          SELECT doc_id, source, quality,
+                 percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS pr
+          FROM scored
+        )
+        SELECT doc_id, source, quality, round(pr, 6) AS pr
+        FROM ranked WHERE pr <= 0.25"""))
   )
 
   /** Render a Scala string list as a DuckDB list literal. */
