@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quantize
+
+/** Edge semantics of the uint8 quantizer that the synthetic embeddings
+  * never hit: constant vectors (scale 0), the reconstruction-error
+  * bound, and code-range containment.
+  */
+class QuantizeSpec extends SparkSpec {
+
+  private def staged(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("vec").as("vec"))
+      .select(col("vec"),
+        array_min(col("vec")).cast("double").as("mn"),
+        Quantize.scale(col("vec")).as("s"))
+      .select(col("vec"), col("mn"), col("s"),
+        Quantize.codes(col("vec"), col("mn"), col("s")).as("codes"))
+
+  test("constant and empty-range vectors code to zeros with zero error") {
+    val s = spark
+    import s.implicits._
+    val df = staged(Seq(
+      Tuple1(Array(0.5f, 0.5f, 0.5f)),   // constant, nonzero
+      Tuple1(Array(0.0f, 0.0f))          // constant zero
+    ).toDF("vec"))
+    val rows = df.select(col("codes"),
+        Quantize.maxAbsError(col("vec"), col("codes"), col("mn"), col("s"))
+          .as("err"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0).forall(_ == 0), "constant vector must code to 0s")
+      assert(r.getDouble(1) == 0.0)
+    }
+  }
+
+  test("codes stay in [0, 255] and reconstruction error within scale/2") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random vectors spanning varied ranges
+    val vecs = (0 until 50).map { i =>
+      Tuple1(Array.tabulate(16) { d =>
+        (math.sin(i * 31 + d * 7).toFloat * (1 + i % 5)) })
+    }
+    val df = staged(vecs.toDF("vec"))
+    val rows = df.select(col("codes"), col("s"),
+        Quantize.maxAbsError(col("vec"), col("codes"), col("mn"), col("s"))
+          .as("err"))
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      assert(codes.forall(c => c >= 0 && c <= 255),
+        s"code out of uint8 range: ${codes.min}..${codes.max}")
+      val halfStep = r.getDouble(1) / 2.0
+      // float→double noise allowance: one part in 2^20 of the step
+      assert(r.getDouble(2) <= halfStep * (1.0 + 1e-6),
+        s"err ${r.getDouble(2)} exceeds half-step $halfStep")
+    }
+  }
+}
