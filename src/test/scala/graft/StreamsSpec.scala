@@ -131,6 +131,57 @@ class StreamsSpec extends SparkSpec {
     assert(rows.exists(_.getDouble(2) == 11.0))
   }
 
+  test("streaming curation: quality gate + content-hash dedup in one stream") {
+    // The Text column library composing INSIDE a streaming query — the
+    // daily-ingest curation shape as a stream: file arrival → quality/
+    // language gate (pure projections, streaming-safe) → exact dedup
+    // via dropDuplicatesWithinWatermark on the content hash. Batch and
+    // streaming share the exact same gate expressions.
+    val s = spark
+    import s.implicits._
+    import graft.functions.Text
+    val in = Files.createTempDirectory("graft_cur_in_").toString
+    val out = Files.createTempDirectory("graft_cur_out_").toString
+    val ckpt = Files.createTempDirectory("graft_cur_ckpt_").toString
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks to the river bank to rest in the afternoon sun for a while " +
+      "before heading home through the quiet village streets at dusk " +
+      "watching the light fade over the hills and the fields of wheat " +
+      "that stretch away toward the horizon in every direction tonight"
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "ts_s", "text")
+        .select(col("doc_id"), col("ts_s").cast("timestamp").as("ts"), col("text"))
+        .coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val stream = Streams.fileArrival(spark, in,
+        "doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .select(col("doc_id"), col("ts"), col("text"),
+          Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.contentHash(col("text")).as("content_hash"))
+        .filter(col("lang_id") === "en" && col("quality") >= 0.72)
+      Streams.runAvailableNow(
+        Streams.dedupWithinWatermark(stream, "ts", "1 hour", "content_hash"),
+        out, ckpt)
+    }
+    writeDocs(Seq(
+      (1L, "2024-01-01 00:00:00", good),
+      (2L, "2024-01-01 00:05:00", "$$$ ### !!! %%% @@@"), // fails the gate
+      (3L, "2024-01-01 00:10:00", good)))                 // dup of doc 1
+    run()
+    val got1 = spark.read.parquet(out).collect()
+    assert(got1.length == 1 && got1.head.getAs[Long]("doc_id") == 1L,
+      "only the first clean unique doc may pass")
+    // a later batch: same content within the horizon stays suppressed,
+    // a novel clean doc passes
+    writeDocs(Seq(
+      (4L, "2024-01-01 00:30:00", good),
+      (5L, "2024-01-01 00:40:00", good + " with a new closing sentence")))
+    run()
+    val got2 = spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(got2.toSeq == Seq(1L, 5L), s"got ${got2.mkString(",")}")
+  }
+
   test("sessionization with flatMapGroupsWithState: gap splits sessions") {
     val s = spark
     import s.implicits._
