@@ -959,7 +959,38 @@ object Corpus {
           FROM scored
         )
         SELECT doc_id, source, quality, round(pr, 6) AS pr
-        FROM ranked WHERE pr <= 0.25"""))
+        FROM ranked WHERE pr <= 0.25""")),
+
+    // ----- Corpus-wide top n-grams (vocabulary / contamination stats) -----
+    // The corpus-statistics pass behind vocab building and boilerplate
+    // analysis: global trigram counts, top 50 by (count DESC, ngram) —
+    // deterministic through the tie at the cut. Plan: explode → partial
+    // count agg (map-side combine absorbs the head of the Zipf curve) →
+    // one shuffle on ngram → TakeOrderedAndProject, never a global
+    // sort. At 100 TB the long tail dominates the shuffle; cap it with
+    // a doc-frequency prefix filter (q32's knob) when only the head is
+    // wanted.
+    QueryDef(
+      "q89_top_ngrams",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        d.select(Text.tokens(col("text")).as("toks"))
+          .select(explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
+          .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram")).limit(50)
+      },
+      Some("""
+        WITH t AS (
+          SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), n AS (
+          SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS ngram
+          FROM t
+        )
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n
+        FROM n GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT 50"""))
   )
 
   /** Render a Scala string list as a DuckDB list literal. */
