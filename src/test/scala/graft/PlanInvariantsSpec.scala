@@ -28,4 +28,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"undeclared nested-loop joins in: ${offenders.mkString(", ")}")
   }
+
+  // Queries whose PLANS.md story is "one zero-shuffle projection" — a
+  // refactor that sneaks an Exchange into one of these breaks its
+  // 100 TB claim, so pin it.
+  private val declaredZeroShuffle = Set(
+    "q02_filter_project", "q30_text_stats", "q35_fingerprint",
+    "q44_scalar_breadth", "q50_strings2", "q68_pii_scan",
+    "q74_pii_redact", "q77_quality_signals", "q82_repetition_signals",
+    "q86_embed_quantize")
+
+  test("declared zero-shuffle projections have no Exchange in their plan") {
+    val offenders = SparkEntry.all
+      .filter(q => declaredZeroShuffle(q.name)).flatMap { q =>
+        val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("Exchange")) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"zero-shuffle queries grew an Exchange: ${offenders.mkString(", ")}")
+  }
 }
