@@ -990,7 +990,59 @@ object Corpus {
         )
         SELECT ngram, CAST(count(*) AS BIGINT) AS n
         FROM n GROUP BY ngram
-        ORDER BY n DESC, ngram LIMIT 50"""))
+        ORDER BY n DESC, ngram LIMIT 50""")),
+
+    // ----- Cross-document duplicated-span fraction -----
+    // The exact-substring-dedup signal (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better" — suffix-array span
+    // dedup, approximated here at fixed 8-token span granularity): for
+    // each document, the fraction of its 8-gram span occurrences that
+    // also occur in ANOTHER document. High fraction = the document is
+    // largely assembled from text that exists elsewhere (mirrors,
+    // quote farms, templated pages) even when no WHOLE-document
+    // near-dup fires. Shape: span explode → per-span distinct-doc
+    // count (two-phase partial agg — boilerplate spans collapse
+    // map-side) → hash join-back (probe-side skew stays distributed;
+    // the build side is one row per span) → per-doc fraction. Docs
+    // shorter than the span width have no spans and no row — mirrored
+    // in the oracle.
+    QueryDef(
+      "q90_dup_span_fraction",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val grams = d
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(Text.wordNgrams(col("toks"), 8)).as("g"))
+        val xdoc = grams.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+          .filter(col("ndocs") >= 2)
+          .select(col("g"), lit(true).as("xdoc"))
+        grams.join(xdoc, Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("xdoc"), 1L).otherwise(0L)).as("n_dup_spans"))
+          .withColumn("dup_span_frac",
+            round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), ng AS (
+          SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+                         for i in range(1, len(w) - 6)]) AS g
+          FROM t WHERE len(w) >= 8
+        ), x AS (
+          SELECT g FROM ng GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN g IN (SELECT g FROM x) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               round(sum(CASE WHEN g IN (SELECT g FROM x) THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS dup_span_frac
+        FROM ng GROUP BY doc_id"""))
   )
 
   /** Render a Scala string list as a DuckDB list literal. */
