@@ -192,6 +192,50 @@ object Ivf {
     centroids
   }
 
+  /** [[writeIndex]] with uint8 scalar-quantized inverted lists — the
+    * IVF+SQ8 layout (FAISS's `IVF…,SQ8` analog): each list row stores
+    * (neighbor_id, mn, qscale, codes) instead of the float vector, 4×
+    * smaller, so a probe reads a quarter of the bytes q79's float
+    * layout would for the same nprobe/k pruning. Search dequantizes
+    * candidates on the fly ([[probeIndexQuantized]]); ranking error is
+    * bounded by the per-vector quantization error (range/510 per
+    * dimension — IvfSpec grades top-k overlap vs the float path). */
+  def writeIndexQuantized(corpus: DataFrame, path: String, nClusters: Int,
+      iters: Int = 3, trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
+    val indexed = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        assignCluster(centroids, col(vecCol)).as("cluster"))
+      .select(col("neighbor_id"), col("cluster"), col("cvec"),
+        array_min(col("cvec")).cast("double").as("mn"),
+        Quantize.scale(col("cvec")).as("qscale"))
+      .select(col("neighbor_id"), col("cluster"), col("mn"), col("qscale"),
+        Quantize.codes(col("cvec"), col("mn"), col("qscale")).as("codes"))
+    graft.sources.Sinks.parquetPartitioned(indexed, path, "cluster")
+    centroids
+  }
+
+  /** Search over [[writeIndexQuantized]]'s layout: same partition-
+    * pruned probe as [[probeIndex]], with candidates dequantized in
+    * the scan projection (cast back to float so the codegen `cosine_f`
+    * loop stays the hot path — the quantizer already dropped more
+    * precision than the float cast does). */
+  def probeIndexQuantized(spark: SparkSession, path: String,
+      centroids: Seq[Seq[Double]], queries: DataFrame, k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = probeAssignments(centroids, queries, nprobe, idCol, vecCol)
+    val probed = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(path)
+      .filter(col("cluster").isin(probed.map(Int.box): _*))
+      .select(col("cluster"), col("neighbor_id"),
+        transform(Quantize.dequantize(col("codes"), col("mn"), col("qscale")),
+          x => x.cast("float")).as("cvec"))
+    topKOverCandidates(lists.join(broadcast(probes), Seq("cluster")), k)
+  }
+
   /** Search side over [[writeIndex]]'s layout. The probed cluster ids
     * are collected to the driver (bounded: ≤ min(nClusters, nprobe ×
     * queries) ints — never corpus data) and pushed as a static `isin`

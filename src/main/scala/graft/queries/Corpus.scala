@@ -1042,7 +1042,28 @@ object Corpus {
                CAST(sum(CASE WHEN g IN (SELECT g FROM x) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
                round(sum(CASE WHEN g IN (SELECT g FROM x) THEN 1 ELSE 0 END)::DOUBLE
                      / count(*), 6) AS dup_span_frac
-        FROM ng GROUP BY doc_id"""))
+        FROM ng GROUP BY doc_id""")),
+
+    // ----- On-disk IVF with uint8-quantized lists (IVF+SQ8) -----
+    // q79's partition-pruned probe over q86's quantized storage: the
+    // inverted lists store (mn, qscale, codes) — 4× fewer bytes per
+    // probed partition — and candidates dequantize in the scan
+    // projection. Rows-only like q79/q52 (k-means centroids aren't
+    // DuckDB-reproducible); IvfSpec grades top-k overlap vs the float
+    // path with shared centroids. Fixed scratch path + overwrite, like
+    // q79.
+    QueryDef(
+      "q91_ann_ivf_sq8",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_sq8_index"
+        val centroids = Ivf.writeIndexQuantized(e, path, nClusters = 16,
+          trainFraction = 0.25)
+        Ivf.probeIndexQuantized(spark, path, centroids,
+            e.filter(col("vec_id") < 10), k = 10)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None)
   )
 
   /** Render a Scala string list as a DuckDB list literal. */

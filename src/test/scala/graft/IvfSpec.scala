@@ -116,6 +116,33 @@ class IvfSpec extends SparkSpec {
     assert(disk == inMem)
   }
 
+  test("SQ8-quantized lists: top-10 per query overlaps >=0.9 with the float path") {
+    val dirF = Files.createTempDirectory("graft_ivf_f_").toString
+    val dirQ = Files.createTempDirectory("graft_ivf_q_").toString
+    // shared centroids so the ONLY difference is list storage precision
+    val centroids = Ivf.writeIndex(emb, dirF, nClusters = 8, iters = 2)
+    val indexed = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+        Ivf.assignCluster(centroids, col("embedding")).as("cluster"))
+      .select(col("neighbor_id"), col("cluster"), col("cvec"),
+        array_min(col("cvec")).cast("double").as("mn"),
+        graft.operators.Quantize.scale(col("cvec")).as("qscale"))
+      .select(col("neighbor_id"), col("cluster"), col("mn"), col("qscale"),
+        graft.operators.Quantize.codes(col("cvec"), col("mn"), col("qscale"))
+          .as("codes"))
+    graft.sources.Sinks.parquetPartitioned(indexed, dirQ, "cluster")
+    val queries = emb.filter(col("vec_id") < 20)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val f = topSets(Ivf.probeIndex(spark, dirF, centroids, queries, k = 10, nprobe = 4))
+    val q = topSets(Ivf.probeIndexQuantized(spark, dirQ, centroids, queries, k = 10, nprobe = 4))
+    assert(f.keySet == q.keySet)
+    val overlaps = f.keySet.toSeq.map(id => (f(id) & q(id)).size.toDouble / 10.0)
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.9, s"mean top-10 overlap $mean < 0.9 (per-query: $overlaps)")
+  }
+
   test("training on a sample still assigns the full corpus") {
     val centroids = Ivf.trainCentroids(emb, k = 4, iters = 2, trainFraction = 0.5)
     assert(centroids.size == 4)
