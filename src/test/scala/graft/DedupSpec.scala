@@ -218,6 +218,45 @@ class DedupSpec extends SparkSpec {
     assert(again.count() == 0)
   }
 
+  test("exactAgainstIndex over a BUCKETED index: index side joins exchange-free") {
+    // the scaladoc's 100 TB claim, pinned: with the hash index persisted
+    // bucketed on content_hash (bucket count == shuffle.partitions so
+    // the batch aggregate's exchange already satisfies the join
+    // distribution), the anti-join consumes the bucket layout — the
+    // ONLY content_hash exchange in the whole plan is the batch's own
+    // pre-aggregate; the index is never re-shuffled
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 250)
+    val index = Dedup.exact(corpus, "doc_id", "text")
+      .select(col("content_hash"), col("keep_id"))
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.sources.Sinks.writeBucketed(index, "dedup_index_b",
+      buckets = nParts, keys = Seq("content_hash"))
+    val batch = docs.filter(col("doc_id") >= 250)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (got, plan) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (_, updated) = Dedup.exactAgainstIndex(
+          batch, "doc_id", "text", spark.table("dedup_index_b"))
+        val rows = updated.collect().map(_.getLong(1)).toSet
+        (rows, updated.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the adaptive plan string repeats nodes in its "Initial Plan"
+    // section — audit only the final plan
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning\\(content_hash"
+      .r.findAllIn(finalPlan).size
+    assert(hashExchanges == 1,
+      s"expected exactly the batch-side pre-aggregate exchange, got $hashExchanges:\n$finalPlan")
+    assert(finalPlan.contains("Bucketed: true"),
+      s"index scan did not use the bucket layout:\n$finalPlan")
+    // same survivors as the unbucketed path
+    val (_, updatedRef) = Dedup.exactAgainstIndex(batch, "doc_id", "text", index)
+    assert(got == updatedRef.collect().map(_.getLong(1)).toSet)
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>
