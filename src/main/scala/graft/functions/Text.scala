@@ -141,7 +141,7 @@ object Text {
     * detector). Input is the line ARRAY (split at the caller, where the
     * line convention is known); 0.0 when there are no lines. */
   def duplicateLineFraction(lines: Column): Column =
-    when(size(lines) <= 0, 0.0).otherwise(
+    when(coalesce(size(lines), lit(0)) <= 0, 0.0).otherwise(
       (size(lines) - size(array_distinct(lines))).cast("double")
         / size(lines).cast("double"))
 
@@ -169,7 +169,7 @@ object Text {
     * over distinct grams) at document-length-bounded cost, and the stage
     * stays a zero-shuffle projection. */
   def topNgramShare(ng: Column): Column =
-    when(size(ng) <= 0, 0.0).otherwise(
+    when(coalesce(size(ng), lit(0)) <= 0, 0.0).otherwise(
       aggregate(
         array_sort(ng),
         struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
@@ -196,7 +196,7 @@ object Text {
     def sumLen(a: Column): Column =
       aggregate(a, lit(0L), (acc, s) => acc + length(s))
     val total = sumLen(lines)
-    when(size(lines) <= 0 || total <= 0L, 0.0)
+    when(coalesce(size(lines), lit(0)) <= 0 || coalesce(total, lit(0L)) <= 0L, 0.0)
       .otherwise((total - sumLen(array_distinct(lines))).cast("double")
         / total.cast("double"))
   }
@@ -210,7 +210,7 @@ object Text {
     * run × length(gram). `nChars` is the denominator — pass
     * `length(text)` so the fraction is of the ORIGINAL document. */
   def topNgramCharFraction(ng: Column, nChars: Column): Column =
-    when(size(ng) <= 0 || nChars <= 0, 0.0).otherwise(
+    when(coalesce(size(ng), lit(0)) <= 0 || coalesce(nChars, lit(0)) <= 0, 0.0).otherwise(
       least(lit(1.0),
         aggregate(
           array_sort(ng),
@@ -231,10 +231,12 @@ object Text {
 
   /** Symbol-to-word ratio: non-alphanumeric, non-space characters per
     * token (Gopher uses #/… hashes and ellipses; this counts the whole
-    * symbol class so it is alphabet-agnostic). */
+    * symbol class so it is alphabet-agnostic). NULL text scores 0.0 —
+    * without the greatest() guard, size(NULL) = −1 would leak a
+    * NEGATIVE ratio that silently PASSES a `<= threshold` gate. */
   def symbolToWordRatio(text: Column, toks: Column): Column =
-    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
+    greatest(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))), lit(0))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
 
   private val AllStops = StopEn ++ StopDe ++ StopEs ++ StopFr
 
@@ -242,20 +244,23 @@ object Text {
     * stop-word fraction; occurrence-weighted, unlike [[qualityScore]]'s
     * distinct-intersect hit count). */
   def stopwordFraction(toks: Column): Column =
-    when(size(toks) <= 0, 0.0).otherwise(
+    when(coalesce(size(toks), lit(0)) <= 0, 0.0).otherwise(
       size(filter(toks, t => AllStops.map(w => t === lit(w)).reduce(_ || _)))
         .cast("double") / size(toks).cast("double"))
 
   /** Mean token length of the normalized tokens (Gopher gates on
-    * 3 ≤ mean ≤ 10 — gibberish/code detector). */
+    * 3 ≤ mean ≤ 10 — gibberish/code detector). NULL input scores 0.0,
+    * consistent with the other signals (and a NULL here would make the
+    * combined gate NULL rather than false — same filter outcome, but a
+    * three-valued surprise for any consumer reading the signal). */
   def meanWordLength(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    coalesce(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), lit(0L))
       .cast("double") / greatest(size(toks), lit(1)).cast("double")
 
   /** Fraction of tokens containing at least one alphabetic character
     * (C4 drops pages where this is low — symbol soup / data dumps). */
   def alphaTokenFraction(toks: Column): Column =
-    when(size(toks) <= 0, 0.0).otherwise(
+    when(coalesce(size(toks), lit(0)) <= 0, 0.0).otherwise(
       size(filter(toks, t => t.rlike("[A-Za-z]")))
         .cast("double") / size(toks).cast("double"))
 

@@ -110,6 +110,36 @@ class BoundarySpec extends SparkSpec {
     assert(z.getAs[Double]("chr") == 0.0 && z.getAs[Double]("c3") == 0.0)
   }
 
+  test("every quality signal is 0.0 (never NULL or negative) on NULL text") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Text
+    // the synthetic corpus has no NULL text, so pin the degenerate row
+    // here: size(NULL array) is -1 in Spark and un-guarded signals leak
+    // -1.0 ratios (which silently PASS <=-threshold gates) or NULLs
+    // (which make the combined gate three-valued)
+    val row = Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(col("text"), Text.tokens(col("text")).as("toks"))
+      .select(col("text"), col("toks"),
+        Text.wordNgrams(col("toks"), 2).as("ng"),
+        Text.tokenChunks(col("toks")).as("ls"))
+      .select(
+        Text.duplicateLineFraction(col("ls")).as("dup"),
+        Text.duplicateCharFraction(col("ls")).as("dupc"),
+        Text.topNgramShare(col("ng")).as("top2"),
+        Text.topNgramCharFraction(col("ng"), length(col("text"))).as("top2c"),
+        Text.symbolToWordRatio(col("text"), col("toks")).as("sym"),
+        Text.stopwordFraction(col("toks")).as("stop"),
+        Text.meanWordLength(col("toks")).as("mwl"),
+        Text.alphaTokenFraction(col("toks")).as("alpha"))
+      .head()
+    (0 until row.size).foreach { i =>
+      assert(!row.isNullAt(i), s"signal ${row.schema(i).name} is NULL on NULL text")
+      assert(row.getDouble(i) == 0.0,
+        s"signal ${row.schema(i).name} = ${row.getDouble(i)} on NULL text")
+    }
+  }
+
   test("width_bucket matches its SQL-standard definition on every edge") {
     val s = spark
     import s.implicits._
