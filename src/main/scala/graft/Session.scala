@@ -38,6 +38,13 @@ object Session {
             require(args.length == 2, "cosine_f(arrayA, arrayB)")
             graft.functions.CosineFloat(args(0), args(1))
           }))
+        ext.injectFunction((
+          FunctionIdentifier("ngram_run_stats"),
+          new ExpressionInfo(classOf[graft.functions.NgramRunStats].getName, "ngram_run_stats"),
+          (args: Seq[Expression]) => {
+            require(args.length == 1, "ngram_run_stats(arrayOfStrings)")
+            graft.functions.NgramRunStats(args(0))
+          }))
       }
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)

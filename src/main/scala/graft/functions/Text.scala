@@ -170,17 +170,23 @@ object Text {
     * stays a zero-shuffle projection. */
   def topNgramShare(ng: Column): Column =
     when(coalesce(size(ng), lit(0)) <= 0, 0.0).otherwise(
-      aggregate(
-        array_sort(ng),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, g) => {
-          val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
-            .otherwise(lit(1L))
-          struct(g.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
+      call_function("ngram_run_stats", ng).getField("top_count")
         .cast("double") / size(ng).cast("double"))
+
+  /** The composable (lambda-HOF) form of [[topNgramShare]]'s numerator,
+    * kept as the parity reference for NgramRunStatsSpec — the native
+    * `ngram_run_stats` expression must return bit-identical values. */
+  private[graft] def topRunFold(ng: Column): Column =
+    aggregate(
+      array_sort(ng),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   /** CHARACTER-weighted duplicate fraction over any string array
     * (Gopher's "duplicate line character fraction" when fed lines,
@@ -205,29 +211,34 @@ object Text {
     * max over distinct grams of count(g) × len(g) — as a fraction of
     * the document's characters (Gopher's "top n-gram character
     * fraction", with the tie/selection rule made deterministic by
-    * maximizing coverage directly). Same sorted-run fold as
-    * [[topNgramShare]] (O(g log g) per row), finalizing each run as
-    * run × length(gram). `nChars` is the denominator — pass
+    * maximizing coverage directly). Numerator comes from the native
+    * `ngram_run_stats` expression (one fused sort+scan inside codegen;
+    * see [[NgramRunStats]]). `nChars` is the denominator — pass
     * `length(text)` so the fraction is of the ORIGINAL document. */
   def topNgramCharFraction(ng: Column, nChars: Column): Column =
     when(coalesce(size(ng), lit(0)) <= 0 || coalesce(nChars, lit(0)) <= 0, 0.0).otherwise(
       least(lit(1.0),
-        aggregate(
-          array_sort(ng),
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-          (acc, g) => {
-            val closed = greatest(acc.getField("best"),
-              acc.getField("run") * length(acc.getField("prev")))
-            val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
-              .otherwise(lit(1L))
-            struct(g.as("prev"),
-              run.as("run"),
-              when(g === acc.getField("prev"), acc.getField("best"))
-                .otherwise(closed).as("best"))
-          },
-          acc => greatest(acc.getField("best"),
-            acc.getField("run") * length(acc.getField("prev"))))
+        call_function("ngram_run_stats", ng).getField("top_chars")
           .cast("double") / nChars.cast("double")))
+
+  /** Composable parity reference for [[topNgramCharFraction]]'s
+    * numerator (see [[topRunFold]]). */
+  private[graft] def topCoverFold(ng: Column): Column =
+    aggregate(
+      array_sort(ng),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val closed = greatest(acc.getField("best"),
+          acc.getField("run") * length(acc.getField("prev")))
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"),
+          run.as("run"),
+          when(g === acc.getField("prev"), acc.getField("best"))
+            .otherwise(closed).as("best"))
+      },
+      acc => greatest(acc.getField("best"),
+        acc.getField("run") * length(acc.getField("prev"))))
 
   /** Symbol-to-word ratio: non-alphanumeric, non-space characters per
     * token (Gopher uses #/… hashes and ellipses; this counts the whole
