@@ -696,20 +696,31 @@ object Corpus {
     // zero-shuffle scoring pass + a 5-group aggregate; the oracle
     // re-spells the heuristic (q57's CTE) and the same rollup.
     //
-    // HONEST CAVEAT about the numbers on THIS corpus: the synthetic
-    // `lang` column is a metadata label over one shared English-ish
-    // vocabulary (the "de"/"es"/"fr" text contains no German/Spanish/
-    // French stopwords and "zh" no CJK), so the heuristic can only
-    // ever emit en/und here — accuracy is ~0.91 for en and 0.0
-    // elsewhere BY CONSTRUCTION OF THE DATA. The query's value is the
-    // oracle-checked eval mechanics; the numbers grade the corpus, not
-    // the heuristic.
+    // The synthetic `lang` column is a metadata label over one shared
+    // English-ish vocabulary, so the raw corpus can only ever score
+    // en/und (accuracy 0.0 for every other language BY CONSTRUCTION
+    // OF THE DATA). Like q74 plants PII before grading the redactor,
+    // this query plants per-language marker text before grading the
+    // classifier: 90% of non-English docs (doc_id % 10 != 0) get
+    // their language's stopword list (or a CJK char for zh) appended,
+    // mirrored in the oracle. Result: per-language accuracy ~0.9 —
+    // the planted docs classify correctly unless the base text
+    // already hits all 8 English stopwords, the unplanted 10%
+    // fall back to en/und — so the eval now grades the heuristic's
+    // discrimination, not a degenerate corpus.
     QueryDef(
       "q85_langid_eval",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        d.select(col("lang"),
-            (Text.langId(col("text")) === col("lang")).as("ok"))
+        val marker = when(col("doc_id") % 10 === 0, lit(""))
+          .when(col("lang") === "de", lit(" " + Text.StopDe.mkString(" ")))
+          .when(col("lang") === "es", lit(" " + Text.StopEs.mkString(" ")))
+          .when(col("lang") === "fr", lit(" " + Text.StopFr.mkString(" ")))
+          .when(col("lang") === "zh", lit(" 的"))
+          .otherwise(lit(""))
+        d.select(col("lang"), concat(col("text"), marker).as("t"))
+          .select(col("lang"),
+            (Text.langId(col("t")) === col("lang")).as("ok"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
@@ -717,10 +728,19 @@ object Corpus {
             round(col("n_correct").cast("double") / col("n"), 6))
       },
       Some(s"""
-        WITH t AS (
+        WITH aug AS (
+          SELECT doc_id, lang,
+                 text || CASE WHEN doc_id % 10 = 0 THEN ''
+                              WHEN lang = 'de' THEN ' ${Text.StopDe.mkString(" ")}'
+                              WHEN lang = 'es' THEN ' ${Text.StopEs.mkString(" ")}'
+                              WHEN lang = 'fr' THEN ' ${Text.StopFr.mkString(" ")}'
+                              WHEN lang = 'zh' THEN ' 的'
+                              ELSE '' END AS text
+          FROM documents
+        ), t AS (
           SELECT doc_id, lang, text,
                  string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
-          FROM documents
+          FROM aug
         ), s AS (
           SELECT doc_id, lang, text,
                  len(list_intersect(toks, ${duckList(Text.StopEn)})) AS s_en,
@@ -776,10 +796,14 @@ object Corpus {
           Similarity.cosine(col("vec"),
             Quantize.dequantize(col("codes"), col("mn"), col("qscale")))
             .as("cos_raw"))
+        // The codes land as a comma-joined string, not a raw
+        // array<int>: the oracle harness sorts raw output values, and
+        // an array column is unsortable there. Digest equality over
+        // the joined string verifies every code just as strongly.
         metrics.select(col("vec_id"),
           round(col("mn"), 6).as("mn"),
           round(col("qscale"), 6).as("qscale"),
-          col("codes"),
+          concat_ws(",", col("codes")).as("codes"),
           round(col("err_raw"), 6).as("max_abs_err"),
           round(col("cos_raw"), 6).as("cos_fidelity"))
       },
@@ -801,7 +825,8 @@ object Corpus {
                  [mn + c * s for c in codes] AS dq
           FROM c
         )
-        SELECT vec_id, round(mn, 6) AS mn, round(s, 6) AS qscale, codes,
+        SELECT vec_id, round(mn, 6) AS mn, round(s, 6) AS qscale,
+               array_to_string(codes, ',') AS codes,
                round(coalesce(list_max(
                  [abs(dq[i] - vec[i]) for i in range(1, len(vec) + 1)]), 0.0), 6)
                  AS max_abs_err,
@@ -1000,27 +1025,30 @@ object Corpus {
     // also occur in ANOTHER document. High fraction = the document is
     // largely assembled from text that exists elsewhere (mirrors,
     // quote farms, templated pages) even when no WHOLE-document
-    // near-dup fires. Shape: span explode → per-span distinct-doc
-    // count (two-phase partial agg — boilerplate spans collapse
-    // map-side) → hash join-back (probe-side skew stays distributed;
-    // the build side is one row per span) → per-doc fraction. Docs
-    // shorter than the span width have no spans and no row — mirrored
-    // in the oracle.
+    // near-dup fires. Shape: ONE corpus tokenize pass collapsed to
+    // per-(span, doc) occurrence counts (two-phase partial agg —
+    // boilerplate spans collapse map-side), then the distinct-doc
+    // count per span is a window over the already-aggregated pairs
+    // (one row per (span, doc), so count(*) over the span IS the
+    // distinct-doc count), then the per-doc rollup. Shuffles move the
+    // aggregated pairs, never raw span occurrences, and the corpus is
+    // scanned exactly once. Docs shorter than the span width have no
+    // spans and no row — mirrored in the oracle.
     QueryDef(
       "q90_dup_span_fraction",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        val grams = d
+        val pairs = d
           .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
           .select(col("doc_id"), explode(Text.wordNgrams(col("toks"), 8)).as("g"))
-        val xdoc = grams.groupBy(col("g"))
-          .agg(countDistinct(col("doc_id")).as("ndocs"))
-          .filter(col("ndocs") >= 2)
-          .select(col("g"), lit(true).as("xdoc"))
-        grams.join(xdoc, Seq("g"), "left")
+          .groupBy(col("g"), col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("g"))
+        pairs.withColumn("ndocs", count(lit(1)).over(w))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("xdoc"), 1L).otherwise(0L)).as("n_dup_spans"))
+          .agg(sum(col("n")).as("n_spans"),
+            sum(when(col("ndocs") >= 2, col("n")).otherwise(0L))
+              .as("n_dup_spans"))
           .withColumn("dup_span_frac",
             round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
       },
