@@ -57,11 +57,16 @@ object Bench {
     val total = timings.values.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // The one-line contract is stdout; the line is duplicated to stderr
-    // and to target/bench_last.json because sbt appends its own
-    // "[success] …" after us on stdout — a parser that grabs the LAST
-    // line there gets sbt's, not ours. The file is the reliable pickup.
-    println(json)
+    // The driver's stdout pickup reads a bounded tail window: with 77+
+    // benched queries the per-query map overflows it and the line
+    // truncates mid-map (BENCH_r06 `parsed: null`). So stdout carries
+    // ONLY a compact summary line — total, count, errors — and the
+    // full per-query map goes to stderr and target/bench_last.json
+    // (the reliable pickups; sbt also appends its own "[success] …"
+    // after us on stdout, so stdout was never the durable channel).
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(compact)
     System.err.println(json)
     // Best-effort: a missing/read-only cwd must not fail a bench run
     // whose results were already printed.
