@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen; both forms compute identical values (binary
   * UTF8 ordering either way, and run statistics are order-insensitive
   * beyond grouping equal values), so they are interchangeable under
-  * the DuckDB oracles. Null elements never join a run (mirroring the
-  * fold, where `null === x` is never true).
+  * the DuckDB oracles. Null elements count toward neither maximum —
+  * here the run maxima only update on non-null values, and the fold
+  * gives null elements run = 0 explicitly (NgramRunStatsSpec pins the
+  * parity, null-element arrays included).
   *
   * Empty or null-sized input yields (0, 0); callers divide by their
   * own denominators and guard zero there.

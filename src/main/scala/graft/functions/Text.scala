@@ -99,7 +99,10 @@ object Text {
   def qualityScore(text: Column): Column = qualityScore(text, tokens(text))
 
   /** [[qualityScore]] over a BOUND token array — same rationale as the
-    * [[langId]] overload. */
+    * [[langId]] overload. NULL text scores 0.0 (not NULL): a NULL
+    * `nChar` would propagate through `alphaRatio` into the sum, and a
+    * NULL score turns any downstream `>= threshold` gate
+    * three-valued. */
   def qualityScore(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
@@ -111,7 +114,8 @@ object Text {
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val meanTokLen = nChar / greatest(nTok, lit(1.0))
     val tokLenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
-    round(stopRatio * 0.2 + alphaRatio * 0.4 + lenScore * 0.2 + tokLenScore * 0.2, 6)
+    when(text.isNull, 0.0).otherwise(
+      round(stopRatio * 0.2 + alphaRatio * 0.4 + lenScore * 0.2 + tokLenScore * 0.2, 6))
   }
 
   // --- Gopher/C4-style repetition + ratio signals (Rae et al. 2021,
@@ -170,8 +174,19 @@ object Text {
     * stays a zero-shuffle projection. */
   def topNgramShare(ng: Column): Column =
     when(coalesce(size(ng), lit(0)) <= 0, 0.0).otherwise(
-      call_function("ngram_run_stats", ng).getField("top_count")
+      runStats(ng).getField("top_count")
         .cast("double") / size(ng).cast("double"))
+
+  /** [[NgramRunStats]] built directly as an expression — NOT a
+    * `call_function("ngram_run_stats", …)` registry lookup, which would
+    * silently couple this pure Column library to sessions that ran
+    * [[graft.Session]]'s `injectFunction` hook (any other session
+    * would fail analysis with "undefined function"). The SQL-name
+    * registration still exists for `expr("ngram_run_stats(...)")`
+    * users; this library does not depend on it. */
+  private def runStats(ng: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      NgramRunStats(org.apache.spark.sql.GraftColumn.expr(ng)))
 
   /** The composable (lambda-HOF) form of [[topNgramShare]]'s numerator,
     * kept as the parity reference for NgramRunStatsSpec — the native
@@ -181,9 +196,14 @@ object Text {
       array_sort(ng),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, g) => {
-        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+        // a null element neither joins nor starts a run (run = 0, prev
+        // coalesced to "" so the NEXT element starts cleanly at
+        // 0 + 1) — parity with the native expression, which only
+        // updates its maxima on non-null values
+        val run = when(g.isNull, lit(0L))
+          .when(g === acc.getField("prev"), acc.getField("run") + 1L)
           .otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
+        struct(coalesce(g, lit("")).as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
@@ -218,7 +238,7 @@ object Text {
   def topNgramCharFraction(ng: Column, nChars: Column): Column =
     when(coalesce(size(ng), lit(0)) <= 0 || coalesce(nChars, lit(0)) <= 0, 0.0).otherwise(
       least(lit(1.0),
-        call_function("ngram_run_stats", ng).getField("top_chars")
+        runStats(ng).getField("top_chars")
           .cast("double") / nChars.cast("double")))
 
   /** Composable parity reference for [[topNgramCharFraction]]'s
@@ -230,9 +250,12 @@ object Text {
       (acc, g) => {
         val closed = greatest(acc.getField("best"),
           acc.getField("run") * length(acc.getField("prev")))
-        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+        // null handling mirrors [[topRunFold]]: run = 0, prev = "" —
+        // the closed-run coverage of a null "run" is 0 × 0
+        val run = when(g.isNull, lit(0L))
+          .when(g === acc.getField("prev"), acc.getField("run") + 1L)
           .otherwise(lit(1L))
-        struct(g.as("prev"),
+        struct(coalesce(g, lit("")).as("prev"),
           run.as("run"),
           when(g === acc.getField("prev"), acc.getField("best"))
             .otherwise(closed).as("best"))

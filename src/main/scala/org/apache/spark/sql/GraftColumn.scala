@@ -1,0 +1,30 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Classic-mode bridge between graft's native Catalyst expressions and
+  * the public `Column` API.
+  *
+  * Spark 4 made `Column` implementation-agnostic (it now wraps a
+  * `ColumnNode`, shared with Connect) and moved the
+  * `Expression` ↔ `Column` conversions behind `private[sql]`
+  * `classic.ExpressionUtils`, so a library that constructs its own
+  * Catalyst expressions needs this one-hop shim. It exists so the
+  * `graft.functions` Column library can build
+  * [[graft.functions.NgramRunStats]] / [[graft.functions.CosineFloat]]
+  * columns DIRECTLY, without a `call_function` registry lookup that
+  * silently couples a pure expression library to sessions built by
+  * `graft.Session` (the registry entry only exists after its
+  * `injectFunction` hook ran).
+  *
+  * Lives in `org.apache.spark.sql` solely for access; nothing in Spark
+  * is modified or overridden.
+  */
+object GraftColumn {
+  /** Wrap a Catalyst expression as a public Column. */
+  def of(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a classic Column to its Catalyst expression. */
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -138,6 +138,18 @@ class BoundarySpec extends SparkSpec {
       assert(row.getDouble(i) == 0.0,
         s"signal ${row.schema(i).name} = ${row.getDouble(i)} on NULL text")
     }
+    // the classifier-shaped signals have their own degenerate values:
+    // qualityScore 0.0 (a NULL would make >= gates three-valued) and
+    // langId "und" (undetermined, never NULL)
+    val cls = Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(col("text"), Text.tokens(col("text")).as("toks"))
+      .select(
+        Text.qualityScore(col("text"), col("toks")).as("qs"),
+        Text.langId(col("text"), col("toks")).as("lid"))
+      .head()
+    assert(!cls.isNullAt(0) && cls.getDouble(0) == 0.0,
+      s"qualityScore = ${cls.get(0)} on NULL text")
+    assert(cls.getString(1) == "und", s"langId = ${cls.get(1)} on NULL text")
   }
 
   test("width_bucket matches its SQL-standard definition on every edge") {

@@ -22,7 +22,11 @@ class NgramRunStatsSpec extends SparkSpec {
       Seq("aa", "b", "b", "b"),                       // long-run short gram
       Seq("a fairly long ngram value", "b", "a fairly long ngram value"), // cover beats count
       Seq("ü", "ü", "u"),                             // non-ASCII numChars
-      (1 to 200).map(i => s"g${i % 7}")               // many runs
+      (1 to 200).map(i => s"g${i % 7}"),              // many runs
+      Seq("a", null, "a"),                            // null splits no run
+      Seq(null.asInstanceOf[String]),                 // lone null → (0, 0)
+      Seq(null, null, "b", "b"),                      // null run never wins
+      Seq(null, "", "x")                              // null next to empty gram
     )
     val df = cases.map(Tuple1(_)).toDF("ng")
     val got = df.select(
