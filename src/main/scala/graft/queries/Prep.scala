@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Components, CorpusPrep, Dedup}
+import graft.operators.{Barrier, Components, CorpusPrep, Dedup}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -215,12 +215,16 @@ object Prep {
     * unmaterialized, the regex-heavy scoring pass would re-run per
     * branch. Real curation pipelines persist exactly this boundary
     * before the near-dup stage; the checkpoint cost is inside the
-    * benched region, so the number stays honest. */
-  private def neardupChunkTail(kept: org.apache.spark.sql.DataFrame) = {
+    * benched region, so the number stays honest. `persistPath` picks
+    * the durable parquet form of the barrier (see [[Barrier]]) — the
+    * in-suite queries run the local checkpoint form. */
+  private def neardupChunkTail(kept: org.apache.spark.sql.DataFrame,
+      persistPath: Option[String] = None) = {
     val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    val ded = kept.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("doc_id"), col("text"))
-      .localCheckpoint(true)
+    val ded = Barrier.materialize(
+      kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("doc_id"), col("text")),
+      persistPath)
     val pairs = Dedup.minhashNearDups(ded, "doc_id", "text",
       n = 3, k = 64, bands = 16, tau = 0.8).select(col("a"), col("b"))
     val groups = Components.dedupGroups(ded.select(col("doc_id")), pairs)
@@ -588,16 +592,18 @@ object Prep {
           .select(col("doc_id"), col("text"), col("toks"),
             Text.wordNgrams(col("toks"), 2).as("ng"),
             Text.tokenChunks(col("toks"), 8).as("ls"))
-        // The scored table is MATERIALIZED (eager localCheckpoint)
-        // before the gate. Without the barrier, predicate pushdown
-        // substitutes each gate conjunct's alias definition below the
-        // projection — 8 conjuncts × the full tokenize/ngram/chunk
-        // tree, per row, and the lambda-HOF signals are CodegenFallback
-        // so no codegen CSE ever deduplicates them (measured 23 s vs
-        // ~5 s at sf0.1). Annotate-once-then-gate is also the real
-        // pipeline shape: signal tables are persisted for threshold
-        // tuning, and the barrier keeps the corpus pass at exactly one.
-        val scored = staged.select(col("doc_id"), col("text"),
+        // The scored table is MATERIALIZED before the gate (see
+        // Barrier for why, and for the durable persistPath form a
+        // cluster run would pick). Without the barrier, predicate
+        // pushdown substitutes each gate conjunct's alias definition
+        // below the projection — 8 conjuncts × the full
+        // tokenize/ngram/chunk tree, per row, and the lambda-HOF
+        // signals are CodegenFallback so no codegen CSE ever
+        // deduplicates them (measured 23 s vs ~5 s at sf0.1).
+        // Annotate-once-then-gate is also the real pipeline shape:
+        // signal tables are persisted for threshold tuning, and the
+        // barrier keeps the corpus pass at exactly one.
+        val scored = Barrier.materialize(staged.select(col("doc_id"), col("text"),
           Text.langId(col("text"), col("toks")).as("lang_id"),
           Text.qualityScore(col("text"), col("toks")).as("quality"),
           Text.contentHash(col("text")).as("content_hash"),
@@ -606,8 +612,7 @@ object Prep {
           round(Text.symbolToWordRatio(col("text"), col("toks")), 6).as("symbol_ratio"),
           round(Text.stopwordFraction(col("toks")), 6).as("stop_frac"),
           round(Text.meanWordLength(col("toks")), 6).as("mean_word_len"),
-          round(Text.alphaTokenFraction(col("toks")), 6).as("alpha_frac"))
-          .localCheckpoint(true)
+          round(Text.alphaTokenFraction(col("toks")), 6).as("alpha_frac")))
         val kept = scored.filter(
           col("lang_id") === "en" && col("quality") >= 0.72 &&
           col("dup_line_frac") <= 0.3 && col("top2gram_share") <= 0.2 &&
