@@ -348,22 +348,60 @@ object Corpus {
       bench = false),
 
     // ----- Multimodal: decode-stub metadata + feature aggregation -----
-    // Binary payload plumbing through typed Dataset stages; the decode
-    // is a deterministic stub (see Multimodal.fakeDecode scaladoc), so
-    // no DuckDB twin — schema/batch shape graded in MultimodalSpec.
+    // Binary payload plumbing through typed Dataset stages. The decode
+    // is a deterministic stub (see Multimodal.fakeDecode scaladoc), but
+    // deterministic means ORACLE-CHECKABLE: the stub's metadata is a
+    // 31-polynomial byte hash (Java Arrays.hashCode) of the payload,
+    // which DuckDB reproduces with a list_reduce over code points (the
+    // corpus is pure ASCII, so code point == UTF-8 byte; mod 2^31
+    // throughout — `& 0x7fffffff` is mod 2^31 and mod is a ring hom,
+    // so reducing mod 2^31 per step equals Java's wrapping int math).
+    // payload_md5 grades the binary round-trip through the typed
+    // Dataset encoders; the float feature values are snapped back to
+    // their exact nibble/15 definition in double before the sum, so
+    // the 6-digit boundary can't flip on float32 accumulation error.
+    // The remaining spec-graded half (MultimodalSpec): frame sampling,
+    // resize, per-partition batch shape.
     QueryDef(
       "q40_multimodal_meta",
       (spark, dir) => {
         val docs = Tables.load(spark, dir, "documents")
         val media = Multimodal.syntheticMedia(spark, docs)
+        val integrity = media.toDF().select(col("mediaId"),
+          md5(col("payload")).as("payload_md5"))
         Multimodal.decode(media).toDF()
-          .select(col("mediaId"), col("meta.kind").as("kind"),
+          .join(integrity, "mediaId")
+          .select(col("mediaId").as("media_id"), col("meta.kind").as("kind"),
             col("meta.width").as("width"), col("meta.height").as("height"),
             col("meta.durationMs").as("duration_ms"),
             round(aggregate(col("features"), lit(0.0d),
-              (acc, v) => acc + v.cast("double")), 6).as("feat_sum"))
+              (acc, v) => acc + round(v.cast("double") * 15) / lit(15.0d)),
+              6).as("feat_sum"),
+            col("payload_md5"))
       },
-      None,
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+                 text
+          FROM documents
+        ), h AS (
+          SELECT media_id, kind, text,
+                 list_reduce(
+                   list_prepend(1::BIGINT,
+                     [unicode(c)::BIGINT for c in regexp_split_to_array(text, '')]),
+                   (acc, c) -> (31*acc + c) % 2147483648) AS h
+          FROM m
+        )
+        SELECT media_id, kind,
+               CAST(h % 1920 + 64 AS INT) AS width,
+               CAST(h % 1080 + 64 AS INT) AS height,
+               CASE WHEN kind = 'image' THEN 0 ELSE h % 600000 END AS duration_ms,
+               round(list_sum(
+                 [((h // (1::BIGINT << (i*4))) % 16) / 15.0 for i in range(0, 8)]),
+                 6) AS feat_sum,
+               md5(text) AS payload_md5
+        FROM h"""),
       // bench = false: the decode stage is an honest stub (no codec libs
       // in the sandbox) — timing synthetic bytes would be a fake number
       bench = false),
