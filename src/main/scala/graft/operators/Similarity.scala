@@ -30,12 +30,19 @@ object Similarity {
   }
 
   /** Cosine via the native codegen expression
-    * [[graft.functions.CosineFloat]] (registered as `cosine_f` by
-    * [[graft.Session]]): one fused loop per pair instead of
-    * HigherOrderFunction lambda frames — the hot-path form used by the
-    * top-k/ANN operators. Same double math, same results. */
+    * [[graft.functions.CosineFloat]]: one fused loop per pair instead
+    * of HigherOrderFunction lambda frames — the hot-path form used by
+    * the top-k/ANN operators. Same double math, same results. Built
+    * directly from the expression (not a `call_function("cosine_f")`
+    * registry lookup) so it works on ANY SparkSession, not just ones
+    * that ran [[graft.Session]]'s injectFunction hook; the SQL-name
+    * registration stays for `expr("cosine_f(…)")` users (exercised by
+    * q29). */
   def cosineFast(a: Column, b: Column): Column =
-    call_function("cosine_f", a, b)
+    org.apache.spark.sql.GraftColumn.of(
+      graft.functions.CosineFloat(
+        org.apache.spark.sql.GraftColumn.expr(a),
+        org.apache.spark.sql.GraftColumn.expr(b)))
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
     *
