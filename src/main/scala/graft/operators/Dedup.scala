@@ -386,6 +386,39 @@ object Dedup {
     (survivors, updated)
   }
 
+  /** [[exactAgainstIndex]] with a bloom-filter pre-test of the
+    * historical index (built once per index epoch via
+    * [[Bloom.build]] over the index's `content_hash`; persisted next
+    * to the index in a real pipeline).
+    *
+    * Identical results — the bloom only routes: a bloom NEGATIVE hash
+    * is definitely novel (no false negatives) and skips the index
+    * anti-join entirely; bloom POSITIVES (true duplicates + fpp) are
+    * confirmed against the real index, so false positives cannot drop
+    * a novel document. At 100 TB the anti-join's probe side shrinks
+    * from the whole batch to (dup rate + fpp) × batch — with a 1–10%
+    * dup rate, ~10–100× less join input against the billions-row
+    * index — while the definite-novel majority is classified by a
+    * codegen'd scalar filter with zero shuffle. BloomDedupSpec pins
+    * path-equivalence with [[exactAgainstIndex]] on planted data. */
+  def exactAgainstIndexBloom(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, indexBloom: Array[Byte]): (DataFrame, DataFrame) = {
+    val hashed = batch.select(col(idCol),
+      Text.contentHash(col(textCol)).as("content_hash"))
+    val batchFirst = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    val seenMaybe = Bloom.mightContain(indexBloom, col("content_hash"))
+    val definiteNovel = batchFirst.filter(!seenMaybe)
+    val confirmedNovel = batchFirst.filter(seenMaybe)
+      .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
+    val novel = definiteNovel.unionByName(confirmedNovel)
+    val survivors = batch.join(
+      broadcast(novel.select(col(idCol))), Seq(idCol))
+    val updated = index.select(col("content_hash"), col("keep_id"))
+      .unionByName(novel.select(col("content_hash"), col(idCol).as("keep_id")))
+    (survivors, updated)
+  }
+
   /** Benchmark decontamination: cross-corpus n-gram overlap — for each
     * corpus document, the number of distinct n-gram shingles it shares
     * with each benchmark document (self-matches excluded so a benchmark

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Components, Dedup, Ivf, Multimodal, Quantize, Similarity}
+import graft.operators.{Bloom, Components, Dedup, Ivf, Multimodal, Quantize, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -129,6 +129,58 @@ object Corpus {
         SELECT content_hash, keep_id FROM idx
         UNION ALL
         SELECT content_hash, keep_id FROM novel""")),
+
+    // ----- Incremental exact dedup behind a bloom pre-test -----
+    // q81's scenario routed through Dedup.exactAgainstIndexBloom: a
+    // bloom filter of the historical index keys (built once per index
+    // epoch) classifies bloom-NEGATIVE batch hashes as definitely
+    // novel with a zero-shuffle codegen'd filter — no false negatives
+    // — and only bloom positives (true dups + fpp) reach the exact
+    // anti-join confirm, so at 100 TB the join probe side shrinks to
+    // (dup rate + fpp) × batch. The result is EXACT (positives are
+    // confirmed against the real index), which is why a plain
+    // anti-join oracle can hash-check it: same answer, radically less
+    // join input. Output = the admitted novel documents.
+    QueryDef(
+      "q92_dedup_bloom",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = d.filter(col("doc_id") < 400)
+        val index = Dedup.exact(corpus, "doc_id", "text")
+          .select(col("content_hash"), col("keep_id"))
+        val bloom = Bloom.build(index, col("content_hash"),
+          expectedItems = 1000L, fpp = 0.01)
+        val batch = d.filter(col("doc_id") >= 400)
+          .unionByName(d.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(d.filter(col("doc_id") >= 490)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val (survivors, _) =
+          Dedup.exactAgainstIndexBloom(batch, "doc_id", "text", index, bloom)
+        survivors.select(col("doc_id"),
+          Text.contentHash(col("text")).as("content_hash"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+          FROM documents
+        ), idx AS (
+          SELECT content_hash, min(doc_id) AS keep_id
+          FROM h WHERE doc_id < 400 GROUP BY 1
+        ), batch AS (
+          SELECT doc_id, content_hash FROM h WHERE doc_id >= 400
+          UNION ALL
+          SELECT doc_id + 10000, content_hash FROM h WHERE doc_id < 30
+          UNION ALL
+          SELECT doc_id + 20000, content_hash FROM h WHERE doc_id >= 490
+        ), bf AS (
+          SELECT content_hash, min(doc_id) AS doc_id FROM batch GROUP BY 1
+        )
+        SELECT b.doc_id, b.content_hash FROM bf b
+        WHERE NOT EXISTS (SELECT 1 FROM idx i
+                          WHERE i.content_hash = b.content_hash)""")),
 
     // ----- N-gram Jaccard near-dup via inverted-index join -----
     // Oracle computes exact all-pairs Jaccard with list ops (fine at

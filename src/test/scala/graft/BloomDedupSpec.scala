@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bloom, Dedup}
+import graft.sources.Tables
+
+/** Contracts for the bloom membership pre-test and the bloom-routed
+  * incremental dedup:
+  *   - NO false negatives: every key the filter was built over tests
+  *     positive (this is what makes bloom-negative == definitely-novel
+  *     sound);
+  *   - false-positive rate near the configured fpp on disjoint keys;
+  *   - exactAgainstIndexBloom returns EXACTLY what exactAgainstIndex
+  *     returns — the bloom only routes, never decides.
+  */
+class BloomDedupSpec extends SparkSpec {
+
+  private def hashes(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(md5(col("id").cast("string")).as("h"))
+
+  test("bloom has no false negatives and ~fpp false positives") {
+    val built = hashes(0, 20000)
+    val bloom = Bloom.build(built, col("h"), expectedItems = 20000L, fpp = 0.01)
+    val misses = built.filter(!Bloom.mightContain(bloom, col("h"))).count()
+    assert(misses == 0L, s"$misses built keys tested negative (false negatives!)")
+    val fp = hashes(20000, 40000)
+      .filter(Bloom.mightContain(bloom, col("h"))).count()
+    // fpp = 1% over 20k disjoint probes; 3% bound keeps the test
+    // deterministic-in-practice without hiding a broken filter
+    assert(fp < 600, s"$fp/20000 false positives — far above the 1% target")
+  }
+
+  test("bloom-routed incremental dedup == plain incremental dedup") {
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") < 300)
+    val index = Dedup.exact(corpus, "doc_id", "text")
+      .select(col("content_hash"), col("keep_id"))
+    val batch = d.filter(col("doc_id") >= 300)
+      .unionByName(d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val bloom = Bloom.build(index, col("content_hash"), expectedItems = 1000L)
+    val (s1, u1) = Dedup.exactAgainstIndex(batch, "doc_id", "text", index)
+    val (s2, u2) = Dedup.exactAgainstIndexBloom(batch, "doc_id", "text", index, bloom)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty,
+      "survivor sets differ between bloom and plain paths")
+    assert(u1.exceptAll(u2).isEmpty && u2.exceptAll(u1).isEmpty,
+      "updated indexes differ between bloom and plain paths")
+  }
+}
