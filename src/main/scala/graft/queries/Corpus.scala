@@ -182,6 +182,71 @@ object Corpus {
         WHERE NOT EXISTS (SELECT 1 FROM idx i
                           WHERE i.content_hash = b.content_hash)""")),
 
+    // ----- Embedding cluster profiling: per-label centroid + cohesion -----
+    // The embedding-space health report a pipeline runs before trusting
+    // labels/clusters at scale: per label, the element-wise mean vector
+    // (centroid), its norm, and the cosine-to-centroid cohesion stats.
+    // Scale shape: posexplode's (label, pos) partial aggregate reduces
+    // each map task to ≤ labels × dim cells BEFORE the shuffle, so the
+    // exchange moves kilobytes regardless of corpus size; the 10-row
+    // centroid table broadcasts into the scoring pass (one corpus scan,
+    // no second shuffle of vectors); the final rollup shuffles one row
+    // per vector. The unit-norm corpus makes cohesion_mean == |centroid|
+    // — an identity (mean v·c/|c| = |c| when |v| = 1), not a bug, and
+    // the oracle reproduces it bit-for-bit. cohesion_min is the
+    // outlier/mislabel signal. Float vectors cast to double ONCE on
+    // both engines so the arithmetic is identical.
+    QueryDef(
+      "q93_embed_centroids",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("vec"))
+        val cent = e.select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+          .select(col("label"),
+            transform(col("pc"), p => p.getField("c")).as("cvec"))
+          .withColumn("centroid_norm",
+            sqrt(aggregate(col("cvec"), lit(0.0d), (a, x) => a + x * x)))
+        e.join(broadcast(cent), Seq("label"))
+          .select(col("label"), col("centroid_norm"),
+            Similarity.cosine(col("vec"), col("cvec")).as("cos"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(first(col("centroid_norm")), 6).as("centroid_norm"),
+            round(avg(col("cos")), 6).as("cohesion_mean"),
+            round(min(col("cos")), 6).as("cohesion_min"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+        ), cells AS (
+          SELECT label, u.pos, u.x
+          FROM (SELECT label,
+                       unnest([{'pos': i, 'x': vec[i]}
+                               for i in range(1, len(vec)+1)]) AS u
+                FROM v)
+        ), c AS (
+          SELECT label, pos, avg(x) AS c FROM cells GROUP BY 1, 2
+        ), cent AS (
+          SELECT label, list(c ORDER BY pos) AS cvec FROM c GROUP BY 1
+        ), scored AS (
+          SELECT v.label, cent.cvec,
+                 CASE WHEN list_dot_product(v.vec, v.vec) = 0
+                        OR list_dot_product(cent.cvec, cent.cvec) = 0 THEN 0.0
+                      ELSE list_dot_product(v.vec, cent.cvec)
+                           / (sqrt(list_dot_product(v.vec, v.vec))
+                              * sqrt(list_dot_product(cent.cvec, cent.cvec))) END AS cos
+          FROM v JOIN cent USING (label)
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round(any_value(sqrt(list_dot_product(cvec, cvec))), 6) AS centroid_norm,
+               round(avg(cos), 6) AS cohesion_mean,
+               round(min(cos), 6) AS cohesion_min
+        FROM scored GROUP BY 1""")),
+
     // ----- N-gram Jaccard near-dup via inverted-index join -----
     // Oracle computes exact all-pairs Jaccard with list ops (fine at
     // sf0.01's 500 docs); the Spark side is the sub-quadratic
