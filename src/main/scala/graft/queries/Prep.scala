@@ -479,6 +479,59 @@ object Prep {
                  + len(regexp_extract_all(t, '\d{6,}')) AS INT) AS n_redactions
         FROM aug""")),
 
+    // ----- URL/domain filtering + canonical-URL dedup report -----
+    // The C4/RefinedWeb front gate this suite lacked: per-domain
+    // document counts, canonical-URL dedup (query strings stripped —
+    // mirrors/reposts share a canonical URL), and a domain-blocklist
+    // flag. The corpus has no URL column, so URLs are planted
+    // deterministically like q74 plants PII — doc_id % 400 keys the
+    // path so re-crawls (doc_id ≥ 400) mirror earlier URLs exactly,
+    // exercising the dedup signal. Mechanics under oracle: native
+    // parse_url host extraction (codegen'd; the oracle re-spells it
+    // as a regexp), canonical-form regexp, blocklist LEFT broadcast
+    // join (blocklists are thousands of domains — always
+    // broadcast-sized), per-domain rollup. One corpus scan, one
+    // shuffle on host (37 groups, map-side combined); the distinct
+    // URL count is the standard two-phase partial distinct.
+    QueryDef(
+      "q94_url_filter",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val withUrl = d.select(col("doc_id"),
+          concat(lit("https://site"),
+            (col("doc_id") % 400 % 37).cast("string"),
+            lit(".example/p/"), (col("doc_id") % 400).cast("string"),
+            lit("?ref=feed")).as("url"))
+        val hosts = withUrl.select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          regexp_replace(col("url"), "\\?.*$", "").as("url_norm"))
+        val block = spark.range(1)
+          .select(explode(typedLit(Seq("site3.example", "site17.example",
+            "site29.example"))).as("host"), lit(true).as("blocked"))
+        hosts.join(broadcast(block), Seq("host"), "left")
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("url_norm")).as("n_urls"),
+            coalesce(max(col("blocked")), lit(false)).as("blocked"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 concat('https://site', doc_id % 400 % 37, '.example/p/',
+                        doc_id % 400, '?ref=feed') AS url
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+                 regexp_replace(url, '\?.*$', '') AS url_norm
+          FROM u
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+               host IN ('site3.example', 'site17.example', 'site29.example')
+                 AS blocked
+        FROM h GROUP BY 1""")),
+
     // ----- Full curation incl. NEAR-dup grouping, oracle-checked -----
     // q57 stops at exact dedup because its oracle predates q69's
     // recursive-CTE components. This is the complete stack under ONE
