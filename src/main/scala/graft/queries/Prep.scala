@@ -532,6 +532,46 @@ object Prep {
                  AS blocked
         FROM h GROUP BY 1""")),
 
+    // ----- Deterministic epoch shuffle (seeded global ordering) -----
+    // The pre-training shuffle: every epoch assigns each document a
+    // seeded pseudorandom position (md5 of seed + id), reproducible
+    // across runs and engines. The naive spelling — row_number() OVER
+    // (ORDER BY key) — is a SINGLE-PARTITION window: a scale-killer at
+    // 100 TB. This is the distributed form: shard by the key's first
+    // byte-pair (256 ranges in key order), rank WITHIN each shard (a
+    // partitioned window), and add per-shard offsets from a 256-row
+    // running sum — the only non-partitioned window in the plan runs
+    // over 256 aggregate rows, like q71/q72's quota windows. Shard
+    // prefix order == key prefix order, so offset + within-shard rank
+    // IS the global rank; ties broken by doc_id on both engines. The
+    // oracle IS the naive spelling — fine at DuckDB's scale, and the
+    // hash-match proves the distributed decomposition exact.
+    QueryDef(
+      "q95_epoch_shuffle",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val keyed = d.select(col("doc_id"),
+          md5(concat(lit("epoch42:"), col("doc_id").cast("string"))).as("k"))
+          .withColumn("shard", substring(col("k"), 1, 2))
+        val within = keyed.withColumn("r",
+          row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("k"), col("doc_id"))))
+        val offsets = keyed.groupBy(col("shard"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("offset",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("shard"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("shard"), col("offset"))
+        within.join(broadcast(offsets), Seq("shard"))
+          .select(col("doc_id"), (col("offset") + col("r")).as("shuffle_pos"))
+      },
+      Some("""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY md5(concat('epoch42:', doc_id)),
+                                  doc_id) AS shuffle_pos
+        FROM documents""")),
+
     // ----- Full curation incl. NEAR-dup grouping, oracle-checked -----
     // q57 stops at exact dedup because its oracle predates q69's
     // recursive-CTE components. This is the complete stack under ONE
