@@ -101,8 +101,15 @@ object Text {
   /** [[qualityScore]] over a BOUND token array — same rationale as the
     * [[langId]] overload. NULL text scores 0.0 (not NULL): a NULL
     * `nChar` would propagate through `alphaRatio` into the sum, and a
-    * NULL score turns any downstream `>= threshold` gate
-    * three-valued. */
+    * NULL score turns any downstream `>= threshold` gate three-valued.
+    * The guard is `coalesce(tree, 0.0)` — NOT `when(text.isNull, …)
+    * .otherwise(tree)` — deliberately: subexpression elimination skips
+    * conditional BRANCHES (lazily evaluated) but keeps a coalesce's
+    * always-evaluated first child, so the stopword-hit subtrees stay
+    * shared with [[langId]] in a combined scoring projection. Only
+    * NULL text makes the tree NULL (alphaRatio's NULL numerator
+    * survives every `greatest`/`least`, which skip nulls), so the two
+    * spellings are value-identical. */
   def qualityScore(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
@@ -114,8 +121,9 @@ object Text {
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val meanTokLen = nChar / greatest(nTok, lit(1.0))
     val tokLenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
-    when(text.isNull, 0.0).otherwise(
-      round(stopRatio * 0.2 + alphaRatio * 0.4 + lenScore * 0.2 + tokLenScore * 0.2, 6))
+    coalesce(
+      round(stopRatio * 0.2 + alphaRatio * 0.4 + lenScore * 0.2 + tokLenScore * 0.2, 6),
+      lit(0.0))
   }
 
   // --- Gopher/C4-style repetition + ratio signals (Rae et al. 2021,

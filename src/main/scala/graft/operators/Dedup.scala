@@ -78,23 +78,35 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent permutations simulated by seeded
-    * xxhash64 of each shingle; the signature element is the min hash
-    * per seed. One explode + one groupBy — signature width k costs k
-    * codegen'd min-aggregates, not k passes. */
+  /** MinHash signature per document via the native
+    * [[graft.functions.MinHashSig]] expression: the k-wide signature is
+    * a fused per-row loop (2 xxhash64 per shingle + a Carter–Wegman
+    * add per signature row) computed MAP-SIDE in the scan projection —
+    * not an explode + k min-aggregates that hash every shingle k
+    * times. The trivial `groupBy(id).agg(first)` that follows is the
+    * load-bearing materialization barrier, replacing the old k-wide
+    * aggregate at a fraction of its CPU: (a) the downstream LSH band
+    * SELF-join reuses the aggregate's exchange (ReusedExchange), so
+    * signatures are computed once, not once per join side; (b)
+    * predicate pushdown cannot substitute expression trees through an
+    * Aggregate, so the n_sh filter below never re-derives the
+    * interpreted shingle tree per row (both re-derivations measured:
+    * removing the barrier entirely took q33 from ~1.8 s to ~21 s at
+    * sf0.1). The struct output keeps the expensive shingle array
+    * referenced exactly once in the projection (see MinHashSig
+    * scaladoc); docs with no shingles (shorter than n tokens) are
+    * dropped AFTER the barrier, as the explode-based form dropped
+    * them implicitly. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
-    val sh = docShingles(df, idCol, textCol, n)
-    // n_sh rides along with the signature aggregation: shingle counts
-    // are needed again for Jaccard verification, and carrying them here
-    // saves a whole extra pass over the corpus (shingles are distinct
-    // per doc, so count(*) == |shingle set|)
-    val mins = (0 until k).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), col("n_sh"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), Text.shingles(col("toks"), n).as("sh"))
+      .select(col("id"),
+        org.apache.spark.sql.GraftColumn.of(graft.functions.MinHashSig(
+          org.apache.spark.sql.GraftColumn.expr(col("sh")), k)).as("ms"))
+      .groupBy(col("id")).agg(first(col("ms")).as("ms"))
+      .select(col("id"), col("ms.n_sh").as("n_sh"), col("ms.sig").as("sig"))
+      .filter(col("n_sh") > 0)
 
   /** LSH banding: split the k-wide signature into `bands` bands of
     * k/bands rows each; docs sharing any band hash become candidates.
