@@ -45,6 +45,21 @@ object Session {
             require(args.length == 1, "ngram_run_stats(arrayOfStrings)")
             graft.functions.NgramRunStats(args(0))
           }))
+        ext.injectFunction((
+          FunctionIdentifier("minhash_sig"),
+          new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+          (args: Seq[Expression]) => {
+            require(args.length == 2, "minhash_sig(arrayOfStrings, k)")
+            val k = args(1) match {
+              case e if e.foldable => e.eval() match {
+                case i: Int => i
+                case l: Long => l.toInt
+                case other => sys.error(s"minhash_sig: k must be an integer literal, got $other")
+              }
+              case _ => sys.error("minhash_sig: k must be a literal")
+            }
+            graft.functions.MinHashSig(args(0), k)
+          }))
       }
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)

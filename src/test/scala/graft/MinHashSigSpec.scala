@@ -61,4 +61,26 @@ class MinHashSigSpec extends SparkSpec {
     val Seq((n, sig)) = sparkSig(Seq(Seq.empty[String]))
     assert(n == 0L && sig.forall(_ == Long.MaxValue))
   }
+
+  test("property: random shingle arrays match the reference (seeded)") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(24)),
+      Gen.oneOf("a b", "b c", "", "ü ö")))
+    val cases = (1 to 40).flatMap(i =>
+      gen(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+      .map(_.toSeq)
+    sparkSig(cases).zip(cases).foreach { case ((_, sig), c) =>
+      assert(sig == refSig(c)._2, s"property mismatch on $c")
+    }
+  }
+
+  test("SQL registration: minhash_sig(sh, k) resolves via graft.Session") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(Tuple1(Seq("a b", "b c"))).toDF("sh")
+      .selectExpr("minhash_sig(sh, 16) AS ms")
+      .select(col("ms.n_sh")).head()
+    assert(r.getLong(0) == 2L)
+  }
 }
