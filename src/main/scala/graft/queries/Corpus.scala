@@ -566,6 +566,71 @@ object Corpus {
       // rides on the same MinHash pipeline q33 already measures.
     ),
 
+    // ----- Leakage-safe train/val/test split (group-atomic) -----
+    // Splitting documents independently leaks near-duplicates across
+    // train and eval — the classic contamination bug a per-document
+    // hash split cannot avoid. The safe unit is the NEAR-DUP GROUP:
+    // assign each q69 component (keep_id) a split by seeded md5, and
+    // every member inherits it, so a doc and its near-dups land in the
+    // same split by construction. Hex-string range thresholds give
+    // deterministic ~1/16 test, ~2/16 val, 13/16 train on both
+    // engines (md5 is uniform in hex; string comparison is identical).
+    // Scale shape: the group table is the only addition over q69 —
+    // the split is a scalar projection and a 3-group rollup. Oracle =
+    // q69's recursive-CTE components + the same CASE, so the
+    // hash-match proves split atomicity end-to-end.
+    QueryDef(
+      "q96_leakage_safe_split",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+            n = 3, k = 64, bands = 16, tau = 0.8)
+          .select(col("a"), col("b"))
+        val groups = Components.dedupGroups(d.select(col("doc_id")), pairs)
+        val h = md5(concat(lit("split42:"), col("keep_id").cast("string")))
+        groups.select(col("doc_id"), col("keep_id"),
+            when(h < "1", "test").when(h < "3", "val")
+              .otherwise("train").as("split"))
+          .groupBy(col("split"))
+          .agg(countDistinct(col("keep_id")).as("n_groups"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS s
+          FROM toks WHERE len(w) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ), edges AS (
+          SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+        ), groups AS (
+          SELECT node AS doc_id, min(lbl) AS keep_id FROM reach GROUP BY node
+        ), assigned AS (
+          SELECT doc_id, keep_id,
+                 CASE WHEN md5(concat('split42:', keep_id)) < '1' THEN 'test'
+                      WHEN md5(concat('split42:', keep_id)) < '3' THEN 'val'
+                      ELSE 'train' END AS split
+          FROM groups
+        )
+        SELECT split, CAST(count(DISTINCT keep_id) AS BIGINT) AS n_groups,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY 1"""),
+      // bench = false: cost is q69's pipeline + a scalar projection —
+      // benching it would double-count the components path
+      bench = false),
+
     // ----- Line-level dedup (C4/CCNet): drop repeated lines corpus-wide -----
     // The corpus text has no newlines, so the query first chunks each
     // document's tokens into deterministic 8-token "lines" (mirrored
