@@ -631,6 +631,60 @@ object Corpus {
       // benching it would double-count the components path
       bench = false),
 
+    // ----- Corpus snapshot diff (data versioning) -----
+    // The between-crawls report every managed corpus needs: which
+    // documents were added, removed, or changed between snapshot v1
+    // and v2, detected by normalized content hash — never by comparing
+    // bodies. v2 is planted from the same table (v1 = ids < 450, v2 =
+    // ids ≥ 50 with every 11th doc edited), mirroring q74's idiom.
+    // Scale shape: two narrow hash projections and ONE full outer join
+    // on doc_id — fixed-width (id, hash) rows shuffle, multi-KB bodies
+    // never do; with both snapshots bucketed by id the join is
+    // exchange-free. Unchanged docs (the overwhelming majority at
+    // scale) are filtered before output.
+    QueryDef(
+      "q98_corpus_diff",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val v1 = d.filter(col("doc_id") < 450)
+          .select(col("doc_id"), Text.contentHash(col("text")).as("h1"))
+        val v2 = d.filter(col("doc_id") >= 50)
+          .select(col("doc_id"), Text.contentHash(
+            concat(col("text"), when(col("doc_id") % 11 === 0,
+              " [edited v2]").otherwise(""))).as("h2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("status") =!= "unchanged")
+          .select(col("doc_id"), col("status"))
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h1
+          FROM documents WHERE doc_id < 450
+        ), v2 AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(
+                   concat(text, CASE WHEN doc_id % 11 = 0
+                                THEN ' [edited v2]' ELSE '' END)),
+                   '\s+', ' ', 'g'))) AS h2
+          FROM documents WHERE doc_id >= 50
+        )
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN h1 <> h2 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        WHERE CASE WHEN v1.doc_id IS NULL THEN 'added'
+                   WHEN v2.doc_id IS NULL THEN 'removed'
+                   WHEN h1 <> h2 THEN 'changed'
+                   ELSE 'unchanged' END <> 'unchanged'""")),
+
     // ----- Line-level dedup (C4/CCNet): drop repeated lines corpus-wide -----
     // The corpus text has no newlines, so the query first chunks each
     // document's tokens into deterministic 8-token "lines" (mirrored

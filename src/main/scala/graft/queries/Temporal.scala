@@ -219,6 +219,52 @@ object Temporal {
                count(*) AS n_events,
                CAST(min(ts) AS TIMESTAMP) AS sess_start,
                CAST(max(ts) AS TIMESTAMP) AS sess_end
-        FROM s GROUP BY user_id, session_id"""))
+        FROM s GROUP BY user_id, session_id""")),
+
+    // ----- Retention cohorts: weekly cohort × week-offset matrix -----
+    // The product-analytics staple over the events table: users
+    // cohorted by first-active week (Monday-truncated, identical
+    // semantics on both engines), retention = share of the cohort
+    // active again at each week offset. Scale shape: the distinct
+    // (user, week) projection partial-aggregates map-side; the cohort
+    // join is user-keyed; the final matrix is tiny (weeks²), so its
+    // cohort-size window runs over aggregated rows only — the corpus
+    // never passes through a window. Week offsets divide exactly by 7
+    // (both sides are week-truncated), so the int cast is lossless.
+    QueryDef(
+      "q97_retention_cohorts",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val weekly = e.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+        val cohort = weekly.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        val act = weekly.join(cohort, "user_id")
+          .select(col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("week_offset"))
+          .groupBy(col("cohort_wk"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+        val w = Window.partitionBy(col("cohort_wk"))
+        act.withColumn("retention",
+          round(col("n_users").cast("double")
+            / max(when(col("week_offset") === 0, col("n_users"))).over(w), 6))
+      },
+      Some("""
+        WITH weekly AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events
+        ), cohort AS (
+          SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY 1
+        ), act AS (
+          SELECT cohort_wk,
+                 CAST(date_diff('day', cohort_wk, wk) / 7 AS INT) AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM weekly JOIN cohort USING (user_id)
+          GROUP BY 1, 2
+        )
+        SELECT cohort_wk, week_offset, n_users,
+               round(n_users::DOUBLE
+                     / max(CASE WHEN week_offset = 0 THEN n_users END)
+                       OVER (PARTITION BY cohort_wk), 6) AS retention
+        FROM act"""))
   )
 }
