@@ -48,8 +48,19 @@ object Bloom {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftColumn.expr(key))),
       Literal(expectedItems), Literal(numBits(expectedItems, fpp)))
-    df.agg(GraftColumn.of(agg.toAggregateExpression()).as("bloom"))
+    val bytes = df.agg(GraftColumn.of(agg.toAggregateExpression()).as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
+    // the aggregate yields NULL over zero rows (a fresh/empty index —
+    // the first run of an incremental pipeline); an empty filter of
+    // the same sizing is the correct value, and the serialization
+    // formats match (both are util.sketch.BloomFilter writeTo/readFrom)
+    if (bytes != null) bytes
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter
+        .create(expectedItems, fpp).writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** Membership pre-test of `key` against a serialized filter from

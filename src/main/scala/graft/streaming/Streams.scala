@@ -51,6 +51,24 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Incremental pass with arbitrary per-micro-batch merge logic:
+    * `Trigger.AvailableNow` + `foreachBatch` — the hook for sink-side
+    * maintenance Structured Streaming cannot express declaratively
+    * (index upsert, dedup-against-store, MERGE-shaped writes). The
+    * checkpoint still guarantees each file is processed exactly once
+    * across invocations; `fn` receives the micro-batch DataFrame and
+    * the batch id (StreamsSpec drives the incremental exact-dedup
+    * index through this). */
+  def runForeachBatch(stream: DataFrame, checkpoint: String)(
+      fn: (DataFrame, Long) => Unit): Unit = {
+    val q = stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** T15: stream-stream inner join bounded by a time range — the
     * impression↔click attribution shape. Both sides carry watermarks
     * and the join condition bounds `rightTs` to

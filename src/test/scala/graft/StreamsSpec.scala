@@ -195,4 +195,49 @@ class StreamsSpec extends SparkSpec {
     // in state; user 2's single session stays open)
     assert(sessions.toSet == Set(Streams.SessionOut(1L, 0L, 10000L, 2)))
   }
+
+  test("foreachBatch maintains the bloom-routed dedup index incrementally (T13)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Bloom, Dedup}
+    val in = Files.createTempDirectory("graft_fb_in_").toString
+    val ckpt = Files.createTempDirectory("graft_fb_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_fb_idx_").toString
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    // versioned index paths: each micro-batch reads v(n), writes v(n+1)
+    // (a real pipeline would MERGE into a table; parquet has no
+    // in-place upsert and overwriting a path being read is an error)
+    var version = 0
+    def indexAt(v: Int) = s"$idxRoot/v$v"
+    Seq.empty[(String, Long)].toDF("content_hash", "keep_id")
+      .write.parquet(indexAt(0))
+
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
+      (batch, _) =>
+        val index = spark.read.parquet(indexAt(version))
+        val bloom = Bloom.build(index, col("content_hash"), expectedItems = 100L)
+        val (_, updated) =
+          Dedup.exactAgainstIndexBloom(batch, "doc_id", "text", index, bloom)
+        updated.write.parquet(indexAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = Seq(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "alpha beta")
+    val batch2 = Seq(4L -> "ALPHA   beta", 5L -> "epsilon zeta", 6L -> "epsilon zeta")
+    writeDocs(batch1); ingest()                 // first run: empty-index bloom path
+    writeDocs(batch2); ingest()                 // second run: only the new file
+    val streamed = spark.read.parquet(indexAt(version))
+    val batchEquivalent = Dedup.exact(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("content_hash"), col("keep_id"))
+    assert(streamed.exceptAll(batchEquivalent).isEmpty &&
+      batchEquivalent.exceptAll(streamed).isEmpty,
+      "streaming-maintained index must equal the batch rebuild")
+    // doc 4 normalizes to doc 1's content: the cross-run dup was
+    // dropped via the index, not recomputed from the corpus
+    assert(streamed.filter(col("keep_id") === 4L).isEmpty)
+  }
 }
