@@ -47,4 +47,15 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"zero-shuffle queries grew an Exchange: ${offenders.mkString(", ")}")
   }
+
+  test("q92 keeps the bloom pre-test in front of the index anti-join") {
+    // the 100 TB story is bloom-negative == zero index contact; a
+    // refactor that drops the might_contain routing would still return
+    // identical rows (the confirm join is exact), so only the PLAN can
+    // regression-guard it
+    val plan = SparkEntry.all.find(_.name == "q92_dedup_bloom").get
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "q92's plan lost the bloom might_contain pre-filter")
+  }
 }
