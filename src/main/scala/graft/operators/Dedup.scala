@@ -153,6 +153,13 @@ object Dedup {
     // (measured: one of four corpus scans in the old plan), plus two
     // extra hash joins to attach them.
     val cand = sizedCandidatePairs(sigs, bands)
+    // Each verification branch recomputes docShingles from the scan
+    // rather than sharing one materialized shingle set — DELIBERATE,
+    // re-tested round 7: an id-keyed repartition barrier here measured
+    // zero gain at sf0.1 (the per-branch shingle pass is not the cost
+    // center) and at 100 TB it would shuffle exploded shingle
+    // OCCURRENCES (several × corpus bytes) where recomputation is a
+    // map-side CPU cost.
     val sh = docShingles(df, idCol, textCol, n)
     // Common shingles per candidate pair: attach a's shingles, then
     // equi-join on (b, shingle) — both joins are hash joins keyed on
