@@ -30,6 +30,32 @@ class BloomDedupSpec extends SparkSpec {
     assert(fp < 600, s"$fp/20000 false positives — far above the 1% target")
   }
 
+  test("bloom routes only ~(dups + fpp) of the batch to the confirm join") {
+    // the 100 TB claim quantified: of a mostly-novel batch, only true
+    // duplicates plus the configured false-positive rate may reach the
+    // index anti-join; everything else is classified by the scalar
+    // filter with zero index contact
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val index = Dedup.exact(d.filter(col("doc_id") < 25), "doc_id", "text")
+      .select(col("content_hash"), col("keep_id"))
+    val bloom = Bloom.build(index, col("content_hash"),
+      expectedItems = 1000L, fpp = 0.01)
+    // batch: the novel rest of the corpus plus 10 replayed dups of
+    // indexed content
+    val batch = d.filter(col("doc_id") >= 25)
+      .unionByName(d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+      .select(col("doc_id"), graft.functions.Text.contentHash(col("text")).as("h"))
+    val total = batch.count()
+    val routed = batch.filter(Bloom.mightContain(bloom, col("h"))).count()
+    val dups = 10L
+    // fpp bound with headroom (deterministic hashes - no flake risk,
+    // the margin documents intent, not variance)
+    assert(routed >= dups, "true duplicates must always route to the confirm join")
+    assert(routed <= dups + math.max(5L, (total * 0.05).toLong),
+      s"bloom routed $routed of $total - far above dups + fpp")
+  }
+
   test("bloom-routed incremental dedup == plain incremental dedup") {
     val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val corpus = d.filter(col("doc_id") < 300)
