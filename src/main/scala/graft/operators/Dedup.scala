@@ -388,8 +388,12 @@ object Dedup {
     * KEYS, never corpus text — and disappears entirely as an exchange
     * if the index is persisted bucketed by content_hash
     * (`Sinks.writeBucketed`), the layout a daily pipeline would use.
-    * The survivor join-back broadcasts the (small) novel-id set into
-    * the batch. Nothing here scans the historical corpus. */
+    * The survivor join-back is left UNHINTED deliberately: a
+    * dup-heavy replay leaves a broadcast-sized novel set, but the
+    * common mostly-novel daily batch leaves novel ≈ |batch| ids —
+    * forcing a broadcast there ships the whole id set to every
+    * executor; AQE picks broadcast vs shuffle from the novel set's
+    * RUNTIME size. Nothing here scans the historical corpus. */
   def exactAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame): (DataFrame, DataFrame) = {
     val hashed = batch.select(col(idCol),
@@ -398,8 +402,7 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
     val novel = batchFirst.join(index.select(col("content_hash")),
       Seq("content_hash"), "left_anti")
-    val survivors = batch.join(
-      broadcast(novel.select(col(idCol))), Seq(idCol))
+    val survivors = batch.join(novel.select(col(idCol)), Seq(idCol))
     val updated = index.select(col("content_hash"), col("keep_id"))
       .unionByName(novel.select(col("content_hash"), col(idCol).as("keep_id")))
     (survivors, updated)
@@ -431,8 +434,9 @@ object Dedup {
     val confirmedNovel = batchFirst.filter(seenMaybe)
       .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
     val novel = definiteNovel.unionByName(confirmedNovel)
-    val survivors = batch.join(
-      broadcast(novel.select(col(idCol))), Seq(idCol))
+    // unhinted like exactAgainstIndex: novel ≈ |batch| on a
+    // mostly-novel day — AQE decides broadcast vs shuffle at runtime
+    val survivors = batch.join(novel.select(col(idCol)), Seq(idCol))
     val updated = index.select(col("content_hash"), col("keep_id"))
       .unionByName(novel.select(col("content_hash"), col(idCol).as("keep_id")))
     (survivors, updated)
