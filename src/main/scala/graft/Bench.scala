@@ -64,8 +64,21 @@ object Bench {
     // full per-query map goes to stderr and target/bench_last.json
     // (the reliable pickups; sbt also appends its own "[success] …"
     // after us on stdout, so stdout was never the durable channel).
+    // The errors map is bounded too: a mass-failure run (every query
+    // erroring × 200-char messages) would overflow the same window
+    // exactly when the report matters most — cap at 5 entries with
+    // truncated messages, count the rest (full text in the file).
+    val errsCompact = {
+      val shown = errors.take(5).map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }
+      val extra =
+        if (errors.size > 5)
+          Seq(jstr("_truncated") + ":" +
+            jstr(s"${errors.size} errors total, full text in target/bench_last.json"))
+        else Seq.empty
+      (shown ++ extra).mkString("{", ",", "}")
+    }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"errors":$errsCompact,"sf":"$sfDir"}"""
     println(compact)
     System.err.println(json)
     // Best-effort: a missing/read-only cwd must not fail a bench run

@@ -29,10 +29,12 @@ import org.apache.spark.sql.types._
   * size rides along so the caller's projection references the (HOF-
   * built, expensive) shingle array exactly ONCE; two top-level
   * references would let CollapseProject duplicate the whole
-  * interpreted shingle tree per row. Empty input yields n_sh = 0 with
-  * an all-Long.MaxValue signature — callers filter n_sh = 0 AFTER the
-  * aggregation barrier (an all-identical sentinel signature would
-  * band-collide every short document with every other one).
+  * interpreted shingle tree per row. `n_sh` counts only NON-NULL
+  * elements (the ones that contributed hashes), so empty and all-null
+  * input both yield n_sh = 0 with an all-Long.MaxValue signature —
+  * callers filter n_sh = 0 AFTER the aggregation barrier (an
+  * all-identical sentinel signature would band-collide every
+  * degenerate document with every other one).
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 2, "need at least 2 signature rows")
@@ -55,9 +57,16 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     val ad = input.asInstanceOf[ArrayData]
     val n = ad.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
+    // n_sh counts only elements that CONTRIBUTED to the signature —
+    // null slots neither hash nor count, so an all-null array reports
+    // n_sh = 0 and is dropped by the caller's n_sh > 0 filter instead
+    // of surviving with the sentinel signature (which would
+    // band-collide with every other degenerate doc)
+    var nn = 0L
     var i = 0
     while (i < n) {
       if (!ad.isNullAt(i)) {
+        nn += 1L
         val s = ad.getUTF8String(i)
         val h1 = XXH64.hashUTF8String(s, Seed1)
         val h2 = XXH64.hashUTF8String(s, Seed2) | 1L
@@ -71,7 +80,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       }
       i += 1
     }
-    InternalRow(n.toLong, new GenericArrayData(mins))
+    InternalRow(nn, new GenericArrayData(mins))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -81,15 +90,18 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       val j = ctx.freshName("j"); val mins = ctx.freshName("mins")
       val s = ctx.freshName("s"); val h1 = ctx.freshName("h1")
       val h2 = ctx.freshName("h2"); val c = ctx.freshName("c")
+      val nn = ctx.freshName("nn")
       val xxh = classOf[XXH64].getName
       val gad = classOf[GenericArrayData].getName
       val rowClass = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
       s"""
          |int $n = $ad.numElements();
+         |long $nn = 0L;
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$ad.isNullAt($i)) {
+         |    $nn += 1L;
          |    org.apache.spark.unsafe.types.UTF8String $s = $ad.getUTF8String($i);
          |    long $h1 = $xxh.hashUTF8String($s, ${Seed1}L);
          |    long $h2 = $xxh.hashUTF8String($s, ${Seed2}L) | 1L;
@@ -101,7 +113,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
          |  }
          |}
          |${ev.value} = new $rowClass(new Object[] {
-         |  java.lang.Long.valueOf((long) $n), new $gad($mins) });
+         |  java.lang.Long.valueOf($nn), new $gad($mins) });
        """.stripMargin
     })
 

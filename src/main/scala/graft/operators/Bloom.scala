@@ -42,14 +42,36 @@ object Bloom {
     * `df`. One partial-aggregate pass (map-side partial filters OR'd
     * in the final step); the single driver-side `head()` retrieves one
     * row holding the filter bytes — bounded by the sized filter, the
-    * same envelope as any broadcast build. */
+    * same envelope as any broadcast build.
+    *
+    * `BloomFilterAggregate` silently clamps its sizing with `Math.min`
+    * against the runtime-join-filter confs (defaults: 4M items,
+    * 67,108,864 bits = 8 MiB) — sized for Spark's own injected join
+    * filters, not for a billion-key index, where a clamped filter
+    * degrades fpp toward 1.0 and the pre-test stops filtering
+    * anything. The confs are raised to the requested sizing for the
+    * duration of the build and restored after (BloomDedupSpec pins
+    * that an over-default request really gets its bits). */
   def build(df: DataFrame, key: Column, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(GraftColumn.expr(key))),
-      Literal(expectedItems), Literal(numBits(expectedItems, fpp)))
-    val bytes = df.agg(GraftColumn.of(agg.toAggregateExpression()).as("bloom"))
-      .head().getAs[Array[Byte]]("bloom")
+    val bits = numBits(expectedItems, fpp)
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = conf.getOption(itemsKey)
+    val oldBits = conf.getOption(bitsKey)
+    val bytes = try {
+      conf.set(itemsKey, math.max(expectedItems, 4000000L).toString)
+      conf.set(bitsKey, math.max(bits, 67108864L).toString)
+      val agg = new BloomFilterAggregate(
+        new XxHash64(Seq(GraftColumn.expr(key))),
+        Literal(expectedItems), Literal(bits))
+      df.agg(GraftColumn.of(agg.toAggregateExpression()).as("bloom"))
+        .head().getAs[Array[Byte]]("bloom")
+    } finally {
+      oldItems.fold(conf.unset(itemsKey))(v => conf.set(itemsKey, v))
+      oldBits.fold(conf.unset(bitsKey))(v => conf.set(bitsKey, v))
+    }
     // the aggregate yields NULL over zero rows (a fresh/empty index —
     // the first run of an incremental pipeline); an empty filter of
     // the same sizing is the correct value, and the serialization

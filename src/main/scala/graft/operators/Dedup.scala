@@ -235,6 +235,16 @@ object Dedup {
     * trillion docs, not the corpus's 100 TB), banding is narrow on
     * both sides, and the only joins are (band, hash) and id-keyed
     * signature attachments. Output: (id, corpus_id, est_jaccard).
+    *
+    * COMPATIBILITY: a persisted signature index is only comparable to
+    * batch signatures from the SAME hash family. Round 7 changed the
+    * family (k seeded xxhash64 mins → Carter–Wegman h1 + i·h2 over
+    * two seeds; see [[graft.functions.MinHashSig]]) — an index
+    * persisted under the old family joins the new batch signatures to
+    * effectively nothing (silent zero-duplicate result, not an
+    * error). Rebuild persisted signature indexes when the signature
+    * implementation changes; at 100 TB that is a pass over the stored
+    * index-INPUT hashes or one corpus re-signature, not a redesign.
     */
   def minhashNearDupsAgainstIndex(newDocs: DataFrame, idCol: String,
       textCol: String, index: DataFrame,

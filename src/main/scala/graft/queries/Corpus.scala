@@ -646,17 +646,23 @@ object Corpus {
       "q98_corpus_diff",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
+        // presence markers, NOT hash nullness, decide added/removed:
+        // the full outer join coalesces doc_id, and a NULL content
+        // hash (NULL text) must read as "present with null hash", not
+        // "absent" — the oracle keys on doc_id presence the same way
         val v1 = d.filter(col("doc_id") < 450)
-          .select(col("doc_id"), Text.contentHash(col("text")).as("h1"))
+          .select(col("doc_id"), Text.contentHash(col("text")).as("h1"),
+            lit(true).as("in1"))
         val v2 = d.filter(col("doc_id") >= 50)
           .select(col("doc_id"), Text.contentHash(
             concat(col("text"), when(col("doc_id") % 11 === 0,
-              " [edited v2]").otherwise(""))).as("h2"))
+              " [edited v2]").otherwise(""))).as("h2"),
+            lit(true).as("in2"))
         v1.join(v2, Seq("doc_id"), "full_outer")
           .withColumn("status",
-            when(col("h1").isNull, "added")
-              .when(col("h2").isNull, "removed")
-              .when(col("h1") =!= col("h2"), "changed")
+            when(col("in1").isNull, "added")
+              .when(col("in2").isNull, "removed")
+              .when(!(col("h1") <=> col("h2")), "changed")
               .otherwise("unchanged"))
           .filter(col("status") =!= "unchanged")
           .select(col("doc_id"), col("status"))

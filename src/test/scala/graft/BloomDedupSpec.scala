@@ -56,6 +56,25 @@ class BloomDedupSpec extends SparkSpec {
       s"bloom routed $routed of $total - far above dups + fpp")
   }
 
+  test("build honors sizing beyond Spark's runtime-filter clamp") {
+    // BloomFilterAggregate Math.min-clamps numBits to the
+    // runtime-join-filter conf (default 67,108,864 bits = 8 MiB);
+    // unhandled, a billion-key index silently degrades to fpp ~1.0.
+    // Request a filter above the default cap and assert the serialized
+    // size reflects the REQUEST, not the clamp.
+    val built = hashes(0, 1000)
+    val bloom = Bloom.build(built, col("h"), expectedItems = 20000000L, fpp = 0.01)
+    val gotBits = bloom.length.toLong * 8
+    assert(gotBits > 67108864L,
+      s"filter has $gotBits bits - clamped to the runtime-filter default cap")
+    // and it still answers membership correctly
+    assert(built.filter(!Bloom.mightContain(bloom, col("h"))).count() == 0L)
+    // conf restored to its default effective value (getOption reports
+    // the default for unset confs, so compare values, not presence)
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits") == "67108864")
+  }
+
   test("bloom-routed incremental dedup == plain incremental dedup") {
     val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val corpus = d.filter(col("doc_id") < 300)

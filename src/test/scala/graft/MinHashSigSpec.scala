@@ -28,7 +28,7 @@ class MinHashSigSpec extends SparkSpec {
         c += h2
       }
     }
-    (shingles.count(_ => true).toLong, mins.toSeq)
+    (shingles.count(_ != null).toLong, mins.toSeq)
   }
 
   private def sparkSig(cases: Seq[Seq[String]]): Seq[(Long, Seq[Long])] = {
@@ -51,10 +51,15 @@ class MinHashSigSpec extends SparkSpec {
       (1 to 500).map(i => s"sh $i token")
     )
     sparkSig(cases).zip(cases).foreach { case ((n, sig), c) =>
-      val (_, refMins) = refSig(c)
-      assert(n == c.size, s"n_sh $n != ${c.size} on $c")
+      val (refN, refMins) = refSig(c)
+      assert(n == refN, s"n_sh $n != $refN (non-null count) on $c")
       assert(sig == refMins, s"signature mismatch on $c")
     }
+  }
+
+  test("all-null input yields n_sh = 0 (sentinel docs get filtered, not banded)") {
+    val Seq((n, sig)) = sparkSig(Seq(Seq(null.asInstanceOf[String], null)))
+    assert(n == 0L && sig.forall(_ == Long.MaxValue))
   }
 
   test("empty input yields n_sh = 0 and the all-sentinel signature") {
