@@ -673,10 +673,14 @@ object Corpus {
                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h1
           FROM documents WHERE doc_id < 450
         ), v2 AS (
+          -- || not concat(): DuckDB concat() IGNORES null arguments
+          -- while Spark's propagates NULL; || propagates like Spark,
+          -- keeping NULL-text rows classified identically on both
+          -- engines (hash NULL on both sides -> unchanged)
           SELECT doc_id,
                  md5(lower(regexp_replace(trim(
-                   concat(text, CASE WHEN doc_id % 11 = 0
-                                THEN ' [edited v2]' ELSE '' END)),
+                   text || CASE WHEN doc_id % 11 = 0
+                           THEN ' [edited v2]' ELSE '' END),
                    '\s+', ' ', 'g'))) AS h2
           FROM documents WHERE doc_id >= 50
         )
