@@ -132,11 +132,13 @@ object Dedup {
   }
 
   /** Slice a signature array into `bands` equal slices, hashing each
-    * slice to one value (xxhash64 over the concatenation). */
+    * slice to one value — via the native [[graft.functions.LshBands]]
+    * expression (chained long-hashes inside codegen; the composable
+    * transform+concat_ws form rendered every slice to a string in an
+    * interpreted lambda, per document, in the dedup hot path). */
   private def split_sig(sig: Column, bands: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(concat_ws(",",
-        slice(sig, b * (size(sig) / bands) + 1, size(sig) / bands))))
+    org.apache.spark.sql.GraftColumn.of(graft.functions.LshBands(
+      org.apache.spark.sql.GraftColumn.expr(sig), bands))
 
   /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
     * exact Jaccard verification of candidates only. Output = verified
