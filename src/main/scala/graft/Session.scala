@@ -60,6 +60,21 @@ object Session {
             }
             graft.functions.MinHashSig(args(0), k)
           }))
+        ext.injectFunction((
+          FunctionIdentifier("lsh_bands"),
+          new ExpressionInfo(classOf[graft.functions.LshBands].getName, "lsh_bands"),
+          (args: Seq[Expression]) => {
+            require(args.length == 2, "lsh_bands(arrayOfLongs, bands)")
+            val b = args(1) match {
+              case e if e.foldable => e.eval() match {
+                case i: Int => i
+                case l: Long => l.toInt
+                case other => sys.error(s"lsh_bands: bands must be an integer literal, got $other")
+              }
+              case _ => sys.error("lsh_bands: bands must be a literal")
+            }
+            graft.functions.LshBands(args(0), b)
+          }))
       }
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -45,6 +45,15 @@ class LshBandsSpec extends SparkSpec {
       sparkBands(Seq((1L to 64L).toSeq), 16).head)
   }
 
+  test("SQL registration: lsh_bands(sig, bands) resolves via graft.Session") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(Tuple1((1L to 64L).toSeq)).toDF("sig")
+      .selectExpr("lsh_bands(sig, 16) AS b")
+      .head().getSeq[Long](0)
+    assert(r == refBands((1L to 64L).toSeq, 16))
+  }
+
   test("distinct slices discriminate, identical slices collide") {
     val a = (1L to 64L).toSeq
     val b = a.updated(3, 999L)               // differs only inside band 0
