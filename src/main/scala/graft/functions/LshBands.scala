@@ -47,6 +47,11 @@ case class LshBands(child: Expression, bands: Int) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val ad = input.asInstanceOf[ArrayData]
     val r = ad.numElements() / bands
+    // bands > |sig| floors r to 0 and every band hash of every row
+    // would be the bare chain seed — the LSH join silently degrades to
+    // an all-pairs cross product; fail loudly instead
+    if (r == 0) throw new IllegalArgumentException(
+      s"lsh_bands: bands=$bands exceeds signature width ${ad.numElements()}")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -76,6 +81,10 @@ case class LshBands(child: Expression, bands: Int) extends UnaryExpression {
       val gad = classOf[GenericArrayData].getName
       s"""
          |int $r = $ad.numElements() / $bands;
+         |if ($r == 0) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_bands: bands=$bands exceeds signature width " + $ad.numElements());
+         |}
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $h = ${Seed}L;

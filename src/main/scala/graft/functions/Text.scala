@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Canonical form: trim, collapse whitespace runs, lowercase. The
-    * anchor for exact dedup — byte-identical after normalization. */
+  /** Canonical form: collapse whitespace runs, trim, lowercase. The
+    * anchor for exact dedup — byte-identical after normalization.
+    * Collapse-THEN-trim, deliberately: `trim` strips only ASCII
+    * spaces, so trim-then-collapse leaves a trailing newline/tab as a
+    * trailing " " after the collapse — "hello\n" and "hello" would
+    * hash differently and exact dedup would miss byte-near-identical
+    * duplicates (trailing newlines are ubiquitous in real corpora).
+    * Collapsing first turns every edge whitespace run into a single
+    * leading/trailing space, which trim then removes. Mirrored in
+    * every DuckDB oracle spelling (same trim semantics there);
+    * BoundarySpec pins the trailing-newline dedup case. */
   def normalize(c: Column): Column =
-    lower(regexp_replace(trim(c), "\\s+", " "))
+    lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normalize(c), " ")
@@ -36,14 +45,8 @@ object Text {
     * the per-element path, so an unbound tree re-runs its regex+split
     * once per shingle position (quadratic per doc; HOFs evaluate
     * interpreted, with no codegen subexpression elimination). */
-  def shingles(toks: Column, n: Int): Column = {
-    require(n >= 1)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>")))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(wordNgrams(toks, n))
 
   /** MD5 of the normalized content — the exact-dedup key. (Content
     * hashing beats raw-string grouping at scale: fixed-width shuffle

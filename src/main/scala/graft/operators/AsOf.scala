@@ -32,27 +32,37 @@ object AsOf {
     */
   def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieBreak: Column => Column = max): DataFrame = {
+    // internal columns must not shadow (and silently clobber) caller
+    // columns of the same name — grow until collision-free, the
+    // Ranges.binnedRangeJoin idiom (e.g. this join's own output fed
+    // back in would otherwise collide on the value column)
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+    val vCol = fresh("__asof_value")
+    val sideCol = fresh("__is_left")
+    val filledCol = fresh("__filled")
     // Deterministic right side: one row per (key, ts).
     val r = right.groupBy(col(keyCol), col(tsCol))
-      .agg(tieBreak(col(valueCol)).as("__asof_value"))
-      .withColumn("__is_left", lit(0))
+      .agg(tieBreak(col(valueCol)).as(vCol))
+      .withColumn(sideCol, lit(0))
     val leftCols = left.columns
-    val l = left.withColumn("__asof_value", lit(null).cast(r.schema("__asof_value").dataType))
-      .withColumn("__is_left", lit(1))
-    val unioned = l.select((leftCols.map(col) :+ col("__asof_value") :+ col("__is_left")): _*)
+    val l = left.withColumn(vCol, lit(null).cast(r.schema(vCol).dataType))
+      .withColumn(sideCol, lit(1))
+    val unioned = l.select((leftCols.map(col) :+ col(vCol) :+ col(sideCol)): _*)
       .unionByName(r.select(
         (leftCols.map(c => if (c == keyCol || c == tsCol) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c))
-          :+ col("__asof_value") :+ col("__is_left")): _*))
+          :+ col(vCol) :+ col(sideCol)): _*))
     // Right rows sort before left rows at the same timestamp, so an
     // exactly-simultaneous right value IS visible to the left row
     // (the `<=` in the contract).
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__is_left"))
+      .orderBy(col(tsCol), col(sideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__filled", last(col("__asof_value"), ignoreNulls = true).over(w))
-      .filter(col("__is_left") === 1)
-      .select((leftCols.map(col) :+ col("__filled").as(s"asof_$valueCol")): _*)
+      .withColumn(filledCol, last(col(vCol), ignoreNulls = true).over(w))
+      .filter(col(sideCol) === 1)
+      .select((leftCols.map(col) :+ col(filledCol).as(s"asof_$valueCol")): _*)
   }
 }

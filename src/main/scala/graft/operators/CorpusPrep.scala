@@ -33,12 +33,21 @@ object CorpusPrep {
       size: Int, stride: Int): DataFrame = {
     require(stride > 0 && size >= stride, s"need 0 < stride <= size")
     val t = toks(col(textCol))
-    val n = F.size(t)
-    val nChunks = when(n <= size, lit(1))
-      .otherwise(ceil((n - lit(size)).cast("double") / stride).cast("int") + 1)
-    docs.select(col(idCol), t.as("t"), n.as("n_toks"), nChunks.as("n_chunks"))
+    // NULL text yields ZERO chunks: size(NULL array) is -1, which
+    // un-guarded satisfies n <= size and fabricates one chunk with
+    // chunk_text = '' and a NEGATIVE chunk_len that poisons token
+    // accounting downstream — and a SQL oracle's NULL propagation
+    // (len(NULL) → NULL → range(NULL) → no rows) emits nothing for
+    // such docs. The explode guard exists because sequence(0, -1)
+    // DESCENDS (the tokenChunks lesson); empty array → row dropped.
+    val nChunks = when(col(textCol).isNull, lit(0))
+      .when(F.size(t) <= size, lit(1))
+      .otherwise(ceil((F.size(t) - lit(size)).cast("double") / stride).cast("int") + 1)
+    docs.select(col(idCol), t.as("t"), F.size(t).as("n_toks"), nChunks.as("n_chunks"))
       .select(col(idCol), col("t"), col("n_toks"),
-        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+        explode(when(col("n_chunks") > 0,
+            sequence(lit(0), col("n_chunks") - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_id"))
       .select(
         col(idCol),
         col("chunk_id"),

@@ -147,6 +147,9 @@ object Dedup {
     * not corpus². */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, tau: Double = 0.8): DataFrame = {
+    require(bands >= 1 && bands <= k,
+      s"bands=$bands must be in [1, k=$k] — wider banding has zero-width " +
+        "slices and would band-collide everything")
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     // n_sh rides through the banding so candidate pairs surface with
     // BOTH set sizes already attached: Spark plans are trees, so a
@@ -251,16 +254,30 @@ object Dedup {
   def minhashNearDupsAgainstIndex(newDocs: DataFrame, idCol: String,
       textCol: String, index: DataFrame,
       n: Int = 3, k: Int = 64, bands: Int = 16, tau: Double = 0.8): DataFrame = {
+    require(bands >= 1 && bands <= k,
+      s"bands=$bands must be in [1, k=$k] — wider banding has zero-width " +
+        "slices and would band-collide everything")
     val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+    // The banding carries IDS ONLY: hauling the k-long signature array
+    // through the posexplode, the (band, band_hash) join, and the
+    // distinct would duplicate ~k×8 bytes per doc × bands on the
+    // billions-row index side (multi-TB of avoidable shuffle at the
+    // trillion-doc index this operator is sized for). Signatures
+    // re-attach to the (small) candidate pair set by two id-keyed hash
+    // joins — the cosineNearDupPairs pattern; the batch side's
+    // re-reference reuses the signature aggregate's exchange, and the
+    // index side is a narrow columnar re-scan.
     def band(sigs: DataFrame, idAs: String): DataFrame =
-      sigs.select(col("id").as(idAs), col("sig").as(s"${idAs}_sig"),
+      sigs.select(col("id").as(idAs),
         posexplode(split_sig(col("sig"), bands)).as(Seq("band", "band_hash")))
     val cand = band(newSigs, "id").as("x")
       .join(band(index, "corpus_id").as("y"), Seq("band", "band_hash"))
-      .select(col("id"), col("corpus_id"),
-        col("id_sig").as("sa"), col("corpus_id_sig").as("sb"))
+      .select(col("id"), col("corpus_id"))
       .distinct()
     cand
+      .join(newSigs.select(col("id"), col("sig").as("sa")), "id")
+      .join(index.select(col("id").as("corpus_id"), col("sig").as("sb")),
+        "corpus_id")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
           x => x)).cast("double") / k)
@@ -310,12 +327,28 @@ object Dedup {
         .agg(min(struct(col("id"), col("pos"))).as("first"))
         .select(col("first.id").as("id"), col("first.pos").as("pos"),
           lit(true).as("keep"))
-      lines.join(firsts, Seq("id", "pos"), "left")
-        .withColumn("keep", coalesce(col("keep"), lit(false)))
+      markByKeys(lines, firsts)
     } else {
       val w = Window.partitionBy(col("line")).orderBy(col("id"), col("pos"))
       lines.withColumn("keep", row_number().over(w) === 1)
     }
+    reassemble(marked, idCol, sep)
+  }
+
+  /** Left-join keep keys (id, pos, keep=true) onto exploded lines; the
+    * join key is unique and uniformly distributed, so the join-back
+    * cannot be skewed. */
+  private def markByKeys(lines: DataFrame, keepKeys: DataFrame): DataFrame =
+    lines.join(keepKeys, Seq("id", "pos"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
+
+  /** Reassemble documents from keep-marked exploded lines: ONE
+    * id-keyed aggregate, surviving lines re-joined in original order;
+    * the collect_list is bounded by a single document's own line
+    * count, never a cross-document set. Shared by [[dedupLines]] and
+    * [[dedupLinesAgainstIndex]] so the batch and incremental paths can
+    * never diverge on what clean_text/n_kept/n_dropped mean. */
+  private def reassemble(marked: DataFrame, idCol: String, sep: String): DataFrame =
     marked.groupBy(col("id"))
       .agg(
         concat_ws(sep, transform(
@@ -325,7 +358,6 @@ object Dedup {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
       .withColumnRenamed("id", idCol)
-  }
 
   /** Incremental LINE-level dedup: [[dedupLines]]'s daily-ingest
     * sibling (the CCNet shape) — strip from a NEW batch every line
@@ -363,17 +395,7 @@ object Dedup {
     val keepKeys = novel
       .select(col("first.id").as("id"), col("first.pos").as("pos"),
         lit(true).as("keep"))
-    val cleaned = lines.join(keepKeys, Seq("id", "pos"), "left")
-      .withColumn("keep", coalesce(col("keep"), lit(false)))
-      .groupBy(col("id"))
-      .agg(
-        concat_ws(sep, transform(
-          array_sort(collect_list(when(col("keep"),
-            struct(col("pos"), col("line"))))),
-          s => s.getField("line"))).as("clean_text"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
-      .withColumnRenamed("id", idCol)
+    val cleaned = reassemble(markByKeys(lines, keepKeys), idCol, sep)
     val updated = index.select(col("line_hash"))
       .unionByName(novel.select(col("line_hash")))
     (cleaned, updated)

@@ -28,6 +28,17 @@ object Skew {
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // replica semantics only hold when unmatched REPLICATED rows never
+    // surface: a right/full outer join would emit every unmatched
+    // small-side row once PER SALT REPLICA (buckets× duplication)
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti, not '$joinType': " +
+        "unmatched replicated small-side rows would surface once per salt")
+    // LIMITATION (documented): the salt is a hash of the whole row, so
+    // byte-identical duplicate rows of a hot key share one salt and
+    // re-concentrate; deterministic per-row distinguishers (an id or
+    // position column) are what actually spread such data.
     val salted = skewed.withColumn("__salt",
       pmod(xxhash64(skewed.columns.map(col): _*), lit(buckets)))
     val replicated = small

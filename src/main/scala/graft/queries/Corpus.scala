@@ -38,8 +38,8 @@ object Corpus {
       Some(s"""
         WITH t AS (
           SELECT doc_id, text,
-                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
           FROM documents
         ), s AS (
           SELECT doc_id, text, norm, toks,
@@ -75,7 +75,7 @@ object Corpus {
       (spark, dir) =>
         Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text"),
       Some("""
-        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents
         GROUP BY 1""")),
@@ -108,7 +108,7 @@ object Corpus {
       Some("""
         WITH h AS (
           SELECT doc_id,
-                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
           FROM documents
         ), idx AS (
           SELECT content_hash, min(doc_id) AS keep_id
@@ -164,7 +164,7 @@ object Corpus {
       Some("""
         WITH h AS (
           SELECT doc_id,
-                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
           FROM documents
         ), idx AS (
           SELECT content_hash, min(doc_id) AS keep_id
@@ -258,7 +258,7 @@ object Corpus {
           "doc_id", "text", n = 3, tau = 0.8),
       Some("""
         WITH toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), sh AS (
           SELECT doc_id,
@@ -287,7 +287,7 @@ object Corpus {
           "doc_id", "text", n = 3, k = 64, bands = 16, tau = 0.8),
       Some("""
         WITH toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), sh AS (
           SELECT doc_id,
@@ -330,7 +330,7 @@ object Corpus {
                list_reduce(
                  list_prepend(0::BIGINT,
                    [ascii(c)::BIGINT for c in
-                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '')]),
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '')]),
                  (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
         FROM documents"""),
       // bench = false: golden cross-engine hash parity check (interpreted
@@ -541,7 +541,7 @@ object Corpus {
       },
       Some("""
         WITH RECURSIVE toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), sh AS (
           SELECT doc_id,
@@ -597,7 +597,7 @@ object Corpus {
       },
       Some("""
         WITH RECURSIVE toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), sh AS (
           SELECT doc_id,
@@ -670,7 +670,7 @@ object Corpus {
       Some("""
         WITH v1 AS (
           SELECT doc_id,
-                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h1
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h1
           FROM documents WHERE doc_id < 450
         ), v2 AS (
           -- || not concat(): DuckDB concat() IGNORES null arguments
@@ -678,10 +678,10 @@ object Corpus {
           -- keeping NULL-text rows classified identically on both
           -- engines (hash NULL on both sides -> unchanged)
           SELECT doc_id,
-                 md5(lower(regexp_replace(trim(
+                 md5(lower(trim(regexp_replace(
                    text || CASE WHEN doc_id % 11 = 0
-                           THEN ' [edited v2]' ELSE '' END),
-                   '\s+', ' ', 'g'))) AS h2
+                           THEN ' [edited v2]' ELSE '' END,
+                   '\s+', ' ', 'g')))) AS h2
           FROM documents WHERE doc_id >= 50
         )
         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
@@ -714,7 +714,7 @@ object Corpus {
       },
       Some("""
         WITH toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), lined AS (
           SELECT doc_id,
@@ -773,7 +773,7 @@ object Corpus {
       Some(s"""
         WITH t AS (
           SELECT doc_id, text,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), staged AS (
           SELECT doc_id, text, w,
@@ -839,7 +839,7 @@ object Corpus {
       Some("""
         WITH t AS (
           SELECT doc_id,
-                 string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), staged AS (
           SELECT doc_id, w,
@@ -896,7 +896,7 @@ object Corpus {
       },
       Some("""
         WITH toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), lined AS (
           SELECT doc_id,
@@ -1023,7 +1023,7 @@ object Corpus {
           FROM documents
         ), t AS (
           SELECT doc_id, lang, text,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
           FROM aug
         ), s AS (
           SELECT doc_id, lang, text,
@@ -1160,7 +1160,7 @@ object Corpus {
       Some(s"""
         WITH t AS (
           SELECT doc_id, text,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
           FROM documents
         ), s AS (
           SELECT doc_id, text, toks,
@@ -1241,7 +1241,7 @@ object Corpus {
       Some(s"""
         WITH t AS (
           SELECT doc_id, source, text,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
           FROM documents
         ), s AS (
           SELECT doc_id, source, text,
@@ -1290,7 +1290,7 @@ object Corpus {
       },
       Some("""
         WITH t AS (
-          SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), n AS (
           SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1339,7 +1339,7 @@ object Corpus {
       Some("""
         WITH t AS (
           SELECT doc_id,
-                 string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), ng AS (
           SELECT doc_id,

@@ -154,8 +154,8 @@ object Prep {
       Some(s"""
         WITH t AS (
           SELECT doc_id, text,
-                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
           FROM documents
         ), s AS (
           SELECT doc_id, text, norm, toks,
@@ -415,7 +415,7 @@ object Prep {
       },
       Some("""
         WITH toks AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
           FROM documents
         ), sh AS (
           SELECT doc_id,
@@ -601,8 +601,8 @@ object Prep {
       Some(s"""
         WITH RECURSIVE t AS (
           SELECT doc_id, text,
-                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
           FROM documents
         ), s AS (
           SELECT doc_id, text, norm, toks,
@@ -635,7 +635,7 @@ object Prep {
         ), ded AS (
           SELECT k.doc_id, k.text FROM kept k JOIN surv USING (content_hash, doc_id)
         ), dt AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w2
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w2
           FROM ded
         ), dsh AS (
           SELECT doc_id,
@@ -719,8 +719,8 @@ object Prep {
       Some(s"""
         WITH RECURSIVE t AS (
           SELECT doc_id, text,
-                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
-                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
           FROM documents
         ), s AS (
           SELECT doc_id, text, norm, toks,
@@ -775,7 +775,7 @@ object Prep {
         ), ded AS (
           SELECT k.doc_id, k.text FROM kept k JOIN surv USING (content_hash, doc_id)
         ), dt AS (
-          SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w2
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w2
           FROM ded
         ), dsh AS (
           SELECT doc_id,

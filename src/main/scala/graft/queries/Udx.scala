@@ -89,7 +89,7 @@ object Udx {
                unnest([{'pos': i, 'tok': w[i]} for i in range(1, len(w) + 1)],
                       recursive := true)
         FROM (SELECT doc_id,
-                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
               FROM documents WHERE doc_id < 50)"""),
       // bench = false: typed-Dataset flatMap demo pinned to a 50-doc
       // subset (deserialization path on purpose); the codegen'd token

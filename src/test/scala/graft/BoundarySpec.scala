@@ -110,6 +110,19 @@ class BoundarySpec extends SparkSpec {
     assert(z.getAs[Double]("chr") == 0.0 && z.getAs[Double]("c3") == 0.0)
   }
 
+  test("normalize strips non-space edge whitespace (trailing-newline dedup)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Text
+    // trim() strips only ASCII spaces: the old trim-then-collapse order
+    // left "hello\n" normalizing to "hello " — a missed exact duplicate
+    // of "hello". Collapse-then-trim removes any edge whitespace run.
+    val r = Seq("hello world", "hello world\n", "\thello  world", "hello world \r\n")
+      .toDF("text").select(Text.contentHash(col("text")).as("h"))
+      .distinct().count()
+    assert(r == 1L, "whitespace-edge variants must share one content hash")
+  }
+
   test("every quality signal is 0.0 (never NULL or negative) on NULL text") {
     val s = spark
     import s.implicits._

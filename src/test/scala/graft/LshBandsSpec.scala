@@ -34,15 +34,25 @@ class LshBandsSpec extends SparkSpec {
     val cases = Seq(
       (1L to 64L).toSeq,                     // the k=64 production shape
       Seq.fill(64)(7L),                      // identical slices → identical hashes
-      (1L to 67L).toSeq,                     // remainder elements ignored
-      Seq(Long.MinValue, Long.MaxValue, 0L, -1L)
+      (1L to 67L).toSeq                      // remainder elements ignored
     )
     sparkBands(cases, 16).zip(cases).foreach { case (got, c) =>
       assert(got == refBands(c, 16), s"band mismatch on $c")
     }
+    // extreme values at a width the 4-element sig supports
+    assert(sparkBands(Seq(Seq(Long.MinValue, Long.MaxValue, 0L, -1L)), 4).head ==
+      refBands(Seq(Long.MinValue, Long.MaxValue, 0L, -1L), 4))
     // remainder check explicitly: 67 elements at 16 bands == first 64
     assert(sparkBands(Seq((1L to 67L).toSeq), 16).head ==
       sparkBands(Seq((1L to 64L).toSeq), 16).head)
+  }
+
+  test("bands wider than the signature fail loudly, never band-collide") {
+    // r = |sig|/bands floored to 0 would hash every band of every doc
+    // to the bare chain seed — an all-pairs LSH join; the expression
+    // throws instead
+    val e = intercept[Exception] { sparkBands(Seq(Seq(1L, 2L)), 16) }
+    assert(e.getMessage != null)
   }
 
   test("SQL registration: lsh_bands(sig, bands) resolves via graft.Session") {
