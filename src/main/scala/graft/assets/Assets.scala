@@ -25,7 +25,15 @@ class AssetRegistry(spark: SparkSession, logDir: String) {
 
   private val assets = scala.collection.mutable.LinkedHashMap.empty[String, Asset]
   private val aliases = scala.collection.mutable.LinkedHashMap.empty[String, String]
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // seq RESUMES from the durable log, not from 0: the log outlives the
+  // JVM, and a fresh registry reusing low seq numbers would make
+  // lastEventExtra return stale events and freeze every watcher whose
+  // checkpoint already passed them (eventsSince(highSeq) == empty
+  // forever)
+  private val seq = new java.util.concurrent.atomic.AtomicLong({
+    val r = eventsRaw().agg(max(col("seq"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  })
 
   def register(a: Asset): Asset = { assets(a.name) = a; a }
 
@@ -49,15 +57,24 @@ class AssetRegistry(spark: SparkSession, logDir: String) {
     row.write.mode("append").parquet(s"$logDir/events")
   }
 
-  /** The ordered event log for one asset (or all with `name=None`). */
-  def events(name: Option[String] = None): DataFrame = {
-    val all =
-      try spark.read.parquet(s"$logDir/events")
-      catch { case _: Exception => // no events yet
+  /** Read the raw event log; an empty frame ONLY when the log doesn't
+    * exist yet. Any other read failure (corrupt files, permissions)
+    * propagates — swallowing it would silently freeze every watcher
+    * on an empty view. */
+  private def eventsRaw(): DataFrame =
+    try spark.read.parquet(s"$logDir/events")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getErrorClass).exists(_.contains("PATH_NOT_FOUND")) ||
+            e.getMessage.toLowerCase.contains("path does not exist") =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(
             "asset STRING, seq BIGINT, ts_ms BIGINT, extra MAP<STRING,STRING>"))
-      }
+    }
+
+  /** The ordered event log for one asset (or all with `name=None`). */
+  def events(name: Option[String] = None): DataFrame = {
+    val all = eventsRaw()
     name.fold(all)(n => all.filter(col("asset") === resolve(n).name))
       .orderBy(col("seq"))
   }

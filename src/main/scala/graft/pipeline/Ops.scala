@@ -20,8 +20,13 @@ object Ops {
       rule: TriggerRule = AllSuccess,
       skipOnExitCode: Int = 99): Task =
     Task(name, ctx => {
+      // lenient render: ${param} substitutes from run params, but any
+      // other ${VAR} is bash's own syntax for the SHELL to expand —
+      // the strict unrendered-placeholder check would reject valid
+      // shell commands like `echo ${HOME}`
       val rendered = graft.sources.SqlTemplates.render(command,
-        ctx.params.map { case (k, v) => k -> String.valueOf(v) })
+        ctx.params.map { case (k, v) => k -> String.valueOf(v) },
+        strict = false)
       val out = new StringBuilder
       val proc = Process(Seq("bash", "-c", rendered), None,
         env.toSeq: _*)

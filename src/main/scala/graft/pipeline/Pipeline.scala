@@ -262,17 +262,25 @@ object Pipeline {
       upstream = t.upstream.map(u => if (names(u)) s"$prefix.$u" else u)))
   }
 
-  /** Setup/teardown (C9): `work` runs gated on `setup` (AllSuccess);
-    * `teardown` runs whenever setup ran, even if work failed (AllDone
-    * on the work leaves + setup). */
+  /** Setup/teardown (C9), with the standard semantics: `work` runs
+    * gated on `setup` (AllSuccess); `teardown` runs iff SETUP
+    * SUCCEEDED — after all work resolved, even if work failed — and is
+    * skipped when setup itself failed (there is nothing to tear down;
+    * a blanket AllDone teardown would try to release resources setup
+    * never created). Expressed with the existing rule vocabulary via a
+    * synthetic AllDone gate over the work leaves: the gate resolves
+    * once work settles either way, and teardown is AllSuccess over
+    * {gate, setup}. */
   def withTeardown(setup: Task, work: Seq[Task], teardown: Task): Seq[Task] = {
     val leaves = work.filterNot(w => work.exists(_.upstream.contains(w.name)))
     val roots = work.filter(w => !work.exists(o => w.upstream.contains(o.name)))
     val wired = work.map(w =>
       if (roots.exists(_.name == w.name)) w.copy(upstream = w.upstream :+ setup.name) else w)
-    (setup +: wired) :+ teardown.copy(
-      upstream = teardown.upstream ++ leaves.map(_.name) :+ setup.name,
-      rule = AllDone)
+    val gate = Task(s"${teardown.name}.gate", _ => Value(()),
+      upstream = leaves.map(_.name), rule = AllDone)
+    (setup +: wired) ++ Seq(gate, teardown.copy(
+      upstream = teardown.upstream ++ Seq(gate.name, setup.name),
+      rule = AllSuccess))
   }
 
   /** Dynamic mapping (C4): expand a function over a runtime list and

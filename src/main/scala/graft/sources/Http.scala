@@ -31,8 +31,12 @@ object Http {
       else url + "?" + params.map { case (k, v) =>
         java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
       }.mkString("&")
+    // response timeout too, not just connect: a server that accepts
+    // the connection and never responds would otherwise block the
+    // executor task (or the driver, in pipeline tasks) forever
     val resp = client.send(
-      HttpRequest.newBuilder(URI.create(full)).GET().build(),
+      HttpRequest.newBuilder(URI.create(full)).GET()
+        .timeout(Duration.ofSeconds(60)).build(),
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} for $full")
     resp.body()

@@ -105,16 +105,37 @@ final class HttpReaderFactory(schema: StructType)
         InternalRow.fromSeq(values.toIndexedSeq)
       }
 
+      // STRICT coercion: Jackson's lenient asLong()/asDouble()/
+      // asBoolean() return 0/0.0/false for non-coercible values, which
+      // silently corrupts a page carrying "id": "abc" into id = 0.
+      // Non-coercible values fail loudly with the field name; numeric
+      // STRINGS still parse (APIs routinely quote numbers).
       private def coerce(v: com.fasterxml.jackson.databind.JsonNode,
           dt: DataType, field: String): Any = dt match {
-        case LongType    => v.asLong()
-        case DoubleType  => v.asDouble()
+        case LongType if v.canConvertToLong => v.asLong()
+        case LongType if v.isTextual =>
+          try v.asText().trim.toLong
+          catch { case _: NumberFormatException => badValue(v, dt, field) }
+        case DoubleType if v.isNumber => v.asDouble()
+        case DoubleType if v.isTextual =>
+          try v.asText().trim.toDouble
+          catch { case _: NumberFormatException => badValue(v, dt, field) }
         case StringType  => UTF8String.fromString(v.asText())
-        case BooleanType => v.asBoolean()
+        case BooleanType if v.isBoolean => v.asBoolean()
+        case BooleanType if v.isTextual &&
+            Set("true", "false")(v.asText().trim.toLowerCase) =>
+          v.asText().trim.toLowerCase == "true"
+        case LongType | DoubleType | BooleanType => badValue(v, dt, field)
         case other => throw new IllegalArgumentException(
           s"HttpBatchSource: unsupported type $other for field $field " +
             "(supported: LONG, DOUBLE, STRING, BOOLEAN)")
       }
+
+      private def badValue(v: com.fasterxml.jackson.databind.JsonNode,
+          dt: DataType, field: String): Nothing =
+        throw new IllegalArgumentException(
+          s"HttpBatchSource: cannot coerce ${v.getNodeType} value " +
+            s"'${v.asText()}' to $dt for field $field")
 
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false

@@ -46,14 +46,21 @@ object Smtp {
       socket.setSoTimeout(10000)
       val in = new BufferedReader(new InputStreamReader(
         socket.getInputStream, StandardCharsets.UTF_8))
-      val out = new PrintWriter(socket.getOutputStream, false)
+      // explicit UTF-8: the MIME headers declare charset=utf-8, and a
+      // platform-default writer would mislabel (and mangle) non-ASCII
+      val out = new PrintWriter(new java.io.OutputStreamWriter(
+        socket.getOutputStream, StandardCharsets.UTF_8), false)
 
       // One SMTP reply (handles multi-line "250-…\n250 " continuations).
       def reply(expect: Int): Unit = {
         var line = in.readLine()
         if (line == null) sys.error("SMTP server closed the connection")
         val first = line
-        while (line.length >= 4 && line.charAt(3) == '-') line = in.readLine()
+        // a null mid-continuation (server hung up between "250-" lines)
+        // must surface as the connection error, not an NPE
+        while (line != null && line.length >= 4 && line.charAt(3) == '-')
+          line = in.readLine()
+        if (line == null) sys.error("SMTP server closed the connection mid-reply")
         val code = first.take(3)
         if (code != expect.toString)
           sys.error(s"SMTP expected $expect, got: $first")

@@ -22,14 +22,21 @@ object SqlTemplates {
     finally in.close()
   }
 
-  /** Substitute `${key}` placeholders. Unknown placeholders are an error
-    * (a silently unrendered `${x}` would reach the SQL parser). */
-  def render(template: String, params: Map[String, String]): String = {
+  /** Substitute `${key}` placeholders. With `strict` (the SQL
+    * default), unknown placeholders are an error — a silently
+    * unrendered `${x}` would reach the SQL parser. `strict = false`
+    * leaves unknown `${...}` untouched: the mode for bash commands,
+    * where `${VAR}` is ordinary shell syntax the SHELL must expand,
+    * not a template error. */
+  def render(template: String, params: Map[String, String],
+      strict: Boolean = true): String = {
     val out = params.foldLeft(template) { case (acc, (k, v)) =>
       acc.replace("$" + s"{$k}", v)
     }
-    val leftover = "\\$\\{[^}]*\\}".r.findFirstIn(out)
-    require(leftover.isEmpty, s"unrendered template placeholder: ${leftover.get}")
+    if (strict) {
+      val leftover = "\\$\\{[^}]*\\}".r.findFirstIn(out)
+      require(leftover.isEmpty, s"unrendered template placeholder: ${leftover.get}")
+    }
     out
   }
 }

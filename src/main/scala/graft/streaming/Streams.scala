@@ -29,12 +29,19 @@ object Streams {
 
   /** T15/A4: event-time windowed aggregation with a watermark. Late
     * rows beyond `watermark` are dropped and their windows finalized —
-    * bounded state at 100 TB/day stream rates. */
+    * bounded state at 100 TB/day stream rates. `valueCol` names the
+    * summed column (previously hardcoded to "value", which failed
+    * analysis on any stream without that exact name). */
   def windowedCounts(stream: DataFrame, tsCol: String, window_ : String,
       watermark: String, keyCols: String*): DataFrame =
+    windowedCountsOf(stream, tsCol, window_, watermark, "value", keyCols: _*)
+
+  /** [[windowedCounts]] with an explicit value column. */
+  def windowedCountsOf(stream: DataFrame, tsCol: String, window_ : String,
+      watermark: String, valueCol: String, keyCols: String*): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_) +: keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
   /** Run an incremental pass: process everything new since the
     * checkpoint, write parquet, stop. Repeated calls = the reference's
@@ -104,32 +111,47 @@ object Streams {
   final case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Int)
 
   /** Per-user sessionization with a gap timeout: events closer than
-    * `gapMs` merge into one session; a processing-time timeout flushes
-    * idle sessions. State is one small record per active user — the
-    * `KeyValueGroupedDataset.flatMapGroupsWithState` pattern. */
+    * `gapMs` merge into one session. In STREAMING, a processing-time
+    * timeout of `gapMs` flushes the idle open session and EVICTS its
+    * state entry — without it, every user's final session would never
+    * emit and state would grow with the key universe forever
+    * (processing-time is an approximation of the event-time gap; the
+    * standard flatMapGroupsWithState tradeoff). In BATCH, timeouts
+    * never fire by definition, so open sessions stay in state and only
+    * closed sessions return — StreamsSpec pins that contract. State is
+    * one small record per active user. */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.tsMs)
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.tsMs - s.last <= gapMs =>
-                cur = Some(s.copy(last = e.tsMs, n = s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(userId, s.start, s.last, s.n)
-                cur = Some(SessionState(e.tsMs, e.tsMs, 1))
-              case None =>
-                cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(_.tsMs)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMs - s.last <= gapMs =>
+                  cur = Some(s.copy(last = e.tsMs, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+                case None =>
+                  cur = Some(SessionState(e.tsMs, e.tsMs, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }
   }
 }

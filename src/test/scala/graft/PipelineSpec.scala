@@ -169,6 +169,17 @@ class PipelineSpec extends SparkSpec {
     assert(r.status("teardown") == Success && torn.get())
   }
 
+  test("teardown is skipped when SETUP fails - nothing to tear down (C9)") {
+    val torn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val r = Pipeline.run(Pipeline.withTeardown(
+      setup = failT("setup"),
+      work = Seq(ok("work")),
+      teardown = Task("teardown", _ => { torn.set(true); Value(()) })))
+    assert(r.status("setup") == Failed)
+    assert(r.status("teardown") != Success && !torn.get(),
+      "teardown must not release resources setup never created")
+  }
+
   test("listener sees every terminal state; SLA miss fires (C16/C17)") {
     val seen = mutable()
     val slow = Task("slow", _ => { Thread.sleep(30); Value(()) })
