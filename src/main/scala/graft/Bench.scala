@@ -21,8 +21,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = Session.builder("graft-bench", cpus).getOrCreate()
+    // parallelism comes from Session.defaultParallelism (env override or
+    // all cores) — a private "4" fallback here would silently bench a
+    // 4-core config on a 32-core host
+    val spark = Session.builder("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -38,16 +40,14 @@ object Bench {
         }.sorted
         timings(q.name) = runs(runs.length / 2) // median
       } catch {
-        case e: Throwable =>
+        // NonFatal only: after an OOM the JVM's medians are garbage —
+        // better to die than publish them as trustworthy numbers
+        case scala.util.control.NonFatal(e) =>
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    def jstr(s: String): String = Json.str(s)
     // Locale.ROOT: f"$v%.3f" uses the JVM default locale, which under
     // e.g. de_DE renders "1,234" — invalid JSON.
     val qs = timings.map { case (k, v) =>
@@ -56,7 +56,7 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${Json.str(sfDir)}}"""
     // The driver's stdout pickup reads a bounded tail window: with 77+
     // benched queries the per-query map overflows it and the line
     // truncates mid-map (BENCH_r06 `parsed: null`). So stdout carries
@@ -78,7 +78,7 @@ object Bench {
       (shown ++ extra).mkString("{", ",", "}")
     }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"errors":$errsCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"errors":$errsCompact,"sf":${Json.str(sfDir)}}"""
     println(compact)
     System.err.println(json)
     // Best-effort: a missing/read-only cwd must not fail a bench run

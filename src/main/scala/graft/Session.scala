@@ -24,58 +24,53 @@ object Session {
     sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
 
+  private def intLiteral(e: Expression, what: String): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => sys.error(s"$what must be an integer literal, got $other")
+    } else sys.error(s"$what must be a literal")
+
+  /** The engine-native SQL functions (SURVEY §2.11): one list feeding
+    * both the extensions hook (fresh sessions) and the direct-registry
+    * fallback in [[get]] (pre-existing sessions, where `withExtensions`
+    * never runs). */
+  private[graft] val nativeFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_f"),
+      new ExpressionInfo(classOf[graft.functions.CosineFloat].getName, "cosine_f"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_f(arrayA, arrayB)")
+        graft.functions.CosineFloat(args(0), args(1))
+      }),
+    (FunctionIdentifier("ngram_run_stats"),
+      new ExpressionInfo(classOf[graft.functions.NgramRunStats].getName, "ngram_run_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "ngram_run_stats(arrayOfStrings)")
+        graft.functions.NgramRunStats(args(0))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(arrayOfStrings, k)")
+        graft.functions.MinHashSig(args(0), intLiteral(args(1), "minhash_sig: k"))
+      }),
+    (FunctionIdentifier("lsh_bands"),
+      new ExpressionInfo(classOf[graft.functions.LshBands].getName, "lsh_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "lsh_bands(arrayOfLongs, bands)")
+        graft.functions.LshBands(args(0), intLiteral(args(1), "lsh_bands: bands"))
+      }))
+
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
-      // Engine-native expressions (SURVEY §2.11): registered through the
-      // public extensions hook so `expr("cosine_f(a,b)")`/call_function
-      // resolve in every session this factory builds.
-      .withExtensions { ext =>
-        ext.injectFunction((
-          FunctionIdentifier("cosine_f"),
-          new ExpressionInfo(classOf[graft.functions.CosineFloat].getName, "cosine_f"),
-          (args: Seq[Expression]) => {
-            require(args.length == 2, "cosine_f(arrayA, arrayB)")
-            graft.functions.CosineFloat(args(0), args(1))
-          }))
-        ext.injectFunction((
-          FunctionIdentifier("ngram_run_stats"),
-          new ExpressionInfo(classOf[graft.functions.NgramRunStats].getName, "ngram_run_stats"),
-          (args: Seq[Expression]) => {
-            require(args.length == 1, "ngram_run_stats(arrayOfStrings)")
-            graft.functions.NgramRunStats(args(0))
-          }))
-        ext.injectFunction((
-          FunctionIdentifier("minhash_sig"),
-          new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
-          (args: Seq[Expression]) => {
-            require(args.length == 2, "minhash_sig(arrayOfStrings, k)")
-            val k = args(1) match {
-              case e if e.foldable => e.eval() match {
-                case i: Int => i
-                case l: Long => l.toInt
-                case other => sys.error(s"minhash_sig: k must be an integer literal, got $other")
-              }
-              case _ => sys.error("minhash_sig: k must be a literal")
-            }
-            graft.functions.MinHashSig(args(0), k)
-          }))
-        ext.injectFunction((
-          FunctionIdentifier("lsh_bands"),
-          new ExpressionInfo(classOf[graft.functions.LshBands].getName, "lsh_bands"),
-          (args: Seq[Expression]) => {
-            require(args.length == 2, "lsh_bands(arrayOfLongs, bands)")
-            val b = args(1) match {
-              case e if e.foldable => e.eval() match {
-                case i: Int => i
-                case l: Long => l.toInt
-                case other => sys.error(s"lsh_bands: bands must be an integer literal, got $other")
-              }
-              case _ => sys.error("lsh_bands: bands must be a literal")
-            }
-            graft.functions.LshBands(args(0), b)
-          }))
-      }
+      // Engine-native expressions registered through the public
+      // extensions hook so `expr("cosine_f(a,b)")`/call_function
+      // resolve in every session this factory CREATES. (getOrCreate
+      // can also RETURN a pre-existing foreign session where this hook
+      // never ran — [[get]] covers that path via the registry.)
+      .withExtensions { ext => nativeFunctions.foreach(ext.injectFunction) }
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -92,13 +87,18 @@ object Session {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
-      // Catalog-table writes (CTAS) land in a scratch warehouse, never
-      // the working directory.
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      // Catalog-table writes (CTAS) land in a per-process scratch
+      // warehouse, never the working directory — and never a path a
+      // concurrently-running graft JVM is also writing.
+      .config("spark.sql.warehouse.dir", queries.scratchPath("warehouse"))
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
+    // getOrCreate may have returned a session some OTHER code created
+    // first — the extensions hook never ran there and the native
+    // functions would silently be unresolvable; register them directly
+    // on whatever session came back (idempotent).
+    org.apache.spark.sql.GraftColumn.ensureFunctions(spark, nativeFunctions)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

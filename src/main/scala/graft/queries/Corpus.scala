@@ -15,6 +15,28 @@ import graft.sources.Tables
   */
 object Corpus {
 
+  /** The shared q81/q92 daily-ingest scenario — (historical index,
+    * planted batch). Docs < 400 are the historical corpus, existing
+    * only as their (content_hash, keep_id) index; the batch is the
+    * rest PLUS two plants: docs < 30 re-arrive under new ids (dups vs
+    * the INDEX, must drop) and docs ≥ 490 arrive twice within the
+    * batch (dups WITHIN the batch, min id survives). One definition so
+    * the two queries and their oracles can never desync on the
+    * thresholds. */
+  private def plantedIncrementalScenario(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val index = Dedup.exact(d.filter(col("doc_id") < 400), "doc_id", "text")
+      .select(col("content_hash"), col("keep_id"))
+    val batch = d.filter(col("doc_id") >= 400)
+      .unionByName(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") >= 490)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    (index, batch)
+  }
+
   // q76/q77's 8-token line convention lives in Text.tokenChunks (NULL/
   // empty-text guarded there); q80's oracle mirrors it in DuckDB
   private def tokenChunks(toks: org.apache.spark.sql.Column) =
@@ -91,16 +113,7 @@ object Corpus {
     QueryDef(
       "q81_dedup_incremental",
       (spark, dir) => {
-        val d = Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val corpus = d.filter(col("doc_id") < 400)
-        val index = Dedup.exact(corpus, "doc_id", "text")
-          .select(col("content_hash"), col("keep_id"))
-        val batch = d.filter(col("doc_id") >= 400)
-          .unionByName(d.filter(col("doc_id") < 30)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-          .unionByName(d.filter(col("doc_id") >= 490)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val (index, batch) = plantedIncrementalScenario(spark, dir)
         val (_, updatedIndex) =
           Dedup.exactAgainstIndex(batch, "doc_id", "text", index)
         updatedIndex
@@ -144,18 +157,9 @@ object Corpus {
     QueryDef(
       "q92_dedup_bloom",
       (spark, dir) => {
-        val d = Tables.load(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val corpus = d.filter(col("doc_id") < 400)
-        val index = Dedup.exact(corpus, "doc_id", "text")
-          .select(col("content_hash"), col("keep_id"))
+        val (index, batch) = plantedIncrementalScenario(spark, dir)
         val bloom = Bloom.build(index, col("content_hash"),
           expectedItems = 1000L, fpp = 0.01)
-        val batch = d.filter(col("doc_id") >= 400)
-          .unionByName(d.filter(col("doc_id") < 30)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-          .unionByName(d.filter(col("doc_id") >= 490)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
         val (survivors, _) =
           Dedup.exactAgainstIndexBloom(batch, "doc_id", "text", index, bloom)
         survivors.select(col("doc_id"),
@@ -418,7 +422,7 @@ object Corpus {
       "q79_ann_ivf_disk",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
-        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index"
+        val path = scratchPath("ivf_index")
         val centroids = Ivf.writeIndex(e, path, nClusters = 16,
           trainFraction = 0.25)
         Ivf.probeIndex(spark, path, centroids,
@@ -1368,7 +1372,7 @@ object Corpus {
       "q91_ann_ivf_sq8",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
-        val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_sq8_index"
+        val path = scratchPath("ivf_sq8_index")
         val centroids = Ivf.writeIndexQuantized(e, path, nClusters = 16,
           trainFraction = 0.25)
         Ivf.probeIndexQuantized(spark, path, centroids,
@@ -1378,7 +1382,4 @@ object Corpus {
       None)
   )
 
-  /** Render a Scala string list as a DuckDB list literal. */
-  private def duckList(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("[", ", ", "]")
 }

@@ -22,7 +22,7 @@ object Io {
         // fixed scratch path + overwrite mode: repeated invocations
         // (verify × warmup × bench runs) reuse it instead of leaking a
         // fresh temp directory each time
-        val tmp = s"${sys.props("java.io.tmpdir")}/graft_roundtrip"
+        val tmp = scratchPath("roundtrip")
         val o = Tables.load(spark, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
         // S4: date-partitioned parquet sink — downstream year predicates

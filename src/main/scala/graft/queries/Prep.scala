@@ -200,9 +200,6 @@ object Prep {
         FROM c"""))
   )
 
-  /** Render a Scala string list as a DuckDB list literal. */
-  private def duckList(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** q75/q80's shared tail: exact dedup (min doc_id per content_hash)
     * → MinHash near-dup pairs → connected components → keep each

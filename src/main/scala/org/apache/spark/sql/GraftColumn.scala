@@ -27,4 +27,19 @@ object GraftColumn {
 
   /** Unwrap a classic Column to its Catalyst expression. */
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register SQL functions directly on an EXISTING session's
+    * function registry — the fallback for sessions `getOrCreate`
+    * returned instead of created, where `withExtensions` hooks never
+    * ran (`sessionState` is private[sql], hence this bridge).
+    * Idempotent: already-present names are left untouched. */
+  def ensureFunctions(spark: SparkSession,
+      fns: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Expression)]): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
 }
