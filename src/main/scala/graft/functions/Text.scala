@@ -229,7 +229,16 @@ object Text {
     * scores its full length here while the count-based
     * [[duplicateLineFraction]] sees only 1/n — which is why Gopher
     * gates on both. */
-  def duplicateCharFraction(lines: Column): Column = {
+  def duplicateCharFraction(lines: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      CharDupFraction(org.apache.spark.sql.GraftColumn.expr(lines)))
+
+  /** Composable (lambda-fold) parity reference for
+    * [[duplicateCharFraction]], kept for CharDupFractionSpec — two
+    * interpreted folds + an array_distinct per row, which is exactly
+    * why the native single-pass expression replaced it in the
+    * battery's hot path. */
+  private[graft] def charDupFractionFold(lines: Column): Column = {
     def sumLen(a: Column): Column =
       aggregate(a, lit(0L), (acc, s) => acc + length(s))
     val total = sumLen(lines)
