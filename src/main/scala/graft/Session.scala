@@ -60,6 +60,12 @@ object Session {
       (args: Seq[Expression]) => {
         require(args.length == 2, "lsh_bands(arrayOfLongs, bands)")
         graft.functions.LshBands(args(0), intLiteral(args(1), "lsh_bands: bands"))
+      }),
+    (FunctionIdentifier("char_dup_fraction"),
+      new ExpressionInfo(classOf[graft.functions.CharDupFraction].getName, "char_dup_fraction"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_dup_fraction(arrayOfStrings)")
+        graft.functions.CharDupFraction(args(0))
       }))
 
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =

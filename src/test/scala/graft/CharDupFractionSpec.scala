@@ -33,6 +33,14 @@ class CharDupFractionSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: char_dup_fraction(ls) resolves via graft.Session") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(Tuple1(Seq("aaa", "aaa"))).toDF("ls")
+      .selectExpr("char_dup_fraction(ls) AS f").head().getDouble(0)
+    assert(r == 0.5)
+  }
+
   test("degenerate shapes: empty, all-empty-string, null elements") {
     val s = spark
     import s.implicits._
