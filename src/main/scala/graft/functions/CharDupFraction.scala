@@ -35,8 +35,12 @@ case class CharDupFraction(child: Expression) extends UnaryExpression {
       s"char_dup_fraction expects array<string>, got ${t.sql}")
   }
 
+  // Default null-intolerance (null array → null fraction), like the
+  // sibling natives: an explicit `nullable = false` here would make
+  // UnaryExpression's eval hand a null to non-null-typed consumers and
+  // the nullSafeCodeGen fast path dereference a null ArrayData when a
+  // SQL caller passes NULL.
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
   override def prettyName: String = "char_dup_fraction"
 
   override def nullSafeEval(input: Any): Any = {

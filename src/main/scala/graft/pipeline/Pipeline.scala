@@ -276,7 +276,14 @@ object Pipeline {
     val roots = work.filter(w => !work.exists(o => w.upstream.contains(o.name)))
     val wired = work.map(w =>
       if (roots.exists(_.name == w.name)) w.copy(upstream = w.upstream :+ setup.name) else w)
-    val gate = Task(s"${teardown.name}.gate", _ => Value(()),
+    // Fresh gate name (the AsOf/Ranges idiom): a user task literally
+    // named "<teardown>.gate" must not silently merge with the
+    // synthetic gate in the task graph.
+    val taken = (Seq(setup, teardown) ++ work).map(_.name).toSet
+    val gateName = Iterator.from(0)
+      .map(i => if (i == 0) s"${teardown.name}.gate" else s"${teardown.name}.gate$i")
+      .find(!taken(_)).get
+    val gate = Task(gateName, _ => Value(()),
       upstream = leaves.map(_.name), rule = AllDone)
     (setup +: wired) ++ Seq(gate, teardown.copy(
       upstream = teardown.upstream ++ Seq(gate.name, setup.name),

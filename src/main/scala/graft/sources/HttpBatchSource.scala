@@ -112,7 +112,11 @@ final class HttpReaderFactory(schema: StructType)
       // STRINGS still parse (APIs routinely quote numbers).
       private def coerce(v: com.fasterxml.jackson.databind.JsonNode,
           dt: DataType, field: String): Any = dt match {
-        case LongType if v.canConvertToLong => v.asLong()
+        // canConvertToLong alone checks only RANGE on floating nodes —
+        // "id": 1.9 would silently truncate to 1; require integrality.
+        case LongType if v.canConvertToLong &&
+            (v.isIntegralNumber || v.asDouble() == math.floor(v.asDouble())) =>
+          v.asLong()
         case LongType if v.isTextual =>
           try v.asText().trim.toLong
           catch { case _: NumberFormatException => badValue(v, dt, field) }

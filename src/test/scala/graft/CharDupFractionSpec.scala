@@ -53,4 +53,17 @@ class CharDupFractionSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq
     assert(r == Seq(0.0, 0.0, 0.5, 0.0), s"got $r")
   }
+
+  test("NULL input array yields NULL, in both SQL (codegen) and interpreted paths") {
+    val s = spark
+    // SQL/codegen path: a registered-function caller passing NULL must
+    // get a clean NULL, not an NPE (the nullable=false regression).
+    val sqlRow = s.sql("SELECT char_dup_fraction(CAST(NULL AS ARRAY<STRING>)) AS f").head()
+    assert(sqlRow.isNullAt(0), s"SQL path returned ${sqlRow.get(0)}")
+    val interp = graft.functions.CharDupFraction(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))).eval(null)
+    assert(interp == null, s"interpreted path returned $interp")
+  }
 }

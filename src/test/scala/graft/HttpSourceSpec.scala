@@ -79,4 +79,33 @@ class HttpSourceSpec extends SparkSpec {
       }
     } finally server.stop(0)
   }
+
+  test("LONG coercion requires integrality: 1.0 parses, 1.9 fails loudly") {
+    def serve(body: String)(f: String => Unit): Unit = {
+      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/page", exchange => {
+        val bytes = body.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+      server.start()
+      try f(s"http://127.0.0.1:${server.getAddress.getPort}/page/{page}")
+      finally server.stop(0)
+    }
+    def read(template: String) =
+      spark.read.format("graft.sources.HttpBatchSource")
+        .option("urlTemplate", template).option("pages", "1")
+        .schema("id LONG").load()
+    serve("""[{"id": 1.0}, {"id": 2}]""") { template =>
+      assert(read(template).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    }
+    serve("""[{"id": 1.9}]""") { template =>
+      // canConvertToLong alone would silently truncate 1.9 → 1
+      val e = intercept[Exception] { read(template).collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("cannot coerce")), s"got: $e")
+    }
+  }
 }

@@ -180,6 +180,22 @@ class PipelineSpec extends SparkSpec {
       "teardown must not release resources setup never created")
   }
 
+  test("withTeardown gate name never collides with a user task (C9)") {
+    // A user task literally named "<teardown>.gate" must stay a
+    // distinct node; the synthetic gate grows a suffix instead.
+    val torn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val tasks = Pipeline.withTeardown(
+      setup = ok("setup"),
+      work = Seq(ok("teardown.gate")),
+      teardown = Task("teardown", _ => { torn.set(true); Value(()) }))
+    assert(tasks.map(_.name).distinct.size == tasks.size,
+      s"duplicate task names in ${tasks.map(_.name)}")
+    assert(tasks.exists(_.name == "teardown.gate1"))
+    val r = Pipeline.run(tasks)
+    assert(r.status("teardown.gate") == Success)
+    assert(r.status("teardown") == Success && torn.get())
+  }
+
   test("listener sees every terminal state; SLA miss fires (C16/C17)") {
     val seen = mutable()
     val slow = Task("slow", _ => { Thread.sleep(30); Value(()) })
