@@ -49,29 +49,28 @@ object Bloom {
     * 67,108,864 bits = 8 MiB) — sized for Spark's own injected join
     * filters, not for a billion-key index, where a clamped filter
     * degrades fpp toward 1.0 and the pre-test stops filtering
-    * anything. The confs are raised to the requested sizing for the
-    * duration of the build and restored after (BloomDedupSpec pins
-    * that an over-default request really gets its bits). */
+    * anything. The confs are raised to the requested sizing on a
+    * PRIVATE session clone (`newSession()` — same SparkContext,
+    * session-scoped SQLConf) that runs only this aggregate, so
+    * concurrent queries on the caller's session never observe the
+    * inflated runtime-filter sizing and two concurrent builds cannot
+    * clobber each other's values (BloomDedupSpec pins both that an
+    * over-default request really gets its bits and that the caller's
+    * confs stay untouched). */
   def build(df: DataFrame, key: Column, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
     val bits = numBits(expectedItems, fpp)
-    val conf = df.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = conf.getOption(itemsKey)
-    val oldBits = conf.getOption(bitsKey)
-    val bytes = try {
-      conf.set(itemsKey, math.max(expectedItems, 4000000L).toString)
-      conf.set(bitsKey, math.max(bits, 67108864L).toString)
-      val agg = new BloomFilterAggregate(
-        new XxHash64(Seq(GraftColumn.expr(key))),
-        Literal(expectedItems), Literal(bits))
-      df.agg(GraftColumn.of(agg.toAggregateExpression()).as("bloom"))
-        .head().getAs[Array[Byte]]("bloom")
-    } finally {
-      oldItems.fold(conf.unset(itemsKey))(v => conf.set(itemsKey, v))
-      oldBits.fold(conf.unset(bitsKey))(v => conf.set(bitsKey, v))
-    }
+    val session = df.sparkSession.newSession()
+    session.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(expectedItems, 4000000L).toString)
+    session.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(bits, 67108864L).toString)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumn.expr(key))),
+      Literal(expectedItems), Literal(bits))
+    val bytes = GraftColumn.inSession(session, df)
+      .agg(GraftColumn.of(agg.toAggregateExpression()).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
     // the aggregate yields NULL over zero rows (a fresh/empty index —
     // the first run of an incremental pipeline); an empty filter of
     // the same sizing is the correct value, and the serialization

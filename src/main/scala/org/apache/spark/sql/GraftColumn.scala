@@ -28,6 +28,17 @@ object GraftColumn {
   /** Unwrap a classic Column to its Catalyst expression. */
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Rebind a DataFrame to another session over the same
+    * SparkContext — the already-ANALYZED plan is reused, so no
+    * re-resolution happens against the target session's (fresh)
+    * catalog and temp-view references keep working. Lets an operator
+    * run one action under session-scoped conf overrides (e.g.
+    * [[graft.operators.Bloom]] raising the runtime bloom-filter
+    * clamps) without mutating the caller's session. */
+  def inSession(target: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Register SQL functions directly on an EXISTING session's
     * function registry — the fallback for sessions `getOrCreate`
     * returned instead of created, where `withExtensions` hooks never

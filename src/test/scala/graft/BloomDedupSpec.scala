@@ -75,6 +75,34 @@ class BloomDedupSpec extends SparkSpec {
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits") == "67108864")
   }
 
+  test("build never touches the caller session's confs, even mid-build") {
+    // The raised runtime-filter sizing lives on a private newSession()
+    // clone: a concurrent query planning its own runtime join filters
+    // on the CALLER's session must keep seeing the defaults for the
+    // whole build window, not just after restoration.
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val defaults = (spark.conf.get(bitsKey), spark.conf.get(itemsKey))
+    @volatile var deviation: Option[(String, String)] = None
+    @volatile var stop = false
+    val watcher = new Thread(() => {
+      while (!stop) {
+        val now = (spark.conf.get(bitsKey), spark.conf.get(itemsKey))
+        if (now != defaults && deviation.isEmpty) deviation = Some(now)
+        Thread.sleep(1)
+      }
+    })
+    watcher.start()
+    try {
+      val bloom = Bloom.build(hashes(0, 50000), col("h"),
+        expectedItems = 20000000L, fpp = 0.01)
+      assert(bloom.length.toLong * 8 > 67108864L, "request must be honored")
+    } finally { stop = true; watcher.join() }
+    assert(deviation.isEmpty,
+      s"caller session confs mutated during build: $deviation (defaults $defaults)")
+    assert((spark.conf.get(bitsKey), spark.conf.get(itemsKey)) == defaults)
+  }
+
   test("bloom-routed incremental dedup == plain incremental dedup") {
     val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val corpus = d.filter(col("doc_id") < 300)
