@@ -49,6 +49,43 @@ class BucketingSpec extends SparkSpec {
     assert(rows == expect)
   }
 
+  test("bucketed dedup index probes exchange-free in the incremental anti-join") {
+    // PLANS.md claims the 100 TB form of exactAgainstIndex keeps the
+    // billions-row (content_hash, keep_id) index bucketed on
+    // content_hash so each incremental batch anti-joins against it
+    // WITHOUT re-shuffling the index. Pin it: only the batch side
+    // (whose groupBy needs the hash partitioning anyway) may exchange.
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val index = graft.operators.Dedup.exact(d.filter(col("doc_id") < 300), "doc_id", "text")
+      .select(col("content_hash"), col("keep_id"))
+    // bucket count == spark.sql.shuffle.partitions so the batch side's
+    // aggregate exchange lands on the index's exact partitioning
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Sinks.writeBucketed(index, "dedup_index_b", buckets, Seq("content_hash"))
+    val batch = d.filter(col("doc_id") >= 300)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    val (survivors, plan) =
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val (s, _) = graft.operators.Dedup.exactAgainstIndex(
+          batch, "doc_id", "text", spark.table("dedup_index_b"))
+        (s.count(), s.queryExecution.executedPlan)
+      } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    assert(survivors == batch.count(), "all post-300 docs are novel here")
+    val anti = plan.collectFirst {
+      case j: BaseJoinExec if j.joinType == LeftAnti => j
+    }.getOrElse(fail(s"no anti-join in plan:\n$plan"))
+    val indexSideShuffles = anti.right.collect { case e: ShuffleExchangeLike => e }
+    assert(indexSideShuffles.isEmpty,
+      s"bucketed index side was re-shuffled:\n$plan")
+  }
+
   test("qualified db.tbl names resolve via the catalog and replace cleanly") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_bdb")
     val orders = Tables.load(spark, sfDir, "orders")
