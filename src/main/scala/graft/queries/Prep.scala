@@ -532,39 +532,19 @@ object Prep {
     // ----- Deterministic epoch shuffle (seeded global ordering) -----
     // The pre-training shuffle: every epoch assigns each document a
     // seeded pseudorandom position (md5 of seed + id), reproducible
-    // across runs and engines. The naive spelling — row_number() OVER
-    // (ORDER BY key) — is a SINGLE-PARTITION window: a scale-killer at
-    // 100 TB. This is the distributed form: shard by the key's first
-    // FOUR hex chars (65536 ranges in key order — md5 is uniform, so
-    // each within-shard window partition holds ~corpus/65536 rows;
-    // widen the prefix if corpus/shards outgrows an executor), rank
-    // WITHIN each shard (a partitioned window), and add per-shard
-    // offsets from a 65536-row running sum — the only non-partitioned
-    // window in the plan runs over the aggregate shard counts, like
-    // q71/q72's quota windows. Shard prefix order == key prefix
-    // order, so offset + within-shard rank IS the global rank; ties
-    // broken by doc_id on both engines. The oracle IS the naive
-    // spelling — fine at DuckDB's scale, and the hash-match proves
-    // the distributed decomposition exact.
+    // across runs and engines — [[CorpusPrep.epochShuffle]], with the
+    // shard prefix width derived from the corpus size
+    // ([[CorpusPrep.shardWidthFor]]; the result is width-independent,
+    // pinned in EpochShuffleSpec). The only non-partitioned window in
+    // the plan runs over the 16^width aggregate shard counts, like
+    // q71/q72's quota windows. The oracle IS the naive
+    // single-partition row_number() spelling — fine at DuckDB's scale,
+    // and the hash-match proves the distributed decomposition exact.
     QueryDef(
       "q95_epoch_shuffle",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        val keyed = d.select(col("doc_id"),
-          md5(concat(lit("epoch42:"), col("doc_id").cast("string"))).as("k"))
-          .withColumn("shard", substring(col("k"), 1, 4))
-        val within = keyed.withColumn("r",
-          row_number().over(Window.partitionBy(col("shard"))
-            .orderBy(col("k"), col("doc_id"))))
-        val offsets = keyed.groupBy(col("shard"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("offset",
-            coalesce(sum(col("cnt")).over(
-              Window.orderBy(col("shard"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("shard"), col("offset"))
-        within.join(broadcast(offsets), Seq("shard"))
-          .select(col("doc_id"), (col("offset") + col("r")).as("shuffle_pos"))
+        graft.operators.CorpusPrep.epochShuffle(d, "doc_id", "epoch42:")
       },
       Some("""
         SELECT doc_id,
