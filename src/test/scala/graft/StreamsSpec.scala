@@ -240,4 +240,58 @@ class StreamsSpec extends SparkSpec {
     // dropped via the index, not recomputed from the corpus
     assert(streamed.filter(col("keep_id") === 4L).isEmpty)
   }
+
+  test("foreachBatch maintains the minhash signature index incrementally (T15)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val in = Files.createTempDirectory("graft_mh_in_").toString
+    val ckpt = Files.createTempDirectory("graft_mh_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_mh_idx_").toString
+    val (n, k, bands) = (2, 16, 4)
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def indexAt(v: Int) = s"$idxRoot/v$v"
+    // v0: an empty SIGNATURE table with the operator's own schema
+    Dedup.minhashSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", n, k)
+      .write.parquet(indexAt(0))
+
+    // per-batch near-dups found against the index-so-far: the
+    // daily-ingestion contract — cross-batch dups surface WITHOUT
+    // re-reading earlier batches' text (only their signatures)
+    val dupsSeen = scala.collection.mutable.Buffer[(Long, Long)]()
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
+      (batch, _) =>
+        val index = spark.read.parquet(indexAt(version))
+        dupsSeen ++= Dedup.minhashNearDupsAgainstIndex(
+            batch, "doc_id", "text", index, n, k, bands, tau = 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        index.unionByName(
+            Dedup.minhashSignatures(batch, "doc_id", "text", n, k))
+          .write.parquet(indexAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs")
+    val batch2 = Seq(
+      3L -> "the quick brown fox jumps over the lazy dog", // dup of 1
+      4L -> "sphinx of black quartz judge my vow today")   // novel
+    writeDocs(batch1); ingest()                 // first run: empty index
+    writeDocs(batch2); ingest()                 // second run: only the new file
+    assert(dupsSeen.toSet == Set(3L -> 1L),
+      s"expected exactly the cross-batch dup (3,1), got $dupsSeen")
+    // streamed index == batch rebuild over the full corpus
+    val streamed = spark.read.parquet(indexAt(version))
+    val rebuilt = Dedup.minhashSignatures(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", n, k)
+    assert(streamed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(streamed).isEmpty,
+      "streaming-maintained signature index must equal the batch rebuild")
+  }
 }
