@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Bloom, Components, Dedup, Ivf, Multimodal, Quantize, Similarity}
+import graft.operators.{Bloom, Components, Dedup, Ivf, Multimodal, Quantize, SemDedup, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -698,6 +698,46 @@ object Corpus {
                    WHEN v2.doc_id IS NULL THEN 'removed'
                    WHEN h1 <> h2 THEN 'changed'
                    ELSE 'unchanged' END <> 'unchanged'""")),
+
+    // ----- SemDeDup: embedding-space semantic dedup (Abbas et al.) -----
+    // Within each cluster, pairs at round(cos,6) ≥ 0.45 form groups;
+    // every vector maps to its group's min id (itself when unique) —
+    // the q69 contract in embedding space. Clustering here is the
+    // `label` column (a trained k-means assignment is float-iteration-
+    // dependent — no engine-portable oracle; the k-means form is
+    // SemDedupSpec-graded over the same core). The DuckDB twin
+    // recomputes within-label all-pairs cosine exactly and resolves
+    // groups with q69's recursive label propagation, so the hash-match
+    // proves pair generation, thresholding, components, and survivor
+    // choice end-to-end. Scale shape: see [[SemDedup.withClusters]] —
+    // one cluster-keyed vector shuffle per side, pairs never shuffled,
+    // Σ|cell|² bounded by nClusters growing with the corpus.
+    QueryDef(
+      "q99_semantic_dedup",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        SemDedup.withClusters(e, tau = 0.45)
+      },
+      Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(CASE WHEN list_dot_product(a.vec, a.vec) = 0
+                             OR list_dot_product(b.vec, b.vec) = 0 THEN 0.0
+                           ELSE list_dot_product(a.vec, b.vec)
+                                / (sqrt(list_dot_product(a.vec, a.vec))
+                                   * sqrt(list_dot_product(b.vec, b.vec))) END, 6) >= 0.45
+        ), edges AS (
+          SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+        )
+        SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS keep_id
+        FROM reach GROUP BY node""")),
 
     // ----- Line-level dedup (C4/CCNet): drop repeated lines corpus-wide -----
     // The corpus text has no newlines, so the query first chunks each
