@@ -87,9 +87,16 @@ object Bench {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
+      // Also drop the full map at the repo root: the driver's tail
+      // window truncates BENCH_r{N}.json's per-query map (r7 lost
+      // q01–q09), but an uncommitted file in the tree survives via the
+      // end-of-round snapshot commit, so per-query history stays
+      // diffable round over round.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), json + "\n")
     } catch {
       case e: java.io.IOException =>
-        System.err.println(s"[bench] could not write target/bench_last.json: $e")
+        System.err.println(s"[bench] could not write bench detail: $e")
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
