@@ -83,21 +83,24 @@ object Bench {
     System.err.println(json)
     // Best-effort: a missing/read-only cwd must not fail a bench run
     // whose results were already printed.
-    try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
-      // Also drop the full map at the repo root: the driver's tail
-      // window truncates BENCH_r{N}.json's per-query map (r7 lost
-      // q01–q09), but an uncommitted file in the tree survives via the
-      // end-of-round snapshot commit, so per-query history stays
-      // diffable round over round.
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"), json + "\n")
-    } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"[bench] could not write bench detail: $e")
-    }
+    // Independent best-effort writes: one unwritable path must not
+    // take down the other copy.
+    def writeDetail(path: String, mkdirs: Boolean): Unit =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (mkdirs && p.getParent != null)
+          java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, json + "\n")
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] could not write $path: $e")
+      }
+    // Repo root first: the driver's tail window truncates
+    // BENCH_r{N}.json's per-query map (r7 lost q01–q09), but an
+    // uncommitted file in the tree survives via the end-of-round
+    // snapshot commit, so per-query history stays diffable.
+    writeDetail("BENCH_DETAIL.json", mkdirs = false)
+    writeDetail("target/bench_last.json", mkdirs = true)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -199,7 +199,11 @@ object CorpusPrep {
 
   /** [[epochShuffle]] with the shard width derived from the corpus
     * size — the "widen the prefix if the corpus outgrows an executor"
-    * note as code. */
+    * note as code. The sizing `count()` is one extra action: cheap on
+    * a bare parquet scan (row-group metadata), but a full recompute on
+    * a derived input — pass an explicit width (or a known row count
+    * via [[shardWidthFor]]) when `docs` is the tail of an expensive
+    * pipeline. Either way the RESULT is width-independent. */
   def epochShuffle(docs: DataFrame, idCol: String, seed: String): DataFrame =
     epochShuffle(docs, idCol, seed, shardWidthFor(docs.count()))
 }

@@ -71,9 +71,20 @@ object SemDedup {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = Ivf.trainCentroids(embeddings, nClusters, iters,
       trainFraction, idCol, vecCol)
+    // Raw float column into assignCluster — simsToCentroids casts
+    // per-element inside its lambdas (like every Ivf call site); a
+    // transform(cast) wrapper here would re-materialize the double
+    // array once per centroid reference (the HOF-binding trap).
+    // The groupBy(id) barrier is the minhashSignatures lesson: the
+    // cluster column is EXPENSIVE (k dot-products per row), and
+    // withClusters' self-join would otherwise recompute it on both
+    // sides (differently-aliased projections defeat ReusedExchange).
+    // Ids are unique by contract (an embedding table key), so
+    // first() is a no-op on values.
     val clustered = embeddings.select(col(idCol), col(vecCol),
-      Ivf.assignCluster(centroids,
-        transform(col(vecCol), x => x.cast("double"))).as("__cell"))
+      Ivf.assignCluster(centroids, col(vecCol)).as("__cell"))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol), first(col("__cell")).as("__cell"))
     withClusters(clustered, tau, idCol, vecCol, clusterCol = "__cell")
   }
 }
