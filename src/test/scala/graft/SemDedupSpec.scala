@@ -58,6 +58,22 @@ class SemDedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L), s"got $got")
   }
 
+  test("dedup is idempotent: survivors contain no remaining tau-pairs") {
+    // Within one cluster, two DIFFERENT components cannot hold a
+    // >= tau pair (it would have connected them), so filtering to
+    // survivors and re-running under the same clustering must be the
+    // identity mapping. Pinned on the real corpus.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val first = SemDedup.withClusters(e, tau = 0.45)
+    val survivors = e.join(
+      first.filter(col("vec_id") === col("keep_id")).select(col("vec_id")),
+      Seq("vec_id"))
+    val second = SemDedup.withClusters(survivors, tau = 0.45)
+    assert(second.filter(col("vec_id") =!= col("keep_id")).isEmpty,
+      "second pass found pairs among survivors")
+    assert(second.count() == survivors.count())
+  }
+
   test("label form equals direct within-label all-pairs components (q99 core)") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val got = SemDedup.withClusters(e, tau = 0.45)
