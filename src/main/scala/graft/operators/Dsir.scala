@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** DSIR-style importance scoring for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every raw document by how much more likely its hashed-token
+  * profile is under a TARGET corpus's unigram distribution than under
+  * the raw corpus's own — the standard cheap proxy for "looks like the
+  * high-quality target domain" when curating pre-training data. The
+  * selection step (keep top-p by score, or Gumbel-top-k for sampled
+  * resampling) composes downstream as a filter / the q72 mixture-
+  * sampling idiom / the q95 epoch-shuffle rank, so this operator owns
+  * the corpus-heavy part: feature hashing, the two distributions, and
+  * per-document scoring.
+  *
+  * Scale shape (the reason DSIR hashes features at all): the feature
+  * space is CLOSED at `buckets` cells regardless of corpus size, so
+  * - the two distribution builds partial-aggregate to ≤ `buckets` rows
+  *   per task before their exchanges — KB-scale shuffles over a 100 TB
+  *   corpus;
+  * - the weight table is ≤ `buckets` rows and explicitly broadcast —
+  *   scoring is a map-side hash join, the corpus never shuffles to
+  *   meet the model;
+  * - the only corpus-keyed exchange is the final per-document
+  *   aggregate of (sum, count) partials.
+  * Raising `buckets` trades collision bias for weight-table size
+  * exactly as in the paper (they use 10⁴ for unigrams).
+  */
+object Dsir {
+
+  /** Deterministic hashed feature bucket for a token: the first 6 hex
+    * chars of md5, read as an integer, modulo `buckets`. md5 — not
+    * murmur — so external engines can reproduce the bucketing
+    * bit-for-bit (DuckDB: `('0x' || substr(md5(t),1,6))::BIGINT % B`);
+    * 24 bits of prefix dwarf any practical bucket count. All three
+    * pieces (md5, substring, conv) are codegen'd built-ins.
+    */
+  def bucket(term: Column, buckets: Int): Column =
+    conv(substring(md5(term), 1, 6), 16, 10).cast("long") % buckets
+
+  /** Hashed token counts `(b, tf)` of `textCol` split on single
+    * spaces — one narrow projection, then a group-by whose partial
+    * aggregation caps the exchange at ≤ `buckets` rows per task.
+    */
+  def hashedCounts(docs: DataFrame, textCol: String, buckets: Int): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .select(bucket(col("term"), buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("tf"))
+
+  /** Per-bucket importance weight `ln p_target(b) − ln p_raw(b)` with
+    * add-one smoothing over the `buckets` cells (target-absent buckets
+    * get a finite penalty instead of −∞). Built from two ≤ buckets-row
+    * hashed-count aggregates full-outer-joined on bucket, so totals
+    * are exact even when either corpus sees buckets the other lacks.
+    * The result is ≤ `buckets` rows — always broadcastable.
+    */
+  def weights(target: DataFrame, raw: DataFrame, textCol: String,
+              buckets: Int): DataFrame = {
+    val t = hashedCounts(target, textCol, buckets)
+      .withColumnRenamed("tf", "tf_t")
+    val r = hashedCounts(raw, textCol, buckets)
+      .withColumnRenamed("tf", "tf_r")
+    // same double-reference barrier as weightsFor: totals + weights
+    // both read `joined`; materializing ≤ 2·buckets rows keeps each
+    // corpus tokenization at one scan
+    val joined = Barrier.materialize(t.join(r, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("tf_t"), lit(0L)).as("tf_t"),
+        coalesce(col("tf_r"), lit(0L)).as("tf_r")))
+    val totals = joined.agg(sum(col("tf_t")).as("n_t"),
+      sum(col("tf_r")).as("n_r"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("tf_t") + lit(1.0d)) / (col("n_t") + lit(buckets.toDouble)))
+          - log((col("tf_r") + lit(1.0d)) / (col("n_r") + lit(buckets.toDouble))))
+          .as("w"))
+  }
+
+  /** [[weights]] for the common case where the target corpus is a
+    * predicate-defined SUBSET of the raw corpus (DSIR's own setup:
+    * "target = the Wikipedia-like slice of the crawl"): both
+    * distributions come out of ONE corpus pass — a conditional count
+    * next to the total count in the same ≤ `buckets`-row aggregate —
+    * instead of two scans full-outer-joined. Same weights, half the
+    * model-build I/O; at 100 TB this is the form to run.
+    */
+  def weightsFor(docs: DataFrame, isTarget: Column, textCol: String,
+                 buckets: Int): DataFrame = {
+    // Barrier: `counts` is referenced twice below (totals + weights)
+    // and the broadcast-subquery side plans independently, so without
+    // it the corpus tokenization runs twice. Materializing ≤ buckets
+    // rows pins the model build at exactly one corpus scan.
+    val counts = Barrier.materialize(docs
+      .select(isTarget.as("is_t"), explode(split(col(textCol), " ")).as("term"))
+      .select(col("is_t"), bucket(col("term"), buckets).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("tf_t"),
+        count(lit(1)).as("tf_r")))
+    val totals = counts.agg(sum(col("tf_t")).as("n_t"),
+      sum(col("tf_r")).as("n_r"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("tf_t") + lit(1.0d)) / (col("n_t") + lit(buckets.toDouble)))
+          - log((col("tf_r") + lit(1.0d)) / (col("n_r") + lit(buckets.toDouble))))
+          .as("w"))
+  }
+
+  /** Mean per-token importance weight for every document:
+    * `(idCol, dsir_score, n_toks)`, score rounded to 6 digits. The
+    * weight table joins as an explicit broadcast (≤ `buckets` rows by
+    * construction), so the corpus-side plan is explode → map-side hash
+    * join → per-document partial (sum, count) — one document-keyed
+    * exchange total. A document's tokens all originate from its single
+    * input row, so the pre-shuffle partial sums them in token order —
+    * deterministic float summation (the q67 contract).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weightTable: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .select(col(idCol), bucket(col("term"), buckets).as("b"))
+      .join(broadcast(weightTable), "b")
+      .groupBy(col(idCol))
+      .agg(round(avg(col("w")), 6).as("dsir_score"),
+        count(lit(1)).as("n_toks"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Barrier, Components, CorpusPrep, Dedup}
+import graft.operators.{Barrier, Components, CorpusPrep, Dedup, Dsir}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -785,6 +785,50 @@ object Prep {
                array_to_string(w[unnest(range(n_chunks))*24 + 1 :
                                  unnest(range(n_chunks))*24 + 32], ' ') AS chunk_text,
                least(32, n - unnest(range(n_chunks))*24)::INT AS chunk_len
-        FROM c"""))
+        FROM c""")),
+
+    // ----- DSIR importance scoring (hashed-unigram log-ratio) -----
+    // Data selection for pre-training (Xie et al. 2023): score every
+    // document by the mean log-ratio of target vs raw hashed-unigram
+    // probability — here target = the `lang = 'en'` slice, the "looks
+    // like the domain we want" proxy. The feature space is CLOSED at
+    // 4096 md5-prefix buckets, so the one-pass model build exchanges
+    // ≤ 4096 partial-aggregated rows, the weight table broadcasts,
+    // and the corpus's only shuffle is the per-document (sum, count)
+    // partial — see [[Dsir]] for the full 100 TB shape. The DuckDB
+    // twin reproduces the md5-prefix bucketing bit-for-bit
+    // (('0x' || hex)::BIGINT == conv(hex, 16, 10)), so the hash-match
+    // proves hashing, smoothing, both totals, and per-doc averaging.
+    QueryDef(
+      "q100_dsir_importance",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        // target ⊂ raw by predicate -> the one-pass weightsFor form
+        // (DsirSpec pins it equal to the general two-corpus weights)
+        val w = Dsir.weightsFor(d, col("lang") === "en",
+          "text", buckets = 4096)
+        Dsir.score(d, "doc_id", "text", w, buckets = 4096)
+      },
+      Some("""
+        WITH toks0 AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        toks AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(term), 1, 6))::BIGINT % 4096 AS b
+          FROM toks0),
+        tgt AS (SELECT b, count(*) AS tf_t FROM toks WHERE lang = 'en' GROUP BY b),
+        raw AS (SELECT b, count(*) AS tf_r FROM toks GROUP BY b),
+        tot AS (
+          SELECT (SELECT sum(tf_t) FROM tgt) AS n_t,
+                 (SELECT sum(tf_r) FROM raw) AS n_r),
+        w AS (
+          SELECT raw.b,
+                 ln((coalesce(tgt.tf_t, 0) + 1.0) / (n_t + 4096.0))
+                   - ln((tf_r + 1.0) / (n_r + 4096.0)) AS w
+          FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        SELECT doc_id, round(avg(w), 6) AS dsir_score, count(*) AS n_toks
+        FROM toks JOIN w USING (b)
+        GROUP BY doc_id"""))
   )
 }
