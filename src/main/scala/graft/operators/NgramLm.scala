@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Bigram language-model perplexity scoring — the CCNet-style quality
+  * filter (Wenzek et al. 2020 score a KenLM 5-gram model; the bigram
+  * form keeps the same operator shape with engine-portable
+  * arithmetic): score each document by the mean log-probability of its
+  * bigrams under an add-one-smoothed bigram model, so documents full
+  * of improbable token SEQUENCES (not just rare tokens — q67's unigram
+  * score can't see word salad built from common words) rank low.
+  *
+  * The deliberate contrast with [[Dsir]]: a hashed-feature model is
+  * CLOSED and always broadcastable, while a raw bigram table grows
+  * with corpus vocabulary² and at 100 TB does NOT fit a broadcast —
+  * so scoring here is the shuffle-join form: explode the document
+  * bigrams, equi-join the model on the bigram key (sort-merge at
+  * scale; AQE picks broadcast only while the model is provably small),
+  * re-aggregate per document. The only explicit broadcast is the
+  * 1-row vocabulary count. Model building is two corpus passes
+  * (bigram counts + unigram vocabulary); the model is a build-once
+  * artifact — at scale it persists and amortizes over every scoring
+  * run (the [[Barrier]] persistPath form).
+  */
+object NgramLm {
+
+  /** Bigram counts `(bg, c2)` of `textCol` split on single spaces.
+    * Bigrams are formed inside each row's token array (wordNgrams —
+    * zero-shuffle), so the only exchange is the ≤ |bigram vocab|
+    * partial-aggregated count.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(split(col(textCol), " ").as("toks")) // stage: HOF binding rule
+      .select(explode(Text.wordNgrams(col("toks"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+
+  /** Add-one-smoothed bigram model `(bg, logp)`:
+    * `p(w2 | w1) = (c2(w1 w2) + 1) / (c1(w1) + V)` with
+    * `c1(w1) = Σ_w2 c2(w1 w2)` and `V` = distinct unigram vocabulary
+    * size. The prefix aggregate and prefix join are model-sized (never
+    * corpus-sized); `counts` is barriered because it feeds both —
+    * without it the corpus bigram pass would run twice.
+    */
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = Barrier.materialize(bigramCounts(docs, textCol))
+    val prefix = counts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    counts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(prefix, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        log((col("c2") + lit(1.0d)) / (col("c1") + col("v"))).as("logp"))
+  }
+
+  /** Mean bigram log-probability per document:
+    * `(idCol, mean_logp2, n_bigrams)`, rounded to 6 digits. Documents
+    * with fewer than two tokens have no bigrams and drop out (both
+    * engines agree — explode of an empty array emits nothing). Model
+    * bigrams cover every document bigram when the model was built from
+    * the same corpus, so the equi-join is inner. A document's bigrams
+    * originate from its single input row — the pre-shuffle partial
+    * sums in bigram order (the q67 determinism contract).
+    */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+                      model: DataFrame): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), explode(Text.wordNgrams(col("toks"), 2)).as("bg"))
+      .join(model, "bg")
+      .groupBy(col(idCol))
+      .agg(round(avg(col("logp")), 6).as("mean_logp2"),
+        count(lit(1)).as("n_bigrams"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Barrier, Components, CorpusPrep, Dedup, Dsir}
+import graft.operators.{Barrier, Components, CorpusPrep, Dedup, Dsir, NgramLm}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -829,6 +829,48 @@ object Prep {
           FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
         SELECT doc_id, round(avg(w), 6) AS dsir_score, count(*) AS n_toks
         FROM toks JOIN w USING (b)
+        GROUP BY doc_id""")),
+
+    // ----- Bigram-LM perplexity scoring (CCNet-style quality filter) -----
+    // Score each document by the mean log-probability of its bigrams
+    // under the corpus's own add-one-smoothed bigram model — word
+    // salad built from common words ranks low even where q67's
+    // unigram score is blind. The deliberate scale contrast with
+    // q100: a raw bigram table grows with vocabulary² and does NOT
+    // broadcast at 100 TB, so scoring is the shuffle-equi-join form
+    // (sort-merge at scale, AQE broadcast only while provably small);
+    // the only explicit broadcast is the 1-row vocabulary count. See
+    // [[NgramLm]]. The DuckDB twin rebuilds the same model, so the
+    // hash-match proves counts, prefix totals, smoothing, and per-doc
+    // averaging end-to-end.
+    QueryDef(
+      "q101_bigram_perplexity",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        NgramLm.perplexityScore(d, "doc_id", "text",
+          NgramLm.bigramModel(d, "text"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bgs AS (
+          SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+          FROM t WHERE len(w) >= 2),
+        c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+        c1 AS (
+          SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+          FROM c2 GROUP BY 1),
+        v AS (
+          SELECT count(DISTINCT term) AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+        m AS (
+          SELECT bg, ln((c2 + 1.0) / (c1 + v)) AS logp
+          FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1
+          CROSS JOIN v)
+        SELECT doc_id, round(avg(logp), 6) AS mean_logp2,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM bgs JOIN m USING (bg)
         GROUP BY doc_id"""))
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NgramLm
+
+/** Contracts for bigram-LM perplexity scoring
+  * ([[graft.operators.NgramLm]]):
+  *   - model probabilities match the hand-computed add-one definition
+  *     on a corpus small enough to verify on paper;
+  *   - common-sequence documents outscore word-salad built from the
+  *     SAME vocabulary (the signal q67's unigram score cannot see);
+  *   - sub-bigram documents drop out instead of scoring.
+  */
+class NgramLmSpec extends SparkSpec {
+
+  test("model matches the hand-computed add-one bigram probabilities") {
+    val s = spark
+    import s.implicits._
+    // corpus "a b a b": bigrams (a b)x2, (b a)x1; c1(a)=2, c1(b)=1; V=2
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val m = NgramLm.bigramModel(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set("a b", "b a"))
+    assert(math.abs(m("a b") - math.log(3.0 / 4.0)) < 1e-12, s"got $m")
+    assert(math.abs(m("b a") - math.log(2.0 / 3.0)) < 1e-12, s"got $m")
+    // doc score = mean of its 3 bigram logps
+    val score = NgramLm.perplexityScore(docs, "doc_id", "text",
+      NgramLm.bigramModel(docs, "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).head
+    val expect = (math.log(3.0 / 4.0) * 2 + math.log(2.0 / 3.0)) / 3
+    assert(score._3 == 3L)
+    assert(math.abs(score._2 - BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"got $score expect $expect")
+  }
+
+  test("word salad from common words ranks below common sequences") {
+    val s = spark
+    import s.implicits._
+    // docs 1-3 repeat the dominant phrasing; doc 4 uses the SAME
+    // vocabulary in never-seen orders (unigram-blind, bigram-visible)
+    val docs = Seq(
+      (1L, "the quick fox jumps high"),
+      (2L, "the quick fox jumps high"),
+      (3L, "the quick fox jumps high"),
+      (4L, "high the jumps quick fox")
+    ).toDF("doc_id", "text")
+    val scores = NgramLm.perplexityScore(docs, "doc_id", "text",
+      NgramLm.bigramModel(docs, "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(4L) < scores(1L),
+      s"salad should rank below common phrasing: $scores")
+    assert(scores(1L) == scores(2L) && scores(2L) == scores(3L))
+  }
+
+  test("documents with fewer than two tokens drop out") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val got = NgramLm.perplexityScore(docs, "doc_id", "text",
+      NgramLm.bigramModel(docs, "text"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"got $got")
+  }
+}
