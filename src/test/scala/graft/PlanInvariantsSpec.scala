@@ -16,7 +16,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q37_embed_knn",           // exact-kNN baseline: broadcast query batch
     "q84_knn_classify",        // same broadcast-query-batch kNN scan
     "q55_tfidf_top_terms",     // 1-row corpus-total broadcast (IDF)
-    "q67_unigram_logprob")     // 1-row corpus-total broadcast
+    "q67_unigram_logprob",     // 1-row corpus-total broadcast
+    "q100_dsir_importance",    // 1-row smoothing-totals broadcast
+    "q101_bigram_perplexity")  // 1-row vocabulary-count broadcast
 
   test("no undeclared nested-loop or cartesian join in any query plan") {
     val offenders = SparkEntry.all.flatMap { q =>
