@@ -89,20 +89,47 @@ object Dsir {
     * model-build I/O; at 100 TB this is the form to run.
     */
   def weightsFor(docs: DataFrame, isTarget: Column, textCol: String,
-                 buckets: Int): DataFrame = {
-    // Barrier: `counts` is referenced twice below (totals + weights)
-    // and the broadcast-subquery side plans independently, so without
-    // it the corpus tokenization runs twice. Materializing ≤ buckets
-    // rows pins the model build at exactly one corpus scan.
-    val counts = Barrier.materialize(docs
+                 buckets: Int): DataFrame =
+    weightsFromCounts(countsFor(docs, isTarget, textCol, buckets), buckets)
+
+  /** The one-pass count table `(b, tf_t, tf_r)` behind [[weightsFor]]:
+    * target and raw counts from a single corpus scan via a conditional
+    * sum. Exposed because counts are the model's INCREMENTAL form —
+    * they add across ingest batches ([[mergeCounts]]), so at 100 TB
+    * the model updates per batch by merging ≤ `buckets`-row tables and
+    * the corpus is never re-read (the q81/q92 incremental-index
+    * story, applied to the selection model).
+    */
+  def countsFor(docs: DataFrame, isTarget: Column, textCol: String,
+                buckets: Int): DataFrame =
+    docs
       .select(isTarget.as("is_t"), explode(split(col(textCol), " ")).as("term"))
       .select(col("is_t"), bucket(col("term"), buckets).as("b"))
       .groupBy(col("b"))
       .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("tf_t"),
-        count(lit(1)).as("tf_r")))
-    val totals = counts.agg(sum(col("tf_t")).as("n_t"),
+        count(lit(1)).as("tf_r"))
+
+  /** Merge two [[countsFor]] tables by per-bucket addition — counts
+    * are sufficient statistics, so a batched/streamed model equals the
+    * whole-corpus rebuild exactly (DsirSpec pins the equality). Both
+    * inputs are ≤ `buckets` rows; so is the result.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("b"))
+      .agg(sum(col("tf_t")).as("tf_t"), sum(col("tf_r")).as("tf_r"))
+
+  /** Weights from a (possibly merged) [[countsFor]] table. The counts
+    * are barriered because totals and weights both read them — and the
+    * broadcast-subquery side plans independently, so without the
+    * barrier the count derivation (a corpus scan when counts are
+    * unmaterialized) would run twice.
+    */
+  def weightsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+    val c = Barrier.materialize(counts)
+    val totals = c.agg(sum(col("tf_t")).as("n_t"),
       sum(col("tf_r")).as("n_r"))
-    counts.crossJoin(broadcast(totals))
+    c.crossJoin(broadcast(totals))
       .select(col("b"),
         (log((col("tf_t") + lit(1.0d)) / (col("n_t") + lit(buckets.toDouble)))
           - log((col("tf_r") + lit(1.0d)) / (col("n_r") + lit(buckets.toDouble))))

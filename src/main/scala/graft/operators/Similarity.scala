@@ -105,6 +105,30 @@ object Similarity {
       .select(col("query_id"), col("nlabel").as("predicted"), col("votes"))
   }
 
+  /** Max cosine of every corpus vector against a broadcast probe set:
+    * `(vec_id, max_cos)` — the candidate-screening primitive behind
+    * semantic decontamination (drop training vectors too close to an
+    * eval/benchmark embedding) and nearest-centroid diagnostics.
+    *
+    * Scale shape: the probe set broadcasts (eval sets are small by
+    * construction — the q73 broadcast-eval story in embedding space);
+    * the corpus streams through ONE scan, and because each corpus row
+    * meets all probes inside its own partition, the per-vector max
+    * partial-aggregates to one row per vector before the exchange.
+    * `max` is order-independent, so unlike mean-reductions there is no
+    * float-summation-order caveat. For probe sets too big to
+    * broadcast, screen through [[annTopK]]'s bucketed join instead —
+    * same output contract.
+    */
+  def maxCosineAgainst(corpus: DataFrame, probes: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(vecCol).as("pvec"))
+    c.crossJoin(broadcast(p))
+      .select(col("vec_id"), cosineFast(col("cvec"), col("pvec")).as("cos"))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): xxhash64 of the pair, mapped to [-1, 1). Generated inside
     * codegen — no hyperplane matrix to ship or store. */

@@ -739,6 +739,47 @@ object Corpus {
         SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS keep_id
         FROM reach GROUP BY node""")),
 
+    // ----- Semantic decontamination (embedding-space eval screening) -----
+    // The embedding-space counterpart of q73's n-gram decontamination:
+    // flag every training vector whose max cosine against the held-out
+    // eval set (vec_id % 50 = 0, 2% of the corpus — benchmark-sized)
+    // reaches 0.8. The flag compares the ROUNDED max on both engines
+    // so a last-ulp cosine difference cannot flip it. Scale shape: see
+    // [[Similarity.maxCosineAgainst]] — broadcast probes, one corpus
+    // pass, per-vector max partial-aggregated before the exchange;
+    // `max` is order-independent so there is no summation-order
+    // caveat. PlanInvariantsSpec allowlists the broadcast-probe
+    // nested-loop as it does q37's.
+    QueryDef(
+      "q102_semantic_decontaminate",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        Similarity.maxCosineAgainst(
+            e.filter(col("vec_id") % 50 =!= 0),
+            e.filter(col("vec_id") % 50 === 0))
+          .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"))
+          .withColumn("contaminated", col("max_cos") >= 0.8)
+      },
+      Some("""
+        WITH ev AS (
+          SELECT embedding::DOUBLE[] AS pvec
+          FROM embeddings WHERE vec_id % 50 = 0),
+        tr AS (
+          SELECT vec_id, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id % 50 <> 0),
+        scored AS (
+          SELECT vec_id,
+                 CASE WHEN list_dot_product(cvec, cvec) = 0
+                        OR list_dot_product(pvec, pvec) = 0 THEN 0.0
+                      ELSE list_dot_product(cvec, pvec)
+                           / (sqrt(list_dot_product(cvec, cvec))
+                              * sqrt(list_dot_product(pvec, pvec))) END AS cos
+          FROM tr, ev),
+        m AS (SELECT vec_id, max(cos) AS mc FROM scored GROUP BY vec_id)
+        SELECT vec_id, round(mc, 6) AS max_cos,
+               round(mc, 6) >= 0.8 AS contaminated
+        FROM m""")),
+
     // ----- Line-level dedup (C4/CCNet): drop repeated lines corpus-wide -----
     // The corpus text has no newlines, so the query first chunks each
     // document's tokens into deterministic 8-token "lines" (mirrored

@@ -64,6 +64,18 @@ class DsirSpec extends SparkSpec {
     assert(a == b, s"weights diverge: $a vs $b")
   }
 
+  test("counts are additive: batched model equals whole-corpus rebuild") {
+    val docs = corpus
+    val merged = Dsir.mergeCounts(
+      Dsir.countsFor(docs.filter(col("doc_id") <= 2), col("is_target"), "text", 256),
+      Dsir.countsFor(docs.filter(col("doc_id") > 2), col("is_target"), "text", 256))
+    val inc = Dsir.weightsFromCounts(merged, 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val whole = Dsir.weightsFor(docs, col("is_target"), "text", 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc == whole, s"incremental model diverged: $inc vs $whole")
+  }
+
   test("weight table is closed at `buckets` rows; scoring joins it broadcast") {
     val docs = corpus
     val buckets = 64

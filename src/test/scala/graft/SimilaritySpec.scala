@@ -81,6 +81,26 @@ class SimilaritySpec extends SparkSpec {
     assert(k2.getAs[Int]("predicted") == 7 && k2.getAs[Long]("votes") == 2L)
   }
 
+  test("maxCosineAgainst: per-vector max over the probe set, exact") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),        // hits probe A exactly
+      (2L, Array(0f, 1f)),        // hits probe B exactly
+      (3L, Array(1f, 1f)),        // cos 1/sqrt(2) to both
+      (4L, Array(-1f, 0f))        // anti-aligned: max is 0 vs B
+    ).toDF("vec_id", "embedding")
+    val probes = Seq(
+      (100L, Array(1f, 0f)), (101L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.maxCosineAgainst(corpus, probes)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L) - 1.0) < 1e-12)
+    assert(math.abs(got(3L) - 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(got(4L) == 0.0, s"anti-aligned max should be the orthogonal 0, got $got")
+  }
+
   test("ANN recall@10 vs brute force is useful (≥ 0.3 on random vectors)") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)

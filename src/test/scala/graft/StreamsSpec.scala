@@ -294,4 +294,52 @@ class StreamsSpec extends SparkSpec {
       rebuilt.exceptAll(streamed).isEmpty,
       "streaming-maintained signature index must equal the batch rebuild")
   }
+
+  test("foreachBatch maintains the DSIR count model incrementally") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dsir
+    val in = Files.createTempDirectory("graft_ds_in_").toString
+    val ckpt = Files.createTempDirectory("graft_ds_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_ds_idx_").toString
+    val buckets = 256
+
+    def writeDocs(rows: Seq[(Long, String, Boolean)]): Unit =
+      rows.toDF("doc_id", "text", "is_target")
+        .coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def countsAt(v: Int) = s"$idxRoot/v$v"
+    Seq.empty[(Long, Long, Long)].toDF("b", "tf_t", "tf_r")
+      .write.parquet(countsAt(0))
+
+    // counts are the model's sufficient statistics: each micro-batch
+    // merges its own <= buckets-row count table into the store — the
+    // corpus is never re-read, yet the derived weights stay EXACTLY
+    // the whole-corpus model (no approximation drift to monitor)
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in,
+        "doc_id BIGINT, text STRING, is_target BOOLEAN"), ckpt) {
+      (batch, _) =>
+        Dsir.mergeCounts(spark.read.parquet(countsAt(version)),
+            Dsir.countsFor(batch, col("is_target"), "text", buckets))
+          .write.parquet(countsAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = Seq((1L, "alpha beta gamma", true),
+      (2L, "zork quux blarg", false))
+    val batch2 = Seq((3L, "beta gamma alpha alpha", true),
+      (4L, "alpha zork quux", false))
+    writeDocs(batch1); ingest()                 // first run: empty store
+    writeDocs(batch2); ingest()                 // second run: only the new file
+    val streamed = Dsir.weightsFromCounts(
+        spark.read.parquet(countsAt(version)), buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val whole = Dsir.weightsFor(
+        (batch1 ++ batch2).toDF("doc_id", "text", "is_target"),
+        col("is_target"), "text", buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == whole,
+      s"streamed DSIR model must equal the whole-corpus rebuild: $streamed vs $whole")
+  }
 }
