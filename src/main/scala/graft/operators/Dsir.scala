@@ -51,35 +51,6 @@ object Dsir {
       .select(bucket(col("term"), buckets).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("tf"))
 
-  /** Per-bucket importance weight `ln p_target(b) − ln p_raw(b)` with
-    * add-one smoothing over the `buckets` cells (target-absent buckets
-    * get a finite penalty instead of −∞). Built from two ≤ buckets-row
-    * hashed-count aggregates full-outer-joined on bucket, so totals
-    * are exact even when either corpus sees buckets the other lacks.
-    * The result is ≤ `buckets` rows — always broadcastable.
-    */
-  def weights(target: DataFrame, raw: DataFrame, textCol: String,
-              buckets: Int): DataFrame = {
-    val t = hashedCounts(target, textCol, buckets)
-      .withColumnRenamed("tf", "tf_t")
-    val r = hashedCounts(raw, textCol, buckets)
-      .withColumnRenamed("tf", "tf_r")
-    // same double-reference barrier as weightsFor: totals + weights
-    // both read `joined`; materializing ≤ 2·buckets rows keeps each
-    // corpus tokenization at one scan
-    val joined = Barrier.materialize(t.join(r, Seq("b"), "full_outer")
-      .select(col("b"),
-        coalesce(col("tf_t"), lit(0L)).as("tf_t"),
-        coalesce(col("tf_r"), lit(0L)).as("tf_r")))
-    val totals = joined.agg(sum(col("tf_t")).as("n_t"),
-      sum(col("tf_r")).as("n_r"))
-    joined.crossJoin(broadcast(totals))
-      .select(col("b"),
-        (log((col("tf_t") + lit(1.0d)) / (col("n_t") + lit(buckets.toDouble)))
-          - log((col("tf_r") + lit(1.0d)) / (col("n_r") + lit(buckets.toDouble))))
-          .as("w"))
-  }
-
   /** [[weights]] for the common case where the target corpus is a
     * predicate-defined SUBSET of the raw corpus (DSIR's own setup:
     * "target = the Wikipedia-like slice of the crawl"): both
@@ -91,6 +62,25 @@ object Dsir {
   def weightsFor(docs: DataFrame, isTarget: Column, textCol: String,
                  buckets: Int): DataFrame =
     weightsFromCounts(countsFor(docs, isTarget, textCol, buckets), buckets)
+
+  /** General two-corpus form of [[weightsFor]]: target and raw are
+    * arbitrary frames (target need not be a subset of raw). Builds the
+    * full-outer `(b, tf_t, tf_r)` count table and delegates to
+    * [[weightsFromCounts]] — one smoothing definition, not two.
+    */
+  def weights(target: DataFrame, raw: DataFrame, textCol: String,
+              buckets: Int): DataFrame = {
+    val t = hashedCounts(target, textCol, buckets)
+      .withColumnRenamed("tf", "tf_t")
+    val r = hashedCounts(raw, textCol, buckets)
+      .withColumnRenamed("tf", "tf_r")
+    weightsFromCounts(
+      t.join(r, Seq("b"), "full_outer")
+        .select(col("b"),
+          coalesce(col("tf_t"), lit(0L)).as("tf_t"),
+          coalesce(col("tf_r"), lit(0L)).as("tf_r")),
+      buckets)
+  }
 
   /** The one-pass count table `(b, tf_t, tf_r)` behind [[weightsFor]]:
     * target and raw counts from a single corpus scan via a conditional
@@ -119,17 +109,32 @@ object Dsir {
       .groupBy(col("b"))
       .agg(sum(col("tf_t")).as("tf_t"), sum(col("tf_r")).as("tf_r"))
 
-  /** Weights from a (possibly merged) [[countsFor]] table. The counts
-    * are barriered because totals and weights both read them — and the
-    * broadcast-subquery side plans independently, so without the
-    * barrier the count derivation (a corpus scan when counts are
-    * unmaterialized) would run twice.
+  /** Weights from a (possibly merged) [[countsFor]] table — DENSE over
+    * the whole closed feature space: exactly `buckets` rows, one per
+    * cell, with never-observed cells carrying the smoothing floor
+    * `ln(n_r + B) − ln(n_t + B)` instead of being absent. Density is
+    * what makes [[score]]'s inner join total — a scoring batch with
+    * tokens the model never saw (the incremental-model case) still
+    * scores every token instead of silently dropping it. (With
+    * add-one smoothing and a target smaller than raw, the floor is
+    * slightly positive — the standard artifact; selection ranks
+    * relatively, and smoothing exists precisely so unseen mass is
+    * finite.) The counts are barriered because totals and weights
+    * both read them — and the broadcast-subquery side plans
+    * independently, so without the barrier the count derivation (a
+    * corpus scan when counts are unmaterialized) would run twice.
     */
   def weightsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
     val c = Barrier.materialize(counts)
-    val totals = c.agg(sum(col("tf_t")).as("n_t"),
-      sum(col("tf_r")).as("n_r"))
-    c.crossJoin(broadcast(totals))
+    val totals = c.agg(coalesce(sum(col("tf_t")), lit(0L)).as("n_t"),
+      coalesce(sum(col("tf_r")), lit(0L)).as("n_r"))
+    val dense = c.sparkSession.range(0, buckets)
+      .select(col("id").as("b"))
+      .join(c, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("tf_t"), lit(0L)).as("tf_t"),
+        coalesce(col("tf_r"), lit(0L)).as("tf_r"))
+    dense.crossJoin(broadcast(totals))
       .select(col("b"),
         (log((col("tf_t") + lit(1.0d)) / (col("n_t") + lit(buckets.toDouble)))
           - log((col("tf_r") + lit(1.0d)) / (col("n_r") + lit(buckets.toDouble))))
@@ -138,12 +143,16 @@ object Dsir {
 
   /** Mean per-token importance weight for every document:
     * `(idCol, dsir_score, n_toks)`, score rounded to 6 digits. The
-    * weight table joins as an explicit broadcast (≤ `buckets` rows by
-    * construction), so the corpus-side plan is explode → map-side hash
-    * join → per-document partial (sum, count) — one document-keyed
-    * exchange total. A document's tokens all originate from its single
-    * input row, so the pre-shuffle partial sums them in token order —
-    * deterministic float summation (the q67 contract).
+    * weight table joins as an explicit broadcast (exactly `buckets`
+    * rows by construction), so the corpus-side plan is explode →
+    * map-side hash join → per-document partial (sum, count) — one
+    * document-keyed exchange total. Every token's bucket lies in
+    * [0, buckets), and a [[weightsFromCounts]] table is dense over
+    * that range, so the inner join is TOTAL — unseen tokens score the
+    * smoothing floor and `n_toks` is the true token count. A
+    * document's tokens all originate from its single input row, so
+    * the pre-shuffle partial sums them in token order — deterministic
+    * float summation (the q67 contract).
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             weightTable: DataFrame, buckets: Int): DataFrame =

@@ -119,14 +119,22 @@ object Similarity {
     * float-summation-order caveat. For probe sets too big to
     * broadcast, screen through [[annTopK]]'s bucketed join instead —
     * same output contract.
+    *
+    * Total over the corpus: an EMPTY probe set still yields one row
+    * per corpus vector with `max_cos = 0.0` (the no-contamination
+    * reading, matching the zero-vector convention) — a left join
+    * against the broadcast keeps the corpus rows, where a plain cross
+    * join would return nothing and a downstream "keep uncontaminated"
+    * join would drop the whole corpus.
     */
   def maxCosineAgainst(corpus: DataFrame, probes: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
     val p = probes.select(col(vecCol).as("pvec"))
-    c.crossJoin(broadcast(p))
+    c.join(broadcast(p), lit(true), "left")
       .select(col("vec_id"), cosineFast(col("cvec"), col("pvec")).as("cos"))
-      .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos"))
+      .groupBy(col("vec_id"))
+      .agg(coalesce(max(col("cos")), lit(0.0d)).as("max_cos"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,

@@ -76,17 +76,43 @@ class DsirSpec extends SparkSpec {
     assert(inc == whole, s"incremental model diverged: $inc vs $whole")
   }
 
-  test("weight table is closed at `buckets` rows; scoring joins it broadcast") {
+  test("weight table is dense at exactly `buckets` rows; scoring joins it broadcast") {
     val docs = corpus
     val buckets = 64
     val w = Dsir.weights(docs.filter(col("is_target")), docs, "text", buckets)
-    assert(w.count() <= buckets)
-    // distinct planted tokens (6) land in <= 6 buckets
-    assert(w.count() <= 6)
+    // dense over the closed feature space: unseen cells carry the
+    // smoothing floor so scoring's inner join is total
+    assert(w.count() == buckets)
     val scored = Dsir.score(docs, "doc_id", "text", w, buckets)
     scored.collect()
     val plan = scored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"scoring should broadcast the weight table:\n$plan")
+  }
+
+  test("scoring a batch with unseen tokens: nothing drops, floor applies") {
+    val s = spark
+    import s.implicits._
+    val buckets = 256
+    // model from the planted corpus; score a LATER batch (the
+    // incremental-model case) containing tokens the model never saw
+    val w = Dsir.weightsFor(corpus, col("is_target"), "text", buckets)
+    val batch = Seq(
+      (10L, "xyzzy plugh"),          // fully unseen vocabulary
+      (11L, "alpha xyzzy")           // half seen, half unseen
+    ).toDF("doc_id", "text")
+    val got = Dsir.score(batch, "doc_id", "text", w, buckets)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // both docs present, true token counts (no silent inner-join drop)
+    assert(got.keySet == Set(10L, 11L), s"got $got")
+    assert(got(10L)._2 == 2L && got(11L)._2 == 2L)
+    // fully-unseen doc scores exactly the smoothing floor:
+    // ln((0+1)/(n_t+B)) - ln((0+1)/(n_r+B)); corpus has n_t=10, n_r=24
+    // target/raw tokens, and xyzzy/plugh collide with nothing at B=256
+    val floor = math.log(1.0 / (10 + 256.0)) - math.log(1.0 / (24 + 256.0))
+    assert(math.abs(got(10L)._1 - BigDecimal(floor)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"expected the floor $floor, got ${got(10L)}")
   }
 }

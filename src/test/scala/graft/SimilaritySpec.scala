@@ -99,6 +99,15 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2L) - 1.0) < 1e-12)
     assert(math.abs(got(3L) - 1.0 / math.sqrt(2.0)) < 1e-6)
     assert(got(4L) == 0.0, s"anti-aligned max should be the orthogonal 0, got $got")
+
+    // total over the corpus: an empty probe set means "nothing is
+    // contaminated", not "no result" — every vector must still get a
+    // row, at the 0.0 no-contamination value
+    val empty = Similarity.maxCosineAgainst(
+        corpus, probes.filter(col("vec_id") < 0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(empty == Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0),
+      s"empty probes must yield one 0.0 row per vector, got $empty")
   }
 
   test("ANN recall@10 vs brute force is useful (≥ 0.3 on random vectors)") {
