@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Barrier, Components, CorpusPrep, Dedup, Dsir, NgramLm}
+import graft.operators.{Barrier, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -871,6 +871,50 @@ object Prep {
         SELECT doc_id, round(avg(logp), 6) AS mean_logp2,
                CAST(count(*) AS BIGINT) AS n_bigrams
         FROM bgs JOIN m USING (bg)
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ----- Trained quality classifier (hashed logistic regression) -----
+    // The supervised counterpart of q100: train a hashed-feature LR
+    // "looks like English" classifier (label = lang) by one exact
+    // full-batch gradient step from zero init, then score the corpus.
+    // One step is the oracle-checkable slice of training: at zero
+    // init every error is exactly ±1/2 (sigmoid(0) = 1/2), gradient
+    // sums are dyadic rationals (order-independent in IEEE), and the
+    // weight update (lr·g)/n is mirrored operation-for-operation in
+    // the twin — so the hash-match proves features, gradient, update,
+    // and scoring end-to-end. Multi-iteration training is
+    // HashedLrSpec-graded (float merge order varies at last ulp).
+    // Scale shape: see [[HashedLr]] — per-iteration two feature joins
+    // + a ≤4096-row driver collect; models always broadcast.
+    QueryDef(
+      "q103_quality_classifier",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+          .withColumn("y",
+            when(col("lang") === "en", 1.0d).otherwise(0.0d))
+        val w = HashedLr.train(d, "doc_id", "text", "y",
+          buckets = 4096, iters = 1, lr = 0.1)
+        HashedLr.score(d, "doc_id", "text", w, buckets = 4096)
+      },
+      Some("""
+        WITH toks0 AS (
+          SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        feats AS (
+          SELECT doc_id, y,
+                 ('0x' || substr(md5(term), 1, 6))::BIGINT % 4096 AS b,
+                 count(*) AS cnt
+          FROM toks0 GROUP BY doc_id, y, b),
+        n AS (SELECT count(*) AS n FROM documents),
+        grad AS (SELECT b, sum(cnt * (0.5 - y)) AS g FROM feats GROUP BY b),
+        w AS (SELECT b, 0.0 - 0.1 * g / n.n AS w FROM grad CROSS JOIN n),
+        m AS (
+          SELECT doc_id, sum(cnt * w) AS margin
+          FROM feats JOIN w USING (b) GROUP BY doc_id)
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(0.0 - margin)), 6) AS p,
+               round(1.0 / (1.0 + exp(0.0 - margin)), 6) >= 0.5 AS predicted
+        FROM m"""))
   )
 }
