@@ -502,4 +502,59 @@ object Dedup {
       .filter(col("n_common") >= minCommon)
       .select(col("id").as("doc_id"), col("bench_id"), col("n_common"))
   }
+
+  /** Corpus-wide repeated-SPAN removal: the shingle-granular form of
+    * ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better" — they use suffix arrays; the
+    * k-token-window form keeps the same contract with relational
+    * machinery). Every k-token span that already occurred earlier in
+    * the corpus — (id, pos) lexicographic order defines "earlier" —
+    * loses its tokens; the canonical first occurrence keeps them.
+    * Within-document repetition is removed by the same rule (a run of
+    * one repeated token keeps exactly its first k tokens). Docs
+    * shorter than k tokens pass through untouched.
+    *
+    * Output: (idCol, clean_text, n_kept, n_dropped) — the
+    * [[dedupLines]] contract at span granularity.
+    *
+    * Scale shape: shingle hashing is a zero-shuffle generator over
+    * each doc's own token array; the first-occurrence choice is the
+    * skew-safe [[dedupLines]] idiom (distinct-shingle-sized min-struct
+    * aggregate, never occurrence-sized windows — a corpus-wide hot
+    * span collapses map-side); covered positions explode only from
+    * REDUNDANT occurrences (bounded by the dup rate, not the corpus);
+    * the rebuild is one id-keyed join + per-row array filter. Nothing
+    * is all-pairs and document bodies shuffle only in the final
+    * id-keyed join-back.
+    */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "span width must be at least 2 tokens")
+    val toks = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("toks"))
+    val occs = toks
+      .select(col("id"),
+        posexplode(Text.wordNgrams(col("toks"), k)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), md5(col("gram")).as("sh"))
+    val firsts = occs.groupBy(col("sh"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val redundant = occs.join(firsts, "sh")
+      .filter(struct(col("id"), col("pos")) =!= col("first"))
+    val covered = redundant
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .groupBy(col("id")).agg(collect_set(col("p")).as("drop_ps"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        coalesce(col("drop_ps"), array().cast("array<integer>")).as("dps"))
+      .select(col("id"), size(col("toks")).as("n_total"),
+        // dps is a bound attribute (HOF binding rule); contains-check
+        // is per-token O(|dps|), bounded by the doc's own dup spans
+        filter(col("toks"),
+          (_, i) => !array_contains(col("dps"), i)).as("kept"))
+      .select(col("id").as(idCol),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_total") - size(col("kept"))).cast("long").as("n_dropped"))
+  }
 }

@@ -780,6 +780,55 @@ object Corpus {
                round(mc, 6) >= 0.8 AS contaminated
         FROM m""")),
 
+    // ----- Repeated-span removal (ExactSubstr dedup, shingle form) -----
+    // Lee et al. 2021's substring dedup at 8-token-span granularity:
+    // any span already seen earlier in the corpus ((doc, pos) order)
+    // loses its tokens; the first occurrence keeps them; self-
+    // repetition inside a document trims by the same rule. The oracle
+    // recomputes spans, first-occurrence choice, position coverage,
+    // and the rebuild, so the hash-match proves the whole contract —
+    // including the q76-style (clean_text, n_kept, n_dropped) output.
+    // Scale shape: see [[Dedup.dropRepeatedSpans]] — zero-shuffle
+    // shingling, distinct-shingle-sized skew-safe first choice,
+    // coverage explode bounded by the dup rate, one id-keyed rebuild
+    // join.
+    QueryDef(
+      "q104_repeated_spans",
+      (spark, dir) =>
+        Dedup.dropRepeatedSpans(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k = 8),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh0 AS (
+          SELECT doc_id,
+                 [struct_pack(pos := i - 1,
+                    sh := md5(array_to_string(w[i : i + 7], ' ')))
+                  for i in range(1, greatest(len(w) - 6, 1))] AS occs
+          FROM t),
+        occ AS (SELECT doc_id, unnest(occs, recursive := true) FROM sh0),
+        red AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY sh
+                                      ORDER BY doc_id, pos) AS rn
+            FROM occ) WHERE rn > 1),
+        cov AS (SELECT DISTINCT doc_id, p FROM (
+          SELECT doc_id, unnest([pos + d for d in range(0, 8)]) AS p
+          FROM red)),
+        covs AS (SELECT doc_id, list(p) AS dps FROM cov GROUP BY doc_id),
+        fin AS (
+          SELECT t.doc_id,
+                 [w[i] for i in range(1, len(w) + 1)
+                  if NOT list_contains(coalesce(dps, CAST([] AS BIGINT[])), i - 1)] AS kept,
+                 len(w) AS n_total
+          FROM t LEFT JOIN covs USING (doc_id))
+        -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws
+        -- renders a fully-trimmed document as '' — match that
+        SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(n_total - len(kept) AS BIGINT) AS n_dropped
+        FROM fin""")),
+
     // ----- Line-level dedup (C4/CCNet): drop repeated lines corpus-wide -----
     // The corpus text has no newlines, so the query first chunks each
     // document's tokens into deterministic 8-token "lines" (mirrored

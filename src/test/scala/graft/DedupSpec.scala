@@ -257,6 +257,27 @@ class DedupSpec extends SparkSpec {
     assert(got == updatedRef.collect().map(_.getLong(1)).toSet)
   }
 
+  test("dropRepeatedSpans: later copies trimmed, first occurrence kept") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // owns span "a b c" — untouched
+      (2L, "x y z a b c"),     // re-uses "a b c" at pos 3 -> loses 3,4,5
+      (3L, "p q p q p q"),     // self-repetition: keeps first k tokens
+      (4L, "m n")              // shorter than k: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("a b c d e", 5L, 0L)), s"got $got")
+    assert(got(2L) == (("x y z", 3L, 3L)), s"got $got")
+    // spans (p q p)@0 and (q p q)@1 are the firsts; their later copies
+    // at 2 and 3 cover positions 2..5 -> only "p q" survives
+    assert(got(3L) == (("p q", 2L, 4L)), s"got $got")
+    assert(got(4L) == (("m n", 2L, 0L)), s"got $got")
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>
