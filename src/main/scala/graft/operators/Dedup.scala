@@ -510,22 +510,28 @@ object Dedup {
     * machinery). Every k-token span that already occurred earlier in
     * the corpus — (id, pos) lexicographic order defines "earlier" —
     * loses its tokens; the canonical first occurrence keeps them.
-    * Within-document repetition is removed by the same rule (a run of
-    * one repeated token keeps exactly its first k tokens). Docs
-    * shorter than k tokens pass through untouched.
+    * Within-document repetition is removed by the same rule. Every
+    * position covered by SOME redundant occurrence is dropped —
+    * overlapping the first occurrence does not protect a position, so
+    * a periodic run ("p q p q p q", k=3) keeps exactly one period and
+    * a constant run ("a a a a a", k=3) keeps one token: deliberately
+    * aggressive, like the suffix-array original. Docs shorter than k
+    * tokens pass through untouched.
     *
     * Output: (idCol, clean_text, n_kept, n_dropped) — the
     * [[dedupLines]] contract at span granularity.
     *
     * Scale shape: shingle hashing is a zero-shuffle generator over
     * each doc's own token array; the first-occurrence choice is the
-    * skew-safe [[dedupLines]] idiom (distinct-shingle-sized min-struct
-    * aggregate, never occurrence-sized windows — a corpus-wide hot
-    * span collapses map-side); covered positions explode only from
-    * REDUNDANT occurrences (bounded by the dup rate, not the corpus);
-    * the rebuild is one id-keyed join + per-row array filter. Nothing
-    * is all-pairs and document bodies shuffle only in the final
-    * id-keyed join-back.
+    * skew-safe [[dedupLines]] idiom — a distinct-shingle-sized
+    * min-struct aggregate (a corpus-wide hot span collapses map-side),
+    * and redundancy is decided by joining the keep-keys back on the
+    * UNIQUE, uniform (id, pos) key ([[markByKeys]]'s reasoning), never
+    * by joining occurrences on the skewed shingle key; covered
+    * positions explode only from REDUNDANT occurrences (bounded by
+    * the dup rate, not the corpus); the rebuild is one id-keyed join
+    * + per-row array filter. Nothing is all-pairs and document bodies
+    * shuffle only in the final id-keyed join-back.
     */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -536,10 +542,14 @@ object Dedup {
       .select(col("id"),
         posexplode(Text.wordNgrams(col("toks"), k)).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), md5(col("gram")).as("sh"))
-    val firsts = occs.groupBy(col("sh"))
+    val keepKeys = occs.groupBy(col("sh"))
       .agg(min(struct(col("id"), col("pos"))).as("first"))
-    val redundant = occs.join(firsts, "sh")
-      .filter(struct(col("id"), col("pos")) =!= col("first"))
+      .select(col("first.id").as("id"), col("first.pos").as("pos"),
+        lit(true).as("is_first"))
+    // join back on (id, pos) — unique and uniform — NOT on the shingle
+    // key, where a corpus-wide hot span would land on one task
+    val redundant = occs.join(keepKeys, Seq("id", "pos"), "left")
+      .filter(col("is_first").isNull)
     val covered = redundant
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))

@@ -43,18 +43,35 @@ object HashedLr {
 
   /** Train by full-batch GD from zero init; returns the dense weight
     * table `(b, w)` (exactly `buckets` rows). `labelCol` must be
-    * 0.0/1.0 doubles.
+    * 0.0/1.0 doubles. Caches its derived feature/label tables for the
+    * iteration loop and releases them before returning (the Ivf
+    * cache-then-unpersist discipline); when the caller already has a
+    * feature table — e.g. to score with it afterwards without a second
+    * corpus pass — use [[trainOnFeatures]] + [[scoreFeatures]] and own
+    * the lifecycle.
     */
   def train(docs: DataFrame, idCol: String, textCol: String,
             labelCol: String, buckets: Int, iters: Int,
             lr: Double): DataFrame = {
-    val spark = docs.sparkSession
+    val feats = features(docs, idCol, textCol, buckets).cache()
+    val labels = docs
+      .select(col(idCol), col(labelCol).cast("double").as("y")).cache()
+    try trainOnFeatures(feats, labels, idCol, buckets, iters, lr)
+    finally { feats.unpersist(false); labels.unpersist(false) }
+  }
+
+  /** The GD loop over a caller-owned [[features]] table and `(idCol,
+    * y)` label frame. Cache both before calling (every iteration runs
+    * two joins against each) — this method does not manage their
+    * lifecycle. The returned weight table is fully materialized on
+    * the driver (collect + re-create), so it stays valid after the
+    * inputs are unpersisted.
+    */
+  def trainOnFeatures(feats: DataFrame, labels: DataFrame, idCol: String,
+                      buckets: Int, iters: Int, lr: Double): DataFrame = {
+    val spark = feats.sparkSession
     import spark.implicits._
     require(iters >= 1 && lr > 0)
-    val feats = Barrier.materialize(
-      features(docs, idCol, textCol, buckets))
-    val labels = Barrier.materialize(
-      docs.select(col(idCol), col(labelCol).cast("double").as("y")))
     val n = labels.count()
     val w = Array.fill(buckets)(0.0d)
     for (_ <- 1 to iters) {
@@ -82,12 +99,20 @@ object HashedLr {
     * `(idCol, p, predicted)` with `p = sigmoid(Σ cnt·w)` rounded to 6
     * digits and `predicted` compared on the ROUNDED p (so a last-ulp
     * margin difference cannot flip it). One corpus-feature pass +
-    * broadcast model join + per-document aggregate.
+    * broadcast model join + per-document aggregate; to reuse a
+    * feature table the trainer already built (skipping that corpus
+    * pass), call [[scoreFeatures]] directly.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             weights: DataFrame, buckets: Int,
             threshold: Double = 0.5): DataFrame =
-    features(docs, idCol, textCol, buckets)
+    scoreFeatures(features(docs, idCol, textCol, buckets), idCol,
+      weights, threshold)
+
+  /** [[score]] over a caller-owned [[features]] table. */
+  def scoreFeatures(feats: DataFrame, idCol: String, weights: DataFrame,
+                    threshold: Double = 0.5): DataFrame =
+    feats
       .join(broadcast(weights), "b")
       .groupBy(col(idCol))
       .agg(round(sigmoid(sum(col("cnt") * col("w"))), 6).as("p"))

@@ -892,9 +892,14 @@ object Prep {
         val d = Tables.load(spark, dir, "documents")
           .withColumn("y",
             when(col("lang") === "en", 1.0d).otherwise(0.0d))
-        val w = HashedLr.train(d, "doc_id", "text", "y",
+        // ONE feature pass serves both training and scoring (cache is
+        // plan-keyed, so repeated invocations reuse the same entry);
+        // labels are a narrow pushed-down scan — cheap uncached
+        val feats = HashedLr.features(d, "doc_id", "text", 4096).cache()
+        val w = HashedLr.trainOnFeatures(feats,
+          d.select(col("doc_id"), col("y")), "doc_id",
           buckets = 4096, iters = 1, lr = 0.1)
-        HashedLr.score(d, "doc_id", "text", w, buckets = 4096)
+        HashedLr.scoreFeatures(feats, "doc_id", w)
       },
       Some("""
         WITH toks0 AS (

@@ -22,9 +22,9 @@ class HashedLrSpec extends SparkSpec {
     // grad(d)=+1/2 and w1 = {a:+0.05, b:+0.025, c:-0.05, d:-0.025}
     val docs = Seq((1L, "a a b", 1.0), (2L, "c c d", 0.0))
       .toDF("doc_id", "text", "y")
-    val w = HashedLr.train(docs, "doc_id", "text", "y",
-        buckets = 256, iters = 1, lr = 0.1)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wDf = HashedLr.train(docs, "doc_id", "text", "y",
+      buckets = 256, iters = 1, lr = 0.1)
+    val w = wDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(w.size == 256)
     // buckets: a=117 b=95 c=8 d=224 (md5-prefix % 256, all distinct)
     assert(math.abs(w(117L) - 0.05) < 1e-15, s"w(a)=${w(117L)}")
@@ -32,9 +32,8 @@ class HashedLrSpec extends SparkSpec {
     assert(math.abs(w(8L) + 0.05) < 1e-15, s"w(c)=${w(8L)}")
     assert(math.abs(w(224L) + 0.025) < 1e-15, s"w(d)=${w(224L)}")
     assert(w.values.count(_ != 0.0) == 4, "only touched buckets move")
-    // scoring under w1: doc1 margin = 0.125, doc2 = -0.125
-    val p = HashedLr.score(docs, "doc_id", "text",
-        HashedLr.train(docs, "doc_id", "text", "y", 256, 1, 0.1), 256)
+    // scoring under w1 (same trained table): doc1 margin = 0.125
+    val p = HashedLr.score(docs, "doc_id", "text", wDf, 256)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(p(1L) - 1.0 / (1.0 + math.exp(-0.125))) < 1e-6)
     assert(math.abs(p(2L) - 1.0 / (1.0 + math.exp(0.125))) < 1e-6)
