@@ -920,6 +920,86 @@ object Prep {
         SELECT doc_id,
                round(1.0 / (1.0 + exp(0.0 - margin)), 6) AS p,
                round(1.0 / (1.0 + exp(0.0 - margin)), 6) >= 0.5 AS predicted
-        FROM m"""))
+        FROM m""")),
+
+    // ----- Training-data recipe: filter → mix → shuffle → pack -----
+    // The end-to-end shape a training run actually consumes, composed
+    // from four proven stages under ONE oracle (the q75 idiom for the
+    // data-recipe side): length gate → per-source temperature quotas
+    // (q72, α=0.5, exact-quota md5 rank) → deterministic epoch
+    // shuffle over the SELECTED set (q95's distributed rank, explicit
+    // width per the derived-input scaladoc) → budget-256 packing in
+    // shuffle order across 8 shards (q54's cumsum). The hash-match
+    // proves the stages agree on every boundary: quota flooring, rank
+    // ties, shuffle position, and packing arithmetic. Scale shape:
+    // each stage keeps its own audited plan (q72's aggregate-sized
+    // quota window + per-source rank — swap in q78's sort-free
+    // threshold for giant sources; q95's shard-decomposed rank; q54's
+    // per-shard cumsum — raise the shard count with the corpus).
+    QueryDef(
+      "q105_data_recipe",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val kept = d.filter(size(split(col("text"), " ")) >= 20)
+        val counts = kept.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val quota = counts
+          .withColumn("w", pow(col("n_s").cast("double"), 0.5))
+          .withColumn("t_s", least(col("n_s"),
+            floor(round(lit(300) * col("w") /
+              sum(col("w")).over(Window.partitionBy(lit(1))), 6)).cast("long")))
+          .select(col("source"), col("t_s"))
+        val ranked = kept.withColumn("rk",
+          row_number().over(Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+            .cast("long"))
+        val sampled = ranked.join(quota, "source")
+          .filter(col("rk") <= col("t_s"))
+          .select(col("doc_id"), col("text"))
+        val pos = CorpusPrep.epochShuffle(
+          sampled.select(col("doc_id")), "doc_id", "recipe7:", width = 2)
+        val ordered = sampled.join(pos, "doc_id")
+        CorpusPrep.packSequential(ordered, "shuffle_pos", "text",
+          budget = 256, shardCol = pmod(col("shuffle_pos"), lit(8)))
+      },
+      Some("""
+        WITH kept AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE len(string_split(text, ' ')) >= 20),
+        c AS (SELECT source, count(*) AS n_s FROM kept GROUP BY source),
+        q AS (
+          SELECT source,
+                 least(n_s, CAST(floor(round(
+                   300 * pow(n_s, 0.5) / sum(pow(n_s, 0.5)) OVER (), 6))
+                   AS BIGINT)) AS t_s
+          FROM c),
+        r AS (
+          SELECT doc_id, source, text,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM kept),
+        sampled AS (
+          SELECT r.doc_id, r.text FROM r JOIN q USING (source)
+          WHERE r.rk <= q.t_s),
+        pos AS (
+          SELECT doc_id, text,
+                 row_number() OVER (ORDER BY md5(concat('recipe7:', doc_id)),
+                                    doc_id) AS shuffle_pos
+          FROM sampled),
+        t AS (
+          SELECT shuffle_pos, shuffle_pos % 8 AS shard,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_toks
+          FROM pos),
+        p AS (
+          SELECT shuffle_pos, shard, n_toks,
+                 coalesce(sum(n_toks) OVER (PARTITION BY shard
+                   ORDER BY shuffle_pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM t)
+        SELECT shuffle_pos, shard, n_toks,
+               CAST(cum_before // 256 AS BIGINT) AS seq_id,
+               CAST(cum_before % 256 AS BIGINT) AS offset
+        FROM p"""))
   )
 }
