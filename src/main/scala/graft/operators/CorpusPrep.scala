@@ -114,6 +114,42 @@ object CorpusPrep {
       .select(col(idCol), col("term"), col("rnk"), col("tfidf"))
   }
 
+  /** Exact-quota temperature (mixture) sampling — the data-mixing step
+    * of a training pipeline (q72, and the mix stage of q105's recipe).
+    * Per-source quota t_s = min(n_s, floor(round(budget·n_s^alpha /
+    * Σ_s n_s^alpha, 6))) — alpha < 1 flattens the source distribution
+    * (big sources down-weighted, rare sources kept) — and each
+    * source's first t_s documents in deterministic md5(id) order are
+    * chosen. The round-to-6-digits before floor keeps a last-ulp
+    * window-sum difference between engines/plans from flipping an
+    * integer quota boundary. ONE definition serves every caller so
+    * quota flooring and tie-breaking can never diverge between the
+    * standalone query and compositions.
+    *
+    * Output: the input columns plus `rk` (the 1-based per-source md5
+    * rank, long). Scale shape: quotas are a window over the per-source
+    * COUNT aggregate (a handful of rows, broadcast back); the
+    * per-source row_number is exact-quota semantics — for giant
+    * sources trade exactness for [[mixtureSampleThreshold]]'s sort-free
+    * filter (same quota arithmetic, membership in expectation). */
+  def temperatureSample(docs: DataFrame, idCol: String,
+      sourceCol: String, alpha: Double, budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+    val quota = counts
+      .withColumn("w", pow(col("n_s").cast("double"), alpha))
+      .withColumn("t_s", least(col("n_s"),
+        floor(round(lit(budget) * col("w") /
+          sum(col("w")).over(Window.partitionBy(lit(1))), 6)).cast("long")))
+      .select(col(sourceCol), col("t_s"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col(sourceCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol)))
+        .cast("long"))
+    ranked.join(quota, sourceCol)
+      .filter(col("rk") <= col("t_s"))
+      .drop("t_s")
+  }
+
   /** Hash-threshold mixture sampling — the giant-source form of q72's
     * temperature sampling. Per-source quota ∝ n_s^alpha as there, but
     * membership is a FILTER, not a rank: accept a row iff its id-hash

@@ -530,7 +530,8 @@ object Dedup {
     * by joining occurrences on the skewed shingle key; covered
     * positions explode only from REDUNDANT occurrences (bounded by
     * the dup rate, not the corpus); the rebuild is one id-keyed join
-    * + per-row array filter. Nothing is all-pairs and document bodies
+    * + a per-row hash-based position-set difference (linear in doc
+    * length). Nothing is all-pairs and document bodies
     * shuffle only in the final id-keyed join-back.
     */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
@@ -545,11 +546,10 @@ object Dedup {
     val keepKeys = occs.groupBy(col("sh"))
       .agg(min(struct(col("id"), col("pos"))).as("first"))
       .select(col("first.id").as("id"), col("first.pos").as("pos"),
-        lit(true).as("is_first"))
+        lit(true).as("keep"))
     // join back on (id, pos) — unique and uniform — NOT on the shingle
     // key, where a corpus-wide hot span would land on one task
-    val redundant = occs.join(keepKeys, Seq("id", "pos"), "left")
-      .filter(col("is_first").isNull)
+    val redundant = markByKeys(occs, keepKeys).filter(!col("keep"))
     val covered = redundant
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
@@ -558,10 +558,20 @@ object Dedup {
       .select(col("id"), col("toks"),
         coalesce(col("drop_ps"), array().cast("array<integer>")).as("dps"))
       .select(col("id"), size(col("toks")).as("n_total"),
-        // dps is a bound attribute (HOF binding rule); contains-check
-        // is per-token O(|dps|), bounded by the doc's own dup spans
-        filter(col("toks"),
-          (_, i) => !array_contains(col("dps"), i)).as("kept"))
+        // fast path: no redundant spans (the common case) → kept IS
+        // toks, zero per-row allocation. Dup docs take a hash-based
+        // position-set difference — O(n + |dps|) — never the
+        // O(n·|dps|) per-token contains scan a fully-duplicated long
+        // doc would turn into hours of interpreted lambda work. A
+        // nonempty dps implies ≥ k tokens, so sequence() cannot
+        // descend (the (1,0) trap) inside the otherwise branch;
+        // toks/dps are bound attributes (HOF binding rule) and
+        // element_at is O(1) per kept position.
+        when(size(col("dps")) === 0, col("toks"))
+          .otherwise(transform(
+            array_except(sequence(lit(0), size(col("toks")) - lit(1)),
+              col("dps")),
+            p => element_at(col("toks"), p + lit(1)))).as("kept"))
       .select(col("id").as(idCol),
         concat_ws(" ", col("kept")).as("clean_text"),
         size(col("kept")).cast("long").as("n_kept"),

@@ -329,19 +329,8 @@ object Prep {
       "q72_mixture_sample",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-        val quota = counts
-          .withColumn("w", pow(col("n_s").cast("double"), 0.5))
-          .withColumn("t_s", least(col("n_s"),
-            floor(round(lit(200) * col("w") /
-              sum(col("w")).over(Window.partitionBy(lit(1))), 6)).cast("long")))
-          .select(col("source"), col("t_s"))
-        val ranked = d.withColumn("rk",
-          row_number().over(Window.partitionBy(col("source"))
-            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
-            .cast("long"))
-        ranked.join(quota, "source")
-          .filter(col("rk") <= col("t_s"))
+        CorpusPrep.temperatureSample(d, "doc_id", "source",
+            alpha = 0.5, budget = 200)
           .select(col("doc_id"), col("source"), col("rk"))
       },
       Some("""
@@ -892,10 +881,15 @@ object Prep {
         val d = Tables.load(spark, dir, "documents")
           .withColumn("y",
             when(col("lang") === "en", 1.0d).otherwise(0.0d))
-        // ONE feature pass serves both training and scoring (cache is
-        // plan-keyed, so repeated invocations reuse the same entry);
-        // labels are a narrow pushed-down scan — cheap uncached
-        val feats = HashedLr.features(d, "doc_id", "text", 4096).cache()
+        // ONE feature pass serves both training and scoring. Barrier,
+        // not cache(): CacheManager entries live until an explicit
+        // unpersist nobody here can issue (the result is consumed
+        // lazily by the harness), whereas localCheckpoint blocks are
+        // ContextCleaner-released once this frame is unreferenced —
+        // bounded lifecycle, same single computation. Labels are a
+        // narrow pushed-down scan — cheap unmaterialized.
+        val feats = Barrier.materialize(
+          HashedLr.features(d, "doc_id", "text", 4096))
         val w = HashedLr.trainOnFeatures(feats,
           d.select(col("doc_id"), col("y")), "doc_id",
           buckets = 4096, iters = 1, lr = 0.1)
@@ -941,20 +935,15 @@ object Prep {
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
         val kept = d.filter(size(split(col("text"), " ")) >= 20)
-        val counts = kept.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-        val quota = counts
-          .withColumn("w", pow(col("n_s").cast("double"), 0.5))
-          .withColumn("t_s", least(col("n_s"),
-            floor(round(lit(300) * col("w") /
-              sum(col("w")).over(Window.partitionBy(lit(1))), 6)).cast("long")))
-          .select(col("source"), col("t_s"))
-        val ranked = kept.withColumn("rk",
-          row_number().over(Window.partitionBy(col("source"))
-            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
-            .cast("long"))
-        val sampled = ranked.join(quota, "source")
-          .filter(col("rk") <= col("t_s"))
-          .select(col("doc_id"), col("text"))
+        // quota-bounded (Σ t_s ≤ 300 rows), and consumed THREE times
+        // downstream (epochShuffle's within + offsets, plus the
+        // join-back) — barrier it so the corpus-wide filter + quota +
+        // rank pipeline executes exactly once (plans are trees, not
+        // DAGs: an unpersisted frame used twice is computed twice)
+        val sampled = Barrier.materialize(
+          CorpusPrep.temperatureSample(kept, "doc_id", "source",
+              alpha = 0.5, budget = 300)
+            .select(col("doc_id"), col("text")))
         val pos = CorpusPrep.epochShuffle(
           sampled.select(col("doc_id")), "doc_id", "recipe7:", width = 2)
         val ordered = sampled.join(pos, "doc_id")
