@@ -278,6 +278,29 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (("m n", 2L, 0L)), s"got $got")
   }
 
+  test("dropRepeatedSpans: fully-duplicated long doc loses everything, fast") {
+    // The rebuild's worst case: a long doc that is a verbatim copy of
+    // an earlier one gets a drop-set covering EVERY position. The
+    // hash-based array_except rebuild is O(n + |dps|) per doc; the
+    // per-token contains-scan it replaced was O(n·|dps|) — quadratic
+    // exactly here, the common case in dedup workloads. 10k tokens
+    // would take ~10^8 interpreted lambda steps the old way; the test
+    // budget (generous for CI noise) would blow through it.
+    val s = spark
+    import s.implicits._
+    val longText = (1 to 10000).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, longText), (2L, longText)).toDF("doc_id", "text")
+    val t0 = System.nanoTime
+    val got = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val secs = (System.nanoTime - t0) / 1e9
+    assert(got(1L) == ((longText, 10000L, 0L)), "first copy must be untouched")
+    assert(got(2L) == (("", 0L, 10000L)), "verbatim copy must lose every token")
+    assert(secs < 60.0, f"worst-case rebuild took $secs%.1f s")
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>
