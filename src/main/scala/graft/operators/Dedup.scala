@@ -558,16 +558,24 @@ object Dedup {
       .select(col("id"), col("toks"),
         coalesce(col("drop_ps"), array().cast("array<integer>")).as("dps"))
       .select(col("id"), size(col("toks")).as("n_total"),
-        // fast path: no redundant spans (the common case) → kept IS
-        // toks, zero per-row allocation. Dup docs take a hash-based
-        // position-set difference — O(n + |dps|) — never the
-        // O(n·|dps|) per-token contains scan a fully-duplicated long
-        // doc would turn into hours of interpreted lambda work. A
-        // nonempty dps implies ≥ k tokens, so sequence() cannot
-        // descend (the (1,0) trap) inside the otherwise branch;
-        // toks/dps are bound attributes (HOF binding rule) and
-        // element_at is O(1) per kept position.
+        // cost-model dispatch on the doc's own dup-span mass:
+        //  - no redundant spans (the common case) → kept IS toks,
+        //    zero per-row work;
+        //  - sparse dups (|dps| ≤ 32) → per-token contains scan,
+        //    O(32·n) worst = linear with a small constant and no
+        //    intermediate allocation;
+        //  - heavy dups → hash-based position-set difference,
+        //    O(n + |dps|) — never the O(n·|dps|) contains scan a
+        //    fully-duplicated long doc would turn into hours of
+        //    interpreted lambda work.
+        // A nonempty dps implies ≥ k tokens, so sequence() cannot
+        // descend (the (1,0) trap) in the heavy branch; toks/dps are
+        // bound attributes (HOF binding rule) and element_at is O(1)
+        // per kept position.
         when(size(col("dps")) === 0, col("toks"))
+          .when(size(col("dps")) <= 32,
+            filter(col("toks"),
+              (_, i) => !array_contains(col("dps"), i)))
           .otherwise(transform(
             array_except(sequence(lit(0), size(col("toks")) - lit(1)),
               col("dps")),
