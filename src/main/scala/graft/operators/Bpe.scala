@@ -1,0 +1,105 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary induction — the
+  * tokenizer-training stage of an LLM data pipeline (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"): repeatedly merge the most frequent adjacent symbol pair,
+  * starting from characters plus an end-of-word marker. North-star
+  * extension (the reference corpus has no analog).
+  *
+  * Scale shape — the whole point of doing this on an engine: the ONLY
+  * corpus-scale operation is the word-frequency aggregate (one
+  * map-side-combined shuffle of (word, 1) pairs). Everything after —
+  * segmentation, pair counting, merge application — runs over the
+  * DISTINCT-WORD table, which by Heaps' law is orders of magnitude
+  * smaller than the corpus and stays fully distributed; the driver
+  * sees one argmax row per merge (the [[Ivf]] bounded-driver-training
+  * pattern). Each iteration re-materializes the segmentation behind a
+  * [[Barrier]] so lineage stays flat across k merges.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence, so
+    * merges can learn word-final subwords (Sennrich's `</w>`). */
+  val EndOfWord = "</w>"
+
+  /** (w, f): corpus word frequencies — the single corpus-scale pass.
+    * Empty tokens (doubled separators) are dropped on both engines;
+    * every downstream symbol sequence therefore has length ≥ 2. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** Initial segmentation: each word as its character symbols plus
+    * [[EndOfWord]]. `w` is a bound attribute here, so the per-char
+    * substr lambda reads an attribute, not a recomputed tree (HOF
+    * binding rule). */
+  def segment(wf: DataFrame): DataFrame =
+    wf.select(col("w"), col("f"),
+      concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit(EndOfWord))).as("syms"))
+
+  /** Weighted adjacent-pair counts over a segmentation: every
+    * within-word occurrence counts ("aaa" contributes (a,a) twice),
+    * weighted by the word's corpus frequency. Pure integer arithmetic
+    * — exactly reproducible across engines. The explode input is
+    * distinct-word-sized; the aggregate output is pair-vocabulary-
+    * sized. Fully-merged single-symbol words yield no pairs (the
+    * guard also keeps sequence() from descending (1,0)-style). */
+  def pairCounts(seg: DataFrame): DataFrame =
+    seg.select(col("f"),
+      explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("f")).as("cnt"))
+
+  /** Apply one merge (l, r) → lr to every word's symbol sequence,
+    * greedy left-to-right (the BPE rule: "aaa" under (a,a) becomes
+    * [aa, a]). One fold over each word's own symbols — interpreted
+    * HOF, but the input is the distinct-word table, never the corpus.
+    * The && short-circuits, so element_at(acc, -1) is never evaluated
+    * on an empty accumulator (ANSI mode throws on out-of-bounds). */
+  def applyMerge(seg: DataFrame, l: String, r: String): DataFrame =
+    seg.withColumn("syms",
+      aggregate(col("syms"), array().cast("array<string>"),
+        (acc, s) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), s))))
+          .otherwise(concat(acc, array(s)))))
+
+  /** Learn the first `k` merges: argmax pair by (count desc, l, r) —
+    * the deterministic tie-break both engines can reproduce — then
+    * re-segment, k times. Driver traffic is ONE row per merge; the
+    * segmentation is barriered per iteration (flat lineage, the
+    * k-means discipline). Stops early if no pairs remain. */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] = {
+    require(k >= 1, "need at least one merge")
+    var seg = Barrier.materialize(segment(wordFreq(docs, textCol)))
+    val out = ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (out.length < k && !exhausted) {
+      val top = pairCounts(seg)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((l, r, c))
+        if (out.length < k) seg = Barrier.materialize(applyMerge(seg, l, r))
+      }
+    }
+    out.toSeq
+  }
+}

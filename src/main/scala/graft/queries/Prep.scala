@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Barrier, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm}
+import graft.operators.{Barrier, Bpe, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -989,6 +989,45 @@ object Prep {
         SELECT shuffle_pos, shard, n_toks,
                CAST(cum_before // 256 AS BIGINT) AS seq_id,
                CAST(cum_before % 256 AS BIGINT) AS offset
-        FROM p"""))
+        FROM p""")),
+
+    // ----- BPE vocabulary induction: the first merge's pair table -----
+    // Tokenizer training as an engine job ([[Bpe]], Sennrich 2016).
+    // The oracle-checkable slice is the FIRST merge decision (the q103
+    // idiom): weighted adjacent-pair counts over the char+</w>
+    // segmentation are pure integer arithmetic, so the top-20 pair
+    // table (deterministic (cnt desc, l, r) tie-break — the same order
+    // learnMerges uses for its argmax) hash-matches exactly;
+    // multi-merge induction is BpeSpec-graded on the hand-computed
+    // Sennrich example. Scale shape: the only corpus-scale operation
+    // is the word-frequency aggregate (one map-side-combined shuffle);
+    // segmentation and pair counting run over the distinct-word table
+    // (Heaps' law: ≪ corpus), and merge iterations collect ONE argmax
+    // row each — the Ivf bounded-driver pattern.
+    QueryDef(
+      "q106_bpe_pairs",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Bpe.pairCounts(Bpe.segment(Bpe.wordFreq(d, "text")))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(20)
+      },
+      Some("""
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS f
+          FROM words WHERE len(w) > 0 GROUP BY w),
+        sym AS (
+          SELECT w, f, list_append(string_split(w, ''), '</w>') AS syms
+          FROM wf),
+        pairs AS (
+          SELECT syms[i] AS l, syms[i+1] AS r, f
+          FROM sym, unnest(range(1, len(syms))) AS t(i)),
+        agg AS (
+          SELECT l, r, CAST(sum(f) AS BIGINT) AS cnt
+          FROM pairs GROUP BY l, r)
+        SELECT l, r, cnt FROM agg
+        ORDER BY cnt DESC, l, r LIMIT 20"""))
   )
 }

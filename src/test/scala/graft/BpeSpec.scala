@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Grades BPE vocabulary induction on the Sennrich et al. (2016)
+  * worked example — the merge sequence is hand-computable, so the
+  * spec pins pair counting (within-word multiplicity, frequency
+  * weighting), the greedy left-to-right merge rule, and the
+  * deterministic (count desc, l, r) tie-break across several
+  * iterations. The FIRST pair-count table is also oracle-checked
+  * end-to-end in DuckDB (q106). */
+class BpeSpec extends SparkSpec {
+
+  test("learnMerges reproduces the classic low/lower/newest/widest sequence") {
+    val s = spark
+    import s.implicits._
+    // corpus frequencies: low 5, lower 2, newest 6, widest 3
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", k = 5)
+    // hand-computed: e+s / es+t / est+</w> all tie at 9 and resolve in
+    // (l, r) order across successive rounds; then l+o and lo+w at 7
+    assert(merges == Seq(
+      ("e", "s", 9L),
+      ("es", "t", 9L),
+      ("est", Bpe.EndOfWord, 9L),
+      ("l", "o", 7L),
+      ("lo", "w", 7L)), s"got $merges")
+  }
+
+  test("pair counts weight by word frequency and count within-word multiplicity") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaa aaa"), (2L, "aaa ab")).toDF("doc_id", "text")
+    // wordFreq: aaa -> 3, ab -> 1; "aaa" contributes (a,a) TWICE per
+    // occurrence and (a,</w>) once; "ab" contributes (a,b), (b,</w>)
+    val got = Bpe.pairCounts(Bpe.segment(Bpe.wordFreq(docs, "text")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("a", "a")) == 6L, s"got $got")
+    assert(got(("a", Bpe.EndOfWord)) == 3L, s"got $got")
+    assert(got(("a", "b")) == 1L, s"got $got")
+    assert(got(("b", Bpe.EndOfWord)) == 1L, s"got $got")
+  }
+
+  test("applyMerge is greedy left-to-right, non-cascading") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val seg = Bpe.applyMerge(Bpe.segment(Bpe.wordFreq(docs, "text")), "a", "a")
+    val syms = seg.select("syms").head().getSeq[String](0)
+    // a a a a </w> under (a,a): first two merge, merged "aa" does not
+    // re-combine with the next raw "a", which pairs with the fourth
+    assert(syms == Seq("aa", "aa", Bpe.EndOfWord), s"got $syms")
+    // a second application over three a's: "aaa" -> [aa, a]
+    val docs3 = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val seg3 = Bpe.applyMerge(Bpe.segment(Bpe.wordFreq(docs3, "text")), "a", "a")
+    val syms3 = seg3.select("syms").head().getSeq[String](0)
+    assert(syms3 == Seq("aa", "a", Bpe.EndOfWord), s"got $syms3")
+  }
+
+  test("fully-merged single-symbol words stop contributing pairs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    var seg = Bpe.segment(Bpe.wordFreq(docs, "text"))
+    seg = Bpe.applyMerge(seg, "a", "b")
+    seg = Bpe.applyMerge(seg, "ab", Bpe.EndOfWord)
+    val syms = seg.select("syms").head().getSeq[String](0)
+    assert(syms == Seq("ab" + Bpe.EndOfWord), s"got $syms")
+    assert(Bpe.pairCounts(seg).count() == 0L)
+    // and learnMerges stops early instead of looping
+    val merges = Bpe.learnMerges(docs, "text", k = 10)
+    assert(merges == Seq(("a", "b", 1L), ("ab", Bpe.EndOfWord, 1L)), s"got $merges")
+  }
+}
