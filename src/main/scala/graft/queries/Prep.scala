@@ -1028,6 +1028,99 @@ object Prep {
           SELECT l, r, CAST(sum(f) AS BIGINT) AS cnt
           FROM pairs GROUP BY l, r)
         SELECT l, r, cnt FROM agg
-        ORDER BY cnt DESC, l, r LIMIT 20"""))
+        ORDER BY cnt DESC, l, r LIMIT 20""")),
+
+    // ----- BPE training loop: five merges, oracle-checked end-to-end -----
+    // The ITERATIVE slice of [[Bpe]] under an exact oracle — stronger
+    // than q106's first-step table: the DuckDB twin re-derives its own
+    // argmax each step (a 1-row CTE captured into the next fold), so
+    // the hash-match proves pair counting, the (cnt desc, l, r)
+    // tie-break, AND the greedy left-to-right merge application,
+    // k times composed. The twin's fold is `list_reduce` over a
+    // space-joined symbol string (symbols never contain spaces — words
+    // come from a space split), with the accumulator's LAST symbol
+    // compared to the merge's left side — exactly [[Bpe.applyMerge]]'s
+    // array fold. Spark-side driver traffic stays one argmax row per
+    // step; the toy-corpus merge sequence is additionally pinned in
+    // BpeSpec against the hand-computed Sennrich example.
+    QueryDef(
+      "q107_bpe_train",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val merges = Bpe.learnMerges(d, "text", k = 5)
+        import spark.implicits._
+        merges.zipWithIndex
+          .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+          .toDF("step", "l", "r", "cnt")
+      },
+      Some("""
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS f
+          FROM words WHERE len(w) > 0 GROUP BY w),
+        seg0 AS (
+          SELECT w, f,
+                 array_to_string(list_append(string_split(w, ''), '</w>'), ' ') AS s
+          FROM wf),
+        pc1 AS (
+          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg0),
+               unnest(range(1, len(syms))) AS t(j)
+          GROUP BY l, r),
+        m1 AS (SELECT l, r, cnt FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
+        seg1 AS (
+          SELECT w, f, list_reduce(string_split(s, ' '),
+            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.l AND x = m.r
+              THEN regexp_replace(acc, '[^ ]+$', '') || m.l || m.r
+              ELSE acc || ' ' || x END) AS s
+          FROM seg0 CROSS JOIN m1 m),
+        pc2 AS (
+          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg1),
+               unnest(range(1, len(syms))) AS t(j)
+          GROUP BY l, r),
+        m2 AS (SELECT l, r, cnt FROM pc2 ORDER BY cnt DESC, l, r LIMIT 1),
+        seg2 AS (
+          SELECT w, f, list_reduce(string_split(s, ' '),
+            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.l AND x = m.r
+              THEN regexp_replace(acc, '[^ ]+$', '') || m.l || m.r
+              ELSE acc || ' ' || x END) AS s
+          FROM seg1 CROSS JOIN m2 m),
+        pc3 AS (
+          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg2),
+               unnest(range(1, len(syms))) AS t(j)
+          GROUP BY l, r),
+        m3 AS (SELECT l, r, cnt FROM pc3 ORDER BY cnt DESC, l, r LIMIT 1),
+        seg3 AS (
+          SELECT w, f, list_reduce(string_split(s, ' '),
+            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.l AND x = m.r
+              THEN regexp_replace(acc, '[^ ]+$', '') || m.l || m.r
+              ELSE acc || ' ' || x END) AS s
+          FROM seg2 CROSS JOIN m3 m),
+        pc4 AS (
+          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg3),
+               unnest(range(1, len(syms))) AS t(j)
+          GROUP BY l, r),
+        m4 AS (SELECT l, r, cnt FROM pc4 ORDER BY cnt DESC, l, r LIMIT 1),
+        seg4 AS (
+          SELECT w, f, list_reduce(string_split(s, ' '),
+            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.l AND x = m.r
+              THEN regexp_replace(acc, '[^ ]+$', '') || m.l || m.r
+              ELSE acc || ' ' || x END) AS s
+          FROM seg3 CROSS JOIN m4 m),
+        pc5 AS (
+          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg4),
+               unnest(range(1, len(syms))) AS t(j)
+          GROUP BY l, r),
+        m5 AS (SELECT l, r, cnt FROM pc5 ORDER BY cnt DESC, l, r LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS step, l, r, cnt FROM m1
+        UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM m2
+        UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM m3
+        UNION ALL SELECT CAST(4 AS BIGINT), l, r, cnt FROM m4
+        UNION ALL SELECT CAST(5 AS BIGINT), l, r, cnt FROM m5"""))
   )
 }
