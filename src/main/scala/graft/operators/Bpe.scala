@@ -84,8 +84,10 @@ object Bpe {
     * the deterministic tie-break both engines can reproduce — then
     * re-segment, k times. Driver traffic is ONE row per merge; the
     * segmentation is barriered per iteration (flat lineage, the
-    * k-means discipline). Stops early if no pairs remain. */
-  def learnMerges(docs: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] = {
+    * k-means discipline). Stops early if no pairs remain. Returns the
+    * merge list and the FINAL vocab segmentation (w, f, syms) — the
+    * trained subword vocabulary [[tokenCounts]] consumes. */
+  def train(docs: DataFrame, textCol: String, k: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(k >= 1, "need at least one merge")
     var seg = Barrier.materialize(segment(wordFreq(docs, textCol)))
     val out = ArrayBuffer.empty[(String, String, Long)]
@@ -97,9 +99,36 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((l, r, c))
-        if (out.length < k) seg = Barrier.materialize(applyMerge(seg, l, r))
+        seg = Barrier.materialize(applyMerge(seg, l, r))
       }
     }
-    out.toSeq
+    (out.toSeq, seg)
+  }
+
+  /** [[train]]'s merge list alone. */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] =
+    train(docs, textCol, k)._1
+
+  /** Tokenize the corpus under a trained vocabulary: per-document BPE
+    * token counts — the budgeting input for packing ([[CorpusPrep
+    * .packSequential]]) and per-doc cost accounting. The corpus is
+    * NEVER re-segmented word by word: subword counts live on the
+    * vocab table (one row per distinct word) and the word occurrences
+    * meet it in a vocab-keyed join fused into the scan stage — with
+    * the vocab broadcast (it fits whenever the tokenizer itself
+    * would), the per-doc aggregate partial-combines map-side and the
+    * ONLY exchange carries one row per document. At a vocabulary too
+    * big to broadcast, pre-aggregate (idCol, w) multiplicities before
+    * the then-shuffled join so hot words collapse map-side first.
+    * OOV words of a foreign corpus drop (inner join). Output:
+    * (idCol, n_words, n_tokens). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      vocabSeg: DataFrame): DataFrame = {
+    val vocab = vocabSeg.select(col("w"), size(col("syms")).as("n_sub"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"))
   }
 }

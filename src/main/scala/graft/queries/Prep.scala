@@ -15,6 +15,44 @@ import graft.sources.Tables
   */
 object Prep {
 
+  /** DuckDB CTE chain replaying [[graft.operators.Bpe]] training for
+    * `k` merges: word frequencies → char+`</w>` segmentation → per
+    * step, pair counts from the current segmentation, a 1-row argmax
+    * (the same (cnt desc, l, r) tie-break learnMerges uses), and the
+    * greedy left-to-right fold via `list_reduce` over a space-joined
+    * symbol string (symbols never contain spaces — words come from a
+    * space split; the accumulator's LAST symbol is compared to the
+    * merge's left side, exactly the applyMerge array fold). Used by
+    * q107 (the merge table) and q108 (tokenize under seg`k`). */
+  private def bpeSegSql(k: Int): String = {
+    val header = """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS f
+          FROM words WHERE len(w) > 0 GROUP BY w),
+        seg0 AS (
+          SELECT w, f,
+                 array_to_string(list_append(string_split(w, ''), '</w>'), ' ') AS s
+          FROM wf)"""
+    val steps = (1 to k).map { i =>
+      s""",
+        pc$i AS (
+          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg${i - 1}),
+               unnest(range(1, len(syms))) AS t(j)
+          GROUP BY l, r),
+        m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+        seg$i AS (
+          SELECT w, f, list_reduce(string_split(s, ' '),
+            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)${"$"}', 1) = m.l AND x = m.r
+              THEN regexp_replace(acc, '[^ ]+${"$"}', '') || m.l || m.r
+              ELSE acc || ' ' || x END) AS s
+          FROM seg${i - 1} CROSS JOIN m$i m)"""
+    }.mkString
+    header + steps
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Sliding-window chunking (size 32, stride 24) -----
@@ -1053,74 +1091,38 @@ object Prep {
           .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
           .toDF("step", "l", "r", "cnt")
       },
-      Some("""
-        WITH words AS (
-          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        wf AS (
-          SELECT w, CAST(count(*) AS BIGINT) AS f
-          FROM words WHERE len(w) > 0 GROUP BY w),
-        seg0 AS (
-          SELECT w, f,
-                 array_to_string(list_append(string_split(w, ''), '</w>'), ' ') AS s
-          FROM wf),
-        pc1 AS (
-          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg0),
-               unnest(range(1, len(syms))) AS t(j)
-          GROUP BY l, r),
-        m1 AS (SELECT l, r, cnt FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
-        seg1 AS (
-          SELECT w, f, list_reduce(string_split(s, ' '),
-            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.l AND x = m.r
-              THEN regexp_replace(acc, '[^ ]+$', '') || m.l || m.r
-              ELSE acc || ' ' || x END) AS s
-          FROM seg0 CROSS JOIN m1 m),
-        pc2 AS (
-          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg1),
-               unnest(range(1, len(syms))) AS t(j)
-          GROUP BY l, r),
-        m2 AS (SELECT l, r, cnt FROM pc2 ORDER BY cnt DESC, l, r LIMIT 1),
-        seg2 AS (
-          SELECT w, f, list_reduce(string_split(s, ' '),
-            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.l AND x = m.r
-              THEN regexp_replace(acc, '[^ ]+$', '') || m.l || m.r
-              ELSE acc || ' ' || x END) AS s
-          FROM seg1 CROSS JOIN m2 m),
-        pc3 AS (
-          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg2),
-               unnest(range(1, len(syms))) AS t(j)
-          GROUP BY l, r),
-        m3 AS (SELECT l, r, cnt FROM pc3 ORDER BY cnt DESC, l, r LIMIT 1),
-        seg3 AS (
-          SELECT w, f, list_reduce(string_split(s, ' '),
-            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.l AND x = m.r
-              THEN regexp_replace(acc, '[^ ]+$', '') || m.l || m.r
-              ELSE acc || ' ' || x END) AS s
-          FROM seg2 CROSS JOIN m3 m),
-        pc4 AS (
-          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg3),
-               unnest(range(1, len(syms))) AS t(j)
-          GROUP BY l, r),
-        m4 AS (SELECT l, r, cnt FROM pc4 ORDER BY cnt DESC, l, r LIMIT 1),
-        seg4 AS (
-          SELECT w, f, list_reduce(string_split(s, ' '),
-            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.l AND x = m.r
-              THEN regexp_replace(acc, '[^ ]+$', '') || m.l || m.r
-              ELSE acc || ' ' || x END) AS s
-          FROM seg3 CROSS JOIN m4 m),
-        pc5 AS (
-          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg4),
-               unnest(range(1, len(syms))) AS t(j)
-          GROUP BY l, r),
-        m5 AS (SELECT l, r, cnt FROM pc5 ORDER BY cnt DESC, l, r LIMIT 1)
+      Some(bpeSegSql(5) + """
         SELECT CAST(1 AS BIGINT) AS step, l, r, cnt FROM m1
         UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM m2
         UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM m3
         UNION ALL SELECT CAST(4 AS BIGINT), l, r, cnt FROM m4
-        UNION ALL SELECT CAST(5 AS BIGINT), l, r, cnt FROM m5"""))
+        UNION ALL SELECT CAST(5 AS BIGINT), l, r, cnt FROM m5""")),
+
+    // ----- BPE tokenization: per-doc token counts under the vocab -----
+    // The operation a pipeline runs at corpus scale AFTER training:
+    // count each document's BPE tokens under the 5-merge vocabulary —
+    // the budgeting input for q54's packing and per-doc cost
+    // accounting. The corpus is never re-segmented word by word:
+    // subword counts live on the vocab table, the corpus side
+    // pre-aggregates (doc, word) multiplicities map-side, and the
+    // vocab-keyed join is AQE-broadcast at test sf (skew-split SMJ at
+    // a 100M-word vocab). The oracle extends q107's self-deriving
+    // CTE chain with the same join — so the hash also re-proves the
+    // trained segmentation the counts came from.
+    QueryDef(
+      "q108_bpe_tokenize",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val (_, vocabSeg) = Bpe.train(d, "text", k = 5)
+        Bpe.tokenCounts(d, "doc_id", "text", vocabSeg)
+      },
+      Some(bpeSegSql(5) + """,
+        vocab AS (
+          SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub
+          FROM seg5),
+        dw AS (SELECT doc_id, w FROM words WHERE len(w) > 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens
+        FROM dw JOIN vocab USING (w) GROUP BY doc_id"""))
   )
 }

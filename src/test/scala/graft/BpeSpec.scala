@@ -60,6 +60,23 @@ class BpeSpec extends SparkSpec {
     assert(syms3 == Seq("aa", "a", Bpe.EndOfWord), s"got $syms3")
   }
 
+  test("tokenCounts prices docs under the trained vocab (hand-computed)") {
+    val s = spark
+    import s.implicits._
+    val train = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val (_, vocabSeg) = Bpe.train(train, "text", k = 5)
+    // after (e,s)(es,t)(est,</w>)(l,o)(lo,w): low → [low,</w>] = 2,
+    // lower → [low,e,r,</w>] = 4, newest → [n,e,w,est</w>] = 4,
+    // widest → [w,i,d,est</w>] = 4
+    val doc = Seq((42L, "low lower newest widest")).toDF("doc_id", "text")
+    val row = Bpe.tokenCounts(doc, "doc_id", "text", vocabSeg).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((42L, 4L, 14L)),
+      s"got $row")
+  }
+
   test("fully-merged single-symbol words stop contributing pairs") {
     val s = spark
     import s.implicits._
