@@ -99,7 +99,13 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((l, r, c))
-        seg = Barrier.materialize(applyMerge(seg, l, r))
+        // the FINAL merge is applied lazily: learnMerges discards the
+        // segmentation, so an eager barrier there would spend a full
+        // distinct-word-table job on a result nobody reads; callers
+        // that consume it (tokenCounts) fold it inside their own job,
+        // one flat step above the last checkpointed seg
+        seg = if (out.length < k) Barrier.materialize(applyMerge(seg, l, r))
+              else applyMerge(seg, l, r)
       }
     }
     (out.toSeq, seg)

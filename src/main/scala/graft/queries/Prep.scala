@@ -48,7 +48,7 @@ object Prep {
             (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)${"$"}', 1) = m.l AND x = m.r
               THEN regexp_replace(acc, '[^ ]+${"$"}', '') || m.l || m.r
               ELSE acc || ' ' || x END) AS s
-          FROM seg${i - 1} CROSS JOIN m$i m)"""
+          FROM seg${i - 1} LEFT JOIN m$i m ON true)"""
     }.mkString
     header + steps
   }
@@ -1103,12 +1103,15 @@ object Prep {
     // count each document's BPE tokens under the 5-merge vocabulary —
     // the budgeting input for q54's packing and per-doc cost
     // accounting. The corpus is never re-segmented word by word:
-    // subword counts live on the vocab table, the corpus side
-    // pre-aggregates (doc, word) multiplicities map-side, and the
-    // vocab-keyed join is AQE-broadcast at test sf (skew-split SMJ at
-    // a 100M-word vocab). The oracle extends q107's self-deriving
-    // CTE chain with the same join — so the hash also re-proves the
-    // trained segmentation the counts came from.
+    // subword widths live on the vocab table, the word occurrences
+    // meet it in a BROADCAST join fused into the scan stage, and the
+    // only exchange carries one partial-aggregated row per document
+    // (at a vocab too big to broadcast, swap in the (doc, word)
+    // pre-agg + SMJ — Bpe.tokenCounts scaladoc). The oracle extends
+    // q107's self-deriving CTE chain with the same join — so the
+    // hash also re-proves the trained segmentation the counts came
+    // from; its LEFT JOIN per step keeps an exhausted vocabulary
+    // segmentation unchanged, mirroring train's early stop.
     QueryDef(
       "q108_bpe_tokenize",
       (spark, dir) => {
