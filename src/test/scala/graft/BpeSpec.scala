@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Bpe
+import graft.sources.Tables
 
 /** Grades BPE vocabulary induction on the Sennrich et al. (2016)
   * worked example — the merge sequence is hand-computable, so the
@@ -75,6 +76,22 @@ class BpeSpec extends SparkSpec {
     val row = Bpe.tokenCounts(doc, "doc_id", "text", vocabSeg).head()
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((42L, 4L, 14L)),
       s"got $row")
+  }
+
+  test("segmentation always reconstructs word+</w> on the real corpus") {
+    // the conservation law of BPE: merging only ever concatenates
+    // adjacent symbols, so at EVERY step the symbol concatenation must
+    // equal the original word plus the end marker — a fold bug (lost,
+    // duplicated, or reordered symbol) breaks it immediately, and the
+    // real corpus exercises punctuation/digit characters the toy
+    // corpora don't
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (_, seg) = Bpe.train(docs, "text", k = 5)
+    val broken = seg.filter(
+      concat_ws("", col("syms")) =!= concat(col("w"), lit(Bpe.EndOfWord)))
+    assert(broken.count() == 0L,
+      s"non-reconstructing rows: ${broken.take(3).mkString("; ")}")
   }
 
   test("fully-merged single-symbol words stop contributing pairs") {
