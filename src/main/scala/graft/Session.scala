@@ -66,6 +66,12 @@ object Session {
       (args: Seq[Expression]) => {
         require(args.length == 1, "char_dup_fraction(arrayOfStrings)")
         graft.functions.CharDupFraction(args(0))
+      }),
+    (FunctionIdentifier("drop_positions"),
+      new ExpressionInfo(classOf[graft.functions.DropPositions].getName, "drop_positions"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "drop_positions(arrayOfStrings, arrayOfPositions)")
+        graft.functions.DropPositions(args(0), args(1))
       }))
 
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =

@@ -558,31 +558,38 @@ object Dedup {
       .select(col("id"), col("toks"),
         coalesce(col("drop_ps"), array().cast("array<integer>")).as("dps"))
       .select(col("id"), size(col("toks")).as("n_total"),
-        // cost-model dispatch on the doc's own dup-span mass:
-        //  - no redundant spans (the common case) → kept IS toks,
-        //    zero per-row work;
-        //  - sparse dups (|dps| ≤ 32) → per-token contains scan,
-        //    O(32·n) worst = linear with a small constant and no
-        //    intermediate allocation;
-        //  - heavy dups → hash-based position-set difference,
-        //    O(n + |dps|) — never the O(n·|dps|) contains scan a
-        //    fully-duplicated long doc would turn into hours of
-        //    interpreted lambda work.
-        // A nonempty dps implies ≥ k tokens, so sequence() cannot
-        // descend (the (1,0) trap) in the heavy branch; toks/dps are
-        // bound attributes (HOF binding rule) and element_at is O(1)
-        // per kept position.
-        when(size(col("dps")) === 0, col("toks"))
-          .when(size(col("dps")) <= 32,
-            filter(col("toks"),
-              (_, i) => !array_contains(col("dps"), i)))
-          .otherwise(transform(
-            array_except(sequence(lit(0), size(col("toks")) - lit(1)),
-              col("dps")),
-            p => element_at(col("toks"), p + lit(1)))).as("kept"))
+        // one fused codegen loop ([[graft.functions.DropPositions]]):
+        // empty drop list returns the input array untouched (the
+        // common case, zero allocation), else bitmap + copy —
+        // O(n + |dps|) always, so the fully-duplicated-long-doc worst
+        // case stays linear; replaces the interpreted three-way HOF
+        // dispatch retained below as [[rebuildComposable]] for the
+        // DedupSpec parity contract
+        org.apache.spark.sql.GraftColumn.of(graft.functions.DropPositions(
+          org.apache.spark.sql.GraftColumn.expr(col("toks")),
+          org.apache.spark.sql.GraftColumn.expr(col("dps")))).as("kept"))
       .select(col("id").as(idCol),
         concat_ws(" ", col("kept")).as("clean_text"),
         size(col("kept")).cast("long").as("n_kept"),
         (col("n_total") - size(col("kept"))).cast("long").as("n_dropped"))
   }
+
+  /** The composable (pre-native) rebuild — a cost-model dispatch on
+    * the doc's own dup mass: clean docs return the untouched array;
+    * sparse dups (|dps| ≤ 32) take the allocation-free per-token
+    * contains scan (linear, 32-bounded constant); heavy dups take the
+    * hash-based `array_except` position difference so the
+    * fully-duplicated worst case stays linear. Retained ONLY as
+    * DropPositionsSpec/DedupSpec's parity reference for
+    * [[graft.functions.DropPositions]] — a nonempty dps implies ≥ k
+    * tokens upstream, so sequence() cannot descend (the (1,0) trap)
+    * in the heavy branch; toks/dps must be bound attributes (HOF
+    * binding rule). */
+  private[graft] def rebuildComposable(toks: Column, dps: Column): Column =
+    when(size(dps) === 0, toks)
+      .when(size(dps) <= 32,
+        filter(toks, (_, i) => !array_contains(dps, i)))
+      .otherwise(transform(
+        array_except(sequence(lit(0), size(toks) - lit(1)), dps),
+        p => element_at(toks, p + lit(1))))
 }

@@ -301,6 +301,37 @@ class DedupSpec extends SparkSpec {
     assert(secs < 60.0, f"worst-case rebuild took $secs%.1f s")
   }
 
+  test("drop_positions native matches the composable rebuild (parity)") {
+    // every dispatch regime in one frame: clean (empty dps), sparse
+    // (small dps), heavy (most positions dropped), out-of-range and
+    // duplicate positions ignored, null token slots passed through
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Seq("a", "b", "c"), Seq.empty[Int]),
+      (2L, Seq("a", "b", "c", "d"), Seq(1, 3)),
+      (3L, (1 to 200).map(i => s"w$i"), (0 until 190).toList),
+      (4L, Seq("a", "b"), Seq(5, -1, 0, 0)),
+      (5L, Seq.empty[String], Seq.empty[Int])
+    ).toDF("id", "toks", "dps")
+      .withColumn("dps", col("dps").cast("array<int>"))
+    val native = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.DropPositions(
+        org.apache.spark.sql.GraftColumn.expr(col("toks")),
+        org.apache.spark.sql.GraftColumn.expr(col("dps"))))
+    val got = rows.select(col("id"), native.as("n"),
+        Dedup.rebuildComposable(col("toks"), col("dps")).as("c"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id=${r.getLong(0)}: native ${r.getSeq[String](1)} vs composable ${r.getSeq[String](2)}")
+    }
+    // and via SQL registration
+    val sql = spark.sql(
+      "SELECT drop_positions(array('x','y','z'), array(1)) AS k").head()
+    assert(sql.getSeq[String](0) == Seq("x", "z"))
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>
