@@ -588,7 +588,11 @@ object Dedup {
   private[graft] def rebuildComposable(toks: Column, dps: Column): Column =
     when(size(dps) === 0, toks)
       .when(size(dps) <= 32,
-        filter(toks, (_, i) => !array_contains(dps, i)))
+        // coalesce: array_contains over a dps that CONTAINS a null
+        // returns NULL (not false) for unmatched indices — bare
+        // negation would then drop every unlisted token, diverging
+        // from the native's ignore-null-positions rule
+        filter(toks, (_, i) => !coalesce(array_contains(dps, i), lit(false))))
       .otherwise(transform(
         array_except(sequence(lit(0), size(toks) - lit(1)), dps),
         p => element_at(toks, p + lit(1))))

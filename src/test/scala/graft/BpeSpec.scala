@@ -88,10 +88,12 @@ class BpeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sfDir, "documents")
     val (_, seg) = Bpe.train(docs, "text", k = 5)
-    val broken = seg.filter(
+    // ONE action: assert clues evaluate eagerly, so a count-then-take
+    // pair would run the lazy final-merge lineage twice per test run
+    val bad = seg.filter(
       concat_ws("", col("syms")) =!= concat(col("w"), lit(Bpe.EndOfWord)))
-    assert(broken.count() == 0L,
-      s"non-reconstructing rows: ${broken.take(3).mkString("; ")}")
+      .take(3)
+    assert(bad.isEmpty, s"non-reconstructing rows: ${bad.mkString("; ")}")
   }
 
   test("fully-merged single-symbol words stop contributing pairs") {

@@ -308,17 +308,35 @@ class DedupSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val rows = Seq(
-      (1L, Seq("a", "b", "c"), Seq.empty[Int]),
-      (2L, Seq("a", "b", "c", "d"), Seq(1, 3)),
-      (3L, (1 to 200).map(i => s"w$i"), (0 until 190).toList),
-      (4L, Seq("a", "b"), Seq(5, -1, 0, 0)),
-      (5L, Seq.empty[String], Seq.empty[Int])
+      (1L, Seq("a", "b", "c"), Seq[Integer]()),
+      (2L, Seq("a", "b", "c", "d"), Seq[Integer](1, 3)),
+      (3L, (1 to 200).map(i => s"w$i"), (0 until 190).map(Integer.valueOf)),
+      (4L, Seq("a", "b"), Seq[Integer](5, -1, 0, 0)),
+      (5L, Seq.empty[String], Seq[Integer]()),
+      (6L, Seq("a", "b", "c"), Seq[Integer](1, null))
     ).toDF("id", "toks", "dps")
       .withColumn("dps", col("dps").cast("array<int>"))
+    val expected = Map(
+      1L -> Seq("a", "b", "c"),
+      2L -> Seq("a", "c"),
+      3L -> (191 to 200).map(i => s"w$i"),
+      4L -> Seq("b"),
+      5L -> Seq.empty[String],
+      6L -> Seq("a", "c"))
     val native = org.apache.spark.sql.GraftColumn.of(
       graft.functions.DropPositions(
         org.apache.spark.sql.GraftColumn.expr(col("toks")),
         org.apache.spark.sql.GraftColumn.expr(col("dps"))))
+    // codegen path: the native column ALONE in the projection (the
+    // lambda-HOF composable columns force a projection interpreted —
+    // CharDupFraction lesson — so a combined frame would only ever
+    // exercise nullSafeEval); expectations are literals, and the
+    // frame is non-foldable local data under whole-stage codegen
+    rows.select(col("id"), native.as("n")).collect().foreach { r =>
+      assert(r.getSeq[String](1) == expected(r.getLong(0)),
+        s"codegen id=${r.getLong(0)}: got ${r.getSeq[String](1)}")
+    }
+    // interpreted parity vs the retained composable dispatch
     val got = rows.select(col("id"), native.as("n"),
         Dedup.rebuildComposable(col("toks"), col("dps")).as("c"))
       .collect()
