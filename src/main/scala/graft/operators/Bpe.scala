@@ -137,4 +137,31 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"))
   }
+
+  /** Emit the subword-tokenized TEXT per document — the tokenizer
+    * hand-off artifact ([[tokenCounts]]'s sibling when downstream
+    * wants the token stream, not just its price). Same scale shape:
+    * word occurrences meet the broadcast vocab (word → space-joined
+    * subwords) in the scan stage, then ONE id-keyed shuffle
+    * reassembles each document from its own positioned words — the
+    * [[Dedup]] reassemble idiom, collect_list bounded by a single
+    * document's word count, never a cross-document set. OOV words of
+    * a foreign corpus drop (inner join). Output:
+    * (idCol, bpe_text, n_tokens). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      vocabSeg: DataFrame): DataFrame = {
+    val vocab = vocabSeg.select(col("w"),
+      concat_ws(" ", col("syms")).as("sub"),
+      size(col("syms")).as("n_sub"))
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab), "w")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sub")))),
+          x => x.getField("sub"))).as("bpe_text"),
+        sum(col("n_sub")).as("n_tokens"))
+  }
 }

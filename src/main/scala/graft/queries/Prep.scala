@@ -1126,6 +1126,36 @@ object Prep {
         dw AS (SELECT doc_id, w FROM words WHERE len(w) > 0)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(n_sub) AS BIGINT) AS n_tokens
+        FROM dw JOIN vocab USING (w) GROUP BY doc_id""")),
+
+    // ----- BPE encoding: the subword token stream itself -----
+    // q108's sibling when downstream wants the tokenized TEXT, not
+    // just its price — the tokenizer hand-off artifact. One broadcast
+    // vocab join in the scan stage, one id-keyed reassembly shuffle
+    // (collect_list bounded by each doc's own word count — the
+    // dedupLines reassemble idiom). The oracle re-derives the same
+    // vocab through the q107 CTE chain and reassembles with
+    // string_agg ORDER BY word position, so the hash proves
+    // segmentation, subword order within words, and word order within
+    // documents, end-to-end.
+    QueryDef(
+      "q109_bpe_encode",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val (_, vocabSeg) = Bpe.train(d, "text", k = 5)
+        Bpe.encode(d, "doc_id", "text", vocabSeg)
+      },
+      Some(bpeSegSql(5) + """,
+        vocab AS (
+          SELECT w, s AS sub, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub
+          FROM seg5),
+        dw AS (
+          SELECT doc_id, ws[i] AS w, i AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               unnest(range(1, len(ws)+1)) AS t(i)
+          WHERE len(ws[i]) > 0)
+        SELECT doc_id, string_agg(sub, ' ' ORDER BY pos) AS bpe_text,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens
         FROM dw JOIN vocab USING (w) GROUP BY doc_id"""))
   )
 }

@@ -76,6 +76,12 @@ class BpeSpec extends SparkSpec {
     val row = Bpe.tokenCounts(doc, "doc_id", "text", vocabSeg).head()
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((42L, 4L, 14L)),
       s"got $row")
+    // and the emitted token stream itself: subword order within words,
+    // word order within the document, </w> boundaries where expected
+    val enc = Bpe.encode(doc, "doc_id", "text", vocabSeg).head()
+    assert(enc.getString(1) ==
+      "low </w> low e r </w> n e w est</w> w i d est</w>", s"got $enc")
+    assert(enc.getLong(2) == 14L)
   }
 
   test("segmentation always reconstructs word+</w> on the real corpus") {
