@@ -86,10 +86,21 @@ object Bpe {
     * segmentation is barriered per iteration (flat lineage, the
     * k-means discipline). Stops early if no pairs remain. Returns the
     * merge list and the FINAL vocab segmentation (w, f, syms) — the
-    * trained subword vocabulary [[tokenCounts]] consumes. */
-  def train(docs: DataFrame, textCol: String, k: Int): (Seq[(String, String, Long)], DataFrame) = {
+    * trained subword vocabulary [[tokenCounts]] consumes.
+    *
+    * `persistPath`: the [[Barrier]] durability knob. The default
+    * localCheckpoint form is right for single-JVM runs; on a real
+    * cluster an executor loss mid-training loses lineage-free blocks
+    * and kills the job — pass a directory to write each iteration's
+    * segmentation to `persistPath/seg<i>` instead (executor loss
+    * re-reads files, and the per-step segmentations double as the
+    * tokenizer-training audit trail). */
+  def train(docs: DataFrame, textCol: String, k: Int,
+      persistPath: Option[String] = None): (Seq[(String, String, Long)], DataFrame) = {
     require(k >= 1, "need at least one merge")
-    var seg = Barrier.materialize(segment(wordFreq(docs, textCol)))
+    def barrier(df: DataFrame, step: Int): DataFrame =
+      Barrier.materialize(df, persistPath.map(p => s"$p/seg$step"))
+    var seg = barrier(segment(wordFreq(docs, textCol)), 0)
     val out = ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (out.length < k && !exhausted) {
@@ -103,8 +114,8 @@ object Bpe {
         // segmentation, so an eager barrier there would spend a full
         // distinct-word-table job on a result nobody reads; callers
         // that consume it (tokenCounts) fold it inside their own job,
-        // one flat step above the last checkpointed seg
-        seg = if (out.length < k) Barrier.materialize(applyMerge(seg, l, r))
+        // one flat step above the last barriered seg
+        seg = if (out.length < k) barrier(applyMerge(seg, l, r), out.length)
               else applyMerge(seg, l, r)
       }
     }

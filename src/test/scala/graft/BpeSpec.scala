@@ -31,6 +31,21 @@ class BpeSpec extends SparkSpec {
       ("lo", "w", 7L)), s"got $merges")
   }
 
+  test("durable persistPath training matches the localCheckpoint form") {
+    val s = spark
+    import s.implicits._
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-train").toString
+    val (durable, seg) = Bpe.train(docs, "text", k = 5, Some(dir))
+    assert(durable == Bpe.train(docs, "text", k = 5)._1)
+    // the per-step audit trail exists and the final seg reconstructs
+    assert(new java.io.File(s"$dir/seg0").exists())
+    assert(seg.count() == 4L)
+  }
+
   test("pair counts weight by word frequency and count within-word multiplicity") {
     val s = spark
     import s.implicits._
