@@ -35,6 +35,17 @@ object Text {
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normalize(c), " ")
 
+  /** Sort an array of (position, value) structs by position and
+    * project the value — the order-restoring half of the reassemble
+    * idiom (exploded rows keep no order through an aggregate, so
+    * reassembly collects positioned structs and re-sorts). The
+    * struct's FIRST field must be the position; `field` names the
+    * value field to project. ONE definition serves every reassembly
+    * ([[graft.operators.Dedup]] line rebuild, BPE encode, centroid
+    * vector rebuild) so a fix to the idiom can never miss a copy. */
+  def inPositionOrder(structs: Column, field: String): Column =
+    transform(array_sort(structs), x => x.getField(field))
+
   /** Distinct word n-gram shingles (the unit of near-dup detection).
     * 1-based `element_at`; `sequence` is empty when the doc is shorter
     * than n, yielding an empty shingle set (never null).

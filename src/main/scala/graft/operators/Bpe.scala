@@ -110,12 +110,16 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((l, r, c))
-        // the FINAL merge is applied lazily: learnMerges discards the
-        // segmentation, so an eager barrier there would spend a full
-        // distinct-word-table job on a result nobody reads; callers
-        // that consume it (tokenCounts) fold it inside their own job,
-        // one flat step above the last barriered seg
-        seg = if (out.length < k) barrier(applyMerge(seg, l, r), out.length)
+        // the FINAL merge is applied lazily in the default form:
+        // learnMerges discards the segmentation, so an eager
+        // localCheckpoint there would spend a full distinct-word-table
+        // job on a result nobody reads — callers that consume it
+        // (tokenCounts) fold it inside their own job instead. In
+        // DURABLE mode the final segmentation IS the artifact the
+        // audit trail exists for (the trained vocabulary), so it is
+        // always written — seg<k> on disk matches the returned frame
+        seg = if (out.length < k || persistPath.isDefined)
+                barrier(applyMerge(seg, l, r), out.length)
               else applyMerge(seg, l, r)
       }
     }
@@ -170,9 +174,8 @@ object Bpe {
       .join(broadcast(vocab), "w")
       .groupBy(col(idCol))
       .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("sub")))),
-          x => x.getField("sub"))).as("bpe_text"),
+        concat_ws(" ", graft.functions.Text.inPositionOrder(
+          collect_list(struct(col("pos"), col("sub"))), "sub")).as("bpe_text"),
         sum(col("n_sub")).as("n_tokens"))
   }
 }

@@ -351,10 +351,9 @@ object Dedup {
   private def reassemble(marked: DataFrame, idCol: String, sep: String): DataFrame =
     marked.groupBy(col("id"))
       .agg(
-        concat_ws(sep, transform(
-          array_sort(collect_list(when(col("keep"),
-            struct(col("pos"), col("line"))))),
-          s => s.getField("line"))).as("clean_text"),
+        concat_ws(sep, Text.inPositionOrder(
+          collect_list(when(col("keep"),
+            struct(col("pos"), col("line")))), "line")).as("clean_text"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
       .withColumnRenamed("id", idCol)

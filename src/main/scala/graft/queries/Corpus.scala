@@ -209,9 +209,9 @@ object Corpus {
         val cent = e.select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
           .groupBy(col("label"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+          .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
           .select(col("label"),
-            transform(col("pc"), p => p.getField("c")).as("cvec"))
+            Text.inPositionOrder(col("pc"), "c").as("cvec"))
           .withColumn("centroid_norm",
             sqrt(aggregate(col("cvec"), lit(0.0d), (a, x) => a + x * x)))
         e.join(broadcast(cent), Seq("label"))

@@ -41,9 +41,18 @@ class BpeSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("bpe-train").toString
     val (durable, seg) = Bpe.train(docs, "text", k = 5, Some(dir))
     assert(durable == Bpe.train(docs, "text", k = 5)._1)
-    // the per-step audit trail exists and the final seg reconstructs
-    assert(new java.io.File(s"$dir/seg0").exists())
+    // the audit trail covers EVERY step including the final trained
+    // vocabulary — seg5 on disk must match the returned frame
+    (0 to 5).foreach { i =>
+      assert(new java.io.File(s"$dir/seg$i").exists(), s"missing seg$i")
+    }
     assert(seg.count() == 4L)
+    val onDisk = spark.read.parquet(s"$dir/seg5")
+      .select("w", "syms").collect().map(r =>
+        r.getString(0) -> r.getSeq[String](1)).toMap
+    val returned = seg.select("w", "syms").collect().map(r =>
+      r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(onDisk == returned)
   }
 
   test("pair counts weight by word frequency and count within-word multiplicity") {
