@@ -70,8 +70,11 @@ object Session {
     (FunctionIdentifier("drop_positions"),
       new ExpressionInfo(classOf[graft.functions.DropPositions].getName, "drop_positions"),
       (args: Seq[Expression]) => {
-        require(args.length == 2, "drop_positions(arrayOfStrings, arrayOfPositions)")
-        graft.functions.DropPositions(args(0), args(1))
+        require(args.length == 2 || args.length == 3,
+          "drop_positions(arrayOfStrings, arrayOfSpanStarts[, spanWidth])")
+        val w = if (args.length == 3)
+          intLiteral(args(2), "drop_positions: spanWidth") else 1
+        graft.functions.DropPositions(args(0), args(1), w)
       }))
 
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =

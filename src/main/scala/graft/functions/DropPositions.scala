@@ -6,10 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 
-/** Native Catalyst expression: drop the elements of a string array at
-  * the 0-based positions listed in a second (int-array) argument,
-  * preserving order — the rebuild step of repeated-span removal
-  * ([[graft.operators.Dedup.dropRepeatedSpans]]).
+/** Native Catalyst expression: drop the elements of a string array
+  * covered by any [p, p+width-1] span whose 0-based START position p
+  * is listed in a second (int-array) argument, preserving order — the
+  * rebuild step of repeated-span removal
+  * ([[graft.operators.Dedup.dropRepeatedSpans]]); `width = 1`
+  * degenerates to point-position deletion.
   *
   * Exists because the composable form is an interpreted three-way
   * dispatch (`when(size(dps)=0, toks)` / per-token `array_contains`
@@ -19,14 +21,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * whole rebuild is one fused loop in generated code: an empty drop
   * list returns the input array untouched (zero allocation — the
   * common case), otherwise one boolean bitmap + one output copy —
-  * O(n + |dps|) always, so the fully-duplicated-long-doc worst case
-  * stays linear. Both forms compute identical values (DedupSpec
-  * parity); out-of-range and duplicate positions are ignored, null
-  * token slots pass through, null inputs null the result (standard
-  * binary-expression semantics).
+  * O(n + |dps|·width) bitmap marking clamped by n, so the
+  * fully-duplicated-long-doc worst case stays linear. Taking START
+  * positions (not expanded coverage) also lets the caller shuffle
+  * width× fewer rows: the old `explode(sequence(pos, pos+k-1))`
+  * coverage expansion happens inside this loop instead of inside an
+  * exchange. Width-1 parity vs the composable dispatch is
+  * DedupSpec-pinned; out-of-range and duplicate positions are
+  * ignored (spans clamp to the array), null token slots pass
+  * through, null inputs null the result (standard binary-expression
+  * semantics).
   */
-case class DropPositions(left: Expression, right: Expression)
+case class DropPositions(left: Expression, right: Expression, width: Int)
     extends BinaryExpression {
+  require(width >= 1, "span width must be at least 1")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -52,7 +60,12 @@ case class DropPositions(left: Expression, right: Expression)
     while (j < m) {
       if (!dps.isNullAt(j)) {
         val p = dps.getInt(j)
-        if (p >= 0 && p < n && !drop(p)) { drop(p) = true; dropped += 1 }
+        var q = math.max(p, 0)
+        val end = math.min(p + width, n)
+        while (q < end) {
+          if (!drop(q)) { drop(q) = true; dropped += 1 }
+          q += 1
+        }
       }
       j += 1
     }
@@ -75,6 +88,7 @@ case class DropPositions(left: Expression, right: Expression)
       val drop = ctx.freshName("drop"); val dropped = ctx.freshName("dropped")
       val p = ctx.freshName("p"); val i = ctx.freshName("i")
       val j = ctx.freshName("j"); val o = ctx.freshName("o")
+      val q = ctx.freshName("q"); val end = ctx.freshName("end")
       val out = ctx.freshName("out")
       val gad = classOf[GenericArrayData].getName
       s"""
@@ -88,7 +102,10 @@ case class DropPositions(left: Expression, right: Expression)
          |  for (int $j = 0; $j < $m; $j++) {
          |    if (!$d.isNullAt($j)) {
          |      int $p = $d.getInt($j);
-         |      if ($p >= 0 && $p < $n && !$drop[$p]) { $drop[$p] = true; $dropped++; }
+         |      int $end = java.lang.Math.min($p + $width, $n);
+         |      for (int $q = java.lang.Math.max($p, 0); $q < $end; $q++) {
+         |        if (!$drop[$q]) { $drop[$q] = true; $dropped++; }
+         |      }
          |    }
          |  }
          |  Object[] $out = new Object[$n - $dropped];

@@ -526,11 +526,12 @@ object Dedup {
     * min-struct aggregate (a corpus-wide hot span collapses map-side),
     * and redundancy is decided by joining the keep-keys back on the
     * UNIQUE, uniform (id, pos) key ([[markByKeys]]'s reasoning), never
-    * by joining occurrences on the skewed shingle key; covered
-    * positions explode only from REDUNDANT occurrences (bounded by
-    * the dup rate, not the corpus); the rebuild is one id-keyed join
-    * + a per-row hash-based position-set difference (linear in doc
-    * length). Nothing is all-pairs and document bodies
+    * by joining occurrences on the skewed shingle key; the drop set
+    * shuffles one START position per redundant occurrence (bounded by
+    * the dup rate, not the corpus, and never expanded ×k before the
+    * exchange); the rebuild is one id-keyed join + a per-row fused
+    * bitmap loop (linear in doc length) that expands spans in place.
+    * Nothing is all-pairs and document bodies
     * shuffle only in the final id-keyed join-back.
     */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
@@ -549,24 +550,28 @@ object Dedup {
     // join back on (id, pos) — unique and uniform — NOT on the shingle
     // key, where a corpus-wide hot span would land on one task
     val redundant = markByKeys(occs, keepKeys).filter(!col("keep"))
+    // ship span STARTS, not expanded coverage: the old
+    // explode(sequence(pos, pos+k-1)) multiplied every redundant
+    // occurrence k× BEFORE its exchange — the dominant intermediate at
+    // high dup rates (the ×20 scale probe's memory cliff); the native
+    // rebuild expands [p, p+k-1] inside its bitmap loop instead, so
+    // the shuffle carries one int per redundant span
     val covered = redundant
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
-      .groupBy(col("id")).agg(collect_set(col("p")).as("drop_ps"))
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("drop_starts"))
     toks.join(covered, Seq("id"), "left")
       .select(col("id"), col("toks"),
-        coalesce(col("drop_ps"), array().cast("array<integer>")).as("dps"))
+        coalesce(col("drop_starts"), array().cast("array<integer>")).as("dps"))
       .select(col("id"), size(col("toks")).as("n_total"),
         // one fused codegen loop ([[graft.functions.DropPositions]]):
         // empty drop list returns the input array untouched (the
-        // common case, zero allocation), else bitmap + copy —
-        // O(n + |dps|) always, so the fully-duplicated-long-doc worst
-        // case stays linear; replaces the interpreted three-way HOF
-        // dispatch retained below as [[rebuildComposable]] for the
-        // DedupSpec parity contract
+        // common case, zero allocation), else bitmap + copy — the
+        // bitmap marking is clamped by the doc's own length, so the
+        // fully-duplicated-long-doc worst case stays linear; the
+        // interpreted dispatch retained below as [[rebuildComposable]]
+        // is the DedupSpec width-1 parity contract
         org.apache.spark.sql.GraftColumn.of(graft.functions.DropPositions(
           org.apache.spark.sql.GraftColumn.expr(col("toks")),
-          org.apache.spark.sql.GraftColumn.expr(col("dps")))).as("kept"))
+          org.apache.spark.sql.GraftColumn.expr(col("dps")), k)).as("kept"))
       .select(col("id").as(idCol),
         concat_ws(" ", col("kept")).as("clean_text"),
         size(col("kept")).cast("long").as("n_kept"),

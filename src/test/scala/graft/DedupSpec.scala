@@ -326,7 +326,7 @@ class DedupSpec extends SparkSpec {
     val native = org.apache.spark.sql.GraftColumn.of(
       graft.functions.DropPositions(
         org.apache.spark.sql.GraftColumn.expr(col("toks")),
-        org.apache.spark.sql.GraftColumn.expr(col("dps"))))
+        org.apache.spark.sql.GraftColumn.expr(col("dps")), 1))
     // codegen path: the native column ALONE in the projection (the
     // lambda-HOF composable columns force a projection interpreted —
     // CharDupFraction lesson — so a combined frame would only ever
@@ -344,10 +344,17 @@ class DedupSpec extends SparkSpec {
       assert(r.getSeq[String](1) == r.getSeq[String](2),
         s"id=${r.getLong(0)}: native ${r.getSeq[String](1)} vs composable ${r.getSeq[String](2)}")
     }
-    // and via SQL registration
+    // and via SQL registration — 2-arg point form and 3-arg span form
     val sql = spark.sql(
       "SELECT drop_positions(array('x','y','z'), array(1)) AS k").head()
     assert(sql.getSeq[String](0) == Seq("x", "z"))
+    val span = spark.sql(
+      "SELECT drop_positions(array('a','b','c','d','e'), array(1), 3) AS k").head()
+    assert(span.getSeq[String](0) == Seq("a", "e"))
+    // span clamping: a start near the end drops only what exists
+    val clamp = spark.sql(
+      "SELECT drop_positions(array('a','b','c'), array(2), 3) AS k").head()
+    assert(clamp.getSeq[String](0) == Seq("a", "b"))
   }
 
   test("approx_count_distinct within 5% of exact (q15 contract)") {
