@@ -19,15 +19,29 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$table.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros —
-    // same truncation DuckDB applies when casting TIMESTAMP_NS down.
-    // `div` is exact integer division; `/` would promote to DOUBLE whose
-    // 2^53 mantissa cannot represent 2024-epoch nanos (~1.7e18) exactly.
-    if (table == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) (reads as long
+    // nanos under spark.sql.legacy.parquet.nanosAsLong) and, in newer
+    // generator vintages, TIMESTAMP(MICROS) isAdjustedToUTC=false (reads
+    // as TIMESTAMP_NTZ). Normalize BOTH to the session-zone TimestampType
+    // every downstream query was written against:
+    //  - long nanos → truncate to micros, the same truncation DuckDB
+    //    applies casting TIMESTAMP_NS down. `div` is exact integer
+    //    division; `/` would promote to DOUBLE whose 2^53 mantissa cannot
+    //    represent 2024-epoch nanos (~1.7e18) exactly.
+    //  - NTZ → plain cast; the session pins UTC (Session.scala), so the
+    //    wall-clock field values are unchanged and DuckDB (which reads
+    //    the same file as a naive TIMESTAMP) agrees exactly.
+    // Dispatch on the observed dtype so all generator vintages load
+    // identically.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (table == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Register every table as a temp view named after itself, so both the
