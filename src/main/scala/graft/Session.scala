@@ -97,8 +97,9 @@ object Session {
       // loudly, never return silent NULLs.
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // events.parquet carries TIMESTAMP(NANOS) which the vectorized
-      // reader rejects; read as long and convert in Tables.load.
+      // Older events.parquet vintages carry TIMESTAMP(NANOS), which the
+      // vectorized reader rejects; read those as long and convert in
+      // Tables.load (newer micros vintages ignore this conf entirely).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
