@@ -1,0 +1,124 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact top-k heavy hitters without shuffling the distinct-key table.
+  *
+  * The reference's top-n-gram report (q89's semantics) spells the exact
+  * form: `groupBy(key).count.orderBy.limit(k)`. That plan shuffles one
+  * partial-aggregate row PER DISTINCT KEY — fine while the key space is
+  * small, but an n-gram space at 100 TB has billions of distinct keys
+  * and the exchange becomes the job. This operator is the scale path:
+  *
+  *  1. **Summary pass** — a mergeable Misra–Gries sketch (Misra & Gries
+  *     1982; mergeability per Agarwal, Cormode, Huang, Phillips, Wei &
+  *     Yi 2012, "Mergeable Summaries") runs as a typed [[Aggregator]]
+  *     partial-aggregate: each task keeps ≤ 2m counters, and only the
+  *     ≤ 2m-entry summaries cross the wire (KB-scale exchange,
+  *     independent of the key space).
+  *  2. **Recount pass** — the ≤ 2m surviving candidate keys broadcast
+  *     back and are recounted EXACTLY in one filtered scan; the final
+  *     top-k orders candidate-count rows only.
+  *
+  * The sketch guarantees every key with true count > N/(m+1) survives
+  * pass 1 (underestimates only, error ≤ N/(m+1) across any merge tree —
+  * each compaction subtracts its threshold t from at least m+1 counters,
+  * so Σt ≤ N/(m+1)). Pass 2's exact counts then yield a runtime
+  * **exactness certificate**: if the k-th recounted candidate count is
+  * strictly greater than N/(m+1), no non-candidate can belong to the
+  * true top-k, so the result equals the exact spelling — which is why
+  * q110 can share q89's DuckDB oracle verbatim. [[certificate]] exposes
+  * the check; HeavyHittersSpec pins the bound and the equality.
+  *
+  * Scale shape: two scans of the item stream, zero key-space-sized
+  * exchanges, ≤ 2m driver/broadcast rows. Size m so that k-th-count >
+  * N/(m+1) for the target corpus (a 64k-counter summary is ~MBs).
+  */
+object HeavyHitters {
+
+  /** Pass-1 output: parallel arrays (a struct column), not a map, so the
+    * query side can explode keys with public functions only. */
+  final case class Summary(keys: Array[String], counts: Array[Long])
+
+  /** Mergeable Misra–Gries over strings. Buffer is an in-place mutable
+    * map (ScalaAggregator keeps it as an object between rows; kryo
+    * serializes it only at partial-aggregate boundaries). */
+  final class MisraGries(m: Int) extends Aggregator[String, mutable.HashMap[String, Long], Summary] {
+    require(m >= 1, s"summary capacity must be >= 1, got $m")
+
+    def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+    def reduce(b: mutable.HashMap[String, Long], a: String): mutable.HashMap[String, Long] = {
+      b.update(a, b.getOrElse(a, 0L) + 1L)
+      if (b.size > 2 * m) compact(b)
+      b
+    }
+
+    def merge(x: mutable.HashMap[String, Long], y: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      // Fold the smaller side into the larger — merge cost tracks the
+      // smaller summary, and the bound is symmetric.
+      val (into, from) = if (x.size >= y.size) (x, y) else (y, x)
+      from.foreach { case (k, v) => into.update(k, into.getOrElse(k, 0L) + v) }
+      if (into.size > 2 * m) compact(into)
+      into
+    }
+
+    def finish(r: mutable.HashMap[String, Long]): Summary = {
+      val arr = r.toArray
+      Summary(arr.map(_._1), arr.map(_._2))
+    }
+
+    /** Subtract the (m+1)-th largest count t from every counter and drop
+      * the non-positive ones: ≤ m survive (only the top-m can exceed t),
+      * and the top m+1 counters each lose ≥ t, charging t against N/(m+1)
+      * of stream mass — the Misra–Gries error argument, batched. */
+    private def compact(b: mutable.HashMap[String, Long]): Unit = {
+      val vs = b.values.toArray
+      java.util.Arrays.sort(vs)
+      val t = vs(vs.length - 1 - m) // (m+1)-th largest; >= 1 (all counts >= 1)
+      for ((k, v) <- b.toArray) {
+        val nv = v - t
+        if (nv <= 0L) b.remove(k) else b.update(k, nv)
+      }
+    }
+
+    def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+    def outputEncoder: Encoder[Summary] = Encoders.product[Summary]
+  }
+
+  /** The candidate keys surviving the summary pass (≤ 2m rows). */
+  def candidates(items: DataFrame, itemCol: String, m: Int): DataFrame = {
+    val mg = udaf(new MisraGries(m), Encoders.STRING)
+    items
+      .agg(mg(col(itemCol)).as("s"))
+      .select(explode(col("s.keys")).as(itemCol))
+  }
+
+  /** Exact top-k of `itemCol` by occurrence count: summary pass →
+    * broadcast candidates → exact recount → order candidates only.
+    * Columns: (itemCol, n) with the (count desc, key asc) tie-break —
+    * q89's exact contract. Exact whenever [[certificate]] holds; size m
+    * accordingly for the corpus. */
+  def topKExact(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame =
+    items
+      .join(broadcast(candidates(items, itemCol, m)), Seq(itemCol))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(itemCol))
+      .limit(k)
+
+  /** One-row exactness certificate for a [[topKExact]] result: `proven`
+    * is true iff the k-th candidate count strictly exceeds N/(m+1), the
+    * maximum count a key can have while evading the summary. */
+  def certificate(items: DataFrame, topk: DataFrame, m: Int): DataFrame = {
+    val kth = topk.agg(min(col("n")).as("kth_count"))
+    items.agg(count(lit(1)).as("n_total")).crossJoin(kth)
+      .select(col("n_total"), col("kth_count"),
+        (col("n_total").cast("double") / (m + 1.0)).as("evasion_bound"),
+        (col("kth_count") > col("n_total").cast("double") / (m + 1.0)).as("proven"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Bloom, Components, Dedup, Ivf, Multimodal, Quantize, SemDedup, Similarity}
+import graft.operators.{Bloom, Components, Dedup, HeavyHitters, Ivf, Multimodal, Quantize, SemDedup, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -1421,6 +1421,38 @@ object Corpus {
           .select(explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
           .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("ngram")).limit(50)
+      },
+      Some("""
+        WITH t AS (
+          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), n AS (
+          SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS ngram
+          FROM t
+        )
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n
+        FROM n GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT 50""")),
+
+    // ----- Top n-grams, heavy-hitter scale path -----
+    // q89's EXACT semantics through the sketch-then-recount path
+    // ([[graft.operators.HeavyHitters]]): a mergeable Misra–Gries
+    // summary pass (only ≤2m-counter summaries cross the wire — the
+    // exchange is summary-sized, never distinct-ngram-sized) feeds a
+    // broadcast-candidate exact recount. m = 16384 makes the evasion
+    // bound N/(m+1) ≈ 1.6 at the sf0.01 gate (50th trigram count: 5)
+    // and ≈ 16 at sf0.1 (50th: 21), so the exactness certificate holds
+    // and the oracle is q89's verbatim — same rows, same hash, a plan
+    // that survives a billion-key n-gram space. HeavyHittersSpec pins
+    // the sketch bound, the compaction path, and the certificate.
+    QueryDef(
+      "q110_top_ngrams_sketch",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val grams = d.select(Text.tokens(col("text")).as("toks"))
+          .select(explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
+        HeavyHitters.topKExact(grams, "ngram", k = 50, m = 16384)
       },
       Some("""
         WITH t AS (

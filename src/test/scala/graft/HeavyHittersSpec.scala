@@ -1,0 +1,93 @@
+package graft
+
+import scala.collection.mutable
+import org.apache.spark.sql.functions._
+import graft.operators.HeavyHitters
+import graft.functions.Text
+
+/** Misra–Gries sketch-then-recount top-k ([[operators.HeavyHitters]]):
+  * the sketch's underestimate bound and survival guarantee (exercising
+  * the compaction path the test corpus is too small to trigger), the
+  * exactness certificate, and end-to-end equality with the exact
+  * groupBy spelling on the real documents table.
+  */
+class HeavyHittersSpec extends SparkSpec {
+
+  /** Drive the aggregator directly (no Spark) over a partitioned stream,
+    * mimicking partial aggregation + a merge tree. */
+  private def sketch(parts: Seq[Seq[String]], m: Int): Map[String, Long] = {
+    val agg = new HeavyHitters.MisraGries(m)
+    val partials = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+    val merged = partials.reduceLeft(agg.merge)
+    val s = agg.finish(merged)
+    s.keys.zip(s.counts).toMap
+  }
+
+  test("sketch bound: underestimates only, error <= N/(m+1), heavy keys survive compaction") {
+    val m = 16
+    // Adversarial: 4000 distinct singletons (forces many compactions at
+    // cap 2m=32) hiding 3 heavy keys. Deterministic construction.
+    val heavy = Map("alpha" -> 400L, "beta" -> 250L, "gamma" -> 90L)
+    val stream = mutable.ArrayBuffer[String]()
+    var i = 0
+    for (k <- 0 until 4000) {
+      stream += s"noise_$k"
+      for ((h, c) <- heavy) { // interleave heavy keys evenly
+        val stride = 4000 / c.toInt
+        if (stride > 0 && k % stride == 0) stream += h
+      }
+      i += 1
+    }
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val bound = n.toDouble / (m + 1)
+
+    // 7 uneven partitions → a real merge tree.
+    val parts = stream.grouped(math.max(1, stream.size / 7 + 3)).map(_.toSeq).toSeq
+    val est = sketch(parts, m)
+
+    assert(est.size <= 2 * m, s"summary must stay <= 2m entries, got ${est.size}")
+    est.foreach { case (k, v) =>
+      assert(v <= truth(k), s"$k overestimated: $v > ${truth(k)}")
+      assert(truth(k) - v <= bound + 1e-9, s"$k error ${truth(k) - v} > bound $bound")
+    }
+    truth.filter(_._2 > bound).keys.foreach { k =>
+      assert(est.contains(k), s"heavy key $k (count ${truth(k)} > bound $bound) evicted")
+    }
+    // The construction really exercised compaction.
+    assert(truth.size > 2 * m, "test stream must exceed summary capacity")
+  }
+
+  test("topKExact equals the exact groupBy spelling and certifies itself on documents") {
+    val d = sources.Tables.load(spark, sfDir, "documents")
+    val grams = d.select(Text.tokens(col("text")).as("toks"))
+      .select(explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
+
+    // sf0.001 trigrams: N ≈ 27k, 20th count 6 → m = 8192 puts the
+    // evasion bound at ~3.3, strictly under the k-th count.
+    val m = 8192
+    val k = 20
+    val viaSketch = HeavyHitters.topKExact(grams, "ngram", k, m)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = grams.groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSketch == exact)
+
+    val cert = HeavyHitters.certificate(grams,
+      HeavyHitters.topKExact(grams, "ngram", k, m), m).collect()(0)
+    assert(cert.getAs[Boolean]("proven"),
+      s"certificate must hold at this (k=$k, m=$m) on sf0.001: $cert")
+  }
+
+  test("ties at the cut keep the deterministic (count desc, key asc) order") {
+    val s = spark
+    import s.implicits._
+    // 6 keys, counts 3/3/2/2/1/1 — the k=4 cut lands inside a tie.
+    val items = Seq("b", "b", "b", "a", "a", "a", "d", "d", "c", "c", "f", "e")
+      .toDF("key")
+    val top = HeavyHitters.topKExact(items, "key", k = 4, m = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a", 3L), ("b", 3L), ("c", 2L), ("d", 2L)))
+  }
+}
