@@ -1,7 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -90,10 +90,16 @@ object HeavyHitters {
     def outputEncoder: Encoder[Summary] = Encoders.product[Summary]
   }
 
-  /** The candidate keys surviving the summary pass (≤ 2m rows). */
+  /** The candidate keys surviving the summary pass (≤ 2m rows). NULL
+    * keys are excluded up front — the exact `groupBy` spelling counts a
+    * NULL group, but an equi-join can never recount one; excluding it
+    * HERE (instead of silently losing it in [[topKExact]]'s join) keeps
+    * the operator's contract explicit: pre-fill NULLs if they are a
+    * meaningful key. */
   def candidates(items: DataFrame, itemCol: String, m: Int): DataFrame = {
     val mg = udaf(new MisraGries(m), Encoders.STRING)
     items
+      .where(col(itemCol).isNotNull)
       .agg(mg(col(itemCol)).as("s"))
       .select(explode(col("s.keys")).as(itemCol))
   }
@@ -101,8 +107,9 @@ object HeavyHitters {
   /** Exact top-k of `itemCol` by occurrence count: summary pass →
     * broadcast candidates → exact recount → order candidates only.
     * Columns: (itemCol, n) with the (count desc, key asc) tie-break —
-    * q89's exact contract. Exact whenever [[certificate]] holds; size m
-    * accordingly for the corpus. */
+    * q89's exact contract over non-NULL keys (see [[candidates]]).
+    * Exact whenever [[certificate]] holds; size m accordingly for the
+    * corpus. */
   def topKExact(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame =
     items
       .join(broadcast(candidates(items, itemCol, m)), Seq(itemCol))
@@ -111,14 +118,34 @@ object HeavyHitters {
       .orderBy(col("n").desc, col(itemCol))
       .limit(k)
 
-  /** One-row exactness certificate for a [[topKExact]] result: `proven`
-    * is true iff the k-th candidate count strictly exceeds N/(m+1), the
-    * maximum count a key can have while evading the summary. */
-  def certificate(items: DataFrame, topk: DataFrame, m: Int): DataFrame = {
-    val kth = topk.agg(min(col("n")).as("kth_count"))
-    items.agg(count(lit(1)).as("n_total")).crossJoin(kth)
-      .select(col("n_total"), col("kth_count"),
+  /** One-row exactness certificate for a [[topKExact]] result computed
+    * with the same (k, m): `proven` is true iff the result provably
+    * equals the exact `groupBy` spelling (over non-NULL keys). Two
+    * sufficient conditions, either closes the gap:
+    *
+    *  - the result has a FULL k rows and the k-th count strictly
+    *    exceeds the evasion bound N/(m+1) — no non-candidate can reach
+    *    the cut; or
+    *  - the evasion bound is < 1 — NO key can evade the summary at
+    *    all, so the candidate set (hence any result it yields, even one
+    *    with fewer than k rows) is complete.
+    *
+    * A result with fewer than k rows whose bound is ≥ 1 is NOT proven:
+    * compaction ties can drain the summary below k candidates while
+    * evaded keys still exist, and min-over-fewer-rows would compare the
+    * wrong count against the bound. */
+  def certificate(items: DataFrame, topk: DataFrame, k: Int, m: Int): DataFrame = {
+    val kth = topk.agg(min(col("n")).as("kth_count"), count(lit(1)).as("k_found"))
+    items.where(col(itemCol(topk)).isNotNull)
+      .agg(count(lit(1)).as("n_total")).crossJoin(kth)
+      .select(col("n_total"), col("kth_count"), col("k_found"),
         (col("n_total").cast("double") / (m + 1.0)).as("evasion_bound"),
-        (col("kth_count") > col("n_total").cast("double") / (m + 1.0)).as("proven"))
+        ((col("k_found") === k &&
+          col("kth_count") > col("n_total").cast("double") / (m + 1.0)) ||
+         col("n_total").cast("double") / (m + 1.0) < 1.0).as("proven"))
   }
+
+  /** The key column of a [[topKExact]] result: its non-`n` column. */
+  private def itemCol(topk: DataFrame): String =
+    topk.columns.filter(_ != "n").head
 }

@@ -42,6 +42,30 @@ object Corpus {
   private def tokenChunks(toks: org.apache.spark.sql.Column) =
     Text.tokenChunks(toks, 8)
 
+  /** q89/q110 share one trigram stream and ONE oracle string — the two
+    * queries are the same declared semantics on different physical
+    * paths (exact shuffle vs sketch+recount), and a shared definition
+    * is what makes "same rows, same hash" a structural fact instead of
+    * a copy that can rot (the q72/q105 temperatureSample precedent). */
+  private def corpusTrigrams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(Text.tokens(col("text")).as("toks"))
+      .select(explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
+
+  private val topNgramsOracle = """
+        WITH t AS (
+          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), n AS (
+          SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS ngram
+          FROM t
+        )
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n
+        FROM n GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT 50"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Text analysis: lang-ID heuristic + quality + token counts -----
@@ -1415,25 +1439,11 @@ object Corpus {
     // wanted.
     QueryDef(
       "q89_top_ngrams",
-      (spark, dir) => {
-        val d = Tables.load(spark, dir, "documents")
-        d.select(Text.tokens(col("text")).as("toks"))
-          .select(explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
+      (spark, dir) =>
+        corpusTrigrams(spark, dir)
           .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("ngram")).limit(50)
-      },
-      Some("""
-        WITH t AS (
-          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-          FROM documents
-        ), n AS (
-          SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                         for i in range(1, len(w) - 1)]) AS ngram
-          FROM t
-        )
-        SELECT ngram, CAST(count(*) AS BIGINT) AS n
-        FROM n GROUP BY ngram
-        ORDER BY n DESC, ngram LIMIT 50""")),
+          .orderBy(col("n").desc, col("ngram")).limit(50),
+      Some(topNgramsOracle)),
 
     // ----- Top n-grams, heavy-hitter scale path -----
     // q89's EXACT semantics through the sketch-then-recount path
@@ -1448,24 +1458,10 @@ object Corpus {
     // the sketch bound, the compaction path, and the certificate.
     QueryDef(
       "q110_top_ngrams_sketch",
-      (spark, dir) => {
-        val d = Tables.load(spark, dir, "documents")
-        val grams = d.select(Text.tokens(col("text")).as("toks"))
-          .select(explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
-        HeavyHitters.topKExact(grams, "ngram", k = 50, m = 16384)
-      },
-      Some("""
-        WITH t AS (
-          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-          FROM documents
-        ), n AS (
-          SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                         for i in range(1, len(w) - 1)]) AS ngram
-          FROM t
-        )
-        SELECT ngram, CAST(count(*) AS BIGINT) AS n
-        FROM n GROUP BY ngram
-        ORDER BY n DESC, ngram LIMIT 50""")),
+      (spark, dir) =>
+        HeavyHitters.topKExact(corpusTrigrams(spark, dir), "ngram",
+          k = 50, m = 16384),
+      Some(topNgramsOracle)),
 
     // ----- Cross-document duplicated-span fraction -----
     // The exact-substring-dedup signal (Lee et al. 2021, "Deduplicating

@@ -40,7 +40,11 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", df("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df // already session-zone micros
+      case other => sys.error(
+        s"events.ts arrived as unrecognized type ${other.sql} — a new " +
+          "generator vintage; teach Tables.load its normalization " +
+          "rather than letting values drift past the oracle silently")
     } else df
   }
 

@@ -29,14 +29,12 @@ class HeavyHittersSpec extends SparkSpec {
     // cap 2m=32) hiding 3 heavy keys. Deterministic construction.
     val heavy = Map("alpha" -> 400L, "beta" -> 250L, "gamma" -> 90L)
     val stream = mutable.ArrayBuffer[String]()
-    var i = 0
     for (k <- 0 until 4000) {
       stream += s"noise_$k"
       for ((h, c) <- heavy) { // interleave heavy keys evenly
         val stride = 4000 / c.toInt
         if (stride > 0 && k % stride == 0) stream += h
       }
-      i += 1
     }
     val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = stream.size.toLong
@@ -67,17 +65,46 @@ class HeavyHittersSpec extends SparkSpec {
     // evasion bound at ~3.3, strictly under the k-th count.
     val m = 8192
     val k = 20
-    val viaSketch = HeavyHitters.topKExact(grams, "ngram", k, m)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val topk = HeavyHitters.topKExact(grams, "ngram", k, m)
+    val viaSketch = topk.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val exact = grams.groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(k)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(viaSketch == exact)
 
-    val cert = HeavyHitters.certificate(grams,
-      HeavyHitters.topKExact(grams, "ngram", k, m), m).collect()(0)
+    val cert = HeavyHitters.certificate(grams, topk, k, m).collect()(0)
     assert(cert.getAs[Boolean]("proven"),
       s"certificate must hold at this (k=$k, m=$m) on sf0.001: $cert")
+  }
+
+  test("certificate refuses a result with fewer than k rows unless the bound closes it") {
+    val s = spark
+    import s.implicits._
+    // m=1, k=2 over [a,a,a,b,c]: compaction (t=1 at size 3) drains the
+    // summary to {a}, so topKExact returns ONE row [(a,3)] while the
+    // exact spelling has two. kth=3 > bound=2.5 — the pre-fix
+    // certificate would have claimed proven on a wrong result.
+    val items = Seq("a", "a", "a", "b", "c").toDF("key").coalesce(1)
+    val top = HeavyHitters.topKExact(items, "key", k = 2, m = 1)
+    val rows = top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (rows.size < 2) {
+      val cert = HeavyHitters.certificate(items, top, k = 2, m = 1).collect()(0)
+      assert(!cert.getAs[Boolean]("proven"),
+        s"a short result with evaded keys must not certify: $cert")
+    } else {
+      // Partial-aggregation splits can legitimately keep both b and c
+      // alive (per-partition summaries), making the result exact — in
+      // that case the bound<1 arm must NOT fire (bound is 2.5).
+      assert(rows == Seq(("a", 3L), ("b", 1L)) || rows == Seq(("a", 3L), ("c", 1L)))
+    }
+    // The bound<1 arm: m large enough that NO key can evade — a
+    // short result is then provably complete.
+    val cert2 = HeavyHitters.certificate(items,
+      HeavyHitters.topKExact(items, "key", k = 10, m = 64), k = 10, m = 64)
+      .collect()(0)
+    assert(cert2.getAs[Long]("k_found") == 3L)
+    assert(cert2.getAs[Boolean]("proven"),
+      s"bound < 1 makes even a short result provably exact: $cert2")
   }
 
   test("ties at the cut keep the deterministic (count desc, key asc) order") {
