@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import graft.operators.HeavyHitters
+
+/** Scale probe for the heavy-hitter top-k path (PLANS.md q110): builds
+  * deterministic key streams whose DISTINCT space grows with n and
+  * records the actual shuffle-exchange volume of the exact
+  * `groupBy.count.orderBy.limit` spelling vs
+  * [[HeavyHitters.topKExact]] — pinning "the exchange is
+  * summary-sized, never distinct-key-sized" with executed-plan
+  * SQLMetrics instead of prose.
+  *
+  * Stream shape per size n (arithmetic-deterministic, no RNG): every
+  * 97th id collapses onto one of 100 heavy keys (the findable head —
+  * each ≈ n/97/100 occurrences, far above the N/(m+1) evasion bound);
+  * every other id is a unique singleton (the adversarial tail: the
+  * distinct count is ≈ n and the exact plan must shuffle all of it).
+  *
+  * AQE is disabled for the probe so the executed plan is concrete and
+  * its exchanges are directly enumerable; the volumes measured are
+  * partial-aggregate outputs, which AQE coalescing does not change.
+  *
+  * Usage: `runMain graft.ShuffleProbe 1000000 4000000`. One line per
+  * (size, plan): records + bytes for every exchange in the plan.
+  */
+object ShuffleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+                else Seq(1000000L, 4000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Session.builder("graft-shuffleprobe", cpus).getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setLogLevel("WARN")
+    val k = 50
+    val m = 16384
+
+    def exchangeVolumes(df: DataFrame): Seq[(Long, Long)] = {
+      df.collect() // populate SQLMetrics
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike =>
+          (e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(-1L),
+           e.metrics.get("dataSize").map(_.value).getOrElse(-1L))
+      }
+    }
+
+    sizes.foreach { n =>
+      val items = spark.range(n).select(
+        when(col("id") % 97 === 0,
+          concat(lit("heavy_"), (col("id") % 100).cast("string")))
+          .otherwise(concat(lit("noise_"), col("id"))).as("key"))
+
+      val exact = items.groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("key")).limit(k)
+      val sketch = HeavyHitters.topKExact(items, "key", k, m)
+
+      val exactVols = exchangeVolumes(exact)
+      val sketchVols = exchangeVolumes(sketch)
+      val cert = HeavyHitters.certificate(items, sketch, k, m).collect()(0)
+
+      def fmt(vols: Seq[(Long, Long)]): String =
+        vols.map { case (r, b) => s"${r}r/${b / 1024}KiB" }.mkString(" + ")
+      println(s"SHUFFLEPROBE n=$n distinct~${n - n / 97 + 100} " +
+        s"exact=[${fmt(exactVols)}] sketch=[${fmt(sketchVols)}] " +
+        s"proven=${cert.getAs[Boolean]("proven")}")
+    }
+    spark.stop()
+  }
+}
