@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Phrase (collocation) mining — the phrase-vocabulary induction step
+  * of a word2vec-style pipeline (Mikolov et al. 2013, "Distributed
+  * Representations of Words and Phrases": merge adjacent word pairs
+  * whose discounted co-occurrence score clears a threshold, so
+  * "new york" becomes one token before embedding/tokenizer training).
+  *
+  * Score, mirrored verbatim in the DuckDB oracle (all-integer counts,
+  * one double expression, rounded for cross-engine stability):
+  *
+  *   score(a b) = round(N · (c(ab) − δ) / (c(a) · c(b)), 6)
+  *
+  * with δ the discount that suppresses rare-pair noise and N the total
+  * token count (making the score a scaled p(ab)/(p(a)p(b)) — PMI's
+  * argument — rather than an unreadably tiny raw ratio).
+  *
+  * Scale shape (the q106 tokenizer-training family): the corpus
+  * crosses exactly two partial-aggregated exchanges — bigram counts
+  * and unigram counts, both Heaps-law vocab-sized, never
+  * corpus-sized — then joins bigram→unigram stay vocab-keyed (AQE
+  * broadcasts the unigram side at test scale; sort-merge at corpus
+  * scale, both sides already hash-partitioned by their own
+  * aggregates). The N total is a 1-row broadcast. Nothing here is
+  * proportional to the corpus after the first map-side combine.
+  */
+object Collocations {
+
+  /** Discounted phrase scores over `textCol`, top `topN` by
+    * (score desc, bigram asc) among pairs seen ≥ `minCount` times.
+    * Columns: (bigram, c_ab, score). */
+  def phraseScores(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, delta: Double = 1.0, topN: Int = 40): DataFrame = {
+    val toks = docs.select(Text.tokens(col(textCol)).as("toks"))
+
+    val bigrams = toks
+      .select(explode(Text.wordNgrams(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+
+    val unigrams = toks
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+
+    val total = unigrams.agg(sum(col("c_w")).as("n_total"))
+
+    bigrams
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(unigrams.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a"), "w1")
+      .join(unigrams.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c_ab"),
+        round(col("n_total").cast("double") * (col("c_ab") - delta) /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 6).as("score"))
+      .orderBy(col("score").desc, col("bigram"))
+      .limit(topN)
+  }
+}

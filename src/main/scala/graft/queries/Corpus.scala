@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Bloom, Components, Dedup, HeavyHitters, Ivf, Multimodal, Quantize, SemDedup, Similarity}
+import graft.operators.{Bloom, Collocations, Components, Dedup, HeavyHitters, Ivf, Multimodal, Quantize, SemDedup, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -1462,6 +1462,46 @@ object Corpus {
         HeavyHitters.topKExact(corpusTrigrams(spark, dir), "ngram",
           k = 50, m = 16384),
       Some(topNgramsOracle)),
+
+    // ----- Phrase / collocation mining -----
+    // The word2vec phrase-vocabulary induction step
+    // ([[graft.operators.Collocations]]): discounted bigram score
+    // N·(c(ab)−δ)/(c(a)·c(b)), top 40 at min support 5 — the pairs a
+    // tokenizer pipeline would merge into single tokens. All counts
+    // exact integers, ONE double expression mirrored verbatim in the
+    // oracle (round 6 — the q93 cross-engine float idiom). Scale: two
+    // vocab-sized partial-agg exchanges, vocab-keyed joins, 1-row
+    // total broadcast (allowlisted BNLJ like q67/q100/q101) — nothing
+    // corpus-sized past the map-side combine.
+    QueryDef(
+      "q111_collocations",
+      (spark, dir) =>
+        Collocations.phraseScores(
+          Tables.load(spark, dir, "documents"), "text",
+          minCount = 5L, delta = 1.0, topN = 40),
+      Some("""
+        WITH t AS (
+          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), u AS (
+          SELECT w, count(*) AS c_w FROM (SELECT unnest(w) AS w FROM t) GROUP BY w
+        ), n_tot AS (
+          SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM u
+        ), b AS (
+          SELECT bigram, count(*) AS c_ab
+          FROM (SELECT unnest([w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))]) AS bigram
+                FROM t)
+          GROUP BY bigram HAVING count(*) >= 5
+        )
+        SELECT b.bigram, b.c_ab,
+               round(CAST(n_total AS DOUBLE) * (b.c_ab - 1.0) /
+                     (CAST(ua.c_w AS DOUBLE) * CAST(ub.c_w AS DOUBLE)), 6) AS score
+        FROM b
+        CROSS JOIN n_tot
+        JOIN u ua ON ua.w = string_split(b.bigram, ' ')[1]
+        JOIN u ub ON ub.w = string_split(b.bigram, ' ')[2]
+        ORDER BY score DESC, bigram LIMIT 40""")),
 
     // ----- Cross-document duplicated-span fraction -----
     // The exact-substring-dedup signal (Lee et al. 2021, "Deduplicating

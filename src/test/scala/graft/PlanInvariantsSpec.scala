@@ -19,7 +19,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q67_unigram_logprob",     // 1-row corpus-total broadcast
     "q100_dsir_importance",    // 1-row smoothing-totals broadcast
     "q101_bigram_perplexity",  // 1-row vocabulary-count broadcast
-    "q102_semantic_decontaminate") // broadcast eval probe set (q37's shape)
+    "q102_semantic_decontaminate", // broadcast eval probe set (q37's shape)
+    "q111_collocations")       // 1-row corpus-total broadcast (score scale)
 
   test("no undeclared nested-loop or cartesian join in any query plan") {
     val offenders = SparkEntry.all.flatMap { q =>
