@@ -22,10 +22,12 @@ import graft.functions.Text
   * Scale shape (the q106 tokenizer-training family): the corpus
   * crosses exactly two partial-aggregated exchanges — bigram counts
   * and unigram counts, both Heaps-law vocab-sized, never
-  * corpus-sized — then joins bigram→unigram stay vocab-keyed (AQE
-  * broadcasts the unigram side at test scale; sort-merge at corpus
-  * scale, both sides already hash-partitioned by their own
-  * aggregates). The N total is a 1-row broadcast. Nothing here is
+  * corpus-sized. The bigram→unigram joins are vocab-KEYED but not
+  * exchange-free: the bigram table aggregates on `bigram`, so the SMJ
+  * path at corpus scale re-exchanges it by w1 and again by w2 — two
+  * MORE vocab-sized (min-support-pruned) shuffles, still nothing
+  * corpus-sized (AQE broadcasts the unigram side at test scale and
+  * skips them). The N total is a 1-row broadcast. Nothing here is
   * proportional to the corpus after the first map-side combine.
   */
 object Collocations {
