@@ -1,8 +1,9 @@
 package graft.operators
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) vocabulary induction — the
@@ -94,13 +95,30 @@ object Bpe {
     * and kills the job — pass a directory to write each iteration's
     * segmentation to `persistPath/seg<i>` instead (executor loss
     * re-reads files, and the per-step segmentations double as the
-    * tokenizer-training audit trail). */
+    * tokenizer-training audit trail).
+    *
+    * `driverMaxWords`: the hybrid-loop threshold. A production merge
+    * count is k ≈ 32,000, and the distributed loop costs one
+    * vocab-sized Spark job + one 1-row collect PER MERGE — 32k
+    * sequential job schedulings over a distinct-word table that, by
+    * Heaps' law, virtually always fits in driver memory anyway. So
+    * when the distinct-word count is ≤ `driverMaxWords` the word table
+    * is collected ONCE and the whole merge loop runs driver-side (one
+    * Spark job total); the distributed loop remains the fallback for
+    * corpora whose vocabulary genuinely exceeds the driver (set 0 to
+    * force it). Both forms produce identical merge sequences and
+    * segmentations — the argmax tie-break compares strings as UTF-8
+    * bytes exactly like Spark's StringType ordering, and BpeSpec pins
+    * the equality at k=8 on the real corpus. */
   def train(docs: DataFrame, textCol: String, k: Int,
-      persistPath: Option[String] = None): (Seq[(String, String, Long)], DataFrame) = {
+      persistPath: Option[String] = None,
+      driverMaxWords: Long = 2000000L): (Seq[(String, String, Long)], DataFrame) = {
     require(k >= 1, "need at least one merge")
     def barrier(df: DataFrame, step: Int): DataFrame =
       Barrier.materialize(df, persistPath.map(p => s"$p/seg$step"))
     var seg = barrier(segment(wordFreq(docs, textCol)), 0)
+    if (seg.count() <= driverMaxWords)
+      return trainDriverSide(docs.sparkSession, seg, k, persistPath)
     val out = ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (out.length < k && !exhausted) {
@@ -126,9 +144,141 @@ object Bpe {
     (out.toSeq, seg)
   }
 
+  /** Spark's StringType orders by UTF-8 binary bytes (unsigned); the
+    * driver-side argmax tie-break must match it exactly or the two
+    * [[train]] forms could diverge on non-ASCII symbols (Java String
+    * comparison is UTF-16 code-unit order, which disagrees above the
+    * BMP). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-side merge loop: identical semantics to the
+    * distributed loop (weighted within-word pair counts, (cnt desc,
+    * l, r) argmax with UTF-8 string order, greedy left-to-right
+    * non-cascading merge), run over the collected word table. In
+    * durable mode each step's segmentation is still written to
+    * `persistPath/seg<i>` so the audit-trail contract is form-
+    * independent (the frames are local, so the writes are cheap). */
+  private def trainDriverSide(spark: SparkSession, seg0: DataFrame, k: Int,
+      persistPath: Option[String]): (Seq[(String, String, Long)], DataFrame) = {
+    val words: Array[(String, Long, ArrayBuffer[String])] =
+      seg0.select(col("w"), col("f"), col("syms")).collect().map { r =>
+        (r.getString(0), r.getLong(1), ArrayBuffer(r.getSeq[String](2): _*))
+      }
+    def toDf(): DataFrame = {
+      import spark.implicits._
+      words.toSeq.map { case (w, f, s) => (w, f, s.toSeq) }.toDF("w", "f", "syms")
+    }
+    def persist(step: Int): Unit =
+      persistPath.foreach(p => toDf().write.mode("overwrite").parquet(s"$p/seg$step"))
+    // Pair counts are built once and DELTA-maintained: each merge only
+    // re-counts the words it actually touched, so a k≈32,000 production
+    // run costs O(touched words) per merge, not O(vocab × word length)
+    // — the recount-everything form is what made the distributed loop's
+    // k sequential jobs infeasible in the first place. The argmax is a
+    // lazy-deletion max-heap over (count, pair) snapshots: every count
+    // update pushes a fresh snapshot, dequeue skips entries whose count
+    // no longer matches the live table — so picking the next merge is
+    // O(log |pairs|) amortized, not a full-table scan per merge.
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // max-heap: bigger count wins; on ties the UTF-8-smaller (l, r)
+    // must surface FIRST (Spark's (cnt desc, l, r) orderBy), so the
+    // smaller pair compares as the larger heap element.
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          if (x._1 != y._1) return if (x._1 < y._1) -1 else 1
+          if (x._2 != y._2) return if (utf8Lt(x._2, y._2)) 1 else -1
+          if (x._3 != y._3) return if (utf8Lt(x._3, y._3)) 1 else -1
+          0
+        }
+      })
+    def addPairs(syms: ArrayBuffer[String], f: Long, sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val nv = counts.getOrElse(p, 0L) + sign * f
+        if (nv == 0L) counts.remove(p)
+        else {
+          counts.update(p, nv)
+          heap.enqueue((nv, p._1, p._2))
+        }
+        i += 1
+      }
+    }
+    words.foreach { case (_, f, syms) => addPairs(syms, f, 1L) }
+    val out = ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (out.length < k && !exhausted) {
+      var top: Option[(String, String, Long)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val (c, hl, hr) = heap.dequeue()
+        if (counts.get((hl, hr)).contains(c)) top = Some((hl, hr, c))
+      }
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = top.get
+        out += ((l, r, c))
+        for ((_, f, syms) <- words) {
+          var j = 0
+          var touched = false
+          while (j < syms.length - 1 && !touched) {
+            if (syms(j) == l && syms(j + 1) == r) touched = true
+            j += 1
+          }
+          if (touched) {
+            addPairs(syms, f, -1L)
+            // greedy left-to-right in place: the freshly-merged symbol
+            // is never reconsidered as the LEFT of the same pass
+            // (applyMerge's fold reads the accumulator's last element,
+            // which a merge just replaced — matching requires skipping
+            // past it)
+            var i = 0
+            while (i < syms.length - 1) {
+              if (syms(i) == l && syms(i + 1) == r) {
+                syms(i) = l + r
+                syms.remove(i + 1)
+              }
+              i += 1
+            }
+            addPairs(syms, f, 1L)
+          }
+        }
+        persist(out.length)
+      }
+    }
+    (out.toSeq, toDf())
+  }
+
   /** [[train]]'s merge list alone. */
   def learnMerges(docs: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] =
     train(docs, textCol, k)._1
+
+  /** Persist a trained vocabulary segmentation — the production
+    * hand-off: a tokenizer is trained ONCE and applied many times, so
+    * the (w, f, syms) table is the artifact that crosses job
+    * boundaries ([[loadVocab]] is the consumer side). Plain parquet:
+    * durable, partition-prunable, and readable by any engine for
+    * audits. */
+  def saveVocab(vocabSeg: DataFrame, path: String): Unit =
+    vocabSeg.select(col("w"), col("f"), col("syms"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveVocab]]'d (or durable-mode `persistPath/seg<k>`)
+    * vocabulary for [[tokenCounts]]/[[encode]]. BpeSpec pins
+    * disk-loaded == freshly-trained. */
+  def loadVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Tokenize the corpus under a trained vocabulary: per-document BPE
     * token counts — the budgeting input for packing ([[CorpusPrep

@@ -55,6 +55,46 @@ class BpeSpec extends SparkSpec {
     assert(onDisk == returned)
   }
 
+  test("hybrid driver-side loop matches the distributed loop at k=8 on the real corpus") {
+    // the production-merge-count path (driver-side delta-maintained
+    // counts + lazy-deletion argmax heap) must reproduce the
+    // distributed loop's merge sequence AND final segmentation exactly
+    // — including the (cnt desc, l, r) tie-break, which driver-side
+    // compares as UTF-8 bytes to match Spark's StringType ordering
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (driverMerges, driverSeg) = Bpe.train(docs, "text", k = 8)
+    val (distMerges, distSeg) =
+      Bpe.train(docs, "text", k = 8, driverMaxWords = 0L)
+    assert(driverMerges == distMerges,
+      s"driver $driverMerges vs distributed $distMerges")
+    def segMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("w", "f", "syms").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    assert(segMap(driverSeg) == segMap(distSeg))
+  }
+
+  test("disk-loaded vocab equals the freshly-trained vocab (train once, apply many)") {
+    val s = spark
+    import s.implicits._
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val (_, fresh) = Bpe.train(docs, "text", k = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-vocab").toString
+    Bpe.saveVocab(fresh, dir)
+    val loaded = Bpe.loadVocab(spark, dir)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("w", "f", "syms").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    assert(m(loaded) == m(fresh))
+    // and the loaded vocab tokenizes identically
+    val doc = Seq((42L, "low lower newest widest")).toDF("doc_id", "text")
+    val a = Bpe.tokenCounts(doc, "doc_id", "text", loaded).head()
+    val b = Bpe.tokenCounts(doc, "doc_id", "text", fresh).head()
+    assert(a == b)
+  }
+
   test("pair counts weight by word frequency and count within-word multiplicity") {
     val s = spark
     import s.implicits._
