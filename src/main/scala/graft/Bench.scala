@@ -101,7 +101,15 @@ object Bench {
     // snapshot commit, so per-query history stays diffable.
     writeDetail("BENCH_DETAIL.json", mkdirs = false)
     writeDetail("target/bench_last.json", mkdirs = true)
+    // Quiet shutdown, then RE-emit the compact line as the absolute
+    // final stdout statement: r8's summary printed before spark.stop(),
+    // whose shutdown logging pushed it out of the driver's bounded tail
+    // window (BENCH_r08 `parsed: null`). Printing it last — after the
+    // SparkContext is fully stopped — leaves only sbt's own success
+    // marker between the line and the window's edge.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -38,12 +38,18 @@ object ShuffleProbe {
     val k = 50
     val m = 16384
 
+    // A Spark version that renames either metric key must fail loudly
+    // here, not print a silent -1 that reads like a real volume when a
+    // future reader reproduces the PLANS.md numbers.
     def exchangeVolumes(df: DataFrame): Seq[(Long, Long)] = {
       df.collect() // populate SQLMetrics
       df.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeLike =>
-          (e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(-1L),
-           e.metrics.get("dataSize").map(_.value).getOrElse(-1L))
+          def metric(key: String): Long =
+            e.metrics.get(key).map(_.value).getOrElse(sys.error(
+              s"SQLMetric '$key' missing on ${e.nodeName} — metric renamed " +
+                s"in this Spark version? available: ${e.metrics.keys.mkString(",")}"))
+          (metric("shuffleRecordsWritten"), metric("dataSize"))
       }
     }
 

@@ -44,9 +44,15 @@ object Collocations {
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
       .where(col("c_ab") >= minCount)
 
-    val unigrams = toks
+    // Barriered: unigrams has THREE consumers (the 1-row total and the
+    // two prefix/suffix joins) — without the barrier each consumer
+    // re-executes the corpus tokenization from the scan (the round-8
+    // advice finding: 8 parquet scans in the plan; 2 after). The
+    // materialized table is Heaps-law vocab-sized, so the barrier
+    // state is small at any corpus size.
+    val unigrams = Barrier.materialize(toks
       .select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
 
     val total = unigrams.agg(sum(col("c_w")).as("n_total"))
 

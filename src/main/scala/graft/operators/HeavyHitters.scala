@@ -110,13 +110,50 @@ object HeavyHitters {
     * q89's exact contract over non-NULL keys (see [[candidates]]).
     * Exact whenever [[certificate]] holds; size m accordingly for the
     * corpus. */
-  def topKExact(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame =
+  def topKExact(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame = {
+    // the count column is fixed as "n" (q89's contract); a key column
+    // with the same name would produce duplicate output columns and
+    // break itemCol recovery in [[certificate]] — refuse loudly
+    require(itemCol != "n", "key column must not be named \"n\" (the count column)")
     items
       .join(broadcast(candidates(items, itemCol, m)), Seq(itemCol))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(itemCol))
       .limit(k)
+  }
+
+  /** Self-certifying top-k: run [[topKExact]], check the
+    * [[certificate]], and if the result is not PROVEN exact, double m
+    * and rerun — so the caller never has to guess the summary size
+    * against an unknown key distribution (the testdata-vintage hazard:
+    * a regenerated corpus whose tail flattens the k-th count under
+    * N/(m+1) silently de-certifies a fixed m). Each attempt costs two
+    * item-stream scans plus the 1-row certificate count; the summary
+    * stays KB–MB-scale through every doubling, so escalation is cheap
+    * — 2m counters at the final m, never key-space-sized. Throws if
+    * `maxDoublings` escalations still cannot prove exactness (a
+    * genuinely flat distribution — use the exact spelling or accept
+    * approximate results explicitly at that point). */
+  def topKCertified(items: DataFrame, itemCol: String, k: Int, m: Int,
+      maxDoublings: Int = 6): DataFrame = {
+    var cur = m
+    var attempt = 0
+    while (attempt <= maxDoublings) {
+      // 50-row barrier: the certificate and the returned frame must see
+      // the SAME materialized result (topKExact re-executed could pick
+      // different candidates on a nondeterministically-ordered stream)
+      val topk = Barrier.materialize(topKExact(items, itemCol, k, cur))
+      val cert = certificate(items, topk, k, cur).collect()(0)
+      if (cert.getAs[Boolean]("proven"))
+        return topk.orderBy(col("n").desc, col(itemCol))
+      cur *= 2
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"top-$k not provably exact after $maxDoublings doublings from m=$m " +
+        s"(final m=${cur}): distribution too flat for a summary-sized certificate")
+  }
 
   /** One-row exactness certificate for a [[topKExact]] result computed
     * with the same (k, m): `proven` is true iff the result provably

@@ -37,21 +37,44 @@ object NgramLm {
       .select(explode(Text.wordNgrams(col("toks"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
 
+  /** Unigram counts `(term, c1u)` — the model's OTHER sufficient
+    * statistic: the vocabulary size V is its row count. Maintained
+    * alongside [[bigramCounts]] so the whole model is rebuildable from
+    * mergeable count tables (the [[Dsir]] incremental contract — see
+    * [[mergeCounts]]). */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1u"))
+
+  /** Merge two count tables with the same `(key, count)` 2-column
+    * schema — bigram or unigram alike: union + re-sum, associative and
+    * commutative, so batches can fold in any order (a streaming
+    * foreachBatch maintains the tables incrementally and the model is
+    * rebuilt model-sized from them, never by re-reading the corpus —
+    * the symmetric story to Dsir.mergeCounts; NgramLmSpec pins
+    * two-batch merge == whole-corpus). */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    require(a.columns.sameElements(b.columns),
+      s"count tables must share a schema: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val Array(keyCol, cntCol) = a.columns
+    a.unionByName(b).groupBy(col(keyCol)).agg(sum(col(cntCol)).as(cntCol))
+  }
+
   /** Add-one-smoothed bigram model `(bg, logp)`:
     * `p(w2 | w1) = (c2(w1 w2) + 1) / (c1(w1) + V)` with
     * `c1(w1) = Σ_w2 c2(w1 w2)` and `V` = distinct unigram vocabulary
     * size. The prefix aggregate and prefix join are model-sized (never
-    * corpus-sized); `counts` is barriered because it feeds both —
-    * without it the corpus bigram pass would run twice.
+    * corpus-sized); `bigrams` is barriered because it feeds both —
+    * without it its lineage (a corpus pass, when fed from
+    * [[bigramCounts]]) would run twice.
     */
-  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
-    val counts = Barrier.materialize(bigramCounts(docs, textCol))
+  def modelFromCounts(bigrams: DataFrame, unigrams: DataFrame): DataFrame = {
+    val counts = Barrier.materialize(bigrams)
     val prefix = counts
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
-    val vocab = docs
-      .select(explode(split(col(textCol), " ")).as("term"))
-      .agg(countDistinct(col("term")).as("v"))
+    val vocab = unigrams.agg(count(lit(1)).as("v"))
     counts
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(prefix, "w1")
@@ -59,6 +82,10 @@ object NgramLm {
       .select(col("bg"),
         log((col("c2") + lit(1.0d)) / (col("c1") + col("v"))).as("logp"))
   }
+
+  /** [[modelFromCounts]] over a corpus's own count passes. */
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame =
+    modelFromCounts(bigramCounts(docs, textCol), unigramCounts(docs, textCol))
 
   /** Mean bigram log-probability per document:
     * `(idCol, mean_logp2, n_bigrams)`, rounded to 6 digits. Documents

@@ -1450,16 +1450,20 @@ object Corpus {
     // ([[graft.operators.HeavyHitters]]): a mergeable Misra–Gries
     // summary pass (only ≤2m-counter summaries cross the wire — the
     // exchange is summary-sized, never distinct-ngram-sized) feeds a
-    // broadcast-candidate exact recount. m = 16384 makes the evasion
-    // bound N/(m+1) ≈ 1.6 at the sf0.01 gate (50th trigram count: 5)
-    // and ≈ 16 at sf0.1 (50th: 21), so the exactness certificate holds
-    // and the oracle is q89's verbatim — same rows, same hash, a plan
-    // that survives a billion-key n-gram space. HeavyHittersSpec pins
-    // the sketch bound, the compaction path, and the certificate.
+    // broadcast-candidate exact recount. The registered path is the
+    // SELF-CERTIFYING form: topKCertified checks the exactness
+    // certificate at runtime and doubles m until it proves — so a
+    // regenerated testdata vintage whose tail flattens the 50th count
+    // under N/(m+1) escalates instead of silently diverging from q89's
+    // shared oracle. m = 16384 proves on the first attempt at current
+    // vintages (evasion bound ≈ 1.6 at sf0.01, 50th count 5; ≈ 16 at
+    // sf0.1, 50th count 21); the summary stays KB-scale through any
+    // doubling. HeavyHittersSpec pins the sketch bound, the compaction
+    // path, the certificate, and the escalation loop.
     QueryDef(
       "q110_top_ngrams_sketch",
       (spark, dir) =>
-        HeavyHitters.topKExact(corpusTrigrams(spark, dir), "ngram",
+        HeavyHitters.topKCertified(corpusTrigrams(spark, dir), "ngram",
           k = 50, m = 16384),
       Some(topNgramsOracle)),
 

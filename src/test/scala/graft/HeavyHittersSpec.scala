@@ -117,4 +117,39 @@ class HeavyHittersSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(top == Seq(("a", 3L), ("b", 3L), ("c", 2L), ("d", 2L)))
   }
+
+  test("topKCertified escalates an initially-too-small m to a proven result") {
+    val s = spark
+    import s.implicits._
+    // 3 heavy keys over a 200-singleton tail: N = 470 + 200 = 670.
+    // m=1 → bound 335 ≥ kth (80): unproven. Doublings: m=2 (223),
+    // m=4 (134), m=8 (74): 80 > 74 → proven at the third doubling.
+    val items = (Seq.fill(200)("a") ++ Seq.fill(190)("b") ++
+      Seq.fill(80)("c") ++ (1 to 200).map(i => s"tail_$i")).toDF("key")
+    val top = HeavyHitters.topKCertified(items, "key", k = 3, m = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a", 200L), ("b", 190L), ("c", 80L)), s"got $top")
+    // sanity: the starting m really was too small on its own
+    val cert1 = HeavyHitters.certificate(items,
+      HeavyHitters.topKExact(items, "key", k = 3, m = 1), k = 3, m = 1)
+      .collect()(0)
+    assert(!cert1.getAs[Boolean]("proven"))
+    // and a distribution too flat to ever certify throws instead of
+    // silently returning an unproven result
+    val flat = (1 to 300).map(i => s"u_$i").toDF("key")
+    val e = intercept[IllegalStateException] {
+      HeavyHitters.topKCertified(flat, "key", k = 3, m = 1, maxDoublings = 2)
+    }
+    assert(e.getMessage.contains("doublings"))
+  }
+
+  test("a key column named n is refused (count-column collision)") {
+    val s = spark
+    import s.implicits._
+    val items = Seq("a", "a", "b").toDF("n")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.topKExact(items, "n", k = 2, m = 8)
+    }
+    assert(e.getMessage.contains("count column"))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.NgramLm
+import graft.sources.Tables
 
 /** Contracts for bigram-LM perplexity scoring
   * ([[graft.operators.NgramLm]]):
@@ -51,6 +52,32 @@ class NgramLmSpec extends SparkSpec {
     assert(scores(4L) < scores(1L),
       s"salad should rank below common phrasing: $scores")
     assert(scores(1L) == scores(2L) && scores(2L) == scores(3L))
+  }
+
+  test("two-batch merged counts rebuild the whole-corpus model exactly") {
+    // the incremental contract, symmetric with Dsir.mergeCounts: a
+    // stream maintaining (bigram, unigram) count tables batch by batch
+    // rebuilds the model from model-sized state — never re-reading the
+    // corpus — and gets bit-identical log-probs (same (c2, c1, V)
+    // inputs, same one double expression)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val h1 = docs.where(col("doc_id") % 2 === 0)
+    val h2 = docs.where(col("doc_id") % 2 === 1)
+    val merged = NgramLm.modelFromCounts(
+      NgramLm.mergeCounts(
+        NgramLm.bigramCounts(h1, "text"), NgramLm.bigramCounts(h2, "text")),
+      NgramLm.mergeCounts(
+        NgramLm.unigramCounts(h1, "text"), NgramLm.unigramCounts(h2, "text")))
+    val whole = NgramLm.bigramModel(docs, "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m(merged) == m(whole))
+    // and mismatched schemas are refused, not silently mis-merged
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.mergeCounts(NgramLm.bigramCounts(h1, "text"),
+        NgramLm.unigramCounts(h2, "text"))
+    }
+    assert(e.getMessage.contains("schema"))
   }
 
   test("documents with fewer than two tokens drop out") {
