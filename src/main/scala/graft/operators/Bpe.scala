@@ -144,23 +144,11 @@ object Bpe {
     (out.toSeq, seg)
   }
 
-  /** Spark's StringType orders by UTF-8 binary bytes (unsigned); the
-    * driver-side argmax tie-break must match it exactly or the two
-    * [[train]] forms could diverge on non-ASCII symbols (Java String
-    * comparison is UTF-16 code-unit order, which disagrees above the
-    * BMP). */
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  /** The driver-side argmax tie-break must match Spark's StringType
+    * ordering exactly or the two [[train]] forms could diverge on
+    * non-ASCII symbols — see [[graft.functions.Utf8Order]]. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    graft.functions.Utf8Order.lt(a, b)
 
   /** The driver-side merge loop: identical semantics to the
     * distributed loop (weighted within-word pair counts, (cnt desc,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Barrier, Bpe, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm}
+import graft.operators.{Barrier, Bpe, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm, UnigramLm}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -51,6 +51,68 @@ object Prep {
           FROM seg${i - 1} LEFT JOIN m$i m ON true)"""
     }.mkString
     header + steps
+  }
+
+  /** DuckDB replay of one [[graft.operators.UnigramLm]] hard-EM step:
+    * word frequencies → substring seed pieces (minCount-pruned, char
+    * floor) → fixed-point micro-nat scores (the ONE double expression,
+    * mirrored verbatim) → a chained-CTE Viterbi DP over word positions
+    * (per step: extend the per-word best paths ending `maxPieceLen`
+    * back, pick max integer score with the lexicographically-smallest
+    * path tie-break — exactly `viterbiPath`'s rule) → piece counts
+    * along the best paths. The chain has `maxWordLen` steps, so the
+    * word-length cap that bounds the Spark DP also bounds the SQL. */
+  private def unigramDpSql(maxWordLen: Int, maxPieceLen: Int, minCount: Int): String = {
+    val header = s"""
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS f
+          FROM words WHERE len(w) > 0 AND len(w) <= $maxWordLen GROUP BY w),
+        sub AS (
+          SELECT substr(w, s, pl) AS piece, CAST(sum(f) AS BIGINT) AS c
+          FROM wf,
+               unnest(range(1, len(w) + 1)) AS t1(s),
+               unnest(range(1, $maxPieceLen + 1)) AS t2(pl)
+          WHERE s + pl - 1 <= len(w)
+          GROUP BY piece),
+        kept AS MATERIALIZED (
+          SELECT piece, c FROM sub WHERE c >= $minCount OR len(piece) = 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM kept),
+        pieces AS MATERIALIZED (
+          SELECT piece,
+                 CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT) AS lp
+          FROM kept CROSS JOIN tot),
+        dp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS score, '' AS path FROM wf)"""
+    val steps = (1 to maxWordLen).map { j =>
+      val cands = (math.max(0, j - maxPieceLen) until j).map { i =>
+        s"""
+          SELECT d.w, d.score + p.lp AS score,
+                 CASE WHEN d.path = '' THEN p.piece
+                      ELSE d.path || ' ' || p.piece END AS path
+          FROM dp$i d JOIN pieces p ON p.piece = substr(d.w, ${i + 1}, ${j - i})
+          WHERE len(d.w) >= $j"""
+      }.mkString(" UNION ALL ")
+      s""",
+        dp$j AS MATERIALIZED (
+          SELECT w, score, path FROM (
+            SELECT w, score, path,
+                   row_number() OVER (PARTITION BY w
+                                      ORDER BY score DESC, path) AS rn
+            FROM ($cands))
+          WHERE rn = 1)"""
+    }.mkString
+    val viterbi = (1 to maxWordLen)
+      .map(j => s"SELECT w, path FROM dp$j WHERE len(w) = $j")
+      .mkString(" UNION ALL ")
+    header + steps + s""",
+        viterbi AS ($viterbi),
+        em AS (
+          SELECT pc AS piece, CAST(sum(f) AS BIGINT) AS c
+          FROM (SELECT w, unnest(string_split(path, ' ')) AS pc FROM viterbi) s
+          JOIN wf USING (w)
+          GROUP BY pc)
+        SELECT piece, c FROM em ORDER BY c DESC, piece LIMIT 50"""
   }
 
   /** One trained 5-merge BPE vocabulary per (session, sf-dir), shared
@@ -1173,6 +1235,31 @@ object Prep {
           WHERE len(ws[i]) > 0)
         SELECT doc_id, string_agg(sub, ' ' ORDER BY pos) AS bpe_text,
                CAST(sum(n_sub) AS BIGINT) AS n_tokens
-        FROM dw JOIN vocab USING (w) GROUP BY doc_id"""))
+        FROM dw JOIN vocab USING (w) GROUP BY doc_id""")),
+
+    // ----- Unigram-LM (SentencePiece) tokenizer: one EM step exact -----
+    // The OTHER mainstream subword family, completing the q106–q109
+    // tokenizer story ([[graft.operators.UnigramLm]]): substring seed
+    // vocabulary → fixed-point micro-nat piece scores → Viterbi-best
+    // segmentation of every distinct word → E-step piece counts, top
+    // 50 by (count desc, piece). The q103 first-step idiom: the E-step
+    // is all-integer (counts weighted by word frequency; the DP
+    // compares integer score sums with a lexicographic path
+    // tie-break), so ONE hard-EM step is oracle-exact — the DuckDB
+    // twin replays seeding, quantization, and the full per-position DP
+    // chain; the multi-iteration loop and prune are spec-graded
+    // (UnigramLmSpec). Scale: one corpus-sized exchange (word freq);
+    // everything else distinct-word- or piece-vocab-sized.
+    QueryDef(
+      "q112_unigram_lm",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val wf = UnigramLm.wordTable(d, "text", maxWordLen = 16)
+        val pieces = UnigramLm.quantize(
+          UnigramLm.seedPieces(wf, maxPieceLen = 4, minCount = 5L))
+        UnigramLm.emStep(wf, pieces, maxPieceLen = 4)
+          .orderBy(col("c").desc, col("piece")).limit(50)
+      },
+      Some(unigramDpSql(maxWordLen = 16, maxPieceLen = 4, minCount = 5)))
   )
 }
