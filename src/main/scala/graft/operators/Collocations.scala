@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -36,9 +36,17 @@ object Collocations {
     * (score desc, bigram asc) among pairs seen ≥ `minCount` times.
     * Columns: (bigram, c_ab, score). */
   def phraseScores(docs: DataFrame, textCol: String,
-      minCount: Long = 5L, delta: Double = 1.0, topN: Int = 40): DataFrame = {
-    val toks = docs.select(Text.tokens(col(textCol)).as("toks"))
+      minCount: Long = 5L, delta: Double = 1.0, topN: Int = 40): DataFrame =
+    scoredBigrams(docs.select(Text.tokens(col(textCol)).as("toks")),
+        minCount, delta)
+      .orderBy(col("score").desc, col("bigram"))
+      .limit(topN)
 
+  /** The full scored-bigram table of a token-array stream (column
+    * `toks`), unlimited — [[phraseScores]] tops it, [[iteratePhrases]]
+    * thresholds it. Columns: (bigram, c_ab, score). */
+  def scoredBigrams(toks: DataFrame,
+      minCount: Long, delta: Double): DataFrame = {
     val bigrams = toks
       .select(explode(Text.wordNgrams(col("toks"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
@@ -65,7 +73,52 @@ object Collocations {
       .select(col("bigram"), col("c_ab"),
         round(col("n_total").cast("double") * (col("c_ab") - delta) /
           (col("c_a").cast("double") * col("c_b").cast("double")), 6).as("score"))
-      .orderBy(col("score").desc, col("bigram"))
-      .limit(topN)
+  }
+
+  /** Greedy left-to-right phrase rewrite of one token array: each
+    * adjacent pair present in `phrases` (as `"w1 w2"`) merges to the
+    * single token `w1_w2` — word2vec's between-pass token merge. The
+    * fold is [[Bpe.applyMerge]]'s shape (the accumulator's LAST token
+    * is tested against the incoming one), so a freshly-merged token is
+    * never reconsidered as the LEFT of another merge in the same pass.
+    * The phrase set rides inside the expression as an array literal —
+    * a thresholded selection is tens-to-hundreds of entries; at a
+    * phrase vocabulary too big for a literal/broadcast, rewrite via an
+    * (id, pos) explode + broadcast join instead (the q108 fused-scan
+    * idiom). */
+  def mergePhrases(toks: Column, phrases: Seq[String]): Column =
+    aggregate(toks, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 &&
+          array_contains(typedlit(phrases),
+            concat(element_at(acc, -1), lit(" "), s)),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat_ws("_", element_at(acc, -1), s))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Iterated phrase mining — word2vec's actual procedure (Mikolov et
+    * al. 2013 run 2–4 passes, decreasing the threshold, so phrases of
+    * phrases emerge: "new_york times" → "new_york_times"): score →
+    * select (score ≥ `threshold`) → rewrite the token stream →
+    * re-score, `rewritePasses` times; returns the scored-bigram table
+    * of the FINAL stream (un-limited — callers top it). Each pass's
+    * rewritten stream is materialized behind a [[Barrier]] (two
+    * consumers next pass: bigram + unigram counts; `persistPath` is
+    * the durable form for production corpus sizes). The selected
+    * phrase sets are threshold-bounded, so the per-pass collect is
+    * small; everything corpus-sized stays one narrow fold per pass. */
+  def iteratePhrases(docs: DataFrame, textCol: String, rewritePasses: Int,
+      minCount: Long = 5L, delta: Double = 1.0, threshold: Double = 1.4,
+      persistPath: Option[String] = None): DataFrame = {
+    require(rewritePasses >= 1)
+    var toks = docs.select(Text.tokens(col(textCol)).as("toks"))
+    for (pass <- 1 to rewritePasses) {
+      val phrases = scoredBigrams(toks, minCount, delta)
+        .where(col("score") >= threshold)
+        .select(col("bigram")).collect().map(_.getString(0)).toSeq
+      toks = Barrier.materialize(
+        toks.select(mergePhrases(col("toks"), phrases).as("toks")),
+        persistPath.map(d => s"$d/pass$pass"))
+    }
+    scoredBigrams(toks, minCount, delta)
   }
 }

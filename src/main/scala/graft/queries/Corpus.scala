@@ -66,6 +66,57 @@ object Corpus {
         FROM n GROUP BY ngram
         ORDER BY n DESC, ngram LIMIT 50"""
 
+  /** DuckDB replay of [[graft.operators.Collocations.iteratePhrases]]:
+    * `passes` rounds of score → threshold-select → greedy token-merge
+    * rewrite, then one final scoring. The rewrite fold is the
+    * bpeSegSql idiom — `list_reduce` over the token list with the
+    * accumulator's LAST token tested against the incoming one (so a
+    * freshly-merged `w1_w2` is not reconsidered as a LEFT in the same
+    * pass), exactly `mergePhrases`'s array fold. Multiply-referenced
+    * CTEs are MATERIALIZED (the q112 lesson — inlining re-expands the
+    * whole chain per reference). */
+  private def iteratedPhrasesSql(passes: Int, minCount: Int,
+      delta: Double, threshold: Double): String = {
+    def scoring(i: Int): String = s""",
+        u$i AS MATERIALIZED (
+          SELECT w, count(*) AS c_w
+          FROM (SELECT unnest(w) AS w FROM t${i - 1}) GROUP BY w),
+        n$i AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM u$i),
+        b$i AS (
+          SELECT bigram, count(*) AS c_ab
+          FROM (SELECT unnest([w[j] || ' ' || w[j+1]
+                               for j in range(1, len(w))]) AS bigram
+                FROM t${i - 1})
+          GROUP BY bigram HAVING count(*) >= $minCount),
+        s$i AS MATERIALIZED (
+          SELECT b$i.bigram, b$i.c_ab,
+                 round(CAST(n_total AS DOUBLE) * (b$i.c_ab - $delta) /
+                       (CAST(ua.c_w AS DOUBLE) * CAST(ub.c_w AS DOUBLE)), 6) AS score
+          FROM b$i CROSS JOIN n$i
+          JOIN u$i ua ON ua.w = string_split(b$i.bigram, ' ')[1]
+          JOIN u$i ub ON ub.w = string_split(b$i.bigram, ' ')[2])"""
+    def rewrite(i: Int): String = s""",
+        p$i AS MATERIALIZED (
+          SELECT list(bigram) AS ps FROM s$i WHERE score >= $threshold),
+        t$i AS MATERIALIZED (
+          SELECT string_split(list_reduce(w, (acc, x) ->
+            CASE WHEN list_contains(ps,
+                   regexp_extract(acc, '([^ ]+)${"$"}', 1) || ' ' || x)
+                 THEN regexp_replace(acc, '[^ ]+${"$"}', '') ||
+                      regexp_extract(acc, '([^ ]+)${"$"}', 1) || '_' || x
+                 ELSE acc || ' ' || x END), ' ') AS w
+          FROM t${i - 1} CROSS JOIN p$i)"""
+    val header = """
+        WITH t0 AS MATERIALIZED (
+          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents)"""
+    val body = (1 to passes).map(i => scoring(i) + rewrite(i)).mkString
+    val last = passes + 1
+    header + body + scoring(last) + s"""
+        SELECT bigram, c_ab, score FROM s$last
+        ORDER BY score DESC, bigram LIMIT 40"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Text analysis: lang-ID heuristic + quality + token counts -----
@@ -1506,6 +1557,28 @@ object Corpus {
         JOIN u ua ON ua.w = string_split(b.bigram, ' ')[1]
         JOIN u ub ON ub.w = string_split(b.bigram, ' ')[2]
         ORDER BY score DESC, bigram LIMIT 40""")),
+
+    // ----- Iterated phrase mining (word2vec multi-pass) -----
+    // q111 runs ONE scoring pass; word2vec's actual procedure iterates
+    // 2–4 times, merging found phrases into single tokens between
+    // passes so phrases-of-phrases emerge ("new_york times" →
+    // "new_york_times"). Two rewrite passes at threshold 1.4 (chosen
+    // inside the observed score head at both gate SFs), then a final
+    // scoring — the oracle replays all three scorings and both greedy
+    // token-merge folds verbatim. Scale: per pass, the corpus crosses
+    // the two Heaps-bounded count exchanges plus one narrow rewrite
+    // fold (barriered — two consumers next pass; persistPath is the
+    // durable form); phrase sets are threshold-bounded literals.
+    QueryDef(
+      "q113_phrases_iterated",
+      (spark, dir) =>
+        Collocations.iteratePhrases(
+            Tables.load(spark, dir, "documents"), "text",
+            rewritePasses = 2, minCount = 5L, delta = 1.0, threshold = 1.4)
+          .orderBy(col("score").desc, col("bigram"))
+          .limit(40),
+      Some(iteratedPhrasesSql(passes = 2, minCount = 5,
+        delta = 1.0, threshold = 1.4))),
 
     // ----- Cross-document duplicated-span fraction -----
     // The exact-substring-dedup signal (Lee et al. 2021, "Deduplicating

@@ -42,4 +42,41 @@ class CollocationsSpec extends SparkSpec {
     val tcScore = top.find(_._1 == "the cat").get._3
     assert(tcScore < nyScore, "independent pair must score below the collocation")
   }
+
+  test("mergePhrases is greedy left-to-right and non-cascading") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Seq("new", "york", "times", "co")).toDF("toks")
+    // both ("new york") and ("york times") selected: the left merge
+    // consumes "york", so "york times" cannot fire on the same tokens;
+    // the merged "new_york" is not reconsidered as a LEFT either
+    val got = df.select(Collocations.mergePhrases(col("toks"),
+        Seq("new york", "york times")).as("m"))
+      .head().getSeq[String](0)
+    assert(got == Seq("new_york", "times", "co"), s"got $got")
+    // empty phrase set: pass-through
+    val id = df.select(Collocations.mergePhrases(col("toks"), Nil).as("m"))
+      .head().getSeq[String](0)
+    assert(id == Seq("new", "york", "times", "co"))
+  }
+
+  test("iterated passes find phrases of phrases (a_b + c -> a_b_c)") {
+    val s = spark
+    import s.implicits._
+    // 10 docs "a b c" + 6 docs "x y". Pass 1 (N=42): score(a b) =
+    // 42·9/100 = 3.78, score(x y) = 42·5/36 = 5.83 — both selected at
+    // threshold 2; greedy rewrite gives [a_b, c] (the (b c) phrase is
+    // consumed by the left merge) and [x_y]. Pass 2 (N=26): the NEW
+    // bigram (a_b c) scores 26·9/100 = 2.34 ≥ 2 → merges to a_b_c.
+    val docs = (Seq.fill(10)("a b c") ++ Seq.fill(6)("x y")).toDF("text")
+    val pass1 = Collocations.iteratePhrases(docs, "text", rewritePasses = 1,
+        minCount = 2L, delta = 1.0, threshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(pass1.toSeq == Seq(("a_b c", 10L, 2.34)), s"got ${pass1.toSeq}")
+    // after the second rewrite no bigrams remain — everything merged
+    val pass2 = Collocations.iteratePhrases(docs, "text", rewritePasses = 2,
+        minCount = 2L, delta = 1.0, threshold = 2.0)
+    assert(pass2.count() == 0L)
+  }
 }
