@@ -20,7 +20,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q100_dsir_importance",    // 1-row smoothing-totals broadcast
     "q101_bigram_perplexity",  // 1-row vocabulary-count broadcast
     "q102_semantic_decontaminate", // broadcast eval probe set (q37's shape)
-    "q111_collocations")       // 1-row corpus-total broadcast (score scale)
+    "q111_collocations",       // 1-row corpus-total broadcast (score scale)
+    "q113_phrases_iterated")   // same 1-row total broadcast, final pass
 
   test("no undeclared nested-loop or cartesian join in any query plan") {
     val offenders = SparkEntry.all.flatMap { q =>
