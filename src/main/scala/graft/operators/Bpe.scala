@@ -112,13 +112,27 @@ object Bpe {
     * the equality at k=8 on the real corpus. */
   def train(docs: DataFrame, textCol: String, k: Int,
       persistPath: Option[String] = None,
+      driverMaxWords: Long = 2000000L): (Seq[(String, String, Long)], DataFrame) =
+    trainFromWordFreq(wordFreq(docs, textCol), k, persistPath, driverMaxWords)
+
+  /** [[train]] from an already-built `(w, f)` word-frequency table —
+    * the incremental contract (symmetric with [[Dsir]]/[[NgramLm]]
+    * `mergeCounts`): word counts are the training run's ONLY
+    * corpus-derived state, and they merge associatively
+    * ([[NgramLm.mergeCounts]] works verbatim on the 2-column (w, f)
+    * shape), so a stream maintaining the word table batch-by-batch
+    * retrains the tokenizer from model-sized state without re-reading
+    * the corpus. BpeSpec pins two-batch merge == whole-corpus
+    * training. */
+  def trainFromWordFreq(wf: DataFrame, k: Int,
+      persistPath: Option[String] = None,
       driverMaxWords: Long = 2000000L): (Seq[(String, String, Long)], DataFrame) = {
     require(k >= 1, "need at least one merge")
     def barrier(df: DataFrame, step: Int): DataFrame =
       Barrier.materialize(df, persistPath.map(p => s"$p/seg$step"))
-    var seg = barrier(segment(wordFreq(docs, textCol)), 0)
+    var seg = barrier(segment(wf), 0)
     if (seg.count() <= driverMaxWords)
-      return trainDriverSide(docs.sparkSession, seg, k, persistPath)
+      return trainDriverSide(wf.sparkSession, seg, k, persistPath)
     val out = ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (out.length < k && !exhausted) {

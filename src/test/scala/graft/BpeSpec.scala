@@ -95,6 +95,24 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("two-batch merged word counts retrain the whole-corpus vocabulary exactly") {
+    // the incremental contract: word counts are the training run's only
+    // corpus-derived state and merge associatively, so a stream
+    // maintaining the (w, f) table retrains from model-sized state
+    val docs = Tables.load(spark, sfDir, "documents")
+    val h1 = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val h2 = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val mergedWf = graft.operators.NgramLm.mergeCounts(
+      Bpe.wordFreq(h1, "text"), Bpe.wordFreq(h2, "text"))
+    val (mMerges, mSeg) = Bpe.trainFromWordFreq(mergedWf, k = 5)
+    val (wMerges, wSeg) = Bpe.train(docs, "text", k = 5)
+    assert(mMerges == wMerges)
+    def segMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("w", "f", "syms").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    assert(segMap(mSeg) == segMap(wSeg))
+  }
+
   test("pair counts weight by word frequency and count within-word multiplicity") {
     val s = spark
     import s.implicits._

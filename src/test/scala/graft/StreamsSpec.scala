@@ -342,4 +342,51 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == whole,
       s"streamed DSIR model must equal the whole-corpus rebuild: $streamed vs $whole")
   }
+
+  test("foreachBatch maintains the BPE word-count table; retrain equals batch training") {
+    // the tokenizer-family incremental contract (symmetric with the
+    // DSIR test above and NgramLm.mergeCounts): word counts are BPE
+    // training's only corpus-derived state, so a stream folding each
+    // micro-batch's (w, f) table into the store can retrain the
+    // tokenizer at any moment without re-reading the corpus
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Bpe, NgramLm}
+    val in = Files.createTempDirectory("graft_bpe_in_").toString
+    val ckpt = Files.createTempDirectory("graft_bpe_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_bpe_idx_").toString
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def countsAt(v: Int) = s"$idxRoot/v$v"
+    Seq.empty[(String, Long)].toDF("w", "f").write.parquet(countsAt(0))
+
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
+      (batch, _) =>
+        NgramLm.mergeCounts(spark.read.parquet(countsAt(version)),
+            Bpe.wordFreq(batch, "text"))
+          .write.parquet(countsAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = Seq(1L -> "low low low low low lower lower",
+      2L -> "newest newest newest")
+    val batch2 = Seq(3L -> "newest newest newest widest widest widest")
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+    val (streamedMerges, _) = Bpe.trainFromWordFreq(
+      spark.read.parquet(countsAt(version)), k = 5)
+    val (wholeMerges, _) = Bpe.train(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "text", k = 5)
+    assert(streamedMerges == wholeMerges,
+      s"streamed-counts retrain must equal batch training: " +
+        s"$streamedMerges vs $wholeMerges")
+    // and it is the hand-computed Sennrich sequence (same corpus shape
+    // as BpeSpec's classic test)
+    assert(streamedMerges.map(m => (m._1, m._2)) == Seq(
+      ("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord), ("l", "o"), ("lo", "w")))
+  }
 }
