@@ -316,7 +316,7 @@ object Bpe {
     * a foreign corpus drop (inner join). Output:
     * (idCol, bpe_text, n_tokens). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      vocabSeg: DataFrame): DataFrame = {
+      vocabSeg: DataFrame, outCol: String = "bpe_text"): DataFrame = {
     val vocab = vocabSeg.select(col("w"),
       concat_ws(" ", col("syms")).as("sub"),
       size(col("syms")).as("n_sub"))
@@ -327,7 +327,7 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(
         concat_ws(" ", graft.functions.Text.inPositionOrder(
-          collect_list(struct(col("pos"), col("sub"))), "sub")).as("bpe_text"),
+          collect_list(struct(col("pos"), col("sub"))), "sub")).as(outCol),
         sum(col("n_sub")).as("n_tokens"))
   }
 }

@@ -126,14 +126,29 @@ object UnigramLm {
     wf.select(col("w"), col("f"), seg(col("w")).as("path"))
   }
 
+  /** Piece counts along already-computed Viterbi segmentations —
+    * [[emStep]]'s counting half, split out so a materialized
+    * segmentation table can be shared across its consumers. */
+  def countsFromSegments(segments: DataFrame): DataFrame =
+    segments
+      .select(col("f"), explode(split(col("path"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("c"))
+
   /** One hard-EM E-step: piece counts along the Viterbi segmentations,
     * weighted by word frequency — the sufficient statistic the M-step
     * ([[quantize]]) re-estimates from. Output: (piece, c), vocab-sized,
     * pieces unused by every path drop out. */
   def emStep(wf: DataFrame, pieces: DataFrame, maxPieceLen: Int): DataFrame =
-    viterbiSegments(wf, pieces, maxPieceLen)
-      .select(col("f"), explode(split(col("path"), " ")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("f")).as("c"))
+    countsFromSegments(viterbiSegments(wf, pieces, maxPieceLen))
+
+  /** A Viterbi segmentation table in [[Bpe]]'s `(w, f, syms)` vocab
+    * shape, so the BPE APPLICATION operators work verbatim on a
+    * trained unigram vocabulary: `Bpe.tokenCounts` prices documents in
+    * unigram-LM tokens and `Bpe.encode` emits the segmented stream —
+    * the two tokenizer families differ in how the segmentation is
+    * LEARNED, not in how it is applied. */
+  def vocabFromSegments(segments: DataFrame): DataFrame =
+    segments.select(col("w"), col("f"), split(col("path"), " ").as("syms"))
 
   /** Full training loop: seed → `iters` hard-EM rounds → prune to the
     * target MULTI-char vocabulary (single characters always survive —

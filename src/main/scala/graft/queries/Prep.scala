@@ -65,7 +65,7 @@ object Prep {
   private def unigramDpSql(maxWordLen: Int, maxPieceLen: Int, minCount: Int): String = {
     val header = s"""
         WITH words AS (
-          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         wf AS MATERIALIZED (
           SELECT w, CAST(count(*) AS BIGINT) AS f
           FROM words WHERE len(w) > 0 AND len(w) <= $maxWordLen GROUP BY w),
@@ -106,14 +106,44 @@ object Prep {
       .map(j => s"SELECT w, path FROM dp$j WHERE len(w) = $j")
       .mkString(" UNION ALL ")
     header + steps + s""",
-        viterbi AS ($viterbi),
+        viterbi AS MATERIALIZED ($viterbi)"""
+  }
+
+  /** q112's tail: E-step piece counts along the Viterbi paths. */
+  private def unigramEmSql(chain: String): String = chain + s""",
         em AS (
           SELECT pc AS piece, CAST(sum(f) AS BIGINT) AS c
           FROM (SELECT w, unnest(string_split(path, ' ')) AS pc FROM viterbi) s
           JOIN wf USING (w)
           GROUP BY pc)
         SELECT piece, c FROM em ORDER BY c DESC, piece LIMIT 50"""
-  }
+
+  /** q114's tail: per-document token pricing under the trained
+    * segmentation — q108's join, vocab = the Viterbi table. */
+  private def unigramTokenizeSql(chain: String): String = chain + s""",
+        vocab AS (
+          SELECT w, CAST(len(string_split(path, ' ')) AS BIGINT) AS n_sub
+          FROM viterbi),
+        dw AS (SELECT doc_id, w FROM words WHERE len(w) > 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens
+        FROM dw JOIN vocab USING (w) GROUP BY doc_id"""
+
+  /** q115's tail: the segmented token stream — q109's positioned
+    * reassembly, vocab = the Viterbi table. */
+  private def unigramEncodeSql(chain: String): String = chain + s""",
+        vocab AS (
+          SELECT w, path AS sub,
+                 CAST(len(string_split(path, ' ')) AS BIGINT) AS n_sub
+          FROM viterbi),
+        dw AS (
+          SELECT doc_id, ws[i] AS w, i AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               unnest(range(1, len(ws)+1)) AS t(i)
+          WHERE len(ws[i]) > 0)
+        SELECT doc_id, string_agg(sub, ' ' ORDER BY pos) AS sp_text,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens
+        FROM dw JOIN vocab USING (w) GROUP BY doc_id"""
 
   /** One trained 5-merge BPE vocabulary per (session, sf-dir), shared
     * by the whole q107–q109 family — the production shape: a tokenizer
@@ -134,6 +164,26 @@ object Prep {
       dir: String): (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) =
     bpeShared.getOrElseUpdate((spark, dir),
       Bpe.train(Tables.load(spark, dir, "documents"), "text", k = 5))
+
+  /** One Viterbi-segmented unigram-LM vocabulary per (session, sf-dir)
+    * — the q114/q115 application queries consume the same trained
+    * segmentation q112 counts over (the [[bpeTrained]] pattern:
+    * tokenizers are trained once and applied many times). Materialized
+    * so the three consumers share one DP pass. */
+  private val unigramShared =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String),
+             org.apache.spark.sql.DataFrame]
+
+  private def unigramSegments(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    unigramShared.getOrElseUpdate((spark, dir), {
+      val d = Tables.load(spark, dir, "documents")
+      val wf = UnigramLm.wordTable(d, "text", maxWordLen = 16)
+      val pieces = UnigramLm.quantize(
+        UnigramLm.seedPieces(wf, maxPieceLen = 4, minCount = 5L))
+      Barrier.materialize(UnigramLm.viterbiSegments(wf, pieces, maxPieceLen = 4))
+    })
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1252,14 +1302,47 @@ object Prep {
     // everything else distinct-word- or piece-vocab-sized.
     QueryDef(
       "q112_unigram_lm",
+      (spark, dir) =>
+        UnigramLm.countsFromSegments(unigramSegments(spark, dir))
+          .orderBy(col("c").desc, col("piece")).limit(50),
+      Some(unigramEmSql(unigramDpSql(maxWordLen = 16, maxPieceLen = 4,
+        minCount = 5)))),
+
+    // ----- Unigram-LM tokenization: per-doc token counts -----
+    // The application half of the q112 family, and the point of the
+    // (w, f, syms) vocab convention: the two tokenizer families differ
+    // in how the segmentation is LEARNED, not in how it is applied —
+    // Bpe.tokenCounts runs verbatim on the Viterbi table
+    // (UnigramLm.vocabFromSegments), broadcast vocab join fused into
+    // the scan, one doc-count-sized exchange. The oracle extends the
+    // DP chain with q108's join, so the hash also re-proves the
+    // trained segmentation the counts came from.
+    QueryDef(
+      "q114_unigram_tokenize",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        val wf = UnigramLm.wordTable(d, "text", maxWordLen = 16)
-        val pieces = UnigramLm.quantize(
-          UnigramLm.seedPieces(wf, maxPieceLen = 4, minCount = 5L))
-        UnigramLm.emStep(wf, pieces, maxPieceLen = 4)
-          .orderBy(col("c").desc, col("piece")).limit(50)
+        Bpe.tokenCounts(d, "doc_id", "text",
+          UnigramLm.vocabFromSegments(unigramSegments(spark, dir)))
       },
-      Some(unigramDpSql(maxWordLen = 16, maxPieceLen = 4, minCount = 5)))
+      Some(unigramTokenizeSql(unigramDpSql(maxWordLen = 16,
+        maxPieceLen = 4, minCount = 5)))),
+
+    // ----- Unigram-LM encoding: the segmented token stream -----
+    // q109's sibling for the unigram family: Bpe.encode on the Viterbi
+    // vocab emits each document as its subword pieces (one broadcast
+    // join + one id-keyed positioned reassembly); the oracle's
+    // string_agg ORDER BY position hash-proves piece order within
+    // words and word order within documents under the DP-derived
+    // segmentation.
+    QueryDef(
+      "q115_unigram_encode",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Bpe.encode(d, "doc_id", "text",
+          UnigramLm.vocabFromSegments(unigramSegments(spark, dir)),
+          outCol = "sp_text")
+      },
+      Some(unigramEncodeSql(unigramDpSql(maxWordLen = 16,
+        maxPieceLen = 4, minCount = 5))))
   )
 }
