@@ -76,6 +76,23 @@ class UnigramLmSpec extends SparkSpec {
     assert(bad.isEmpty, s"non-reconstructing: ${bad.mkString("; ")}")
   }
 
+  test("two-batch merged word counts reproduce the whole-corpus segmentation") {
+    // the family-wide incremental contract (BPE/DSIR/NgramLm symmetric):
+    // training state is the mergeable word-count table — seeding,
+    // scoring, and the Viterbi DP are all deterministic functions of it
+    val docs = Tables.load(spark, sfDir, "documents")
+    val h1 = docs.where(col("doc_id") % 2 === 0)
+    val h2 = docs.where(col("doc_id") % 2 === 1)
+    val mergedWf = graft.operators.NgramLm.mergeCounts(
+        UnigramLm.wordTable(h1, "text", 16), UnigramLm.wordTable(h2, "text", 16))
+    def segs(wf: org.apache.spark.sql.DataFrame) = {
+      val pieces = UnigramLm.quantize(UnigramLm.seedPieces(wf, 4, minCount = 5L))
+      UnigramLm.viterbiSegments(wf, pieces, 4)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    }
+    assert(segs(mergedWf) == segs(UnigramLm.wordTable(docs, "text", 16)))
+  }
+
   test("train prunes to the target multi-char vocab; singles always survive") {
     val docs = Tables.load(spark, sfDir, "documents")
     val vocab = UnigramLm.train(docs, "text", iters = 2, vocabTarget = 5)
