@@ -191,8 +191,14 @@ object Bpe {
     // lazy-deletion max-heap over (count, pair) snapshots: every count
     // update pushes a fresh snapshot, dequeue skips entries whose count
     // no longer matches the live table — so picking the next merge is
-    // O(log |pairs|) amortized, not a full-table scan per merge.
+    // O(log |pairs|) amortized, not a full-table scan per merge. An
+    // inverted pair→word-indices occurrence index (lazy-stale, verified
+    // on use) narrows each merge's word sweep to the words that have
+    // EVER contained the pair — without it every merge scans the whole
+    // vocabulary for containment and the loop is O(k · V) regardless of
+    // the count bookkeeping.
     val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
     // max-heap: bigger count wins; on ties the UTF-8-smaller (l, r)
     // must surface FIRST (Spark's (cnt desc, l, r) orderBy), so the
     // smaller pair compares as the larger heap element.
@@ -205,7 +211,7 @@ object Bpe {
           0
         }
       })
-    def addPairs(syms: ArrayBuffer[String], f: Long, sign: Long): Unit = {
+    def addPairs(wi: Int, syms: ArrayBuffer[String], f: Long, sign: Long): Unit = {
       var i = 0
       while (i < syms.length - 1) {
         val p = (syms(i), syms(i + 1))
@@ -215,10 +221,15 @@ object Bpe {
           counts.update(p, nv)
           heap.enqueue((nv, p._1, p._2))
         }
+        if (sign > 0L) occurs.getOrElseUpdate(p, new mutable.BitSet) += wi
         i += 1
       }
     }
-    words.foreach { case (_, f, syms) => addPairs(syms, f, 1L) }
+    var wi0 = 0
+    while (wi0 < words.length) {
+      addPairs(wi0, words(wi0)._3, words(wi0)._2, 1L)
+      wi0 += 1
+    }
     val out = ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (out.length < k && !exhausted) {
@@ -231,7 +242,12 @@ object Bpe {
       else {
         val (l, r, c) = top.get
         out += ((l, r, c))
-        for ((_, f, syms) <- words) {
+        // only words the occurrence index has ever seen the pair in —
+        // stale entries (the pair has since merged away there) fail the
+        // verify scan and cost one short containment check
+        val cand = occurs.remove((l, r)).getOrElse(mutable.BitSet.empty)
+        cand.foreach { wi =>
+          val (_, f, syms) = words(wi)
           var j = 0
           var touched = false
           while (j < syms.length - 1 && !touched) {
@@ -239,7 +255,7 @@ object Bpe {
             j += 1
           }
           if (touched) {
-            addPairs(syms, f, -1L)
+            addPairs(wi, syms, f, -1L)
             // greedy left-to-right in place: the freshly-merged symbol
             // is never reconsidered as the LEFT of the same pass
             // (applyMerge's fold reads the accumulator's last element,
@@ -253,7 +269,7 @@ object Bpe {
               }
               i += 1
             }
-            addPairs(syms, f, 1L)
+            addPairs(wi, syms, f, 1L)
           }
         }
         persist(out.length)
