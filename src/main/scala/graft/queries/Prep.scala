@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Barrier, Bpe, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm, UnigramLm}
+import graft.operators.{Barrier, Bpe, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm, UnigramLm, WordPiece}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -24,8 +24,9 @@ object Prep {
     * space split; the accumulator's LAST symbol is compared to the
     * merge's left side, exactly the applyMerge array fold). Used by
     * q107 (the merge table) and q108 (tokenize under seg`k`). */
-  private def bpeSegSql(k: Int): String = {
-    val header = """
+  /** The shared words → word-frequency → char+`</w>` seg0 header of
+    * the merge-loop CTE chains ([[bpeSegSql]]/[[wordPieceSegSql]]). */
+  private val segHeaderSql = """
         WITH words AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         wf AS (
@@ -35,6 +36,19 @@ object Prep {
           SELECT w, f,
                  array_to_string(list_append(string_split(w, ''), '</w>'), ' ') AS s
           FROM wf)"""
+
+  /** The greedy left-to-right fold applying step-`i`'s 1-row merge
+    * `m$i` to seg`i-1` — shared by both merge-loop chains (see
+    * [[bpeSegSql]] for the fold's semantics note). */
+  private def segFoldSql(i: Int): String = s"""
+        seg$i AS (
+          SELECT w, f, list_reduce(string_split(s, ' '),
+            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)${"$"}', 1) = m.l AND x = m.r
+              THEN regexp_replace(acc, '[^ ]+${"$"}', '') || m.l || m.r
+              ELSE acc || ' ' || x END) AS s
+          FROM seg${i - 1} LEFT JOIN m$i m ON true)"""
+
+  private def bpeSegSql(k: Int): String = {
     val steps = (1 to k).map { i =>
       s""",
         pc$i AS (
@@ -42,15 +56,40 @@ object Prep {
           FROM (SELECT f, string_split(s, ' ') AS syms FROM seg${i - 1}),
                unnest(range(1, len(syms))) AS t(j)
           GROUP BY l, r),
-        m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
-        seg$i AS (
-          SELECT w, f, list_reduce(string_split(s, ' '),
-            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)${"$"}', 1) = m.l AND x = m.r
-              THEN regexp_replace(acc, '[^ ]+${"$"}', '') || m.l || m.r
-              ELSE acc || ' ' || x END) AS s
-          FROM seg${i - 1} LEFT JOIN m$i m ON true)"""
+        m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),""" +
+        segFoldSql(i)
     }.mkString
-    header + steps
+    segHeaderSql + steps
+  }
+
+  /** DuckDB CTE chain replaying [[graft.operators.WordPiece]] training
+    * for `k` merges: the [[bpeSegSql]] loop with the argmax swapped to
+    * the likelihood score `cnt / (c(l)·c(r))` — ONE IEEE division of
+    * ONE IEEE multiplication of integer counts cast to double, so the
+    * score doubles are bit-identical to Spark's and the
+    * (score desc, l, r) selection cannot drift. Each step therefore
+    * also derives the symbol unigram counts `uc$i` the denominator
+    * needs. */
+  private def wordPieceSegSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s""",
+        pc$i AS (
+          SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, string_split(s, ' ') AS syms FROM seg${i - 1}),
+               unnest(range(1, len(syms))) AS t(j)
+          GROUP BY l, r),
+        uc$i AS (
+          SELECT sym, CAST(sum(f) AS BIGINT) AS c
+          FROM (SELECT f, unnest(string_split(s, ' ')) AS sym FROM seg${i - 1})
+          GROUP BY sym),
+        m$i AS (
+          SELECT p.l, p.r, p.cnt,
+                 CAST(p.cnt AS DOUBLE) / (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE)) AS score
+          FROM pc$i p JOIN uc$i ul ON ul.sym = p.l JOIN uc$i ur ON ur.sym = p.r
+          ORDER BY score DESC, p.l, p.r LIMIT 1),""" +
+        segFoldSql(i)
+    }.mkString
+    segHeaderSql + steps
   }
 
   /** DuckDB replay of one [[graft.operators.UnigramLm]] hard-EM step:
@@ -164,6 +203,18 @@ object Prep {
       dir: String): (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) =
     bpeShared.getOrElseUpdate((spark, dir),
       Bpe.train(Tables.load(spark, dir, "documents"), "text", k = 5))
+
+  /** One trained 5-merge WordPiece vocabulary per (session, sf-dir) —
+    * the [[bpeTrained]] pattern for the third subword family. */
+  private val wpShared =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String),
+             (Seq[(String, String, Long, Double)], org.apache.spark.sql.DataFrame)]
+
+  private def wpTrained(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(String, String, Long, Double)], org.apache.spark.sql.DataFrame) =
+    wpShared.getOrElseUpdate((spark, dir),
+      WordPiece.train(Tables.load(spark, dir, "documents"), "text", k = 5))
 
   /** One Viterbi-segmented unigram-LM vocabulary per (session, sf-dir)
     * — the q114/q115 application queries consume the same trained
@@ -1343,6 +1394,191 @@ object Prep {
           outCol = "sp_text")
       },
       Some(unigramEncodeSql(unigramDpSql(maxWordLen = 16,
-        maxPieceLen = 4, minCount = 5))))
+        maxPieceLen = 4, minCount = 5)))),
+
+    // ----- WordPiece training loop: five likelihood merges exact -----
+    // The THIRD mainstream subword family ([[WordPiece]], Schuster &
+    // Nakajima 2012 — BERT's tokenizer), completing the q106–q115
+    // story: BPE's merge loop with the argmax swapped to the
+    // likelihood score cnt/(c(l)·c(r)). The q107 self-deriving idiom,
+    // strengthened: each oracle step re-derives pair AND symbol
+    // counts, recomputes every pair's score as one IEEE division of
+    // one IEEE multiplication (bit-identical to Spark by IEEE-754
+    // correct rounding — no transcendentals anywhere), picks its own
+    // (score desc, l, r) argmax, and folds the merge — so the
+    // hash-match proves the scored selection and the greedy
+    // application, five times composed. The reported score is rounded
+    // to 6 digits on both engines (the one rounded-double output);
+    // SELECTION uses the raw double. Scale shape: [[Bpe]]'s verbatim
+    // (one corpus-scale word-frequency shuffle; hybrid driver-side
+    // loop with delta-maintained pair+symbol counts for production
+    // merge counts).
+    QueryDef(
+      "q116_wordpiece_train",
+      (spark, dir) => {
+        val merges = wpTrained(spark, dir)._1
+        import spark.implicits._
+        merges.zipWithIndex
+          .map { case ((l, r, c, s), i) =>
+            (i + 1L, l, r, c,
+              BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          .toDF("step", "l", "r", "cnt", "score_r")
+      },
+      Some(wordPieceSegSql(5) + """
+        SELECT CAST(1 AS BIGINT) AS step, l, r, cnt, round(score, 6) AS score_r FROM m1
+        UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt, round(score, 6) FROM m2
+        UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt, round(score, 6) FROM m3
+        UNION ALL SELECT CAST(4 AS BIGINT), l, r, cnt, round(score, 6) FROM m4
+        UNION ALL SELECT CAST(5 AS BIGINT), l, r, cnt, round(score, 6) FROM m5""")),
+
+    // ----- WordPiece tokenization: per-doc token counts -----
+    // The application half — and the payoff of the (w, f, syms) vocab
+    // convention a third time: Bpe.tokenCounts runs verbatim on the
+    // WordPiece-trained segmentation (broadcast vocab join fused into
+    // the scan, one doc-count-sized exchange). The oracle extends the
+    // scored chain with q108's tail, re-proving the trained
+    // segmentation the counts came from.
+    QueryDef(
+      "q117_wordpiece_tokenize",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Bpe.tokenCounts(d, "doc_id", "text", wpTrained(spark, dir)._2)
+      },
+      Some(wordPieceSegSql(5) + """,
+        vocab AS (
+          SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub
+          FROM seg5),
+        dw AS (SELECT doc_id, w FROM words WHERE len(w) > 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens
+        FROM dw JOIN vocab USING (w) GROUP BY doc_id""")),
+
+    // ----- Kneser–Ney bigram perplexity (the KenLM smoothing) -----
+    // q101's sibling with the smoothing CCNet's filter actually uses
+    // ([[NgramLm.kneserNeyModel]], Kneser & Ney 1995 / Chen & Goodman
+    // 1998): the backoff mass goes to CONTINUATION counts (distinct
+    // left-contexts), not raw frequency, with fixed discount D = 0.75
+    // (dyadic — exactly representable). All four statistics (bigram
+    // count, prefix total, the two distinct-continuation counts, type
+    // total) are exact integers from ONE mergeable count table; the
+    // probability is a fixed dag of IEEE ops mirrored op-for-op, ln the
+    // only transcendental (the q101 contract). Scale shape unchanged
+    // from q101: model-sized aggregates/joins, 1-row type broadcast,
+    // deliberately-not-broadcast scoring join (vocab² model).
+    QueryDef(
+      "q118_kneser_ney",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        NgramLm.perplexityScore(d, "doc_id", "text",
+          NgramLm.kneserNeyModel(NgramLm.bigramCounts(d, "text")),
+          outCol = "mean_logp_kn")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bgs AS (
+          SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+          FROM t WHERE len(w) >= 2),
+        c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgs GROUP BY bg),
+        pre AS (
+          SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS n1f
+          FROM c2 GROUP BY 1),
+        suf AS (
+          SELECT string_split(bg, ' ')[2] AS w2, CAST(count(*) AS BIGINT) AS n1b
+          FROM c2 GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2),
+        m AS (
+          SELECT bg, ln((c2 - 0.75) / c1 +
+                        (0.75 * n1f / c1) * (n1b / CAST(t AS DOUBLE))) AS logp
+          FROM c2
+          JOIN pre ON string_split(c2.bg, ' ')[1] = pre.w1
+          JOIN suf ON string_split(c2.bg, ' ')[2] = suf.w2
+          CROSS JOIN tot)
+        SELECT doc_id, round(avg(logp), 6) AS mean_logp_kn,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM bgs JOIN m USING (bg)
+        GROUP BY doc_id""")),
+
+    // ----- Weighted sampling without replacement (A-ES) -----
+    // Efraimidis & Spirakis 2006: each row draws a deterministic
+    // uniform u from an md5-seeded 52-bit hash (exactly representable
+    // as a double) and ranks by key = ln(u)/w — a monotone transform of
+    // the paper's u^(1/w), so the top-k by key IS a weighted sample
+    // without replacement with inclusion probability increasing in w.
+    // Deterministic (seeded hash, no RNG state), so re-runs and both
+    // engines agree; the reported key is rounded to 6 digits with an
+    // id tie-break. Weight here = document token count (sample long
+    // documents preferentially — the token-budget-aware sampling a
+    // mixture stage wants). Scale shape: zero-shuffle projection into
+    // TakeOrderedAndProject — per-partition top-k partials, one
+    // k-row-bounded exchange; no full sort anywhere.
+    QueryDef(
+      "q119_weighted_sample",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        CorpusPrep.weightedSample(
+          d.withColumn("w_toks", size(split(col("text"), " ")).cast("long")),
+          "doc_id", "w_toks", k = 100, seed = "aes1:")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS w_toks
+          FROM documents),
+        keyed AS (
+          SELECT doc_id, w_toks,
+                 round(ln(CAST(('0x' || substr(md5('aes1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1 AS DOUBLE)
+                          / 4503599627370496.0)
+                       / CAST(w_toks AS DOUBLE), 6) AS samp_key
+          FROM t)
+        SELECT doc_id, w_toks, samp_key FROM keyed
+        ORDER BY samp_key DESC, doc_id LIMIT 100""")),
+
+    // ----- Tokenizer evaluation: fertility / compression by language -----
+    // The metric report a tokenizer-training run ends with (fertility =
+    // subword tokens per word; chars per token = the compression ratio
+    // driving context-window cost), per language under the shared
+    // 5-merge BPE vocabulary — tokenizers are evaluated per-language
+    // because fertility imbalance is the standard multilingual-cost
+    // finding. Composes q108's counts with a lang rollup; the oracle
+    // re-derives the vocabulary through the q107 chain, so the hash
+    // also re-proves the segmentation the metrics summarize. Scale:
+    // q108's shape plus a languages-sized aggregate.
+    QueryDef(
+      "q120_tokenizer_eval",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        Bpe.tokenCounts(d, "doc_id", "text", bpeTrained(spark, dir)._2)
+          .join(d.select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("chars")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_tokens")).as("n_tokens"),
+            round(sum(col("n_tokens")).cast("double") / sum(col("n_words")), 6)
+              .as("fertility"),
+            round(sum(col("chars")).cast("double") / sum(col("n_tokens")), 6)
+              .as("chars_per_token"))
+      },
+      Some(bpeSegSql(5) + """,
+        vocab AS (
+          SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub
+          FROM seg5),
+        dw AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
+        dc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n_sub) AS BIGINT) AS n_tokens
+          FROM dw JOIN vocab USING (w) GROUP BY doc_id)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6) AS fertility,
+               round(CAST(sum(chars) AS DOUBLE) / sum(n_tokens), 6) AS chars_per_token
+        FROM dc JOIN (SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS chars
+                      FROM documents) USING (doc_id)
+        GROUP BY lang"""))
   )
 }
