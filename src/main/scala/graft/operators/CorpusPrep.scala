@@ -186,6 +186,41 @@ object CorpusPrep {
       .drop("rate")
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    * 2006 ("Weighted random sampling with a reservoir", A-ES): each
+    * row draws a uniform `u` and ranks by `u^(1/w)`; the top-k under
+    * that key is a weighted sample without replacement whose
+    * inclusion probability increases with `w`. This implementation
+    * ranks by the monotone-equivalent `ln(u)/w` (same order, avoids
+    * `pow`), with `u` derived from a SEEDED md5 hash of the id — a
+    * 52-bit integer, exactly representable as a double — so the
+    * sample is a pure function of (seed, id): re-runs, engines, and
+    * partitionings all agree, and changing the seed redraws it
+    * (epochs — the [[epochShuffle]] seeding discipline).
+    *
+    * The reported key rounds to 6 digits with an id tie-break (the
+    * q72 idiom: a last-ulp `ln` difference must not flip rank across
+    * engines); SELECTION uses the rounded key too, so both engines
+    * pick the same k rows. Weights must be positive.
+    *
+    * Scale shape: a zero-shuffle keyed projection into
+    * `TakeOrderedAndProject` — per-partition top-k partials, ONE
+    * k-row-bounded exchange, no full sort at any size. Output: the
+    * input row plus `samp_key`, k rows. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    // 13 hex chars = 52 bits; +1 shifts to (0, 2^52] so ln never sees 0
+    val bits = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
+      1, 13), 16, 10).cast("long")
+    val u = (bits + lit(1L)).cast("double") / lit(4503599627370496.0d) // 2^52
+    docs
+      .withColumn("samp_key",
+        round(log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("samp_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Hex-prefix width for [[epochShuffle]]'s shards:
     * ⌈log16(rows / targetRowsPerShard)⌉, clamped to [1, 8]. md5 keys
     * are uniform, so width w splits the corpus into 16^w ranges of

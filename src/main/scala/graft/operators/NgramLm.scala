@@ -87,6 +87,53 @@ object NgramLm {
   def bigramModel(docs: DataFrame, textCol: String): DataFrame =
     modelFromCounts(bigramCounts(docs, textCol), unigramCounts(docs, textCol))
 
+  /** Interpolated Kneser–Ney bigram model `(bg, logp)` — the smoothing
+    * KenLM actually ships (Kneser & Ney 1995; the interpolated form is
+    * Chen & Goodman 1998's recommendation), upgrading [[modelFromCounts]]'s
+    * add-one baseline: the backoff distribution is the CONTINUATION
+    * probability (how many distinct contexts a word follows) rather
+    * than raw frequency, so "Francisco" — frequent but only ever after
+    * "San" — stops inflating unseen-context estimates.
+    *
+    *   p(w2 | w1) = (c2 − D)/c1 + (D·N1+(w1,·)/c1) · (N1+(·,w2)/T)
+    *
+    * with `D = 0.75` (Chen & Goodman's fixed discount; a dyadic
+    * rational, exactly representable), `N1+(w1,·)`/`N1+(·,w2)` the
+    * distinct-continuation counts, and `T` the distinct bigram-type
+    * total. Every input is an exact integer; the expression is a fixed
+    * dag of IEEE ops mirrored operation-for-operation by the DuckDB
+    * twin, and `ln` is the one transcendental (the q101 contract).
+    *
+    * All statistics derive from the ONE mergeable bigram count table
+    * ([[mergeCounts]] — the incremental contract is unchanged), so a
+    * stream maintaining `(bg, c2)` rebuilds the KN model model-sized.
+    * Scale shape as [[modelFromCounts]]: the prefix/suffix aggregates
+    * and joins are model-sized, the type total is a 1-row broadcast,
+    * and the model deliberately ships to [[perplexityScore]]'s
+    * shuffle-join (vocab² — never assume broadcastable).
+    */
+  def kneserNeyModel(bigrams: DataFrame, discount: Double = 0.75d): DataFrame = {
+    require(discount > 0d && discount < 1d, s"discount must be in (0,1): $discount")
+    val counts = Barrier.materialize(bigrams)
+    val prefix = counts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val suffix = counts
+      .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1b"))
+    val types = counts.agg(count(lit(1)).as("t"))
+    counts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(prefix, "w1")
+      .join(suffix, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("bg"),
+        log((col("c2") - lit(discount)) / col("c1") +
+          (lit(discount) * col("n1f") / col("c1")) *
+            (col("n1b") / col("t").cast("double"))).as("logp"))
+  }
+
   /** Mean bigram log-probability per document:
     * `(idCol, mean_logp2, n_bigrams)`, rounded to 6 digits. Documents
     * with fewer than two tokens have no bigrams and drop out (both
@@ -97,12 +144,12 @@ object NgramLm {
     * sums in bigram order (the q67 determinism contract).
     */
   def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
-                      model: DataFrame): DataFrame =
+                      model: DataFrame, outCol: String = "mean_logp2"): DataFrame =
     docs
       .select(col(idCol), split(col(textCol), " ").as("toks"))
       .select(col(idCol), explode(Text.wordNgrams(col("toks"), 2)).as("bg"))
       .join(model, "bg")
       .groupBy(col(idCol))
-      .agg(round(avg(col("logp")), 6).as("mean_logp2"),
+      .agg(round(avg(col("logp")), 6).as(outCol),
         count(lit(1)).as("n_bigrams"))
 }

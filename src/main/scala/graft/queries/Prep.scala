@@ -1520,7 +1520,8 @@ object Prep {
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
         CorpusPrep.weightedSample(
-          d.withColumn("w_toks", size(split(col("text"), " ")).cast("long")),
+          d.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("w_toks")),
           "doc_id", "w_toks", k = 100, seed = "aes1:")
       },
       Some("""

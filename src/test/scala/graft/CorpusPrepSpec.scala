@@ -102,4 +102,45 @@ class CorpusPrepSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("weighted sample: deterministic, k rows, heavy weights overrepresented") {
+    val s = spark
+    import s.implicits._
+    // 200 light rows (w=1) + 20 heavy rows (w=50): A-ES inclusion
+    // probability rises with weight, so the k=20 sample must lean
+    // heavily on the 9% of rows carrying 83% of the total weight
+    val rows = ((0L until 200L).map(i => (i, 1L)) ++
+        (200L until 220L).map(i => (i, 50L))).toDF("doc_id", "w")
+    val got = CorpusPrep.weightedSample(rows, "doc_id", "w", k = 20, seed = "s1:")
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 20)
+    val heavy = ids.count(_ >= 200L)
+    assert(heavy >= 12, s"only $heavy of 20 heavy rows sampled: $ids")
+    // a pure function of (seed, id, w): the same call returns the same
+    // set, a different seed redraws it
+    val again = CorpusPrep.weightedSample(rows, "doc_id", "w", k = 20, seed = "s1:")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    val redrawn = CorpusPrep.weightedSample(rows, "doc_id", "w", k = 20, seed = "s2:")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(redrawn != ids)
+  }
+
+  test("weighted sample key matches the hand-computed A-ES formula") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((7L, 4L), (8L, 2L)).toDF("doc_id", "w")
+    val got = CorpusPrep.weightedSample(rows, "doc_id", "w", k = 2, seed = "z:")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"z:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L).toDouble / 4503599627370496.0d
+      BigDecimal(math.log(u) / w.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(7L) == key(7L, 4L), s"got $got expect ${key(7L, 4L)}")
+    assert(got(8L) == key(8L, 2L), s"got $got expect ${key(8L, 2L)}")
+  }
 }

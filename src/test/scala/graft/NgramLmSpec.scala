@@ -89,4 +89,55 @@ class NgramLmSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(got == Set(1L), s"got $got")
   }
+
+  test("Kneser-Ney model matches the hand-computed interpolated definition") {
+    val s = spark
+    import s.implicits._
+    // corpus "a b a b a c": bigrams (a b)x2 (b a)x2 (a c)x1
+    // prefix a: c1=3, n1f=2; prefix b: c1=2, n1f=1
+    // continuation counts n1b: a 1, b 1, c 1; T=3 types
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val m = NgramLm.kneserNeyModel(NgramLm.bigramCounts(docs, "text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set("a b", "b a", "a c"))
+    def p(c2: Double, c1: Double, n1f: Double, n1b: Double, t: Double) =
+      (c2 - 0.75) / c1 + (0.75 * n1f / c1) * (n1b / t)
+    assert(math.abs(m("a b") - math.log(p(2, 3, 2, 1, 3))) < 1e-12, s"got $m")
+    assert(math.abs(m("b a") - math.log(p(2, 2, 1, 1, 3))) < 1e-12, s"got $m")
+    assert(math.abs(m("a c") - math.log(p(1, 3, 2, 1, 3))) < 1e-12, s"got $m")
+  }
+
+  test("Kneser-Ney probabilities conserve mass over the full vocabulary") {
+    val s = spark
+    import s.implicits._
+    // the defining identity of INTERPOLATED KN: for each context w1,
+    // Σ over the FULL vocab of p(w2|w1) — observed bigrams at their
+    // discounted probability, unseen w2 at backoff·Pcont(w2) — is
+    // exactly 1; a discount-arithmetic or continuation-count bug
+    // breaks it immediately
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val m = NgramLm.kneserNeyModel(NgramLm.bigramCounts(docs, "text"))
+      .collect().map(r => r.getString(0) -> math.exp(r.getDouble(1))).toMap
+    // Pcont is uniform 1/3 here (every word continues exactly one
+    // distinct context); unseen (a,a): backoff(a)·Pcont(a)
+    val sumA = m("a b") + m("a c") + (0.75 * 2 / 3.0) * (1.0 / 3)
+    val sumB = m("b a") + (0.75 * 1 / 2.0) * (1.0 / 3) * 2 // unseen b b, b c
+    assert(math.abs(sumA - 1.0) < 1e-12, s"sum over context a = $sumA")
+    assert(math.abs(sumB - 1.0) < 1e-12, s"sum over context b = $sumB")
+  }
+
+  test("Kneser-Ney from two-batch merged counts equals the whole-corpus model") {
+    // the incremental contract extends to KN unchanged: every
+    // statistic (prefix totals, distinct-continuation counts, type
+    // total) derives from the ONE mergeable (bg, c2) table
+    val docs = Tables.load(spark, sfDir, "documents").limit(120)
+    val h1 = docs.where(col("doc_id") % 2 === 0)
+    val h2 = docs.where(col("doc_id") % 2 === 1)
+    val merged = NgramLm.kneserNeyModel(NgramLm.mergeCounts(
+      NgramLm.bigramCounts(h1, "text"), NgramLm.bigramCounts(h2, "text")))
+    val whole = NgramLm.kneserNeyModel(NgramLm.bigramCounts(docs, "text"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m(merged) == m(whole))
+  }
 }
