@@ -105,6 +105,68 @@ object WordPiece {
     (out.toSeq, seg)
   }
 
+  /** The token a word segments to when greedy matching fails — BERT's
+    * unknown-token convention. */
+  val Unk = "[UNK]"
+
+  /** The distinct piece inventory of a trained vocabulary segmentation
+    * — what a tokenizer ships at runtime (symbols in USE, not the
+    * merge history). Symbol-vocab-sized. */
+  def inventory(vocabSeg: DataFrame): DataFrame =
+    vocabSeg.select(explode(col("syms")).as("piece")).distinct()
+
+  /** Greedy longest-match-first segmentation of one string — the
+    * WordPiece RUNTIME algorithm (BERT's tokenizer.apply): at each
+    * position take the longest inventory piece matching there; any
+    * position with no match collapses the whole word to [[Unk]].
+    * Deliberately NOT the training segmentation replay: greedy
+    * max-match can diverge from the merge history on in-vocab words
+    * too (the documented BPE-vs-runtime mismatch), which is exactly
+    * why application must be its own tested operator. Pure
+    * integer/string arithmetic — no floats anywhere — so the DuckDB
+    * oracle replays it exactly. */
+  private[graft] def maxMatchPath(s: String, pieces: Set[String],
+      maxLen: Int): String = {
+    val n = s.length
+    var pos = 0
+    val sb = new StringBuilder
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var found: String = null
+      while (l >= 1 && found == null) {
+        val cand = s.substring(pos, pos + l)
+        if (pieces.contains(cand)) found = cand
+        l -= 1
+      }
+      if (found == null) return Unk
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(found)
+      pos += found.length
+    }
+    sb.toString
+  }
+
+  /** Segment a distinct-word table by greedy max-match against a
+    * trained piece inventory, in the `(w, f, syms)` vocab convention —
+    * so the [[Bpe.tokenCounts]]/[[Bpe.encode]] application path works
+    * on a FOREIGN corpus (train on yesterday's data, apply to today's:
+    * unseen words segment from the same inventory instead of
+    * dropping; truly unmatchable words become one [[Unk]] token). The
+    * inventory collects once (symbol-vocab-sized — it IS the shipped
+    * tokenizer) and broadcasts to a per-row function over the
+    * distinct-word table: zero shuffle, the [[UnigramLm
+    * .viterbiSegments]] shape. Words are matched as `w + "</w>"`, the
+    * training convention, so word-final pieces apply. */
+  def maxMatchSegments(words: DataFrame, pieces: DataFrame): DataFrame = {
+    val inv = pieces.select(col("piece")).collect().map(_.getString(0)).toSet
+    val maxLen = if (inv.isEmpty) 1 else inv.iterator.map(_.length).max
+    val bc = words.sparkSession.sparkContext.broadcast(inv)
+    val seg = udf((w: String) =>
+      maxMatchPath(w + Bpe.EndOfWord, bc.value, maxLen))
+    words.select(col("w"), col("f"),
+      split(seg(col("w")), " ").as("syms"))
+  }
+
   private def utf8Lt(a: String, b: String): Boolean =
     graft.functions.Utf8Order.lt(a, b)
 

@@ -26,7 +26,7 @@ object Prep {
     * q107 (the merge table) and q108 (tokenize under seg`k`). */
   /** The shared words → word-frequency → char+`</w>` seg0 header of
     * the merge-loop CTE chains ([[bpeSegSql]]/[[wordPieceSegSql]]). */
-  private val segHeaderSql = """
+  private val segHeaderSql: String = """
         WITH words AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         wf AS (
@@ -148,6 +148,48 @@ object Prep {
         viterbi AS MATERIALIZED ($viterbi)"""
   }
 
+  /** q121's oracle middle: greedy longest-match-first segmentation of
+    * an `aw` CTE of (≤16-char) words — THE CALLER DEFINES `aw` before
+    * splicing this in — against seg5's piece inventory: the WordPiece
+    * RUNTIME algorithm, replayed as a `steps`-step frontier chain
+    * (each step advances one greedy piece; pieces are ≥1 char, so
+    * word+`</w>` ≤ 20 chars terminates in 20 steps). One active row
+    * per word, so the longest-match row_number is deterministic (two
+    * distinct pieces cannot match the same position at the same
+    * length); a position with NO matching piece collapses the word to
+    * '[UNK]' (pos jumps to n — the carry branch then preserves it).
+    * MATERIALIZED per the q112 lesson. */
+  private def maxMatchSql(steps: Int): String = {
+    val chain = (1 to steps).map { j =>
+      s""",
+        mm$j AS MATERIALIZED (
+          SELECT w, s16, n, pos, path FROM mm${j - 1} WHERE pos >= n
+          UNION ALL
+          SELECT w, s16, n, pos + len(piece) AS pos,
+                 CASE WHEN path = '' THEN piece
+                      ELSE path || ' ' || piece END AS path
+          FROM (
+            SELECT m.w, m.s16, m.n, m.pos, m.path, p.piece,
+                   row_number() OVER (PARTITION BY m.w
+                                      ORDER BY len(p.piece) DESC) AS rn
+            FROM mm${j - 1} m
+            JOIN inv p ON p.piece = substr(m.s16, m.pos + 1, len(p.piece))
+            WHERE m.pos < m.n) x WHERE rn = 1
+          UNION ALL
+          SELECT m.w, m.s16, m.n, m.n AS pos, '[UNK]' AS path
+          FROM mm${j - 1} m
+          WHERE m.pos < m.n AND NOT EXISTS (
+            SELECT 1 FROM inv p
+            WHERE p.piece = substr(m.s16, m.pos + 1, len(p.piece))))"""
+    }.mkString
+    s""",
+        inv AS MATERIALIZED (
+          SELECT DISTINCT unnest(string_split(s, ' ')) AS piece FROM seg5),
+        mm0 AS MATERIALIZED (
+          SELECT w, w || '</w>' AS s16, len(w) + 4 AS n,
+                 0 AS pos, '' AS path FROM aw)""" + chain
+  }
+
   /** q112's tail: E-step piece counts along the Viterbi paths. */
   private def unigramEmSql(chain: String): String = chain + s""",
         em AS (
@@ -215,6 +257,7 @@ object Prep {
       dir: String): (Seq[(String, String, Long, Double)], org.apache.spark.sql.DataFrame) =
     wpShared.getOrElseUpdate((spark, dir),
       WordPiece.train(Tables.load(spark, dir, "documents"), "text", k = 5))
+
 
   /** One Viterbi-segmented unigram-LM vocabulary per (session, sf-dir)
     * — the q114/q115 application queries consume the same trained
@@ -1453,6 +1496,61 @@ object Prep {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(n_sub) AS BIGINT) AS n_tokens
         FROM dw JOIN vocab USING (w) GROUP BY doc_id""")),
+
+    // ----- Greedy max-match tokenization with OOV (BERT runtime) -----
+    // The RUNTIME half of the WordPiece story, and the operation the
+    // q108/q114/q117 joins cannot express: apply the documents-trained
+    // tokenizer to a FOREIGN corpus — the part table's p_name words,
+    // every one of them out-of-vocabulary — by greedy
+    // longest-match-first over the trained piece inventory (BERT's
+    // runtime algorithm). Unseen words segment from pieces instead of
+    // dropping; a word with an unmatchable position collapses to one
+    // [UNK] token ('gizmo' does here: 'z' never occurs in the
+    // documents corpus). Greedy max-match is deliberately NOT a
+    // training replay — it can diverge from the merge history even
+    // in-vocab — so the oracle replays the greedy loop itself as a
+    // 20-step frontier chain over word positions (pure integer/string
+    // arithmetic, no floats anywhere). Output per part: word count,
+    // max-match token count, OOV-collapse count — the coverage report
+    // that decides whether yesterday's tokenizer still fits today's
+    // data. Scale shape: the inventory IS the shipped tokenizer
+    // (symbol-vocab-sized, collected once, broadcast); segmentation
+    // is a per-row function over the distinct-word table (zero
+    // shuffle); application is the q108 broadcast join. Words are
+    // capped at 16 chars on both engines to bound the oracle chain.
+    QueryDef(
+      "q121_maxmatch_oov",
+      (spark, dir) => {
+        val parts = Tables.load(spark, dir, "part")
+        val pwords = Bpe.wordFreq(parts, "p_name")
+          .where(length(col("w")) <= 16)
+        val mm = WordPiece.maxMatchSegments(pwords,
+          WordPiece.inventory(wpTrained(spark, dir)._2))
+        val v2 = mm.select(col("w"), size(col("syms")).cast("long").as("n_sub"),
+          when(col("syms") === array(lit(WordPiece.Unk)), lit(1L))
+            .otherwise(lit(0L)).as("is_unk"))
+        parts.select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
+          .filter(length(col("w")) > 0 && length(col("w")) <= 16)
+          .join(broadcast(v2), "w")
+          .groupBy(col("p_partkey"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"),
+            sum(col("is_unk")).as("n_unk"))
+      },
+      Some(wordPieceSegSql(5) + """,
+        pw AS (
+          SELECT p_partkey, pn AS w
+          FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS pn
+                FROM part)
+          WHERE len(pn) > 0 AND len(pn) <= 16),
+        aw AS (SELECT w FROM pw GROUP BY w)""" + maxMatchSql(20) + """,
+        mmv AS (
+          SELECT w, CAST(len(string_split(path, ' ')) AS BIGINT) AS n_sub,
+                 CASE WHEN path = '[UNK]' THEN 1 ELSE 0 END AS is_unk
+          FROM mm20)
+        SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+               CAST(sum(is_unk) AS BIGINT) AS n_unk
+        FROM pw JOIN mmv USING (w) GROUP BY p_partkey""")),
 
     // ----- Kneser–Ney bigram perplexity (the KenLM smoothing) -----
     // q101's sibling with the smoothing CCNet's filter actually uses

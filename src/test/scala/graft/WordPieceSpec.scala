@@ -90,6 +90,46 @@ class WordPieceSpec extends SparkSpec {
     assert(row.getLong(2) > 0L && row.getLong(2) <= 21L, s"got $row")
   }
 
+  test("greedy max-match is longest-first, handles OOV, and can diverge from training") {
+    val s = spark
+    import s.implicits._
+    // inventory {a, b, ab, abc, </w>}: "abab" matches ab|ab|</w>
+    // (longest-first), "abc..." shows greedy divergence potential,
+    // "axb" has no 'x' piece → [UNK]
+    val inv = Set("a", "b", "ab", "abc", "</w>")
+    assert(WordPiece.maxMatchPath("abab" + Bpe.EndOfWord, inv, 4) == "ab ab </w>")
+    // greedy takes abc first, leaving a|b, NOT the ab|ab split a
+    // training history might have produced
+    assert(WordPiece.maxMatchPath("abcab" + Bpe.EndOfWord, inv, 4) == "abc ab </w>")
+    assert(WordPiece.maxMatchPath("axb" + Bpe.EndOfWord, inv, 4) == WordPiece.Unk)
+    // and through the DataFrame path with the (w, f, syms) convention
+    val words = Seq(("abab", 3L), ("axb", 1L)).toDF("w", "f")
+    val pieces = inv.toSeq.toDF("piece")
+    val got = WordPiece.maxMatchSegments(words, pieces)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(got("abab") == Seq("ab", "ab", "</w>"), s"got $got")
+    assert(got("axb") == Seq(WordPiece.Unk), s"got $got")
+  }
+
+  test("max-match covers every training word of its own corpus without UNK") {
+    // the coverage sanity a shipped tokenizer is asserted with: the
+    // inventory was induced FROM these words, and single characters
+    // only leave the inventory if every occurrence merged — so the
+    // training corpus itself must segment UNK-free
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (_, seg) = WordPiece.train(docs, "text", k = 5)
+    val mm = WordPiece.maxMatchSegments(
+      graft.operators.Bpe.wordFreq(docs, "text"), WordPiece.inventory(seg))
+    val unk = mm.filter(col("syms") === array(lit(WordPiece.Unk))).take(3)
+    assert(unk.isEmpty, s"UNK on training words: ${unk.mkString("; ")}")
+    // conservation: max-match pieces reconstruct word+</w> (non-UNK)
+    val bad = mm.filter(
+      concat_ws("", col("syms")) =!= concat(col("w"), lit(Bpe.EndOfWord)))
+      .take(3)
+    assert(bad.isEmpty, s"non-reconstructing: ${bad.mkString("; ")}")
+  }
+
   test("stale heap entries cannot resurrect a merged-away pair") {
     val s = spark
     import s.implicits._
