@@ -52,4 +52,38 @@ object Quantize {
       array_max(zip_with(vec, codes,
         (x, c) => abs(mn + c.cast("double") * s - x.cast("double")))),
       lit(0.0))
+
+  /** One entry of the seeded ±1 Johnson–Lindenstrauss sign matrix:
+    * the parity of the first md5 hex digit of `"<seed><j>:<i>"` —
+    * a pure function of (seed, output-dim, input-dim), so the matrix
+    * is never materialized or shipped; any engine (and the DuckDB
+    * oracle) regenerates the same entry from the seed. */
+  def jlSign(seed: String, j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed$j:$i".getBytes("UTF-8"))
+    if (((md(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection of uint8 [[codes]] down
+    * to `outDim` integer coordinates — the dimensionality lever next
+    * to the byte-width lever above (Achlioptas 2003: ±1 entries give
+    * the JL distance-preservation guarantee without Gaussians; over
+    * integer codes the projection is Σ ±code, EXACT integer
+    * arithmetic, so engines agree bit-for-bit in any evaluation
+    * order — no float-summation caveats anywhere). A 64-dim byte
+    * vector becomes `outDim` longs: the coarse prefilter geometry for
+    * ANN (probe the projected space, exact-rescore survivors).
+    *
+    * `dim` must match the code array's length exactly (zip_with pads
+    * the shorter side with nulls — a silent wrong answer — so the
+    * caller pins the corpus's known dimension and a vintage change
+    * fails loudly in the gate rather than quietly projecting nulls).
+    * Returns one aliased column per output dimension (`p0..p<k-1>`).
+    */
+  def jlProject(codes: Column, dim: Int, outDim: Int, seed: String): Seq[Column] =
+    (0 until outDim).map { j =>
+      val signs = array((0 until dim).map(i => lit(jlSign(seed, j, i))): _*)
+      aggregate(zip_with(codes, signs, (c, s) => c * s),
+        lit(0L), (acc, x) => acc + x.cast("long")).as(s"p$j")
+    }
 }

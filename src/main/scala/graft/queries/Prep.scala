@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Barrier, Bpe, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm, UnigramLm, WordPiece}
+import graft.operators.{Barrier, Bpe, Components, CorpusPrep, Dedup, Dsir, HashedLr, NgramLm, Quantize, UnigramLm, WordPiece}
 import graft.sources.Tables
 
 /** Oracle-checked rows for the corpus-preparation operators
@@ -1678,6 +1678,61 @@ object Prep {
                round(CAST(sum(chars) AS DOUBLE) / sum(n_tokens), 6) AS chars_per_token
         FROM dc JOIN (SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS chars
                       FROM documents) USING (doc_id)
-        GROUP BY lang"""))
+        GROUP BY lang""")),
+
+    // ----- Johnson–Lindenstrauss projection over quantized codes -----
+    // The dimensionality lever beside q86's byte-width lever
+    // (Achlioptas 2003: ±1 sign matrices carry the JL
+    // distance-preservation guarantee): project each vector's uint8
+    // codes down to 8 integer coordinates — the coarse prefilter
+    // geometry for ANN (probe the projected space, exact-rescore
+    // survivors), 32× smaller than the float input. Projecting the
+    // CODES, not the floats, makes the whole operator exact integer
+    // arithmetic — Σ ±code agrees bit-for-bit across engines in any
+    // summation order, no float caveats — and the sign matrix is a
+    // pure seeded-md5 function of (j, i), never materialized or
+    // shipped. Scale shape: one zero-shuffle projection (q86's), the
+    // matrix regenerates on every executor from the seed. The input
+    // dimension is pinned at 64 on BOTH engines, so a testdata
+    // vintage change fails the gate loudly instead of silently
+    // zip-padding nulls.
+    QueryDef(
+      "q122_jl_projection",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val staged = e.select(col("vec_id"), col("embedding").as("vec"))
+          .select(col("vec_id"), col("vec"),
+            array_min(col("vec")).cast("double").as("mn"),
+            Quantize.scale(col("vec")).as("qscale"))
+          .select(col("vec_id"),
+            Quantize.codes(col("vec"), col("mn"), col("qscale")).as("codes"))
+        staged.select(col("vec_id") +:
+          Quantize.jlProject(col("codes"), dim = 64, outDim = 8, seed = "jl7:"): _*)
+      },
+      Some {
+        val sums = (0 until 8).map { j =>
+          s"""CAST(sum(code * (CASE WHEN ('0x' || substr(md5('jl7:$j:' || CAST(i - 1 AS VARCHAR)), 1, 1))::INT % 2 = 0
+                     THEN 1 ELSE -1 END)) AS BIGINT) AS p$j"""
+        }.mkString(",\n               ")
+        s"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        p AS (
+          SELECT vec_id, vec, list_min(vec) AS mn,
+                 (list_max(vec) - list_min(vec)) / 255.0 AS s
+          FROM v),
+        c AS (
+          SELECT vec_id,
+                 CASE WHEN s = 0 THEN [0 for x in vec]
+                      ELSE [CAST(round((x - mn) / s) AS INT) for x in vec]
+                 END AS codes
+          FROM p),
+        x AS (
+          SELECT vec_id, codes[i] AS code, i
+          FROM c, unnest(range(1, len(codes) + 1)) AS t(i))
+        SELECT vec_id,
+               $sums
+        FROM x GROUP BY vec_id"""
+      })
   )
 }

@@ -57,4 +57,41 @@ class QuantizeSpec extends SparkSpec {
         s"err ${r.getDouble(2)} exceeds half-step $halfStep")
     }
   }
+
+  test("JL projection matches the hand-computed seeded sign matrix") {
+    val s = spark
+    import s.implicits._
+    // 4-dim codes projected to 2 dims: recompute each coordinate from
+    // jlSign directly — the projection must be EXACTLY Σ ±code (pure
+    // integer arithmetic, no scaling, no floats)
+    val codes = Seq(7, 255, 0, 12)
+    val df = Seq(Tuple1(codes)).toDF("codes")
+    val got = df.select(Quantize.jlProject(col("codes"), dim = 4,
+        outDim = 2, seed = "t:"): _*).head()
+    (0 until 2).foreach { j =>
+      val expect = codes.zipWithIndex
+        .map { case (c, i) => c.toLong * Quantize.jlSign("t:", j, i) }.sum
+      assert(got.getLong(j) == expect, s"p$j: got ${got.getLong(j)} want $expect")
+    }
+    // the sign matrix is genuinely mixed (not all +1/-1) over a real
+    // span — a degenerate hash parity would make the projection a
+    // near-copy of the code sum
+    val signs = for (j <- 0 until 8; i <- 0 until 64) yield Quantize.jlSign("jl7:", j, i)
+    assert(signs.contains(1) && signs.contains(-1))
+    val plusFrac = signs.count(_ == 1).toDouble / signs.size
+    assert(plusFrac > 0.35 && plusFrac < 0.65, s"sign balance $plusFrac")
+  }
+
+  test("JL projection is deterministic and seed-sensitive") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 20).map(i =>
+      Tuple1(Array.tabulate(16)(d => ((i * 31 + d * 7) % 97).toFloat)))
+    val df = staged(vecs.toDF("vec"))
+    def proj(seed: String) =
+      df.select(Quantize.jlProject(col("codes"), 16, 4, seed): _*)
+        .collect().map(_.toSeq).toSeq
+    assert(proj("a:") == proj("a:"))
+    assert(proj("a:") != proj("b:"))
+  }
 }
