@@ -69,6 +69,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** JL-prefiltered approximate top-k — the prefilter→rescore pattern
+    * production ANN actually runs: quantize ([[Quantize.codes]]),
+    * project to `outDim` integer coordinates ([[Quantize.jlProject]]),
+    * shortlist `nCand` candidates per query by squared L2 distance in
+    * the PROJECTED space (pure integer arithmetic — the shortlist is
+    * exactly reproducible on any engine, so the whole operator is
+    * oracle-checkable end-to-end, unlike hash/cluster ANN whose
+    * bucketing is engine-specific), then exact-cosine rescore only the
+    * shortlist.
+    *
+    * Scale shape: the distance pass streams the corpus as `outDim`
+    * longs per row — 32× fewer bytes than raw float vectors — against
+    * a broadcast query batch (the [[bruteForceTopK]] BNLJ shape, but
+    * over the skinny projection); the rescore touches nCand × queries
+    * vectors only. At production scale the projected table is
+    * materialized once (it is the index artifact — a seed and a
+    * parquet of longs) and reused by every probe batch.
+    *
+    * Output: (query_id, neighbor_id, rank, cos), rank ≤ k. Recall vs
+    * [[bruteForceTopK]] is graded in QuantizeSpec; raise `outDim` /
+    * `nCand` for more. */
+  def jlPrefilterTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCand: Int, dim: Int, outDim: Int, seed: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nCand >= k, s"nCand $nCand must be >= k $k")
+    def projected(df: DataFrame, outId: String, pre: String): DataFrame = {
+      val staged = df.select(col(idCol), col(vecCol).as("vec"))
+        .select(col(idCol), col("vec"),
+          array_min(col("vec")).cast("double").as("mn"),
+          Quantize.scale(col("vec")).as("qs"))
+        .select(col(idCol),
+          Quantize.codes(col("vec"), col("mn"), col("qs")).as("codes"))
+      staged.select(col(idCol).as(outId) +:
+        Quantize.jlProject(col("codes"), dim, outDim, seed)
+          .zipWithIndex.map { case (p, j) => p.as(s"$pre$j") }: _*)
+    }
+    val cp = projected(corpus, "neighbor_id", "c")
+    val qp = projected(queries, "query_id", "q")
+    val pdist = (0 until outDim)
+      .map { j => val d = col(s"c$j") - col(s"q$j"); d * d }
+      .reduce(_ + _)
+    val shortlist = cp.join(broadcast(qp), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pdist.as("pdist"))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("pdist"), col("neighbor_id"))))
+      .filter(col("crank") <= nCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** kNN majority-vote classification: predict each query vector's
     * label from its k nearest labeled corpus vectors (the label-
     * propagation / quality-classifier shape of training-data

@@ -1733,6 +1733,91 @@ object Prep {
         SELECT vec_id,
                $sums
         FROM x GROUP BY vec_id"""
+      }),
+
+    // ----- JL-prefiltered ANN: shortlist in int space, exact rescore -----
+    // The prefilter→rescore composition production ANN actually runs,
+    // and the one ANN variant that is ORACLE-CHECKABLE end-to-end:
+    // q122's integer projection shortlists nCand=100 candidates per
+    // query by squared L2 in the 16-dim projected space (pure integer
+    // arithmetic — bit-reproducible shortlist, unlike hash/cluster
+    // ANN whose bucketing is engine-specific), then only the
+    // shortlist pays the exact cosine. Scale shape: the distance pass
+    // streams the corpus as 16 longs per row (16× fewer bytes than
+    // the float vectors) against a broadcast query batch — q37's BNLJ
+    // shape over the skinny projection — and the rescore touches
+    // nCand × queries vectors; at production scale the projected
+    // table is the index artifact (a seed + a parquet of longs),
+    // materialized once. Recall vs the exact baseline is graded in
+    // QuantizeSpec (deterministic 0.44 on the near-random synthetic
+    // embeddings — the pathological case for any projection — at 2.2×
+    // the random-candidate baseline; real embedding geometry does
+    // far better).
+    QueryDef(
+      "q123_jl_ann",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        graft.operators.Similarity.jlPrefilterTopK(
+          e, e.filter(col("vec_id") < 10), k = 10, nCand = 100,
+          dim = 64, outDim = 16, seed = "jl7:")
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      Some {
+        val outDim = 16
+        val sums = (0 until outDim).map { j =>
+          s"""CAST(sum(code * (CASE WHEN ('0x' || substr(md5('jl7:$j:' || CAST(i - 1 AS VARCHAR)), 1, 1))::INT % 2 = 0
+                     THEN 1 ELSE -1 END)) AS BIGINT) AS p$j"""
+        }.mkString(",\n               ")
+        val pd = (0 until outDim)
+          .map(j => s"(n.p$j - q.p$j) * (n.p$j - q.p$j)").mkString(" + ")
+        s"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        p AS (
+          SELECT vec_id, vec, list_min(vec) AS mn,
+                 (list_max(vec) - list_min(vec)) / 255.0 AS s
+          FROM v),
+        c AS (
+          SELECT vec_id,
+                 CASE WHEN s = 0 THEN [0 for x in vec]
+                      ELSE [CAST(round((x - mn) / s) AS INT) for x in vec]
+                 END AS codes
+          FROM p),
+        x AS (
+          SELECT vec_id, codes[i] AS code, i
+          FROM c, unnest(range(1, len(codes) + 1)) AS t(i)),
+        pr AS MATERIALIZED (
+          SELECT vec_id,
+               $sums
+          FROM x GROUP BY vec_id),
+        cand AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 $pd AS pdist
+          FROM pr n JOIN pr q ON n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        keep AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pdist, neighbor_id) AS rn
+            FROM cand) WHERE rn <= 100),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 CASE WHEN list_dot_product(cv.vec, cv.vec) = 0
+                        OR list_dot_product(qv.vec, qv.vec) = 0 THEN 0.0
+                      ELSE list_dot_product(cv.vec, qv.vec)
+                           / (sqrt(list_dot_product(cv.vec, cv.vec))
+                              * sqrt(list_dot_product(qv.vec, qv.vec))) END AS cos
+          FROM keep
+          JOIN v cv ON cv.vec_id = keep.neighbor_id
+          JOIN v qv ON qv.vec_id = keep.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10"""
       })
   )
 }

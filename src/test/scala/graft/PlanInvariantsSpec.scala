@@ -20,6 +20,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q100_dsir_importance",    // 1-row smoothing-totals broadcast
     "q101_bigram_perplexity",  // 1-row vocabulary-count broadcast
     "q118_kneser_ney",         // 1-row bigram-type-total broadcast
+    "q123_jl_ann",             // broadcast query batch over the skinny projection (q37's shape)
     "q102_semantic_decontaminate", // broadcast eval probe set (q37's shape)
     "q111_collocations",       // 1-row corpus-total broadcast (score scale)
     "q113_phrases_iterated")   // same 1-row total broadcast, final pass

@@ -94,4 +94,32 @@ class QuantizeSpec extends SparkSpec {
     assert(proj("a:") == proj("a:"))
     assert(proj("a:") != proj("b:"))
   }
+
+  test("JL prefilter ANN: recall vs exact brute force on the real embeddings") {
+    // everything in the prefilter is deterministic (seeded signs +
+    // integer distances), so this recall is a FIXED number per
+    // (corpus, seed, nCand) — the floor pins the quality contract the
+    // way SimilaritySpec does for LSH
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.operators.Similarity.bruteForceTopK(e, q, k = 10))
+    val approx = pairs(graft.operators.Similarity.jlPrefilterTopK(
+      e, q, k = 10, nCand = 100, dim = 64, outDim = 16, seed = "jl7:"))
+    val recall = (exact & approx).size.toDouble / exact.size
+    // the synthetic near-random embeddings are the PATHOLOGICAL case
+    // for any projection (cosine concentration of measure), so the
+    // contract is relative: the prefilter must carry real signal —
+    // comfortably above the random-candidate baseline nCand/(N-1) —
+    // plus an absolute floor at the observed level (deterministic:
+    // 0.44 at this corpus/seed/config)
+    val corpusN = e.count().toDouble
+    val baseline = 100.0 / (corpusN - 1)
+    info(f"JL prefilter recall@10 (nCand=100, 64->16 dims): $recall%.3f" +
+      f" vs random-candidate baseline $baseline%.3f")
+    assert(recall >= 1.8 * baseline, f"recall $recall%.3f under 1.8x baseline $baseline%.3f")
+    assert(recall >= 0.35, f"recall $recall%.3f under absolute floor")
+  }
 }
