@@ -130,7 +130,10 @@ class NgramLmSpec extends SparkSpec {
     // the incremental contract extends to KN unchanged: every
     // statistic (prefix totals, distinct-continuation counts, type
     // total) derives from the ONE mergeable (bg, c2) table
-    val docs = Tables.load(spark, sfDir, "documents").limit(120)
+    // deterministic slice (a bare limit() could pick different rows
+    // per action and make merged-vs-whole compare different corpora)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") < 120)
     val h1 = docs.where(col("doc_id") % 2 === 0)
     val h2 = docs.where(col("doc_id") % 2 === 1)
     val merged = NgramLm.kneserNeyModel(NgramLm.mergeCounts(
