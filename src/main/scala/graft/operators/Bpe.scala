@@ -173,16 +173,9 @@ object Bpe {
     * independent (the frames are local, so the writes are cheap). */
   private def trainDriverSide(spark: SparkSession, seg0: DataFrame, k: Int,
       persistPath: Option[String]): (Seq[(String, String, Long)], DataFrame) = {
-    val words: Array[(String, Long, ArrayBuffer[String])] =
-      seg0.select(col("w"), col("f"), col("syms")).collect().map { r =>
-        (r.getString(0), r.getLong(1), ArrayBuffer(r.getSeq[String](2): _*))
-      }
-    def toDf(): DataFrame = {
-      import spark.implicits._
-      words.toSeq.map { case (w, f, s) => (w, f, s.toSeq) }.toDF("w", "f", "syms")
-    }
+    val words = MergeWords.collect(seg0)
     def persist(step: Int): Unit =
-      persistPath.foreach(p => toDf().write.mode("overwrite").parquet(s"$p/seg$step"))
+      MergeWords.persist(spark, words, persistPath, step)
     // Pair counts are built once and DELTA-maintained: each merge only
     // re-counts the words it actually touched, so a k≈32,000 production
     // run costs O(touched words) per merge, not O(vocab × word length)
@@ -248,34 +241,16 @@ object Bpe {
         val cand = occurs.remove((l, r)).getOrElse(mutable.BitSet.empty)
         cand.foreach { wi =>
           val (_, f, syms) = words(wi)
-          var j = 0
-          var touched = false
-          while (j < syms.length - 1 && !touched) {
-            if (syms(j) == l && syms(j + 1) == r) touched = true
-            j += 1
-          }
-          if (touched) {
+          if (MergeWords.containsPair(syms, l, r)) {
             addPairs(wi, syms, f, -1L)
-            // greedy left-to-right in place: the freshly-merged symbol
-            // is never reconsidered as the LEFT of the same pass
-            // (applyMerge's fold reads the accumulator's last element,
-            // which a merge just replaced — matching requires skipping
-            // past it)
-            var i = 0
-            while (i < syms.length - 1) {
-              if (syms(i) == l && syms(i + 1) == r) {
-                syms(i) = l + r
-                syms.remove(i + 1)
-              }
-              i += 1
-            }
+            MergeWords.mergeInPlace(syms, l, r)
             addPairs(wi, syms, f, 1L)
           }
         }
         persist(out.length)
       }
     }
-    (out.toSeq, toDf())
+    (out.toSeq, MergeWords.toDf(spark, words))
   }
 
   /** [[train]]'s merge list alone. */

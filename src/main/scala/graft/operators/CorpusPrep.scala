@@ -214,9 +214,16 @@ object CorpusPrep {
     val bits = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
       1, 13), 16, 10).cast("long")
     val u = (bits + lit(1L)).cast("double") / lit(4503599627370496.0d) // 2^52
+    // enforce the positive-weight precondition IN the plan: ln(u) ≤ 0,
+    // so a negative weight flips its key positive and wins every draw
+    // silently, and a zero weight divides to -Infinity — both are
+    // upstream data bugs that must fail the job, not skew the sample
+    val w = when(col(weightCol).cast("double") > 0d, col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: non-positive weight in '$weightCol': "),
+        col(weightCol).cast("string"))).cast("double"))
     docs
-      .withColumn("samp_key",
-        round(log(u) / col(weightCol).cast("double"), 6))
+      .withColumn("samp_key", round(log(u) / w, 6))
       .orderBy(col("samp_key").desc, col(idCol))
       .limit(k)
   }

@@ -76,14 +76,20 @@ object Quantize {
     *
     * `dim` must match the code array's length exactly (zip_with pads
     * the shorter side with nulls — a silent wrong answer — so the
-    * caller pins the corpus's known dimension and a vintage change
-    * fails loudly in the gate rather than quietly projecting nulls).
-    * Returns one aliased column per output dimension (`p0..p<k-1>`).
+    * length is CHECKED per row and a mismatch raises, making a
+    * testdata-vintage change fail loudly for every caller, not just
+    * the oracle-gated ones). Returns one aliased column per output
+    * dimension (`p0..p<k-1>`).
     */
-  def jlProject(codes: Column, dim: Int, outDim: Int, seed: String): Seq[Column] =
+  def jlProject(codes: Column, dim: Int, outDim: Int, seed: String): Seq[Column] = {
+    val checked = when(size(codes) === dim, codes)
+      .otherwise(raise_error(concat(
+        lit(s"jlProject: expected $dim-dim codes, got "),
+        size(codes).cast("string"))).cast("array<int>"))
     (0 until outDim).map { j =>
       val signs = array((0 until dim).map(i => lit(jlSign(seed, j, i))): _*)
-      aggregate(zip_with(codes, signs, (c, s) => c * s),
+      aggregate(zip_with(checked, signs, (c, s) => c * s),
         lit(0L), (acc, x) => acc + x.cast("long")).as(s"p$j")
     }
+  }
 }

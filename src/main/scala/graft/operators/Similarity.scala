@@ -80,7 +80,10 @@ object Similarity {
     * shortlist.
     *
     * Scale shape: the distance pass streams the corpus as `outDim`
-    * longs per row — 32× fewer bytes than raw float vectors — against
+    * small integers per row — |Σ ±code| ≤ 255·dim fits int16, so a
+    * persisted 16-dim projection is 32 bytes against the 64-dim
+    * float input's 256 (8× fewer scan bytes; the in-flight longs
+    * here are a 2× saving) — against
     * a broadcast query batch (the [[bruteForceTopK]] BNLJ shape, but
     * over the skinny projection); the rescore touches nCand × queries
     * vectors only. At production scale the projected table is

@@ -183,22 +183,23 @@ object WordPiece {
     * whose score rose. */
   private def trainDriverSide(spark: SparkSession, seg0: DataFrame, k: Int,
       persistPath: Option[String]): (Seq[(String, String, Long, Double)], DataFrame) = {
-    val words: Array[(String, Long, ArrayBuffer[String])] =
-      seg0.select(col("w"), col("f"), col("syms")).collect().map { r =>
-        (r.getString(0), r.getLong(1), ArrayBuffer(r.getSeq[String](2): _*))
-      }
-    def toDf(): DataFrame = {
-      import spark.implicits._
-      words.toSeq.map { case (w, f, s) => (w, f, s.toSeq) }.toDF("w", "f", "syms")
-    }
+    val words = MergeWords.collect(seg0)
     def persist(step: Int): Unit =
-      persistPath.foreach(p => toDf().write.mode("overwrite").parquet(s"$p/seg$step"))
+      MergeWords.persist(spark, words, persistPath, step)
     val pairCnt = mutable.HashMap.empty[(String, String), Long]
     val symCnt = mutable.HashMap.empty[String, Long]
     val pairsBySym = mutable.HashMap.empty[String, mutable.HashSet[(String, String)]]
     val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
-    val dirtyPairs = mutable.HashSet.empty[(String, String)]
-    val dirtySyms = mutable.HashSet.empty[String]
+    // NET deltas per merge sweep — a touched word's -f/+f recount
+    // cancels for every symbol/pair it didn't actually change, and
+    // only net-changed entries may re-enqueue: flagging everything the
+    // sweep merely PASSED OVER would fan out through pairsBySym (e.g.
+    // '</w>' touches nearly every pair) and re-enqueue O(|pairs|)
+    // unchanged scores per merge — exactly the heap blow-up the
+    // delta-maintenance design exists to avoid. Per merge the only
+    // nonzero symbol deltas are l, r, and l+r.
+    val pairDelta = mutable.HashMap.empty[(String, String), Long]
+    val symDelta = mutable.HashMap.empty[String, Long]
     // exactly the one-division-of-one-multiplication the distributed
     // form and the oracle evaluate — bit-identical IEEE arithmetic
     def score(p: (String, String)): Option[Double] =
@@ -219,7 +220,8 @@ object WordPiece {
     def bumpSym(s: String, d: Long): Unit = {
       val nv = symCnt.getOrElse(s, 0L) + d
       if (nv == 0L) symCnt.remove(s) else symCnt.update(s, nv)
-      dirtySyms += s
+      val nd = symDelta.getOrElse(s, 0L) + d
+      if (nd == 0L) symDelta.remove(s) else symDelta.update(s, nd)
     }
     def addPairs(wi: Int, syms: ArrayBuffer[String], f: Long, sign: Long): Unit = {
       var i = 0
@@ -237,7 +239,8 @@ object WordPiece {
             pairsBySym.getOrElseUpdate(p._1, mutable.HashSet.empty) += p
             pairsBySym.getOrElseUpdate(p._2, mutable.HashSet.empty) += p
           }
-          dirtyPairs += p
+          val nd = pairDelta.getOrElse(p, 0L) + sign * f
+          if (nd == 0L) pairDelta.remove(p) else pairDelta.update(p, nd)
           if (sign > 0L) occurs.getOrElseUpdate(p, new mutable.BitSet) += wi
         }
         i += 1
@@ -251,7 +254,7 @@ object WordPiece {
     pairCnt.keysIterator.foreach { p =>
       score(p).foreach(s => heap.enqueue((s, p._1, p._2)))
     }
-    dirtyPairs.clear(); dirtySyms.clear()
+    pairDelta.clear(); symDelta.clear()
     val out = ArrayBuffer.empty[(String, String, Long, Double)]
     var exhausted = false
     while (out.length < k && !exhausted) {
@@ -267,39 +270,28 @@ object WordPiece {
         val cand = occurs.remove((l, r)).getOrElse(mutable.BitSet.empty)
         cand.foreach { wi =>
           val (_, f, syms) = words(wi)
-          var j = 0
-          var touched = false
-          while (j < syms.length - 1 && !touched) {
-            if (syms(j) == l && syms(j + 1) == r) touched = true
-            j += 1
-          }
-          if (touched) {
+          if (MergeWords.containsPair(syms, l, r)) {
             addPairs(wi, syms, f, -1L)
-            // greedy left-to-right in place (the Bpe rule)
-            var i = 0
-            while (i < syms.length - 1) {
-              if (syms(i) == l && syms(i + 1) == r) {
-                syms(i) = l + r
-                syms.remove(i + 1)
-              }
-              i += 1
-            }
+            MergeWords.mergeInPlace(syms, l, r)
             addPairs(wi, syms, f, 1L)
           }
         }
         // re-enqueue everything whose score could have moved: pairs
-        // with count deltas, plus every live pair touching a symbol
-        // with a count delta
-        dirtySyms.foreach { sy =>
-          pairsBySym.get(sy).foreach(_.foreach(dirtyPairs += _))
+        // with NET count deltas, plus every live pair touching a
+        // symbol with a NET count delta (per merge that is exactly
+        // l, r, and l+r)
+        val moved = mutable.HashSet.empty[(String, String)]
+        pairDelta.keysIterator.foreach(moved += _)
+        symDelta.keysIterator.foreach { sy =>
+          pairsBySym.get(sy).foreach(_.foreach(moved += _))
         }
-        dirtyPairs.foreach { p =>
+        moved.foreach { p =>
           score(p).foreach(sc => heap.enqueue((sc, p._1, p._2)))
         }
-        dirtyPairs.clear(); dirtySyms.clear()
+        pairDelta.clear(); symDelta.clear()
         persist(out.length)
       }
     }
-    (out.toSeq, toDf())
+    (out.toSeq, MergeWords.toDf(spark, words))
   }
 }

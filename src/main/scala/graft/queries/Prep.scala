@@ -1686,7 +1686,9 @@ object Prep {
     // distance-preservation guarantee): project each vector's uint8
     // codes down to 8 integer coordinates — the coarse prefilter
     // geometry for ANN (probe the projected space, exact-rescore
-    // survivors), 32× smaller than the float input. Projecting the
+    // survivors) — 4× fewer in-flight bytes than the float input,
+    // 16× when persisted as int16 (|Σ ±code| ≤ 255·64 = 16320 fits
+    // comfortably). Projecting the
     // CODES, not the floats, makes the whole operator exact integer
     // arithmetic — Σ ±code agrees bit-for-bit across engines in any
     // summation order, no float caveats — and the sign matrix is a
@@ -1743,7 +1745,9 @@ object Prep {
     // arithmetic — bit-reproducible shortlist, unlike hash/cluster
     // ANN whose bucketing is engine-specific), then only the
     // shortlist pays the exact cosine. Scale shape: the distance pass
-    // streams the corpus as 16 longs per row (16× fewer bytes than
+    // streams the corpus as 16 integers per row (2× fewer in-flight
+    // bytes than the floats, 8× when the index is persisted int16;
+    // the win compounds with
     // the float vectors) against a broadcast query batch — q37's BNLJ
     // shape over the skinny projection — and the rescore touches
     // nCand × queries vectors; at production scale the projected
