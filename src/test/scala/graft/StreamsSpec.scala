@@ -388,5 +388,15 @@ class StreamsSpec extends SparkSpec {
     // as BpeSpec's classic test)
     assert(streamedMerges.map(m => (m._1, m._2)) == Seq(
       ("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord), ("l", "o"), ("lo", "w")))
+    // the SAME streamed store retrains the other merge family too:
+    // WordPiece consumes the identical (w, f) table, so one maintained
+    // count store serves every tokenizer (the point of the shared
+    // incremental contract)
+    val (wpStreamed, _) = graft.operators.WordPiece.trainFromWordFreq(
+      spark.read.parquet(countsAt(version)), k = 3)
+    val (wpWhole, _) = graft.operators.WordPiece.train(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "text", k = 3)
+    assert(wpStreamed == wpWhole,
+      s"streamed-counts WordPiece retrain must equal batch: $wpStreamed vs $wpWhole")
   }
 }
