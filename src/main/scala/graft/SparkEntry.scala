@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytic, Corpus, Golden, Io, Prep, Relational, Statistical, Temporal, Udx}
+import graft.queries.{Analytic, Corpus, Golden, Io, Prep, Rank, Relational, Statistical, Temporal, Udx}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Analytic.defs ++ Statistical.defs ++ Golden.defs ++
       Corpus.defs ++ Prep.defs ++ Prep.defs2 ++ Io.defs ++ Udx.defs ++
-      Temporal.defs
+      Temporal.defs ++ Rank.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own headline semantics: interval-bounded extract +

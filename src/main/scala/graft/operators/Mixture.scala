@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Loss-aware domain-mixture weighting for multi-source training
+  * corpora: what fraction of the training batch should each
+  * source/domain/language contribute?
+  *
+  * [[doremiStep]] is one exponentiated-gradient step of DoReMi (Xie et
+  * al. 2023, "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+  * Pretraining", §3): upweight domains whose loss under a reference
+  * model exceeds the corpus mean ("excess loss" — the domains the model
+  * finds hardest gain weight). The published algorithm trains a proxy
+  * model per step; the step itself — the part that is a DATA operator —
+  * is `w_d ∝ exp(η · max(0, L_d − L̄))`, which this computes with the
+  * corpus's own unigram NLL as the loss (the CCNet/q67 surrogate).
+  * Complements [[CorpusPrep.temperatureSample]]'s SIZE-based
+  * (`n_d^α`) mixing: DoReMi weights by how hard a domain is, α-sampling
+  * by how big it is.
+  *
+  * Reproducibility: all corpus-sized aggregation is INTEGER (token
+  * counts; per-term micro-nat log-probs `round(ln(tf/T)·1e6)` summed as
+  * BIGINT — the [[UnigramLm]] fixed-point idiom), so domain totals are
+  * bit-identical across engines and partitionings. Only the final
+  * ≤|domains|-row softmax runs in doubles, with every expression
+  * mirrored verbatim by the oracle and rounded to 6 dp.
+  *
+  * Scale shape ([[doremiStep]]):
+  *   - shuffle 1 (the only corpus-sized one): tokens → (domain, term)
+  *     counts, map-side combine absorbing the Zipf head.
+  *   - everything after is vocabulary-sized (Heaps-bounded): term
+  *     totals re-aggregate the (domain, term) table; the scoring join
+  *     is vocab ⋈ vocab on term; the corpus total and the final
+  *     normalizer are 1-row broadcasts. Unlike q67's token ⋈ vocab
+  *     join, the corpus is never joined row-wise — domains×vocab is the
+  *     biggest post-shuffle table at any corpus size.
+  */
+object Mixture {
+
+  /** One DoReMi EG reweighting step from per-domain unigram NLL.
+    *
+    * @return (domainCol, n_docs, n_tokens, mean_nll, excess, weight) —
+    *         weight sums to ~1 across domains, 6-dp rounded
+    */
+  def doremiStep(docs: DataFrame, textCol: String, domainCol: String,
+                 eta: Double): DataFrame = {
+    val toks = docs.select(col(domainCol).as("domain"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    // two consumers (term totals, the domain scoring join) — stage the
+    // only corpus-sized aggregate once (the q105/q111 idiom)
+    val dtf = Barrier.materialize(
+      toks.groupBy(col("domain"), col("term"))
+        .agg(count(lit(1)).as("dtf")))
+    val tf = dtf.groupBy(col("term")).agg(sum(col("dtf")).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("corpus_n"))
+    // per-term micro-nat log-prob — ONE double expression, then integer
+    val lp = tf.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("tf").cast("double") / col("corpus_n")) * lit(1e6), 0)
+          .cast("long").as("lp_fp"))
+    val byDomain = dtf.join(lp, Seq("term"))
+      .groupBy(col("domain"))
+      .agg(sum(col("dtf") * col("lp_fp")).as("lp_sum"),
+        sum(col("dtf")).as("n_tokens"))
+    val nDocs = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val overall = byDomain.agg(sum(col("lp_sum")).as("lp_all"),
+      sum(col("n_tokens")).as("n_all"))
+    val meanNll = -col("lp_sum").cast("double") / col("n_tokens") / lit(1e6)
+    val meanAll = -col("lp_all").cast("double") / col("n_all") / lit(1e6)
+    val scored = byDomain.join(nDocs, Seq("domain"))
+      .crossJoin(broadcast(overall))
+      .select(col("domain").as(domainCol), col("n_docs"), col("n_tokens"),
+        round(meanNll, 6).as("mean_nll"),
+        round(greatest(lit(0.0), meanNll - meanAll), 6).as("excess"),
+        round(exp(lit(eta) * greatest(lit(0.0), meanNll - meanAll)), 6)
+          .as("w"))
+    scored
+      .withColumn("weight",
+        round(col("w") / sum(col("w")).over(Window.partitionBy(lit(1))), 6))
+      .drop("w")
+  }
+}

@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.{Bm25, Fusion, Mixture, PageRank}
+import graft.sources.Tables
+
+/** Ranking-layer operators: BM25 retrieval, link-graph quality scores
+  * (PageRank/TrustRank), and loss-aware mixture reweighting (DoReMi).
+  * These extend the reference's SQL-shaped search surface
+  * (dags/tutorial_taskflow_api_etl.py's filter+extract chain) with the
+  * ranking primitives a web-scale curation pipeline runs: full-text
+  * relevance, crawl-graph authority, and training-mixture optimization.
+  * Every query here is EXACTLY oracle-checked — the graph scores are
+  * integer-mass (bit-reproducible), and retrieval/mixture scores use
+  * the micro-nat fixed-point idiom so summation order cannot drift.
+  */
+object Rank {
+
+  /** Unrolled DuckDB replay of [[PageRank]]'s integer-mass power
+    * iteration over the symmetrized customer↔supplier trade graph:
+    * per step, each node's new mass is its teleport base plus the
+    * floor-divided damped in-flow — BIGINT arithmetic end-to-end, so
+    * the CTE chain reproduces the Spark masses bit-for-bit.
+    * `seedFilter` switches between uniform teleport (PageRank) and
+    * seed-only teleport (TrustRank). */
+  private def pagerankSql(iters: Int, seeded: Boolean): String = {
+    val header = s"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a,
+                          CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        outdeg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+          FROM e GROUP BY src),
+        eo AS MATERIALIZED (
+          SELECT e.src, e.dst, o.outdeg
+          FROM e JOIN outdeg o ON o.src = e.src),""" +
+      (if (seeded) """
+        seeds AS (
+          SELECT CAST(c_custkey * 2 AS BIGINT) AS node
+          FROM customer WHERE c_nationkey = 0),
+        nb AS MATERIALIZED (
+          SELECT n.node,
+                 CASE WHEN s.node IS NULL THEN CAST(0 AS BIGINT)
+                      ELSE CAST(150000 AS BIGINT) END AS base
+          FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+        m0 AS (
+          SELECT node, CASE WHEN base = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(1000000 AS BIGINT) END AS mass
+          FROM nb)"""
+      else """
+        nb AS MATERIALIZED (
+          SELECT node, CAST(150000 AS BIGINT) AS base FROM nodes),
+        m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nb)""")
+    val steps = (1 to iters).map { i =>
+      s""",
+        m$i AS MATERIALIZED (
+          SELECT n.node, CAST(n.base + coalesce(s.c, 0) AS BIGINT) AS mass
+          FROM nb n LEFT JOIN (
+            SELECT eo.dst,
+                   CAST(sum((m.mass * 85) // (eo.outdeg * 100)) AS BIGINT) AS c
+            FROM eo JOIN m${i - 1} m ON m.node = eo.src
+            GROUP BY eo.dst) s ON s.dst = n.node)"""
+    }.mkString
+    header + steps + s"""
+        SELECT node, mass FROM m$iters"""
+  }
+
+  /** The symmetrized trade graph both graph queries rank: customer c
+    * traded with supplier s (via any lineitem of any of c's orders) ⇒
+    * arcs c→s and s→c. Key spaces are disambiguated into one LONG id
+    * space (customers even, suppliers odd). */
+  private def tradeEdges(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** The three literal probe queries the retrieval family (q124, q128,
+    * q129) shares — an eval-set stand-in. */
+  private def probes(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark join fast"),
+      (2L, "window agg stream"),
+      (3L, "customer order value")).toDF("query_id", "qtext")
+  }
+
+  /** The shared DuckDB replay of [[Bm25.topKFromPostings]] over the
+    * probe set: CTEs `q` → `tf`/`dl`/`stats` → `qterms`/`df` →
+    * per-term micro-scores → `scored` → `ranked`. q124 selects from
+    * `ranked` directly; q128 chains the RM3 expansion CTEs and q129
+    * the RRF fusion CTEs on top. Constants are interpolated from the
+    * same Scala doubles the Spark side uses, so both engines parse
+    * identical literals. */
+  private val bm25CtesSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    s"""
+        WITH q AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+          FROM (VALUES (1, 'spark join fast'),
+                       (2, 'window agg stream'),
+                       (3, 'customer order value')) t(query_id, qtext)),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS MATERIALIZED (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks WHERE len(term) > 0 GROUP BY doc_id, term),
+        dl AS MATERIALIZED (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+          FROM tf GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+        qterms AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+            FROM q) WHERE len(term) > 0),
+        df AS (
+          SELECT term, CAST(count(*) AS DOUBLE) AS df
+          FROM tf WHERE term IN (SELECT term FROM qterms)
+          GROUP BY term),
+        matched AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(round(
+                   ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ${k1 + 1.0})
+                   / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / s.avgdl))
+                   * 1000000.0) AS BIGINT) AS c
+          FROM tf
+          JOIN qterms qt USING (term)
+          JOIN df USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats s),
+        scored AS (
+          SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+          FROM matched GROUP BY query_id, doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_fp DESC, doc_id) AS rank
+          FROM scored)"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- BM25 ranked retrieval (decontamination / index serving) -----
+    // Full-text relevance over the inverted index
+    // ([[graft.operators.Bm25]]): three probe queries retrieve their
+    // top-10 corpus documents by Okapi BM25. Integer micro-scores make
+    // the ranking bit-stable across engines; the plan touches the
+    // corpus once (the tf shuffle), keeps df query-vocabulary-sized by
+    // pre-joining the broadcast probe terms, and broadcasts the 1-row
+    // corpus stats. The production decontamination shape: probe = eval
+    // set, corpus = training candidate pool.
+    QueryDef(
+      "q124_bm25_topk",
+      (spark, dir) =>
+        Bm25.topK(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", probes(spark), k = 10),
+      Some(bm25CtesSql + """
+        SELECT query_id, doc_id, rank, score_fp
+        FROM ranked WHERE rank <= 10""")),
+
+    // ----- RM3 pseudo-relevance feedback (query expansion) -----
+    // The probe-widening step ([[graft.operators.Bm25]]
+    // rm3ExpansionTerms): top-10 BM25 documents per probe form the
+    // pseudo-relevant set; the 5 best non-query terms by
+    // tf/dl-weighted BM25 mass become expansion terms. Both factors
+    // fixed-point, so the expansion ranking is bit-stable. Oracle
+    // chains the expansion CTEs onto the shared BM25 replay — the
+    // hash covers retrieval AND expansion end-to-end.
+    QueryDef(
+      "q128_rm3_expansion",
+      (spark, dir) =>
+        Bm25.rm3ExpansionTerms(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", probes(spark), kDocs = 10, mTerms = 5),
+      Some(bm25CtesSql + """,
+        top AS (
+          SELECT query_id, doc_id, score_fp
+          FROM ranked WHERE rank <= 10),
+        expw AS (
+          SELECT t.query_id, tf.term,
+                 CAST(sum(CAST(round(tf.tf::DOUBLE / dl.dl * 1000000.0) AS BIGINT)
+                          * t.score_fp) AS BIGINT) AS weight_fp
+          FROM tf
+          JOIN top t USING (doc_id)
+          JOIN dl USING (doc_id)
+          GROUP BY t.query_id, tf.term),
+        noq AS (
+          SELECT e.query_id, e.term, e.weight_fp
+          FROM expw e LEFT JOIN qterms qt
+            ON qt.query_id = e.query_id AND qt.term = e.term
+          WHERE qt.term IS NULL),
+        exp_ranked AS (
+          SELECT query_id, term, weight_fp,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY weight_fp DESC, term) AS rank
+          FROM noq)
+        SELECT query_id, term, rank, weight_fp
+        FROM exp_ranked WHERE rank <= 5""")),
+
+    // ----- Reciprocal-rank fusion (hybrid retrieval merge) -----
+    // [[graft.operators.Fusion]]: fuse each probe's BM25 relevance
+    // ranking with a global document-length quality prior (the
+    // top-10 longest documents — a stand-in for any second retriever:
+    // dense ANN, freshness, PageRank). RRF contributions are rounded
+    // reciprocal ranks summed as BIGINT — bit-stable. Inputs are
+    // top-k-truncated, so fusion never touches the corpus.
+    QueryDef(
+      "q129_rrf_fusion",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val bm = Bm25.topK(d, "doc_id", "text", probes(spark), k = 10)
+        val priorTop = d.select(col("doc_id"), col("n_chars"))
+          .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+        val prior = priorTop.withColumn("rank",
+            row_number().over(Window.partitionBy(lit(1))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val priorPerQuery = probes(spark).select(col("query_id"))
+          .crossJoin(broadcast(prior))
+        Fusion.rrf(Seq(bm, priorPerQuery), k = 5)
+      },
+      Some(bm25CtesSql + """,
+        bm AS (
+          SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
+        prior AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents) WHERE rank <= 10),
+        prior_q AS (
+          SELECT qq.query_id, p.doc_id, p.rank
+          FROM (SELECT query_id FROM q) qq CROSS JOIN prior p),
+        contribs AS (
+          SELECT query_id, doc_id,
+                 CAST(round(1000000.0 / (60.0 + rank)) AS BIGINT) AS c
+          FROM bm
+          UNION ALL
+          SELECT query_id, doc_id,
+                 CAST(round(1000000.0 / (60.0 + rank)) AS BIGINT) AS c
+          FROM prior_q),
+        fused AS (
+          SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp
+          FROM contribs GROUP BY query_id, doc_id),
+        fr AS (
+          SELECT query_id, doc_id, rrf_fp,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_fp DESC, doc_id) AS rank
+          FROM fused)
+        SELECT query_id, doc_id, rank, rrf_fp
+        FROM fr WHERE rank <= 5""")),
+
+    // ----- PageRank link-graph authority (crawl curation signal) -----
+    // Integer-mass damped power iteration
+    // ([[graft.operators.PageRank]], Page et al. 1999) over the
+    // symmetrized customer↔supplier trade graph — the Common-Crawl-
+    // style host-authority signal, bit-reproducibly. 5 rounds; the
+    // oracle replays every round in BIGINT, so the hash check covers
+    // the full iteration, not a converged approximation.
+    QueryDef(
+      "q125_pagerank",
+      (spark, dir) => PageRank.ranks(tradeEdges(spark, dir), iters = 5),
+      Some(pagerankSql(iters = 5, seeded = false))),
+
+    // ----- TrustRank seeded authority (spam demotion) -----
+    // The seeded/personalized form (Gyöngyi et al. 2004): teleport
+    // mass flows only to a vetted seed set (nation-0 customers), so
+    // trust decays with link distance from the seeds — the link-spam
+    // demotion signal. Same integer-mass loop, seed-gated base mass.
+    QueryDef(
+      "q126_trustrank",
+      (spark, dir) => {
+        val seeds = Tables.load(spark, dir, "customer")
+          .filter(col("c_nationkey") === 0)
+          .select((col("c_custkey") * 2).cast("long").as("node"))
+        PageRank.seededRanks(tradeEdges(spark, dir), seeds, iters = 5)
+      },
+      Some(pagerankSql(iters = 5, seeded = true))),
+
+    // ----- DoReMi mixture reweighting (training-mixture optimization) -----
+    // One exponentiated-gradient step of DoReMi (Xie et al. 2023) over
+    // the 20 document sources ([[graft.operators.Mixture]]): domains
+    // whose unigram NLL exceeds the corpus mean gain weight. Corpus
+    // aggregation is integer micro-nats (bit-stable); only the final
+    // 20-row softmax runs in doubles, each expression mirrored
+    // verbatim. Complements q72's size-based temperature mixing.
+    QueryDef(
+      "q127_doremi_mixture",
+      (spark, dir) =>
+        Mixture.doremiStep(Tables.load(spark, dir, "documents"),
+          "text", "source", eta = 10.0),
+      Some("""
+        WITH toks AS (
+          SELECT source AS domain, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        dtf AS MATERIALIZED (
+          SELECT domain, term, CAST(count(*) AS BIGINT) AS dtf
+          FROM toks WHERE len(term) > 0 GROUP BY domain, term),
+        tf AS MATERIALIZED (
+          SELECT term, CAST(sum(dtf) AS BIGINT) AS tf FROM dtf GROUP BY term),
+        total AS (SELECT CAST(sum(tf) AS BIGINT) AS corpus_n FROM tf),
+        lp AS (
+          SELECT term,
+                 CAST(round(ln(tf::DOUBLE / corpus_n) * 1000000.0) AS BIGINT) AS lp_fp
+          FROM tf CROSS JOIN total),
+        bydom AS (
+          SELECT domain, CAST(sum(dtf * lp_fp) AS BIGINT) AS lp_sum,
+                 CAST(sum(dtf) AS BIGINT) AS n_tokens
+          FROM dtf JOIN lp USING (term) GROUP BY domain),
+        ndocs AS (
+          SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+        overall AS (
+          SELECT CAST(sum(lp_sum) AS BIGINT) AS lp_all,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_all FROM bydom),
+        scored AS (
+          SELECT domain AS source, n_docs, n_tokens,
+                 round(-lp_sum::DOUBLE / n_tokens / 1000000.0, 6) AS mean_nll,
+                 round(greatest(0.0,
+                   (-lp_sum::DOUBLE / n_tokens / 1000000.0)
+                   - (-lp_all::DOUBLE / n_all / 1000000.0)), 6) AS excess,
+                 round(exp(10.0 * greatest(0.0,
+                   (-lp_sum::DOUBLE / n_tokens / 1000000.0)
+                   - (-lp_all::DOUBLE / n_all / 1000000.0))), 6) AS w
+          FROM bydom JOIN ndocs USING (domain) CROSS JOIN overall)
+        SELECT source, n_docs, n_tokens, mean_nll, excess,
+               round(w / sum(w) OVER (), 6) AS weight
+        FROM scored"""))
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Mixture
+
+/** DoReMi EG-step mixture reweighting ([[operators.Mixture]]): exact
+  * micro-nat domain statistics on a hand corpus, the
+  * hard-domains-gain-weight direction, η=0 degeneracy to uniform, and
+  * the weight normalization contract.
+  */
+class MixtureSpec extends SparkSpec {
+
+  private val s = spark
+  import s.implicits._
+
+  // domain A: 3 docs of a common token (easy); domain B: 1 doc of 4
+  // singletons (hard). tf: x=12, y/z/w/q=1 each; T=16.
+  // lp(x)  = round(ln(12/16)·1e6) = -287682
+  // lp(y…) = round(ln(1/16)·1e6)  = -2772589
+  // A: 12 tokens, lp_sum=-3452184 → mean_nll = 0.287682
+  // B:  4 tokens, lp_sum=-11090356 → mean_nll = 2.772589
+  // overall: -14542540/16 → 0.90890875
+  private val docs = Seq(
+    ("A", "x x x x"), ("A", "x x x x"), ("A", "x x x x"),
+    ("B", "y z w q")).toDF("dom", "text")
+
+  private def rows(eta: Double) =
+    Mixture.doremiStep(docs, "text", "dom", eta).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+
+  test("exact micro-nat domain statistics") {
+    val m = rows(eta = 1.0)
+    val (nDocsA, nToksA, nllA, excessA, _) = m("A")
+    val (nDocsB, nToksB, nllB, excessB, _) = m("B")
+    assert((nDocsA, nToksA) === ((3L, 12L)))
+    assert((nDocsB, nToksB) === ((1L, 4L)))
+    assert(nllA === 0.287682)
+    assert(nllB === 2.772589)
+    // easy domain sits below the corpus mean — zero excess
+    assert(excessA === 0.0)
+    // hard domain: 2.772589 − 0.90890875 = 1.86368025 → 1.86368
+    assert(excessB === 1.86368)
+  }
+
+  test("hard domain gains weight; weights normalize to ~1") {
+    val m = rows(eta = 1.0)
+    val (wA, wB) = (m("A")._5, m("B")._5)
+    assert(wB > wA)
+    assert(math.abs(wA + wB - 1.0) < 1e-5)
+    // EG direction: w_B/w_A = exp(η·excess_B) before rounding
+    assert(math.abs(wB / wA - math.exp(1.86368025)) < 1e-3)
+  }
+
+  test("eta = 0 degenerates to uniform weights") {
+    val m = rows(eta = 0.0)
+    assert(m("A")._5 === 0.5)
+    assert(m("B")._5 === 0.5)
+  }
+
+  test("single-domain corpus gets weight 1 and zero excess") {
+    val one = Seq(("only", "a b c")).toDF("dom", "text")
+    val m = Mixture.doremiStep(one, "text", "dom", eta = 5.0).collect()
+    assert(m.length === 1)
+    assert(m(0).getDouble(4) === 0.0) // excess vs itself
+    assert(m(0).getDouble(5) === 1.0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** Integer-mass PageRank/TrustRank ([[operators.PageRank]]): exact
+  * hand-computed masses on a tiny graph (pinning the recurrence
+  * including the floor-division and dangling-node semantics), the
+  * bit-reproducibility claim under re-partitioning, seed gating, and
+  * checkpoint-path equivalence.
+  */
+class PageRankSpec extends SparkSpec {
+
+  private val s = spark
+  import s.implicits._
+
+  // 1→2, 2→1, 1→3 (3 dangles)
+  private def g3 = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+
+  private def massMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ranks: exact hand-computed masses, two iterations") {
+    // m0 = 1e6 each; base = 150000
+    // iter1: 1←floor(.85·1e6)=850000 ⇒ 1000000; 2,3←floor(.85·1e6/2)=425000 ⇒ 575000
+    // iter2: 1←floor(.85·575000)=488750 ⇒ 638750; 2,3←425000 ⇒ 575000
+    assert(massMap(PageRank.ranks(g3, iters = 2)) ===
+      Map(1L -> 638750L, 2L -> 575000L, 3L -> 575000L))
+  }
+
+  test("ranks: iters = 0 returns the uniform start; dangling node mirrors its twin") {
+    assert(massMap(PageRank.ranks(g3, iters = 0)).values.toSet === Set(1000000L))
+    // iter3: 1 ← .85·575000 ⇒ 638750; 2,3 ← .85·638750/2 = ⌊271468.75⌋ ⇒ 421468.
+    // Node 3 dangles (never sends) but receives exactly as node 2 does —
+    // their masses stay identical every round, and 3's outflow simply
+    // teleports away (the lumping treatment)
+    assert(massMap(PageRank.ranks(g3, iters = 3)) ===
+      Map(1L -> 638750L, 2L -> 421468L, 3L -> 421468L))
+  }
+
+  test("ranks: bit-identical across partitionings (the determinism claim)") {
+    val a = massMap(PageRank.ranks(g3.repartition(7), iters = 3))
+    val b = massMap(PageRank.ranks(g3.repartition(2, col("dst")), iters = 3))
+    assert(a === b)
+  }
+
+  test("seededRanks: trust decays from seeds; unreachable non-seeds pin to zero") {
+    // 1→2, 2→1, 1→3, 4→1; seeds = {1}
+    // m0: only node 1 holds scale; base: only node 1 teleports
+    // iter1: 1⇒150000, 2,3⇒floor(.85·1e6/2)=425000, 4⇒0
+    // iter2: 1⇒150000+floor(.85·425000)=511250, 2,3⇒floor(.85·150000/2)=63750, 4⇒0
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    assert(massMap(PageRank.seededRanks(g, seeds, iters = 2)) ===
+      Map(1L -> 511250L, 2L -> 63750L, 3L -> 63750L, 4L -> 0L))
+  }
+
+  test("checkpointEvery path returns the same masses as the unbroken lineage") {
+    val direct = massMap(PageRank.ranks(g3, iters = 5, checkpointEvery = 100))
+    val chk = massMap(PageRank.ranks(g3, iters = 5, checkpointEvery = 2))
+    assert(direct === chk)
+  }
+
+  test("guards: damping must be a proper fraction") {
+    intercept[IllegalArgumentException] {
+      PageRank.ranks(g3, iters = 1, dampNum = 100, dampDen = 100)
+    }
+  }
+}

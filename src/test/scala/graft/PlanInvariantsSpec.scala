@@ -23,7 +23,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "q123_jl_ann",             // broadcast query batch over the skinny projection (q37's shape)
     "q102_semantic_decontaminate", // broadcast eval probe set (q37's shape)
     "q111_collocations",       // 1-row corpus-total broadcast (score scale)
-    "q113_phrases_iterated")   // same 1-row total broadcast, final pass
+    "q113_phrases_iterated",   // same 1-row total broadcast, final pass
+    "q124_bm25_topk",          // 1-row (n_docs, avgdl) corpus-stats broadcast
+    "q127_doremi_mixture",     // 1-row corpus-total + loss-total broadcasts
+    "q128_rm3_expansion",      // q124's corpus-stats broadcast inside topK
+    "q129_rrf_fusion")         // 10-row broadcast prior × 3 probe ids
 
   test("no undeclared nested-loop or cartesian join in any query plan") {
     val offenders = SparkEntry.all.flatMap { q =>

@@ -399,4 +399,53 @@ class StreamsSpec extends SparkSpec {
     assert(wpStreamed == wpWhole,
       s"streamed-counts WordPiece retrain must equal batch: $wpStreamed vs $wpWhole")
   }
+
+  test("foreachBatch maintains the BM25 postings index incrementally") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Bm25
+    val in = Files.createTempDirectory("graft_bm_in_").toString
+    val ckpt = Files.createTempDirectory("graft_bm_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_bm_idx_").toString
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def indexAt(v: Int) = s"$idxRoot/v$v"
+    Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf")
+      .write.parquet(indexAt(0))
+
+    // postings are per-document, so an append-only corpus maintains
+    // the index by PURE UNION: each micro-batch contributes only its
+    // own documents' postings — the corpus is never re-read, and the
+    // serving path (topKFromPostings) sees exactly the batch-rebuilt
+    // index
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
+      (batch, _) =>
+        spark.read.parquet(indexAt(version))
+          .unionByName(Bm25.postings(batch, "doc_id", "text"))
+          .write.parquet(indexAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = Seq(1L -> "apple banana apple", 2L -> "apple cherry")
+    val batch2 = Seq(3L -> "banana banana banana cherry")
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+    val streamed = spark.read.parquet(indexAt(version))
+    val rebuilt = Bm25.postings(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+    assert(streamed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(streamed).isEmpty,
+      "streaming-maintained postings must equal the batch rebuild")
+    // serving parity: querying the maintained index == querying the corpus
+    val probes = Seq((1L, "banana cherry")).toDF("query_id", "qtext")
+    val fromStream = Bm25.topKFromPostings(streamed, probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val fromCorpus = Bm25.topK(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(fromStream.sortBy(_._3).toSeq === fromCorpus.sortBy(_._3).toSeq)
+  }
 }
