@@ -1654,7 +1654,98 @@ object Corpus {
             e.filter(col("vec_id") < 10), k = 10)
           .withColumn("cos", round(col("cos"), 6))
       },
-      None)
+      None),
+
+    // ----- Winnowing fingerprints (MOSS local-similarity sketch) -----
+    // [[graft.operators.Winnow]] (Schleimer et al. 2003): per-document
+    // winnowed fingerprint counts — trigram hashes, window w=4 minima,
+    // distinct. Position-local (guaranteed shared fingerprint for any
+    // shared passage of ≥ w+k−1 tokens), unlike q35's whole-document
+    // hash or q33's set-similarity MinHash. One zero-shuffle projection
+    // (array HOFs end-to-end, no explode/window shuffle); the md5-based
+    // hash and integer minima are bit-identical on both engines, so the
+    // oracle checks the exact fingerprint sets (via count + density).
+    QueryDef(
+      "q130_winnow_fingerprints",
+      (spark, dir) =>
+        graft.operators.Winnow
+          .fingerprintArrays(Tables.load(spark, dir, "documents"),
+            "doc_id", "text", k = 3, w = 4)
+          .select(col("doc_id"), size(col("fps")).as("n_fps"),
+            col("n_kgrams"),
+            round(size(col("fps")).cast("double")
+              / greatest(col("n_kgrams"), lit(1)), 6).as("density")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)] AS grams
+          FROM t),
+        h AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5(g), 1, 13))::BIGINT for g in grams] AS hs
+          FROM g),
+        m AS (
+          SELECT doc_id,
+                 [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)] AS mins,
+                 len(hs) AS n_kgrams
+          FROM h)
+        SELECT doc_id,
+               CAST(len(list_distinct(mins)) AS INT) AS n_fps,
+               CAST(n_kgrams AS INT) AS n_kgrams,
+               round(len(list_distinct(mins))::DOUBLE
+                     / greatest(n_kgrams, 1), 6) AS density
+        FROM m""")),
+
+    // ----- Shared-passage pairs (boilerplate / quotation detector) -----
+    // Winnowing's pair report: documents sharing ≥ 2 rare fingerprints.
+    // The fingerprint-keyed equi-join is the LSH-band shape — posting
+    // lists bounded by the stop-fingerprint cut (df ≤ maxDf), so the
+    // candidate set is Σ|posting|² over rare fingerprints, never
+    // all-pairs. Finds shared PASSAGES between globally-dissimilar
+    // documents — the curation signal q33 (whole-doc near-dup) cannot
+    // see.
+    QueryDef(
+      "q131_shared_passages",
+      (spark, dir) =>
+        graft.operators.Winnow.sharedPassagePairs(
+          Tables.load(spark, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxDf = 1000),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)] AS grams
+          FROM t),
+        h AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5(g), 1, 13))::BIGINT for g in grams] AS hs
+          FROM g),
+        m AS (
+          SELECT doc_id,
+                 [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)] AS mins
+          FROM h),
+        fps AS MATERIALIZED (
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, unnest(mins) AS fp FROM m)),
+        rare AS (
+          SELECT fp FROM fps GROUP BY fp
+          HAVING count(*) >= 2 AND count(*) <= 1000),
+        keyed AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM keyed a JOIN keyed b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2"""))
   )
 
 }
