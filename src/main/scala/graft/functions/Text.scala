@@ -230,6 +230,37 @@ object Text {
       },
       acc => acc.getField("best"))
 
+  /** Shannon token entropy in integer micro-nats: `Σ_runs
+    * round(−c·ln(c/n)·1e6)` over the equal-runs of the SORTED token
+    * array (run length c = the token's count, n = total tokens). The
+    * per-run fixed-point term makes the sum ORDER-INDEPENDENT and
+    * engine-exact (the [[graft.operators.UnigramLm]] micro-nat idiom);
+    * divide by n·1e6 for nats. Low entropy flags repetitive/spammy
+    * text (keyword stuffing, boilerplate loops) that length and
+    * stopword gates miss — a standard quality-battery signal. Same
+    * single-fold sorted-scan shape as [[topNgramShare]]: document-cost
+    * O(n log n), zero shuffle. Empty arrays score 0.
+    */
+  def tokenEntropyFp(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    def termFp(run: Column): Column =
+      when(run <= 0L, lit(0L)).otherwise(
+        round(-(run.cast("double") * log(run.cast("double") / n)) * lit(1e6),
+          0).cast("long"))
+    aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (st, x) => {
+        val same = x === st.getField("prev") && st.getField("run") > 0L
+        struct(x.as("prev"),
+          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, st.getField("acc"))
+            .otherwise(st.getField("acc") + termFp(st.getField("run")))
+            .as("acc"))
+      },
+      st => st.getField("acc") + termFp(st.getField("run")))
+  }
+
   /** CHARACTER-weighted duplicate fraction over any string array
     * (Gopher's "duplicate line character fraction" when fed lines,
     * "duplicate n-gram fraction" when fed [[wordNgrams]]): the share of

@@ -59,6 +59,30 @@ object Winnow {
     fingerprintArrays(docs, idCol, textCol, k, w)
       .select(col(idCol), explode(col("fps")).as("fp"))
 
+  /** Cross-set passage decontamination: corpus documents sharing at
+    * least one winnowed fingerprint with ANY eval-set document — the
+    * ExactSubstr-style contamination probe at fingerprint cost. The
+    * winnowing guarantee makes it sound for passages of ≥ w+k−1
+    * tokens: a training document quoting that much of an eval document
+    * WILL share a fingerprint (no LSH miss probability).
+    *
+    * Scale shape: the eval set is small by definition, so its distinct
+    * fingerprint set is BROADCAST; the corpus side stays the
+    * zero-shuffle fingerprint projection, and only matching postings
+    * reach the per-doc count. One corpus pass, no corpus-sized
+    * shuffle at all.
+    *
+    * @return (idCol, shared_fps) for contaminated corpus docs only
+    */
+  def passageOverlap(corpus: DataFrame, eval: DataFrame, idCol: String,
+                     textCol: String, k: Int = 3, w: Int = 4): DataFrame = {
+    val evalFps = broadcast(
+      fingerprints(eval, idCol, textCol, k, w).select(col("fp")).distinct())
+    fingerprints(corpus, idCol, textCol, k, w)
+      .join(evalFps, Seq("fp"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("shared_fps"))
+  }
+
   /** Document pairs sharing at least `minShared` winnowed fingerprints
     * — the shared-passage candidate report. Fingerprints occurring in
     * more than `maxDf` documents are dropped first (ubiquitous

@@ -1745,7 +1745,92 @@ object Corpus {
         FROM keyed a JOIN keyed b
           ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-        HAVING count(*) >= 2"""))
+        HAVING count(*) >= 2""")),
+
+    // ----- Passage decontamination (winnowing cross-set probe) -----
+    // [[graft.operators.Winnow.passageOverlap]]: flag training
+    // documents sharing >= 1 winnowed fingerprint with the eval set
+    // (doc_id < 10, the q37/q102 probe idiom). Sound for quotes of
+    // >= w+k-1 tokens (the winnowing guarantee — no LSH miss
+    // probability), at fingerprint cost: the eval fingerprint set is
+    // broadcast, the corpus side stays the zero-shuffle projection,
+    // and only matching postings reach the per-doc count. Complements
+    // q73 (n-gram Jaccard) and q102 (embedding cosine): exact passage
+    // evidence, not similarity.
+    QueryDef(
+      "q132_passage_decontaminate",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        graft.operators.Winnow.passageOverlap(
+          d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+          "doc_id", "text", k = 3, w = 4)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)] AS grams
+          FROM t),
+        h AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5(g), 1, 13))::BIGINT for g in grams] AS hs
+          FROM g),
+        m AS (
+          SELECT doc_id,
+                 [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)] AS mins
+          FROM h),
+        fps AS MATERIALIZED (
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, unnest(mins) AS fp FROM m)),
+        evalf AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 10)
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fps f JOIN evalf USING (fp)
+        WHERE f.doc_id >= 10
+        GROUP BY f.doc_id""")),
+
+    // ----- Token entropy (repetitiveness quality signal) -----
+    // [[graft.functions.Text.tokenEntropyFp]]: per-document Shannon
+    // entropy of the token distribution, computed as ONE sorted-scan
+    // fold per row (the q77 idiom) with integer micro-nat terms — the
+    // sum is order-independent, so the zero-shuffle Spark projection
+    // and DuckDB's grouped aggregation produce identical bits. Low
+    // entropy flags keyword stuffing and boilerplate loops that
+    // length/stopword gates miss.
+    QueryDef(
+      "q133_token_entropy",
+      (spark, dir) =>
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_distinct"),
+            Text.tokenEntropyFp(col("toks")).as("acc"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round(col("acc").cast("double") / col("n_tokens") / lit(1e6), 6)
+              .as("entropy")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents),
+        x AS (
+          SELECT doc_id, len(w) AS n, unnest(w) AS term FROM t),
+        c AS (
+          SELECT doc_id, any_value(n) AS n, term, CAST(count(*) AS BIGINT) AS c
+          FROM x GROUP BY doc_id, term),
+        e AS (
+          SELECT doc_id, any_value(n) AS n,
+                 CAST(count(*) AS INT) AS n_distinct,
+                 CAST(sum(CAST(round(-(c * ln(c::DOUBLE / n)) * 1000000.0) AS BIGINT))
+                      AS BIGINT) AS acc
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS INT) AS n_tokens, n_distinct,
+               round(acc::DOUBLE / n / 1000000.0, 6) AS entropy
+        FROM e"""))
   )
 
 }

@@ -47,7 +47,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q02_filter_project", "q30_text_stats", "q35_fingerprint",
     "q44_scalar_breadth", "q50_strings2", "q68_pii_scan",
     "q74_pii_redact", "q77_quality_signals", "q82_repetition_signals",
-    "q86_embed_quantize", "q122_jl_projection", "q130_winnow_fingerprints")
+    "q86_embed_quantize", "q122_jl_projection", "q130_winnow_fingerprints",
+    "q133_token_entropy")
 
   test("declared zero-shuffle projections have no Exchange in their plan") {
     val offenders = SparkEntry.all

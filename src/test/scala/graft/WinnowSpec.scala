@@ -66,6 +66,21 @@ class WinnowSpec extends SparkSpec {
     assert(kept.count() === 3) // all three pairs once boilerplate is allowed
   }
 
+  test("passageOverlap: contaminated corpus docs found, clean docs untouched") {
+    val eval = Seq((100L, s"held out benchmark $passage question answer"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"training text containing $passage verbatim inside"),
+      (2L, "completely unrelated training material nothing shared here"))
+      .toDF("doc_id", "text")
+    val hits = Winnow.passageOverlap(corpus, eval, "doc_id", "text",
+        k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 1L,
+      "doc quoting >= w+k-1 eval tokens must be flagged")
+    assert(!hits.contains(2L), "clean doc must not be flagged")
+  }
+
   test("zero-shuffle fingerprint projection (the 100 TB claim)") {
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
     val plan = Winnow.fingerprintArrays(d, "doc_id", "text")
