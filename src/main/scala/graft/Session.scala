@@ -75,6 +75,12 @@ object Session {
         val w = if (args.length == 3)
           intLiteral(args(2), "drop_positions: spanWidth") else 1
         graft.functions.DropPositions(args(0), args(1), w)
+      }),
+    (FunctionIdentifier("compress_ratio"),
+      new ExpressionInfo(classOf[graft.functions.CompressRatio].getName, "compress_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "compress_ratio(string)")
+        graft.functions.CompressRatio(args(0))
       }))
 
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =

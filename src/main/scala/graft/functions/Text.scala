@@ -261,6 +261,14 @@ object Text {
       st => st.getField("acc") + termFp(st.getField("run")))
   }
 
+  /** DEFLATE compression ratio of a string ([[CompressRatio]] — the
+    * CCNet-style compressibility quality signal; see that scaladoc for
+    * the two-tailed filter semantics and the spec-graded determinism
+    * contract). */
+  def compressRatio(c: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      CompressRatio(org.apache.spark.sql.GraftColumn.expr(c)))
+
   /** CHARACTER-weighted duplicate fraction over any string array
     * (Gopher's "duplicate line character fraction" when fed lines,
     * "duplicate n-gram fraction" when fed [[wordNgrams]]): the share of

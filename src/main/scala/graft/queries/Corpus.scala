@@ -1830,7 +1830,24 @@ object Corpus {
           FROM c GROUP BY doc_id)
         SELECT doc_id, CAST(n AS INT) AS n_tokens, n_distinct,
                round(acc::DOUBLE / n / 1000000.0, 6) AS entropy
-        FROM e"""))
+        FROM e""")),
+
+    // ----- Compression-ratio quality signal (CCNet's gzip knob) -----
+    // Seventh native codegen expression
+    // ([[graft.functions.CompressRatio]]): raw-DEFLATE bytes over
+    // UTF-8 bytes per document — boilerplate compresses low, base64/
+    // garbage compresses high, both tails are filter knobs. Zero-
+    // shuffle projection inside whole-stage codegen. Rows-only (the
+    // oracle engine has no deflate — irreducible); CompressRatioSpec
+    // pins exact in-environment values, the two-tailed ordering, and
+    // interpreted-vs-codegen parity.
+    QueryDef(
+      "q134_compression_ratio",
+      (spark, dir) =>
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+            round(Text.compressRatio(col("text")), 6).as("ratio")),
+      None)
   )
 
 }
