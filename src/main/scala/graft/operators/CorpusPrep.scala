@@ -150,6 +150,45 @@ object CorpusPrep {
       .drop("t_s")
   }
 
+  /** Deterministic stride-scheduling interleave (Waldspurger & Weihl
+    * 1995 stride scheduling; the order Megatron/T5-style loaders emit
+    * when mixing datasets at fixed sampling ratios): assign each
+    * document a sort key `(rk_s − 0.5) / w_s` — the s-th source's
+    * rk-th document in seeded per-source order — so a key-ordered
+    * stream visits sources at rates ∝ their weights `w_s = n_s^alpha`,
+    * with every prefix within one document of the target mix (the
+    * stride guarantee). The COMPLEMENT of [[temperatureSample]]:
+    * sampling decides WHAT trains, interleaving decides WHEN — a
+    * skewed order (all of source A, then all of B) measurably biases
+    * early training even on a perfectly mixed selection.
+    *
+    * Deterministic: per-source rank comes from the seeded-md5 order
+    * (the [[epochShuffle]] discipline — same rows, same key, on every
+    * engine/partitioning/cluster), and the key is one rounded double
+    * expression in fixed point. Scale shape: one count aggregate
+    * (broadcast back), one PROPERLY PARTITIONED per-source window (no
+    * global sort anywhere — the consumer range-partitions by key_fp at
+    * write time, q95's shard discipline).
+    *
+    * @return input columns + (rk, key_fp); stream in (key_fp, source,
+    *         doc) order
+    */
+  def strideInterleave(docs: DataFrame, idCol: String, sourceCol: String,
+                       alpha: Double, seed: String): DataFrame = {
+    val weights = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_s"))
+      .select(col(sourceCol), pow(col("n_s").cast("double"), alpha).as("w"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col(sourceCol))
+        .orderBy(md5(concat(lit(seed), col(idCol).cast("string"))),
+          col(idCol))).cast("long"))
+    ranked.join(broadcast(weights), sourceCol)
+      .withColumn("key_fp",
+        round((col("rk").cast("double") - lit(0.5)) / col("w") * lit(1e6), 0)
+          .cast("long"))
+      .drop("w")
+  }
+
   /** Hash-threshold mixture sampling — the giant-source form of q72's
     * temperature sampling. Per-source quota ∝ n_s^alpha as there, but
     * membership is a FILTER, not a rank: accept a row iff its id-hash

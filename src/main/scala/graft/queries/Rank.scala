@@ -343,6 +343,37 @@ object Rank {
           FROM bydom JOIN ndocs USING (domain) CROSS JOIN overall)
         SELECT source, n_docs, n_tokens, mean_nll, excess,
                round(w / sum(w) OVER (), 6) AS weight
-        FROM scored"""))
+        FROM scored""")),
+
+    // ----- Stride-scheduled mixture interleave (training order) -----
+    // [[graft.operators.CorpusPrep.strideInterleave]] (Waldspurger &
+    // Weihl 1995): the deterministic order in which a mixed-source
+    // training stream visits its sources at rates ∝ n_s^0.3 — the
+    // complement of q72's temperature SELECTION. Every prefix of the
+    // key-ordered stream is within one document of the target mix.
+    // Seeded-md5 per-source ranks + one fixed-point key expression ⇒
+    // exactly oracle-checked; no global sort anywhere (per-source
+    // windows only; the consumer range-partitions by key_fp).
+    QueryDef(
+      "q135_stride_interleave",
+      (spark, dir) =>
+        graft.operators.CorpusPrep.strideInterleave(
+          Tables.load(spark, dir, "documents")
+            .select(col("doc_id"), col("source")),
+          "doc_id", "source", alpha = 0.3, seed = "mix1:"),
+      Some("""
+        WITH w AS (
+          SELECT source, pow(count(*)::DOUBLE, 0.3) AS w
+          FROM documents GROUP BY source),
+        r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix1:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS BIGINT) AS rk
+          FROM documents)
+        SELECT r.doc_id, r.source, r.rk,
+               CAST(round((rk - 0.5) / w.w * 1000000.0) AS BIGINT) AS key_fp
+        FROM r JOIN w USING (source)"""))
   )
 }

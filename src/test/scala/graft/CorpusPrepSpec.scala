@@ -143,4 +143,35 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got(7L) == key(7L, 4L), s"got $got expect ${key(7L, 4L)}")
     assert(got(8L) == key(8L, 2L), s"got $got expect ${key(8L, 2L)}")
   }
+
+  test("strideInterleave: exact keys and the within-one-of-target prefix mix") {
+    val s = spark
+    import s.implicits._
+    // alpha = 1 ⇒ weights are the raw sizes: A(4 docs, w=4), B(1, w=1)
+    val in = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "B"))
+      .toDF("doc_id", "source")
+    val out = CorpusPrep.strideInterleave(in, "doc_id", "source",
+        alpha = 1.0, seed = "t:")
+      .select("source", "rk", "key_fp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // keys: A rk∈1..4 → (rk−.5)/4 ⇒ 125000, 375000, 625000, 875000;
+    //       B rk=1   → .5/1      ⇒ 500000
+    assert(out.filter(_._1 == "A").map(_._3).sorted.toSeq ===
+      Seq(125000L, 375000L, 625000L, 875000L))
+    assert(out.filter(_._1 == "B").map(_._3).toSeq === Seq(500000L))
+    // stride guarantee: every prefix of the key-ordered stream holds
+    // each source within one document of its target share
+    val ordered = out.sortBy(x => (x._3, x._1)).map(_._1)
+    for (p <- 1 to ordered.length) {
+      val nA = ordered.take(p).count(_ == "A")
+      assert(math.abs(nA - p * 0.8) <= 1.0, s"prefix $p drifted: $nA A's")
+    }
+    // determinism: same seed same keys; the rank order within a source
+    // is the seeded-md5 shuffle, not doc_id order
+    val again = CorpusPrep.strideInterleave(in.repartition(3), "doc_id",
+        "source", alpha = 1.0, seed = "t:")
+      .select("source", "rk", "key_fp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_.toString).toSeq === again.sortBy(_.toString).toSeq)
+  }
 }

@@ -448,4 +448,47 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     assert(fromStream.sortBy(_._3).toSeq === fromCorpus.sortBy(_._3).toSeq)
   }
+
+  test("foreachBatch maintains the winnowing fingerprint index incrementally") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Winnow
+    val in = Files.createTempDirectory("graft_wn_in_").toString
+    val ckpt = Files.createTempDirectory("graft_wn_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_wn_idx_").toString
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def indexAt(v: Int) = s"$idxRoot/v$v"
+    Seq.empty[(Long, Long)].toDF("doc_id", "fp").write.parquet(indexAt(0))
+
+    // fingerprints are per-document (zero-shuffle projection), so the
+    // index maintains by pure union — like the BM25 postings, the
+    // corpus is never re-read; the shared-passage join runs against
+    // the maintained index at any time
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
+      (batch, _) =>
+        spark.read.parquet(indexAt(version))
+          .unionByName(Winnow.fingerprints(batch, "doc_id", "text"))
+          .write.parquet(indexAt(version + 1))
+        version += 1
+    }
+
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val batch1 = Seq(1L -> s"one two three $passage four five")
+    val batch2 = Seq(2L -> s"$passage entirely different tail here")
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+    val streamed = spark.read.parquet(indexAt(version))
+    val rebuilt = Winnow.fingerprints(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+    assert(streamed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(streamed).isEmpty,
+      "streaming-maintained fingerprint index must equal the batch rebuild")
+    // the cross-batch shared passage is visible through the index
+    val shared = streamed.groupBy(col("fp")).count().filter(col("count") >= 2)
+    assert(shared.count() >= 1, "cross-batch passage must share a fingerprint")
+  }
 }
