@@ -28,6 +28,26 @@ import graft.operators.HeavyHitters
   */
 object ShuffleProbe {
 
+  /** (records, bytes) for every shuffle exchange in the executed plan.
+    * A Spark version that renames either metric key must fail loudly
+    * here, not print a silent -1 that reads like a real volume when a
+    * future reader reproduces the PLANS.md numbers. Shared with
+    * [[GraphProbe]]. */
+  private[graft] def exchangeVolumes(df: DataFrame): Seq[(Long, Long)] = {
+    df.collect() // populate SQLMetrics
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike =>
+        def metric(key: String): Long =
+          e.metrics.get(key).map(_.value).getOrElse(sys.error(
+            s"SQLMetric '$key' missing on ${e.nodeName} — metric renamed " +
+              s"in this Spark version? available: ${e.metrics.keys.mkString(",")}"))
+        (metric("shuffleRecordsWritten"), metric("dataSize"))
+    }
+  }
+
+  private[graft] def fmtVolumes(vols: Seq[(Long, Long)]): String =
+    vols.map { case (r, b) => s"${r}r/${b / 1024}KiB" }.mkString(" + ")
+
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(1000000L, 4000000L)
@@ -37,21 +57,6 @@ object ShuffleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val k = 50
     val m = 16384
-
-    // A Spark version that renames either metric key must fail loudly
-    // here, not print a silent -1 that reads like a real volume when a
-    // future reader reproduces the PLANS.md numbers.
-    def exchangeVolumes(df: DataFrame): Seq[(Long, Long)] = {
-      df.collect() // populate SQLMetrics
-      df.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeLike =>
-          def metric(key: String): Long =
-            e.metrics.get(key).map(_.value).getOrElse(sys.error(
-              s"SQLMetric '$key' missing on ${e.nodeName} — metric renamed " +
-                s"in this Spark version? available: ${e.metrics.keys.mkString(",")}"))
-          (metric("shuffleRecordsWritten"), metric("dataSize"))
-      }
-    }
 
     sizes.foreach { n =>
       val items = spark.range(n).select(
@@ -67,10 +72,8 @@ object ShuffleProbe {
       val sketchVols = exchangeVolumes(sketch)
       val cert = HeavyHitters.certificate(items, sketch, k, m).collect()(0)
 
-      def fmt(vols: Seq[(Long, Long)]): String =
-        vols.map { case (r, b) => s"${r}r/${b / 1024}KiB" }.mkString(" + ")
       println(s"SHUFFLEPROBE n=$n distinct~${n - n / 97 + 100} " +
-        s"exact=[${fmt(exactVols)}] sketch=[${fmt(sketchVols)}] " +
+        s"exact=[${fmtVolumes(exactVols)}] sketch=[${fmtVolumes(sketchVols)}] " +
         s"proven=${cert.getAs[Boolean]("proven")}")
     }
     spark.stop()

@@ -44,18 +44,25 @@ object Mixture {
     * @return (domainCol, n_docs, n_tokens, mean_nll, excess, weight) —
     *         weight sums to ~1 across domains, 6-dp rounded
     */
-  def doremiStep(docs: DataFrame, textCol: String, domainCol: String,
-                 eta: Double): DataFrame = {
+  /** The shared (domain, term) count tables every mixture statistic
+    * derives from: Barrier-staged domain-term counts (the only
+    * corpus-sized aggregate — two+ consumers, the q105/q111 idiom),
+    * vocabulary term totals, and the 1-row corpus total. */
+  private def unigramTables(docs: DataFrame, textCol: String,
+      domainCol: String): (DataFrame, DataFrame, DataFrame) = {
     val toks = docs.select(col(domainCol).as("domain"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    // two consumers (term totals, the domain scoring join) — stage the
-    // only corpus-sized aggregate once (the q105/q111 idiom)
     val dtf = Barrier.materialize(
       toks.groupBy(col("domain"), col("term"))
         .agg(count(lit(1)).as("dtf")))
     val tf = dtf.groupBy(col("term")).agg(sum(col("dtf")).as("tf"))
-    val total = tf.agg(sum(col("tf")).as("corpus_n"))
+    (dtf, tf, tf.agg(sum(col("tf")).as("corpus_n")))
+  }
+
+  def doremiStep(docs: DataFrame, textCol: String, domainCol: String,
+                 eta: Double): DataFrame = {
+    val (dtf, tf, total) = unigramTables(docs, textCol, domainCol)
     // per-term micro-nat log-prob — ONE double expression, then integer
     val lp = tf.crossJoin(broadcast(total))
       .select(col("term"),
@@ -82,5 +89,44 @@ object Mixture {
       .withColumn("weight",
         round(col("w") / sum(col("w")).over(Window.partitionBy(lit(1))), 6))
       .drop("w")
+  }
+
+  /** Per-domain KL divergence from the corpus unigram distribution:
+    * `KL(P_d ‖ P) = Σ_t (c_dt/n_d)·ln((c_dt/n_d)/(c_t/T))` — the
+    * domain/corpus DRIFT monitor (which sources moved between crawls,
+    * which deviate enough to need their own mixture weight; the same
+    * statistic DSIR's importance ratios integrate pointwise). Always
+    * ≥ 0, 0 iff the domain's token distribution matches the corpus.
+    *
+    * Fixed point: per (domain, term) the contribution is
+    * `c_dt · round((ln(c_dt/n_d) − ln(c_t/T))·1e6)` — the log-ratio as
+    * a DIFFERENCE of logs (no integer product `c_dt·T` that would
+    * overflow at corpus scale), rounded to micro-nats, multiplied and
+    * summed in BIGINT — order-independent, engine-exact. Only the
+    * final |domains|-row division runs in doubles.
+    *
+    * Same scale shape as [[doremiStep]]: one Barrier-staged
+    * corpus-sized count, everything after Heaps-bounded.
+    *
+    * @return (domainCol, n_tokens, kl) — kl in nats, 6-dp rounded
+    */
+  def domainKl(docs: DataFrame, textCol: String,
+               domainCol: String): DataFrame = {
+    val (dtf, tf, total) = unigramTables(docs, textCol, domainCol)
+    val nd = dtf.groupBy(col("domain")).agg(sum(col("dtf")).as("n_d"))
+    dtf.join(tf, Seq("term"))
+      .join(nd, Seq("domain"))
+      .crossJoin(broadcast(total))
+      .select(col("domain"),
+        col("n_d"),
+        (col("dtf") *
+          round((log(col("dtf").cast("double") / col("n_d"))
+            - log(col("tf").cast("double") / col("corpus_n"))) * lit(1e6), 0)
+            .cast("long")).as("c"))
+      .groupBy(col("domain"))
+      .agg(first(col("n_d")).as("n_tokens"), sum(col("c")).as("acc"))
+      .select(col("domain").as(domainCol), col("n_tokens"),
+        round(col("acc").cast("double") / col("n_tokens") / lit(1e6), 6)
+          .as("kl"))
   }
 }

@@ -374,6 +374,49 @@ object Rank {
           FROM documents)
         SELECT r.doc_id, r.source, r.rk,
                CAST(round((rk - 0.5) / w.w * 1000000.0) AS BIGINT) AS key_fp
-        FROM r JOIN w USING (source)"""))
+        FROM r JOIN w USING (source)""")),
+
+    // ----- Domain KL divergence (corpus drift monitor) -----
+    // [[graft.operators.Mixture.domainKl]]: how far each source's
+    // token distribution sits from the corpus — the between-crawls
+    // drift report and the aggregate form of DSIR's pointwise
+    // importance ratios. Micro-nat fixed point (log-ratio as a
+    // DIFFERENCE of logs — no integer product to overflow at scale),
+    // BIGINT sums, one Barrier-staged corpus aggregate; exactly
+    // oracle-checked.
+    QueryDef(
+      "q136_domain_divergence",
+      (spark, dir) =>
+        Mixture.domainKl(Tables.load(spark, dir, "documents"),
+          "text", "source"),
+      Some("""
+        WITH toks AS (
+          SELECT source AS domain, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        dtf AS MATERIALIZED (
+          SELECT domain, term, CAST(count(*) AS BIGINT) AS dtf
+          FROM toks WHERE len(term) > 0 GROUP BY domain, term),
+        tf AS MATERIALIZED (
+          SELECT term, CAST(sum(dtf) AS BIGINT) AS tf FROM dtf GROUP BY term),
+        total AS (SELECT CAST(sum(tf) AS BIGINT) AS corpus_n FROM tf),
+        nd AS (
+          SELECT domain, CAST(sum(dtf) AS BIGINT) AS n_d
+          FROM dtf GROUP BY domain),
+        contrib AS (
+          SELECT d.domain, nd.n_d,
+                 d.dtf * CAST(round((ln(d.dtf::DOUBLE / nd.n_d)
+                                     - ln(tf.tf::DOUBLE / t.corpus_n))
+                                    * 1000000.0) AS BIGINT) AS c
+          FROM dtf d
+          JOIN tf USING (term)
+          JOIN nd USING (domain)
+          CROSS JOIN total t),
+        agg AS (
+          SELECT domain, any_value(n_d) AS n_tokens,
+                 CAST(sum(c) AS BIGINT) AS acc
+          FROM contrib GROUP BY domain)
+        SELECT domain AS source, n_tokens,
+               round(acc::DOUBLE / n_tokens / 1000000.0, 6) AS kl
+        FROM agg"""))
   )
 }

@@ -58,6 +58,20 @@ class MixtureSpec extends SparkSpec {
     assert(m("B")._5 === 0.5)
   }
 
+  test("domainKl: exact micro-nat divergences; identical distribution scores 0") {
+    // easy domain A: P_A(x)=1 vs P(x)=0.75 → KL = ln(4/3) ≈ 0.287682
+    // hard domain B: 4 singletons at 1/4 vs 1/16 → KL = ln(4) = 1.386294
+    val m = Mixture.domainKl(docs, "text", "dom").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("A") === ((12L, 0.287682)))
+    assert(m("B") === ((4L, 1.386294)))
+    // two domains with the same distribution: both match the corpus → 0
+    val same = Seq(("P", "x y"), ("Q", "x y")).toDF("dom", "text")
+    val k2 = Mixture.domainKl(same, "text", "dom").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(k2("P") === 0.0 && k2("Q") === 0.0)
+  }
+
   test("single-domain corpus gets weight 1 and zero excess") {
     val one = Seq(("only", "a b c")).toDF("dom", "text")
     val m = Mixture.doremiStep(one, "text", "dom", eta = 5.0).collect()

@@ -27,7 +27,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q124_bm25_topk",          // 1-row (n_docs, avgdl) corpus-stats broadcast
     "q127_doremi_mixture",     // 1-row corpus-total + loss-total broadcasts
     "q128_rm3_expansion",      // q124's corpus-stats broadcast inside topK
-    "q129_rrf_fusion")         // 10-row broadcast prior × 3 probe ids
+    "q129_rrf_fusion",         // 10-row broadcast prior × 3 probe ids
+    "q136_domain_divergence")  // 1-row corpus-total broadcast
 
   test("no undeclared nested-loop or cartesian join in any query plan") {
     val offenders = SparkEntry.all.flatMap { q =>
