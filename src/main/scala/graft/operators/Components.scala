@@ -137,4 +137,30 @@ object Components {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("keep_id"))
   }
+
+  /** Quality-aware dedup grouping: every id mapped to its near-dup
+    * group's BEST member by `scoreCol` (ties → smaller id) instead of
+    * [[dedupGroups]]'s arbitrary minimum — the RefinedWeb/FineWeb
+    * policy of keeping the longest/highest-quality duplicate, which
+    * measurably beats keep-any on downstream quality. `scored` must
+    * carry (idCol, scoreCol).
+    *
+    * Scale shape: [[dedupGroups]]'s component map (tiny — only docs
+    * WITH near-dups appear, AQE broadcasts it) plus one window over
+    * group-keyed rows; groups are near-dup clusters, so partitions are
+    * small and skew-free by construction.
+    *
+    * @return (idCol, best_id) — `best_id` is the retained
+    *         representative; a doc with no near-dups maps to itself
+    */
+  def dedupGroupsBest(scored: DataFrame, idCol: String,
+                      scoreCol: String, pairs: DataFrame): DataFrame = {
+    val groups = dedupGroups(scored.select(col(idCol)), pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("keep_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    groups.join(scored, Seq(idCol))
+      .withColumn("best_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("best_id"))
+  }
 }

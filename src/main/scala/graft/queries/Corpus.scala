@@ -645,6 +645,56 @@ object Corpus {
       // rides on the same MinHash pipeline q33 already measures.
     ),
 
+    // ----- Quality-aware dedup: keep the BEST group member -----
+    // [[graft.operators.Components.dedupGroupsBest]]: q69's groups,
+    // but each document maps to its group's LONGEST member (n_chars
+    // desc, id tiebreak) — the RefinedWeb/FineWeb keep-best policy,
+    // which measurably beats keep-any downstream. Oracle = q69's
+    // recursive-CTE components + an argmax window over the same
+    // grouping, so the hash-match proves the representative choice
+    // end-to-end.
+    QueryDef(
+      "q137_dedup_keep_best",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+            n = 3, k = 64, bands = 16, tau = 0.8)
+          .select(col("a"), col("b"))
+        Components.dedupGroupsBest(
+          d.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", pairs)
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS s
+          FROM toks WHERE len(w) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ), edges AS (
+          SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+        ), grp AS (
+          SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS keep_id
+          FROM reach GROUP BY node
+        )
+        SELECT g.doc_id,
+               first(g.doc_id) OVER (PARTITION BY g.keep_id
+                                     ORDER BY d.n_chars DESC, g.doc_id) AS best_id
+        FROM grp g JOIN documents d USING (doc_id)"""),
+      // bench = false: rides the same MinHash pipeline q33/q69 already
+      // measure; the argmax window adds only group-sized work
+      bench = false),
+
     // ----- Leakage-safe train/val/test split (group-atomic) -----
     // Splitting documents independently leaks near-duplicates across
     // train and eval — the classic contamination bug a per-document

@@ -111,4 +111,21 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
   }
+
+  test("dedupGroupsBest: argmax score wins, ties break to the smaller id") {
+    val s = spark
+    import s.implicits._
+    // groups: {1,2,3} (best = 2, score 99), {5,6} (tie 7 ⇒ 5), {4} solo
+    val scored = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 1L),
+      (5L, 7L), (6L, 7L)).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Components.dedupGroupsBest(scored, "id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+    // contrast with keep-min: dedupGroups would have kept 1, not 2
+    val keepMin = Components.dedupGroups(scored.select(col("id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepMin(3L) === 1L && got(3L) === 2L)
+  }
 }
