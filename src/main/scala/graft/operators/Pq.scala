@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for ANN (Jégou, Douze & Schmid 2011, "Product
+  * quantization for nearest neighbor search"): split each `dim`-vector
+  * into `m` subvectors, learn a small L2 k-means codebook (`k` codes)
+  * per subspace, and store each vector as `m` small codes —
+  * `m·log2(k)` bits instead of `dim·32`. Queries score candidates by
+  * ASYMMETRIC DISTANCE COMPUTATION (ADC): the query stays float, and
+  * `dot(q, x) ≈ Σ_j dot(q_j, codebook_j[code_j(x)])` — m nested-array
+  * lookups per candidate, never a float-vector read.
+  *
+  * This completes the quantization lever set: SQ8 (q86/q91) shrinks
+  * byte WIDTH per dimension, JL (q122/q123) shrinks the DIMENSION
+  * count, PQ replaces the vector with SUBSPACE CODES — at dim=64,
+  * m=8, k=16 the index is 8 nibbles (4 bytes) per vector vs 256 float
+  * bytes: 64× smaller, the regime where a 100 TB embedding corpus's
+  * index fits in cluster memory.
+  *
+  * Scale shape: training is Lloyd iterations over a deterministic
+  * hash-sample with ONE aggregate per iteration covering ALL m
+  * subspaces (groups = m·k·(dim/m) cells — bounded, tiny); only
+  * m·k·(dim/m) doubles ever reach the driver (the [[Ivf]] discipline).
+  * Encoding is a zero-shuffle projection (the persisted index
+  * artifact). Serving is the q123 prefilter→rescore shape: ADC
+  * shortlists `nCand` per query over the codes-only scan against the
+  * BROADCAST query batch, and only the shortlist pays the exact
+  * float cosine.
+  *
+  * Like the other trained-ANN paths (q52/q79/q91), k-means codebooks
+  * are not oracle-reproducible — the query is rows-only and PqSpec
+  * grades recall against the exact baseline plus exact hand-checks of
+  * the encode/ADC arithmetic.
+  */
+object Pq {
+
+  /** Nearest codebook entry for one subvector by squared L2 (lowest
+    * index wins ties). `codebook` is k × (dim/m). */
+  private def assignSub(codebook: Seq[Seq[Double]], sub: Column): Column = {
+    val cb = typedlit(codebook)
+    val dists = transform(cb, c =>
+      aggregate(zip_with(c, sub, (x, y) =>
+        (x - y.cast("double")) * (x - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** `m` codes for a full vector under `codebooks` (m × k × dim/m). */
+  def encode(codebooks: Seq[Seq[Seq[Double]]], vec: Column): Column = {
+    val m = codebooks.length
+    require(m > 0, "need at least one subspace")
+    val sub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      assignSub(cb, slice(vec, j * sub + 1, sub))
+    }: _*)
+  }
+
+  /** Train per-subspace L2 codebooks by Lloyd iterations over a
+    * deterministic hash-sample. Seeds = the k lowest-xxhash vectors'
+    * subvectors; empty cells keep their previous centroid. One
+    * aggregate per iteration covers every subspace; only
+    * m·k·(dim/m) doubles reach the driver.
+    */
+  def trainCodebooks(corpus: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int = 3, trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val sample =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(xxhash64(col(idCol)), lit(10000)) < lit((trainFraction * 10000).toLong))
+    val train = sample.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")).cache()
+    try {
+      val seeds = train.orderBy(xxhash64(col("id")), col("id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toVector)
+      var codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+        seeds.toSeq.map(v => v.slice(j * sub, j * sub + sub): Seq[Double])
+      }
+      for (_ <- 0 until iters) {
+        // encode in its own projection BELOW the generators (the
+        // generator-projection pitfall: a fused select would re-run
+        // the full encode once per exploded element)
+        val coded = train
+          .select(encode(codebooks, col("v")).as("codes"), col("v"))
+          .select(posexplode(col("codes")).as(Seq("j", "code")), col("v"))
+          .select(col("j"), col("code"),
+            posexplode(expr(s"slice(v, j * $sub + 1, $sub)"))
+              .as(Seq("dim", "x")))
+        val means = coded.groupBy(col("j"), col("code"), col("dim"))
+          .agg(avg(col("x")).as("mu"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+          .toMap
+        codebooks = codebooks.zipWithIndex.map { case (cb, j) =>
+          cb.zipWithIndex.map { case (old, c) =>
+            if (means.contains((j, c, 0)))
+              (0 until sub).map(d => means((j, c, d))): Seq[Double]
+            else old
+          }
+        }
+      }
+      codebooks
+    } finally train.unpersist(false)
+  }
+
+  /** ADC inner product of a float query against a coded candidate:
+    * `Σ_j dot(slice(q, j), codebooks[j][codes[j]])`. */
+  private def adcDot(codebooks: Seq[Seq[Seq[Double]]], qvec: Column,
+                     codes: Column): Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val cbLit = typedlit(codebooks)
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + aggregate(
+        zip_with(
+          element_at(element_at(cbLit, j + 1), element_at(codes, j + 1) + 1),
+          slice(qvec, j * lit(sub) + 1, lit(sub)),
+          (c, q) => c * q.cast("double")),
+        lit(0.0), (a, v) => a + v))
+  }
+
+  /** PQ-prefiltered exact-rescore ANN (the q123 composition with ADC
+    * as the shortlist): codes-only scan × broadcast queries → top
+    * `nCand` by ADC inner product → exact cosine on the shortlist.
+    *
+    * @return (query_id, neighbor_id, rank, cos)
+    */
+  def adcPrefilterTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCand: Int, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nCand >= k, s"nCand $nCand must be >= k $k")
+    // the persisted-index shape: (id, codes) — 4 bytes/vector at
+    // m=8, k=16 — is all the prefilter scan ever reads
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encode(codebooks, col(vecCol)).as("codes"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val shortlist = coded
+      .join(qb, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDot(codebooks, col("qvec"), col("codes")).as("adc"))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("crank") <= nCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

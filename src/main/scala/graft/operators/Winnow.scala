@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -14,50 +15,89 @@ import graft.functions.Text
   * (boilerplate, quotations, license blocks, plagiarized spans) even
   * between globally-dissimilar documents.
   *
-  * Determinism: the k-gram hash is the repo's seeded-md5 53-bit idiom
+  * Determinism: the k-gram hash is the repo's md5 53-bit idiom
   * (identical literal arithmetic on both engines), window minima are
   * exact integer comparisons — fingerprints are bit-stable across
   * engines and partitionings.
   *
-  * Scale shape: [[fingerprints]] per-document work is ONE zero-shuffle
-  * projection — tokens → k-gram hashes → windowed minima → distinct,
-  * all inside array HOFs, no explode-then-window shuffle. Only the
-  * (doc_id, fp) explosion leaves the projection, and only
-  * [[sharedPassagePairs]] shuffles it: a fingerprint-keyed equi-join
-  * (the LSH-band shape) with a stop-fingerprint cut (`maxDf`) bounding
-  * every posting list, so the pair candidate set is
-  * Σ|posting|² over RARE fingerprints — never all-pairs.
+  * Implementation note — explode + window, NOT array HOFs: the k-gram →
+  * hash → windowed-min chain is expressed over the exploded token
+  * stream with `lead`/`min over (doc, pos rows w)` so every expression
+  * (regex tokenize, md5, comparisons) runs inside whole-stage codegen
+  * exactly once per token. The "obvious" nested-HOF formulation
+  * (transform over transform over slice) evaluates interpreted AND
+  * re-inlines the tokenizer into every lambda element reference —
+  * measured 100×+ slower on sf0.1 before this rewrite. Cost of the
+  * trade: ONE doc-keyed exchange (the q76 line-dedup shape — both
+  * windows and the distinct reuse the same partitioning), which at
+  * 100 TB is a corpus-token-sized shuffle of (id, pos, 8-byte hash)
+  * rows; bucketing the corpus by doc id makes it exchange-free.
   */
 object Winnow {
 
-  /** Per-document winnowed fingerprint array plus coverage stats:
-    * `(idCol, fps, n_kgrams)`. Documents with fewer than `k+w−1`
-    * tokens (no full window) yield an empty fingerprint set — the
-    * guarantee below the match-length threshold is vacuous anyway. */
-  def fingerprintArrays(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, w: Int = 4): DataFrame = {
-    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
-    val nWin = (size(col("hs")) - lit(w - 1)).cast("int")
-    val mins: Column =
-      if (w == 1) col("hs")
-      else when(nWin <= 0, array().cast("array<bigint>"))
-        .otherwise(transform(sequence(lit(1), nWin),
-          i => array_min(slice(col("hs"), i, lit(w)))))
-    docs.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
-      .select(col(idCol),
-        transform(Text.wordNgrams(col("toks"), k),
-          g => conv(substring(md5(g), 1, 13), 16, 10).cast("long")).as("hs"))
-      .select(col(idCol), mins.as("mins"), size(col("hs")).as("n_kgrams"))
-      .select(col(idCol), array_distinct(col("mins")).as("fps"),
-        col("n_kgrams"))
+  /** The hashed k-gram stream `(idCol, pos, h)` — one row per complete
+    * k-gram, in document order, all codegen. */
+  private def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val toks = docs.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (1 until k).map(j => lead(col("tok"), j).over(win))
+    val gram = concat_ws(" ", col("tok") +: leads: _*)
+    // a k-gram is complete only while lead(k-1) exists; trailing
+    // positions yield null and are dropped
+    val h =
+      if (k == 1) conv(substring(md5(gram), 1, 13), 16, 10).cast("long")
+      else when(leads.last.isNotNull,
+        conv(substring(md5(gram), 1, 13), 16, 10).cast("long"))
+    toks.select(col(idCol), col("pos"), h.as("h"))
+      .filter(col("h").isNotNull)
   }
 
-  /** Exploded `(idCol, fp)` fingerprint postings — the join key table
-    * [[sharedPassagePairs]] and any cross-corpus passage probe use. */
+  /** Winnowed `(idCol, fp, wlen)` BEFORE the full-window filter —
+    * shared by [[fingerprints]] and [[fingerprintStats]] so the
+    * window pass is defined once. */
+  private def windowMins(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(w >= 1, s"need w >= 1, got $w")
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    gramHashes(docs, idCol, textCol, k)
+      .select(col(idCol), col("h"),
+        min(col("h")).over(frame).as("fp"),
+        count(lit(1)).over(frame).as("wlen"))
+  }
+
+  /** Exploded `(idCol, fp)` distinct fingerprint postings — the join
+    * key table [[sharedPassagePairs]] and any cross-corpus passage
+    * probe use. Documents with fewer than `k+w−1` tokens (no full
+    * window) yield no rows — the guarantee below the match-length
+    * threshold is vacuous anyway. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4): DataFrame =
-    fingerprintArrays(docs, idCol, textCol, k, w)
-      .select(col(idCol), explode(col("fps")).as("fp"))
+    windowMins(docs, idCol, textCol, k, w)
+      .filter(col("wlen") === w)
+      .select(col(idCol), col("fp")).distinct()
+
+  /** Per-document fingerprint coverage: `(idCol, n_fps, n_kgrams,
+    * density)` — every input document appears (zero-gram docs score
+    * 0). One window pass + one per-doc aggregate. */
+  def fingerprintStats(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, w: Int = 4): DataFrame = {
+    val stats = windowMins(docs, idCol, textCol, k, w)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_kgrams"),
+        countDistinct(when(col("wlen") === w, col("fp"))).cast("int")
+          .as("n_fps"))
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_fps"), lit(0)).as("n_fps"),
+        coalesce(col("n_kgrams"), lit(0)).as("n_kgrams"))
+      .withColumn("density",
+        round(col("n_fps").cast("double") / greatest(col("n_kgrams"), lit(1)),
+          6))
+  }
 
   /** Cross-set passage decontamination: corpus documents sharing at
     * least one winnowed fingerprint with ANY eval-set document — the
@@ -67,10 +107,8 @@ object Winnow {
     * WILL share a fingerprint (no LSH miss probability).
     *
     * Scale shape: the eval set is small by definition, so its distinct
-    * fingerprint set is BROADCAST; the corpus side stays the
-    * zero-shuffle fingerprint projection, and only matching postings
-    * reach the per-doc count. One corpus pass, no corpus-sized
-    * shuffle at all.
+    * fingerprint set is BROADCAST; only matching corpus postings reach
+    * the per-doc count.
     *
     * @return (idCol, shared_fps) for contaminated corpus docs only
     */

@@ -695,6 +695,28 @@ object Corpus {
       // measure; the argmax window adds only group-sized work
       bench = false),
 
+    // ----- PQ-prefiltered ANN (product quantization, ADC) -----
+    // [[graft.operators.Pq]] (Jégou et al. 2011): 8 subspace codebooks
+    // of 16 codes — 4 logical bytes per vector vs 256 float bytes
+    // (64×) — shortlist by asymmetric-distance inner product over the
+    // codes-only scan, exact cosine on the shortlist. Completes the
+    // quantization levers beside SQ8 (byte width, q91) and JL
+    // (dimension count, q123). Rows-only like the other trained-ANN
+    // paths (k-means codebooks aren't oracle-reproducible); PqSpec
+    // pins encode arithmetic, the full-shortlist ⇒ exact contract,
+    // and deterministic recall.
+    QueryDef(
+      "q138_pq_ann",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val cbs = graft.operators.Pq.trainCodebooks(e, dim = 64, m = 8,
+          k = 16, iters = 2, trainFraction = 0.5)
+        graft.operators.Pq.adcPrefilterTopK(e, e.filter(col("vec_id") < 10),
+            k = 10, nCand = 100, cbs)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None),
+
     // ----- Leakage-safe train/val/test split (group-atomic) -----
     // Splitting documents independently leaks near-duplicates across
     // train and eval — the classic contamination bug a per-document
@@ -1711,20 +1733,18 @@ object Corpus {
     // winnowed fingerprint counts — trigram hashes, window w=4 minima,
     // distinct. Position-local (guaranteed shared fingerprint for any
     // shared passage of ≥ w+k−1 tokens), unlike q35's whole-document
-    // hash or q33's set-similarity MinHash. One zero-shuffle projection
-    // (array HOFs end-to-end, no explode/window shuffle); the md5-based
-    // hash and integer minima are bit-identical on both engines, so the
+    // hash or q33's set-similarity MinHash. Explode + window over the
+    // token stream — all codegen, one doc-keyed exchange (the q76
+    // line-dedup shape; see the operator scaladoc for why the
+    // zero-shuffle HOF formulation was rejected). The md5-based hash
+    // and integer minima are bit-identical on both engines, so the
     // oracle checks the exact fingerprint sets (via count + density).
     QueryDef(
       "q130_winnow_fingerprints",
       (spark, dir) =>
         graft.operators.Winnow
-          .fingerprintArrays(Tables.load(spark, dir, "documents"),
-            "doc_id", "text", k = 3, w = 4)
-          .select(col("doc_id"), size(col("fps")).as("n_fps"),
-            col("n_kgrams"),
-            round(size(col("fps")).cast("double")
-              / greatest(col("n_kgrams"), lit(1)), 6).as("density")),
+          .fingerprintStats(Tables.load(spark, dir, "documents"),
+            "doc_id", "text", k = 3, w = 4),
       Some("""
         WITH t AS (
           SELECT doc_id,

@@ -21,6 +21,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q101_bigram_perplexity",  // 1-row vocabulary-count broadcast
     "q118_kneser_ney",         // 1-row bigram-type-total broadcast
     "q123_jl_ann",             // broadcast query batch over the skinny projection (q37's shape)
+    "q138_pq_ann",             // broadcast query batch over the codes-only scan (q37's shape)
     "q102_semantic_decontaminate", // broadcast eval probe set (q37's shape)
     "q111_collocations",       // 1-row corpus-total broadcast (score scale)
     "q113_phrases_iterated",   // same 1-row total broadcast, final pass
@@ -48,7 +49,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q02_filter_project", "q30_text_stats", "q35_fingerprint",
     "q44_scalar_breadth", "q50_strings2", "q68_pii_scan",
     "q74_pii_redact", "q77_quality_signals", "q82_repetition_signals",
-    "q86_embed_quantize", "q122_jl_projection", "q130_winnow_fingerprints",
+    "q86_embed_quantize", "q122_jl_projection",
     "q133_token_entropy", "q134_compression_ratio")
 
   test("declared zero-shuffle projections have no Exchange in their plan") {

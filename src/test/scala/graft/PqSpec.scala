@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+import graft.sources.Tables
+
+/** Product quantization ([[operators.Pq]]): exact encode arithmetic on
+  * hand codebooks, the nCand ≥ corpus ⇒ exact-equality contract (the
+  * IvfSpec nprobe=k idiom), deterministic recall on the real
+  * embeddings, and codebook training invariants.
+  */
+class PqSpec extends SparkSpec {
+
+  private val s = spark
+  import s.implicits._
+
+  test("encode: nearest-subspace-centroid codes, lowest index on ties") {
+    // m=2 subspaces of 2 dims; codebooks: j0 = {[0,0],[10,10]},
+    // j1 = {[0,0],[-5,5]}
+    val cbs: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+        Seq(Seq(0.0, 0.0), Seq(-5.0, 5.0)))
+    val vecs = Seq(
+      (1L, Seq(9.0f, 9.0f, -4.0f, 4.0f)),   // → [1, 1]
+      (2L, Seq(1.0f, 0.0f, 1.0f, 1.0f)),    // → [0, 0]
+      (3L, Seq(5.0f, 5.0f, -2.5f, 2.5f)))   // both equidistant → [0, 0]
+      .toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        Pq.encode(cbs, col("embedding")).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got(1L) === Seq(1, 1))
+    assert(got(2L) === Seq(0, 0))
+    assert(got(3L) === Seq(0, 0), "ties must break to the lower code")
+  }
+
+  test("nCand >= corpus ==> identical to the exact brute-force top-k") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 3)
+    val cbs = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 2,
+      trainFraction = 0.5)
+    val pq = Pq.adcPrefilterTopK(e, queries, k = 10, nCand = 500, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.bruteForceTopK(e, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pq === exact,
+      "full-shortlist PQ must equal the exact baseline (rescore covers all)")
+  }
+
+  test("deterministic recall at a tight shortlist beats the fixed-window baseline") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val cbs = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 2,
+      trainFraction = 0.5)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Pq.adcPrefilterTopK(e, queries, k = 10, nCand = 50, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.map { q =>
+      pq.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / 10.0
+    }.sum / exact.size
+    // synthetic near-random embeddings are the pathological case for
+    // any quantizer; everything is deterministic (hash-sample seeds,
+    // Lloyd, ADC), so the measured recall is a constant — grade it
+    // against the random-candidate expectation (nCand/N = 0.1)
+    assert(recall > 0.2, f"PQ recall $recall%.2f not above 2x random (0.1)")
+  }
+
+  test("training: shapes, code range, empty-cell survival") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cbs = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 1,
+      trainFraction = 0.2)
+    assert(cbs.length === 8 && cbs.forall(_.length === 16) &&
+      cbs.forall(_.forall(_.length === 8)))
+    val codes = e.select(Pq.encode(cbs, col("embedding")).as("c"))
+      .select(explode(col("c")).as("code")).agg(min("code"), max("code"))
+      .collect()(0)
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) < 16)
+  }
+}

@@ -44,12 +44,21 @@ class WinnowSpec extends SparkSpec {
 
   test("short documents (< k+w-1 tokens) yield zero fingerprints, exact n_kgrams") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
-    val rows = Winnow.fingerprintArrays(docs, "doc_id", "text", k = 3, w = 4)
-      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1).size, r.getInt(2))).toMap
+    val rows = Winnow.fingerprintStats(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     // doc 1: 5 tokens → 3 trigrams < w → no full window
     assert(rows(1L) === ((0, 3)))
     // doc 2: 2 tokens → no trigram at all
     assert(rows(2L) === ((0, 0)))
+  }
+
+  test("stats density: full-window docs score n_fps/n_kgrams, capped at 1") {
+    val docs = Seq((1L, passage + " eta theta iota")).toDF("doc_id", "text")
+    val r = Winnow.fingerprintStats(docs, "doc_id", "text").collect()(0)
+    val (nFps, nKgrams, density) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+    assert(nFps >= 1 && nFps <= nKgrams)
+    assert(density === BigDecimal.valueOf(nFps.toDouble / nKgrams)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("stop-fingerprint cut: ubiquitous fingerprints are dropped from pairing") {
@@ -81,10 +90,19 @@ class WinnowSpec extends SparkSpec {
     assert(!hits.contains(2L), "clean doc must not be flagged")
   }
 
-  test("zero-shuffle fingerprint projection (the 100 TB claim)") {
+  test("fingerprinting stays in codegen with only doc-keyed exchanges") {
+    // the scaladoc's reason for the explode+window formulation: every
+    // per-token expression (tokenize, md5, window min) must run inside
+    // whole-stage codegen — the HOF formulation evaluated interpreted
+    // and was 100×+ slower at sf0.1
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
-    val plan = Winnow.fingerprintArrays(d, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), "fingerprintArrays must not shuffle")
+    val df = Winnow.fingerprints(d, "doc_id", "text")
+    df.collect() // AQE finalizes (and codegen-annotates) the plan on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n) " prefixes in the final-plan string;
+    // the md5/conv hashing projection must carry one
+    assert(plan.contains("*(") && plan.contains("md5"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
   }
 }
