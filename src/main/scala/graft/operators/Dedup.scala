@@ -28,6 +28,25 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Soft dedup: instead of DROPPING duplicates, down-weight every
+    * member of an exact-duplicate cluster by the cluster's size —
+    * sampling weight 1/n_copies, so each distinct content contributes
+    * one expected epoch occurrence however many times it was crawled
+    * (the SoftDeDup reweighting idea: keep the data, dedup the
+    * *distribution*). Output keeps every row: (id, n_copies, weight).
+    *
+    * One shuffle, fixed-width: (hash, id) pairs partitioned by
+    * content_hash for the count window — document bodies never move,
+    * and there is no join back to the corpus (the window carries the
+    * count to every member in place). At 100 TB this is strictly
+    * cheaper than [[exact]] + re-join. */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Text.contentHash(col(textCol)).as("content_hash"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+      .select(col(idCol), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+
   /** Distinct (id, shingle) pairs — the inverted-index input.
     *
     * Tokens are bound to an attribute in their OWN projection before
@@ -76,6 +95,49 @@ object Dedup {
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= tau)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Directed n-gram containment pairs: C(A→B) = |A∩B| / |A| ≥ tau —
+    * Broder's containment, the asymmetric companion to Jaccard. A
+    * truncated or excerpted copy of a long document scores C≈1 toward
+    * its source while its symmetric Jaccard is only ≈ |A|/|B| (a 50%
+    * truncation has J≈0.5 and would sail under a 0.8 Jaccard bar);
+    * containment is how near-dup pipelines catch subset duplicates.
+    * Output is DIRECTED: (a, b, containment) means shingle-set A is
+    * tau-contained in B, for a ≠ b in both orientations.
+    *
+    * Same sub-quadratic inverted-index shape as [[ngramJaccardPairs]]
+    * — only documents sharing ≥1 shingle ever meet, the common-shingle
+    * count is one equi-join + count, and both orientations of each
+    * unordered candidate pair are derived from ONE joined row (an
+    * explode of the two directed readings), so the shingle self-join
+    * runs once, not twice. The same maxDocFreq prefix-filter knob
+    * applies at 100 TB. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = docShingles(df, idCol, textCol, n)
+    val sh = maxDocFreq.fold(all) { cap =>
+      val hot = all.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("sh"))
+      all.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("x"), col("y.id").as("y"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "x").withColumnRenamed("n_sh", "nx"), "x")
+      .join(sizes.withColumnRenamed("id", "y").withColumnRenamed("n_sh", "ny"), "y")
+      // both directed readings of the one undirected candidate row
+      .select(explode(array(
+        struct(col("x").as("a"), col("y").as("b"),
+          round(col("n_common").cast("double") / col("nx"), 6).as("containment")),
+        struct(col("y").as("a"), col("x").as("b"),
+          round(col("n_common").cast("double") / col("ny"), 6).as("containment"))
+      )).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.containment"))
+      .filter(col("containment") >= tau)
   }
 
   /** MinHash signature per document via the native

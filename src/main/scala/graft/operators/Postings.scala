@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Positional inverted index + exact phrase search.
+  *
+  * The retrieval-side companion to [[Bm25]]: BM25 ranks by bag-of-words
+  * statistics, but "exact phrase" queries (quotation search,
+  * contamination auditing of a benchmark sentence, boilerplate
+  * tracing) need token POSITIONS. The index is the classic
+  * (term, doc_id, pos) postings relation; a phrase of length L matches
+  * wherever the L terms appear at consecutive positions in one
+  * document.
+  *
+  * 100 TB shape: [[build]] is a zero-shuffle projection + generate —
+  * in production the postings are written ONCE, partitioned (or
+  * bucketed) BY TERM, so a phrase query reads only its own terms'
+  * posting lists (partition pruning; the same layout argument as
+  * [[Ivf]]'s inverted lists). [[phraseOccurrences]] then joins the L
+  * per-term lists on (doc_id, pos±offset) — equi-joins whose inputs are
+  * term-selective slices of the index, never the corpus; AQE broadcasts
+  * the rarest term's list when it is small, which is the classic
+  * "rarest-first" phrase-evaluation plan, for free. Cost is bounded by
+  * the phrase terms' posting lists, independent of corpus size.
+  */
+object Postings {
+
+  /** (term, doc_id, pos) positional postings — 0-based token position
+    * over [[Text.tokens]]'s normalized split. Zero-shuffle: projection
+    * + generate only; partition/bucket by `term` when persisting. */
+  def build(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+
+  /** Exact-phrase occurrences: (doc_id, n_occ) for every document
+    * containing `phrase` as consecutive tokens, with the number of
+    * (possibly overlapping) occurrence positions. The first term's
+    * postings anchor the match; each later term joins on
+    * (doc_id, pos = anchor_pos + i). */
+  def phraseOccurrences(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val anchor = postings.filter(col("term") === lit(phrase.head))
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        val next = postings.filter(col("term") === lit(term))
+          .select(col("doc_id").as("d"), col("pos").as("p"))
+        acc.join(next,
+            acc("doc_id") === col("d") && col("p") === acc("pos") + lit(i))
+          .select(acc("doc_id"), acc("pos"))
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** The corpus's most frequent token n-gram, ties broken by n-gram
+    * text ascending — a self-deriving phrase for data-driven probes
+    * (robust to testdata regeneration, unlike a hard-coded literal).
+    * ONE bounded driver collect: a single argmax row (the Bpe idiom). */
+  def topNgram(df: DataFrame, textCol: String, n: Int): Seq[String] = {
+    val top = df
+      .select(Text.tokens(col(textCol)).as("toks"))
+      .select(explode(Text.wordNgrams(col("toks"), n)).as("ng"))
+      .groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ng"))
+      .limit(1)
+      .collect()
+    require(top.nonEmpty, s"corpus has no $n-grams")
+    top(0).getString(0).split(' ').toSeq
+  }
+}

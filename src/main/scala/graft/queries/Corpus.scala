@@ -1917,7 +1917,135 @@ object Corpus {
         Tables.load(spark, dir, "documents")
           .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
             round(Text.compressRatio(col("text")), 6).as("ratio")),
-      None)
+      None),
+
+    // ----- Soft dedup: down-weight duplicates, don't drop them -----
+    // [[graft.operators.Dedup.softDedupWeights]]: every member of an
+    // exact-duplicate cluster keeps a sampling weight 1/n_copies, so
+    // each distinct content contributes one expected occurrence per
+    // epoch however many times it was crawled — the reweighting
+    // alternative to q31's hard drop. The corpus plants clusters the
+    // oracle replays (docs < 60 re-ingested once, docs < 20 twice
+    // more), since the base table is duplicate-free by construction.
+    // One fixed-width (hash, id) shuffle for the count window; bodies
+    // never move, no join back.
+    QueryDef(
+      "q139_soft_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") < 60)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(d.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        Dedup.softDedupWeights(corpus, "doc_id", "text")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 20
+        ), h AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+          FROM corpus
+        )
+        SELECT doc_id,
+               CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies,
+               round(1.0::DOUBLE
+                     / count(*) OVER (PARTITION BY content_hash), 6) AS weight
+        FROM h""")),
+
+    // ----- Containment near-dup: catch truncated/excerpted copies -----
+    // [[graft.operators.Dedup.containmentPairs]]: directed Broder
+    // containment C(A→B) = |A∩B|/|A| ≥ 0.9 over 3-gram shingles. The
+    // planted truncations (docs < 30 cut to their first half, new ids)
+    // are exactly what symmetric Jaccard misses: the half-copy scores
+    // J ≈ 0.5 against its source (under q33's 0.8 bar) but C = 1.0
+    // here. Same sub-quadratic inverted-index join as q32; both
+    // directions of each candidate pair come from one joined row.
+    QueryDef(
+      "q140_containment_dedup",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val truncated = d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            array_join(slice(col("toks"), lit(1),
+              (size(col("toks")) / 2).cast("int")), " ").as("text"))
+        val corpus = d.select(col("doc_id"), col("text")).unionByName(truncated)
+        Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.9)
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id,
+                 array_to_string(list_slice(
+                   string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                   1,
+                   len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) // 2),
+                   ' ') AS text
+          FROM documents WHERE doc_id < 30
+        ), toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM corpus
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS s
+          FROM toks WHERE len(w) >= 3
+        ), pairs AS (
+          SELECT x.doc_id AS x, y.doc_id AS y,
+                 len(list_intersect(x.s, y.s)) AS nc,
+                 len(x.s) AS nx, len(y.s) AS ny
+          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          WHERE len(list_intersect(x.s, y.s)) > 0
+        ), directed AS (
+          SELECT x AS a, y AS b, round(nc::DOUBLE / nx, 6) AS containment FROM pairs
+          UNION ALL
+          SELECT y AS a, x AS b, round(nc::DOUBLE / ny, 6) AS containment FROM pairs
+        )
+        SELECT a, b, containment FROM directed WHERE containment >= 0.9""")),
+
+    // ----- Per-document n-gram novelty (first-seen attribution) -----
+    // [[graft.operators.Novelty.ngramNovelty]]: fraction of each
+    // document's distinct trigrams the corpus sees FIRST in that
+    // document (min doc_id attribution) — the marginal-contribution
+    // signal behind selection-by-contribution curation; near-zero
+    // novelty flags boilerplate stitched from many sources that
+    // pairwise dedup can't pair. Two map-side-combined fixed-width
+    // aggregations; the shingle-keyed join reuses the aggregation's
+    // hash partitioning.
+    QueryDef(
+      "q142_ngram_novelty",
+      (spark, dir) =>
+        graft.operators.Novelty.ngramNovelty(
+          Tables.load(spark, dir, "documents"), "doc_id", "text", n = 3),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), pairs AS (
+          SELECT doc_id,
+                 unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                       for i in range(1, len(w) - 1)])) AS sh
+          FROM toks WHERE len(w) >= 3
+        ), fs AS (
+          SELECT sh, min(doc_id) AS first_id FROM pairs GROUP BY sh
+        )
+        SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS novelty
+        FROM pairs p JOIN fs f USING (sh)
+        GROUP BY p.doc_id"""))
   )
 
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{Bm25, Fusion, Mixture, PageRank}
+import graft.operators.{Bm25, Fusion, Mixture, PageRank, Postings}
 import graft.sources.Tables
 
 /** Ranking-layer operators: BM25 retrieval, link-graph quality scores
@@ -417,6 +417,43 @@ object Rank {
           FROM contrib GROUP BY domain)
         SELECT domain AS source, n_tokens,
                round(acc::DOUBLE / n_tokens / 1000000.0, 6) AS kl
-        FROM agg"""))
+        FROM agg""")),
+
+    // ----- Exact phrase search over a positional inverted index -----
+    // [[graft.operators.Postings]]: the quotation-search/contamination-
+    // audit companion to q124's BM25 — (term, doc_id, pos) postings
+    // built zero-shuffle, phrase matched by joining the phrase terms'
+    // posting lists on (doc_id, pos + offset). The probe phrase is
+    // self-deriving (the corpus's most frequent trigram, count-desc /
+    // text-asc tiebreak — one bounded 1-row collect, the Bpe idiom), so
+    // the query survives testdata regeneration. The oracle counts the
+    // same phrase's occurrence positions directly; since the phrase is
+    // 3 tokens, adjacency-join occurrences == trigram occurrences,
+    // overlaps included.
+    QueryDef(
+      "q141_phrase_search",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val phrase = Postings.topNgram(d, "text", n = 3)
+        Postings.phraseOccurrences(
+          Postings.build(d, "doc_id", "text"), phrase)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), tri AS (
+          SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS ng
+          FROM toks WHERE len(w) >= 3
+        ), top AS (
+          SELECT ng FROM tri GROUP BY ng
+          ORDER BY count(*) DESC, ng LIMIT 1
+        )
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        FROM tri t JOIN top USING (ng)
+        GROUP BY t.doc_id"""))
   )
 }

@@ -357,6 +357,45 @@ class DedupSpec extends SparkSpec {
     assert(clamp.getSeq[String](0) == Seq("a", "b"))
   }
 
+  test("softDedupWeights: cluster mass sums to one distinct content each") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha  beta gamma "), // same normalized
+      (3L, "alpha beta gamma"),                             // triple cluster
+      (4L, "delta epsilon"), (5L, "delta epsilon"),         // pair cluster
+      (6L, "zeta eta theta")                                // singleton
+    ).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(df, "doc_id", "text")
+    assert(w.count() == 6) // keeps every row — soft, not hard, dedup
+    val byId = w.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId(1L) == ((3L, 0.333333)) && byId(2L) == ((3L, 0.333333)))
+    assert(byId(4L) == ((2L, 0.5)) && byId(6L) == ((1L, 1.0)))
+    // total weight == number of distinct contents (expected epoch mass)
+    val total = w.agg(sum(col("weight"))).head().getDouble(0)
+    assert(math.abs(total - 3.0) < 1e-3, s"total weight $total")
+  }
+
+  test("containmentPairs catches the truncation Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val half = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, long), (2L, half),                    // 2 truncated from 1
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")            // unrelated
+    ).toDF("doc_id", "text")
+    // symmetric Jaccard at 0.8: the half-copy scores ~0.47 — missed
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(jac.isEmpty, s"jaccard should miss the truncation: ${jac.toSeq}")
+    // directed containment at 0.9: 2→1 scores exactly 1.0
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0)), s"got $got")
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>
