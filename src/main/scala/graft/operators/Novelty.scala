@@ -45,4 +45,42 @@ object Novelty {
         sum(when(col("first_id") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_sh"), 6))
+
+  /** The operator's sufficient statistic: (sh, first_id) — each
+    * shingle's corpus-wide minimum document id. Mergeable by
+    * [[mergeIndex]] (min is associative/commutative), so a streaming
+    * ingest maintains it per batch and the corpus is never re-read —
+    * the same incremental contract as the DSIR count model and the
+    * minhash signature index (StreamsSpec). */
+  def firstSeenIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(Text.shingles(col("toks"), n)).as("sh"))
+      .groupBy(col("sh")).agg(min(col(idCol)).as("first_id"))
+
+  /** Merge two first-seen indexes: per shingle, the earlier id wins. */
+  def mergeIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("sh")).agg(min(col("first_id")).as("first_id"))
+
+  /** Batch novelty against a stored index: a batch document's shingle
+    * is novel iff the index has never seen it AND this document is the
+    * batch's own first bearer. Under the ingestion-order invariant
+    * (index ids < batch ids) the scores equal [[ngramNovelty]] over
+    * the whole corpus, restricted to the batch — without re-reading
+    * any earlier document (only the fixed-width index joins in;
+    * sort-merge on sh at scale, never corpus-sized on the index side's
+    * text). */
+  def ngramNoveltyAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      n: Int, index: DataFrame): DataFrame =
+    batch.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(Text.shingles(col("toks"), n)).as("sh"))
+      .withColumn("batch_first",
+        min(col(idCol)).over(Window.partitionBy(col("sh"))))
+      .join(index.select(col("sh"), col("first_id")), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("first_id").isNull && col("batch_first") === col(idCol),
+          1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_sh"), 6))
 }

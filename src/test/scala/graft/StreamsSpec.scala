@@ -449,6 +449,56 @@ class StreamsSpec extends SparkSpec {
     assert(fromStream.sortBy(_._3).toSeq === fromCorpus.sortBy(_._3).toSeq)
   }
 
+  test("foreachBatch maintains the novelty first-seen index incrementally") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Novelty
+    val in = Files.createTempDirectory("graft_nv_in_").toString
+    val ckpt = Files.createTempDirectory("graft_nv_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_nv_idx_").toString
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def indexAt(v: Int) = s"$idxRoot/v$v"
+    Seq.empty[(String, Long)].toDF("sh", "first_id").write.parquet(indexAt(0))
+
+    // (sh, min id) is the operator's whole sufficient statistic and min
+    // is associative — each micro-batch merges its own index in and the
+    // per-batch scores against the store equal the whole-corpus scores
+    val scored = scala.collection.mutable.Buffer[(Long, Double)]()
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
+      (batch, _) =>
+        val index = spark.read.parquet(indexAt(version))
+        scored ++= Novelty.ngramNoveltyAgainstIndex(
+            batch, "doc_id", "text", n = 3, index)
+          .collect().map(r => (r.getLong(0), r.getDouble(3)))
+        Novelty.mergeIndex(index,
+            Novelty.firstSeenIndex(batch, "doc_id", "text", n = 3))
+          .write.parquet(indexAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = Seq(1L -> "a b c d e", 2L -> "a b c x y")
+    val batch2 = Seq(3L -> "a b c d e", 4L -> "p q r s t")
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+    // streamed index == batch rebuild
+    val streamed = spark.read.parquet(indexAt(version))
+    val rebuilt = Novelty.firstSeenIndex(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    assert(streamed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(streamed).isEmpty,
+      "streaming-maintained first-seen index must equal the batch rebuild")
+    // per-batch scores against the store == whole-corpus novelty
+    val whole = Novelty.ngramNovelty(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(scored.toMap == whole,
+      s"streamed novelty $scored vs whole-corpus $whole")
+  }
+
   test("foreachBatch maintains the winnowing fingerprint index incrementally") {
     val s = spark
     import s.implicits._
