@@ -273,6 +273,62 @@ object CorpusPrep {
     * ~rows/16^w each; the default target keeps a shard's window
     * partition a few million rows — comfortably one task — while the
     * offset table stays ≤ 16^8 aggregate rows. */
+  /** Vocabulary coverage curve: for each `targets` percentage p, the
+    * minimum vocabulary size (terms ranked by frequency desc) whose
+    * cumulative token mass reaches p% of the corpus, plus the share it
+    * actually covers — the sizing curve behind "how big must the
+    * tokenizer vocab be" (Zipf coverage) and OOV-rate planning.
+    *
+    * Exact WITHOUT a global ranked cumsum: within one count class every
+    * term contributes the same mass, so the (count → #terms)
+    * COUNT-HISTOGRAM is a sufficient statistic for the whole curve —
+    * walk classes in descending count, take whole classes while they
+    * fit and ceil-divide into the boundary class. The comparison is
+    * kept in integers (100·cum ≥ N·p, never a fractional threshold), so
+    * the result is bit-identical to an oracle's row-by-row ranked scan.
+    *
+    * Scale shape: one Heaps-bounded (term, count) exchange with
+    * map-side combine, then a histogram exchange bounded by the number
+    * of DISTINCT COUNT VALUES (≤ O(√(2·corpus tokens)) — the k-th
+    * largest distinct count needs k·(k+1)/2 tokens — i.e. KB-scale for
+    * any real corpus), and ONE driver collect of that histogram. No
+    * global sort, no single-partition window, no term-ranked shuffle. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      targets: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    require(targets.nonEmpty && targets.forall(p => p >= 1 && p <= 100),
+      s"targets must be percentages in [1, 100]: $targets")
+    val hist = docs
+      .select(graft.functions.Text.tokens(col(textCol)).as("toks"))
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+      .orderBy(col("c").desc)
+      .collect() // bounded: one row per distinct count value
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map { case (c, m) => c * m }.sum
+    require(n > 0, "empty corpus")
+    val rows = targets.sorted.map { pct =>
+      val target100 = n * pct // 100·cum >= N·p in exact long arithmetic
+      var cum = 0L; var terms = 0L
+      var vocab = 0L; var covered = 0L; var done = false
+      hist.foreach { case (c, m) =>
+        if (!done) {
+          if (100L * (cum + c * m) >= target100) {
+            val num = target100 - 100L * cum
+            val k = (num + 100L * c - 1L) / (100L * c) // ceil
+            vocab = terms + k; covered = cum + k * c; done = true
+          } else { cum += c * m; terms += m }
+        }
+      }
+      val share = BigDecimal(covered.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (pct, vocab, share)
+    }
+    val s = docs.sparkSession
+    import s.implicits._
+    rows.toDF("target_pct", "vocab_size", "covered_share")
+  }
+
   def shardWidthFor(rows: Long, targetRowsPerShard: Long = 4000000L): Int = {
     require(targetRowsPerShard > 0, "targetRowsPerShard must be positive")
     val shards = math.max(1.0, rows.toDouble / targetRowsPerShard)

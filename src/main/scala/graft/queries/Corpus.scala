@@ -2045,7 +2045,47 @@ object Corpus {
                round(sum(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0 END)::DOUBLE
                      / count(*), 6) AS novelty
         FROM pairs p JOIN fs f USING (sh)
-        GROUP BY p.doc_id"""))
+        GROUP BY p.doc_id"""),
+      // benched: the shingle window + id agg IS the measured surface
+      bench = true),
+
+    // ----- Blocklist (C4 badwords) filter -----
+    // C4's "remove any page containing a word from the blocklist",
+    // kept as a density signal rather than a silent drop: flagged docs
+    // surface with their occurrence count so the threshold is a
+    // downstream knob. The list here is a 3-term placeholder (the real
+    // C4 list is an external asset — same mechanism, longer literal;
+    // at production size move it from an array literal to a broadcast
+    // join on the exploded tokens). Zero-shuffle projection: tokenize →
+    // per-row filtered count inside one projection, no explode, no agg.
+    QueryDef(
+      "q144_blocklist_filter",
+      (spark, dir) => {
+        val bad = Seq("slow", "spam", "xyzzy") // only "slow" occurs
+        val badArr = array(bad.map(lit): _*)
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+            size(filter(col("toks"),
+              t => array_contains(badArr, t))).as("n_bad"))
+          .filter(col("n_bad") > 0)
+          .withColumn("bad_density",
+            round(col("n_bad").cast("double") / col("n_tokens"), 6))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), f AS (
+          SELECT doc_id, len(w) AS n_tokens,
+                 len([x FOR x IN w IF list_contains(['slow', 'spam', 'xyzzy'], x)]) AS n_bad
+          FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(n_bad AS INT) AS n_bad,
+               round(n_bad::DOUBLE / n_tokens, 6) AS bad_density
+        FROM f WHERE n_bad > 0"""))
   )
 
 }

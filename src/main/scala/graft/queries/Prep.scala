@@ -1822,6 +1822,53 @@ object Prep {
           FROM scored)
         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 10"""
-      })
+      }),
+
+    // ----- Vocabulary coverage curve (tokenizer sizing) -----
+    // [[graft.operators.CorpusPrep.vocabCoverage]]: min vocab size
+    // reaching {50,90,95,99}% token coverage, frequency-ranked — the
+    // Zipf curve every tokenizer-vocab decision reads. Exact from the
+    // (count → #terms) histogram alone (within a count class each term
+    // adds identical mass), so there is NO ranked global cumsum: one
+    // Heaps-bounded term-count exchange, one √N̄-bounded histogram
+    // exchange, one tiny driver collect; the 100·cum ≥ N·p comparison
+    // stays in long arithmetic, bit-matching the oracle's naive
+    // row-by-row ranked scan.
+    QueryDef(
+      "q143_vocab_coverage",
+      (spark, dir) =>
+        graft.operators.CorpusPrep.vocabCoverage(
+          Tables.load(spark, dir, "documents"), "text"),
+      Some("""
+        WITH t AS (
+          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), tf AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(w) AS term FROM t) GROUP BY term
+        ), total AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n FROM tf
+        ), ranked AS (
+          SELECT c,
+                 row_number() OVER (ORDER BY c DESC, term) AS rk,
+                 CAST(sum(c) OVER (ORDER BY c DESC, term
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM tf
+        ), tg(target_pct) AS (
+          VALUES (50), (90), (95), (99)
+        ), hit AS (
+          SELECT tg.target_pct, min(r.rk) AS vocab_size
+          FROM tg CROSS JOIN total CROSS JOIN ranked r
+          WHERE 100 * r.cum >= total.n * tg.target_pct
+          GROUP BY tg.target_pct
+        )
+        SELECT h.target_pct, CAST(h.vocab_size AS BIGINT) AS vocab_size,
+               round(r.cum::DOUBLE / total.n, 6) AS covered_share
+        FROM hit h
+        JOIN ranked r ON r.rk = h.vocab_size
+        CROSS JOIN total"""),
+      // bench = false: the heavy part (term counts) is exactly the
+      // aggregation surface q89/q110 already measure
+      bench = false)
   )
 }

@@ -174,4 +174,21 @@ class CorpusPrepSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.sortBy(_.toString).toSeq === again.sortBy(_.toString).toSeq)
   }
+
+  test("vocabCoverage: histogram walk matches the hand-ranked curve") {
+    val s = spark
+    import s.implicits._
+    // counts: a=6, b=3, c=1 → N=10; ranked curve (a)0.6 (ab)0.9 (abc)1.0
+    val docs = Seq((1L, "a a a a a a b"), (2L, "b b c")).toDF("doc_id", "text")
+    val got = CorpusPrep.vocabCoverage(docs, "text", Seq(50, 90, 95, 100))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((50, 1L, 0.6), (90, 2L, 0.9), (95, 3L, 1.0),
+      (100, 3L, 1.0)), s"got $got")
+    // boundary INSIDE a multi-term count class: a=3 b=3 c=2 d=1 (N=9);
+    // p=34 needs ceil(3.06/3)=2 terms of the 3-class, p=33 only 1
+    val docs2 = Seq((1L, "a a a b b b c c d")).toDF("doc_id", "text")
+    val got2 = CorpusPrep.vocabCoverage(docs2, "text", Seq(33, 34))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got2 == Set((33, 1L, 0.333333), (34, 2L, 0.666667)), s"got $got2")
+  }
 }
