@@ -129,4 +129,63 @@ object Mixture {
         round(col("acc").cast("double") / col("n_tokens") / lit(1e6), 6)
           .as("kl"))
   }
+
+  /** UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a token `budget` as uniformly as possible
+    * across sources, subject to a per-source cap of `capEpochs` epochs
+    * — small sources are visited at most `capEpochs` times (no
+    * over-repetition), the remaining budget waterfills uniformly over
+    * the large ones. The third mixing policy beside size-based
+    * temperature sampling ([[CorpusPrep.temperatureSample]]) and
+    * loss-based DoReMi ([[doremiStep]]).
+    *
+    * Waterfill, exactly: sort sources by capped mass `c·n` ascending;
+    * source i is CAPPED iff its cap fits under the uniform share of
+    * what remains, `c·n_i · (S−i+1) ≤ budget − P_{i−1}` (prefix sums
+    * P in LONG arithmetic — the condition is prefix-closed for an
+    * ascending sort, so the capped set is rows 1..k). Capped sources
+    * get exactly `c·n_i`; the rest split `budget − P_k` evenly. Only
+    * the final per-row division runs in doubles, mirrored verbatim by
+    * the oracle.
+    *
+    * Scale shape: the corpus contributes ONE tiny aggregation (per-
+    * source token totals — zero-shuffle tokenize projection, map-side
+    * combined). Every window after that runs over the S-row source
+    * table (S = #sources, inherently small); the corpus is never
+    * touched again. */
+  def unimaxAllocation(docs: DataFrame, textCol: String, sourceCol: String,
+      budget: Long, capEpochs: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(capEpochs > 0, s"capEpochs must be positive: $capEpochs")
+    val n = docs
+      .select(col(sourceCol).as("source"),
+        size(graft.functions.Text.tokens(col(textCol))).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val asc = Window.orderBy(col("capped"), col("source"))
+    val all = Window.partitionBy() // S rows total — whole-frame is fine
+    val scored = n
+      .withColumn("capped", col("n_tokens") * capEpochs)
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("p_prev", coalesce(
+        sum(col("capped")).over(asc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("s_cnt", count(lit(1)).over(all))
+      .withColumn("total_capped", sum(col("capped")).over(all))
+      .withColumn("cond",
+        col("capped") * (col("s_cnt") - col("i") + 1) <= lit(budget) - col("p_prev"))
+      .withColumn("k", max(when(col("cond"), col("i")).otherwise(0L)).over(all))
+      .withColumn("p_k", max(when(col("cond"), col("p_prev") + col("capped"))
+        .otherwise(0L)).over(all))
+    scored
+      .withColumn("alloc", when(col("i") <= col("k"), col("capped").cast("double"))
+        .otherwise((lit(budget) - col("p_k")).cast("double")
+          / (col("s_cnt") - col("k")).cast("double")))
+      .withColumn("denom",
+        least(lit(budget), col("total_capped")).cast("double"))
+      .select(col("source"), col("n_tokens"),
+        round(col("alloc"), 6).as("alloc"),
+        round(col("alloc") / col("n_tokens"), 6).as("epochs"),
+        round(col("alloc") / col("denom"), 6).as("share"))
+  }
 }

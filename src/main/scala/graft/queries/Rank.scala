@@ -454,6 +454,52 @@ object Rank {
         )
         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_occ
         FROM tri t JOIN top USING (ng)
-        GROUP BY t.doc_id"""))
+        GROUP BY t.doc_id""")),
+
+    // ----- UniMax epoch-capped mixture allocation -----
+    // [[graft.operators.Mixture.unimaxAllocation]] (Chung et al. 2023):
+    // waterfill a 50k-token budget uniformly over sources with a
+    // 2-epoch per-source cap — the third mixing policy beside size-
+    // based temperature sampling (q72) and loss-based DoReMi (q127).
+    // All prefix arithmetic is LONG (the capped-prefix condition
+    // c·n_i·(S−i+1) ≤ B−P_{i−1}); only the final divisions are double,
+    // mirrored verbatim — exactly oracle-checked.
+    QueryDef(
+      "q145_unimax_mixture",
+      (spark, dir) =>
+        Mixture.unimaxAllocation(
+          Tables.load(spark, dir, "documents"), "text", "source",
+          budget = 50000L, capEpochs = 2),
+      Some("""
+        WITH n AS (
+          SELECT source,
+                 CAST(sum(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), o AS (
+          SELECT source, n_tokens, n_tokens * 2 AS capped,
+                 CAST(row_number() OVER (ORDER BY n_tokens * 2, source) AS BIGINT) AS i,
+                 CAST(coalesce(sum(n_tokens * 2) OVER (
+                   ORDER BY n_tokens * 2, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p_prev,
+                 CAST(count(*) OVER () AS BIGINT) AS s_cnt,
+                 CAST(sum(n_tokens * 2) OVER () AS BIGINT) AS total_capped
+          FROM n
+        ), c AS (
+          SELECT *, (capped * (s_cnt - i + 1) <= 50000 - p_prev) AS cond FROM o
+        ), kk AS (
+          SELECT max(CASE WHEN cond THEN i ELSE 0 END) AS k,
+                 max(CASE WHEN cond THEN p_prev + capped ELSE 0 END) AS p_k
+          FROM c
+        ), a AS (
+          SELECT c.source, c.n_tokens, c.total_capped,
+                 CASE WHEN c.i <= kk.k THEN c.capped::DOUBLE
+                      ELSE (50000 - kk.p_k)::DOUBLE / (c.s_cnt - kk.k)::DOUBLE
+                 END AS alloc
+          FROM c CROSS JOIN kk
+        )
+        SELECT source, n_tokens, round(alloc, 6) AS alloc,
+               round(alloc / n_tokens, 6) AS epochs,
+               round(alloc / least(50000, total_capped)::DOUBLE, 6) AS share
+        FROM a"""))
   )
 }

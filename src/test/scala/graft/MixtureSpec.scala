@@ -79,4 +79,50 @@ class MixtureSpec extends SparkSpec {
     assert(m(0).getDouble(4) === 0.0) // excess vs itself
     assert(m(0).getDouble(5) === 1.0)
   }
+
+  /** Reference waterfill: the sequential loop straight from the
+    * algorithm statement — at each ascending step give the source
+    * min(cap·n, remaining/remaining_sources) and recompute. */
+  private def waterfillRef(caps: Seq[Long], budget: Long): Seq[Double] = {
+    var remaining = budget.toDouble
+    var left = caps.length
+    caps.sorted.map { c =>
+      val a = math.min(c.toDouble, remaining / left)
+      remaining -= a; left -= 1
+      a
+    }
+  }
+
+  test("unimax: capped prefix + uniform tail, equals the sequential waterfill") {
+    // tokens: small=2 (cap 4), mid=5 (cap 10), big=20 (cap 40); budget 20
+    // → small capped at 4, mid+big waterfill (20-4)/2 = 8 each
+    val docs = Seq(
+      ("small", "a b"), ("mid", "c d e f g"),
+      ("big", (1 to 20).map(i => s"t$i").mkString(" "))
+    ).toDF("src", "text")
+    val got = Mixture.unimaxAllocation(docs, "text", "src",
+        budget = 20L, capEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("small") == ((2L, 4.0, 2.0, 0.2)))
+    assert(got("mid") == ((5L, 8.0, 1.6, 0.4)))
+    assert(got("big") == ((20L, 8.0, 0.4, 0.4)))
+    // budget above the capped total: everything allocates its full cap
+    val capped = Mixture.unimaxAllocation(docs, "text", "src",
+        budget = 1000L, capEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(capped == Map("small" -> 4.0, "mid" -> 10.0, "big" -> 40.0))
+    // property: the closed-form prefix condition == the sequential
+    // waterfill, across budgets straddling every breakpoint
+    val caps = Seq(4L, 10L, 40L)
+    for (budget <- Seq(1L, 3L, 4L, 11L, 12L, 20L, 53L, 54L, 90L)) {
+      val expect = waterfillRef(caps, budget)
+      val allocs = Mixture.unimaxAllocation(docs, "text", "src",
+          budget = budget, capEpochs = 2)
+        .collect().map(_.getDouble(2)).sorted.toSeq
+      allocs.zip(expect).foreach { case (a, e) =>
+        assert(math.abs(a - e) < 1e-4, s"budget=$budget: $allocs vs $expect")
+      }
+    }
+  }
 }
