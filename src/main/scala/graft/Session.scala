@@ -31,6 +31,15 @@ object Session {
       case other => sys.error(s"$what must be an integer literal, got $other")
     } else sys.error(s"$what must be a literal")
 
+  private def stringSeqLiteral(e: Expression, what: String): Seq[String] =
+    if (e.foldable) e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toSeq
+      case other => sys.error(s"$what must be a string-array literal, got $other")
+    } else sys.error(s"$what must be a literal")
+
   /** The engine-native SQL functions (SURVEY §2.11): one list feeding
     * both the extensions hook (fresh sessions) and the direct-registry
     * fallback in [[get]] (pre-existing sessions, where `withExtensions`
@@ -81,6 +90,13 @@ object Session {
       (args: Seq[Expression]) => {
         require(args.length == 1, "compress_ratio(string)")
         graft.functions.CompressRatio(args(0))
+      }),
+    (FunctionIdentifier("phrase_hits"),
+      new ExpressionInfo(classOf[graft.functions.PhraseHits].getName, "phrase_hits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "phrase_hits(string, arrayOfPatternLiterals)")
+        graft.functions.PhraseHits(args(0),
+          stringSeqLiteral(args(1), "phrase_hits: patterns"))
       }))
 
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =

@@ -2085,7 +2085,47 @@ object Corpus {
         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
                CAST(n_bad AS INT) AS n_bad,
                round(n_bad::DOUBLE / n_tokens, 6) AS bad_density
-        FROM f WHERE n_bad > 0"""))
+        FROM f WHERE n_bad > 0"""),
+      // benched: q144 and q146 bracket the blocklist cost — token-join
+      // vs one-pass automaton
+      bench = true),
+
+    // ----- Multi-phrase blocklist via one-pass Aho–Corasick -----
+    // Eighth native codegen expression
+    // ([[graft.functions.PhraseHits]]): q144 catches single blocklist
+    // TOKENS; real blocklists (C4's badwords) are full of multi-word
+    // PHRASES, where the per-token join is blind and the composable
+    // spelling is one regex pass per phrase (O(L·|text|)). The
+    // automaton counts every phrase occurrence in ONE O(|text|) walk —
+    // zero-shuffle projection inside whole-stage codegen. The phrase
+    // list here cannot self-overlap, so the oracle's non-overlapping
+    // replace-count equals the automaton's overlap-counting exactly.
+    QueryDef(
+      "q146_phrase_blocklist",
+      (spark, dir) => {
+        val phrases = Seq("slow hash batch", "big data", "window fast query")
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), Text.normalize(col("text")).as("t"))
+          .select(col("doc_id"),
+            org.apache.spark.sql.GraftColumn.of(graft.functions.PhraseHits(
+              org.apache.spark.sql.GraftColumn.expr(col("t")),
+              phrases)).as("n_hits"))
+          .filter(col("n_hits") > 0)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+            (length(s) - length(replace(s, 'slow hash batch', ''))) // length('slow hash batch')
+          + (length(s) - length(replace(s, 'big data', ''))) // length('big data')
+          + (length(s) - length(replace(s, 'window fast query', ''))) // length('window fast query')
+            AS n_hits
+          FROM t
+        )
+        SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        FROM h WHERE n_hits > 0"""))
   )
 
 }
