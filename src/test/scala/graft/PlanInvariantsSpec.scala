@@ -50,7 +50,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q44_scalar_breadth", "q50_strings2", "q68_pii_scan",
     "q74_pii_redact", "q77_quality_signals", "q82_repetition_signals",
     "q86_embed_quantize", "q122_jl_projection",
-    "q133_token_entropy", "q134_compression_ratio")
+    "q133_token_entropy", "q134_compression_ratio",
+    "q144_blocklist_filter", "q146_phrase_blocklist")
 
   test("declared zero-shuffle projections have no Exchange in their plan") {
     val offenders = SparkEntry.all
