@@ -34,9 +34,10 @@ object Session {
   private def stringSeqLiteral(e: Expression, what: String): Seq[String] =
     if (e.foldable) e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-          .toSeq
+        a.toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map {
+          case null => sys.error(s"$what must not contain NULL")
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        }
       case other => sys.error(s"$what must be a string-array literal, got $other")
     } else sys.error(s"$what must be a literal")
 
