@@ -80,6 +80,65 @@ object CorpusPrep {
         pmod(col("cum_before"), lit(budget)).as("offset"))
   }
 
+  /** Greedy NO-SPLIT sequence packing: within each shard, walk
+    * documents in id order and append each to the current `budget`-token
+    * bin if it fits, else close the bin and start a new one. Unlike
+    * [[packSequential]], a document NEVER straddles two sequences —
+    * the packing used for SFT/instruction batches, where splitting an
+    * example mid-thought corrupts it and cross-document attention must
+    * be maskable per bin. The price is padding: `budget − fill` wasted
+    * tokens per closed bin (the first-fit waste the caller trades
+    * against split-free examples). A document longer than `budget`
+    * gets a bin of its own (overflowing it — truncation is a separate,
+    * explicit step; silently dropping oversize docs here would bias
+    * the corpus).
+    *
+    * Output: (idCol, shard, n_toks, bin_id, offset) — `bin_id` counts
+    * from 0 per shard, `offset` is the token position within the bin.
+    *
+    * Scale: the greedy fold is inherently sequential, so — exactly as
+    * [[packSequential]] — it is SHARDED: one hash exchange on `shard`,
+    * a per-partition sort, and a single O(rows) pass per partition
+    * (`mapPartitions`, state reset at each shard boundary, so many
+    * shards per task is fine). No window, no join, nothing
+    * driver-side; shards pack independently and in parallel. This is
+    * the rare operator where per-partition imperative logic is the
+    * honest spelling: a running-capacity fold has no closed
+    * prefix-sum form (bin boundaries depend on every prior decision),
+    * so a window cannot express it and a recursive join would be a
+    * shuffle per document.
+    */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shardCol: Column): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long"),
+        shardCol.cast("long").as("shard"),
+        // NULL-text docs carry zero tokens (mirror the oracle's
+        // coalesce(len(...), 0)) rather than poisoning the fold
+        coalesce(size(toks(col(textCol))), lit(0)).as("n_toks"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .as[(Long, Long, Int)]
+    base.mapPartitions { rows =>
+      var shard = Long.MinValue
+      var binId = 0L
+      var fill = 0L
+      rows.map { case (id, sh, n) =>
+        if (sh != shard) { shard = sh; binId = 0L; fill = 0L }
+        // close the bin only if it holds something and this doc does
+        // not fit — an oversize doc entering an EMPTY bin stays there
+        // (its own overflowed bin), matching the oracle's recurrence
+        // where fill is never 0 after the shard's first document
+        if (fill > 0L && fill + n > budget) { binId += 1L; fill = 0L }
+        val off = fill
+        fill += n
+        (id, sh, n, binId, off)
+      }
+    }.toDF(idCol, "shard", "n_toks", "bin_id", "offset")
+  }
+
   /** Top-`k` TF-IDF terms per document. tf = term count / document
     * length; idf = ln(N / df) (no smoothing — df ≥ 1 by construction).
     * Ties break toward the lexicographically smaller term.

@@ -1,0 +1,150 @@
+package graft.operators
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+  * stream summary: the count-min sketch and its applications"):
+  * frequency POINT queries over an unbounded key space through a
+  * fixed-size mergeable summary.
+  *
+  * Complements [[HeavyHitters]]: Misra–Gries answers "which keys are
+  * the top-k" (and only for keys it kept); Count-Min answers "how
+  * often did THIS key occur" for ANY key, including ad-hoc keys chosen
+  * after the scan — the shape behind blocklist-hit telemetry,
+  * contamination-probe counting, and per-phrase corpus statistics
+  * where the probe set is not known while the corpus streams by.
+  *
+  * Structure: `depth` hash rows × `width` counters. Each occurrence
+  * increments one counter per row; the estimate is the MIN over rows.
+  * Guarantees (insert-only stream, so both sides are one-sided):
+  *
+  *  - **never underestimates** — every counter the key touches holds
+  *    its true count plus non-negative collision mass;
+  *  - overestimates by more than ε·N (ε = e/width) with probability
+  *    < e^−depth per key, over the hash draw.
+  *
+  * The sketch is entry-wise mergeable with plain addition (the
+  * counters are linear in the input), so it runs as a typed
+  * [[Aggregator]] partial-aggregate: each task fills a local
+  * depth×width table and only the fixed-size tables cross the wire —
+  * the exchange is sketch-sized (depth·width·8 bytes, ~64 KiB at
+  * 4×2048) at ANY corpus size or key cardinality, against a
+  * distinct-key-sized exchange for the exact `groupBy` spelling
+  * (measured for the analogous Misra–Gries path in ShuffleProbe).
+  *
+  * Hashing is seeded deterministically (MurmurHash3, per-row seeds),
+  * so estimates are reproducible across runs, partitionings, and merge
+  * orders — CountMinSpec pins merge-invariance and the bounds;
+  * q148 validates the bracket [exact, exact + ε·N] in-path on real
+  * data (the q110 runtime-certificate idiom).
+  */
+object CountMin {
+
+  /** depth×width counters flattened row-major; `n` = stream length. */
+  final case class Sketch(width: Int, depth: Int, n: Long, counts: Array[Long]) {
+
+    /** Point estimate: min over the key's counters. ≥ true count. */
+    def estimate(key: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = counts(r * width + bucket(key, r, width))
+        if (c < best) best = c
+        r += 1
+      }
+      if (best == Long.MaxValue) 0L else best
+    }
+
+    /** The one-sided error budget ε·N with ε = e/width. */
+    def errorBound: Double = math.E / width * n
+  }
+
+  /** Deterministic per-row bucket: seeded MurmurHash3 of the UTF-16
+    * string, floor-mod into the row. Seeds are fixed constants so a
+    * sketch built on one cluster answers queries on another. */
+  private[graft] def bucket(key: String, row: Int, width: Int): Int =
+    Math.floorMod(MurmurHash3.stringHash(key, 0x9747b28c + row * 0x5bd1e995), width)
+
+  /** Mergeable Count-Min [[Aggregator]] over strings. The buffer is a
+    * primitive long array (slot 0 = n, then the row-major table) kept
+    * in place between rows; kryo serializes it only at
+    * partial-aggregate boundaries — the only bytes that cross the
+    * wire, fixed-size by construction. */
+  final class CountMinAgg(width: Int, depth: Int)
+      extends Aggregator[String, Array[Long], Sketch] {
+    require(width >= 2 && depth >= 1, s"need width >= 2, depth >= 1; got $width x $depth")
+
+    def zero: Array[Long] = new Array[Long](1 + width * depth)
+
+    def reduce(b: Array[Long], a: String): Array[Long] = {
+      b(0) += 1L
+      var r = 0
+      while (r < depth) {
+        b(1 + r * width + bucket(a, r, width)) += 1L
+        r += 1
+      }
+      b
+    }
+
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+
+    def finish(b: Array[Long]): Sketch =
+      Sketch(width, depth, b(0), java.util.Arrays.copyOfRange(b, 1, b.length))
+
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Sketch] = Encoders.product[Sketch]
+  }
+
+  /** Build one [[Sketch]] over the non-NULL values of `itemCol` and
+    * collect it (bounded: ONE fixed-size row). */
+  def sketch(items: DataFrame, itemCol: String, width: Int, depth: Int): Sketch = {
+    val agg = udaf(new CountMinAgg(width, depth), Encoders.STRING)
+    items.where(col(itemCol).isNotNull)
+      .agg(agg(col(itemCol)).as("s"))
+      .select(col("s.width"), col("s.depth"), col("s.n"), col("s.counts"))
+      .as(Encoders.product[Sketch]).head()
+  }
+
+  /** Exact corpus-wide counts for a bounded probe-key set, VALIDATED
+    * in-path against a Count-Min sketch of the same stream — the q110
+    * runtime-certificate idiom, pointed at point queries instead of
+    * top-k. One pass builds the fixed-size sketch, one probe-filtered
+    * pass recounts exactly (the probe broadcasts; after map-side
+    * combine the count exchange is probe-sized); the method then
+    * asserts, per probe key, that the estimate brackets inside
+    * [exact, exact + ε·N] — throwing loudly on a hash catastrophe
+    * instead of letting a silently-degraded sketch into telemetry.
+    * Returns the EXACT counts (oracle-checkable); the sketch is the
+    * validated scale path for keys the exact pass never counted.
+    */
+  def probeCountsChecked(items: DataFrame, itemCol: String, probe: DataFrame,
+      width: Int, depth: Int): DataFrame = {
+    require(probe.columns.contains(itemCol),
+      s"probe must carry a '$itemCol' column, has ${probe.columns.mkString(",")}")
+    val sk = sketch(items, itemCol, width, depth)
+    val exact = items.where(col(itemCol).isNotNull)
+      .join(broadcast(probe.select(col(itemCol)).distinct()), Seq(itemCol))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+    val rows = Barrier.materialize(exact)
+    val bound = sk.errorBound
+    rows.collect().foreach { r =>
+      val key = r.getAs[String](itemCol)
+      val n = r.getAs[Long]("n")
+      val est = sk.estimate(key)
+      if (est < n || est > n + bound)
+        throw new IllegalStateException(
+          s"count-min estimate out of bracket for '$key': est=$est exact=$n " +
+            s"bound=+${bound.round} (width=$width depth=$depth N=${sk.n})")
+    }
+    rows.orderBy(col("n").desc, col(itemCol))
+  }
+}

@@ -662,4 +662,38 @@ object Dedup {
       .otherwise(transform(
         array_except(sequence(lit(0), size(toks) - lit(1)), dps),
         p => element_at(toks, p + lit(1))))
+
+  /** LSH banding-parameter plan: for each target Jaccard threshold,
+    * the (bands, rows-per-band) factorization of a length-`k` MinHash
+    * signature whose S-curve inflection s* = (1/b)^(1/r) sits closest
+    * to the target (ties → fewer bands, the cheaper index). Also
+    * reports the collision probability 1 − (1 − t^r)^b AT the target —
+    * how sharp the chosen curve is where it matters.
+    *
+    * This is the sizing step in front of [[minhashNearDups]]: at
+    * 100 TB the band count multiplies the banding exchange (b rows per
+    * document) and r controls the false-positive tail that the exact
+    * verify pass must re-check, so (b, r) is chosen analytically
+    * BEFORE touching data — the method is pure closed-form math over
+    * the ≤ d(k)·|targets| candidate grid (driver-side by design:
+    * there is no corpus input to distribute).
+    */
+  def lshParameterPlan(spark: org.apache.spark.sql.SparkSession, k: Int,
+      targets: Seq[Double]): DataFrame = {
+    require(k >= 1, s"signature length must be positive, got $k")
+    require(targets.forall(t => t > 0.0 && t < 1.0),
+      s"targets must lie in (0, 1), got $targets")
+    val round6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    val rows = targets.map { t =>
+      val (b, r, sStar) = pairs.map { case (b, r) =>
+        (b, r, math.pow(1.0 / b, 1.0 / r))
+      }.minBy { case (b, _, s) => (math.abs(s - t), b) }
+      val pAtTarget = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+      (t, b, r, round6(sStar), round6(pAtTarget))
+    }
+    import spark.implicits._
+    rows.toDF("target_t", "bands", "rows_per_band", "s_star", "p_at_target")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Bloom, Collocations, Components, Dedup, HeavyHitters, Ivf, Multimodal, Quantize, SemDedup, Similarity}
+import graft.operators.{Bloom, Collocations, Components, CountMin, Dedup, HeavyHitters, Ivf, Multimodal, Quantize, SemDedup, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -1589,6 +1589,91 @@ object Corpus {
         HeavyHitters.topKCertified(corpusTrigrams(spark, dir), "ngram",
           k = 50, m = 16384),
       Some(topNgramsOracle)),
+
+    // ----- Count-Min point-frequency estimates, validated in-path -----
+    // [[graft.operators.CountMin]]: the POINT-query sibling of q110's
+    // top-k sketch — "how often does THIS phrase occur" for ad-hoc
+    // keys over an unbounded key space, through a fixed-size (64 KiB)
+    // mergeable summary whose exchange never scales with distinct-key
+    // count. Probe set: the distinct trigrams of the lowest-id
+    // document (self-deriving, so the query survives testdata
+    // regeneration; derived via a broadcast 1-row min-doc join, no
+    // collect). The registered path recounts the probe EXACTLY (the
+    // oracle-checked output) and asserts every sketch estimate lands
+    // in [exact, exact + e/width·N] — the q110 runtime-certificate
+    // idiom: a hash catastrophe throws instead of silently degrading.
+    // CountMinSpec pins never-underestimate, merge-invariance across
+    // partitionings, and the adversarial small-width failure mode.
+    QueryDef(
+      "q148_cms_probe_counts",
+      (spark, dir) => {
+        val tri = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
+        val probe = tri
+          .join(broadcast(tri.agg(min(col("doc_id")).as("doc_id"))), "doc_id")
+          .select(col("ngram")).distinct()
+        CountMin.probeCountsChecked(tri.select(col("ngram")), "ngram",
+          probe, width = 2048, depth = 4)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), g AS (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS ngram
+          FROM t
+        ), probe AS (
+          SELECT DISTINCT ngram FROM g
+          WHERE doc_id = (SELECT min(doc_id) FROM g)
+        )
+        SELECT g.ngram, CAST(count(*) AS BIGINT) AS n
+        FROM g JOIN probe USING (ngram)
+        GROUP BY g.ngram""")),
+
+    // ----- LSH banding-parameter plan (dedup index sizing) -----
+    // [[graft.operators.Dedup.lshParameterPlan]]: the analytic sizing
+    // step in front of q33's MinHash near-dup index — for each target
+    // Jaccard threshold, the (bands, rows) split of a 128-hash
+    // signature whose S-curve inflection (1/b)^(1/r) lands closest to
+    // the target, plus the collision probability at the target. Pure
+    // closed-form math over the divisor grid (no corpus input), so
+    // the plan is a LocalTableScan; the oracle replays the same grid
+    // and argmin in SQL. At 100 TB this decides b (the banding
+    // exchange's per-doc row count) and r (the false-positive tail
+    // the exact-verify pass pays for) before any data moves.
+    QueryDef(
+      "q149_lsh_parameter_plan",
+      (spark, _) =>
+        Dedup.lshParameterPlan(spark, k = 128,
+          targets = Seq(0.5, 0.6, 0.7, 0.8, 0.9)),
+      Some("""
+        WITH d AS (
+          SELECT unnest(range(1, 129)) AS b
+        ), p AS (
+          SELECT CAST(b AS INT) AS b, CAST(128 // b AS INT) AS r
+          FROM d WHERE 128 % b = 0
+        ), tg(t) AS (
+          VALUES (0.5), (0.6), (0.7), (0.8), (0.9)
+        ), scored AS (
+          SELECT CAST(tg.t AS DOUBLE) AS t, p.b, p.r,
+                 pow(1.0 / p.b, 1.0 / p.r) AS s_star
+          FROM tg CROSS JOIN p
+        ), best AS (
+          SELECT t, b, r, s_star,
+                 row_number() OVER (PARTITION BY t
+                                    ORDER BY abs(s_star - t), b) AS rk
+          FROM scored
+        )
+        SELECT t AS target_t, b AS bands, r AS rows_per_band,
+               round(s_star, 6) AS s_star,
+               round(1.0 - pow(1.0 - pow(t, r), b), 6) AS p_at_target
+        FROM best WHERE rk = 1"""),
+      // bench = false: a 40-cell closed-form grid, nothing to measure
+      bench = false),
 
     // ----- Phrase / collocation mining -----
     // The word2vec phrase-vocabulary induction step

@@ -1869,6 +1869,42 @@ object Prep {
         CROSS JOIN total"""),
       // bench = false: the heavy part (term counts) is exactly the
       // aggregation surface q89/q110 already measure
-      bench = false)
+      bench = false),
+
+    // ----- Greedy NO-SPLIT packing into 256-token bins, 8 shards -----
+    // [[graft.operators.CorpusPrep.packGreedy]]: q54's sibling for the
+    // SFT regime — a document never straddles two sequences; the bin
+    // closes when the next document does not fit. The greedy fold has
+    // no prefix-sum form, so the oracle replays it with a recursive
+    // CTE walking each shard in document order (state = (bin, fill)).
+    QueryDef(
+      "q147_pack_greedy",
+      (spark, dir) =>
+        CorpusPrep.packGreedy(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", budget = 256,
+          shardCol = pmod(col("doc_id"), lit(8))),
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS INT) AS n_toks,
+                 CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                         ORDER BY doc_id) AS BIGINT) AS rn
+          FROM documents),
+        s AS (
+          SELECT doc_id, shard, n_toks, rn,
+                 CAST(0 AS BIGINT) AS bin_id,
+                 CAST(0 AS BIGINT) AS off,
+                 CAST(n_toks AS BIGINT) AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.shard, d.n_toks, d.rn,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.bin_id ELSE s.bin_id + 1 END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill ELSE CAST(0 AS BIGINT) END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill + d.n_toks ELSE CAST(d.n_toks AS BIGINT) END
+          FROM t d JOIN s ON d.shard = s.shard AND d.rn = s.rn + 1)
+        SELECT doc_id, shard, n_toks, bin_id, off AS offset FROM s"""))
   )
 }

@@ -191,4 +191,60 @@ class CorpusPrepSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got2 == Set((33, 1L, 0.333333), (34, 2L, 0.666667)), s"got $got2")
   }
+
+  test("packGreedy: no doc straddles a bin; fills replay the greedy fold") {
+    val budget = 64
+    val packed = CorpusPrep.packGreedy(docs, "doc_id", "text",
+      budget = budget, shardCol = pmod(col("doc_id"), lit(8)))
+      .orderBy("shard", "doc_id").collect()
+    assert(packed.nonEmpty)
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      var binId = 0L
+      var fill = 0L
+      rs.foreach { r =>
+        val n = r.getAs[Int]("n_toks")
+        if (fill > 0L && fill + n > budget) { binId += 1L; fill = 0L }
+        assert(r.getAs[Long]("bin_id") == binId, r.toString)
+        assert(r.getAs[Long]("offset") == fill, r.toString)
+        fill += n
+      }
+    }
+    // the no-split contract: every doc that FITS the budget ends
+    // inside its bin; only oversize docs may overflow, always alone
+    // at offset 0
+    packed.foreach { r =>
+      val n = r.getAs[Int]("n_toks")
+      if (n <= budget) assert(r.getAs[Long]("offset") + n <= budget)
+      else assert(r.getAs[Long]("offset") == 0L)
+    }
+  }
+
+  test("packGreedy: oversize doc gets its own bin; empty docs never open one") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c"),                      // 3 toks → bin 0
+      (2L, ("x " * 9).trim),              // 9 toks > budget 8 → bin 1, alone
+      (3L, "d e"),                        // bin 2 (bin 1 is overflowed)
+      (4L, ""),                           // "" splits to [""] → 1 token
+      (5L, "f g h i j")                   // 5 toks: 2+1+5=8 fits bin 2
+    ).toDF("doc_id", "text")
+    val got = CorpusPrep.packGreedy(docs, "doc_id", "text",
+        budget = 8, shardCol = lit(0))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("offset")))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L),
+      (4L, 2L, 2L), (5L, 2L, 3L)), got.mkString(","))
+  }
+
+  test("packGreedy: assignment is identical across partition layouts") {
+    val a = CorpusPrep.packGreedy(docs, "doc_id", "text",
+      budget = 96, shardCol = pmod(col("doc_id"), lit(8)))
+      .collect().map(_.toString).sorted.toSeq
+    val b = CorpusPrep.packGreedy(docs.repartition(3), "doc_id", "text",
+      budget = 96, shardCol = pmod(col("doc_id"), lit(8)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }

@@ -396,6 +396,27 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((2L, 1L, 1.0)), s"got $got")
   }
 
+  test("lshParameterPlan: hand-checked argmin, b*r == k, sane probabilities") {
+    val got = Dedup.lshParameterPlan(spark, k = 4, targets = Seq(0.3, 0.7, 0.95))
+      .collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // s* per split of k=4: (b=1,r=4)→1.0, (b=2,r=2)→0.707107, (b=4,r=1)→0.25
+    assert(got.toSeq == Seq(
+      (0.3, 4, 1, 0.25),         // |0.25-0.3| = 0.05 beats |0.707-0.3|
+      (0.7, 2, 2, 0.707107),
+      (0.95, 1, 4, 1.0)), got.mkString(","))
+    val full = Dedup.lshParameterPlan(spark, k = 128,
+      targets = Seq(0.5, 0.6, 0.7, 0.8, 0.9)).collect()
+    full.foreach { r =>
+      assert(r.getInt(1) * r.getInt(2) == 128)
+      val p = r.getAs[Double]("p_at_target")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // sharper target ⇒ the chosen inflection is non-decreasing
+    val ss = full.sortBy(_.getDouble(0)).map(_.getAs[Double]("s_star"))
+    assert(ss.zip(ss.tail).forall { case (a, b) => a <= b })
+  }
+
   test("approx_count_distinct within 5% of exact (q15 contract)") {
     val rows = SparkEntry.queries("q15_agg_approx")(spark, sfDir).collect()
     rows.foreach { r =>

@@ -295,6 +295,51 @@ class StreamsSpec extends SparkSpec {
       "streaming-maintained signature index must equal the batch rebuild")
   }
 
+  test("foreachBatch maintains the postings index incrementally (append-only)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Postings
+    val in = Files.createTempDirectory("graft_pi_in_").toString
+    val ckpt = Files.createTempDirectory("graft_pi_ckpt_").toString
+    val idx = Files.createTempDirectory("graft_pi_idx_").toString + "/postings"
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    // postings are (term, doc_id, pos) facts — a batch contributes its
+    // own rows and NEVER touches earlier ones, so the incremental form
+    // is a pure append: no read-modify-write, safe under retries as
+    // long as batch output is idempotent (foreachBatch + parquet
+    // append keyed by checkpoint). This is the simplest of the
+    // incremental index contracts — pinned here so the family
+    // (minhash signatures, DSIR counts, first-seen novelty, postings)
+    // all state their merge story explicitly.
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
+      (batch, _) =>
+        Postings.build(batch, "doc_id", "text")
+          .write.mode("append").parquet(idx)
+    }
+
+    val batch1 = Seq(1L -> "to be or not to be", 2L -> "be not afraid")
+    val batch2 = Seq(3L -> "not to be trusted", 4L -> "to be or to be")
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+
+    val streamed = spark.read.parquet(idx)
+    val rebuilt = Postings.build(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+    assert(streamed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(streamed).isEmpty,
+      "streaming-appended postings must equal the batch rebuild")
+    // and the search surface agrees: phrase hits against the streamed
+    // index == hits against the rebuild
+    val a = Postings.phraseOccurrences(streamed, Seq("to", "be"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = Postings.phraseOccurrences(rebuilt, Seq("to", "be"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("foreachBatch maintains the DSIR count model incrementally") {
     val s = spark
     import s.implicits._
