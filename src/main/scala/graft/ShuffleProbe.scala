@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
-import graft.operators.HeavyHitters
+import graft.operators.{CountMin, HeavyHitters}
 
 /** Scale probe for the heavy-hitter top-k path (PLANS.md q110): builds
   * deterministic key streams whose DISTINCT space grows with n and
@@ -72,9 +72,27 @@ object ShuffleProbe {
       val sketchVols = exchangeVolumes(sketch)
       val cert = HeavyHitters.certificate(items, sketch, k, m).collect()(0)
 
+      // Count-Min point-query path (q148): the global sketch aggregate
+      // ships one fixed-size (depth×width longs, kryo) buffer per
+      // partition — records = #partitions, bytes ≈ partitions × 64 KiB,
+      // CONSTANT in both n and distinct-key count, vs the exact
+      // spelling's distinct-key-sized exchange above
+      val (cmW, cmD) = (2048, 4)
+      val cmAgg = org.apache.spark.sql.functions.udaf(
+        new CountMin.CountMinAgg(cmW, cmD),
+        org.apache.spark.sql.Encoders.STRING)
+      val cmDf = items.agg(cmAgg(col("key")).as("s"))
+        .select(col("s.width"), col("s.depth"), col("s.n"), col("s.counts"))
+      val cmVols = exchangeVolumes(cmDf)
+      val sk = CountMin.sketch(items, "key", cmW, cmD)
+      val heavy0 = items.where(col("key") === "heavy_0").count()
+      val est = sk.estimate("heavy_0")
+      val bracketed = est >= heavy0 && est <= heavy0 + sk.errorBound
+
       println(s"SHUFFLEPROBE n=$n distinct~${n - n / 97 + 100} " +
         s"exact=[${fmtVolumes(exactVols)}] sketch=[${fmtVolumes(sketchVols)}] " +
-        s"proven=${cert.getAs[Boolean]("proven")}")
+        s"proven=${cert.getAs[Boolean]("proven")} " +
+        s"cm=[${fmtVolumes(cmVols)}] cm_bracket(heavy_0: est=$est exact=$heavy0)=$bracketed")
     }
     spark.stop()
   }

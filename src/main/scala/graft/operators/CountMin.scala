@@ -103,6 +103,21 @@ object CountMin {
     def outputEncoder: Encoder[Sketch] = Encoders.product[Sketch]
   }
 
+  /** Entry-wise sum of two same-shape sketches — the linearity that
+    * makes Count-Min an incremental model with the same merge story
+    * as the DSIR count table and the bigram-LM counts: per-batch
+    * sketches add into a store and the result is EXACTLY the
+    * whole-corpus sketch, no approximation drift to monitor
+    * (StreamsSpec pins the foreachBatch form). */
+  def merge(a: Sketch, b: Sketch): Sketch = {
+    require(a.width == b.width && a.depth == b.depth,
+      s"sketch shapes differ: ${a.depth}x${a.width} vs ${b.depth}x${b.width}")
+    val out = new Array[Long](a.counts.length)
+    var i = 0
+    while (i < out.length) { out(i) = a.counts(i) + b.counts(i); i += 1 }
+    Sketch(a.width, a.depth, a.n + b.n, out)
+  }
+
   /** Build one [[Sketch]] over the non-NULL values of `itemCol` and
     * collect it (bounded: ONE fixed-size row). */
   def sketch(items: DataFrame, itemCol: String, width: Int, depth: Int): Sketch = {

@@ -340,6 +340,47 @@ class StreamsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("foreachBatch maintains a Count-Min sketch incrementally") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.CountMin
+    val in = Files.createTempDirectory("graft_cm_in_").toString
+    val ckpt = Files.createTempDirectory("graft_cm_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_cm_idx_").toString
+    val (width, depth) = (64, 3)
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "k").coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def skAt(v: Int) = s"$idxRoot/v$v"
+    // v0: the zero sketch (counters are linear, so zero is the unit)
+    Seq(CountMin.Sketch(width, depth, 0L, new Array[Long](width * depth)))
+      .toDS().write.parquet(skAt(0))
+
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, k STRING"), ckpt) {
+      (batch, _) =>
+        val stored = spark.read.parquet(skAt(version))
+          .as[CountMin.Sketch].head()
+        val merged = CountMin.merge(stored,
+          CountMin.sketch(batch, "k", width, depth))
+        Seq(merged).toDS().write.parquet(skAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = (1L to 30L).map(i => i -> (if (i % 3 == 0) "x" else s"t$i"))
+    val batch2 = (31L to 60L).map(i => i -> (if (i % 2 == 0) "x" else "y"))
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+    val streamed = spark.read.parquet(skAt(version)).as[CountMin.Sketch].head()
+    val whole = CountMin.sketch(
+      (batch1 ++ batch2).toDF("doc_id", "k"), "k", width, depth)
+    // entry-wise equality, not just equal estimates: the streamed
+    // counters ARE the whole-corpus counters
+    assert(streamed.counts.toSeq == whole.counts.toSeq && streamed.n == whole.n)
+    assert(streamed.estimate("x") == 25L)
+  }
+
   test("foreachBatch maintains the DSIR count model incrementally") {
     val s = spark
     import s.implicits._
