@@ -63,6 +63,25 @@ class PlanInvariantsSpec extends SparkSpec {
       s"zero-shuffle queries grew an Exchange: ${offenders.mkString(", ")}")
   }
 
+  test("q147 packs through ONE fixed-width exchange; text never crosses") {
+    // packGreedy's 100 TB story: the greedy fold runs on (id, shard,
+    // n_toks) rows — the corpus text is projected away BEFORE the
+    // shard exchange, so the shuffle is ~20 bytes/doc no matter how
+    // wide the documents are. A refactor that repartitions before the
+    // projection would silently ship the full text; only the plan can
+    // guard that.
+    // sparkPlan, not executedPlan: AQE's wrapper node hides the
+    // exchange from collect() until the query has actually run
+    val plan = SparkEntry.all.find(_.name == "q147_pack_greedy").get
+      .fn(spark, sfDir).queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size == 1, s"expected ONE shuffle, got ${exchanges.size}")
+    assert(!exchanges.head.child.output.exists(_.name == "text"),
+      s"text column crossed the pack exchange: ${exchanges.head.child.output}")
+  }
+
   test("q92 keeps the bloom pre-test in front of the index anti-join") {
     // the 100 TB story is bloom-negative == zero index contact; a
     // refactor that drops the might_contain routing would still return
