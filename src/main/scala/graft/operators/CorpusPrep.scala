@@ -109,18 +109,30 @@ object CorpusPrep {
     * shuffle per document.
     */
   def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shardCol: Column): DataFrame =
+    packGreedyByLen(
+      docs.select(col(idCol),
+        // NULL-text docs carry zero tokens (mirror the oracle's
+        // coalesce(len(...), 0)) rather than poisoning the fold
+        coalesce(size(toks(col(textCol))), lit(0)).cast("long").as("n_toks")),
+      idCol, "n_toks", budget, shardCol)
+
+  /** [[packGreedy]] over a PRE-COMPUTED per-document length column —
+    * the production entry point when the budget is priced in trained-
+    * tokenizer tokens (q150 packs on q108's BPE `n_tokens`), not
+    * whitespace words. Same plan: project to (id, shard, len), one
+    * fixed-width shard exchange, per-partition greedy fold. */
+  def packGreedyByLen(docs: DataFrame, idCol: String, lenCol: String,
       budget: Int, shardCol: Column): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long"),
         shardCol.cast("long").as("shard"),
-        // NULL-text docs carry zero tokens (mirror the oracle's
-        // coalesce(len(...), 0)) rather than poisoning the fold
-        coalesce(size(toks(col(textCol))), lit(0)).as("n_toks"))
+        col(lenCol).cast("long"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
-      .as[(Long, Long, Int)]
+      .as[(Long, Long, Long)]
     base.mapPartitions { rows =>
       var shard = Long.MinValue
       var binId = 0L
@@ -136,7 +148,7 @@ object CorpusPrep {
         fill += n
         (id, sh, n, binId, off)
       }
-    }.toDF(idCol, "shard", "n_toks", "bin_id", "offset")
+    }.toDF(idCol, "shard", lenCol, "bin_id", "offset")
   }
 
   /** Top-`k` TF-IDF terms per document. tf = term count / document

@@ -1886,7 +1886,7 @@ object Prep {
       Some("""
         WITH RECURSIVE t AS (
           SELECT doc_id, doc_id % 8 AS shard,
-                 CAST(coalesce(len(string_split(text, ' ')), 0) AS INT) AS n_toks,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks,
                  CAST(row_number() OVER (PARTITION BY doc_id % 8
                                          ORDER BY doc_id) AS BIGINT) AS rn
           FROM documents),
@@ -1894,7 +1894,7 @@ object Prep {
           SELECT doc_id, shard, n_toks, rn,
                  CAST(0 AS BIGINT) AS bin_id,
                  CAST(0 AS BIGINT) AS off,
-                 CAST(n_toks AS BIGINT) AS fill
+                 n_toks AS fill
           FROM t WHERE rn = 1
           UNION ALL
           SELECT d.doc_id, d.shard, d.n_toks, d.rn,
@@ -1903,8 +1903,58 @@ object Prep {
                  CASE WHEN s.fill + d.n_toks <= 256
                       THEN s.fill ELSE CAST(0 AS BIGINT) END,
                  CASE WHEN s.fill + d.n_toks <= 256
-                      THEN s.fill + d.n_toks ELSE CAST(d.n_toks AS BIGINT) END
+                      THEN s.fill + d.n_toks ELSE d.n_toks END
           FROM t d JOIN s ON d.shard = s.shard AND d.rn = s.rn + 1)
-        SELECT doc_id, shard, n_toks, bin_id, off AS offset FROM s"""))
+        SELECT doc_id, shard, n_toks, bin_id, off AS offset FROM s""")),
+
+    // ----- Greedy packing priced in TRAINED-BPE tokens -----
+    // The production composition: sequence budgets are spent in
+    // tokenizer tokens, not whitespace words — so the packer runs on
+    // q108's per-doc BPE token counts (one broadcast vocab join from
+    // the shared trained vocabulary) instead of re-deriving lengths
+    // from text. Same audited pack shape (ONE fixed-width shard
+    // exchange); the oracle chains q107's self-deriving vocab CTEs
+    // into the q147 recursive greedy replay, so the hash proves the
+    // tokenizer, the counting join, and the fold together.
+    QueryDef(
+      "q150_pack_bpe_budget",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val counts = Bpe.tokenCounts(d, "doc_id", "text",
+          bpeTrained(spark, dir)._2)
+        CorpusPrep.packGreedyByLen(
+          counts.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = 512,
+          shardCol = pmod(col("doc_id"), lit(8)))
+      },
+      Some(bpeSegSql(5).replaceFirst("WITH", "WITH RECURSIVE") + """,
+        vocab AS (
+          SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub
+          FROM seg5),
+        dw AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
+        tc AS (
+          SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tokens
+          FROM dw JOIN vocab USING (w) GROUP BY doc_id),
+        o AS (
+          SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+                 CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                         ORDER BY doc_id) AS BIGINT) AS rn
+          FROM tc),
+        st AS (
+          SELECT doc_id, shard, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS bin_id,
+                 CAST(0 AS BIGINT) AS off,
+                 n_tokens AS fill
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.shard, d.n_tokens, d.rn,
+                 CASE WHEN s.fill + d.n_tokens <= 512
+                      THEN s.bin_id ELSE s.bin_id + 1 END,
+                 CASE WHEN s.fill + d.n_tokens <= 512
+                      THEN s.fill ELSE CAST(0 AS BIGINT) END,
+                 CASE WHEN s.fill + d.n_tokens <= 512
+                      THEN s.fill + d.n_tokens ELSE d.n_tokens END
+          FROM o d JOIN st s ON d.shard = s.shard AND d.rn = s.rn + 1)
+        SELECT doc_id, shard, n_tokens, bin_id, off AS offset FROM st"""))
   )
 }

@@ -202,7 +202,7 @@ class CorpusPrepSpec extends SparkSpec {
       var binId = 0L
       var fill = 0L
       rs.foreach { r =>
-        val n = r.getAs[Int]("n_toks")
+        val n = r.getAs[Long]("n_toks")
         if (fill > 0L && fill + n > budget) { binId += 1L; fill = 0L }
         assert(r.getAs[Long]("bin_id") == binId, r.toString)
         assert(r.getAs[Long]("offset") == fill, r.toString)
@@ -213,7 +213,7 @@ class CorpusPrepSpec extends SparkSpec {
     // inside its bin; only oversize docs may overflow, always alone
     // at offset 0
     packed.foreach { r =>
-      val n = r.getAs[Int]("n_toks")
+      val n = r.getAs[Long]("n_toks")
       if (n <= budget) assert(r.getAs[Long]("offset") + n <= budget)
       else assert(r.getAs[Long]("offset") == 0L)
     }
