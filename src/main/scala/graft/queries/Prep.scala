@@ -1955,6 +1955,86 @@ object Prep {
                  CASE WHEN s.fill + d.n_tokens <= 512
                       THEN s.fill + d.n_tokens ELSE d.n_tokens END
           FROM o d JOIN st s ON d.shard = s.shard AND d.rn = s.rn + 1)
-        SELECT doc_id, shard, n_tokens, bin_id, off AS offset FROM st"""))
+        SELECT doc_id, shard, n_tokens, bin_id, off AS offset FROM st""")),
+
+    // ----- Packing efficiency: the padding-vs-straddling tradeoff -----
+    // One row per packer at the same (budget, shards): q54's
+    // split-at-boundary form wastes only each shard's tail (but every
+    // budget-th document straddles a sequence break), q147's no-split
+    // form never splits a document but pays per-bin padding. This
+    // query prices that tradeoff on the actual corpus — the number a
+    // pipeline owner reads before choosing a packer. All columns are
+    // integer arithmetic except the rounded waste fraction; the
+    // oracle replays both packers (window cumsum; recursive greedy)
+    // and aggregates identically.
+    QueryDef(
+      "q151_packing_efficiency",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val budget = 256
+        val g = CorpusPrep.packGreedy(docs, "doc_id", "text",
+          budget, pmod(col("doc_id"), lit(8)))
+        val greedy = g.groupBy(col("shard"), col("bin_id"))
+          .agg(sum(col("n_toks")).as("fill"))
+          .agg(count(lit(1)).as("bins"), sum(col("fill")).as("tokens"),
+            sum(greatest(lit(0L), lit(budget.toLong) - col("fill"))).as("waste"))
+          .select(lit("greedy_nosplit").as("packer"), col("bins"),
+            col("tokens"), col("waste"))
+        val seq = CorpusPrep.packSequential(docs, "doc_id", "text",
+            budget, pmod(col("doc_id"), lit(8)))
+          .groupBy(col("shard")).agg(sum(col("n_toks")).as("tokens"))
+          .agg(sum(ceil(col("tokens").cast("double") / budget).cast("long"))
+              .as("bins"),
+            sum(col("tokens")).as("tokens"))
+          .select(lit("split_sequential").as("packer"), col("bins"),
+            col("tokens"),
+            (col("bins") * budget - col("tokens")).as("waste"))
+        greedy.unionByName(seq)
+          .select(col("packer"), col("bins"), col("tokens"), col("waste"),
+            round(col("waste").cast("double") /
+              (col("bins") * budget).cast("double"), 6).as("waste_frac"))
+      },
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks,
+                 CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                         ORDER BY doc_id) AS BIGINT) AS rn
+          FROM documents),
+        s AS (
+          SELECT shard, n_toks, rn, CAST(0 AS BIGINT) AS bin_id, n_toks AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT d.shard, d.n_toks, d.rn,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.bin_id ELSE s.bin_id + 1 END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill + d.n_toks ELSE d.n_toks END
+          FROM t d JOIN s ON d.shard = s.shard AND d.rn = s.rn + 1),
+        gb AS (
+          SELECT shard, bin_id, max(fill) AS fill
+          FROM s GROUP BY shard, bin_id),
+        greedy AS (
+          SELECT 'greedy_nosplit' AS packer,
+                 CAST(count(*) AS BIGINT) AS bins,
+                 CAST(sum(fill) AS BIGINT) AS tokens,
+                 CAST(sum(greatest(0, 256 - fill)) AS BIGINT) AS waste
+          FROM gb),
+        sq AS (
+          SELECT shard, CAST(sum(n_toks) AS BIGINT) AS tokens
+          FROM t GROUP BY shard),
+        seqp AS (
+          SELECT 'split_sequential' AS packer,
+                 CAST(sum(CAST(ceil(tokens::DOUBLE / 256) AS BIGINT)) AS BIGINT) AS bins,
+                 CAST(sum(tokens) AS BIGINT) AS tokens
+          FROM sq),
+        seq2 AS (
+          SELECT packer, bins, tokens, bins * 256 - tokens AS waste
+          FROM seqp),
+        unioned AS (
+          SELECT * FROM greedy UNION ALL SELECT * FROM seq2)
+        SELECT packer, bins, tokens, waste,
+               round(waste::DOUBLE / (bins * 256)::DOUBLE, 6) AS waste_frac
+        FROM unioned"""))
   )
 }
