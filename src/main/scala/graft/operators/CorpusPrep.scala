@@ -151,6 +151,69 @@ object CorpusPrep {
     }.toDF(idCol, "shard", lenCol, "bin_id", "offset")
   }
 
+  /** T5-style span corruption (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…" §3.1.4): mask contiguous token
+    * spans and emit the (input, target) pair of the denoising
+    * objective — input = text with each span replaced by its sentinel
+    * token, target = the sentinels followed by the tokens they hide.
+    *
+    * Span placement is a DETERMINISTIC GRID, not an RNG walk: positions
+    * partition into `block`-token blocks; each COMPLETE block masks
+    * exactly one `spanLen`-token span whose offset is a seeded md5
+    * hash of (doc, block) — ≈ spanLen/block corruption rate (T5's 15%
+    * at 3/20). The grid keeps every decision block-local, so the
+    * operator is one zero-shuffle generator + one per-doc reassembly
+    * (no sequential scan, no driver state), reruns are bit-identical
+    * across partitionings and engines (the md5-prefix idiom
+    * [[weightedSample]] pinned cross-engine), and the incomplete tail
+    * block is left unmasked rather than masking a short span (a
+    * truncated span would change the corruption rate near doc ends).
+    * Sentinels are grid-indexed (`<extra_id_<block>>`), so they are
+    * unique and ordered within a document.
+    *
+    * Scale: posexplode → per-position expressions (all codegen'd,
+    * hash included) → ONE doc-keyed exchange for the ordered
+    * reassembly (the dedupLines collect idiom, bounded by each doc's
+    * own token count) — bucketing the corpus by `idCol` removes even
+    * that. Output: (idCol, input_text, target_text, n_masked).
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      block: Int, spanLen: Int, seed: String): DataFrame = {
+    require(spanLen >= 1 && block >= spanLen,
+      s"need 1 <= spanLen <= block, got spanLen=$spanLen block=$block")
+    val nStarts = block - spanLen + 1
+    val e = docs
+      .select(col(idCol), F.size(toks(col(textCol))).as("n"),
+        posexplode(toks(col(textCol))).as(Seq("p0", "tok")))
+      .select(col(idCol), col("n"), col("tok"),
+        (col("p0") + 1).as("pos"),
+        expr(s"p0 div $block").as("blk"))
+      .withColumn("off",
+        pmod(conv(substring(md5(concat(lit(seed), col(idCol).cast("string"),
+          lit(":"), col("blk").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(nStarts.toLong)))
+      .withColumn("s_pos", col("blk") * block + 1 + col("off"))
+      .withColumn("complete", (col("blk") + 1) * block <= col("n"))
+    val sentinel = concat(lit("<extra_id_"), col("blk").cast("string"), lit(">"))
+    val isStart = col("complete") && col("pos") === col("s_pos")
+    val inSpan = col("complete") &&
+      col("pos") >= col("s_pos") && col("pos") < col("s_pos") + spanLen
+    val pieces = e.select(col(idCol), col("pos"),
+      when(isStart, sentinel).when(inSpan, lit(null)).otherwise(col("tok"))
+        .as("in_piece"),
+      when(isStart, concat(sentinel, lit(" "), col("tok")))
+        .when(inSpan, col("tok")).otherwise(lit(null)).as("tgt_piece"),
+      when(inSpan, lit(1)).otherwise(lit(0)).as("msk"))
+    def joined(piece: Column): Column = array_join(transform(
+      array_sort(collect_list(when(piece.isNotNull,
+        struct(col("pos"), piece.as("piece"))))),
+      s => s.getField("piece")), " ")
+    pieces.groupBy(col(idCol)).agg(
+      joined(col("in_piece")).as("input_text"),
+      joined(col("tgt_piece")).as("target_text"),
+      sum(col("msk")).as("n_masked"))
+  }
+
   /** Top-`k` TF-IDF terms per document. tf = term count / document
     * length; idf = ln(N / df) (no smoothing — df ≥ 1 by construction).
     * Ties break toward the lexicographically smaller term.

@@ -2035,6 +2035,58 @@ object Prep {
           SELECT * FROM greedy UNION ALL SELECT * FROM seq2)
         SELECT packer, bins, tokens, waste,
                round(waste::DOUBLE / (bins * 256)::DOUBLE, 6) AS waste_frac
-        FROM unioned"""))
+        FROM unioned""")),
+
+    // ----- T5 span corruption: the denoising-objective pair -----
+    // [[graft.operators.CorpusPrep.spanCorrupt]]: mask one seeded
+    // 2-token span per complete 16-token block (12.5% corruption) and
+    // emit (input_text with sentinels, target_text with the hidden
+    // spans, n_masked). Deterministic grid placement via the md5-
+    // prefix hash the A-ES sampler already pinned cross-engine, so
+    // the oracle replays placement, masking, and both reassemblies
+    // bit-for-bit.
+    QueryDef(
+      "q152_span_corrupt",
+      (spark, dir) =>
+        CorpusPrep.spanCorrupt(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", block = 16, spanLen = 2, seed = "sc1:"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        e AS (
+          SELECT doc_id, len(w) AS n, i AS pos, w[i] AS tok,
+                 CAST((i - 1) // 16 AS BIGINT) AS blk
+          FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+        sp AS (
+          SELECT doc_id, blk,
+                 ('0x' || substr(md5('sc1:' || CAST(doc_id AS VARCHAR) ||
+                     ':' || CAST(blk AS VARCHAR)), 1, 13))::BIGINT
+                   % 15 AS off
+          FROM (SELECT DISTINCT doc_id, blk FROM e)),
+        m AS (
+          SELECT e.doc_id, e.pos, e.tok, e.blk,
+                 e.blk * 16 + 1 + sp.off AS s_pos,
+                 (e.blk + 1) * 16 <= e.n AS complete
+          FROM e JOIN sp USING (doc_id, blk)),
+        p AS (
+          SELECT doc_id, pos,
+                 CASE WHEN complete AND pos = s_pos
+                      THEN '<extra_id_' || CAST(blk AS VARCHAR) || '>'
+                      WHEN complete AND pos >= s_pos AND pos < s_pos + 2
+                      THEN NULL
+                      ELSE tok END AS in_piece,
+                 CASE WHEN complete AND pos = s_pos
+                      THEN '<extra_id_' || CAST(blk AS VARCHAR) || '> ' || tok
+                      WHEN complete AND pos > s_pos AND pos < s_pos + 2
+                      THEN tok
+                      ELSE NULL END AS tgt_piece,
+                 CASE WHEN complete AND pos >= s_pos AND pos < s_pos + 2
+                      THEN 1 ELSE 0 END AS msk
+          FROM m)
+        SELECT doc_id,
+               coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+               coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
+               CAST(sum(msk) AS BIGINT) AS n_masked
+        FROM p GROUP BY doc_id"""))
   )
 }

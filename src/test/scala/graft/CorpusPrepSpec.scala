@@ -238,6 +238,34 @@ class CorpusPrepSpec extends SparkSpec {
       (4L, 2L, 2L), (5L, 2L, 3L)), got.mkString(","))
   }
 
+  test("spanCorrupt: splicing targets back over sentinels restores the doc") {
+    val out = CorpusPrep.spanCorrupt(docs, "doc_id", "text",
+      block = 16, spanLen = 2, seed = "sc1:").collect()
+    val originals = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length == originals.size)
+    out.foreach { r =>
+      val (id, in, tgt, nMasked) = (r.getAs[Long]("doc_id"),
+        r.getAs[String]("input_text"), r.getAs[String]("target_text"),
+        r.getAs[Long]("n_masked"))
+      // corruption rate: exactly spanLen tokens per complete block
+      val n = originals(id).split(" ", -1).length
+      assert(nMasked == 2L * (n / 16), s"doc $id: $nMasked masked for $n toks")
+      // target spans keyed by sentinel id
+      val parts = if (tgt.isEmpty) Array.empty[String]
+        else tgt.split("<extra_id_").filter(_.nonEmpty)
+      val byId = parts.map { p =>
+        val idx = p.substring(0, p.indexOf('>'))
+        val toks = p.substring(p.indexOf('>') + 1).trim.split(" ")
+        s"<extra_id_$idx>" -> toks
+      }.toMap
+      val rebuilt = in.split(" ", -1).flatMap { t =>
+        if (t.startsWith("<extra_id_")) byId(t) else Array(t)
+      }.mkString(" ")
+      assert(rebuilt == originals(id), s"doc $id failed round-trip")
+    }
+  }
+
   test("packGreedy: assignment is identical across partition layouts") {
     val a = CorpusPrep.packGreedy(docs, "doc_id", "text",
       budget = 96, shardCol = pmod(col("doc_id"), lit(8)))
