@@ -122,16 +122,26 @@ object CorpusPrep {
     * tokenizer tokens (q150 packs on q108's BPE `n_tokens`), not
     * whitespace words. Same plan: project to (id, shard, len), one
     * fixed-width shard exchange, per-partition greedy fold. */
+  /** `sortByLenDesc`: walk each shard longest-document-first instead
+    * of id order — the first-fit-DECREASING heuristic. Batching
+    * similar lengths shrinks per-bin padding substantially (q151
+    * prices all three packers on the corpus) at the cost of giving up
+    * document order within the shard; use when the downstream shuffle
+    * (q95) randomizes order anyway. */
   def packGreedyByLen(docs: DataFrame, idCol: String, lenCol: String,
-      budget: Int, shardCol: Column): DataFrame = {
+      budget: Int, shardCol: Column,
+      sortByLenDesc: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
+    val order = if (sortByLenDesc)
+      Seq(col("shard"), col(lenCol).desc, col(idCol))
+    else Seq(col("shard"), col(idCol))
     val base = docs.select(col(idCol).cast("long"),
         shardCol.cast("long").as("shard"),
         col(lenCol).cast("long"))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col(idCol))
+      .sortWithinPartitions(order: _*)
       .as[(Long, Long, Long)]
     base.mapPartitions { rows =>
       var shard = Long.MinValue
@@ -212,6 +222,50 @@ object CorpusPrep {
       joined(col("in_piece")).as("input_text"),
       joined(col("tgt_piece")).as("target_text"),
       sum(col("msk")).as("n_masked"))
+  }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * split each document's token stream at two seeded cut points into
+    * (prefix, middle, suffix) and emit the PSM reordering
+    * `<PRE> prefix <SUF> suffix <MID> middle` — the document-level
+    * transform that teaches a causal LM infilling "for free".
+    *
+    * Cut points are the [[weightedSample]] md5-prefix hash of
+    * (seed, doc, "a"/"b") mod (n+1), lo/hi-ordered — deterministic,
+    * partition-independent, oracle-replayable; empty segments are
+    * legal (a cut at 0 or n) exactly as in the paper's uniform split.
+    *
+    * Scale: a pure zero-shuffle projection — two hashes and three
+    * array slices per row inside the scan stage, no explode, no
+    * aggregation. Output: (idCol, fim_text, n_prefix, n_middle,
+    * n_suffix).
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      seed: String): DataFrame = {
+    val t = toks(col(textCol))
+    def h(tag: String): Column =
+      conv(substring(md5(concat(lit(seed), col(idCol).cast("string"),
+        lit(tag))), 1, 13), 16, 10).cast("long")
+    docs
+      .select(col(idCol), t.as("t"), F.size(t).cast("long").as("n"),
+        pmod(h(":a"), F.size(t).cast("long") + 1).as("c1"),
+        pmod(h(":b"), F.size(t).cast("long") + 1).as("c2"))
+      .select(col(idCol), col("t"), col("n"),
+        least(col("c1"), col("c2")).as("lo"),
+        greatest(col("c1"), col("c2")).as("hi"))
+      .select(col(idCol),
+        concat(lit("<PRE> "),
+          array_join(slice(col("t"), lit(1), col("lo").cast("int")), " "),
+          lit(" <SUF> "),
+          array_join(slice(col("t"), col("hi").cast("int") + 1,
+            (col("n") - col("hi")).cast("int")), " "),
+          lit(" <MID> "),
+          array_join(slice(col("t"), col("lo").cast("int") + 1,
+            (col("hi") - col("lo")).cast("int")), " ")).as("fim_text"),
+        col("lo").as("n_prefix"),
+        (col("hi") - col("lo")).as("n_middle"),
+        (col("n") - col("hi")).as("n_suffix"))
   }
 
   /** Top-`k` TF-IDF terms per document. tf = term count / document

@@ -1989,7 +1989,19 @@ object Prep {
           .select(lit("split_sequential").as("packer"), col("bins"),
             col("tokens"),
             (col("bins") * budget - col("tokens")).as("waste"))
-        greedy.unionByName(seq)
+        val srt = CorpusPrep.packGreedyByLen(
+            docs.select(col("doc_id"),
+              coalesce(size(split(col("text"), " ")), lit(0))
+                .cast("long").as("n_toks")),
+            "doc_id", "n_toks", budget, pmod(col("doc_id"), lit(8)),
+            sortByLenDesc = true)
+          .groupBy(col("shard"), col("bin_id"))
+          .agg(sum(col("n_toks")).as("fill"))
+          .agg(count(lit(1)).as("bins"), sum(col("fill")).as("tokens"),
+            sum(greatest(lit(0L), lit(budget.toLong) - col("fill"))).as("waste"))
+          .select(lit("sorted_nosplit").as("packer"), col("bins"),
+            col("tokens"), col("waste"))
+        greedy.unionByName(seq).unionByName(srt)
           .select(col("packer"), col("bins"), col("tokens"), col("waste"),
             round(col("waste").cast("double") /
               (col("bins") * budget).cast("double"), 6).as("waste_frac"))
@@ -2031,8 +2043,35 @@ object Prep {
         seq2 AS (
           SELECT packer, bins, tokens, bins * 256 - tokens AS waste
           FROM seqp),
+        t2 AS (
+          SELECT shard, n_toks,
+                 CAST(row_number() OVER (PARTITION BY shard
+                                         ORDER BY n_toks DESC, doc_id)
+                      AS BIGINT) AS rn
+          FROM t),
+        s2 AS (
+          SELECT shard, n_toks, rn, CAST(0 AS BIGINT) AS bin_id,
+                 n_toks AS fill
+          FROM t2 WHERE rn = 1
+          UNION ALL
+          SELECT d.shard, d.n_toks, d.rn,
+                 CASE WHEN s2.fill + d.n_toks <= 256
+                      THEN s2.bin_id ELSE s2.bin_id + 1 END,
+                 CASE WHEN s2.fill + d.n_toks <= 256
+                      THEN s2.fill + d.n_toks ELSE d.n_toks END
+          FROM t2 d JOIN s2 ON d.shard = s2.shard AND d.rn = s2.rn + 1),
+        gb2 AS (
+          SELECT shard, bin_id, max(fill) AS fill
+          FROM s2 GROUP BY shard, bin_id),
+        srt AS (
+          SELECT 'sorted_nosplit' AS packer,
+                 CAST(count(*) AS BIGINT) AS bins,
+                 CAST(sum(fill) AS BIGINT) AS tokens,
+                 CAST(sum(greatest(0, 256 - fill)) AS BIGINT) AS waste
+          FROM gb2),
         unioned AS (
-          SELECT * FROM greedy UNION ALL SELECT * FROM seq2)
+          SELECT * FROM greedy UNION ALL SELECT * FROM seq2
+          UNION ALL SELECT * FROM srt)
         SELECT packer, bins, tokens, waste,
                round(waste::DOUBLE / (bins * 256)::DOUBLE, 6) AS waste_frac
         FROM unioned""")),
@@ -2087,6 +2126,47 @@ object Prep {
                coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
                coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
                CAST(sum(msk) AS BIGINT) AS n_masked
-        FROM p GROUP BY doc_id"""))
+        FROM p GROUP BY doc_id""")),
+
+    // ----- Fill-in-the-middle (PSM) transform -----
+    // [[graft.operators.CorpusPrep.fimTransform]]: q152's sibling for
+    // the infilling objective — two seeded cuts, emit
+    // `<PRE> prefix <SUF> suffix <MID> middle`. A pure zero-shuffle
+    // projection (two md5 hashes + three array slices per row);
+    // the oracle mirrors the slices with DuckDB list ranges.
+    QueryDef(
+      "q153_fim_transform",
+      (spark, dir) =>
+        CorpusPrep.fimTransform(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", seed = "fim1:"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, w, n,
+                 ('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR) ||
+                     ':a'), 1, 13))::BIGINT % (n + 1) AS c1,
+                 ('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR) ||
+                     ':b'), 1, 13))::BIGINT % (n + 1) AS c2
+          FROM t),
+        lh AS (
+          SELECT doc_id, w, n, least(c1, c2) AS lo, greatest(c1, c2) AS hi
+          FROM c)
+        SELECT doc_id,
+               -- an out-of-range slice (empty segment) yields NULL in
+               -- DuckDB, not []: guard each segment explicitly
+               '<PRE> ' ||
+               (CASE WHEN lo <= 0 THEN ''
+                     ELSE array_to_string(w[1:lo], ' ') END) ||
+               ' <SUF> ' ||
+               (CASE WHEN hi >= n THEN ''
+                     ELSE array_to_string(w[hi+1:n], ' ') END) ||
+               ' <MID> ' ||
+               (CASE WHEN hi <= lo THEN ''
+                     ELSE array_to_string(w[lo+1:hi], ' ') END) AS fim_text,
+               lo AS n_prefix, hi - lo AS n_middle, n - hi AS n_suffix
+        FROM lh"""))
   )
 }

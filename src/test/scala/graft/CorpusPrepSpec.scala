@@ -266,6 +266,34 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("fimTransform: PSM parts reassemble the doc; lengths partition n") {
+    val out = CorpusPrep.fimTransform(docs, "doc_id", "text", seed = "fim1:")
+      .collect()
+    val originals = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length == originals.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val fim = r.getAs[String]("fim_text")
+      assert(fim.startsWith("<PRE> "))
+      val sufAt = fim.indexOf(" <SUF> ")
+      val midAt = fim.indexOf(" <MID> ")
+      assert(sufAt > 0 && midAt > sufAt)
+      val pre = fim.substring("<PRE> ".length, sufAt)
+      val suf = fim.substring(sufAt + " <SUF> ".length, midAt)
+      val mid = fim.substring(midAt + " <MID> ".length)
+      val rebuilt = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == originals(id), s"doc $id failed PSM round-trip")
+      val n = originals(id).split(" ", -1).length.toLong
+      assert(r.getAs[Long]("n_prefix") + r.getAs[Long]("n_middle") +
+        r.getAs[Long]("n_suffix") == n)
+    }
+    // cuts are a pure function of (seed, id): partition layout is moot
+    val again = CorpusPrep.fimTransform(docs.repartition(5), "doc_id",
+      "text", seed = "fim1:").collect().map(_.toString).sorted.toSeq
+    assert(again == out.map(_.toString).sorted.toSeq)
+  }
+
   test("packGreedy: assignment is identical across partition layouts") {
     val a = CorpusPrep.packGreedy(docs, "doc_id", "text",
       budget = 96, shardCol = pmod(col("doc_id"), lit(8)))
