@@ -2001,7 +2001,18 @@ object Prep {
             sum(greatest(lit(0L), lit(budget.toLong) - col("fill"))).as("waste"))
           .select(lit("sorted_nosplit").as("packer"), col("bins"),
             col("tokens"), col("waste"))
-        greedy.unionByName(seq).unionByName(srt)
+        val bfd = CorpusPrep.packBestFitDecreasing(
+            docs.select(col("doc_id"),
+              coalesce(size(split(col("text"), " ")), lit(0))
+                .cast("long").as("n_toks")),
+            "doc_id", "n_toks", budget, pmod(col("doc_id"), lit(8)))
+          .groupBy(col("shard"), col("bin_id"))
+          .agg(sum(col("n_toks")).as("fill"))
+          .agg(count(lit(1)).as("bins"), sum(col("fill")).as("tokens"),
+            sum(greatest(lit(0L), lit(budget.toLong) - col("fill"))).as("waste"))
+          .select(lit("bestfit_decreasing").as("packer"), col("bins"),
+            col("tokens"), col("waste"))
+        greedy.unionByName(seq).unionByName(srt).unionByName(bfd)
           .select(col("packer"), col("bins"), col("tokens"), col("waste"),
             round(col("waste").cast("double") /
               (col("bins") * budget).cast("double"), 6).as("waste_frac"))
@@ -2069,9 +2080,42 @@ object Prep {
                  CAST(sum(fill) AS BIGINT) AS tokens,
                  CAST(sum(greatest(0, 256 - fill)) AS BIGINT) AS waste
           FROM gb2),
+        bfd2 AS (
+          SELECT shard, n_toks, rn, [n_toks] AS bins
+          FROM t2 WHERE rn = 1
+          UNION ALL
+          SELECT shard, n_toks, rn,
+                 CASE WHEN chosen IS NULL THEN list_append(bins, n_toks)
+                      ELSE [CASE WHEN i = chosen THEN bins[i] + n_toks
+                                 ELSE bins[i] END
+                            for i in range(1, len(bins) + 1)] END AS bins
+          FROM (
+            SELECT d.shard, d.n_toks, d.rn, s.bins,
+                   CASE WHEN len(list_filter(s.bins,
+                                             f -> f + d.n_toks <= 256)) = 0
+                        THEN NULL
+                        ELSE list_position(s.bins,
+                               list_max(list_filter(s.bins,
+                                        f -> f + d.n_toks <= 256)))
+                   END AS chosen
+            FROM t2 d JOIN bfd2 s
+              ON d.shard = s.shard AND d.rn = s.rn + 1)),
+        bfinal AS (
+          SELECT shard, bins FROM (
+            SELECT shard, bins, rn,
+                   max(rn) OVER (PARTITION BY shard) AS mx
+            FROM bfd2)
+          WHERE rn = mx),
+        bfills AS (SELECT shard, unnest(bins) AS fill FROM bfinal),
+        bfdrow AS (
+          SELECT 'bestfit_decreasing' AS packer,
+                 CAST(count(*) AS BIGINT) AS bins,
+                 CAST(sum(fill) AS BIGINT) AS tokens,
+                 CAST(sum(greatest(0, 256 - fill)) AS BIGINT) AS waste
+          FROM bfills),
         unioned AS (
           SELECT * FROM greedy UNION ALL SELECT * FROM seq2
-          UNION ALL SELECT * FROM srt)
+          UNION ALL SELECT * FROM srt UNION ALL SELECT * FROM bfdrow)
         SELECT packer, bins, tokens, waste,
                round(waste::DOUBLE / (bins * 256)::DOUBLE, 6) AS waste_frac
         FROM unioned""")),
@@ -2167,6 +2211,65 @@ object Prep {
                (CASE WHEN hi <= lo THEN ''
                      ELSE array_to_string(w[lo+1:hi], ' ') END) AS fim_text,
                lo AS n_prefix, hi - lo AS n_middle, n - hi AS n_suffix
-        FROM lh"""))
+        FROM lh""")),
+
+    // ----- Best-fit-decreasing packing (all bins open) -----
+    // [[graft.operators.CorpusPrep.packBestFitDecreasing]]: q147
+    // taught us a single open bin wastes ~15% at budget 256 and that
+    // merely sorting doesn't help (q151's sorted_nosplit row); the
+    // real fix is keeping every bin open and placing each doc in the
+    // fullest bin that fits. The oracle replays the whole heuristic
+    // with a recursive CTE whose state is the per-shard BIN-FILL LIST
+    // (best-fit chosen via list_filter/list_max/list_position, the
+    // update via an indexed list comprehension) — so the hash pins
+    // every placement decision, not just the waste total.
+    QueryDef(
+      "q154_pack_bestfit",
+      (spark, dir) =>
+        CorpusPrep.packBestFitDecreasing(
+          Tables.load(spark, dir, "documents")
+            .select(col("doc_id"),
+              coalesce(size(split(col("text"), " ")), lit(0))
+                .cast("long").as("n_toks")),
+          "doc_id", "n_toks", budget = 256,
+          shardCol = pmod(col("doc_id"), lit(8))),
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks
+          FROM documents),
+        o AS (
+          SELECT doc_id, shard, n_toks,
+                 CAST(row_number() OVER (PARTITION BY shard
+                                         ORDER BY n_toks DESC, doc_id)
+                      AS BIGINT) AS rn
+          FROM t),
+        bfd AS (
+          SELECT doc_id, shard, n_toks, rn,
+                 CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS off,
+                 [n_toks] AS bins
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT doc_id, shard, n_toks, rn,
+                 CASE WHEN chosen IS NULL THEN CAST(len(bins) AS BIGINT)
+                      ELSE CAST(chosen - 1 AS BIGINT) END AS bin_id,
+                 CASE WHEN chosen IS NULL THEN CAST(0 AS BIGINT)
+                      ELSE bins[chosen] END AS off,
+                 CASE WHEN chosen IS NULL THEN list_append(bins, n_toks)
+                      ELSE [CASE WHEN i = chosen THEN bins[i] + n_toks
+                                 ELSE bins[i] END
+                            for i in range(1, len(bins) + 1)] END AS bins
+          FROM (
+            SELECT d.doc_id, d.shard, d.n_toks, d.rn, s.bins,
+                   CASE WHEN len(list_filter(s.bins,
+                                             f -> f + d.n_toks <= 256)) = 0
+                        THEN NULL
+                        ELSE list_position(s.bins,
+                               list_max(list_filter(s.bins,
+                                        f -> f + d.n_toks <= 256)))
+                   END AS chosen
+            FROM o d JOIN bfd s
+              ON d.shard = s.shard AND d.rn = s.rn + 1))
+        SELECT doc_id, shard, n_toks, bin_id, off AS offset FROM bfd"""))
   )
 }

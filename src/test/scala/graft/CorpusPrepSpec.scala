@@ -294,6 +294,52 @@ class CorpusPrepSpec extends SparkSpec {
     assert(again == out.map(_.toString).sorted.toSeq)
   }
 
+  test("packBestFitDecreasing: hand-traced placements; tightest-fit wins") {
+    val s = spark
+    import s.implicits._
+    // budget 10, lengths 7,6,4,3,2 → 7 opens b0; 6 opens b1 (7+6>10);
+    // 4 best-fits b1 (6+4=10 beats nothing else); 3 best-fits b0
+    // (7+3=10); 2 fits nowhere → b2
+    val lens = Seq((1L, 7L), (2L, 6L), (3L, 4L), (4L, 3L), (5L, 2L))
+      .toDF("doc_id", "n")
+    val got = CorpusPrep.packBestFitDecreasing(lens, "doc_id", "n",
+        budget = 10, shardCol = lit(0))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("offset")))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 1L, 6L),
+      (4L, 0L, 7L), (5L, 2L, 0L)), got.mkString(","))
+  }
+
+  test("packBestFitDecreasing: no straddle, dense bins, layout-stable") {
+    val budget = 96
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val packed = CorpusPrep.packBestFitDecreasing(lens, "doc_id", "n",
+      budget, pmod(col("doc_id"), lit(8))).collect()
+    assert(packed.length == docs.count())
+    packed.foreach { r =>
+      val n = r.getAs[Long]("n")
+      if (n <= budget)
+        assert(r.getAs[Long]("offset") + n <= budget, r.toString)
+      else assert(r.getAs[Long]("offset") == 0L, r.toString)
+    }
+    // per (shard, bin): fills are consistent — offsets tile [0, fill)
+    packed.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin_id")))
+      .foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("offset"))
+        var cum = 0L
+        sorted.foreach { r =>
+          assert(r.getAs[Long]("offset") == cum, r.toString)
+          cum += r.getAs[Long]("n")
+        }
+      }
+    val again = CorpusPrep.packBestFitDecreasing(lens.repartition(3),
+        "doc_id", "n", budget, pmod(col("doc_id"), lit(8)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == packed.map(_.toString).sorted.toSeq)
+  }
+
   test("packGreedy: assignment is identical across partition layouts") {
     val a = CorpusPrep.packGreedy(docs, "doc_id", "text",
       budget = 96, shardCol = pmod(col("doc_id"), lit(8)))
