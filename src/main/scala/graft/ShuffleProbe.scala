@@ -35,6 +35,12 @@ object ShuffleProbe {
     * [[GraphProbe]]. */
   private[graft] def exchangeVolumes(df: DataFrame): Seq[(Long, Long)] = {
     df.collect() // populate SQLMetrics
+    volumesOfExecuted(df)
+  }
+
+  /** Exchange volumes of an ALREADY-EXECUTED frame (caller kept the
+    * collected rows) — same loud-on-missing-metric contract. */
+  private[graft] def volumesOfExecuted(df: DataFrame): Seq[(Long, Long)] =
     df.queryExecution.executedPlan.collect {
       case e: ShuffleExchangeLike =>
         def metric(key: String): Long =
@@ -43,7 +49,6 @@ object ShuffleProbe {
               s"in this Spark version? available: ${e.metrics.keys.mkString(",")}"))
         (metric("shuffleRecordsWritten"), metric("dataSize"))
     }
-  }
 
   private[graft] def fmtVolumes(vols: Seq[(Long, Long)]): String =
     vols.map { case (r, b) => s"${r}r/${b / 1024}KiB" }.mkString(" + ")
@@ -83,8 +88,13 @@ object ShuffleProbe {
         org.apache.spark.sql.Encoders.STRING)
       val cmDf = items.agg(cmAgg(col("key")).as("s"))
         .select(col("s.width"), col("s.depth"), col("s.n"), col("s.counts"))
-      val cmVols = exchangeVolumes(cmDf)
-      val sk = CountMin.sketch(items, "key", cmW, cmD)
+      // ONE execution serves both the metrics and the sketch value —
+      // read the collected row back instead of re-running the full
+      // n-row aggregation through CountMin.sketch
+      val cmRow = cmDf.collect()(0)
+      val cmVols = volumesOfExecuted(cmDf)
+      val sk = CountMin.Sketch(cmRow.getInt(0), cmRow.getInt(1),
+        cmRow.getLong(2), cmRow.getSeq[Long](3).toArray)
       val heavy0 = items.where(col("key") === "heavy_0").count()
       val est = sk.estimate("heavy_0")
       val bracketed = est >= heavy0 && est <= heavy0 + sk.errorBound

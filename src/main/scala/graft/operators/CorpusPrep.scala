@@ -148,13 +148,18 @@ object CorpusPrep {
       var binId = 0L
       var fill = 0L
       rows.map { case (id, sh, n) =>
-        if (sh != shard) { shard = sh; binId = 0L; fill = 0L }
-        // close the bin only if it holds something and this doc does
-        // not fit — an oversize doc entering an EMPTY bin stays there
-        // (its own overflowed bin), matching the oracle's recurrence
-        // where fill is never 0 after the shard's first document
-        if (fill > 0L && fill + n > budget) { binId += 1L; fill = 0L }
-        val off = fill
+        // a shard's FIRST document always enters bin 0 (even oversize
+        // — its own overflowed bin); after that, any overflow closes
+        // the current bin UNCONDITIONALLY, including a fill-0 bin left
+        // by zero-token documents — the exact recurrence the oracle's
+        // recursive CTE spells, so the two can never diverge on the
+        // degenerate [oversize, 0-token, oversize] sequence
+        val off =
+          if (sh != shard) { shard = sh; binId = 0L; fill = 0L; 0L }
+          else {
+            if (fill + n > budget) { binId += 1L; fill = 0L }
+            fill
+          }
         fill += n
         (id, sh, n, binId, off)
       }
@@ -166,9 +171,10 @@ object CorpusPrep {
     * FULLEST bin that still fits it (ties → lowest bin id), opening a
     * new bin only when none fits. The classic offline bin-packing
     * heuristic (11/9·OPT + 6/9 guarantee class) — q151 measures it
-    * cutting the single-open-bin greedy's padding by an order of
-    * magnitude on the corpus, because keeping bins open lets the short
-    * tail backfill the gaps the long documents leave.
+    * cutting the single-open-bin greedy's padding from 15.1% to 3.5%
+    * on the corpus (the per-shard theoretical minimum bin count),
+    * because keeping bins open lets the short tail backfill the gaps
+    * the long documents leave.
     *
     * Same sharded-sequential plan as [[packGreedyByLen]] (one
     * fixed-width exchange, per-partition fold); the fold state grows
@@ -281,10 +287,10 @@ object CorpusPrep {
       when(isStart, concat(sentinel, lit(" "), col("tok")))
         .when(inSpan, col("tok")).otherwise(lit(null)).as("tgt_piece"),
       when(inSpan, lit(1)).otherwise(lit(0)).as("msk"))
-    def joined(piece: Column): Column = array_join(transform(
-      array_sort(collect_list(when(piece.isNotNull,
-        struct(col("pos"), piece.as("piece"))))),
-      s => s.getField("piece")), " ")
+    def joined(piece: Column): Column = array_join(
+      graft.functions.Text.inPositionOrder(
+        collect_list(when(piece.isNotNull,
+          struct(col("pos"), piece.as("piece")))), "piece"), " ")
     pieces.groupBy(col(idCol)).agg(
       joined(col("in_piece")).as("input_text"),
       joined(col("tgt_piece")).as("target_text"),

@@ -134,32 +134,41 @@ object CountMin {
     * top-k. One pass builds the fixed-size sketch, one probe-filtered
     * pass recounts exactly (the probe broadcasts; after map-side
     * combine the count exchange is probe-sized); the method then
-    * asserts, per probe key, that the estimate brackets inside
-    * [exact, exact + ε·N] — throwing loudly on a hash catastrophe
+    * asserts, per probe key — INCLUDING keys absent from the corpus,
+    * whose exact count is 0 — that the estimate brackets inside
+    * [exact, exact + ε·N], throwing loudly on a hash catastrophe
     * instead of letting a silently-degraded sketch into telemetry.
-    * Returns the EXACT counts (oracle-checkable); the sketch is the
-    * validated scale path for keys the exact pass never counted.
+    * Returns the EXACT counts of the keys that occur (inner-join
+    * semantics, mirroring the SQL oracle); absent keys are validated
+    * but yield no row. The sketch is the validated scale path for
+    * keys the exact pass never counted.
     */
   def probeCountsChecked(items: DataFrame, itemCol: String, probe: DataFrame,
       width: Int, depth: Int): DataFrame = {
     require(probe.columns.contains(itemCol),
       s"probe must carry a '$itemCol' column, has ${probe.columns.mkString(",")}")
     val sk = sketch(items, itemCol, width, depth)
+    val probeKeys = probe.select(col(itemCol)).distinct()
     val exact = items.where(col(itemCol).isNotNull)
-      .join(broadcast(probe.select(col(itemCol)).distinct()), Seq(itemCol))
+      .join(broadcast(probeKeys), Seq(itemCol))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"))
     val rows = Barrier.materialize(exact)
     val bound = sk.errorBound
-    rows.collect().foreach { r =>
-      val key = r.getAs[String](itemCol)
-      val n = r.getAs[Long]("n")
-      val est = sk.estimate(key)
-      if (est < n || est > n + bound)
-        throw new IllegalStateException(
-          s"count-min estimate out of bracket for '$key': est=$est exact=$n " +
-            s"bound=+${bound.round} (width=$width depth=$depth N=${sk.n})")
-    }
+    val exactByKey = rows.collect()
+      .map(r => r.getAs[String](itemCol) -> r.getAs[Long]("n")).toMap
+    // assert over EVERY probe key, including those absent from the
+    // corpus (exact = 0): a zero-count key is exactly where a
+    // catastrophically undersized sketch would otherwise go unchecked
+    probeKeys.collect().map(_.getAs[String](itemCol)).filter(_ != null)
+      .foreach { key =>
+        val n = exactByKey.getOrElse(key, 0L)
+        val est = sk.estimate(key)
+        if (est < n || est > n + bound)
+          throw new IllegalStateException(
+            s"count-min estimate out of bracket for '$key': est=$est exact=$n " +
+              s"bound=+${bound.round} (width=$width depth=$depth N=${sk.n})")
+      }
     rows.orderBy(col("n").desc, col(itemCol))
   }
 }

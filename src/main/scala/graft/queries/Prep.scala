@@ -1972,16 +1972,26 @@ object Prep {
       (spark, dir) => {
         val docs = Tables.load(spark, dir, "documents")
         val budget = 256
-        val g = CorpusPrep.packGreedy(docs, "doc_id", "text",
-          budget, pmod(col("doc_id"), lit(8)))
-        val greedy = g.groupBy(col("shard"), col("bin_id"))
-          .agg(sum(col("n_toks")).as("fill"))
-          .agg(count(lit(1)).as("bins"), sum(col("fill")).as("tokens"),
-            sum(greatest(lit(0L), lit(budget.toLong) - col("fill"))).as("waste"))
-          .select(lit("greedy_nosplit").as("packer"), col("bins"),
-            col("tokens"), col("waste"))
+        val shard = pmod(col("doc_id"), lit(8))
+        val lens = docs.select(col("doc_id"),
+          coalesce(size(split(col("text"), " ")), lit(0))
+            .cast("long").as("n_toks"))
+        // ONE waste definition for every bin packer — edit here, every
+        // row of the comparison moves together
+        def binReport(packed: org.apache.spark.sql.DataFrame,
+            label: String) =
+          packed.groupBy(col("shard"), col("bin_id"))
+            .agg(sum(col("n_toks")).as("fill"))
+            .agg(count(lit(1)).as("bins"), sum(col("fill")).as("tokens"),
+              sum(greatest(lit(0L), lit(budget.toLong) - col("fill")))
+                .as("waste"))
+            .select(lit(label).as("packer"), col("bins"),
+              col("tokens"), col("waste"))
+        val greedy = binReport(
+          CorpusPrep.packGreedy(docs, "doc_id", "text", budget, shard),
+          "greedy_nosplit")
         val seq = CorpusPrep.packSequential(docs, "doc_id", "text",
-            budget, pmod(col("doc_id"), lit(8)))
+            budget, shard)
           .groupBy(col("shard")).agg(sum(col("n_toks")).as("tokens"))
           .agg(sum(ceil(col("tokens").cast("double") / budget).cast("long"))
               .as("bins"),
@@ -1989,29 +1999,14 @@ object Prep {
           .select(lit("split_sequential").as("packer"), col("bins"),
             col("tokens"),
             (col("bins") * budget - col("tokens")).as("waste"))
-        val srt = CorpusPrep.packGreedyByLen(
-            docs.select(col("doc_id"),
-              coalesce(size(split(col("text"), " ")), lit(0))
-                .cast("long").as("n_toks")),
-            "doc_id", "n_toks", budget, pmod(col("doc_id"), lit(8)),
-            sortByLenDesc = true)
-          .groupBy(col("shard"), col("bin_id"))
-          .agg(sum(col("n_toks")).as("fill"))
-          .agg(count(lit(1)).as("bins"), sum(col("fill")).as("tokens"),
-            sum(greatest(lit(0L), lit(budget.toLong) - col("fill"))).as("waste"))
-          .select(lit("sorted_nosplit").as("packer"), col("bins"),
-            col("tokens"), col("waste"))
-        val bfd = CorpusPrep.packBestFitDecreasing(
-            docs.select(col("doc_id"),
-              coalesce(size(split(col("text"), " ")), lit(0))
-                .cast("long").as("n_toks")),
-            "doc_id", "n_toks", budget, pmod(col("doc_id"), lit(8)))
-          .groupBy(col("shard"), col("bin_id"))
-          .agg(sum(col("n_toks")).as("fill"))
-          .agg(count(lit(1)).as("bins"), sum(col("fill")).as("tokens"),
-            sum(greatest(lit(0L), lit(budget.toLong) - col("fill"))).as("waste"))
-          .select(lit("bestfit_decreasing").as("packer"), col("bins"),
-            col("tokens"), col("waste"))
+        val srt = binReport(
+          CorpusPrep.packGreedyByLen(lens, "doc_id", "n_toks", budget,
+            shard, sortByLenDesc = true),
+          "sorted_nosplit")
+        val bfd = binReport(
+          CorpusPrep.packBestFitDecreasing(lens, "doc_id", "n_toks",
+            budget, shard),
+          "bestfit_decreasing")
         greedy.unionByName(seq).unionByName(srt).unionByName(bfd)
           .select(col("packer"), col("bins"), col("tokens"), col("waste"),
             round(col("waste").cast("double") /

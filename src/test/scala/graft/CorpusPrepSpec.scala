@@ -201,9 +201,11 @@ class CorpusPrepSpec extends SparkSpec {
     packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
       var binId = 0L
       var fill = 0L
+      var first = true
       rs.foreach { r =>
         val n = r.getAs[Long]("n_toks")
-        if (fill > 0L && fill + n > budget) { binId += 1L; fill = 0L }
+        if (!first && fill + n > budget) { binId += 1L; fill = 0L }
+        first = false
         assert(r.getAs[Long]("bin_id") == binId, r.toString)
         assert(r.getAs[Long]("offset") == fill, r.toString)
         fill += n
@@ -236,6 +238,18 @@ class CorpusPrepSpec extends SparkSpec {
         r.getAs[Long]("bin_id"), r.getAs[Long]("offset")))
     assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L),
       (4L, 2L, 2L), (5L, 2L, 3L)), got.mkString(","))
+    // degenerate [oversize, 0-token, oversize]: the 0-token doc closes
+    // the overflowed bin (leaving fill 0), and the NEXT oversize doc
+    // still opens a fresh bin — the oracle recurrence closes on
+    // overflow unconditionally after a shard's first document
+    val deg = Seq((1L, 9L), (2L, 0L), (3L, 9L)).toDF("doc_id", "n")
+    val got2 = CorpusPrep.packGreedyByLen(deg, "doc_id", "n",
+        budget = 8, shardCol = lit(0))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("offset")))
+    assert(got2.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L)),
+      got2.mkString(","))
   }
 
   test("spanCorrupt: splicing targets back over sentinels restores the doc") {
