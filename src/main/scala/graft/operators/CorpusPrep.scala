@@ -166,6 +166,42 @@ object CorpusPrep {
     }.toDF(idCol, "shard", lenCol, "bin_id", "offset")
   }
 
+  /** Exact per-group token-length quantiles WITHOUT a global sort:
+    * the (length → #docs) count histogram is a sufficient statistic
+    * (the [[vocabCoverage]] idiom pointed at lengths), so the p-th
+    * quantile is the smallest length whose cumulative doc count
+    * reaches ⌈p·n/100⌉ — the comparison kept in integers
+    * (100·cum ≥ p·n), bit-matching a naive ranked scan. This is the
+    * sequence-length planning input for packing budgets (q151): p50
+    * sizes the typical bin, p99 bounds the oversize tail.
+    *
+    * Scale: ONE partial-aggregated (group, length) exchange — bounded
+    * by groups × distinct lengths, NOT corpus size — then a window
+    * over the tiny histogram and a generator for the p values. A
+    * sort-based quantile would shuffle every document row; this
+    * never does.
+    */
+  def lengthQuantiles(docs: DataFrame, groupCol: String, textCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must lie in [1, 100], got $ps")
+    val hist = docs
+      .select(col(groupCol), coalesce(F.size(toks(col(textCol))), lit(0))
+        .cast("long").as("len"))
+      .groupBy(col(groupCol), col("len")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy(col(groupCol))))
+      .select(col(groupCol), col("len"), col("cum"), col("n"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .filter(col("cum") * 100 >= col("p") * col("n"))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col("len")).as("q_len"))
+  }
+
   /** Best-fit-decreasing bin packing: walk each shard longest-
     * document-first with ALL bins open, placing each document into the
     * FULLEST bin that still fits it (ties → lowest bin id), opening a

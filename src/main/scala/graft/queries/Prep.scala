@@ -2208,6 +2208,36 @@ object Prep {
                lo AS n_prefix, hi - lo AS n_middle, n - hi AS n_suffix
         FROM lh""")),
 
+    // ----- Exact length quantiles per source (no global sort) -----
+    // [[graft.operators.CorpusPrep.lengthQuantiles]]: p50/p90/p99
+    // token length per source from the (length → #docs) histogram —
+    // the q143 histogram-walk idiom pointed at sequence-length
+    // planning (p50 sizes the packing bin, p99 bounds the oversize
+    // tail). Integer comparison 100·cum ≥ p·n; the oracle runs the
+    // naive per-source ranked scan it bit-matches.
+    QueryDef(
+      "q155_length_quantiles",
+      (spark, dir) =>
+        CorpusPrep.lengthQuantiles(Tables.load(spark, dir, "documents"),
+          "source", "text", ps = Seq(50, 90, 99)),
+      Some("""
+        WITH t AS (
+          SELECT source,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+                   AS len
+          FROM documents),
+        ranked AS (
+          SELECT source, len,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY len)
+                      AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM t),
+        tg(p) AS (VALUES (50), (90), (99))
+        SELECT r.source, CAST(tg.p AS INT) AS p, min(r.len) AS q_len
+        FROM ranked r CROSS JOIN tg
+        WHERE r.rn * 100 >= tg.p * r.n
+        GROUP BY r.source, tg.p""")),
+
     // ----- Best-fit-decreasing packing (all bins open) -----
     // [[graft.operators.CorpusPrep.packBestFitDecreasing]]: q147
     // taught us a single open bin wastes ~15% at budget 256 and that

@@ -280,6 +280,24 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("lengthQuantiles: histogram walk matches the ranked definition") {
+    val s = spark
+    import s.implicits._
+    // group g: lengths 1,2,2,4 (n=4). ranks: 1→1, 2→2,3, 4→4.
+    // p50 → rank ceil(2) = 2 → len 2; p75 → rank 3 → len 2;
+    // p76 → 100·cum ≥ 76·4=304 → cum ≥ 3.04 → cum 4 → len 4; p100 → 4
+    val docs = Seq(
+      ("g", "a"), ("g", "a b"), ("g", "c d"), ("g", "a b c d"),
+      ("h", "x")).toDF("source", "text")
+    val got = CorpusPrep.lengthQuantiles(docs, "source", "text",
+        ps = Seq(50, 75, 76, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("g", 50, 2L), ("g", 75, 2L), ("g", 76, 4L), ("g", 100, 4L),
+      ("h", 50, 1L), ("h", 75, 1L), ("h", 76, 1L), ("h", 100, 1L)),
+      s"got $got")
+  }
+
   test("fimTransform: PSM parts reassemble the doc; lengths partition n") {
     val out = CorpusPrep.fimTransform(docs, "doc_id", "text", seed = "fim1:")
       .collect()
