@@ -51,7 +51,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q74_pii_redact", "q77_quality_signals", "q82_repetition_signals",
     "q86_embed_quantize", "q122_jl_projection",
     "q133_token_entropy", "q134_compression_ratio",
-    "q144_blocklist_filter", "q146_phrase_blocklist")
+    "q144_blocklist_filter", "q146_phrase_blocklist",
+    "q153_fim_transform")
 
   test("declared zero-shuffle projections have no Exchange in their plan") {
     val offenders = SparkEntry.all
