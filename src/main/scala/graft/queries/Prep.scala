@@ -2238,6 +2238,82 @@ object Prep {
         WHERE r.rn * 100 >= tg.p * r.n
         GROUP BY r.source, tg.p""")),
 
+    // ----- Per-source datacard (the release report) -----
+    // The summary table a dataset release ships, one row per source:
+    // volume (docs, tokens), median length (the q155 histogram walk),
+    // exact-duplicate rate (q31's content hash), and language-mix
+    // entropy. Every column reuses an already-audited idiom; the
+    // whole card is joined on the tiny source dimension, so the plan
+    // is three bounded aggregates + two broadcast joins — per-source
+    // cells never exceed groups × distinct-values rows after the
+    // map-side combine.
+    QueryDef(
+      "q156_source_datacard",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val base = docs.select(col("source"), col("lang"),
+          coalesce(size(split(col("text"), " ")), lit(0)).cast("long")
+            .as("len"),
+          Text.contentHash(col("text")).as("h"))
+        val agg = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("len")).as("n_tokens"),
+          countDistinct(col("h")).as("n_distinct"))
+        val p50 = CorpusPrep.lengthQuantiles(docs, "source", "text",
+            Seq(50))
+          .select(col("source"), col("q_len").as("p50_len"))
+        val share = col("c").cast("double") / col("n").cast("double")
+        val ent = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("n",
+            sum(col("c")).over(Window.partitionBy(col("source"))))
+          .groupBy(col("source"))
+          .agg(sum(-share * log(share)).as("e"))
+        agg.join(p50, "source").join(ent, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("p50_len"),
+            round(lit(1.0) - col("n_distinct").cast("double") /
+              col("n_docs").cast("double"), 6).as("dup_rate"),
+            round(col("e"), 6).as("lang_entropy"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, lang,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+                   AS len,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+          FROM documents),
+        agg AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+          FROM t GROUP BY source),
+        ranked AS (
+          SELECT source, len,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY len)
+                      AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM t),
+        p50 AS (
+          SELECT source, min(len) AS p50_len
+          FROM ranked WHERE rn * 100 >= 50 * n GROUP BY source),
+        lc AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM t GROUP BY source, lang),
+        lt AS (SELECT source, sum(c) AS n FROM lc GROUP BY source),
+        ent AS (
+          SELECT lc.source,
+                 sum(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE))
+                   AS e
+          FROM lc JOIN lt USING (source) GROUP BY lc.source)
+        SELECT a.source, a.n_docs, a.n_tokens, p.p50_len,
+               round(1.0 - a.n_distinct::DOUBLE / a.n_docs::DOUBLE, 6)
+                 AS dup_rate,
+               round(e, 6) AS lang_entropy
+        FROM agg a
+        JOIN p50 p USING (source)
+        JOIN ent USING (source)""")),
+
     // ----- Best-fit-decreasing packing (all bins open) -----
     // [[graft.operators.CorpusPrep.packBestFitDecreasing]]: q147
     // taught us a single open bin wastes ~15% at budget 256 and that
