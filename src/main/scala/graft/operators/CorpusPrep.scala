@@ -333,6 +333,68 @@ object CorpusPrep {
       sum(col("msk")).as("n_masked"))
   }
 
+  /** BERT-style MLM masking (Devlin et al. 2019 §3.1): select ~15% of
+    * token positions; of those, 80% become `[MASK]`, 10% are replaced
+    * by a "random" vocabulary token, 10% keep the original (so the
+    * model cannot assume an unmasked token is correct). Emits
+    * (idCol, mlm_text, labels_text, n_masked) — labels are the
+    * ORIGINAL tokens at selected positions in document order.
+    *
+    * All three draws come from ONE seeded md5 hash per position,
+    * decimal-field-split (h%100 < 15 selects; h/100%10 ∈ 0-7 mask /
+    * 8 replace / 9 keep; h/1000%V indexes the replacement) — integer
+    * arithmetic the oracle replays verbatim. The replacement draw
+    * uses the corpus's top-`vocabK` tokens (count desc, token asc —
+    * deterministic through ties), matching BERT's corpus-vocab draw
+    * while keeping the lookup a BROADCAST join against a vocabK-row
+    * table instead of a per-doc array carry (which would materialize
+    * O(n²) bytes per document through the explode).
+    *
+    * Scale: one vocab aggregate (Heaps-bounded, then top-K), one
+    * zero-shuffle position projection, the broadcast replacement
+    * join, one doc-keyed reassembly exchange (the q152 shape).
+    */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String,
+      seed: String, vocabK: Int = 16): DataFrame = {
+    require(vocabK >= 1, s"need vocabK >= 1, got $vocabK")
+    val vocab = docs
+      .select(explode(toks(col(textCol))).as("vtok"))
+      .groupBy(col("vtok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("vtok")).limit(vocabK)
+      .select(col("vtok"),
+        (row_number().over(Window.orderBy(col("c").desc, col("vtok"))) - 1)
+          .cast("long").as("vidx"))
+    val e = docs
+      .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("p0", "tok")))
+      .withColumn("pos", col("p0") + 1)
+      .withColumn("bits",
+        conv(substring(md5(concat(lit(seed), col(idCol).cast("string"),
+          lit(":"), col("pos").cast("string"))), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("sel", pmod(col("bits"), lit(100L)) < 15)
+      .withColumn("sub", pmod(expr("bits div 100"), lit(10L)))
+      .withColumn("vidx",
+        when(col("sel") && col("sub") === 8L,
+          pmod(expr("bits div 1000"), lit(vocabK.toLong))))
+    val withRepl = e.join(broadcast(vocab), Seq("vidx"), "left")
+    val outTok = when(!col("sel"), col("tok"))
+      .when(col("sub") < 8L, lit("[MASK]"))
+      .when(col("sub") === 8L, col("vtok"))
+      .otherwise(col("tok"))
+    val pieces = withRepl.select(col(idCol), col("pos"),
+      outTok.as("out_tok"),
+      when(col("sel"), col("tok")).as("label_tok"),
+      when(col("sel"), lit(1)).otherwise(lit(0)).as("msk"))
+    def joined(piece: Column): Column = array_join(
+      graft.functions.Text.inPositionOrder(
+        collect_list(when(piece.isNotNull,
+          struct(col("pos"), piece.as("piece")))), "piece"), " ")
+    pieces.groupBy(col(idCol)).agg(
+      joined(col("out_tok")).as("mlm_text"),
+      joined(col("label_tok")).as("labels_text"),
+      sum(col("msk")).as("n_masked"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022,
     * "Efficient Training of Language Models to Fill in the Middle"):
     * split each document's token stream at two seeded cut points into

@@ -2314,6 +2314,58 @@ object Prep {
         JOIN p50 p USING (source)
         JOIN ent USING (source)""")),
 
+    // ----- BERT MLM masking (80-10-10) -----
+    // [[graft.operators.CorpusPrep.mlmMask]]: completes the
+    // objective-prep triad (q152 span corruption, q153 FIM) — 15%
+    // position selection with the 80% [MASK] / 10% corpus-vocab
+    // replacement / 10% keep split, all three draws decimal-field-
+    // split from ONE seeded md5 per position. The oracle re-derives
+    // the top-16 replacement vocabulary and replays selection,
+    // substitution, and both reassemblies.
+    QueryDef(
+      "q157_mlm_mask",
+      (spark, dir) =>
+        CorpusPrep.mlmMask(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", seed = "mlm1:", vocabK = 16),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        vc AS (
+          SELECT vtok,
+                 CAST(row_number() OVER (ORDER BY c DESC, vtok) - 1
+                      AS BIGINT) AS vidx
+          FROM (SELECT tok AS vtok, count(*) AS c
+                FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+                ORDER BY c DESC, vtok LIMIT 16)),
+        e AS (
+          SELECT doc_id, i AS pos, w[i] AS tok,
+                 ('0x' || substr(md5('mlm1:' || CAST(doc_id AS VARCHAR) ||
+                     ':' || CAST(i AS VARCHAR)), 1, 13))::BIGINT AS bits
+          FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+        d AS (
+          SELECT doc_id, pos, tok,
+                 bits % 100 < 15 AS sel,
+                 (bits // 100) % 10 AS sub,
+                 CASE WHEN bits % 100 < 15 AND (bits // 100) % 10 = 8
+                      THEN (bits // 1000) % 16 END AS vidx
+          FROM e),
+        p AS (
+          SELECT d.doc_id, d.pos,
+                 CASE WHEN NOT sel THEN tok
+                      WHEN sub < 8 THEN '[MASK]'
+                      WHEN sub = 8 THEN vc.vtok
+                      ELSE tok END AS out_tok,
+                 CASE WHEN sel THEN tok END AS label_tok,
+                 CASE WHEN sel THEN 1 ELSE 0 END AS msk
+          FROM d LEFT JOIN vc USING (vidx))
+        SELECT doc_id,
+               coalesce(string_agg(out_tok, ' ' ORDER BY pos), '')
+                 AS mlm_text,
+               coalesce(string_agg(label_tok, ' ' ORDER BY pos), '')
+                 AS labels_text,
+               CAST(sum(msk) AS BIGINT) AS n_masked
+        FROM p GROUP BY doc_id""")),
+
     // ----- Best-fit-decreasing packing (all bins open) -----
     // [[graft.operators.CorpusPrep.packBestFitDecreasing]]: q147
     // taught us a single open bin wastes ~15% at budget 256 and that

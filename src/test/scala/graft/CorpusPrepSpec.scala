@@ -298,6 +298,37 @@ class CorpusPrepSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("mlmMask: length-preserving, ~15% selection, labels count matches") {
+    val out = CorpusPrep.mlmMask(docs, "doc_id", "text", seed = "mlm1:")
+      .collect()
+    val originals = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length == originals.size)
+    var selected = 0L
+    var total = 0L
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val mlm = r.getAs[String]("mlm_text").split(" ", -1)
+      val orig = originals(id).split(" ", -1)
+      val labels = r.getAs[String]("labels_text")
+      val nMasked = r.getAs[Long]("n_masked")
+      assert(mlm.length == orig.length, s"doc $id changed length")
+      // labels hold exactly the selected positions' original tokens
+      val nLabels = if (labels.isEmpty) 0 else labels.split(" ", -1).length
+      assert(nLabels == nMasked, s"doc $id: $nLabels labels for $nMasked")
+      // positions that differ from the original were necessarily selected
+      val differing = mlm.zip(orig).count { case (a, b) => a != b }
+      assert(differing <= nMasked, s"doc $id mutated unselected positions")
+      selected += nMasked
+      total += orig.length
+    }
+    val rate = selected.toDouble / total
+    assert(rate > 0.10 && rate < 0.20, s"selection rate $rate outside band")
+    val again = CorpusPrep.mlmMask(docs.repartition(5), "doc_id", "text",
+      seed = "mlm1:").collect().map(_.toString).sorted.toSeq
+    assert(again == out.map(_.toString).sorted.toSeq)
+  }
+
   test("fimTransform: PSM parts reassemble the doc; lengths partition n") {
     val out = CorpusPrep.fimTransform(docs, "doc_id", "text", seed = "fim1:")
       .collect()
