@@ -2423,6 +2423,59 @@ object Prep {
                    END AS chosen
             FROM o d JOIN bfd s
               ON d.shard = s.shard AND d.rn = s.rn + 1))
-        SELECT doc_id, shard, n_toks, bin_id, off AS offset FROM bfd"""))
+        SELECT doc_id, shard, n_toks, bin_id, off AS offset FROM bfd""")),
+
+    // ----- Pack materialization: the training-sequence artifact -----
+    // q147 assigns; this emits — one row per (shard, bin) with the
+    // documents concatenated in offset order, the fill, and the doc
+    // count: the actual sequence a trainer consumes (pad fill→budget
+    // at tensorization). One id-keyed join back to the text (the
+    // assignment table is fixed-width; text joins in ONCE, never
+    // crosses the pack exchange) and one (shard, bin)-keyed
+    // reassembly. Ties in offset (zero-token docs) order by text —
+    // the same rule the struct sort applies — so the oracle's
+    // string_agg replays byte-for-byte.
+    QueryDef(
+      "q158_pack_materialize",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val assign = CorpusPrep.packGreedy(docs, "doc_id", "text",
+          budget = 256, shardCol = pmod(col("doc_id"), lit(8)))
+        assign.join(docs.select(col("doc_id"), col("text")), "doc_id")
+          .groupBy(col("shard"), col("bin_id"))
+          .agg(
+            array_join(Text.inPositionOrder(
+              collect_list(struct(col("offset"), col("text"))), "text"),
+              " ").as("seq_text"),
+            sum(col("n_toks")).as("fill"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, text, doc_id % 8 AS shard,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks,
+                 CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                         ORDER BY doc_id) AS BIGINT) AS rn
+          FROM documents),
+        s AS (
+          SELECT doc_id, text, shard, n_toks, rn,
+                 CAST(0 AS BIGINT) AS bin_id,
+                 CAST(0 AS BIGINT) AS off,
+                 n_toks AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.text, d.shard, d.n_toks, d.rn,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.bin_id ELSE s.bin_id + 1 END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill ELSE CAST(0 AS BIGINT) END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill + d.n_toks ELSE d.n_toks END
+          FROM t d JOIN s ON d.shard = s.shard AND d.rn = s.rn + 1)
+        SELECT shard, bin_id,
+               string_agg(text, ' ' ORDER BY off, text) AS seq_text,
+               CAST(sum(n_toks) AS BIGINT) AS fill,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM s GROUP BY shard, bin_id"""))
   )
 }

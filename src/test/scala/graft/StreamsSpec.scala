@@ -381,6 +381,52 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.estimate("x") == 25L)
   }
 
+  test("foreachBatch maintains an HLL distinct-count store (hll_union_agg)") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_hll_in_").toString
+    val ckpt = Files.createTempDirectory("graft_hll_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_hll_idx_").toString
+
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "h").coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def skAt(v: Int) = s"$idxRoot/v$v"
+    // v0: the empty-input sketch (hll_sketch_agg over zero rows)
+    Seq.empty[(Long, String)].toDF("doc_id", "h")
+      .agg(hll_sketch_agg(col("h")).as("sk")).write.parquet(skAt(0))
+
+    // distinct-count monitoring at ingest (e.g. distinct content
+    // hashes = dedup-rate telemetry) without ever re-reading earlier
+    // batches: per-batch sketches union into the store — the fourth
+    // mergeable-store contract beside minhash signatures, DSIR/CM
+    // counts, and the novelty first-seen index, this one through
+    // Spark's own datasketches surface
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, h STRING"), ckpt) {
+      (batch, _) =>
+        spark.read.parquet(skAt(version))
+          .unionByName(batch.agg(hll_sketch_agg(col("h")).as("sk")))
+          .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+          .write.parquet(skAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = (1L to 40L).map(i => i -> s"h${i % 25}")   // 25 distinct
+    val batch2 = (41L to 80L).map(i => i -> s"h${i % 60}")  // adds new keys
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+    val streamed = spark.read.parquet(skAt(version))
+      .select(hll_sketch_estimate(col("sk"))).head().getLong(0)
+    val whole = (batch1 ++ batch2).toDF("doc_id", "h")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("h")))).head().getLong(0)
+    assert(streamed == whole,
+      s"streamed HLL store must equal the batch rebuild: $streamed vs $whole")
+    // at this cardinality the sketch is still in exact (sparse) mode
+    val exact = (batch1 ++ batch2).map(_._2).distinct.size.toLong
+    assert(streamed == exact, s"estimate $streamed vs exact $exact")
+  }
+
   test("foreachBatch maintains the DSIR count model incrementally") {
     val s = spark
     import s.implicits._
