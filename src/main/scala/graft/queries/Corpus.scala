@@ -1634,6 +1634,70 @@ object Corpus {
         FROM g JOIN probe USING (ngram)
         GROUP BY g.ngram""")),
 
+    // ----- Cross-source n-gram overlap matrix (leakage diagnostics) -----
+    // For every source pair, the shared distinct-trigram count and the
+    // DIRECTED containments |A∩B|/|A| and |A∩B|/|B| — which sources
+    // bleed into which (mirror sites, syndicated content, an eval
+    // source leaking into a train source). Plan: ONE distinct
+    // (source, ngram) projection (Heaps-bounded × sources, not
+    // corpus-sized), a shingle-keyed self-join whose per-key fan-out
+    // is capped by sources² (≤400 here), then two broadcast joins
+    // against the 20-row totals. At much larger source counts the
+    // minhash signature form (q33's machinery per source) is the
+    // documented swap — the exact form's join stays the right default
+    // while sources² is small.
+    QueryDef(
+      "q159_source_overlap",
+      (spark, dir) => {
+        val sh = Tables.load(spark, dir, "documents")
+          .select(col("source"), Text.tokens(col("text")).as("toks"))
+          .select(col("source"),
+            explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
+          .distinct()
+        val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"), "ngram")
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(broadcast(tot.select(col("source").as("src_a"),
+            col("n_sh").as("n_a"))), "src_a")
+          .join(broadcast(tot.select(col("source").as("src_b"),
+            col("n_sh").as("n_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("common"),
+            round(col("common").cast("double") / col("n_a").cast("double"), 6)
+              .as("cont_a"),
+            round(col("common").cast("double") / col("n_b").cast("double"), 6)
+              .as("cont_b"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents),
+        s AS (
+          SELECT DISTINCT source, ngram
+          FROM (SELECT source,
+                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS ngram
+                FROM t)),
+        tot AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+          FROM s GROUP BY source),
+        pr AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS common
+          FROM s a JOIN s b USING (ngram)
+          WHERE a.source < b.source
+          GROUP BY 1, 2)
+        SELECT pr.src_a, pr.src_b, pr.common,
+               round(pr.common::DOUBLE / ta.n_sh::DOUBLE, 6) AS cont_a,
+               round(pr.common::DOUBLE / tb.n_sh::DOUBLE, 6) AS cont_b
+        FROM pr
+        JOIN tot ta ON ta.source = pr.src_a
+        JOIN tot tb ON tb.source = pr.src_b""")),
+
     // ----- LSH banding-parameter plan (dedup index sizing) -----
     // [[graft.operators.Dedup.lshParameterPlan]]: the analytic sizing
     // step in front of q33's MinHash near-dup index — for each target
