@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Text
-import graft.operators.{Bloom, Collocations, Components, CountMin, Dedup, HeavyHitters, Ivf, Multimodal, Quantize, SemDedup, Similarity}
+import graft.operators.{Barrier, Bloom, Collocations, Components, CountMin, Dedup, HeavyHitters, Ivf, Multimodal, Quantize, SemDedup, Similarity}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
@@ -1649,11 +1649,15 @@ object Corpus {
     QueryDef(
       "q159_source_overlap",
       (spark, dir) => {
-        val sh = Tables.load(spark, dir, "documents")
-          .select(col("source"), Text.tokens(col("text")).as("toks"))
-          .select(col("source"),
-            explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
-          .distinct()
+        // four consumers (both self-join sides + two totals) — barrier
+        // the Heaps-bounded distinct table so the corpus tokenizes
+        // ONCE (the q111 multi-consumer lesson)
+        val sh = Barrier.materialize(
+          Tables.load(spark, dir, "documents")
+            .select(col("source"), Text.tokens(col("text")).as("toks"))
+            .select(col("source"),
+              explode(Text.wordNgrams(col("toks"), 3)).as("ngram"))
+            .distinct())
         val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
         val pairs = sh.as("a")
           .join(sh.as("b"), "ngram")
