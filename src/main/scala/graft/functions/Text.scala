@@ -46,6 +46,17 @@ object Text {
   def inPositionOrder(structs: Column, field: String): Column =
     transform(array_sort(structs), x => x.getField(field))
 
+  /** Aggregate form of [[inPositionOrder]] for token-stream rebuilds:
+    * collect non-NULL `piece`s tagged with `pos`, re-sort, and join
+    * with spaces — NULL pieces are dropped (that is how a masked
+    * position disappears from q152's input_text). ONE definition for
+    * every positioned string reassembly (span corruption, MLM) so a
+    * fix here reaches all of them. */
+  def positionedConcat(pos: Column, piece: Column): Column =
+    array_join(inPositionOrder(
+      collect_list(when(piece.isNotNull, struct(pos, piece.as("piece")))),
+      "piece"), " ")
+
   /** Distinct word n-gram shingles (the unit of near-dup detection).
     * 1-based `element_at`; `sequence` is empty when the doc is shorter
     * than n, yielding an empty shingle set (never null).

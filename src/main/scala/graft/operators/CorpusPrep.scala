@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
+import graft.functions.Text
 
 /** Training-data preparation operators over a document corpus: sliding-
   * window chunking, sequential sequence-packing, and TF-IDF keyword
@@ -182,12 +183,22 @@ object CorpusPrep {
     * never does.
     */
   def lengthQuantiles(docs: DataFrame, groupCol: String, textCol: String,
-      ps: Seq[Int]): DataFrame = {
+      ps: Seq[Int]): DataFrame =
+    lengthQuantilesByLen(
+      docs.select(col(groupCol), coalesce(F.size(toks(col(textCol))), lit(0))
+        .cast("long").as("len")),
+      groupCol, "len", ps)
+
+  /** [[lengthQuantiles]] over a PRE-COMPUTED length column — so a
+    * caller that already carries per-doc lengths (q156's datacard
+    * base) feeds them in instead of paying a second corpus scan and
+    * re-tokenization (the packGreedyByLen split-entry-point idiom). */
+  def lengthQuantilesByLen(rows: DataFrame, groupCol: String,
+      lenCol: String, ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       s"percentiles must lie in [1, 100], got $ps")
-    val hist = docs
-      .select(col(groupCol), coalesce(F.size(toks(col(textCol))), lit(0))
-        .cast("long").as("len"))
+    val hist = rows
+      .select(col(groupCol), col(lenCol).cast("long").as("len"))
       .groupBy(col(groupCol), col("len")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("len"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -323,13 +334,9 @@ object CorpusPrep {
       when(isStart, concat(sentinel, lit(" "), col("tok")))
         .when(inSpan, col("tok")).otherwise(lit(null)).as("tgt_piece"),
       when(inSpan, lit(1)).otherwise(lit(0)).as("msk"))
-    def joined(piece: Column): Column = array_join(
-      graft.functions.Text.inPositionOrder(
-        collect_list(when(piece.isNotNull,
-          struct(col("pos"), piece.as("piece")))), "piece"), " ")
     pieces.groupBy(col(idCol)).agg(
-      joined(col("in_piece")).as("input_text"),
-      joined(col("tgt_piece")).as("target_text"),
+      Text.positionedConcat(col("pos"), col("in_piece")).as("input_text"),
+      Text.positionedConcat(col("pos"), col("tgt_piece")).as("target_text"),
       sum(col("msk")).as("n_masked"))
   }
 
@@ -357,13 +364,21 @@ object CorpusPrep {
   def mlmMask(docs: DataFrame, idCol: String, textCol: String,
       seed: String, vocabK: Int = 16): DataFrame = {
     require(vocabK >= 1, s"need vocabK >= 1, got $vocabK")
-    val vocab = docs
+    // the replacement vocabulary is COLLECTED (bounded: ≤ vocabK rows)
+    // and enters the plan as a literal array — no join, no second
+    // corpus pass at apply time, and the replacement index draws
+    // modulo the ACTUAL vocabulary size: a corpus with fewer than
+    // vocabK distinct tokens must not send ~((vocabK−V)/vocabK) of
+    // the replacement draws to a non-existent index (which would
+    // silently DELETE those positions through the null-dropping
+    // reassembly)
+    val vlist = docs
       .select(explode(toks(col(textCol))).as("vtok"))
       .groupBy(col("vtok")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("vtok")).limit(vocabK)
-      .select(col("vtok"),
-        (row_number().over(Window.orderBy(col("c").desc, col("vtok"))) - 1)
-          .cast("long").as("vidx"))
+      .collect().map(_.getString(0))
+    require(vlist.nonEmpty, "mlmMask: empty corpus has no replacement vocabulary")
+    val vocabArr = array(vlist.map(lit(_)): _*)
     val e = docs
       .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("p0", "tok")))
       .withColumn("pos", col("p0") + 1)
@@ -373,25 +388,19 @@ object CorpusPrep {
           .cast("long"))
       .withColumn("sel", pmod(col("bits"), lit(100L)) < 15)
       .withColumn("sub", pmod(expr("bits div 100"), lit(10L)))
-      .withColumn("vidx",
-        when(col("sel") && col("sub") === 8L,
-          pmod(expr("bits div 1000"), lit(vocabK.toLong))))
-    val withRepl = e.join(broadcast(vocab), Seq("vidx"), "left")
+    val repl = element_at(vocabArr,
+      (pmod(expr("bits div 1000"), lit(vlist.length.toLong)) + 1).cast("int"))
     val outTok = when(!col("sel"), col("tok"))
       .when(col("sub") < 8L, lit("[MASK]"))
-      .when(col("sub") === 8L, col("vtok"))
+      .when(col("sub") === 8L, repl)
       .otherwise(col("tok"))
-    val pieces = withRepl.select(col(idCol), col("pos"),
+    val pieces = e.select(col(idCol), col("pos"),
       outTok.as("out_tok"),
       when(col("sel"), col("tok")).as("label_tok"),
       when(col("sel"), lit(1)).otherwise(lit(0)).as("msk"))
-    def joined(piece: Column): Column = array_join(
-      graft.functions.Text.inPositionOrder(
-        collect_list(when(piece.isNotNull,
-          struct(col("pos"), piece.as("piece")))), "piece"), " ")
     pieces.groupBy(col(idCol)).agg(
-      joined(col("out_tok")).as("mlm_text"),
-      joined(col("label_tok")).as("labels_text"),
+      Text.positionedConcat(col("pos"), col("out_tok")).as("mlm_text"),
+      Text.positionedConcat(col("pos"), col("label_tok")).as("labels_text"),
       sum(col("msk")).as("n_masked"))
   }
 

@@ -2259,7 +2259,10 @@ object Prep {
           count(lit(1)).as("n_docs"),
           sum(col("len")).as("n_tokens"),
           countDistinct(col("h")).as("n_distinct"))
-        val p50 = CorpusPrep.lengthQuantiles(docs, "source", "text",
+        // base already carries per-doc lengths — feed them in rather
+        // than letting lengthQuantiles re-scan and re-tokenize
+        val p50 = CorpusPrep.lengthQuantilesByLen(
+            base.select(col("source"), col("len")), "source", "len",
             Seq(50))
           .select(col("source"), col("q_len").as("p50_len"))
         val share = col("c").cast("double") / col("n").cast("double")
@@ -2347,7 +2350,8 @@ object Prep {
                  bits % 100 < 15 AS sel,
                  (bits // 100) % 10 AS sub,
                  CASE WHEN bits % 100 < 15 AND (bits // 100) % 10 = 8
-                      THEN (bits // 1000) % 16 END AS vidx
+                      THEN (bits // 1000) % (SELECT count(*) FROM vc)
+                 END AS vidx
           FROM e),
         p AS (
           SELECT d.doc_id, d.pos,

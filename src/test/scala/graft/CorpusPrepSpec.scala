@@ -327,6 +327,20 @@ class CorpusPrepSpec extends SparkSpec {
     val again = CorpusPrep.mlmMask(docs.repartition(5), "doc_id", "text",
       seed = "mlm1:").collect().map(_.toString).sorted.toSeq
     assert(again == out.map(_.toString).sorted.toSeq)
+    // vocabK larger than the corpus's distinct-token count: the
+    // replacement draw must wrap at the ACTUAL vocabulary size, never
+    // index past it (which would silently delete positions through
+    // the null-dropping reassembly)
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, ("a b " * 40).trim), (2L, ("b c " * 40).trim))
+      .toDF("doc_id", "text")
+    CorpusPrep.mlmMask(tiny, "doc_id", "text", seed = "m2:",
+        vocabK = 30000)
+      .collect().foreach { r =>
+        assert(r.getAs[String]("mlm_text").split(" ", -1).length == 80,
+          r.toString)
+      }
   }
 
   test("fimTransform: PSM parts reassemble the doc; lengths partition n") {
