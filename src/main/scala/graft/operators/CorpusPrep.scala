@@ -213,6 +213,74 @@ object CorpusPrep {
       .agg(min(col("len")).as("q_len"))
   }
 
+  /** Per-shard tail state of a [[packGreedy]]/[[packGreedyByLen]]
+    * result: the open (last) bin's id and fill — everything the
+    * greedy fold needs to RESUME. One aggregate over the fixed-width
+    * assignment table; rows = shards. */
+  def packTailState(packed: DataFrame, lenCol: String): DataFrame = {
+    val last = packed.groupBy(col("shard")).agg(max(col("bin_id")).as("bin_id"))
+    packed.join(last, Seq("shard", "bin_id"))
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(sum(col(lenCol)).as("fill"))
+  }
+
+  /** Resume greedy packing from a persisted [[packTailState]]: the
+    * incremental form of the packer family (the DSIR/Count-Min/
+    * novelty merge-contract story, pointed at batch assembly). When
+    * new documents arrive strictly after the packed corpus in each
+    * shard's walk order (monotonic ids — the append-only ingest
+    * case), resuming from the tail state yields EXACTLY the
+    * whole-corpus pack: earlier batches are never re-read, only the
+    * shards-sized state table is (CorpusPrepSpec pins the equality).
+    * A shard absent from the state packs from scratch.
+    *
+    * The state is collected and closed over (bounded: one row per
+    * shard — the shard count is the operator's own parallelism knob,
+    * thousands at most).
+    */
+  def packGreedyResume(docs: DataFrame, idCol: String, lenCol: String,
+      budget: Int, shardCol: Column, state: DataFrame): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val init: Map[Long, (Long, Long)] = state
+      .select(col("shard").cast("long"), col("bin_id").cast("long"),
+        col("fill").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = docs.select(col(idCol).cast("long"),
+        shardCol.cast("long").as("shard"),
+        col(lenCol).cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .as[(Long, Long, Long)]
+    base.mapPartitions { rows =>
+      var shard = Long.MinValue
+      var binId = 0L
+      var fill = 0L
+      var virgin = false
+      rows.map { case (id, sh, n) =>
+        if (sh != shard) {
+          shard = sh
+          init.get(sh) match {
+            case Some((b, f)) => binId = b; fill = f; virgin = false
+            case None => binId = 0L; fill = 0L; virgin = true
+          }
+        }
+        // a virgin shard's first doc always enters bin 0 (packGreedy's
+        // seed rule); a RESUMED shard applies the overflow recurrence
+        // to its very first doc — it is not the first of the walk
+        val off =
+          if (virgin) { virgin = false; 0L }
+          else {
+            if (fill + n > budget) { binId += 1L; fill = 0L }
+            fill
+          }
+        fill += n
+        (id, sh, n, binId, off)
+      }
+    }.toDF(idCol, "shard", lenCol, "bin_id", "offset")
+  }
+
   /** Best-fit-decreasing bin packing: walk each shard longest-
     * document-first with ALL bins open, placing each document into the
     * FULLEST bin that still fits it (ties → lowest bin id), opening a

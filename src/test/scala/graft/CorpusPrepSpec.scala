@@ -371,6 +371,31 @@ class CorpusPrepSpec extends SparkSpec {
     assert(again == out.map(_.toString).sorted.toSeq)
   }
 
+  test("packGreedyResume: resumed pack equals the whole-corpus pack") {
+    val budget = 96
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val shard = pmod(col("doc_id"), lit(8))
+    // append-only split: batch 2 strictly after batch 1 in id order
+    val b1 = lens.filter(col("doc_id") < 250)
+    val b2 = lens.filter(col("doc_id") >= 250)
+    val whole = CorpusPrep.packGreedyByLen(lens, "doc_id", "n",
+      budget, shard).collect().map(_.toString).sorted.toSeq
+    val first = CorpusPrep.packGreedyByLen(b1, "doc_id", "n", budget, shard)
+    val state = CorpusPrep.packTailState(first, "n")
+    val resumed = CorpusPrep.packGreedyResume(b2, "doc_id", "n",
+      budget, shard, state)
+    val together = (first.collect() ++ resumed.collect())
+      .map(_.toString).sorted.toSeq
+    assert(together == whole,
+      "resume from tail state must reproduce the whole-corpus pack")
+    // resuming against an EMPTY state packs from scratch
+    val empty = state.filter(lit(false))
+    val scratch = CorpusPrep.packGreedyResume(b1, "doc_id", "n",
+      budget, shard, empty).collect().map(_.toString).sorted.toSeq
+    assert(scratch == first.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("packBestFitDecreasing: hand-traced placements; tightest-fit wins") {
     val s = spark
     import s.implicits._
