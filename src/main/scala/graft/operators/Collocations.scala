@@ -42,6 +42,56 @@ object Collocations {
       .orderBy(col("score").desc, col("bigram"))
       .limit(topN)
 
+  /** Windowed skip-gram co-occurrence PMI — the distributional
+    * statistic behind word2vec/GloVe-style co-occurrence matrices:
+    * count UNORDERED token pairs within a ±`win` token window
+    * (symmetrized by sorting each pair) and score
+    * `round(ln(N·c_ab / (c_a·c_b)), 6)` — PMI up to the
+    * window-count normalization constant, ONE double expression
+    * mirrored verbatim in the oracle (the q111 idiom; ln is already
+    * pinned cross-engine by q67). Top `topN` by (pmi desc, pair asc)
+    * at min support `minCount`.
+    *
+    * Scale: pair generation is `win` `lead()`s over ONE doc-keyed
+    * window exchange (the q76/q152 class — bucketing the corpus by
+    * id removes it; a self-join spelling would be a range join
+    * instead). Counts are pair-vocabulary-sized after map-side
+    * combine; the N total is a 1-row broadcast (allowlisted BNLJ).
+    */
+  def windowedPmi(docs: DataFrame, idCol: String, textCol: String,
+      win: Int, minCount: Long = 5L, topN: Int = 40): DataFrame = {
+    require(win >= 1, s"need win >= 1, got $win")
+    import org.apache.spark.sql.expressions.Window
+    val e = docs.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val pairs = e
+      .select(col("tok"),
+        array((1 to win).map(j => lead(col("tok"), j).over(w)): _*)
+          .as("nbrs"))
+      .select(col("tok").as("x"), explode(col("nbrs")).as("y"))
+      .where(col("y").isNotNull)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val uni = Barrier.materialize(
+      e.groupBy(col("tok")).agg(count(lit(1)).as("c_w")))
+    val n = uni.agg(sum(col("c_w")).as("n"))
+    pairs
+      .join(broadcast(uni.select(col("tok").as("a"), col("c_w").as("c_a"))),
+        "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("c_w").as("c_b"))),
+        "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(col("n").cast("double") * col("c_ab") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** The full scored-bigram table of a token-array stream (column
     * `toks`), unlimited — [[phraseScores]] tops it, [[iteratePhrases]]
     * thresholds it. Columns: (bigram, c_ab, score). */

@@ -1702,6 +1702,52 @@ object Corpus {
         JOIN tot ta ON ta.source = pr.src_a
         JOIN tot tb ON tb.source = pr.src_b""")),
 
+    // ----- Windowed co-occurrence PMI (distributional statistics) -----
+    // [[graft.operators.Collocations.windowedPmi]]: q111 scores
+    // ADJACENT pairs; the word2vec/GloVe co-occurrence matrix counts
+    // pairs within a ±3 window. Symmetrized pairs via win lead()s
+    // over one doc-keyed window exchange, Heaps-bounded pair counts,
+    // 1-row total broadcast (allowlisted), ONE ln expression mirrored
+    // verbatim (q67 pinned ln cross-engine).
+    QueryDef(
+      "q160_cooccurrence_pmi",
+      (spark, dir) =>
+        Collocations.windowedPmi(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", win = 3, minCount = 5L, topN = 40),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents),
+        e AS (
+          SELECT doc_id, i AS pos, w[i] AS tok
+          FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+        p AS (
+          SELECT least(tok, nb) AS a, greatest(tok, nb) AS b
+          FROM (SELECT doc_id, pos, tok,
+                       lead(tok, 1) OVER win AS n1,
+                       lead(tok, 2) OVER win AS n2,
+                       lead(tok, 3) OVER win AS n3
+                FROM e
+                WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+               unnest([n1, n2, n3]) AS nbrs(nb)
+          WHERE nb IS NOT NULL),
+        u AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c_w FROM e GROUP BY tok),
+        nt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM u),
+        cp AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+          FROM p GROUP BY a, b HAVING count(*) >= 5)
+        SELECT cp.a, cp.b, cp.c_ab,
+               round(ln(CAST(n AS DOUBLE) * cp.c_ab /
+                        (CAST(ua.c_w AS DOUBLE) * CAST(ub.c_w AS DOUBLE))), 6)
+                 AS pmi
+        FROM cp
+        CROSS JOIN nt
+        JOIN u ua ON ua.tok = cp.a
+        JOIN u ub ON ub.tok = cp.b
+        ORDER BY pmi DESC, a, b LIMIT 40""")),
+
     // ----- LSH banding-parameter plan (dedup index sizing) -----
     // [[graft.operators.Dedup.lshParameterPlan]]: the analytic sizing
     // step in front of q33's MinHash near-dup index — for each target

@@ -29,7 +29,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q127_doremi_mixture",     // 1-row corpus-total + loss-total broadcasts
     "q128_rm3_expansion",      // q124's corpus-stats broadcast inside topK
     "q129_rrf_fusion",         // 10-row broadcast prior × 3 probe ids
-    "q136_domain_divergence")  // 1-row corpus-total broadcast
+    "q136_domain_divergence",  // 1-row corpus-total broadcast
+    "q160_cooccurrence_pmi")   // 1-row token-total broadcast (q111's shape)
 
   test("no undeclared nested-loop or cartesian join in any query plan") {
     val offenders = SparkEntry.all.flatMap { q =>
