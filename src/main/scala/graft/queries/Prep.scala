@@ -2480,6 +2480,84 @@ object Prep {
                string_agg(text, ' ' ORDER BY off, text) AS seq_text,
                CAST(sum(n_toks) AS BIGINT) AS fill,
                CAST(count(*) AS BIGINT) AS n_docs
+        FROM s GROUP BY shard, bin_id""")),
+
+    // ----- SFT batch recipe flagship: curate → dedup → pack → emit -----
+    // q105's sibling for the SFT regime, four stages under ONE
+    // oracle: an integer quality gate (length band + the q77
+    // chars-per-token band in pure integer arithmetic), exact
+    // content-hash dedup (min-id survivor, q31's hash), NO-SPLIT
+    // greedy packing of the survivors (q147 — the SFT-correct packer:
+    // examples never straddle), and bin materialization (q158). Each
+    // stage keeps its audited plan shape; the oracle chains the gate,
+    // the hash grouping, the recursive greedy replay, and the ordered
+    // string_agg, so one hash proves the whole recipe end-to-end.
+    QueryDef(
+      "q161_sft_recipe",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        val scored = docs.select(col("doc_id"), col("text"),
+          col("n_chars"),
+          coalesce(size(split(col("text"), " ")), lit(0)).cast("long")
+            .as("n_toks"))
+        val kept = scored.filter(col("n_toks") >= 20 &&
+          col("n_toks") * 3 <= col("n_chars") &&
+          col("n_chars") <= col("n_toks") * 10)
+        val dedup = kept
+          .withColumn("content_hash", Text.contentHash(col("text")))
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+          .filter(col("doc_id") === col("keep_id"))
+          .select(col("doc_id"), col("text"))
+        val assign = CorpusPrep.packGreedy(dedup, "doc_id", "text",
+          budget = 256, shardCol = pmod(col("doc_id"), lit(8)))
+        assign.join(dedup, "doc_id")
+          .groupBy(col("shard"), col("bin_id"))
+          .agg(
+            array_join(Text.inPositionOrder(
+              collect_list(struct(col("offset"), col("text"))), "text"),
+              " ").as("seq_text"),
+            sum(col("n_toks")).as("fill"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        WITH RECURSIVE sc AS (
+          SELECT doc_id, text, n_chars,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks
+          FROM documents),
+        kept AS (
+          SELECT doc_id, text, n_toks FROM sc
+          WHERE n_toks >= 20 AND n_toks * 3 <= n_chars
+            AND n_chars <= n_toks * 10),
+        dd AS (
+          SELECT doc_id, text, n_toks,
+                 min(doc_id) OVER (PARTITION BY
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep_id
+          FROM kept),
+        sv AS (
+          SELECT doc_id, text, doc_id % 8 AS shard, n_toks,
+                 CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                         ORDER BY doc_id) AS BIGINT) AS rn
+          FROM dd WHERE doc_id = keep_id),
+        s AS (
+          SELECT doc_id, text, shard, n_toks, rn,
+                 CAST(0 AS BIGINT) AS bin_id,
+                 CAST(0 AS BIGINT) AS off,
+                 n_toks AS fill
+          FROM sv WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.text, d.shard, d.n_toks, d.rn,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.bin_id ELSE s.bin_id + 1 END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill ELSE CAST(0 AS BIGINT) END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill + d.n_toks ELSE d.n_toks END
+          FROM sv d JOIN s ON d.shard = s.shard AND d.rn = s.rn + 1)
+        SELECT shard, bin_id,
+               string_agg(text, ' ' ORDER BY off, text) AS seq_text,
+               CAST(sum(n_toks) AS BIGINT) AS fill,
+               CAST(count(*) AS BIGINT) AS n_docs
         FROM s GROUP BY shard, bin_id"""))
   )
 }

@@ -381,6 +381,61 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.estimate("x") == 25L)
   }
 
+  test("foreachBatch packs batches incrementally from the tail state") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.CorpusPrep
+    val in = Files.createTempDirectory("graft_pk_in_").toString
+    val ckpt = Files.createTempDirectory("graft_pk_ckpt_").toString
+    val root = Files.createTempDirectory("graft_pk_idx_").toString
+    val budget = 16
+
+    def writeDocs(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "n").coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def stateAt(v: Int) = s"$root/state_v$v"
+    def packedAt(v: Int) = s"$root/packed_v$v"
+    Seq.empty[(Long, Long, Long)].toDF("shard", "bin_id", "fill")
+      .write.parquet(stateAt(0))
+
+    // append-only ingest (monotonic ids): each batch packs FROM the
+    // stored per-shard tail state and appends its assignments — the
+    // corpus is never repacked, yet the union of batch outputs IS the
+    // whole-corpus pack (packGreedyResume's contract)
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, n BIGINT"), ckpt) {
+      (batch, _) =>
+        val packed = CorpusPrep.packGreedyResume(batch, "doc_id", "n",
+          budget, pmod(col("doc_id"), lit(4)),
+          spark.read.parquet(stateAt(version)))
+        packed.write.mode("append").parquet(packedAt(0))
+        // new tail = tail of (old state's open bins ∪ this batch):
+        // packTailState over the batch alone is enough because resume
+        // continues the SAME bin ids — a shard untouched this batch
+        // keeps its stored row
+        val newTail = CorpusPrep.packTailState(packed, "n")
+          .unionByName(spark.read.parquet(stateAt(version))
+            .join(packed.select(col("shard")).distinct(), Seq("shard"),
+              "left_anti"))
+        newTail.write.parquet(stateAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = (1L to 20L).map(i => i -> (i % 7 + 3))  // lens 3..9
+    val batch2 = (21L to 40L).map(i => i -> (i % 5 + 2))
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+
+    val streamed = spark.read.parquet(packedAt(0))
+      .collect().map(_.toString).sorted.toSeq
+    val whole = CorpusPrep.packGreedyByLen(
+        (batch1 ++ batch2).toDF("doc_id", "n"), "doc_id", "n",
+        budget, pmod(col("doc_id"), lit(4)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == whole,
+      "incrementally packed batches must equal the whole-corpus pack")
+  }
+
   test("foreachBatch maintains an HLL distinct-count store (hll_union_agg)") {
     val s = spark
     import s.implicits._
