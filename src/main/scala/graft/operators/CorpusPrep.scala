@@ -213,6 +213,53 @@ object CorpusPrep {
       .agg(min(col("len")).as("q_len"))
   }
 
+  /** Select documents to a TOKEN budget in quality order — the
+    * "keep the best X tokens" curation step (classifier-scored corpus
+    * trimming): documents ranked by (score desc, id asc) are taken
+    * while the running token total stays ≤ `budget`.
+    *
+    * Exact WITHOUT the global sort that ranking implies: the
+    * (score → token mass) class histogram carries the cross-class
+    * running totals (classes ≪ corpus — scores are rounded), and
+    * documents rank only WITHIN their own score class (a
+    * class-partitioned window, parallel across classes — never one
+    * global ordering task). cum_before(class) + within-class prefix
+    * IS the global ranked running total, so the result equals the
+    * naive ranked prefix scan — the oracle runs that spelling and
+    * the hash proves the equivalence. Columns:
+    * (idCol, scoreCol, lenCol).
+    *
+    * Scale: one class-histogram aggregate (bounded by distinct
+    * rounded scores), one windowed cumsum over that histogram (class
+    * count ≪ corpus — single-partition by construction, documented),
+    * one class table joined back (broadcast while classes are small),
+    * one class-partitioned window. Nothing corpus-sized sorts
+    * globally.
+    */
+  def selectToBudget(docs: DataFrame, idCol: String, scoreCol: String,
+      lenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val hist = docs.groupBy(col(scoreCol))
+      .agg(sum(col(lenCol)).as("class_tokens"))
+    val wq = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classes = hist
+      .withColumn("cum", sum(col("class_tokens")).over(wq))
+      .withColumn("cum_before", col("cum") - col("class_tokens"))
+    val joined = docs.join(classes.select(col(scoreCol),
+      col("cum_before")), Seq(scoreCol))
+    val wd = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum_before (whole classes above) + dcum (within-class prefix)
+    // IS the global ranked running total — one comparison, exactly
+    // the oracle's naive ranked-prefix spelling, zero-length edge
+    // cases included
+    joined
+      .withColumn("dcum", sum(col(lenCol)).over(wd))
+      .filter(col("cum_before") + col("dcum") <= budget)
+      .select(col(idCol), col(scoreCol), col(lenCol))
+  }
+
   /** Per-shard tail state of a [[packGreedy]]/[[packGreedyByLen]]
     * result: the open (last) bin's id and fill — everything the
     * greedy fold needs to RESUME. One aggregate over the fixed-width

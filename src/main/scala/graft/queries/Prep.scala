@@ -2558,6 +2558,48 @@ object Prep {
                string_agg(text, ' ' ORDER BY off, text) AS seq_text,
                CAST(sum(n_toks) AS BIGINT) AS fill,
                CAST(count(*) AS BIGINT) AS n_docs
-        FROM s GROUP BY shard, bin_id"""))
+        FROM s GROUP BY shard, bin_id""")),
+
+    // ----- Budget-capped selection by score (corpus trimming) -----
+    // [[graft.operators.CorpusPrep.selectToBudget]]: keep the
+    // best-scored documents until a token budget fills — the
+    // classifier-trimming step (take the top X tokens, not the top X
+    // docs). Score here: chars-per-token density rounded to 6dp (any
+    // rounded score works — rounding is what keeps the class
+    // histogram ≪ corpus). The oracle runs the naive global ranked
+    // prefix scan the class decomposition provably equals.
+    QueryDef(
+      "q162_select_to_budget",
+      (spark, dir) => {
+        val scored = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            coalesce(size(split(col("text"), " ")), lit(0)).cast("long")
+              .as("n_toks"),
+            col("n_chars"))
+          .filter(col("n_toks") > 0)
+          .select(col("doc_id"), col("n_toks"),
+            round(col("n_chars").cast("double") /
+              col("n_toks").cast("double"), 6).as("score"))
+        CorpusPrep.selectToBudget(scored, "doc_id", "score", "n_toks",
+          budget = 10000L)
+      },
+      Some("""
+        WITH sc AS (
+          SELECT doc_id,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+                   AS n_toks,
+                 n_chars
+          FROM documents),
+        scored AS (
+          SELECT doc_id, n_toks,
+                 round(n_chars::DOUBLE / n_toks::DOUBLE, 6) AS score
+          FROM sc WHERE n_toks > 0),
+        ranked AS (
+          SELECT doc_id, score, n_toks,
+                 CAST(sum(n_toks) OVER (ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM scored)
+        SELECT doc_id, score, n_toks
+        FROM ranked WHERE cum <= 10000"""))
   )
 }

@@ -396,6 +396,29 @@ class CorpusPrepSpec extends SparkSpec {
     assert(scratch == first.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("selectToBudget: class decomposition equals the ranked prefix scan") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, 2.0, 5L), (2L, 2.0, 5L),      // one score class, cum 5, 10
+      (3L, 1.0, 4L), (4L, 1.0, 6L),      // next class, cum 14, 20
+      (5L, 1.5, 0L)                      // zero-length, cum 10 exactly
+    ).toDF("doc_id", "score", "n")
+    def sel(b: Long) = CorpusPrep.selectToBudget(rows, "doc_id", "score",
+      "n", b).collect().map(_.getLong(0)).toSet
+    // ranked order: 1, 2, (5 len 0 at cum 10), 3, 4
+    assert(sel(13L) == Set(1L, 2L, 5L))
+    assert(sel(14L) == Set(1L, 2L, 5L, 3L))
+    assert(sel(9L) == Set(1L))           // boundary inside a class
+    assert(sel(10L) == Set(1L, 2L, 5L))  // zero-length doc at exact budget
+    assert(sel(0L) == Set.empty[Long])
+    assert(sel(100L) == Set(1L, 2L, 3L, 4L, 5L))
+    // partition-layout stable
+    val a = CorpusPrep.selectToBudget(rows.repartition(3), "doc_id",
+      "score", "n", 14L).collect().map(_.getLong(0)).toSet
+    assert(a == sel(14L))
+  }
+
   test("packBestFitDecreasing: hand-traced placements; tightest-fit wins") {
     val s = spark
     import s.implicits._
