@@ -57,6 +57,47 @@ object CorpusPrep {
         least(lit(size), col("n_toks") - col("chunk_id") * stride).as("chunk_len"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync idea at token
+    * granularity): cut AFTER any position whose trailing trigram
+    * hashes to 0 mod `modulus` — so boundaries are decided by LOCAL
+    * content, not absolute offsets, and an insertion near the start
+    * of a document shifts only the chunks it touches while every
+    * later chunk's CONTENT (and hence its dedup hash) is unchanged.
+    * Fixed-window chunking (q53) re-cuts everything after an
+    * insertion; this is the chunker that keeps chunk-level dedup
+    * effective against shifted/prepended boilerplate
+    * (CorpusPrepSpec pins the shift-stability property).
+    * Expected chunk length ≈ `modulus` tokens.
+    *
+    * Scale: one doc-keyed window exchange (lag×2 for the trigram,
+    * one running-sum for the chunk id, the reassembly agg — all in
+    * the same partitioning; bucketing by id removes the exchange).
+    * Output: (idCol, chunk_id, chunk_text, n_toks).
+    */
+  def chunkContentDefined(docs: DataFrame, idCol: String, textCol: String,
+      modulus: Int): DataFrame = {
+    require(modulus >= 2, s"need modulus >= 2, got $modulus")
+    val e = docs.select(col(idCol),
+      posexplode(toks(col(textCol))).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("tok"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tri = concat_ws(" ", lag(col("tok"), 2).over(w),
+      lag(col("tok"), 1).over(w), col("tok"))
+    val marker = when(col("pos") >= 3 &&
+      pmod(conv(substring(md5(tri), 1, 13), 16, 10).cast("long"),
+        lit(modulus.toLong)) === 0, lit(1)).otherwise(lit(0))
+    val marked = e.select(col(idCol), col("pos"), col("tok"),
+      marker.as("marker"))
+    val chunkId = coalesce(
+      sum(col("marker")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    marked
+      .select(col(idCol), col("pos"), col("tok"), chunkId.as("chunk_id"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(Text.positionedConcat(col("pos"), col("tok")).as("chunk_text"),
+        count(lit(1)).as("n_toks"))
+  }
+
   /** Sequential sequence-packing: lay documents end-to-end per shard
     * and record, for each document, which fixed-`budget` token sequence
     * it starts in (`seq_id`) and at which offset. This is the

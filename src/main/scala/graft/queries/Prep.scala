@@ -2600,6 +2600,46 @@ object Prep {
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
           FROM scored)
         SELECT doc_id, score, n_toks
-        FROM ranked WHERE cum <= 10000"""))
+        FROM ranked WHERE cum <= 10000""")),
+
+    // ----- Content-defined chunking (shift-stable boundaries) -----
+    // [[graft.operators.CorpusPrep.chunkContentDefined]]: cut after
+    // any position whose trailing trigram hashes ≡ 0 (mod 16) — the
+    // FastCDC idea at token granularity, so chunk contents (and their
+    // dedup hashes) survive insertions that would re-cut every fixed
+    // window. The oracle replays the lag-trigram marker, the running
+    // boundary count, and the ordered reassembly.
+    QueryDef(
+      "q163_chunk_cdc",
+      (spark, dir) =>
+        CorpusPrep.chunkContentDefined(
+          Tables.load(spark, dir, "documents"), "doc_id", "text",
+          modulus = 16),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        e AS (
+          SELECT doc_id, i AS pos, w[i] AS tok
+          FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+        m AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN pos >= 3 AND
+                   ('0x' || substr(md5(concat_ws(' ', l2, l1, tok)), 1, 13))::BIGINT
+                     % 16 = 0
+                 THEN 1 ELSE 0 END AS marker
+          FROM (SELECT doc_id, pos, tok,
+                       lag(tok, 2) OVER win AS l2,
+                       lag(tok, 1) OVER win AS l1
+                FROM e WINDOW win AS (PARTITION BY doc_id ORDER BY pos))),
+        c AS (
+          SELECT doc_id, pos, tok,
+                 CAST(coalesce(sum(marker) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+          FROM m)
+        SELECT doc_id, chunk_id,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+               CAST(count(*) AS BIGINT) AS n_toks
+        FROM c GROUP BY doc_id, chunk_id"""))
   )
 }

@@ -396,6 +396,42 @@ class CorpusPrepSpec extends SparkSpec {
     assert(scratch == first.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("chunkContentDefined: boundaries are shift-stable; chunks tile the doc") {
+    val s = spark
+    import s.implicits._
+    // chunks reassemble every doc exactly
+    val out = CorpusPrep.chunkContentDefined(docs, "doc_id", "text", 16)
+    val rebuilt = out.groupBy("doc_id")
+      .agg(array_join(graft.functions.Text.inPositionOrder(
+        collect_list(struct(col("chunk_id"), col("chunk_text"))),
+        "chunk_text"), " ").as("rebuilt"))
+    assert(rebuilt.join(docs, "doc_id")
+      .filter(col("rebuilt") =!= col("text")).count() == 0L)
+    // THE content-defined property: prepending tokens to a document
+    // shifts early chunks but every chunk whose content lies past the
+    // perturbation re-appears VERBATIM — fixed-window chunking (q53)
+    // re-cuts everything instead
+    // longest doc → several chunks on both sides of the comparison
+    val doc = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .collect()(0).getAs[String]("text")
+    val shifted = ("zqx1 zqx2 zqx3 zqx4 zqx5 " + doc)
+    val pair = Seq((1L, doc), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = CorpusPrep.chunkContentDefined(pair, "doc_id", "text", 16)
+      .collect()
+    val c1 = chunks.filter(_.getLong(0) == 1L).map(_.getString(2)).toSet
+    val c2 = chunks.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet
+    val shared = c1.intersect(c2)
+    // all original chunks except (at most) the first re-appear
+    assert(shared.size >= c1.size - 1,
+      s"only ${shared.size} of ${c1.size} chunks survived the shift")
+    // and fixed-window chunking indeed destroys them (sanity contrast)
+    val f = CorpusPrep.chunkSliding(pair, "doc_id", "text", 16, 16)
+      .collect()
+    val f1 = f.filter(_.getLong(0) == 1L).map(_.getString(2)).toSet
+    val f2 = f.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet
+    assert(f1.intersect(f2).size < shared.size)
+  }
+
   test("selectToBudget: class decomposition equals the ranked prefix scan") {
     val s = spark
     import s.implicits._
