@@ -172,7 +172,18 @@ object CorpusPrep {
     * (q95) randomizes order anyway. */
   def packGreedyByLen(docs: DataFrame, idCol: String, lenCol: String,
       budget: Int, shardCol: Column,
-      sortByLenDesc: Boolean = false): DataFrame = {
+      sortByLenDesc: Boolean = false): DataFrame =
+    greedyFold(docs, idCol, lenCol, budget, shardCol, sortByLenDesc,
+      Map.empty)
+
+  /** ONE greedy fold serves every packer entry point — the id-order
+    * form, the length-sorted form, and the resumed form are all this
+    * recurrence with different walk orders / initial states, so a fix
+    * to the (subtle) first-doc-seed vs overflow-close rule can never
+    * drift between them. */
+  private def greedyFold(docs: DataFrame, idCol: String, lenCol: String,
+      budget: Int, shardCol: Column, sortByLenDesc: Boolean,
+      initState: Map[Long, (Long, Long)]): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -189,15 +200,25 @@ object CorpusPrep {
       var shard = Long.MinValue
       var binId = 0L
       var fill = 0L
+      var virgin = false
       rows.map { case (id, sh, n) =>
-        // a shard's FIRST document always enters bin 0 (even oversize
-        // — its own overflowed bin); after that, any overflow closes
-        // the current bin UNCONDITIONALLY, including a fill-0 bin left
-        // by zero-token documents — the exact recurrence the oracle's
-        // recursive CTE spells, so the two can never diverge on the
-        // degenerate [oversize, 0-token, oversize] sequence
+        if (sh != shard) {
+          shard = sh
+          initState.get(sh) match {
+            case Some((b, f)) => binId = b; fill = f; virgin = false
+            case None => binId = 0L; fill = 0L; virgin = true
+          }
+        }
+        // a VIRGIN shard's first document always enters bin 0 (even
+        // oversize — its own overflowed bin); every later document —
+        // including the first of a RESUMED shard, which is not first
+        // in the walk — closes the current bin UNCONDITIONALLY on
+        // overflow, including a fill-0 bin left by zero-token
+        // documents: the exact recurrence the oracle's recursive CTE
+        // spells, so the two can never diverge on the degenerate
+        // [oversize, 0-token, oversize] sequence
         val off =
-          if (sh != shard) { shard = sh; binId = 0L; fill = 0L; 0L }
+          if (virgin) { virgin = false; 0L }
           else {
             if (fill + n > budget) { binId += 1L; fill = 0L }
             fill
@@ -287,8 +308,8 @@ object CorpusPrep {
     val classes = hist
       .withColumn("cum", sum(col("class_tokens")).over(wq))
       .withColumn("cum_before", col("cum") - col("class_tokens"))
-    val joined = docs.join(classes.select(col(scoreCol),
-      col("cum_before")), Seq(scoreCol))
+    val joined = docs.join(broadcast(classes.select(col(scoreCol),
+      col("cum_before"))), Seq(scoreCol))
     val wd = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // cum_before (whole classes above) + dcum (within-class prefix)
@@ -328,45 +349,39 @@ object CorpusPrep {
     */
   def packGreedyResume(docs: DataFrame, idCol: String, lenCol: String,
       budget: Int, shardCol: Column, state: DataFrame): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val init: Map[Long, (Long, Long)] = state
       .select(col("shard").cast("long"), col("bin_id").cast("long"),
         col("fill").cast("long"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val base = docs.select(col(idCol).cast("long"),
-        shardCol.cast("long").as("shard"),
-        col(lenCol).cast("long"))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col(idCol))
-      .as[(Long, Long, Long)]
-    base.mapPartitions { rows =>
-      var shard = Long.MinValue
-      var binId = 0L
-      var fill = 0L
-      var virgin = false
-      rows.map { case (id, sh, n) =>
-        if (sh != shard) {
-          shard = sh
-          init.get(sh) match {
-            case Some((b, f)) => binId = b; fill = f; virgin = false
-            case None => binId = 0L; fill = 0L; virgin = true
-          }
-        }
-        // a virgin shard's first doc always enters bin 0 (packGreedy's
-        // seed rule); a RESUMED shard applies the overflow recurrence
-        // to its very first doc — it is not the first of the walk
-        val off =
-          if (virgin) { virgin = false; 0L }
-          else {
-            if (fill + n > budget) { binId += 1L; fill = 0L }
-            fill
-          }
-        fill += n
-        (id, sh, n, binId, off)
-      }
-    }.toDF(idCol, "shard", lenCol, "bin_id", "offset")
+    greedyFold(docs, idCol, lenCol, budget, shardCol,
+      sortByLenDesc = false, init)
+  }
+
+  /** The NEXT tail state after [[packGreedyResume]] packed a batch:
+    * [[packTailState]] over the batch's assignments counts only the
+    * BATCH's contribution to each shard's open bin, so the previous
+    * state must be folded in — a shard whose open bin the batch
+    * CONTINUED (same bin id) adds the carried-over fill, a shard the
+    * batch moved past that bin starts its new open bin from the batch
+    * rows alone, and a shard the batch never touched keeps its stored
+    * row verbatim. Deriving the next state any other way (the batch
+    * tail alone) understates continued bins and breaks the
+    * resume-equals-whole-pack equality from the THIRD batch on
+    * (StreamsSpec runs three batches to pin exactly this). */
+  def packTailStateMerged(packedBatch: DataFrame, lenCol: String,
+      prevState: DataFrame): DataFrame = {
+    val b = packTailState(packedBatch, lenCol)
+      .select(col("shard"), col("bin_id").as("b_bin"),
+        col("fill").as("b_fill"))
+    val p = prevState.select(col("shard"), col("bin_id").as("p_bin"),
+      col("fill").as("p_fill"))
+    b.join(p, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("b_bin"), col("p_bin")).as("bin_id"),
+        (coalesce(col("b_fill"), lit(0L)) +
+          when(col("b_bin").isNull, coalesce(col("p_fill"), lit(0L)))
+            .when(col("p_bin") === col("b_bin"), col("p_fill"))
+            .otherwise(lit(0L))).as("fill"))
   }
 
   /** Best-fit-decreasing bin packing: walk each shard longest-

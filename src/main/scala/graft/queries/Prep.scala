@@ -2503,15 +2503,21 @@ object Prep {
         val kept = scored.filter(col("n_toks") >= 20 &&
           col("n_toks") * 3 <= col("n_chars") &&
           col("n_chars") <= col("n_toks") * 10)
-        val dedup = kept
+        // barriered: TWO consumers (the packer and the join-back) — an
+        // unpersisted frame used twice re-runs the gate and the
+        // corpus-wide hash window per consumer (the q105 lesson); and
+        // the packer takes the ALREADY-computed lengths (ByLen — no
+        // re-tokenization)
+        val dedup = Barrier.materialize(kept
           .withColumn("content_hash", Text.contentHash(col("text")))
           .withColumn("keep_id",
             min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
           .filter(col("doc_id") === col("keep_id"))
-          .select(col("doc_id"), col("text"))
-        val assign = CorpusPrep.packGreedy(dedup, "doc_id", "text",
+          .select(col("doc_id"), col("text"), col("n_toks")))
+        val assign = CorpusPrep.packGreedyByLen(
+          dedup.select(col("doc_id"), col("n_toks")), "doc_id", "n_toks",
           budget = 256, shardCol = pmod(col("doc_id"), lit(8)))
-        assign.join(dedup, "doc_id")
+        assign.join(dedup.select(col("doc_id"), col("text")), "doc_id")
           .groupBy(col("shard"), col("bin_id"))
           .agg(
             array_join(Text.inPositionOrder(
@@ -2578,8 +2584,11 @@ object Prep {
             col("n_chars"))
           .filter(col("n_toks") > 0)
           .select(col("doc_id"), col("n_toks"),
+            // 2dp: the class histogram must stay << corpus for the
+            // operator's single-partition class cumsum — 6dp density
+            // classes would approach corpus cardinality at scale
             round(col("n_chars").cast("double") /
-              col("n_toks").cast("double"), 6).as("score"))
+              col("n_toks").cast("double"), 2).as("score"))
         CorpusPrep.selectToBudget(scored, "doc_id", "score", "n_toks",
           budget = 10000L)
       },
@@ -2592,7 +2601,7 @@ object Prep {
           FROM documents),
         scored AS (
           SELECT doc_id, n_toks,
-                 round(n_chars::DOUBLE / n_toks::DOUBLE, 6) AS score
+                 round(n_chars::DOUBLE / n_toks::DOUBLE, 2) AS score
           FROM sc WHERE n_toks > 0),
         ranked AS (
           SELECT doc_id, score, n_toks,

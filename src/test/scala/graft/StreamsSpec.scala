@@ -401,35 +401,37 @@ class StreamsSpec extends SparkSpec {
     // append-only ingest (monotonic ids): each batch packs FROM the
     // stored per-shard tail state and appends its assignments — the
     // corpus is never repacked, yet the union of batch outputs IS the
-    // whole-corpus pack (packGreedyResume's contract)
+    // whole-corpus pack (packGreedyResume's contract). The next state
+    // comes from packTailStateMerged: the batch tail ALONE would
+    // understate a bin the batch continued (its fill counts only the
+    // batch's rows), silently overpacking from the third batch on.
     def ingest(): Unit = Streams.runForeachBatch(
       Streams.fileArrival(spark, in, "doc_id BIGINT, n BIGINT"), ckpt) {
       (batch, _) =>
+        val prev = spark.read.parquet(stateAt(version))
         val packed = CorpusPrep.packGreedyResume(batch, "doc_id", "n",
-          budget, pmod(col("doc_id"), lit(4)),
-          spark.read.parquet(stateAt(version)))
+          budget, pmod(col("doc_id"), lit(4)), prev)
         packed.write.mode("append").parquet(packedAt(0))
-        // new tail = tail of (old state's open bins ∪ this batch):
-        // packTailState over the batch alone is enough because resume
-        // continues the SAME bin ids — a shard untouched this batch
-        // keeps its stored row
-        val newTail = CorpusPrep.packTailState(packed, "n")
-          .unionByName(spark.read.parquet(stateAt(version))
-            .join(packed.select(col("shard")).distinct(), Seq("shard"),
-              "left_anti"))
-        newTail.write.parquet(stateAt(version + 1))
+        CorpusPrep.packTailStateMerged(packed, "n", prev)
+          .write.parquet(stateAt(version + 1))
         version += 1
     }
 
-    val batch1 = (1L to 20L).map(i => i -> (i % 7 + 3))  // lens 3..9
-    val batch2 = (21L to 40L).map(i => i -> (i % 5 + 2))
+    // small lengths relative to the budget, so open bins CONTINUE
+    // across batches — the case where the carried-over fill matters
+    // (a batch tail alone would restart those bins' fills at the
+    // batch contribution and overpack in the next round)
+    val batch1 = (1L to 12L).map(i => i -> (i % 3 + 2))  // lens 2..4
+    val batch2 = (13L to 24L).map(i => i -> (i % 4 + 1))
+    val batch3 = (25L to 40L).map(i => i -> (i % 3 + 1))
     writeDocs(batch1); ingest()
     writeDocs(batch2); ingest()
+    writeDocs(batch3); ingest()
 
     val streamed = spark.read.parquet(packedAt(0))
       .collect().map(_.toString).sorted.toSeq
     val whole = CorpusPrep.packGreedyByLen(
-        (batch1 ++ batch2).toDF("doc_id", "n"), "doc_id", "n",
+        (batch1 ++ batch2 ++ batch3).toDF("doc_id", "n"), "doc_id", "n",
         budget, pmod(col("doc_id"), lit(4)))
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == whole,
