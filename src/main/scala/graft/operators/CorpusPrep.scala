@@ -256,19 +256,30 @@ object CorpusPrep {
     * base) feeds them in instead of paying a second corpus scan and
     * re-tokenization (the packGreedyByLen split-entry-point idiom). */
   def lengthQuantilesByLen(rows: DataFrame, groupCol: String,
-      lenCol: String, ps: Seq[Int]): DataFrame = {
+      lenCol: String, ps: Seq[Int]): DataFrame =
+    lengthQuantilesFromHist(
+      rows.select(col(groupCol), col(lenCol).cast("long").as("len"))
+        .groupBy(col(groupCol), col("len")).agg(count(lit(1)).as("cnt")),
+      groupCol, "len", "cnt", ps)
+
+  /** The quantile walk over an ALREADY-built (group, length → #docs)
+    * histogram — the histogram is the operator's sufficient statistic
+    * AND it is mergeable by plain count addition, so per-batch
+    * histograms summed into a store yield EXACTLY the whole-corpus
+    * quantiles (StreamsSpec pins the foreachBatch form — quantiles
+    * join the mergeable-store family without any sketch
+    * approximation). */
+  def lengthQuantilesFromHist(hist: DataFrame, groupCol: String,
+      lenCol: String, cntCol: String, ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       s"percentiles must lie in [1, 100], got $ps")
-    val hist = rows
-      .select(col(groupCol), col(lenCol).cast("long").as("len"))
-      .groupBy(col(groupCol), col("len")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("len"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(lenCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n", sum(col("cnt"))
+      .withColumn("cum", sum(col(cntCol)).over(w))
+      .withColumn("n", sum(col(cntCol))
         .over(Window.partitionBy(col(groupCol))))
-      .select(col(groupCol), col("len"), col("cum"), col("n"),
+      .select(col(groupCol), col(lenCol).as("len"), col("cum"), col("n"),
         explode(array(ps.map(lit(_)): _*)).as("p"))
       .filter(col("cum") * 100 >= col("p") * col("n"))
       .groupBy(col(groupCol), col("p"))

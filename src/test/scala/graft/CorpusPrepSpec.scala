@@ -455,6 +455,50 @@ class CorpusPrepSpec extends SparkSpec {
     assert(a == sel(14L))
   }
 
+  test("property: resume-chain equality over randomized corpora and splits") {
+    val s = spark
+    import s.implicits._
+    // fixed seed → deterministic trials; lens include 0 and oversize
+    // (the degenerate cases the greedy recurrence must keep in lockstep
+    // with the oracle and with packGreedyResume)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val nDocs = 30 + rnd.nextInt(60)
+      val budget = 8 + rnd.nextInt(40)
+      val nShards = 1 + rnd.nextInt(4)
+      val lens = (1L to nDocs).map { i =>
+        val r = rnd.nextInt(10)
+        val n = if (r == 0) 0L                        // zero-token doc
+                else if (r == 1) budget + 1L + rnd.nextInt(10) // oversize
+                else 1L + rnd.nextInt(budget)
+        i -> n
+      }
+      val shard = pmod(col("doc_id"), lit(nShards))
+      val all = lens.toDF("doc_id", "n")
+      val whole = CorpusPrep.packGreedyByLen(all, "doc_id", "n",
+        budget, shard).collect().map(_.toString).sorted.toSeq
+      // split into three consecutive batches at random cut points and
+      // pack incrementally through the merged tail state
+      val c1 = 1 + rnd.nextInt(nDocs - 2)
+      val c2 = c1 + 1 + rnd.nextInt(nDocs - c1 - 1)
+      val batches = Seq(
+        lens.filter(_._1 <= c1), lens.filter(x => x._1 > c1 && x._1 <= c2),
+        lens.filter(_._1 > c2)).map(_.toDF("doc_id", "n"))
+      var state = Seq.empty[(Long, Long, Long)]
+        .toDF("shard", "bin_id", "fill")
+      val pieces = batches.map { b =>
+        val packed = CorpusPrep.packGreedyResume(b, "doc_id", "n",
+          budget, shard, state)
+        state = CorpusPrep.packTailStateMerged(packed, "n", state)
+        packed.collect()
+      }
+      val together = pieces.flatten.map(_.toString).sorted.toSeq
+      assert(together == whole,
+        s"trial $trial (n=$nDocs budget=$budget shards=$nShards " +
+          s"cuts=$c1,$c2): resumed chain != whole pack")
+    }
+  }
+
   test("packBestFitDecreasing: hand-traced placements; tightest-fit wins") {
     val s = spark
     import s.implicits._

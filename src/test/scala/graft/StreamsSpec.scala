@@ -438,6 +438,54 @@ class StreamsSpec extends SparkSpec {
       "incrementally packed batches must equal the whole-corpus pack")
   }
 
+  test("foreachBatch maintains a length-histogram store: exact streamed quantiles") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.CorpusPrep
+    val in = Files.createTempDirectory("graft_lq_in_").toString
+    val ckpt = Files.createTempDirectory("graft_lq_ckpt_").toString
+    val idxRoot = Files.createTempDirectory("graft_lq_idx_").toString
+
+    def writeDocs(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("source", "len").coalesce(1).write.mode("append").parquet(in)
+    var version = 0
+    def histAt(v: Int) = s"$idxRoot/v$v"
+    Seq.empty[(String, Long, Long)].toDF("source", "len", "cnt")
+      .write.parquet(histAt(0))
+
+    // the (group, length → #docs) histogram is the quantile walk's
+    // sufficient statistic AND merges by count addition — so the
+    // store yields EXACT whole-corpus quantiles with no sketch error,
+    // unlike every approximate streaming-quantile structure
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "source STRING, len BIGINT"), ckpt) {
+      (batch, _) =>
+        spark.read.parquet(histAt(version))
+          .unionByName(batch.groupBy(col("source"), col("len"))
+            .agg(count(lit(1)).as("cnt")))
+          .groupBy(col("source"), col("len"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .write.parquet(histAt(version + 1))
+        version += 1
+    }
+
+    val batch1 = (1L to 30L).map(i => ("a", i % 11 + 5))
+    val batch2 = (1L to 25L).map(i => ("a", i % 7 + 2)) ++
+      (1L to 10L).map(i => ("b", i))
+    writeDocs(batch1); ingest()
+    writeDocs(batch2); ingest()
+    val streamed = CorpusPrep.lengthQuantilesFromHist(
+        spark.read.parquet(histAt(version)), "source", "len", "cnt",
+        Seq(50, 90))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = CorpusPrep.lengthQuantilesByLen(
+        (batch1 ++ batch2).toDF("source", "len"), "source", "len",
+        Seq(50, 90))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == whole && streamed.nonEmpty,
+      s"streamed quantiles $streamed != whole-corpus $whole")
+  }
+
   test("foreachBatch maintains an HLL distinct-count store (hll_union_agg)") {
     val s = spark
     import s.implicits._
