@@ -31,7 +31,18 @@ object Session {
       case other => sys.error(s"$what must be an integer literal, got $other")
     } else sys.error(s"$what must be a literal")
 
-  private def stringSeqLiteral(e: Expression, what: String): Seq[String] =
+  private def stringSeqLiteral(e: Expression, what: String): Seq[String] = {
+    // Gate on the declared type BEFORE eval: a foldable non-string
+    // array (e.g. array(1,2)) would otherwise reach
+    // toObjectArray(StringType) and die with a MatchError (or misread
+    // UnsafeArrayData) instead of the friendly message.
+    val elemOk = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (!elemOk)
+      sys.error(s"$what must be a string-array literal, got type ${e.dataType.sql}")
     if (e.foldable) e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         a.toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map {
@@ -40,6 +51,7 @@ object Session {
         }
       case other => sys.error(s"$what must be a string-array literal, got $other")
     } else sys.error(s"$what must be a literal")
+  }
 
   /** The engine-native SQL functions (SURVEY §2.11): one list feeding
     * both the extensions hook (fresh sessions) and the direct-registry

@@ -159,16 +159,33 @@ object CountMin {
       .map(r => r.getAs[String](itemCol) -> r.getAs[Long]("n")).toMap
     // assert over EVERY probe key, including those absent from the
     // corpus (exact = 0): a zero-count key is exactly where a
-    // catastrophically undersized sketch would otherwise go unchecked
-    probeKeys.collect().map(_.getAs[String](itemCol)).filter(_ != null)
-      .foreach { key =>
-        val n = exactByKey.getOrElse(key, 0L)
-        val est = sk.estimate(key)
-        if (est < n || est > n + bound)
-          throw new IllegalStateException(
-            s"count-min estimate out of bracket for '$key': est=$est exact=$n " +
-              s"bound=+${bound.round} (width=$width depth=$depth N=${sk.n})")
-      }
+    // catastrophically undersized sketch would otherwise go unchecked.
+    // The CMS guarantee is PER-KEY probabilistic — P(est > exact + ε·N)
+    // ≤ e^(−depth) over the hash draw — and the seeds here are fixed,
+    // so a legitimate corpus can deterministically put a few keys of a
+    // large probe set past the ε·N bracket (depth=4 ⇒ up to ~1.8% per
+    // key). A hash CATASTROPHE is many keys breaching at once; a
+    // handful is the contract working as specified. Tolerate up to the
+    // expected count ⌈|probe|·e^(−depth)⌉ breaches (underestimates
+    // est < exact remain structurally impossible and always throw).
+    val keys = probeKeys.collect().map(_.getAs[String](itemCol)).filter(_ != null)
+    val breaches = keys.flatMap { key =>
+      val n = exactByKey.getOrElse(key, 0L)
+      val est = sk.estimate(key)
+      if (est < n)
+        throw new IllegalStateException(
+          s"count-min UNDERestimate for '$key': est=$est exact=$n — " +
+            "structurally impossible, sketch state is corrupt " +
+            s"(width=$width depth=$depth N=${sk.n})")
+      if (est > n + bound) Some(s"'$key': est=$est exact=$n") else None
+    }
+    val allowed = math.ceil(keys.length * math.exp(-depth.toDouble)).toLong
+    if (breaches.length > allowed)
+      throw new IllegalStateException(
+        s"count-min estimates out of bracket for ${breaches.length} of " +
+          s"${keys.length} probe keys (tolerance $allowed at depth=$depth): " +
+          s"${breaches.take(5).mkString("; ")} " +
+          s"bound=+${bound.round} (width=$width N=${sk.n})")
     rows.orderBy(col("n").desc, col(itemCol))
   }
 }

@@ -687,9 +687,14 @@ object Dedup {
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val pairs = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
     val rows = targets.map { t =>
+      // The argmin KEY is rounded to 6dp (not just the output columns):
+      // JVM math.pow and the oracle engine's pow can differ by an ulp,
+      // and a near-tie between two (b, r) factorizations would then
+      // resolve differently cross-engine — rounding the key first lets
+      // the fewer-bands tiebreak decide ties deterministically on both.
       val (b, r, sStar) = pairs.map { case (b, r) =>
         (b, r, math.pow(1.0 / b, 1.0 / r))
-      }.minBy { case (b, _, s) => (math.abs(s - t), b) }
+      }.minBy { case (b, _, s) => (round6(math.abs(s - t)), b) }
       val pAtTarget = 1.0 - math.pow(1.0 - math.pow(t, r), b)
       (t, b, r, round6(sStar), round6(pAtTarget))
     }

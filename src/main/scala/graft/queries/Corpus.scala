@@ -1779,7 +1779,7 @@ object Corpus {
         ), best AS (
           SELECT t, b, r, s_star,
                  row_number() OVER (PARTITION BY t
-                                    ORDER BY abs(s_star - t), b) AS rk
+                                    ORDER BY round(abs(s_star - t), 6), b) AS rk
           FROM scored
         )
         SELECT t AS target_t, b AS bands, r AS rows_per_band,

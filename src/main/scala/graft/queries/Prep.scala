@@ -2266,12 +2266,20 @@ object Prep {
             Seq(50))
           .select(col("source"), col("q_len").as("p50_len"))
         val share = col("c").cast("double") / col("n").cast("double")
+        // Entropy terms are summed via a SORTED left fold, not sum():
+        // Spark's aggregation order is partitioning-dependent and
+        // DuckDB's is its own, so a 1-ulp difference in the double Σ
+        // could flip the 6dp rounding on a boundary value. Sorting the
+        // per-lang terms and folding left-to-right (same 0.0 init as
+        // the oracle's list_prepend) makes the Σ bit-identical across
+        // engines AND across partitionings of the same corpus.
         val ent = base.groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("c"))
           .withColumn("n",
             sum(col("c")).over(Window.partitionBy(col("source"))))
           .groupBy(col("source"))
-          .agg(sum(-share * log(share)).as("e"))
+          .agg(aggregate(sort_array(collect_list(-share * log(share))),
+            lit(0.0), (acc, x) => acc + x).as("e"))
         agg.join(p50, "source").join(ent, "source")
           .select(col("source"), col("n_docs"), col("n_tokens"),
             col("p50_len"),
@@ -2306,8 +2314,10 @@ object Prep {
         lt AS (SELECT source, sum(c) AS n FROM lc GROUP BY source),
         ent AS (
           SELECT lc.source,
-                 sum(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE))
-                   AS e
+                 list_reduce(
+                   list_prepend(0.0::DOUBLE, list_sort(
+                     list(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)))),
+                   (a, b) -> a + b) AS e
           FROM lc JOIN lt USING (source) GROUP BY lc.source)
         SELECT a.source, a.n_docs, a.n_tokens, p.p50_len,
                round(1.0 - a.n_distinct::DOUBLE / a.n_docs::DOUBLE, 6)
