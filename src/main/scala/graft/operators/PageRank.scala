@@ -102,26 +102,37 @@ object PageRank {
   }
 
   /** The shared power-iteration loop over `(node, base)` + staged
-    * edges, starting every node at `massInit`. */
+    * edges, starting every node at `massInit`.
+    *
+    * Each round is exactly ONE equi-join + ONE aggregate: the teleport
+    * mass enters the round's aggregate as a per-node `base` row
+    * unioned onto the edge contributions, instead of a second
+    * node-keyed join re-attaching `base` to the aggregated
+    * contributions (the round-9 form — one more node-sized join per
+    * round, and locally one more chained shuffle for the scheduler to
+    * amplify across iterations). The union is exact, not a
+    * reformulation: Σ over {base} ∪ {contributions} per node is the
+    * old base + Σ contributions, in 64-bit integer arithmetic where
+    * addition order cannot matter — masses are bit-identical to the
+    * two-join spelling (PageRankSpec pins the hand-computed values and
+    * the one-join-per-round plan shape). Nodes with no in-edges
+    * survive via their base row, replacing the old left-join coalesce. */
   private def iterate(nodesBase: DataFrame, edgesOut: DataFrame,
                       massInit: org.apache.spark.sql.Column, iters: Int,
                       dampNum: Long, dampDen: Long,
                       checkpointEvery: Int): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
-    // (node, base) is re-joined every iteration — materialize once
+    // (node, base) feeds every iteration's union — materialize once
     val nb = Barrier.materialize(nodesBase)
     var mass = nb.select(col("node"), massInit.cast("long").as("mass"))
     for (i <- 1 to iters) {
-      val contrib = edgesOut
+      mass = edgesOut
         .join(mass.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst"),
+        .select(col("dst").as("node"),
           expr(s"(mass * $dampNum) div (outdeg * $dampDen)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      mass = nb
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (col("base") + coalesce(col("c"), lit(0L))).as("mass"))
+        .unionByName(nb.select(col("node"), col("base").as("c")))
+        .groupBy(col("node")).agg(sum(col("c")).as("mass"))
       if (i % checkpointEvery == 0 && i < iters)
         mass = Barrier.materialize(mass)
     }

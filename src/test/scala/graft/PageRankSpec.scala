@@ -61,6 +61,21 @@ class PageRankSpec extends SparkSpec {
     assert(direct === chk)
   }
 
+  test("one-join-per-round plan shape: exactly iters joins in the final lineage") {
+    // The teleport base rides the aggregate as union rows, so each
+    // round contributes exactly ONE join (edges ⋈ mass on src) — the
+    // round-9 form's second node-keyed join (re-attaching base to the
+    // aggregated contributions) must not reappear. The staged-edges
+    // join and any seed join are behind materialization barriers, so
+    // the unbroken lineage holds precisely the per-round joins.
+    val plan = PageRank.ranks(g3, iters = 4, checkpointEvery = 100)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.length === 4)
+  }
+
   test("guards: damping must be a proper fraction") {
     intercept[IllegalArgumentException] {
       PageRank.ranks(g3, iters = 1, dampNum = 100, dampDen = 100)
