@@ -110,6 +110,13 @@ object Session {
         require(args.length == 2, "phrase_hits(string, arrayOfPatternLiterals)")
         graft.functions.PhraseHits(args(0),
           stringSeqLiteral(args(1), "phrase_hits: patterns"))
+      }),
+    (FunctionIdentifier("merge_tokens"),
+      new ExpressionInfo(classOf[graft.functions.MergeTokens].getName, "merge_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "merge_tokens(arrayOfStrings, arrayOfPhraseLiterals)")
+        graft.functions.MergeTokens(args(0),
+          stringSeqLiteral(args(1), "merge_tokens: phrases"))
       }))
 
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =

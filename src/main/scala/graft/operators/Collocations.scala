@@ -127,16 +127,26 @@ object Collocations {
 
   /** Greedy left-to-right phrase rewrite of one token array: each
     * adjacent pair present in `phrases` (as `"w1 w2"`) merges to the
-    * single token `w1_w2` — word2vec's between-pass token merge. The
-    * fold is [[Bpe.applyMerge]]'s shape (the accumulator's LAST token
-    * is tested against the incoming one), so a freshly-merged token is
-    * never reconsidered as the LEFT of another merge in the same pass.
-    * The phrase set rides inside the expression as an array literal —
-    * a thresholded selection is tens-to-hundreds of entries; at a
-    * phrase vocabulary too big for a literal/broadcast, rewrite via an
-    * (id, pos) explode + broadcast join instead (the q108 fused-scan
-    * idiom). */
+    * single token `w1_w2` — word2vec's between-pass token merge, via
+    * the native [[graft.functions.MergeTokens]] expression: one O(len)
+    * codegen'd pass with an O(1) hash-set probe per adjacent pair. The
+    * phrase set compiles into the expression — a thresholded selection
+    * is tens-to-hundreds of entries; at a phrase vocabulary too big
+    * for an in-expression set, rewrite via an (id, pos) explode +
+    * broadcast join instead (the q108 fused-scan idiom). */
   def mergePhrases(toks: Column, phrases: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumn.of(graft.functions.MergeTokens(
+      org.apache.spark.sql.GraftColumn.expr(toks), phrases))
+
+  /** The retained composable spelling of [[mergePhrases]] — an
+    * interpreted `aggregate` HOF whose membership test is an
+    * O(|phrases|)-per-token `array_contains` scan and whose
+    * accumulator rebuild is O(len²) array copying (the shape the
+    * round-8 winnowing rewrite measured at 100×). Kept as the parity
+    * reference the CollocationsSpec equivalence proof runs against;
+    * the fold is [[Bpe.applyMerge]]'s (the accumulator's LAST token is
+    * tested against the incoming one). */
+  private[graft] def mergePhrasesComposable(toks: Column, phrases: Seq[String]): Column =
     aggregate(toks, array().cast("array<string>"), (acc, s) =>
       when(size(acc) > 0 &&
           array_contains(typedlit(phrases),
