@@ -140,6 +140,63 @@ object Dedup {
       .filter(col("containment") >= tau)
   }
 
+  /** Signature-estimated directed containment — [[containmentPairs]]'s
+    * sketch sibling, for corpora whose shingle inverted index is too
+    * hot to self-join even capped: candidates come from the SAME
+    * banded MinHash equi-join as [[minhashNearDups]] (fixed-width
+    * signatures — no posting list ever self-joins, so no hot-shingle
+    * df² exists by construction), and the intersection is ESTIMATED
+    * from the signatures instead of recounted:
+    *
+    *   Ĵ = (matching signature components)/k,
+    *   |A∩B|^ = Ĵ/(1+Ĵ)·(|A|+|B|)   (from J = I/(|A|+|B|−I)),
+    *   C(A→B)^ = |A∩B|^/|A|  (clamped to 1), symmetrically for B→A.
+    *
+    * RECALL CAVEAT, documented not hidden: banded candidates surface
+    * by SYMMETRIC Jaccard, and a tau-contained A inside a much larger
+    * B has J ≈ tau·|A|/|B| — a tiny excerpt of a huge document escapes
+    * any Jaccard-tuned banding. Size the band count for the smallest
+    * size ratio that must be caught (J_floor = tau·ratio/(1+ratio−
+    * tau·ratio); [[lshParameterPlan]] gives (b, r) for that floor —
+    * the default 32 bands over k=64 puts the S-curve inflection at
+    * ≈0.177, covering the half-truncation J≈0.5 with recall ~1);
+    * for guaranteed-exact semantics use [[containmentPairs]] with
+    * `maxDocFreq` (the q164 registered scale form). DedupSpec grades
+    * recall + estimate error against the exact operator. Output:
+    * (a, b, containment) with estimate-derived values. */
+  def containmentPairsApprox(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, k: Int = 64, bands: Int = 32): DataFrame = {
+    require(bands >= 1 && bands <= k,
+      s"bands=$bands must be in [1, k=$k] — wider banding has zero-width " +
+        "slices and would band-collide everything")
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    // signatures re-attach to the (small) candidate set by id-keyed
+    // hash joins — the minhashNearDupsAgainstIndex pattern: the banding
+    // itself carries only (id, n_sh), never the k-long arrays
+    val cand = sizedCandidatePairs(sigs, bands)
+    cand
+      .join(sigs.select(col("id").as("a"), col("sig").as("sa")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sb")), "b")
+      .withColumn("est_j",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          v => v)).cast("double") / k)
+      .withColumn("inter_est",
+        col("est_j") / (lit(1.0) + col("est_j")) *
+          (col("na") + col("nb")).cast("double"))
+      // both directed readings of the one undirected candidate row —
+      // the containmentPairs explode idiom
+      .select(explode(array(
+        struct(col("a").as("a"), col("b").as("b"),
+          round(least(lit(1.0), col("inter_est") / col("na")), 6)
+            .as("containment")),
+        struct(col("b").as("a"), col("a").as("b"),
+          round(least(lit(1.0), col("inter_est") / col("nb")), 6)
+            .as("containment"))
+      )).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.containment"))
+      .filter(col("containment") >= tau)
+  }
+
   /** MinHash signature per document via the native
     * [[graft.functions.MinHashSig]] expression: the k-wide signature is
     * a fused per-row loop (2 xxhash64 per shingle + a Carter–Wegman

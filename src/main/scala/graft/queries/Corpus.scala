@@ -2209,6 +2209,87 @@ object Corpus {
           UNION ALL
           SELECT y AS a, x AS b, round(nc::DOUBLE / ny, 6) AS containment FROM pairs
         )
+        SELECT a, b, containment FROM directed WHERE containment >= 0.9"""),
+      // bench = false: the UNCAPPED shingle self-join is the tiny-sf
+      // oracle spelling — a corpus-wide hot shingle makes its posting
+      // self-join df² at scale. The benched scale form is q164, whose
+      // maxDocFreq prefix filter bounds every posting list (the
+      // q32→q33 precedent).
+      bench = false),
+
+    // ----- Containment at scale: df-capped posting self-join -----
+    // q140's registered scale sibling: the same directed Broder
+    // containment, but the inverted-index self-join runs behind a
+    // doc-frequency prefix filter (maxDocFreq = 100) — the
+    // prefix-filtering idea of the set-similarity-join literature
+    // (PPJoin family): a shingle occurring in more than `cap` docs
+    // contributes ≥ cap² candidate pairs yet carries almost no
+    // containment evidence, so it is cut BEFORE the join and every
+    // surviving posting list is ≤ cap long. The corpus plants exactly
+    // the pathology: every base document gets a shared boilerplate
+    // tail (the site-footer reality of web corpora), whose shingles
+    // have df = |corpus| and would otherwise make the candidate set
+    // all-pairs; the planted half-truncations (no tail) still score
+    // C = 1.0 toward their sources because their shingle sets stay
+    // strict subsets. The oracle replays the df cut verbatim. For
+    // corpora too hot even capped, [[Dedup.containmentPairsApprox]]
+    // estimates C from banded MinHash signatures (DedupSpec-graded).
+    QueryDef(
+      "q164_containment_capped",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val boiler = " subscribe to our newsletter for daily updates and follow us on social media"
+        val base = d.select(col("doc_id"),
+          concat(col("text"), lit(boiler)).as("text"))
+        val truncated = d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            array_join(slice(col("toks"), lit(1),
+              (size(col("toks")) / 2).cast("int")), " ").as("text"))
+        val corpus = base.unionByName(truncated)
+        Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.9,
+          maxDocFreq = Some(100L))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id,
+                 text || ' subscribe to our newsletter for daily updates and follow us on social media' AS text
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id,
+                 array_to_string(list_slice(
+                   string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                   1,
+                   len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) // 2),
+                   ' ') AS text
+          FROM documents WHERE doc_id < 30
+        ), toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM corpus
+        ), shu AS (
+          SELECT doc_id,
+                 unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                       for i in range(1, len(w) - 1)])) AS s
+          FROM toks WHERE len(w) >= 3
+        ), hot AS (
+          SELECT s FROM shu GROUP BY s HAVING count(*) > 100
+        ), sh AS (
+          SELECT doc_id, list(s) AS s
+          FROM (SELECT doc_id, s FROM shu ANTI JOIN hot USING (s))
+          GROUP BY doc_id
+        ), pairs AS (
+          SELECT x.doc_id AS x, y.doc_id AS y,
+                 len(list_intersect(x.s, y.s)) AS nc,
+                 len(x.s) AS nx, len(y.s) AS ny
+          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          WHERE len(list_intersect(x.s, y.s)) > 0
+        ), directed AS (
+          SELECT x AS a, y AS b, round(nc::DOUBLE / nx, 6) AS containment FROM pairs
+          UNION ALL
+          SELECT y AS a, x AS b, round(nc::DOUBLE / ny, 6) AS containment FROM pairs
+        )
         SELECT a, b, containment FROM directed WHERE containment >= 0.9""")),
 
     // ----- Per-document n-gram novelty (first-seen attribution) -----

@@ -396,6 +396,58 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((2L, 1L, 1.0)), s"got $got")
   }
 
+  test("containmentPairs maxDocFreq cap: boilerplate shingles cut, true containment kept") {
+    val s = spark
+    import s.implicits._
+    val boiler = "subscribe to our newsletter for daily updates today"
+    // 20 distinct docs, every one ending in the shared boilerplate —
+    // uncapped, the boiler shingles' posting lists pair ALL docs
+    val base = (1 to 20).map(i =>
+      (i.toLong, (1 to 12).map(j => s"u${i}w$j").mkString(" ") + " " + boiler))
+    // one half-truncation of doc 1's unique part, no boilerplate
+    val trunc = (101L, (1 to 6).map(j => s"u1w$j").mkString(" "))
+    val df = (base :+ trunc).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(df, "doc_id", "text", n = 3, tau = 0.9,
+        maxDocFreq = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the planted truncation survives the cap at exactly 1.0 (its
+    // shingles are a strict subset of doc 1's unique prefix)
+    assert(capped == Set((101L, 1L, 1.0)), s"got $capped")
+    // same result as uncapped HERE (boiler pairs never reach tau=0.9),
+    // but the cap removes the df=20 posting lists BEFORE the self-join
+    val uncapped = Dedup.containmentPairs(df, "doc_id", "text", n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped == capped)
+    // filter direction pin: cap = 0 cuts every shingle → no pairs at all
+    assert(Dedup.containmentPairs(df, "doc_id", "text", n = 3, tau = 0.9,
+      maxDocFreq = Some(0L)).isEmpty)
+  }
+
+  test("containmentPairsApprox: recalls comparable-size containment, bounded estimate error") {
+    // the q140 planting over the real corpus: half-truncations have
+    // J ≈ 0.5 vs their source — inside the default banding's S-curve
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text")))
+    val exact = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "planting must create containment pairs")
+    // approx at a slack threshold (estimator σ ≈ 0.06 at k=64): grade
+    // recall of the exact tau=0.9 pairs and the per-pair estimate error
+    val approx = Dedup.containmentPairsApprox(corpus, "doc_id", "text",
+        n = 3, tau = 0.7, k = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recalled = exact.keySet.count(approx.contains)
+    val recall = recalled.toDouble / exact.size
+    info(s"approx containment recall = $recall (${approx.size} approx pairs)")
+    assert(recall >= 0.9, s"recall $recall of ${exact.size} exact pairs")
+    val errs = exact.collect { case (k, c) if approx.contains(k) =>
+      math.abs(approx(k) - c) }
+    assert(errs.forall(_ <= 0.25),
+      s"estimate error out of band: max = ${errs.max}")
+  }
+
   test("lshParameterPlan: hand-checked argmin, b*r == k, sane probabilities") {
     val got = Dedup.lshParameterPlan(spark, k = 4, targets = Seq(0.3, 0.7, 0.95))
       .collect()
