@@ -54,6 +54,50 @@ object Postings {
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Persist the postings TERM-BUCKETED on disk — the serving layout
+    * for phrase search over a corpus that outlives one job (the
+    * [[Ivf.writeIndex]] idiom pointed at text): rows are partitioned
+    * by `tb = pmod(xxhash64(term), nBuckets)`, one directory per
+    * bucket, so a probe's scan PRUNES at listing time to the buckets
+    * its phrase terms hash into (≤ |phrase| of `nBuckets`
+    * directories) and the per-term equality lands in PushedFilters
+    * inside them. Hashing the term (rather than `partitionBy(term)`
+    * directly) bounds the directory count at any vocabulary size —
+    * a 100 TB corpus has hundreds of millions of distinct terms, and
+    * million-directory listings are their own scaling failure. Within
+    * each bucket the term filter still prunes via parquet min/max +
+    * dictionary pages. Write cost: one corpus-sized shuffle-free
+    * projection + the partitioned write. */
+  def writeIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val indexed = postings.select(col("doc_id"), col("pos"), col("term"),
+      pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
+    graft.sources.Sinks.parquetPartitioned(indexed, path, "tb")
+  }
+
+  /** [[phraseOccurrences]] served from a [[writeIndex]] layout: the
+    * phrase terms' buckets are derived through the SAME Spark
+    * expression the writer used (a |phrase|-row LocalTableScan — no
+    * divergent driver-side reimplementation of xxhash64), pushed as a
+    * partition IN-filter, and the term IN-list rides into the pruned
+    * buckets as a regular pushed filter. Cost is bounded by the
+    * phrase terms' buckets — independent of corpus size
+    * (PostingsSpec pins PartitionFilters + disk == memory). */
+  def phraseOccurrencesFromIndex(spark: SparkSession, path: String,
+      phrase: Seq[String], nBuckets: Int = 256): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    import spark.implicits._
+    val terms = phrase.distinct
+    val tbs = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val pruned = spark.read.parquet(path)
+      .filter(col("tb").isin(tbs.map(Int.box).toSeq: _*) &&
+        col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+    phraseOccurrences(pruned, phrase)
+  }
+
   /** The corpus's most frequent token n-gram, ties broken by n-gram
     * text ascending — a self-deriving phrase for data-driven probes
     * (robust to testdata regeneration, unlike a hard-coded literal).

@@ -41,6 +41,50 @@ class PostingsSpec extends SparkSpec {
     assert(Postings.phraseOccurrences(idx, Seq("missing", "phrase")).count() == 0)
   }
 
+  test("persisted index: partition-pruned probe, disk == memory results") {
+    val dir = java.nio.file.Files.createTempDirectory("postings_idx").toString
+    val idx = Postings.build(docs, "doc_id", "text")
+    Postings.writeIndex(idx, dir, nBuckets = 16)
+
+    // layout: tb=<bucket> directories, at most 16
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk.nonEmpty && onDisk.forall(_.startsWith("tb=")))
+
+    val phrase = Seq("quick", "brown", "fox")
+    val res = Postings.phraseOccurrencesFromIndex(spark, dir, phrase, nBuckets = 16)
+
+    // 1) plan: the bucket predicate lands in PartitionFilters
+    //    (directory pruning at listing time), the term IN-list in the
+    //    pushed data filters
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb[^\\]]* IN ".r.findFirstIn(plan).isDefined,
+      s"bucket predicate did not reach PartitionFilters:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term IN-list did not push into the bucket scans:\n$plan")
+
+    // 2) behavior: the probe touches exactly the phrase terms' buckets
+    val expected = {
+      val s = spark
+      import s.implicits._
+      phrase.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(16L)).cast("int"))
+        .distinct().collect().map(r => s"tb=${r.getInt(0)}").toSet
+    }
+    val touched = spark.read.parquet(dir)
+      .filter(col("tb").isin(expected.map(_.stripPrefix("tb=").toInt)
+        .map(Int.box).toSeq: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0).split("/").init.last).toSet
+    assert(touched == expected, s"scan touched $touched, expected $expected")
+
+    // 3) result: identical to the in-memory path
+    val mem = Postings.phraseOccurrences(idx, phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dsk = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dsk == mem && mem.nonEmpty, s"disk $dsk vs mem $mem")
+  }
+
   test("topNgram derives the most frequent n-gram with desc/asc tiebreak") {
     // "quick brown" 4× (doc 3 twice) beats "brown fox" 3×
     assert(Postings.topNgram(docs, "text", n = 2) == Seq("quick", "brown"))
