@@ -48,6 +48,32 @@ object Bpe {
           i => col("w").substr(i, lit(1))),
         array(lit(EndOfWord))).as("syms"))
 
+  /** BYTE-level initial segmentation — the GPT-2/LLaMA production
+    * variant (Radford et al. 2019): each word as its UTF-8 BYTES plus
+    * [[EndOfWord]], every byte rendered as its fixed-width uppercase
+    * hex pair ("ab" → [61, 62, </w>]). Because all 256 possible bytes
+    * have a base symbol, EVERY word of ANY corpus segments — no
+    * `[UNK]` exists anywhere in the byte-level family (the q165/
+    * BpeSpec no-UNK contract), unlike the char-level family whose
+    * unseen characters drop at the vocab join. The hex rendering is
+    * engine-portable (DuckDB's `hex(encode(w))` produces the identical
+    * string, so the oracle replays byte training verbatim) and
+    * ORDER-FAITHFUL: fixed-width uppercase hex pairs compare exactly
+    * like the bytes they encode, so argmax tie-breaks over byte
+    * symbols resolve identically to tie-breaks over the raw
+    * single-byte strings (BpeSpec pins the char/byte training
+    * isomorphism on an ASCII corpus). `hx` is pre-projected to an
+    * attribute so the per-pair substr lambda reads it, not a
+    * recomputed hex tree (the [[segment]] binding rule). */
+  def byteSegment(wf: DataFrame): DataFrame =
+    wf.select(col("w"), col("f"),
+        hex(org.apache.spark.sql.functions.encode(col("w"), "UTF-8")).as("hx"))
+      .select(col("w"), col("f"),
+        concat(
+          transform(sequence(lit(1), (length(col("hx")) / 2).cast("int")),
+            i => col("hx").substr(i * lit(2) - 1, lit(2))),
+          array(lit(EndOfWord))).as("syms"))
+
   /** Weighted adjacent-pair counts over a segmentation: every
     * within-word occurrence counts ("aaa" contributes (a,a) twice),
     * weighted by the word's corpus frequency. Pure integer arithmetic
@@ -126,13 +152,56 @@ object Bpe {
     * training. */
   def trainFromWordFreq(wf: DataFrame, k: Int,
       persistPath: Option[String] = None,
-      driverMaxWords: Long = 2000000L): (Seq[(String, String, Long)], DataFrame) = {
+      driverMaxWords: Long = 2000000L): (Seq[(String, String, Long)], DataFrame) =
+    trainFromSegments(segment(wf), k, persistPath, driverMaxWords)
+
+  /** [[train]] over the BYTE-level segmentation ([[byteSegment]]) —
+    * the same merge loop, pair statistics, and tie-break over hex byte
+    * symbols. The trained vocabulary feeds [[tokenCounts]]/[[encode]]
+    * unchanged for the training corpus; for a FOREIGN corpus,
+    * [[applyMerges]] over its own [[byteSegment]] segments every word
+    * with zero `[UNK]`s (all 256 byte symbols exist by construction). */
+  def trainBytes(docs: DataFrame, textCol: String, k: Int,
+      persistPath: Option[String] = None,
+      driverMaxWords: Long = 2000000L): (Seq[(String, String, Long)], DataFrame) =
+    trainFromSegments(byteSegment(wordFreq(docs, textCol)), k,
+      persistPath, driverMaxWords)
+
+  /** Replay a TRAINED merge list, in learned order, over a fresh
+    * [[segment]]/[[byteSegment]] segmentation — the APPLICATION half
+    * of BPE for corpora the training never saw. Rank-order full-pass
+    * replay is exact for any trained list: a merge's operand symbols
+    * are only constructible by strictly earlier merges (that is how
+    * they got frequent enough to be learned), so no earlier merge can
+    * become newly applicable after a later one fires. Cost: one
+    * [[applyMerge]] fold per merge over the DISTINCT-WORD table (never
+    * the corpus), with a [[Barrier]] every `barrierEvery` merges to
+    * keep lineage flat; production merge counts (k ≈ 32k) should
+    * instead collect the word table through the [[MergeWords]] driver
+    * loop — the training hybrid's threshold reasoning applies
+    * verbatim to application. */
+  def applyMerges(seg: DataFrame, merges: Seq[(String, String, Long)],
+      barrierEvery: Int = 8): DataFrame =
+    merges.zipWithIndex.foldLeft(seg) { case (s, ((l, r, _), i)) =>
+      val applied = applyMerge(s, l, r)
+      if ((i + 1) % barrierEvery == 0 && i + 1 < merges.length)
+        Barrier.materialize(applied)
+      else applied
+    }
+
+  /** The shared merge loop behind [[trainFromWordFreq]] (char
+    * symbols) and [[trainBytes]] (byte symbols): hybrid driver-side/
+    * distributed training from an arbitrary `(w, f, syms)` initial
+    * segmentation. */
+  private def trainFromSegments(seg0: DataFrame, k: Int,
+      persistPath: Option[String],
+      driverMaxWords: Long): (Seq[(String, String, Long)], DataFrame) = {
     require(k >= 1, "need at least one merge")
     def barrier(df: DataFrame, step: Int): DataFrame =
       Barrier.materialize(df, persistPath.map(p => s"$p/seg$step"))
-    var seg = barrier(segment(wf), 0)
+    var seg = barrier(seg0, 0)
     if (seg.count() <= driverMaxWords)
-      return trainDriverSide(wf.sparkSession, seg, k, persistPath)
+      return trainDriverSide(seg.sparkSession, seg, k, persistPath)
     val out = ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (out.length < k && !exhausted) {

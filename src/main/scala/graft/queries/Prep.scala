@@ -48,8 +48,12 @@ object Prep {
               ELSE acc || ' ' || x END) AS s
           FROM seg${i - 1} LEFT JOIN m$i m ON true)"""
 
-  private def bpeSegSql(k: Int): String = {
-    val steps = (1 to k).map { i =>
+  /** The per-step pair-count → argmax → greedy-fold CTE chain shared
+    * by the char-level ([[bpeSegSql]]) and byte-level
+    * ([[bpeByteSegSql]]) merge loops — both consume whatever `seg0`
+    * the header defined. */
+  private def bpeMergeStepsSql(k: Int): String =
+    (1 to k).map { i =>
       s""",
         pc$i AS (
           SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
@@ -59,8 +63,42 @@ object Prep {
         m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),""" +
         segFoldSql(i)
     }.mkString
-    segHeaderSql + steps
-  }
+
+  private def bpeSegSql(k: Int): String = segHeaderSql + bpeMergeStepsSql(k)
+
+  /** BYTE-level seg0 header: every word as its UTF-8 bytes rendered as
+    * fixed-width uppercase hex pairs (DuckDB's `hex(encode(w))` is
+    * byte-identical to Spark's `hex(encode(w, 'UTF-8'))`), plus
+    * `</w>` — [[graft.operators.Bpe.byteSegment]] replayed. */
+  private val byteSegHeaderSql: String = """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS f
+          FROM words WHERE len(w) > 0 GROUP BY w),
+        seg0 AS (
+          SELECT w, f,
+                 array_to_string(list_append(
+                   [substr(hx, 2*i-1, 2) for i in range(1, len(hx)//2 + 1)],
+                   '</w>'), ' ') AS s
+          FROM (SELECT w, f, hex(encode(w)) AS hx FROM wf))"""
+
+  private def bpeByteSegSql(k: Int): String =
+    byteSegHeaderSql + bpeMergeStepsSql(k)
+
+  /** q165's foreign-apply fold: step `i` replays trained merge `m$i`
+    * over the FOREIGN words' byte segmentation `fseg${i-1}` — the
+    * [[segFoldSql]] fold without the frequency column (the foreign
+    * side prices distinct words, not the training weights). The LEFT
+    * JOIN keeps an exhausted-vocabulary step inert, mirroring
+    * training's early stop. */
+  private def fsegFoldSql(i: Int): String = s""",
+        fseg$i AS (
+          SELECT w, list_reduce(string_split(s, ' '),
+            (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)${"$"}', 1) = m.l AND x = m.r
+              THEN regexp_replace(acc, '[^ ]+${"$"}', '') || m.l || m.r
+              ELSE acc || ' ' || x END) AS s
+          FROM fseg${i - 1} LEFT JOIN m$i m ON true)"""
 
   /** DuckDB CTE chain replaying [[graft.operators.WordPiece]] training
     * for `k` merges: the [[bpeSegSql]] loop with the argmax swapped to
@@ -245,6 +283,19 @@ object Prep {
       dir: String): (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) =
     bpeShared.getOrElseUpdate((spark, dir),
       Bpe.train(Tables.load(spark, dir, "documents"), "text", k = 5))
+
+  /** One trained 5-merge BYTE-level BPE vocabulary per (session,
+    * sf-dir) — the [[bpeTrained]] pattern for the no-UNK production
+    * variant (q165). */
+  private val bpeBytesShared =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String),
+             (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame)]
+
+  private def bpeBytesTrained(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeBytesShared.getOrElseUpdate((spark, dir),
+      Bpe.trainBytes(Tables.load(spark, dir, "documents"), "text", k = 5))
 
   /** One trained 5-merge WordPiece vocabulary per (session, sf-dir) —
     * the [[bpeTrained]] pattern for the third subword family. */
@@ -2659,6 +2710,59 @@ object Prep {
         SELECT doc_id, chunk_id,
                string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
                CAST(count(*) AS BIGINT) AS n_toks
-        FROM c GROUP BY doc_id, chunk_id"""))
+        FROM c GROUP BY doc_id, chunk_id""")),
+
+    // ----- Byte-level BPE: the no-UNK production tokenizer -----
+    // The GPT-2/LLaMA variant completing the subword family
+    // ([[graft.operators.Bpe.trainBytes]]): symbols start as UTF-8
+    // BYTES (hex-rendered), so all 256 base symbols exist and NO word
+    // of ANY corpus is out-of-vocabulary — the contract q121's
+    // char-level max-match cannot offer ('gizmo' collapses to [UNK]
+    // there; here it byte-segments). Train 5 merges on documents,
+    // then APPLY the trained merge list in learned order to the
+    // foreign part-name words ([[Bpe.applyMerges]] — rank-order
+    // replay is exact because a merge's operands are only
+    // constructible by earlier merges) and price every part: word
+    // count + byte-BPE token count, no UNK column because none can
+    // exist (BpeSpec pins that structurally). The oracle replays byte
+    // hex segmentation, the 5-step merge loop, AND the foreign
+    // rank-order application — training and runtime proved in one
+    // hash. Scale shape = q108: merges fold over the DISTINCT-WORD
+    // table, application is a broadcast vocab join in the scan stage,
+    // one partial-aggregated row per part crosses the exchange.
+    QueryDef(
+      "q165_bpe_bytes",
+      (spark, dir) => {
+        val parts = Tables.load(spark, dir, "part")
+        val pwords = Bpe.wordFreq(parts, "p_name")
+        val merges = bpeBytesTrained(spark, dir)._1
+        val seg = Bpe.applyMerges(Bpe.byteSegment(pwords), merges)
+        val v = seg.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+        parts.select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .join(broadcast(v), "w")
+          .groupBy(col("p_partkey"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"))
+      },
+      Some(bpeByteSegSql(5) + """,
+        pw AS (
+          SELECT p_partkey, pn AS w
+          FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS pn
+                FROM part)
+          WHERE len(pn) > 0),
+        aw AS (SELECT w FROM pw GROUP BY w),
+        fseg0 AS (
+          SELECT w,
+                 array_to_string(list_append(
+                   [substr(hx, 2*i-1, 2) for i in range(1, len(hx)//2 + 1)],
+                   '</w>'), ' ') AS s
+          FROM (SELECT w, hex(encode(w)) AS hx FROM aw))""" +
+        (1 to 5).map(fsegFoldSql).mkString + """,
+        v AS (
+          SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sub
+          FROM fseg5)
+        SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens
+        FROM pw JOIN v USING (w) GROUP BY p_partkey"""))
   )
 }

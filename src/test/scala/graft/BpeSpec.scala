@@ -184,6 +184,69 @@ class BpeSpec extends SparkSpec {
     assert(bad.isEmpty, s"non-reconstructing rows: ${bad.mkString("; ")}")
   }
 
+  test("byteSegment renders UTF-8 bytes as fixed-width uppercase hex pairs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ab é")).toDF("doc_id", "text")
+    val seg = Bpe.byteSegment(Bpe.wordFreq(docs, "text"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toSeq).toMap
+    assert(seg("ab") == Seq("61", "62", Bpe.EndOfWord))
+    // 'é' is two UTF-8 bytes (C3 A9) — one base symbol each
+    assert(seg("é") == Seq("C3", "A9", Bpe.EndOfWord))
+  }
+
+  test("byte-level training is isomorphic to char-level on an ASCII corpus") {
+    val s = spark
+    import s.implicits._
+    // fixed-width hex pairs compare exactly like the single-byte chars
+    // they encode, so the merge SEQUENCE (argmax + tie-breaks) of byte
+    // training must be the hex image of char training's, count for
+    // count, on any pure-ASCII corpus
+    val docs = Seq((1L, "low low low lower lower newest newest widest"))
+      .toDF("doc_id", "text")
+    def hexImage(sym: String): String =
+      if (sym == Bpe.EndOfWord) sym
+      else if (sym.endsWith(Bpe.EndOfWord))
+        sym.dropRight(Bpe.EndOfWord.length).getBytes("UTF-8")
+          .map(b => f"$b%02X").mkString + Bpe.EndOfWord
+      else sym.getBytes("UTF-8").map(b => f"$b%02X").mkString
+    val charMerges = Bpe.learnMerges(docs, "text", k = 6)
+    val byteMerges = Bpe.trainBytes(docs, "text", k = 6)._1
+    assert(byteMerges ==
+      charMerges.map { case (l, r, c) => (hexImage(l), hexImage(r), c) },
+      s"char=$charMerges byte=$byteMerges")
+  }
+
+  test("applyMerges rank-order replay reproduces the training segmentation; no UNK ever") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (merges, trainedSeg) = Bpe.trainBytes(docs, "text", k = 5)
+    // replaying the merge list over a fresh byte segmentation of the
+    // SAME word table must land on the trained segmentation exactly
+    val replay = Bpe.applyMerges(
+      Bpe.byteSegment(Bpe.wordFreq(docs, "text")), merges)
+    import org.apache.spark.sql.functions._
+    val diff = replay.select(col("w"), col("syms"))
+      .join(trainedSeg.select(col("w"), col("syms").as("t")), "w")
+      .filter(concat_ws(" ", col("syms")) =!= concat_ws(" ", col("t")))
+      .take(3)
+    assert(diff.isEmpty, s"replay diverged: ${diff.mkString("; ")}")
+    // the no-UNK contract on the q121 foreign corpus: EVERY part word
+    // segments (full coverage), and no [UNK] symbol can exist
+    val parts = Tables.load(spark, sfDir, "part")
+    val pwords = Bpe.wordFreq(parts, "p_name")
+    val fseg = Bpe.applyMerges(Bpe.byteSegment(pwords), merges)
+    assert(fseg.count() == pwords.count(), "every foreign word must segment")
+    assert(fseg.filter(array_contains(col("syms"), "[UNK]")).isEmpty)
+    // 'gizmo' — q121's [UNK] case ('z' absent from documents) — byte-
+    // segments here
+    val s2 = spark
+    import s2.implicits._
+    val gizmo = Bpe.applyMerges(
+      Bpe.byteSegment(Seq(("gizmo", 1L)).toDF("w", "f")), merges)
+      .select("syms").head().getSeq[String](0)
+    assert(gizmo.nonEmpty && !gizmo.contains("[UNK]"), s"got $gizmo")
+  }
+
   test("fully-merged single-symbol words stop contributing pairs") {
     val s = spark
     import s.implicits._
