@@ -86,6 +86,33 @@ object PageRank {
       iters, dampNum, dampDen, checkpointEvery)
   }
 
+  /** [[ranks]] over an ALREADY-STAGED `(src, dst, outdeg)` edge table
+    * — the production shape the scaladoc's exchange-free claim refers
+    * to: stage once with [[stageEdges]], persist it BUCKETED by `src`,
+    * and every one of the `iters` per-round joins reads the bucket
+    * layout with no Exchange on the edge side — the dominant data
+    * volume at scale never reshuffles (PageRankSpec demonstrates on a
+    * real bucketed table and pins masses == [[ranks]] on the raw
+    * edges). No barrier is inserted here: the input is already a scan. */
+  def ranksStaged(edgesOut: DataFrame, iters: Int, scale: Long = 1000000L,
+                  dampNum: Long = 85, dampDen: Long = 100,
+                  checkpointEvery: Int = 8): DataFrame = {
+    val nodes = edgesOut.select(col("src").as("node"))
+      .union(edgesOut.select(col("dst").as("node"))).distinct()
+    val base = scale * (dampDen - dampNum) / dampDen
+    iterate(nodes.withColumn("base", lit(base)), edgesOut,
+      lit(scale), iters, dampNum, dampDen, checkpointEvery)
+  }
+
+  /** The `(src, dst, outdeg)` staging projection alone — what
+    * [[ranksStaged]] expects persisted (bucket by `src` for the
+    * exchange-free per-round join). */
+  def stageEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+  }
+
   /** Edge staging shared by both entry points: long-cast edges joined
     * with out-degrees (reused every iteration), plus the node set. */
   private def staged(edges: DataFrame): (DataFrame, DataFrame) = {

@@ -456,6 +456,47 @@ object Rank {
         FROM tri t JOIN top USING (ng)
         GROUP BY t.doc_id""")),
 
+    // ----- Phrase search served from the PERSISTED postings index -----
+    // q141's serving shape at 100 TB ([[Postings.writeIndex]] /
+    // [[Postings.phraseOccurrencesFromIndex]], the q79 disk-sibling
+    // pattern): the postings persist partitioned by term-hash bucket,
+    // the probe pushes its terms' buckets as a partition IN-filter
+    // (listing-time directory pruning) and the term IN-list as a
+    // pushed data filter — cost bounded by the phrase terms' buckets,
+    // independent of corpus size (PostingsSpec pins PartitionFilters
+    // and the exact touched-directory set). Same self-deriving top
+    // trigram and the same direct-count oracle as q141, so the disk
+    // round-trip is oracle-checked end-to-end, not just
+    // parity-checked. Fixed scratch path + overwrite, like q79;
+    // benched: expect ≈ q141 + the index-write cost.
+    QueryDef(
+      "q166_phrase_index",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val phrase = Postings.topNgram(d, "text", n = 3)
+        val path = scratchPath("postings_index")
+        Postings.writeIndex(Postings.build(d, "doc_id", "text"), path,
+          nBuckets = 64)
+        Postings.phraseOccurrencesFromIndex(spark, path, phrase, nBuckets = 64)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), tri AS (
+          SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]) AS ng
+          FROM toks WHERE len(w) >= 3
+        ), top AS (
+          SELECT ng FROM tri GROUP BY ng
+          ORDER BY count(*) DESC, ng LIMIT 1
+        )
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        FROM tri t JOIN top USING (ng)
+        GROUP BY t.doc_id""")),
+
     // ----- UniMax epoch-capped mixture allocation -----
     // [[graft.operators.Mixture.unimaxAllocation]] (Chung et al. 2023):
     // waterfill a 50k-token budget uniformly over sources with a

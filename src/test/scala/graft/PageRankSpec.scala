@@ -76,6 +76,50 @@ class PageRankSpec extends SparkSpec {
     assert(joins.length === 4)
   }
 
+  test("bucketed staged edges: per-round join is exchange-free on the edge side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // stage once, persist bucketed by src — the production layout the
+    // ranksStaged scaladoc claims reads exchange-free every round
+    graft.sources.Sinks.writeBucketed(
+      PageRank.stageEdges(g3), "pr_edges_b", buckets = 4, keys = Seq("src"))
+    val bucketed = spark.table("pr_edges_b")
+    val res = PageRank.ranksStaged(bucketed, iters = 3, checkpointEvery = 100)
+    // masses must equal the raw-edge entry point bit for bit
+    assert(massMap(res) === massMap(PageRank.ranks(g3, iters = 3)))
+    // AQE may broadcast the tiny mass side here; force the shuffled
+    // path so the exchange-free claim is actually exercised
+    val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      PageRank.ranksStaged(bucketed, iters = 1, checkpointEvery = 100)
+        .queryExecution.executedPlan
+    }
+    // the join side carrying `outdeg` IS the staged edge table; the
+    // bucket layout must satisfy the join's distribution with no
+    // shuffle (the mass side still exchanges — that side is 16
+    // bytes/node, the cheap one)
+    val sides = plan.collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+    }.flatten
+    val edgeSides = sides.filter(_.output.exists(_.name == "outdeg"))
+    assert(edgeSides.nonEmpty, s"expected a shuffled join over the edges in:\n$plan")
+    val edgeSideShuffles = edgeSides.flatMap(_.collect {
+      case e: ShuffleExchangeLike => e
+    })
+    assert(edgeSideShuffles.isEmpty,
+      s"edge side reshuffled despite bucketing:\n$plan")
+  }
+
+  private def withConf[A](kv: (String, String)*)(f: => A): A = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("guards: damping must be a proper fraction") {
     intercept[IllegalArgumentException] {
       PageRank.ranks(g3, iters = 1, dampNum = 100, dampDen = 100)
