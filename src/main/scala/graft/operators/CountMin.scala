@@ -165,9 +165,16 @@ object CountMin {
     // so a legitimate corpus can deterministically put a few keys of a
     // large probe set past the ε·N bracket (depth=4 ⇒ up to ~1.8% per
     // key). A hash CATASTROPHE is many keys breaching at once; a
-    // handful is the contract working as specified. Tolerate up to the
-    // expected count ⌈|probe|·e^(−depth)⌉ breaches (underestimates
-    // est < exact remain structurally impossible and always throw).
+    // handful is the contract working as specified. Tolerate breaches
+    // up to 3σ above the per-key bound's expectation — ⌊n·p +
+    // 3·√(n·p·(1−p))⌋ with p = e^(−depth) — which keeps SMALL probe
+    // sets strict (n = 1 ⇒ zero tolerance: a single-key certificate
+    // still throws on its breach, at a documented flake probability
+    // ≤ p) while a 30-key depth-4 probe absorbs the 2–3
+    // statistically unsurprising breaches a fixed-seed sketch can
+    // legitimately produce; a genuine catastrophe breaches most keys,
+    // far past any 3σ band. (Underestimates est < exact remain
+    // structurally impossible and always throw.)
     val keys = probeKeys.collect().map(_.getAs[String](itemCol)).filter(_ != null)
     val breaches = keys.flatMap { key =>
       val n = exactByKey.getOrElse(key, 0L)
@@ -179,7 +186,9 @@ object CountMin {
             s"(width=$width depth=$depth N=${sk.n})")
       if (est > n + bound) Some(s"'$key': est=$est exact=$n") else None
     }
-    val allowed = math.ceil(keys.length * math.exp(-depth.toDouble)).toLong
+    val p = math.exp(-depth.toDouble)
+    val np = keys.length * p
+    val allowed = math.floor(np + 3.0 * math.sqrt(np * (1.0 - p))).toLong
     if (breaches.length > allowed)
       throw new IllegalStateException(
         s"count-min estimates out of bracket for ${breaches.length} of " +
