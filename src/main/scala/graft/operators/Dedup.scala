@@ -78,11 +78,7 @@ object Dedup {
     // discrimination. Changes |A∩B| for affected pairs, so enable it
     // only when approximate pair discovery is acceptable; the exact
     // default keeps oracle parity.
-    val sh = maxDocFreq.fold(all) { cap =>
-      val hot = all.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select(col("sh"))
-      all.join(broadcast(hot), Seq("sh"), "left_anti")
-    }
+    val sh = cappedShingles(all, maxDocFreq)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("x")
       .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
@@ -96,6 +92,25 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** The df-cap (prefix filter) applied to a shingle stream. The HOT
+    * list is materialized behind a [[Barrier]]: the capped stream has
+    * THREE consumers downstream (sizes + both self-join sides), and
+    * Spark plans are trees — without the barrier each consumer re-runs
+    * the corpus-shingle-sized df aggregate from the scan (measured in
+    * the q164 plan dump: 3 full aggregates, zero ReusedExchange). The
+    * materialized state is only the > cap shingles — boilerplate-
+    * vocabulary-sized at any corpus size — and broadcasts to the
+    * anti-joins; the shingle RE-DERIVATION per branch stays deliberate
+    * (the minhash lesson: shuffling exploded shingle occurrences costs
+    * corpus×shingle bytes where recomputation is map-side CPU). */
+  private def cappedShingles(all: DataFrame, maxDocFreq: Option[Long]): DataFrame =
+    maxDocFreq.fold(all) { cap =>
+      val hot = Barrier.materialize(
+        all.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("sh")))
+      all.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
 
   /** Directed n-gram containment pairs: C(A→B) = |A∩B| / |A| ≥ tau —
     * Broder's containment, the asymmetric companion to Jaccard. A
@@ -116,11 +131,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDocFreq: Option[Long] = None): DataFrame = {
     val all = docShingles(df, idCol, textCol, n)
-    val sh = maxDocFreq.fold(all) { cap =>
-      val hot = all.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select(col("sh"))
-      all.join(broadcast(hot), Seq("sh"), "left_anti")
-    }
+    val sh = cappedShingles(all, maxDocFreq)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("x")
       .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
