@@ -85,16 +85,18 @@ object Bench {
     // whose results were already printed.
     // Independent best-effort writes: one unwritable path must not
     // take down the other copy.
-    def writeDetail(path: String, mkdirs: Boolean): Unit =
+    def writeArtifact(path: String, content: String, mkdirs: Boolean): Unit =
       try {
         val p = java.nio.file.Paths.get(path)
         if (mkdirs && p.getParent != null)
           java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.writeString(p, json + "\n")
+        java.nio.file.Files.writeString(p, content + "\n")
       } catch {
         case e: java.io.IOException =>
           System.err.println(s"[bench] could not write $path: $e")
       }
+    def writeDetail(path: String, mkdirs: Boolean): Unit =
+      writeArtifact(path, json, mkdirs)
     // Repo root first: the driver's tail window truncates
     // BENCH_r{N}.json's per-query map (r7 lost q01–q09), but an
     // uncommitted file in the tree survives via the end-of-round
@@ -110,18 +112,8 @@ object Bench {
     try {
       val (rows, cErrs) = Contracts.measure(spark, sfDir)
       val cJson = Contracts.toJson(rows, cErrs, sfDir)
-      def writeContracts(path: String, mkdirs: Boolean): Unit =
-        try {
-          val p = java.nio.file.Paths.get(path)
-          if (mkdirs && p.getParent != null)
-            java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.writeString(p, cJson + "\n")
-        } catch {
-          case e: java.io.IOException =>
-            System.err.println(s"[bench] could not write $path: $e")
-        }
-      writeContracts("CONTRACTS.json", mkdirs = false)
-      writeContracts("target/contracts_last.json", mkdirs = true)
+      writeArtifact("CONTRACTS.json", cJson, mkdirs = false)
+      writeArtifact("target/contracts_last.json", cJson, mkdirs = true)
       rows.filterNot(_.pass).foreach(c => System.err.println(
         s"[bench] CONTRACT FAILED ${c.query}: ${c.contract} = ${c.measured} " +
           s"(need ${c.op} ${c.threshold})"))

@@ -49,9 +49,14 @@ object CapProbe {
       val corpus = base.unionByName(trunc)
 
       def run(maxDocFreq: Option[Long]): (Long, Seq[(Long, Long)], Double) = {
+        // t0 BEFORE construction: the capped spelling runs its
+        // hot-shingle df aggregate eagerly inside a Barrier at
+        // DataFrame-construction time — timing only the collect would
+        // silently exclude the capped plan's largest upstream job and
+        // overstate the ratio
+        val t0 = System.nanoTime()
         val df = Dedup.containmentPairs(corpus, "doc_id", "text",
           n = 3, tau = 0.9, maxDocFreq = maxDocFreq)
-        val t0 = System.nanoTime()
         // collect executes THIS frame's plan, so its SQLMetrics are
         // the ones read back (count() would execute a different
         // QueryExecution and leave these at zero); the result is
@@ -61,15 +66,33 @@ object CapProbe {
         (rows, ShuffleProbe.volumesOfExecuted(df), wall)
       }
 
+      // The capped run's in-Barrier df aggregate lives in its own
+      // QueryExecution, invisible to volumesOfExecuted above — measure
+      // the equivalent aggregate explicitly so the capped exchange
+      // account is COMPLETE: its partial-agg output is distinct-
+      // shingle-sized (≈ 13n + boilerplate), i.e. LINEAR in n, so it
+      // cannot change the quadratic-vs-linear conclusion, but it must
+      // be on the table, not omitted.
+      val hotAggVols = {
+        val hot = corpus
+          .select(explode(graft.functions.Text.shingles(
+            graft.functions.Text.tokens(col("text")), 3)).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 100).select(col("sh"))
+        hot.collect()
+        ShuffleProbe.volumesOfExecuted(hot)
+      }
+
       val (unRows, unVols, unWall) = run(None)
       val (capRows, capVols, capWall) = run(Some(100L))
       val unMax = unVols.map(_._1).max
-      val capMax = capVols.map(_._1).max
+      val capMax = (capVols ++ hotAggVols).map(_._1).max
       println(s"CAPPROBE n=$n " +
         s"uncapped=[rows=$unRows wall=${f"$unWall%.1f"}s " +
         s"maxExchange=${unMax}r all=${ShuffleProbe.fmtVolumes(unVols)}] " +
         s"capped=[rows=$capRows wall=${f"$capWall%.1f"}s " +
-        s"maxExchange=${capMax}r all=${ShuffleProbe.fmtVolumes(capVols)}] " +
+        s"maxExchange=${capMax}r all=${ShuffleProbe.fmtVolumes(capVols)} " +
+        s"hotAgg=${ShuffleProbe.fmtVolumes(hotAggVols)}] " +
         s"ratio=${f"${unMax.toDouble / math.max(capMax, 1)}%.1f"}x " +
         s"pairs_equal=${unRows == capRows}")
     }

@@ -14,10 +14,16 @@ import graft.sources.Tables
   * `err: no_oracle`. Written by [[Bench]] as CONTRACTS.json next to
   * BENCH_DETAIL.json.
   *
-  * Every measurement uses the REGISTERED query's configuration (same
-  * operators, same parameters) against an exact in-engine baseline —
-  * brute-force top-k, exact n-gram Jaccard, exact distinct counts —
-  * so a pass certifies the shipped spelling, not a friendlier twin.
+  * Measurements grade against exact in-engine baselines (brute-force
+  * top-k, exact n-gram Jaccard, exact distinct counts). The trained
+  * ANN paths get TWO rows each where one alone would be misleading:
+  * the EXACTNESS certificate (probe-all / full-shortlist degrades to
+  * brute force — centroid/codebook quality cannot move correctness)
+  * AND the REGISTERED configuration's recall (nprobe=4, nCand=100 —
+  * the shipped spelling), graded against a multiple of the
+  * random-candidate expectation the specs use, so a silent training
+  * regression that collapses shipped recall fails the artifact even
+  * while the exactness certificate stays green.
   */
 object Contracts {
 
@@ -93,6 +99,19 @@ object Contracts {
         setJaccard(all, bruteTriples), 1.0, ">=")
     }
 
+    grade("q52_ann_ivf") {
+      // the SHIPPED configuration (nprobe=4 of 16): recall must clear
+      // 1.4x the random-candidate expectation nprobe/nClusters = 0.25
+      // (the IvfSpec grading idea) — a k-means regression that
+      // collapses shipped recall fails HERE even though probe-all
+      // exactness above cannot see it
+      val reg = triples(Ivf.ivfTopK(emb, q10, 10, nClusters = 16,
+        nprobe = 4, trainFraction = 0.25)).map(t => (t._1, t._2))
+      Contract("q52_ann_ivf",
+        "registered config (nprobe=4/16) recall@10 vs brute force",
+        brutePairs.count(reg.contains).toDouble / brutePairs.size, 0.35, ">=")
+    }
+
     grade("q79_ann_ivf_disk") {
       val path = queries.scratchPath("contracts_ivf_idx")
       val centroids = Ivf.writeIndex(emb, path, nClusters = 16,
@@ -141,15 +160,28 @@ object Contracts {
         0.98, ">=")
     }
 
+    lazy val pqCbs = Pq.trainCodebooks(emb, dim = 64, m = 8, k = 16,
+      iters = 2, trainFraction = 0.5)
+
     grade("q138_pq_ann") {
-      val cbs = Pq.trainCodebooks(emb, dim = 64, m = 8, k = 16, iters = 2,
-        trainFraction = 0.5)
       val nAll = emb.count().toInt
       val full = triples(Pq.adcPrefilterTopK(emb, q10, k = 10,
-        nCand = nAll, cbs))
+        nCand = nAll, pqCbs))
       Contract("q138_pq_ann",
         "full-shortlist (nCand=corpus) == brute force, (q,n,rank) set jaccard",
         setJaccard(full, bruteTriples), 1.0, ">=")
+    }
+
+    grade("q138_pq_ann") {
+      // the SHIPPED configuration (nCand=100): recall must clear 2x
+      // the random-shortlist expectation nCand/N (the PqSpec grade)
+      val nAll = emb.count()
+      val reg = triples(Pq.adcPrefilterTopK(emb, q10, k = 10,
+        nCand = 100, pqCbs)).map(t => (t._1, t._2))
+      Contract("q138_pq_ann",
+        "registered config (nCand=100) recall@10 vs brute force",
+        brutePairs.count(reg.contains).toDouble / brutePairs.size,
+        2.0 * 100.0 / nAll, ">=")
     }
 
     (out.result(), errs.result())
@@ -169,11 +201,19 @@ object Contracts {
       sfDir: String): String = {
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
-    val body = rows.map { c =>
-      s"""${Json.str(c.query)}:{"contract":${Json.str(c.contract)},""" +
-        s""""measured":${num(c.measured)},"threshold":${num(c.threshold)},""" +
-        s""""op":${Json.str(c.op)},"pass":${c.pass}}"""
-    } ++ errs.map { case (q, e) => s"""${Json.str(q)}:{"err":${Json.str(e)}}""" }
+    // one ARRAY per query: the ANN queries carry both an exactness
+    // certificate and a registered-config recall grade
+    val byQuery = rows.groupBy(_.query)
+    val order = rows.map(_.query).distinct
+    val body = order.map { q =>
+      val cs = byQuery(q).map { c =>
+        s"""{"contract":${Json.str(c.contract)},""" +
+          s""""measured":${num(c.measured)},"threshold":${num(c.threshold)},""" +
+          s""""op":${Json.str(c.op)},"pass":${c.pass}}"""
+      }
+      s"""${Json.str(q)}:[${cs.mkString(",")}]"""
+    } ++ errs.map { case (q, e) =>
+      s"""${Json.str(q)}:[{"err":${Json.str(e)}}]""" }
     s"""{"sf":${Json.str(sfDir)},"contracts":{${body.mkString(",")}}}"""
   }
 }

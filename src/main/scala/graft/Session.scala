@@ -35,10 +35,16 @@ object Session {
     // Gate on the declared type BEFORE eval: a foldable non-string
     // array (e.g. array(1,2)) would otherwise reach
     // toObjectArray(StringType) and die with a MatchError (or misread
-    // UnsafeArrayData) instead of the friendly message.
+    // UnsafeArrayData) instead of the friendly message. The bare
+    // `array()` literal types as ARRAY<VOID> and must stay accepted —
+    // it is the natural SQL spelling of an empty phrase set
+    // (merge_tokens pass-through); a non-empty VOID array's null
+    // elements then hit the must-not-contain-NULL error below.
     val elemOk = e.dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.NullType, _) => true
       case _ => false
     }
     if (!elemOk)

@@ -48,23 +48,37 @@ object Bpe {
           i => col("w").substr(i, lit(1))),
         array(lit(EndOfWord))).as("syms"))
 
+  /** The end-of-word marker in BYTE-symbol space: [[EndOfWord]]'s own
+    * UTF-8 bytes hex-rendered ("3C2F773E"), so EVERY byte-level symbol
+    * — bytes, merges, and the marker alike — is a hex string. That
+    * uniformity is what makes the ordering claim below unconditional:
+    * a literal "</w>" among hex pairs would compare by its own bytes
+    * ('<' = 0x3C) while its char-level counterpart compares the same
+    * way, but ties between the marker and a byte symbol would then
+    * resolve differently across the two families (hex('a') = "61"
+    * starts with '6' < '<'). */
+  val ByteEndOfWord: String =
+    EndOfWord.getBytes("UTF-8").map(b => f"$b%02X").mkString
+
   /** BYTE-level initial segmentation — the GPT-2/LLaMA production
     * variant (Radford et al. 2019): each word as its UTF-8 BYTES plus
-    * [[EndOfWord]], every byte rendered as its fixed-width uppercase
-    * hex pair ("ab" → [61, 62, </w>]). Because all 256 possible bytes
-    * have a base symbol, EVERY word of ANY corpus segments — no
+    * [[ByteEndOfWord]], every symbol a fixed-width uppercase hex
+    * rendering ("ab" → [61, 62, 3C2F773E]). Because all 256 possible
+    * bytes have a base symbol, EVERY word of ANY corpus segments — no
     * `[UNK]` exists anywhere in the byte-level family (the q165/
     * BpeSpec no-UNK contract), unlike the char-level family whose
     * unseen characters drop at the vocab join. The hex rendering is
     * engine-portable (DuckDB's `hex(encode(w))` produces the identical
     * string, so the oracle replays byte training verbatim) and
-    * ORDER-FAITHFUL: fixed-width uppercase hex pairs compare exactly
-    * like the bytes they encode, so argmax tie-breaks over byte
-    * symbols resolve identically to tie-breaks over the raw
-    * single-byte strings (BpeSpec pins the char/byte training
-    * isomorphism on an ASCII corpus). `hx` is pre-projected to an
-    * attribute so the per-pair substr lambda reads it, not a
-    * recomputed hex tree (the [[segment]] binding rule). */
+    * ORDER-FAITHFUL: fixed-width hex of a byte string compares exactly
+    * like the bytes themselves (hex digits are ordered, width is
+    * fixed, hex(a)+hex(b) = hex(a+b)), and with the marker hexed too
+    * the property holds over ALL symbols — so the argmax tie-break
+    * sequence of byte training is the exact hex image of char
+    * training's on any single-byte-per-char corpus (BpeSpec pins the
+    * isomorphism). `hx` is pre-projected to an attribute so the
+    * per-pair substr lambda reads it, not a recomputed hex tree (the
+    * [[segment]] binding rule). */
   def byteSegment(wf: DataFrame): DataFrame =
     wf.select(col("w"), col("f"),
         hex(org.apache.spark.sql.functions.encode(col("w"), "UTF-8")).as("hx"))
@@ -72,7 +86,7 @@ object Bpe {
         concat(
           transform(sequence(lit(1), (length(col("hx")) / 2).cast("int")),
             i => col("hx").substr(i * lit(2) - 1, lit(2))),
-          array(lit(EndOfWord))).as("syms"))
+          array(lit(ByteEndOfWord))).as("syms"))
 
   /** Weighted adjacent-pair counts over a segmentation: every
     * within-word occurrence counts ("aaa" contributes (a,a) twice),

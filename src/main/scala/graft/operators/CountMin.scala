@@ -170,11 +170,11 @@ object CountMin {
     // 3·√(n·p·(1−p))⌋ with p = e^(−depth) — which keeps SMALL probe
     // sets strict (n = 1 ⇒ zero tolerance: a single-key certificate
     // still throws on its breach, at a documented flake probability
-    // ≤ p) while a 30-key depth-4 probe absorbs the 2–3
-    // statistically unsurprising breaches a fixed-seed sketch can
-    // legitimately produce; a genuine catastrophe breaches most keys,
-    // far past any 3σ band. (Underestimates est < exact remain
-    // structurally impossible and always throw.)
+    // ≤ p) while a 30-key depth-4 probe tolerates up to
+    // ⌊2.77⌋ = 2 breaches before throwing at the third; a genuine
+    // catastrophe breaches most keys, far past any 3σ band.
+    // (Underestimates est < exact remain structurally impossible and
+    // always throw.)
     val keys = probeKeys.collect().map(_.getAs[String](itemCol)).filter(_ != null)
     val breaches = keys.flatMap { key =>
       val n = exactByKey.getOrElse(key, 0L)

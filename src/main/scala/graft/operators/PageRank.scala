@@ -120,12 +120,14 @@ object PageRank {
       col("dst").cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // every iteration re-reads both tables — materialize once instead
-    // of replaying the edge derivation `iters` times (on a cluster:
-    // persist/bucket by src, making the per-iteration join
-    // exchange-free)
-    (Barrier.materialize(e.join(outdeg, Seq("src"))), nodes)
+    // every iteration re-reads the staged table — materialize once
+    // instead of replaying the edge derivation `iters` times (on a
+    // cluster: persist/bucket by src via [[stageEdges]] +
+    // [[ranksStaged]], making the per-iteration join exchange-free).
+    // Delegating to stageEdges keeps the two staging paths one
+    // definition — they must never drift, or ranksStaged would
+    // silently diverge from ranks.
+    (Barrier.materialize(stageEdges(e)), nodes)
   }
 
   /** The shared power-iteration loop over `(node, base)` + staged

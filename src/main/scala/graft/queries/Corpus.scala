@@ -31,9 +31,9 @@ object Corpus {
       .select(col("content_hash"), col("keep_id"))
     val batch = d.filter(col("doc_id") >= 400)
       .unionByName(d.filter(col("doc_id") < 30)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 100000000).as("doc_id"), col("text")))
       .unionByName(d.filter(col("doc_id") >= 490)
-        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 200000000).as("doc_id"), col("text")))
     (index, batch)
   }
 
@@ -204,9 +204,9 @@ object Corpus {
         ), batch AS (
           SELECT doc_id, content_hash FROM h WHERE doc_id >= 400
           UNION ALL
-          SELECT doc_id + 10000, content_hash FROM h WHERE doc_id < 30
+          SELECT doc_id + 100000000, content_hash FROM h WHERE doc_id < 30
           UNION ALL
-          SELECT doc_id + 20000, content_hash FROM h WHERE doc_id >= 490
+          SELECT doc_id + 200000000, content_hash FROM h WHERE doc_id >= 490
         ), bf AS (
           SELECT content_hash, min(doc_id) AS keep_id FROM batch GROUP BY 1
         ), novel AS (
@@ -251,9 +251,9 @@ object Corpus {
         ), batch AS (
           SELECT doc_id, content_hash FROM h WHERE doc_id >= 400
           UNION ALL
-          SELECT doc_id + 10000, content_hash FROM h WHERE doc_id < 30
+          SELECT doc_id + 100000000, content_hash FROM h WHERE doc_id < 30
           UNION ALL
-          SELECT doc_id + 20000, content_hash FROM h WHERE doc_id >= 490
+          SELECT doc_id + 200000000, content_hash FROM h WHERE doc_id >= 490
         ), bf AS (
           SELECT content_hash, min(doc_id) AS doc_id FROM batch GROUP BY 1
         )
@@ -2134,18 +2134,18 @@ object Corpus {
         val d = Tables.load(spark, dir, "documents")
         val corpus = d.select(col("doc_id"), col("text"))
           .unionByName(d.filter(col("doc_id") < 60)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+            .select((col("doc_id") + 100000000).as("doc_id"), col("text")))
           .unionByName(d.filter(col("doc_id") < 20)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+            .select((col("doc_id") + 200000000).as("doc_id"), col("text")))
         Dedup.softDedupWeights(corpus, "doc_id", "text")
       },
       Some("""
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 60
+          SELECT doc_id + 100000000 AS doc_id, text FROM documents WHERE doc_id < 60
           UNION ALL
-          SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 20
+          SELECT doc_id + 200000000 AS doc_id, text FROM documents WHERE doc_id < 20
         ), h AS (
           SELECT doc_id,
                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
@@ -2170,7 +2170,7 @@ object Corpus {
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
         val truncated = d.filter(col("doc_id") < 30)
-          .select((col("doc_id") + 10000).as("doc_id"),
+          .select((col("doc_id") + 100000000).as("doc_id"),
             Text.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             array_join(slice(col("toks"), lit(1),
@@ -2182,7 +2182,7 @@ object Corpus {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 10000 AS doc_id,
+          SELECT doc_id + 100000000 AS doc_id,
                  array_to_string(list_slice(
                    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
                    1,
@@ -2242,7 +2242,7 @@ object Corpus {
         val base = d.select(col("doc_id"),
           concat(col("text"), lit(boiler)).as("text"))
         val truncated = d.filter(col("doc_id") < 30)
-          .select((col("doc_id") + 10000).as("doc_id"),
+          .select((col("doc_id") + 100000000).as("doc_id"),
             Text.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             array_join(slice(col("toks"), lit(1),
@@ -2257,7 +2257,7 @@ object Corpus {
                  text || ' subscribe to our newsletter for daily updates and follow us on social media' AS text
           FROM documents
           UNION ALL
-          SELECT doc_id + 10000 AS doc_id,
+          SELECT doc_id + 100000000 AS doc_id,
                  array_to_string(list_slice(
                    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
                    1,

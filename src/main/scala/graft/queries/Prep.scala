@@ -68,8 +68,12 @@ object Prep {
 
   /** BYTE-level seg0 header: every word as its UTF-8 bytes rendered as
     * fixed-width uppercase hex pairs (DuckDB's `hex(encode(w))` is
-    * byte-identical to Spark's `hex(encode(w, 'UTF-8'))`), plus
-    * `</w>` — [[graft.operators.Bpe.byteSegment]] replayed. */
+    * byte-identical to Spark's `hex(encode(w, 'UTF-8'))`), plus the
+    * hexed end-of-word marker `3C2F773E` (=
+    * [[graft.operators.Bpe.ByteEndOfWord]]; hexing the marker too is
+    * what makes byte-symbol ordering the exact image of char-symbol
+    * ordering — see the byteSegment scaladoc) —
+    * [[graft.operators.Bpe.byteSegment]] replayed. */
   private val byteSegHeaderSql: String = """
         WITH words AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -80,7 +84,7 @@ object Prep {
           SELECT w, f,
                  array_to_string(list_append(
                    [substr(hx, 2*i-1, 2) for i in range(1, len(hx)//2 + 1)],
-                   '</w>'), ' ') AS s
+                   '3C2F773E'), ' ') AS s
           FROM (SELECT w, f, hex(encode(w)) AS hx FROM wf))"""
 
   private def bpeByteSegSql(k: Int): String =
@@ -2755,7 +2759,7 @@ object Prep {
           SELECT w,
                  array_to_string(list_append(
                    [substr(hx, 2*i-1, 2) for i in range(1, len(hx)//2 + 1)],
-                   '</w>'), ' ') AS s
+                   '3C2F773E'), ' ') AS s
           FROM (SELECT w, hex(encode(w)) AS hx FROM aw))""" +
         (1 to 5).map(fsegFoldSql).mkString + """,
         v AS (

@@ -190,26 +190,28 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "ab é")).toDF("doc_id", "text")
     val seg = Bpe.byteSegment(Bpe.wordFreq(docs, "text"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](2).toSeq).toMap
-    assert(seg("ab") == Seq("61", "62", Bpe.EndOfWord))
+    // the marker is hexed too ("</w>" → 3C2F773E) so EVERY byte-level
+    // symbol is a hex string and symbol order == underlying byte order
+    assert(Bpe.ByteEndOfWord == "3C2F773E")
+    assert(seg("ab") == Seq("61", "62", Bpe.ByteEndOfWord))
     // 'é' is two UTF-8 bytes (C3 A9) — one base symbol each
-    assert(seg("é") == Seq("C3", "A9", Bpe.EndOfWord))
+    assert(seg("é") == Seq("C3", "A9", Bpe.ByteEndOfWord))
   }
 
   test("byte-level training is isomorphic to char-level on an ASCII corpus") {
     val s = spark
     import s.implicits._
-    // fixed-width hex pairs compare exactly like the single-byte chars
-    // they encode, so the merge SEQUENCE (argmax + tie-breaks) of byte
-    // training must be the hex image of char training's, count for
-    // count, on any pure-ASCII corpus
+    // fixed-width hex of a byte string compares exactly like the bytes
+    // themselves, and the end-of-word marker is hexed too — so the
+    // mapping symbol → hex(utf8(symbol)) is order- AND
+    // concatenation-faithful over ALL symbols, making the merge
+    // SEQUENCE (argmax + tie-breaks) of byte training the exact hex
+    // image of char training's, count for count, on any
+    // single-byte-per-char corpus
     val docs = Seq((1L, "low low low lower lower newest newest widest"))
       .toDF("doc_id", "text")
     def hexImage(sym: String): String =
-      if (sym == Bpe.EndOfWord) sym
-      else if (sym.endsWith(Bpe.EndOfWord))
-        sym.dropRight(Bpe.EndOfWord.length).getBytes("UTF-8")
-          .map(b => f"$b%02X").mkString + Bpe.EndOfWord
-      else sym.getBytes("UTF-8").map(b => f"$b%02X").mkString
+      sym.getBytes("UTF-8").map(b => f"$b%02X").mkString
     val charMerges = Bpe.learnMerges(docs, "text", k = 6)
     val byteMerges = Bpe.trainBytes(docs, "text", k = 6)._1
     assert(byteMerges ==

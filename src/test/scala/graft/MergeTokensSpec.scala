@@ -60,6 +60,12 @@ class MergeTokensSpec extends SparkSpec {
 
   test("empty phrase set is a pass-through; SQL registration resolves") {
     assert(viaNative(Seq(Seq("x", "y")), Nil) == Seq(Seq("x", "y")))
+    // the bare array() literal (ARRAY<VOID>) is the SQL spelling of an
+    // empty phrase set and must pass the literal gate
+    val viaEmptySql = spark.sql(
+      "SELECT merge_tokens(array('a','b'), array()) AS m")
+      .head().getSeq[String](0).toSeq
+    assert(viaEmptySql == Seq("a", "b"))
     val viaSql = spark.sql(
       "SELECT merge_tokens(array('new','york','co'), array('new york')) AS m")
       .head().getSeq[String](0).toSeq
