@@ -68,11 +68,28 @@ object Postings {
     * each bucket the term filter still prunes via parquet min/max +
     * dictionary pages. Write cost: one corpus-sized shuffle-free
     * projection + the partitioned write. */
-  def writeIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
+  def writeIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit =
+    writeIndexMode(postings, path, nBuckets, "overwrite")
+
+  /** Incremental growth of a [[writeIndex]] layout: APPEND a new
+    * batch's postings into the same term-hash-bucket directories —
+    * the daily-ingestion shape (the [[Dedup.exactAgainstIndex]]
+    * contract pointed at serving): postings are (term, doc_id, pos)
+    * facts, so the index of corpus ∪ batch IS index(corpus) ∪
+    * index(batch) — pure union, no read-modify-write, no compaction
+    * logic, and a probe after the append sees old and new documents
+    * alike through the same pruned scan (PostingsSpec pins append ==
+    * rebuild). `nBuckets` must match the existing layout — the bucket
+    * function is the layout. */
+  def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit =
+    writeIndexMode(postings, path, nBuckets, "append")
+
+  private def writeIndexMode(postings: DataFrame, path: String,
+      nBuckets: Int, mode: String): Unit = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
     val indexed = postings.select(col("doc_id"), col("pos"), col("term"),
       pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
-    graft.sources.Sinks.parquetPartitioned(indexed, path, "tb")
+    indexed.write.mode(mode).partitionBy("tb").parquet(path)
   }
 
   /** [[phraseOccurrences]] served from a [[writeIndex]] layout: the

@@ -85,6 +85,33 @@ class PostingsSpec extends SparkSpec {
     assert(dsk == mem && mem.nonEmpty, s"disk $dsk vs mem $mem")
   }
 
+  test("appendIndex: incremental batch append == whole-corpus rebuild") {
+    val s = spark
+    import s.implicits._
+    val batch1 = docs.filter(col("doc_id") <= 2)
+    val batch2 = docs.filter(col("doc_id") >= 3)
+    val dirInc = java.nio.file.Files.createTempDirectory("postings_inc").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("postings_all").toString
+    // day 1 writes, day 2 appends — postings are pure facts, so the
+    // incremental layout must equal the rebuild exactly
+    Postings.writeIndex(Postings.build(batch1, "doc_id", "text"), dirInc, 16)
+    Postings.appendIndex(Postings.build(batch2, "doc_id", "text"), dirInc, 16)
+    Postings.writeIndex(Postings.build(docs, "doc_id", "text"), dirAll, 16)
+    def probe(dir: String, phrase: Seq[String]) =
+      Postings.phraseOccurrencesFromIndex(spark, dir, phrase, 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a phrase present in BOTH batches: the probe must see old and
+    // new docs alike through the appended layout
+    for (phrase <- Seq(Seq("quick", "brown"), Seq("the", "quick"))) {
+      val inc = probe(dirInc, phrase)
+      assert(inc == probe(dirAll, phrase) && inc.nonEmpty,
+        s"append != rebuild for $phrase: $inc")
+    }
+    // raw row parity too, not just probe results
+    assert(spark.read.parquet(dirInc).count() ==
+      spark.read.parquet(dirAll).count())
+  }
+
   test("topNgram derives the most frequent n-gram with desc/asc tiebreak") {
     // "quick brown" 4× (doc 3 twice) beats "brown fox" 3×
     assert(Postings.topNgram(docs, "text", n = 2) == Seq("quick", "brown"))
