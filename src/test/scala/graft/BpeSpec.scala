@@ -217,6 +217,21 @@ class BpeSpec extends SparkSpec {
     assert(byteMerges ==
       charMerges.map { case (l, r, c) => (hexImage(l), hexImage(r), c) },
       s"char=$charMerges byte=$byteMerges")
+
+    // the adversarial tie the hexed marker exists for: corpus "xz x"
+    // puts (x,z), (x,</w>), (z,</w>) all at count 1; the l-then-r
+    // tie-break decides (x,·) on r — char space has '<'(0x3C) < 'z'
+    // so (x,</w>) wins, and a LITERAL '</w>' among hex pairs would
+    // instead lose to "7A" (hex 'z') because '7' < '<'. With the
+    // marker hexed to 3C2F773E the byte argmax is the exact image.
+    val tie = Seq((1L, "xz x")).toDF("doc_id", "text")
+    val charTie = Bpe.learnMerges(tie, "text", k = 1)
+    val byteTie = Bpe.trainBytes(tie, "text", k = 1)._1
+    assert(charTie.head._1 == "x" && charTie.head._2 == Bpe.EndOfWord,
+      s"char argmax moved: $charTie")
+    assert(byteTie ==
+      charTie.map { case (l, r, c) => (hexImage(l), hexImage(r), c) },
+      s"tie diverged: char=$charTie byte=$byteTie")
   }
 
   test("applyMerges rank-order replay reproduces the training segmentation; no UNK ever") {
