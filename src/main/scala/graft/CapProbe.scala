@@ -48,6 +48,8 @@ object CapProbe {
           concat_ws(" ", uniq.take(6): _*).as("text"))
       val corpus = base.unionByName(trunc)
 
+      val cap = 100L
+
       def run(maxDocFreq: Option[Long]): (Long, Seq[(Long, Long)], Double) = {
         // t0 BEFORE construction: the capped spelling runs its
         // hot-shingle df aggregate eagerly inside a Barrier at
@@ -72,19 +74,21 @@ object CapProbe {
       // account is COMPLETE: its partial-agg output is distinct-
       // shingle-sized (≈ 13n + boilerplate), i.e. LINEAR in n, so it
       // cannot change the quadratic-vs-linear conclusion, but it must
-      // be on the table, not omitted.
+      // be on the table, not omitted. Built from the SAME
+      // Dedup.docShingles staging the operator uses (tokens bound to
+      // their own projection — the unstaged tokens(text) spelling
+      // re-runs its regex per shingle position) and the shared `cap`,
+      // so the probe cannot drift from what it claims to measure.
       val hotAggVols = {
-        val hot = corpus
-          .select(explode(graft.functions.Text.shingles(
-            graft.functions.Text.tokens(col("text")), 3)).as("sh"))
+        val hot = Dedup.docShingles(corpus, "doc_id", "text", 3)
           .groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > 100).select(col("sh"))
+          .filter(col("df") > cap).select(col("sh"))
         hot.collect()
         ShuffleProbe.volumesOfExecuted(hot)
       }
 
       val (unRows, unVols, unWall) = run(None)
-      val (capRows, capVols, capWall) = run(Some(100L))
+      val (capRows, capVols, capWall) = run(Some(cap))
       val unMax = unVols.map(_._1).max
       val capMax = (capVols ++ hotAggVols).map(_._1).max
       println(s"CAPPROBE n=$n " +

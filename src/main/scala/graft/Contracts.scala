@@ -35,12 +35,15 @@ object Contracts {
     }
   }
 
-  /** All eight grades; contracts that throw surface in the error map
-    * (a broken contract must fail loudly in the artifact, not vanish). */
+  /** All grades; contracts that throw surface as per-query error
+    * entries (a broken contract must fail loudly in the artifact, not
+    * vanish). Errors are a Seq, not a map: a query with two grades can
+    * break twice, and BOTH messages must land in its array — a keyed
+    * map would silently keep only the last. */
   def measure(spark: SparkSession,
-      sfDir: String): (Seq[Contract], Map[String, String]) = {
+      sfDir: String): (Seq[Contract], Seq[(String, String)]) = {
     val out = Seq.newBuilder[Contract]
-    val errs = Map.newBuilder[String, String]
+    val errs = Seq.newBuilder[(String, String)]
     def grade(query: String)(f: => Contract): Unit =
       try out += f
       catch {
@@ -88,12 +91,17 @@ object Contracts {
         brutePairs.count(ann.contains).toDouble / brutePairs.size, 0.3, ">=")
     }
 
+    // ONE k-means run serves both q52 grades (the registered query's
+    // exact training config); ivfTopKWithCentroids probes it twice
+    lazy val ivfCentroids = Ivf.trainCentroids(emb, 16, iters = 3,
+      trainFraction = 0.25)
+
     grade("q52_ann_ivf") {
       // the exactness certificate: probing EVERY list must degrade to
       // brute force bit-for-bit (rank included) — centroid quality then
       // only moves recall at partial nprobe, never correctness
-      val all = triples(Ivf.ivfTopK(emb, q10, 10, nClusters = 16,
-        nprobe = 16, trainFraction = 0.25))
+      val all = triples(Ivf.ivfTopKWithCentroids(emb, q10, 10,
+        ivfCentroids, nprobe = 16))
       Contract("q52_ann_ivf",
         "probe-all (nprobe=nClusters) == brute force, (q,n,rank) set jaccard",
         setJaccard(all, bruteTriples), 1.0, ">=")
@@ -105,8 +113,8 @@ object Contracts {
       // (the IvfSpec grading idea) — a k-means regression that
       // collapses shipped recall fails HERE even though probe-all
       // exactness above cannot see it
-      val reg = triples(Ivf.ivfTopK(emb, q10, 10, nClusters = 16,
-        nprobe = 4, trainFraction = 0.25)).map(t => (t._1, t._2))
+      val reg = triples(Ivf.ivfTopKWithCentroids(emb, q10, 10,
+        ivfCentroids, nprobe = 4)).map(t => (t._1, t._2))
       Contract("q52_ann_ivf",
         "registered config (nprobe=4/16) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size, 0.35, ">=")
@@ -162,11 +170,11 @@ object Contracts {
 
     lazy val pqCbs = Pq.trainCodebooks(emb, dim = 64, m = 8, k = 16,
       iters = 2, trainFraction = 0.5)
+    lazy val nEmb = emb.count()
 
     grade("q138_pq_ann") {
-      val nAll = emb.count().toInt
       val full = triples(Pq.adcPrefilterTopK(emb, q10, k = 10,
-        nCand = nAll, pqCbs))
+        nCand = nEmb.toInt, pqCbs))
       Contract("q138_pq_ann",
         "full-shortlist (nCand=corpus) == brute force, (q,n,rank) set jaccard",
         setJaccard(full, bruteTriples), 1.0, ">=")
@@ -175,13 +183,12 @@ object Contracts {
     grade("q138_pq_ann") {
       // the SHIPPED configuration (nCand=100): recall must clear 2x
       // the random-shortlist expectation nCand/N (the PqSpec grade)
-      val nAll = emb.count()
       val reg = triples(Pq.adcPrefilterTopK(emb, q10, k = 10,
         nCand = 100, pqCbs)).map(t => (t._1, t._2))
       Contract("q138_pq_ann",
         "registered config (nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        2.0 * 100.0 / nAll, ">=")
+        2.0 * 100.0 / nEmb, ">=")
     }
 
     (out.result(), errs.result())
@@ -197,23 +204,28 @@ object Contracts {
     if (u == 0) 1.0 else (a & b).size.toDouble / u
   }
 
-  def toJson(rows: Seq[Contract], errs: Map[String, String],
+  def toJson(rows: Seq[Contract], errs: Seq[(String, String)],
       sfDir: String): String = {
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
-    // one ARRAY per query: the ANN queries carry both an exactness
-    // certificate and a registered-config recall grade
+    // one ARRAY per query, green rows and error entries MERGED: a
+    // query with two grades can have one pass and one error (or two
+    // errors), and emitting errors under a second identical key would
+    // make the JSON ambiguous — last-wins parsers would drop the green
+    // certificate, first-wins parsers the error
     val byQuery = rows.groupBy(_.query)
-    val order = rows.map(_.query).distinct
+    val errByQuery = errs.groupBy(_._1)
+    val order = (rows.map(_.query) ++ errs.map(_._1)).distinct
     val body = order.map { q =>
-      val cs = byQuery(q).map { c =>
+      val cs = byQuery.getOrElse(q, Seq.empty).map { c =>
         s"""{"contract":${Json.str(c.contract)},""" +
           s""""measured":${num(c.measured)},"threshold":${num(c.threshold)},""" +
           s""""op":${Json.str(c.op)},"pass":${c.pass}}"""
+      } ++ errByQuery.getOrElse(q, Seq.empty).map { case (_, e) =>
+        s"""{"err":${Json.str(e)}}"""
       }
       s"""${Json.str(q)}:[${cs.mkString(",")}]"""
-    } ++ errs.map { case (q, e) =>
-      s"""${Json.str(q)}:[{"err":${Json.str(e)}}]""" }
+    }
     s"""{"sf":${Json.str(sfDir)},"contracts":{${body.mkString(",")}}}"""
   }
 }

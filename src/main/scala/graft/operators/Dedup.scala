@@ -58,7 +58,7 @@ object Dedup {
     * per-row array attribute instead — measured 24× on q33's corpus
     * (the optimizer keeps the stage: CollapseProject refuses to inline
     * a non-cheap expression with multiple references). */
-  private def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private[graft] def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(Text.shingles(col("toks"), n)).as("sh"))
 

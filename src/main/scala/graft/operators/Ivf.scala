@@ -164,8 +164,19 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int = 16, nprobe: Int = 4, iters: Int = 3,
       trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, k,
+      trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol),
+      nprobe, idCol, vecCol)
+
+  /** [[ivfTopK]] over ALREADY-TRAINED centroids — the in-memory
+    * train-once/probe-many entry ([[probeIndex]]'s shape without the
+    * disk round-trip): one k-means run can serve many probe calls and
+    * nprobe settings (the Contracts generator grades probe-all
+    * exactness AND registered-config recall on one training). */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
     // a corpus smaller than nClusters trains fewer centroids (seeding
     // takes the k lowest-hash vectors — there may not be k); every
     // cluster-count reference below must use the TRAINED size, or

@@ -80,17 +80,60 @@ object Postings {
     * logic, and a probe after the append sees old and new documents
     * alike through the same pruned scan (PostingsSpec pins append ==
     * rebuild). `nBuckets` must match the existing layout — the bucket
-    * function is the layout. */
-  def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit =
+    * function IS the layout, and a mismatch would scatter the new
+    * postings into directories the pruned probe never reads (silently
+    * incomplete phrase results), so the on-disk `_graft_nbuckets`
+    * marker [[writeIndex]] leaves is CHECKED here and the append
+    * fails fast on disagreement. */
+  def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
+    checkMarker(postings.sparkSession, path, nBuckets, "appendIndex")
     writeIndexMode(postings, path, nBuckets, "append")
+  }
 
   private def writeIndexMode(postings: DataFrame, path: String,
       nBuckets: Int, mode: String): Unit = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
     val indexed = postings.select(col("doc_id"), col("pos"), col("term"),
       pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
-    indexed.write.mode(mode).partitionBy("tb").parquet(path)
+    graft.sources.Sinks.parquetPartitionedMode(indexed, path, mode, "tb")
+    if (mode == "overwrite")
+      writeMarker(postings.sparkSession, path, nBuckets)
   }
+
+  /** The layout's bucket count, persisted as an underscore-prefixed
+    * sidecar (parquet readers skip `_` files) so appenders and probes
+    * can fail fast on a bucket-function mismatch instead of silently
+    * mis-bucketing/mis-pruning. */
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_nbuckets")
+
+  private def writeMarker(spark: SparkSession, path: String, n: Int): Unit = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMarker(spark: SparkSession, path: String): Option[Int] = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def checkMarker(spark: SparkSession, path: String, nBuckets: Int,
+      what: String): Unit =
+    readMarker(spark, path).foreach { stored =>
+      require(stored == nBuckets,
+        s"$what: nBuckets=$nBuckets does not match the existing layout's " +
+          s"$stored (marker $path/_graft_nbuckets) — the bucket function IS " +
+          "the layout; probing or appending with a different count silently " +
+          "drops postings")
+    }
 
   /** [[phraseOccurrences]] served from a [[writeIndex]] layout: the
     * phrase terms' buckets are derived through the SAME Spark
@@ -103,6 +146,7 @@ object Postings {
   def phraseOccurrencesFromIndex(spark: SparkSession, path: String,
       phrase: Seq[String], nBuckets: Int = 256): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
+    checkMarker(spark, path, nBuckets, "phraseOccurrencesFromIndex")
     import spark.implicits._
     val terms = phrase.distinct
     val tbs = terms.toDF("term")

@@ -54,7 +54,16 @@ object Sinks {
     * interval queries prune whole directories instead of row-group
     * filtering (static partition pruning, zero I/O for other days). */
   def parquetPartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    parquetPartitionedMode(df, path, "overwrite", partitionCols: _*)
+
+  /** [[parquetPartitioned]] with an explicit save mode — "append" is
+    * the incremental-index shape ([[graft.operators.Postings
+    * .appendIndex]]): new batches land in the same partition
+    * directories, pure union. One definition serves every partitioned
+    * parquet sink in the repo. */
+  def parquetPartitionedMode(df: DataFrame, path: String, mode: String,
+      partitionCols: String*): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
   /** Bucketed catalog table: co-locate rows by `keys` into a fixed
     * number of buckets, pre-sorted within each bucket. Two tables

@@ -110,6 +110,15 @@ class PostingsSpec extends SparkSpec {
     // raw row parity too, not just probe results
     assert(spark.read.parquet(dirInc).count() ==
       spark.read.parquet(dirAll).count())
+    // bucket-function mismatch fails FAST on both append and probe —
+    // a silent mismatch would scatter new postings into directories
+    // the pruned probe never reads
+    val e1 = intercept[IllegalArgumentException](
+      Postings.appendIndex(Postings.build(batch2, "doc_id", "text"), dirInc, 64))
+    assert(e1.getMessage.contains("does not match the existing layout"))
+    val e2 = intercept[IllegalArgumentException](
+      Postings.phraseOccurrencesFromIndex(spark, dirInc, Seq("quick"), 64))
+    assert(e2.getMessage.contains("does not match the existing layout"))
   }
 
   test("topNgram derives the most frequent n-gram with desc/asc tiebreak") {
