@@ -229,6 +229,36 @@ object CorpusPrep {
     }.toDF(idCol, "shard", lenCol, "bin_id", "offset")
   }
 
+  /** Trainer-facing PACK MANIFEST over [[packGreedy]]'s assignment:
+    * one row per document with its token SPAN inside its bin —
+    * (id, shard, bin_id, start_tok, end_tok) plus the bin's fill and
+    * right-padding. This is the artifact a training loop actually
+    * consumes from a no-split pack: span boundaries drive the
+    * block-diagonal attention mask (tokens attend within their own
+    * document only) and position_ids resets, `n_pad` prices the
+    * padding the loss mask skips, and (id → shard, bin, span) is the
+    * provenance map back from any training sequence to its source
+    * documents. Spans within a bin are contiguous by construction
+    * (doc k+1 starts where doc k ends — CorpusPrepSpec pins the
+    * invariant corpus-wide); `bin_fill > budget` only on the declared
+    * single-oversize-doc bins, where `n_pad` clamps to 0.
+    *
+    * Scale: [[packGreedy]]'s ONE fixed-width shard exchange plus one
+    * window over the (shard, bin) key of the already-fixed-width
+    * assignment — text never moves, the manifest is O(docs) narrow
+    * rows. */
+  def packManifest(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shardCol: Column): DataFrame = {
+    val packed = packGreedy(docs, idCol, textCol, budget, shardCol)
+    val w = Window.partitionBy(col("shard"), col("bin_id"))
+    packed.select(col(idCol), col("shard"), col("bin_id"),
+        col("offset").as("start_tok"),
+        (col("offset") + col("n_toks")).as("end_tok"))
+      .withColumn("bin_fill", max(col("end_tok")).over(w))
+      .withColumn("n_pad",
+        greatest(lit(0L), lit(budget.toLong) - col("bin_fill")))
+  }
+
   /** Exact per-group token-length quantiles WITHOUT a global sort:
     * the (length → #docs) count histogram is a sufficient statistic
     * (the [[vocabCoverage]] idiom pointed at lengths), so the p-th

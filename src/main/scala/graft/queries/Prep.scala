@@ -2767,6 +2767,54 @@ object Prep {
           FROM fseg5)
         SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(n_sub) AS BIGINT) AS n_tokens
-        FROM pw JOIN v USING (w) GROUP BY p_partkey"""))
+        FROM pw JOIN v USING (w) GROUP BY p_partkey""")),
+
+    // ----- Pack manifest: per-document spans + padding per bin -----
+    // [[graft.operators.CorpusPrep.packManifest]]: the trainer-facing
+    // artifact over q147's no-split pack — each document's
+    // [start_tok, end_tok) span inside its bin (the block-diagonal
+    // attention-mask boundaries and position_ids resets), the bin's
+    // fill, and the right-padding the loss mask skips. The oracle
+    // chains q147's recursive greedy replay with the span/fill/pad
+    // window, so the hash re-proves the pack AND the manifest
+    // arithmetic together. Scale = q147's one fixed-width shard
+    // exchange + one window over the (shard, bin) fixed-width rows.
+    QueryDef(
+      "q167_pack_manifest",
+      (spark, dir) =>
+        CorpusPrep.packManifest(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", budget = 256,
+          shardCol = pmod(col("doc_id"), lit(8))),
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks,
+                 CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                         ORDER BY doc_id) AS BIGINT) AS rn
+          FROM documents),
+        s AS (
+          SELECT doc_id, shard, n_toks, rn,
+                 CAST(0 AS BIGINT) AS bin_id,
+                 CAST(0 AS BIGINT) AS off,
+                 n_toks AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.shard, d.n_toks, d.rn,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.bin_id ELSE s.bin_id + 1 END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill ELSE CAST(0 AS BIGINT) END,
+                 CASE WHEN s.fill + d.n_toks <= 256
+                      THEN s.fill + d.n_toks ELSE d.n_toks END
+          FROM t d JOIN s ON d.shard = s.shard AND d.rn = s.rn + 1),
+        m AS (
+          SELECT doc_id, shard, bin_id, off AS start_tok,
+                 off + n_toks AS end_tok,
+                 CAST(max(off + n_toks) OVER (PARTITION BY shard, bin_id)
+                      AS BIGINT) AS bin_fill
+          FROM s)
+        SELECT doc_id, shard, bin_id, start_tok, end_tok, bin_fill,
+               CAST(greatest(0, 256 - bin_fill) AS BIGINT) AS n_pad
+        FROM m"""))
   )
 }

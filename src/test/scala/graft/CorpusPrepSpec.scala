@@ -63,6 +63,44 @@ class CorpusPrepSpec extends SparkSpec {
       .forall { case (_, rs) => rs.map(_.getAs[Long]("seq_id")).min == 0L })
   }
 
+  test("packManifest: contiguous disjoint spans, fill/pad arithmetic, oversize clamp") {
+    val budget = 64
+    val m = CorpusPrep.packManifest(docs, "doc_id", "text",
+        budget = budget, shardCol = pmod(col("doc_id"), lit(8)))
+      .collect()
+    assert(m.nonEmpty)
+    m.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin_id")))
+      .foreach { case ((sh, bin), rs) =>
+        val spans = rs.sortBy(_.getAs[Long]("start_tok"))
+          .map(r => (r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok")))
+        // spans tile the bin front-to-back: each doc starts exactly
+        // where the previous one ends (the attention-mask boundary
+        // contract), first at 0
+        assert(spans.head._1 == 0L, s"bin ($sh,$bin) starts at ${spans.head._1}")
+        spans.sliding(2).foreach {
+          case Array((_, e), (s2, _)) =>
+            assert(s2 == e, s"gap/overlap in bin ($sh,$bin): $spans")
+          case _ =>
+        }
+        // fill == last end; pad complements fill to the budget,
+        // clamped at 0 for the declared single-oversize-doc bins
+        val fill = rs.head.getAs[Long]("bin_fill")
+        assert(rs.forall(_.getAs[Long]("bin_fill") == fill))
+        assert(fill == spans.last._2)
+        val pad = rs.head.getAs[Long]("n_pad")
+        assert(pad == math.max(0L, budget - fill), s"pad $pad fill $fill")
+        if (fill > budget)
+          assert(rs.length == 1, s"overflowed bin ($sh,$bin) must be a lone oversize doc")
+      }
+    // the manifest rides packGreedy verbatim: same (doc -> bin) map
+    val packed = CorpusPrep.packGreedy(docs, "doc_id", "text",
+        budget = budget, shardCol = pmod(col("doc_id"), lit(8)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("bin_id"))).toMap
+    assert(m.forall(r => packed(r.getAs[Long]("doc_id")) ==
+      (r.getAs[Long]("shard"), r.getAs[Long]("bin_id"))))
+  }
+
   test("tfidf: rarer terms outrank common ones at equal tf") {
     val s = spark
     import s.implicits._
