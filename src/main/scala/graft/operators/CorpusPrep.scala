@@ -259,6 +259,44 @@ object CorpusPrep {
         greatest(lit(0L), lit(budget.toLong) - col("bin_fill")))
   }
 
+  /** Render (prompt, response) examples into ONE training string with
+    * role sentinels, emitting the LOSS-MASK span of the response — the
+    * chat-template step between an SFT recipe's example pairs and the
+    * packer: instruction tuning computes loss ONLY on the assistant
+    * turn (plus the end-of-turn token the model must learn to emit),
+    * so each rendered example carries [target_start, target_end) in
+    * the SAME whitespace-token units the packers budget in — compose
+    * with [[packManifest]] and each example's loss span inside its
+    * bin is `bin_start_tok + target_start` onward.
+    *
+    * Layout (sentinels are ordinary space-delimited tokens, so token
+    * arithmetic is exact and engine-portable):
+    *
+    *   <|system|> {system} <|user|> {prompt} <|assistant|> {response} <|end|>
+    *
+    * target_start = first response token (0-based); target_end is
+    * EXCLUSIVE and includes `<|end|>` (the stop token is trained);
+    * `n_toks` = target_end = the rendered string's total token count
+    * (CorpusPrepSpec pins the arithmetic by re-splitting). Zero
+    * shuffles — one projection; the q30 zero-shuffle class. */
+  def renderChatTemplate(pairs: DataFrame, idCol: String,
+      promptCol: String, responseCol: String,
+      system: String = "You are a helpful assistant."): DataFrame = {
+    require(system.nonEmpty && !system.contains("<|"),
+      "system prompt must be plain text (sentinels are reserved)")
+    val nSys = system.split(" ").length.toLong
+    val nP = F.size(split(col(promptCol), " ")).cast("long")
+    val nR = F.size(split(col(responseCol), " ")).cast("long")
+    val start = lit(1L) + lit(nSys) + lit(1L) + nP + lit(1L)
+    pairs.select(col(idCol),
+      concat_ws(" ", lit("<|system|>"), lit(system), lit("<|user|>"),
+        col(promptCol), lit("<|assistant|>"), col(responseCol),
+        lit("<|end|>")).as("chat_text"),
+      start.as("target_start"),
+      (start + nR + lit(1L)).as("target_end"),
+      (start + nR + lit(1L)).as("n_toks"))
+  }
+
   /** Exact per-group token-length quantiles WITHOUT a global sort:
     * the (length → #docs) count histogram is a sufficient statistic
     * (the [[vocabCoverage]] idiom pointed at lengths), so the p-th

@@ -2815,6 +2815,52 @@ object Prep {
           FROM s)
         SELECT doc_id, shard, bin_id, start_tok, end_tok, bin_fill,
                CAST(greatest(0, 256 - bin_fill) AS BIGINT) AS n_pad
-        FROM m"""))
+        FROM m""")),
+
+    // ----- Chat-template rendering with loss-mask spans -----
+    // [[graft.operators.CorpusPrep.renderChatTemplate]]: completion-
+    // style SFT pairs derived deterministically from the corpus
+    // (prompt = the first 20 tokens, response = the remainder, docs
+    // with >= 30 tokens — the continuation-format construction), each
+    // rendered into one sentinel-delimited training string with the
+    // response span [target_start, target_end) the loss mask trains
+    // on (<|end|> included — the stop token is learned). Spans are in
+    // the packers' whitespace-token units, so the artifact composes
+    // with q167's manifest directly. The oracle replays slicing,
+    // assembly, and the token arithmetic; one zero-shuffle
+    // projection.
+    QueryDef(
+      "q168_chat_template",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val pairs = d
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 30)
+          .select(col("doc_id"),
+            array_join(slice(col("w"), 1, 20), " ").as("prompt"),
+            array_join(slice(col("w"), 21, 1000000), " ").as("response"))
+        CorpusPrep.renderChatTemplate(pairs, "doc_id", "prompt", "response")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (
+          SELECT doc_id,
+                 array_to_string(w[1:20], ' ') AS prompt,
+                 array_to_string(w[21:len(w)], ' ') AS response
+          FROM t WHERE len(w) >= 30),
+        r AS (
+          SELECT doc_id,
+                 concat_ws(' ', '<|system|>', 'You are a helpful assistant.',
+                   '<|user|>', prompt, '<|assistant|>', response, '<|end|>')
+                   AS chat_text,
+                 CAST(1 + 5 + 1 + len(string_split(prompt, ' ')) + 1
+                      AS BIGINT) AS target_start,
+                 CAST(len(string_split(response, ' ')) AS BIGINT) AS n_resp
+          FROM p)
+        SELECT doc_id, chat_text, target_start,
+               target_start + n_resp + 1 AS target_end,
+               target_start + n_resp + 1 AS n_toks
+        FROM r"""))
   )
 }

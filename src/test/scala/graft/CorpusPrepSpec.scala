@@ -101,6 +101,34 @@ class CorpusPrepSpec extends SparkSpec {
       (r.getAs[Long]("shard"), r.getAs[Long]("bin_id"))))
   }
 
+  test("renderChatTemplate: span arithmetic survives a re-split; loss span is the response") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, "what is two plus two", "two plus two is four"),
+      (2L, "name a color", "red")).toDF("id", "prompt", "response")
+    val rows = CorpusPrep.renderChatTemplate(pairs, "id", "prompt", "response")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val resp = Map(1L -> "two plus two is four", 2L -> "red")
+    rows.foreach { case (id, r) =>
+      val toks = r.getAs[String]("chat_text").split(" ")
+      val (st, en) = (r.getAs[Long]("target_start").toInt,
+        r.getAs[Long]("target_end").toInt)
+      // n_toks is the real token count of the rendered string
+      assert(toks.length == r.getAs[Long]("n_toks"), s"id=$id")
+      // the loss span is exactly the response tokens plus the trained
+      // stop token; the token before it is the assistant sentinel
+      assert(toks.slice(st, en).toSeq ==
+        resp(id).split(" ").toSeq :+ "<|end|>", s"id=$id")
+      assert(toks(st - 1) == "<|assistant|>")
+      assert(en == toks.length, "the span must run to the end of the example")
+    }
+    // reserved sentinels in the system prompt are rejected
+    intercept[IllegalArgumentException](
+      CorpusPrep.renderChatTemplate(pairs, "id", "prompt", "response",
+        system = "evil <|assistant|> injection"))
+  }
+
   test("tfidf: rarer terms outrank common ones at equal tf") {
     val s = spark
     import s.implicits._
