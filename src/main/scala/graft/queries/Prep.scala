@@ -2861,6 +2861,83 @@ object Prep {
         SELECT doc_id, chat_text, target_start,
                target_start + n_resp + 1 AS target_end,
                target_start + n_resp + 1 AS n_toks
-        FROM r"""))
+        FROM r""")),
+
+    // ----- SFT batch assembly end-to-end: absolute loss spans -----
+    // The q161-family capstone composing the round's two trainer
+    // artifacts: q168's rendered chat examples pack NO-SPLIT into
+    // 512-token bins (q147's greedy fold over the rendered lengths)
+    // and each example's loss-mask span is re-based to its ABSOLUTE
+    // position inside the bin — (shard, bin_id, loss_start, loss_end)
+    // is literally what the training loop feeds the loss mask after
+    // loading a packed sequence. One fixed-width shard exchange (ids
+    // and lengths only — rendered text never moves) + one id-keyed
+    // join back; the oracle chains q168's assembly, the q147
+    // recursive pack replay, and the re-basing arithmetic, so the
+    // hash proves the whole corpus→batches path in one row set.
+    QueryDef(
+      "q169_sft_loss_spans",
+      (spark, dir) => {
+        val d = Tables.load(spark, dir, "documents")
+        val pairs = d
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 30)
+          .select(col("doc_id"),
+            array_join(slice(col("w"), 1, 20), " ").as("prompt"),
+            array_join(slice(col("w"), 21, 1000000), " ").as("response"))
+        val rendered = Barrier.materialize(
+          CorpusPrep.renderChatTemplate(pairs, "doc_id", "prompt", "response")
+            .select(col("doc_id"), col("target_start"), col("target_end"),
+              col("n_toks")))
+        val assign = CorpusPrep.packGreedyByLen(
+          rendered.select(col("doc_id"), col("n_toks")),
+          "doc_id", "n_toks", budget = 512,
+          shardCol = pmod(col("doc_id"), lit(8)))
+        assign.join(rendered, "doc_id")
+          .select(col("doc_id"), col("shard"), col("bin_id"),
+            (col("offset") + col("target_start")).as("loss_start"),
+            (col("offset") + col("target_end")).as("loss_end"))
+      },
+      Some("""
+        WITH RECURSIVE t0 AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (
+          SELECT doc_id,
+                 array_to_string(w[1:20], ' ') AS prompt,
+                 array_to_string(w[21:len(w)], ' ') AS response
+          FROM t0 WHERE len(w) >= 30),
+        r AS (
+          SELECT doc_id,
+                 CAST(1 + 5 + 1 + len(string_split(prompt, ' ')) + 1
+                      AS BIGINT) AS target_start,
+                 CAST(len(string_split(response, ' ')) AS BIGINT) AS n_resp
+          FROM p),
+        t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 target_start, target_start + n_resp + 1 AS target_end,
+                 target_start + n_resp + 1 AS n_toks,
+                 CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                         ORDER BY doc_id) AS BIGINT) AS rn
+          FROM r),
+        s AS (
+          SELECT doc_id, shard, target_start, target_end, n_toks, rn,
+                 CAST(0 AS BIGINT) AS bin_id,
+                 CAST(0 AS BIGINT) AS off,
+                 n_toks AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.shard, d.target_start, d.target_end,
+                 d.n_toks, d.rn,
+                 CASE WHEN s.fill + d.n_toks <= 512
+                      THEN s.bin_id ELSE s.bin_id + 1 END,
+                 CASE WHEN s.fill + d.n_toks <= 512
+                      THEN s.fill ELSE CAST(0 AS BIGINT) END,
+                 CASE WHEN s.fill + d.n_toks <= 512
+                      THEN s.fill + d.n_toks ELSE d.n_toks END
+          FROM t d JOIN s ON d.shard = s.shard AND d.rn = s.rn + 1)
+        SELECT doc_id, shard, bin_id,
+               off + target_start AS loss_start,
+               off + target_end AS loss_end
+        FROM s"""))
   )
 }
