@@ -282,16 +282,43 @@ object CorpusPrep {
   def renderChatTemplate(pairs: DataFrame, idCol: String,
       promptCol: String, responseCol: String,
       system: String = "You are a helpful assistant."): DataFrame = {
+    // The system prompt's token count enters the span arithmetic as a
+    // driver-side constant, so its tokenization must be EXACTLY what a
+    // re-split of the rendered string sees: leading/trailing/double
+    // spaces would make Scala's split (which drops trailing empties)
+    // disagree with the trainer-side whitespace split and shift every
+    // span by silent off-by-ones — reject them, along with sentinel
+    // text that would forge role boundaries.
     require(system.nonEmpty && !system.contains("<|"),
       "system prompt must be plain text (sentinels are reserved)")
+    require(system.trim == system && !system.contains("  "),
+      "system prompt must have no leading/trailing/double spaces — " +
+        "its token count is span arithmetic")
     val nSys = system.split(" ").length.toLong
-    val nP = F.size(split(col(promptCol), " ")).cast("long")
-    val nR = F.size(split(col(responseCol), " ")).cast("long")
+    // Per-row data guards, in-plan (the weightedSample raise_error
+    // idiom): a NULL prompt/response would shift spans silently
+    // (size(split(null)) = -1 while concat_ws SKIPS the null field),
+    // and sentinel text inside the DATA would forge role boundaries —
+    // a response containing '<|end|>' loss-trains a premature stop,
+    // a prompt containing '<|assistant|>' injects a fake turn. Both
+    // are upstream corpus bugs that must fail the job, not ship
+    // silently into a training batch.
+    def guarded(c: String, what: String): Column =
+      when(col(c).isNull, raise_error(concat(
+          lit(s"renderChatTemplate: NULL $what for id "),
+          col(idCol).cast("string"))).cast("string"))
+        .when(col(c).contains("<|"), raise_error(concat(
+          lit(s"renderChatTemplate: reserved sentinel '<|' inside $what for id "),
+          col(idCol).cast("string"))).cast("string"))
+        .otherwise(col(c))
+    val p = guarded(promptCol, "prompt")
+    val r = guarded(responseCol, "response")
+    val nP = F.size(split(p, " ")).cast("long")
+    val nR = F.size(split(r, " ")).cast("long")
     val start = lit(1L) + lit(nSys) + lit(1L) + nP + lit(1L)
     pairs.select(col(idCol),
       concat_ws(" ", lit("<|system|>"), lit(system), lit("<|user|>"),
-        col(promptCol), lit("<|assistant|>"), col(responseCol),
-        lit("<|end|>")).as("chat_text"),
+        p, lit("<|assistant|>"), r, lit("<|end|>")).as("chat_text"),
       start.as("target_start"),
       (start + nR + lit(1L)).as("target_end"),
       (start + nR + lit(1L)).as("n_toks"))

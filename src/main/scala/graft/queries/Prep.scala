@@ -288,6 +288,20 @@ object Prep {
     bpeShared.getOrElseUpdate((spark, dir),
       Bpe.train(Tables.load(spark, dir, "documents"), "text", k = 5))
 
+  /** ONE pair-derivation shared by q168 and q169 (the capstone
+    * composes exactly q168's rendered examples — a private copy in
+    * each query could drift and silently break that claim):
+    * completion-format SFT pairs — prompt = the first 20 tokens,
+    * response = the remainder (length bound = size(w), mirroring the
+    * oracle's unbounded w[21:len(w)] slice exactly), docs with ≥ 30
+    * tokens. */
+  private def sftPairs(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 30)
+      .select(col("doc_id"),
+        array_join(slice(col("w"), lit(1), lit(20)), " ").as("prompt"),
+        array_join(slice(col("w"), lit(21), size(col("w"))), " ").as("response"))
+
   /** One trained 5-merge BYTE-level BPE vocabulary per (session,
     * sf-dir) — the [[bpeTrained]] pattern for the no-UNK production
     * variant (q165). */
@@ -2831,16 +2845,10 @@ object Prep {
     // projection.
     QueryDef(
       "q168_chat_template",
-      (spark, dir) => {
-        val d = Tables.load(spark, dir, "documents")
-        val pairs = d
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 30)
-          .select(col("doc_id"),
-            array_join(slice(col("w"), 1, 20), " ").as("prompt"),
-            array_join(slice(col("w"), 21, 1000000), " ").as("response"))
-        CorpusPrep.renderChatTemplate(pairs, "doc_id", "prompt", "response")
-      },
+      (spark, dir) =>
+        CorpusPrep.renderChatTemplate(
+          sftPairs(Tables.load(spark, dir, "documents")),
+          "doc_id", "prompt", "response"),
       Some("""
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2879,14 +2887,9 @@ object Prep {
       "q169_sft_loss_spans",
       (spark, dir) => {
         val d = Tables.load(spark, dir, "documents")
-        val pairs = d
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 30)
-          .select(col("doc_id"),
-            array_join(slice(col("w"), 1, 20), " ").as("prompt"),
-            array_join(slice(col("w"), 21, 1000000), " ").as("response"))
         val rendered = Barrier.materialize(
-          CorpusPrep.renderChatTemplate(pairs, "doc_id", "prompt", "response")
+          CorpusPrep.renderChatTemplate(sftPairs(d),
+              "doc_id", "prompt", "response")
             .select(col("doc_id"), col("target_start"), col("target_end"),
               col("n_toks")))
         val assign = CorpusPrep.packGreedyByLen(
