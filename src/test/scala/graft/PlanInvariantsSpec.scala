@@ -53,7 +53,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q86_embed_quantize", "q122_jl_projection",
     "q133_token_entropy", "q134_compression_ratio",
     "q144_blocklist_filter", "q146_phrase_blocklist",
-    "q153_fim_transform")
+    "q153_fim_transform", "q168_chat_template")
 
   test("declared zero-shuffle projections have no Exchange in their plan") {
     val offenders = SparkEntry.all
