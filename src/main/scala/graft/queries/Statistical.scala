@@ -41,39 +41,96 @@ object Statistical {
   val defs: Seq[QueryDef] = Seq(
 
     // ----- A5/F14: distribution statistics per group -----
-    // One partial-aggregated shuffle on the 3-value group key; every
-    // statistic here has a distributive/algebraic merge (M2 moments,
-    // co-moments), so the plan is partial→final HashAggregate — no
-    // re-shuffle per statistic. Exact percentiles collect per-group
-    // value sketches (ObjectHashAggregate); at 100 TB prefer
-    // approx_percentile (q15's HLL cousin) unless exactness is required.
+    // One partial-aggregated shuffle on the 3-value group key. The
+    // MOMENT statistics (stddev/var/corr/covar) are built from EXACT
+    // DECIMAL sums (n, Σq, Σq², Σp, Σp², Σqp — quantities and prices
+    // are DECIMALs, their products and sums are exact and
+    // order-independent) and finished with ONE mirrored double
+    // expression per statistic: the engines' native covar_samp/corr
+    // sum doubles in their own partition orders, and a 1-ulp Σ
+    // difference flips a rounding boundary — found REAL at sf0.001,
+    // where covar_qp landed on ....245 and the two engines rounded
+    // 2dp apart. The exact-sums spelling trades the numerically-
+    // stabler streaming M2 for bit-reproducibility (fine here:
+    // well-conditioned small-magnitude inputs; the sums stay far
+    // inside double's 2^53 exact-integer range, so the decimal→double
+    // casts are exact on both engines). Exact percentiles collect
+    // per-group value sketches (ObjectHashAggregate) and interpolate
+    // deterministically from sorted decimals, so they stay native; at
+    // 100 TB prefer approx_percentile unless exactness is required.
     QueryDef(
       "q45_stats",
       (spark, dir) => {
         val li = Tables.load(spark, dir, "lineitem")
-        li.groupBy(col("l_returnflag"))
+        val sums = li.groupBy(col("l_returnflag"))
           .agg(
-            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-            round(var_samp(col("l_quantity")), 4).as("var_qty"),
-            round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
-            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
-            round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25_qty"),
-            round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75_qty"),
-            round(median(col("l_extendedprice")), 2).as("med_price"))
+            count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("sq"),
+            sum(col("l_quantity") * col("l_quantity")).as("sq2"),
+            sum(col("l_extendedprice")).as("sp"),
+            sum(col("l_extendedprice") * col("l_extendedprice")).as("sp2"),
+            sum(col("l_quantity") * col("l_extendedprice")).as("sqp"),
+            percentile(col("l_quantity"), lit(0.25)).as("p25"),
+            percentile(col("l_quantity"), lit(0.75)).as("p75"),
+            // LOWER (type-1) median — the value at rank ⌈n/2⌉, an
+            // ACTUAL price, always an exact 2-decimal number. The
+            // interpolated even-count median is the midpoint of two
+            // prices — a 3-decimal .xx5 value whose double sits a hair
+            // under the boundary, and the engines' round() semantics
+            // disagree exactly there (Spark rounds the shortest
+            // decimal representation HALF_UP; DuckDB multiplies by
+            // 10^d first, which can carry the value ONTO the
+            // boundary) — found REAL at sf0.001 (52724.245).
+            // l_quantity's p25/p75 stay interpolated: quarter
+            // positions between decimal quantities are exact in
+            // binary, so no boundary exists there.
+            element_at(sort_array(collect_list(col("l_extendedprice"))),
+              ((size(collect_list(col("l_extendedprice"))) + 1) / 2)
+                .cast("int")).as("med"))
+        def d(c: Column): Column = c.cast("double")
+        val mq = d(col("sq2")) - d(col("sq")) * d(col("sq")) / d(col("n"))
+        val mp = d(col("sp2")) - d(col("sp")) * d(col("sp")) / d(col("n"))
+        val mqp = d(col("sqp")) - d(col("sq")) * d(col("sp")) / d(col("n"))
+        sums.select(col("l_returnflag"),
+          round(sqrt(mq / (d(col("n")) - 1)), 4).as("sd_qty"),
+          round(mq / (d(col("n")) - 1), 4).as("var_qty"),
+          round(sqrt(mq / d(col("n"))), 4).as("sdp_qty"),
+          round(mqp / sqrt(mq * mp), 6).as("corr_qp"),
+          round(mqp / (d(col("n")) - 1), 2).as("covar_qp"),
+          round(col("p25"), 4).as("p25_qty"),
+          round(col("p75"), 4).as("p75_qty"),
+          col("med").cast("double").as("med_price"))
       },
       Some("""
-        SELECT l_returnflag,
-               round(stddev_samp(l_quantity), 4) AS sd_qty,
-               round(var_samp(l_quantity), 4) AS var_qty,
-               round(stddev_pop(l_quantity), 4) AS sdp_qty,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
-               round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
-               round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
-               round(median(l_extendedprice), 2) AS med_price
-        FROM lineitem
-        GROUP BY l_returnflag""")),
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(l_quantity) AS DOUBLE) AS sq,
+                 CAST(sum(l_quantity * l_quantity) AS DOUBLE) AS sq2,
+                 CAST(sum(l_extendedprice) AS DOUBLE) AS sp,
+                 CAST(sum(l_extendedprice * l_extendedprice) AS DOUBLE) AS sp2,
+                 CAST(sum(l_quantity * l_extendedprice) AS DOUBLE) AS sqp,
+                 quantile_cont(l_quantity, 0.25) AS p25,
+                 quantile_cont(l_quantity, 0.75) AS p75
+          FROM lineitem GROUP BY l_returnflag),
+        md AS (
+          SELECT l_returnflag, min(v) AS med FROM (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem)
+          WHERE 2 * rn >= n GROUP BY l_returnflag)
+        SELECT s.l_returnflag,
+               round(sqrt((sq2 - sq * sq / n) / (n - 1)), 4) AS sd_qty,
+               round((sq2 - sq * sq / n) / (n - 1), 4) AS var_qty,
+               round(sqrt((sq2 - sq * sq / n) / n), 4) AS sdp_qty,
+               round((sqp - sq * sp / n) / sqrt((sq2 - sq * sq / n) * (sp2 - sp * sp / n)), 6) AS corr_qp,
+               round((sqp - sq * sp / n) / (n - 1), 2) AS covar_qp,
+               round(p25, 4) AS p25_qty,
+               round(p75, 4) AS p75_qty,
+               CAST(md.med AS DOUBLE) AS med_price
+        FROM s JOIN md USING (l_returnflag)""")),
 
     // ----- A5: pivot (wide conditional aggregation) -----
     // Explicit value list (A/N/R) keeps the plan a single aggregate —
