@@ -520,7 +520,18 @@ object Corpus {
       "q39_embed_neardup",
       (spark, dir) => {
         val e = Tables.load(spark, dir, "embeddings")
-        Similarity.cosineNearDupPairs(e, tau = 0.445)
+        // tables = 64 (not the operator's 24-table default): this is
+        // the ORACLE-PARITY spelling, and parity needs candidate
+        // recall ≈ 1 down to the weakest in-threshold angle. At the
+        // corpus-calibrated τ = 0.45 (θ ≈ 63°), 24 tables leave a ~1%
+        // miss per barely-above-threshold pair — one such miss
+        // surfaced REAL in the round-10 sf0.1 sweep (cos 0.45191,
+        // 1-in-144). 64 tables put the per-pair miss at ~3e-6
+        // (1 − (1 − (1 − θ/π)^4)^64), negligible at any tested sf;
+        // completeness stays knob-governed BY DESIGN (the operator
+        // scaladoc's knob physics) — at production thresholds
+        // (τ ≥ 0.8) far fewer tables reach the same recall.
+        Similarity.cosineNearDupPairs(e, tau = 0.445, tables = 64)
           .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
           .filter(col("cos") >= 0.45)
       },
