@@ -86,9 +86,14 @@ object Contracts {
     }
 
     grade("q38_ann_lsh") {
+      // floor sits just under the measured band at the bench sf
+      // (sf0.1: 0.67 across repeated runs — deterministic seeds), not
+      // at the old 2×-random 0.3: a silent change that halved recall
+      // must FAIL this row, not grade green (r10 verdict item 2).
+      // Measured band + margins recorded in PLANS.md.
       val ann = triples(Similarity.annTopK(emb, q10, 10)).map(t => (t._1, t._2))
       Contract("q38_ann_lsh", "recall@10 vs brute-force cosine top-k",
-        brutePairs.count(ann.contains).toDouble / brutePairs.size, 0.3, ">=")
+        brutePairs.count(ann.contains).toDouble / brutePairs.size, 0.55, ">=")
     }
 
     // ONE k-means run serves both q52 grades (the registered query's
@@ -108,16 +113,17 @@ object Contracts {
     }
 
     grade("q52_ann_ivf") {
-      // the SHIPPED configuration (nprobe=4 of 16): recall must clear
-      // 1.4x the random-candidate expectation nprobe/nClusters = 0.25
-      // (the IvfSpec grading idea) — a k-means regression that
-      // collapses shipped recall fails HERE even though probe-all
-      // exactness above cannot see it
+      // the SHIPPED configuration (nprobe=4 of 16): a k-means
+      // regression that collapses shipped recall fails HERE even
+      // though probe-all exactness above cannot see it. Floor just
+      // under the measured band at the bench sf (sf0.1: 0.59 across
+      // repeated runs — deterministic training), not the old
+      // 1.4×-random 0.35 (r10 verdict item 2); band in PLANS.md.
       val reg = triples(Ivf.ivfTopKWithCentroids(emb, q10, 10,
         ivfCentroids, nprobe = 4)).map(t => (t._1, t._2))
       Contract("q52_ann_ivf",
         "registered config (nprobe=4/16) recall@10 vs brute force",
-        brutePairs.count(reg.contains).toDouble / brutePairs.size, 0.35, ">=")
+        brutePairs.count(reg.contains).toDouble / brutePairs.size, 0.50, ">=")
     }
 
     grade("q79_ann_ivf_disk") {
@@ -181,14 +187,21 @@ object Contracts {
     }
 
     grade("q138_pq_ann") {
-      // the SHIPPED configuration (nCand=100): recall must clear 2x
-      // the random-shortlist expectation nCand/N (the PqSpec grade)
+      // the SHIPPED configuration (nCand=100): recall floor just
+      // under the measured band at the bench sf (sf0.1: 0.61 across
+      // repeated runs — deterministic codebooks), not the old
+      // 2×-random nCand/N = 0.04, which would have graded a halved
+      // recall green (r10 verdict item 2). The floor still never
+      // drops below 2×random, so the contract stays meaningful if
+      // measured at a smaller sf where 0.45 would exceed what
+      // nCand/N makes achievable... it cannot: smaller N RAISES
+      // nCand/N, so 0.45 only tightens. Band in PLANS.md.
       val reg = triples(Pq.adcPrefilterTopK(emb, q10, k = 10,
         nCand = 100, pqCbs)).map(t => (t._1, t._2))
       Contract("q138_pq_ann",
         "registered config (nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        2.0 * 100.0 / nEmb, ">=")
+        math.max(0.45, 2.0 * 100.0 / nEmb), ">=")
     }
 
     (out.result(), errs.result())

@@ -173,6 +173,17 @@ object CountMin {
     // ≤ p) while a 30-key depth-4 probe tolerates up to
     // ⌊2.77⌋ = 2 breaches before throwing at the third; a genuine
     // catastrophe breaches most keys, far past any 3σ band.
+    // CAVEAT (why this is a heuristic certificate, not a proof): the
+    // binomial band models per-key breaches as INDEPENDENT draws, but
+    // every probe key shares the same `depth` hash rows, so breaches
+    // are positively correlated — one overloaded row can push many
+    // keys past the bracket at once, and the true tail probability of
+    // exceeding `allowed` on a legitimate corpus/seed combination is
+    // larger than the independent-Bernoulli 3σ figure suggests. The
+    // certificate stays useful (a catastrophe still breaches far past
+    // any band; fixed seeds make a given corpus deterministic), but a
+    // throw on an unusual corpus should be read against this
+    // correlation before being treated as sketch corruption.
     // (Underestimates est < exact remain structurally impossible and
     // always throw.)
     val keys = probeKeys.collect().map(_.getAs[String](itemCol)).filter(_ != null)

@@ -181,27 +181,133 @@ object Ivf {
     // takes the k lowest-hash vectors — there may not be k); every
     // cluster-count reference below must use the TRAINED size, or
     // arrays_zip null-pads and malformed probe clusters enter the join
-    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      assignCluster(centroids, col(vecCol)).as("cluster"))
+    val indexed = assigned(corpus, centroids, idCol, vecCol)
     val probes = probeAssignments(centroids, queries, nprobe, idCol, vecCol)
     topKOverCandidates(indexed.join(broadcast(probes), Seq("cluster")), k)
   }
+
+  /** The inverted-list projection: (neighbor_id, cvec, cluster) — the
+    * one assignment spelling every index write and in-memory probe
+    * shares (they must never drift, or an appended batch would land in
+    * different lists than the original write assigned). */
+  private def assigned(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      assignCluster(centroids, col(vecCol)).as("cluster"))
 
   /** Index side of the on-disk IVF layout: train centroids, assign every
     * corpus vector, and write the inverted lists
     * `partitionBy("cluster")` — one directory per list, so a probe's
     * scan PRUNES to the probed lists (see [[probeIndex]]). Returns the
     * trained centroids: k×dim doubles, the only state a searcher needs
-    * besides the path. */
+    * besides the path. A `_graft_centroids` fingerprint marker rides
+    * the layout so [[appendIndex]] can fail fast on a centroid-set
+    * mismatch (the [[Postings.writeIndex]] `_graft_nbuckets` idiom
+    * pointed at coarse quantizers). */
   def writeIndex(corpus: DataFrame, path: String, nClusters: Int,
       iters: Int = 3, trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
-    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      assignCluster(centroids, col(vecCol)).as("cluster"))
-    graft.sources.Sinks.parquetPartitioned(indexed, path, "cluster")
+    writeIndexWithCentroids(corpus, path, centroids, idCol, vecCol)
     centroids
   }
+
+  /** [[writeIndex]] over ALREADY-TRAINED centroids — rebuilds with a
+    * pinned coarse quantizer (so an incremental layout and its
+    * from-scratch rebuild are comparable), and the write half of the
+    * train-once/serve-many story. */
+  def writeIndexWithCentroids(corpus: DataFrame, path: String,
+      centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.sources.Sinks.parquetPartitioned(
+      assigned(corpus, centroids, idCol, vecCol), path, "cluster")
+    writeCentroidMarker(corpus.sparkSession, path, centroids)
+  }
+
+  /** Incremental growth of a [[writeIndex]] layout: assign a new batch
+    * through the PERSISTED centroids and APPEND into the existing
+    * cluster partition directories — the daily-ingest shape the
+    * stored-index dedup family (q81/q92/q83) has for hashes, extended
+    * to embeddings. Inverted lists are pure facts under a FIXED coarse
+    * quantizer: lists(corpus ∪ batch) == lists(corpus) ∪ lists(batch),
+    * so append == rebuild exactly (IvfSpec pins probe parity and row
+    * parity) — no read-modify-write, no compaction, and a probe after
+    * the append sees old and new vectors alike through the same pruned
+    * scan. The centroids are NOT retrained here by design: retraining
+    * would reassign the existing corpus (a full rebuild); the
+    * periodic-rebuild cadence handles quantizer drift. `centroids`
+    * must BE the layout's centroid set — a mismatch assigns new
+    * vectors into lists the probe's cluster ranking disagrees with
+    * (silently wrong recall), so the `_graft_centroids` fingerprint
+    * marker [[writeIndex]] leaves is CHECKED and the append fails fast
+    * on disagreement. Appending onto a fresh markerless path
+    * bootstraps the layout and stamps the marker (the
+    * [[Postings.appendIndex]] contract). */
+  def appendIndex(batch: DataFrame, path: String,
+      centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    checkCentroidMarker(spark, path, centroids, "appendIndex")
+    graft.sources.Sinks.parquetPartitionedMode(
+      assigned(batch, centroids, idCol, vecCol), path, "append", "cluster")
+    if (readCentroidMarker(spark, path).isEmpty)
+      writeCentroidMarker(spark, path, centroids)
+  }
+
+  /** Order-sensitive FNV-1a-style fold over the centroid doubles' bit
+    * patterns — exact identity of the coarse quantizer (the same
+    * doubles in the same order), not approximate equality: assignment
+    * is deterministic in the exact bits, so only exact bits make two
+    * layouts compatible. */
+  private def centroidFingerprint(cs: Seq[Seq[Double]]): Long = {
+    var h = 0xcbf29ce484222325L
+    for (c <- cs; x <- c) {
+      h ^= java.lang.Double.doubleToLongBits(x)
+      h *= 0x100000001b3L
+    }
+    h
+  }
+
+  private def centroidMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_centroids")
+
+  private def writeCentroidMarker(spark: SparkSession, path: String,
+      cs: Seq[Seq[Double]]): Unit = {
+    val p = centroidMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val dim = cs.headOption.map(_.size).getOrElse(0)
+    try out.write(s"${cs.size} $dim ${centroidFingerprint(cs)}"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readCentroidMarker(spark: SparkSession,
+      path: String): Option[(Int, Int, Long)] = {
+    val p = centroidMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val parts = new String(in.readAllBytes(), "UTF-8").trim.split(' ')
+        Some((parts(0).toInt, parts(1).toInt, parts(2).toLong))
+      } finally in.close()
+    }
+  }
+
+  private def checkCentroidMarker(spark: SparkSession, path: String,
+      cs: Seq[Seq[Double]], what: String): Unit =
+    readCentroidMarker(spark, path).foreach { case (k, dim, fp) =>
+      val myDim = cs.headOption.map(_.size).getOrElse(0)
+      require(k == cs.size && dim == myDim && fp == centroidFingerprint(cs),
+        s"$what: centroid set (k=${cs.size}, dim=$myDim, " +
+          s"fp=${centroidFingerprint(cs)}) does not match the existing " +
+          s"layout's (k=$k, dim=$dim, fp=$fp) (marker " +
+          s"$path/_graft_centroids) — the coarse quantizer IS the layout; " +
+          "appending through different centroids scatters vectors into " +
+          "lists the probe's cluster ranking disagrees with")
+    }
 
   /** [[writeIndex]] with uint8 scalar-quantized inverted lists — the
     * IVF+SQ8 layout (FAISS's `IVF…,SQ8` analog): each list row stores
@@ -215,9 +321,7 @@ object Ivf {
       iters: Int = 3, trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
-    val indexed = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        assignCluster(centroids, col(vecCol)).as("cluster"))
+    val indexed = assigned(corpus, centroids, idCol, vecCol)
       .select(col("neighbor_id"), col("cluster"), col("cvec"),
         array_min(col("cvec")).cast("double").as("mn"),
         Quantize.scale(col("cvec")).as("qscale"))

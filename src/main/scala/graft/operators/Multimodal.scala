@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   * feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing — schema, partition-preserving batch
-  * transforms, typed `Dataset` stages — is real and tested. The codec
-  * calls themselves are STUBS (this container has no image/audio
-  * libraries): `fakeDecode` derives deterministic pseudo-metadata and
-  * features from a hash of the payload, with the exact signature a real
-  * decoder (javacv / a JNI codec) would slot into. Swapping in a real
-  * decoder changes only the function body, not the pipeline shape.
+  * transforms, typed `Dataset` stages — is real and tested. The IMAGE
+  * decode is REAL: [[decodeImage]] parses PNG/JPEG/BMP/GIF payloads
+  * through the JDK's own `javax.imageio` (headless, no native codecs
+  * needed), reporting width/height from the actual pixel grid and an
+  * 8-bin luminance histogram as the feature vector. Audio/video decode
+  * remains a STUB (this container has no AV codec libraries):
+  * `fakeDecode` derives deterministic pseudo-metadata and features
+  * from a hash of the payload, with the exact signature a real decoder
+  * (javacv / a JNI codec) would slot into — and non-decodable "image"
+  * payloads (synthetic corpora carry opaque blobs) fall back to the
+  * same stub so pipelines stay total. Swapping in a real AV decoder
+  * changes only the function body, not the pipeline shape.
   *
   * Scale notes: media rows are large (MBs) — transforms here are
   * narrow (mapPartitions; no shuffle), so blobs are never shuffled;
@@ -35,7 +41,55 @@ object Multimodal {
   final case class Frame(mediaId: Long, frameIdx: Int, offsetMs: Long,
       payload: Array[Byte])
 
-  /** STUB decoder: a real implementation would parse the
+  /** REAL image decode through the JDK's headless `javax.imageio`
+    * (PNG, JPEG, BMP, GIF — the readers every JVM ships): width/height
+    * come from the decoded pixel grid and the 8-dim feature vector is
+    * the normalized 8-bin luminance histogram (ITU-R BT.601 integer
+    * weights 299/587/114, bins of 32 luma levels), the classic cheap
+    * image signature for dedup/quality bucketing. Returns None when
+    * the payload is not a decodable image — [[decodeRecord]] then
+    * falls back to the deterministic stub so pipelines stay total
+    * over synthetic/opaque blobs. */
+  def decodeImage(r: MediaRecord): Option[DecodedMedia] = {
+    if (r.payload == null || r.payload.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))).map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        DecodedMedia(r.mediaId, MediaMeta("image", w, h, 0, 0L),
+          hist.map(c => c.toFloat / n))
+      }
+    } catch {
+      // ImageIO readers throw on truncated/corrupt containers whose
+      // magic bytes looked decodable — same contract as "not an image"
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+  }
+
+  /** The per-record decode [[decode]] maps: real pixels for decodable
+    * images, the deterministic stub for audio/video and for opaque
+    * payloads. */
+  def decodeRecord(r: MediaRecord): DecodedMedia =
+    if (r.kind == "image") decodeImage(r).getOrElse(fakeDecode(r))
+    else fakeDecode(r)
+
+  /** STUB decoder (audio/video, and the fallback for non-decodable
+    * image payloads): a real implementation would parse the
     * container/codec headers and decode pixels/samples. Here metadata
     * and an 8-dim feature vector are derived deterministically from the
     * payload bytes so the pipeline is testable end-to-end. */
@@ -58,8 +112,9 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      // per-partition setup (real impl: allocate codec context here)
-      it.map(fakeDecode)
+      // per-partition setup (real impl: allocate AV codec context
+      // here; ImageIO readers are looked up per call and need none)
+      it.map(decodeRecord)
     }
   }
 

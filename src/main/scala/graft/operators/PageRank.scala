@@ -75,13 +75,38 @@ object PageRank {
                   scale: Long = 1000000L, dampNum: Long = 85,
                   dampDen: Long = 100, checkpointEvery: Int = 8): DataFrame = {
     val (e, nodes) = staged(edges)
+    seededIterate(nodes, e, seeds, iters, scale, dampNum, dampDen,
+      checkpointEvery)
+  }
+
+  /** [[seededRanks]] over an ALREADY-STAGED `(src, dst, outdeg)` edge
+    * table — the TrustRank face of [[ranksStaged]]: same bucketed
+    * exchange-free production layout, seed-gated teleport base. Masses
+    * are bit-identical to [[seededRanks]] on the raw edges
+    * (PageRankSpec pins both the parity and the zero-edge-side-
+    * Exchange plan). */
+  def seededRanksStaged(edgesOut: DataFrame, seeds: DataFrame, iters: Int,
+                        scale: Long = 1000000L, dampNum: Long = 85,
+                        dampDen: Long = 100,
+                        checkpointEvery: Int = 8): DataFrame =
+    seededIterate(nodesOf(edgesOut), edgesOut, seeds, iters, scale,
+      dampNum, dampDen, checkpointEvery)
+
+  /** Seed-gated base construction + the shared loop: teleport mass
+    * `base` lands only on seed nodes, initial mass only on seeds —
+    * one definition behind both seeded entry points so the raw and
+    * staged spellings cannot drift. */
+  private def seededIterate(nodes: DataFrame, edgesOut: DataFrame,
+                            seeds: DataFrame, iters: Int, scale: Long,
+                            dampNum: Long, dampDen: Long,
+                            checkpointEvery: Int): DataFrame = {
     val s = seeds.select(col(seeds.columns.head).cast("long").as("node"))
       .distinct().withColumn("is_seed", lit(true))
     val base = scale * (dampDen - dampNum) / dampDen
     val withBase = nodes.join(s, Seq("node"), "left")
       .select(col("node"),
         when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("base"))
-    iterate(withBase, e,
+    iterate(withBase, edgesOut,
       when(col("base") =!= 0L, lit(scale)).otherwise(lit(0L)),
       iters, dampNum, dampDen, checkpointEvery)
   }
@@ -97,12 +122,15 @@ object PageRank {
   def ranksStaged(edgesOut: DataFrame, iters: Int, scale: Long = 1000000L,
                   dampNum: Long = 85, dampDen: Long = 100,
                   checkpointEvery: Int = 8): DataFrame = {
-    val nodes = edgesOut.select(col("src").as("node"))
-      .union(edgesOut.select(col("dst").as("node"))).distinct()
     val base = scale * (dampDen - dampNum) / dampDen
-    iterate(nodes.withColumn("base", lit(base)), edgesOut,
+    iterate(nodesOf(edgesOut).withColumn("base", lit(base)), edgesOut,
       lit(scale), iters, dampNum, dampDen, checkpointEvery)
   }
+
+  /** Node set of a staged edge table (src ∪ dst). */
+  private def nodesOf(edgesOut: DataFrame): DataFrame =
+    edgesOut.select(col("src").as("node"))
+      .union(edgesOut.select(col("dst").as("node"))).distinct()
 
   /** The `(src, dst, outdeg)` staging projection alone — what
     * [[ranksStaged]] expects persisted (bucket by `src` for the
@@ -118,8 +146,7 @@ object PageRank {
   private def staged(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = nodesOf(e)
     // every iteration re-reads the staged table — materialize once
     // instead of replaying the edge derivation `iters` times (on a
     // cluster: persist/bucket by src via [[stageEdges]] +

@@ -84,7 +84,10 @@ object Postings {
     * postings into directories the pruned probe never reads (silently
     * incomplete phrase results), so the on-disk `_graft_nbuckets`
     * marker [[writeIndex]] leaves is CHECKED here and the append
-    * fails fast on disagreement. */
+    * fails fast on disagreement. Appending onto a path with NO marker
+    * (a fresh layout — this call bootstraps it) writes the marker
+    * after the batch lands, so append-created layouts carry the same
+    * guard as writeIndex-created ones. */
   def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
     checkMarker(postings.sparkSession, path, nBuckets, "appendIndex")
     writeIndexMode(postings, path, nBuckets, "append")
@@ -96,7 +99,12 @@ object Postings {
     val indexed = postings.select(col("doc_id"), col("pos"), col("term"),
       pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
     graft.sources.Sinks.parquetPartitionedMode(indexed, path, mode, "tb")
-    if (mode == "overwrite")
+    // overwrite stamps its own marker; append must stamp one too when it
+    // BOOTSTRAPS a fresh layout (checkMarker passed vacuously above) —
+    // otherwise an append-created index is permanently unguarded and a
+    // later mismatched nBuckets silently scatters/drops postings
+    if (mode == "overwrite" ||
+        readMarker(postings.sparkSession, path).isEmpty)
       writeMarker(postings.sparkSession, path, nBuckets)
   }
 

@@ -51,10 +51,20 @@ object Statistical {
     // difference flips a rounding boundary — found REAL at sf0.001,
     // where covar_qp landed on ....245 and the two engines rounded
     // 2dp apart. The exact-sums spelling trades the numerically-
-    // stabler streaming M2 for bit-reproducibility (fine here:
-    // well-conditioned small-magnitude inputs; the sums stay far
-    // inside double's 2^53 exact-integer range, so the decimal→double
-    // casts are exact on both engines). Exact percentiles collect
+    // stabler streaming M2 for bit-reproducibility. Cross-sf caveat on
+    // the decimal→double casts: n, sq and sp stay exactly
+    // representable far past sf1, but sq2/sp2/sqp do NOT — sp2's
+    // scale-4 scaled integer is already ~2e18 at sf0.1, so its cast
+    // ROUNDS, and the two engines' cast paths differ (Spark's
+    // BigDecimal→double is correctly rounded; DuckDB scales a
+    // hugeint→double quotient — a 1-ulp hazard). Equality therefore
+    // rests on the casts' roundings coinciding plus the output-side
+    // round() slack absorbing any residual ulp — verified empirically
+    // by the cross-sf sweep (green at sf0.001/0.01/0.1), not proven
+    // for arbitrary sf. If a larger sf ever flips a boundary here, the
+    // fix is to quantize the exact sums to a fixed significant-digit
+    // budget (mantissa < 2^53) in BOTH engines before the cast, making
+    // the casts exact again. Exact percentiles collect
     // per-group value sketches (ObjectHashAggregate) and interpolate
     // deterministically from sorted decimals, so they stay native; at
     // 100 TB prefer approx_percentile unless exactness is required.

@@ -143,6 +143,62 @@ class IvfSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean top-10 overlap $mean < 0.9 (per-query: $overlaps)")
   }
 
+  test("appendIndex: incremental batch append == whole-corpus rebuild") {
+    // the q81/q92/q83 daily-ingest story extended to embeddings: day 1
+    // trains + writes, day 2 assigns through the PERSISTED centroids
+    // and appends — lists are pure facts under a fixed quantizer, so
+    // the incremental layout must equal the pinned-centroid rebuild
+    val b1 = emb.filter(col("vec_id") < 300)
+    val b2 = emb.filter(col("vec_id") >= 300)
+    val dirInc = Files.createTempDirectory("graft_ivf_inc_").toString
+    val dirAll = Files.createTempDirectory("graft_ivf_all_").toString
+    val centroids = Ivf.writeIndex(b1, dirInc, nClusters = 8, iters = 2)
+    Ivf.appendIndex(b2, dirInc, centroids)
+    Ivf.writeIndexWithCentroids(emb, dirAll, centroids)
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    // probes must see day-1 and day-2 vectors alike through the
+    // appended layout — exact parity with the rebuild, rank included
+    val queries = emb.filter(col("vec_id") < 10)
+    assert(triples(Ivf.probeIndex(spark, dirInc, centroids, queries, k = 10)) ==
+      triples(Ivf.probeIndex(spark, dirAll, centroids, queries, k = 10)))
+    // raw row parity too, not just probe results
+    assert(spark.read.parquet(dirInc).count() ==
+      spark.read.parquet(dirAll).count())
+  }
+
+  test("appendIndex fails fast on a centroid-set mismatch; bootstrap stamps the marker") {
+    val b1 = emb.filter(col("vec_id") < 100)
+    val b2 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val dir = Files.createTempDirectory("graft_ivf_guard_").toString
+    val centroids = Ivf.writeIndex(b1, dir, nClusters = 4, iters = 2)
+    // marker rides the layout
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_centroids")))
+    // a DIFFERENT quantizer (different k, and different values) must
+    // be rejected before any write — appending through it would
+    // scatter vectors into lists the probe ranking disagrees with
+    val other = Ivf.trainCentroids(b2, k = 4, iters = 2)
+    assert(other != centroids)
+    for (bad <- Seq(other, centroids.take(3), centroids.map(_.map(_ + 1e-9)))) {
+      val e = intercept[IllegalArgumentException](
+        Ivf.appendIndex(b2, dir, bad))
+      assert(e.getMessage.contains("does not match the existing layout"))
+    }
+    // matching centroids append fine
+    Ivf.appendIndex(b2, dir, centroids)
+    // bootstrap: a layout FIRST created via appendIndex still gets the
+    // guard (the Postings appendIndex contract)
+    val dirBoot = Files.createTempDirectory("graft_ivf_boot_").toString
+    Ivf.appendIndex(b1, dirBoot, centroids)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dirBoot, "_graft_centroids")))
+    val e = intercept[IllegalArgumentException](
+      Ivf.appendIndex(b2, dirBoot, other))
+    assert(e.getMessage.contains("does not match the existing layout"))
+  }
+
   test("training on a sample still assigns the full corpus") {
     val centroids = Ivf.trainCentroids(emb, k = 4, iters = 2, trainFraction = 0.5)
     assert(centroids.size == 4)

@@ -111,6 +111,24 @@ class PageRankSpec extends SparkSpec {
       s"edge side reshuffled despite bucketing:\n$plan")
   }
 
+  test("seededRanksStaged over the bucketed layout == seededRanks on raw edges") {
+    // the q126 registered spelling: seeded teleport over the SAME
+    // src-bucketed staged table q125 reads — masses bit-identical to
+    // the raw-edge entry point (integer arithmetic; one shared
+    // seededIterate behind both spellings)
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    graft.sources.Sinks.writeBucketed(
+      PageRank.stageEdges(g), "pr_edges_seeded_b", buckets = 4,
+      keys = Seq("src"))
+    val bucketed = spark.table("pr_edges_seeded_b")
+    assert(massMap(PageRank.seededRanksStaged(bucketed, seeds, iters = 2)) ===
+      massMap(PageRank.seededRanks(g, seeds, iters = 2)))
+    // and the hand-computed values stay pinned through the staged path
+    assert(massMap(PageRank.seededRanksStaged(bucketed, seeds, iters = 2)) ===
+      Map(1L -> 511250L, 2L -> 63750L, 3L -> 63750L, 4L -> 0L))
+  }
+
   private def withConf[A](kv: (String, String)*)(f: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -121,6 +121,28 @@ class PostingsSpec extends SparkSpec {
     assert(e2.getMessage.contains("does not match the existing layout"))
   }
 
+  test("appendIndex bootstrapping a FRESH layout stamps the marker") {
+    // an index whose first batch arrives via appendIndex (no prior
+    // writeIndex) must carry the same nBuckets guard as an
+    // overwrite-created one — without the bootstrap stamp a later
+    // mismatched append/probe would silently scatter/drop postings
+    val dir = java.nio.file.Files.createTempDirectory("postings_boot").toString
+    Postings.appendIndex(Postings.build(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text"), dir, 16)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_nbuckets")), "marker not stamped")
+    val e = intercept[IllegalArgumentException](
+      Postings.appendIndex(Postings.build(docs.filter(col("doc_id") >= 3),
+        "doc_id", "text"), dir, 64))
+    assert(e.getMessage.contains("does not match the existing layout"))
+    // matching append still works and the guard rides along
+    Postings.appendIndex(Postings.build(docs.filter(col("doc_id") >= 3),
+      "doc_id", "text"), dir, 16)
+    val res = Postings.phraseOccurrencesFromIndex(spark, dir,
+      Seq("quick", "brown"), 16).collect()
+    assert(res.nonEmpty)
+  }
+
   test("topNgram derives the most frequent n-gram with desc/asc tiebreak") {
     // "quick brown" 4× (doc 3 twice) beats "brown fox" 3×
     assert(Postings.topNgram(docs, "text", n = 2) == Seq("quick", "brown"))
