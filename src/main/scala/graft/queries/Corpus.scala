@@ -359,6 +359,11 @@ object Corpus {
     // Output pairs carry their EXACT Jaccard (candidates are verified),
     // so when LSH recall is 1.0 — which 16 bands × 4 rows gives at
     // tau=0.8 on this corpus — the result equals q32's oracle set.
+    // Oracle spelling: the INVERTED-INDEX join (unnest shingles,
+    // equi-join on shingle, count shared), not q32's all-pairs
+    // list_intersect — same integers, bit-identical jaccard, but
+    // Σ df² cost instead of n²·|s|, which keeps the 10× (sf0.1)
+    // robustness sweep tractable (the r10 exclusion this closes).
     QueryDef(
       "q33_dedup_minhash",
       (spark, dir) =>
@@ -373,13 +378,18 @@ object Corpus {
                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                 for i in range(1, len(w) - 1)]) AS s
           FROM toks WHERE len(w) >= 3
+        ), post AS MATERIALIZED (
+          SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+        ), inter AS MATERIALIZED (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(count(*) AS BIGINT) AS c,
+                 any_value(a.sz) AS sza, any_value(b.sz) AS szb
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
         )
-        SELECT a.doc_id AS a, b.doc_id AS b,
-               len(list_intersect(a.s, b.s))::DOUBLE
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""")),
+        SELECT a, b, c::DOUBLE / (sza + szb - c) AS jaccard
+        FROM inter
+        WHERE c::DOUBLE / (sza + szb - c) >= 0.8""")),
     // (benched: MinHash+LSH is the dedup scale path — its sf0.1 number
     // is the one that matters, unlike the all-pairs oracle forms.)
 
@@ -638,11 +648,20 @@ object Corpus {
                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                 for i in range(1, len(w) - 1)]) AS s
           FROM toks WHERE len(w) >= 3
-        ), pairs AS (
-          SELECT a.doc_id AS a, b.doc_id AS b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ), post AS MATERIALIZED (
+          SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+        ), pairs AS MATERIALIZED (
+          -- inverted-index spelling (equi-join on shingle, count
+          -- shared): same integers as all-pairs list_intersect at
+          -- Σ df² cost instead of n²·|s| — keeps the sf0.1 sweep
+          -- tractable (the r10 exclusion this closes)
+          SELECT a, b FROM (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS c,
+                   any_value(a.sz) AS sza, any_value(b.sz) AS szb
+            FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          WHERE c::DOUBLE / (sza + szb - c) >= 0.8
         ), edges AS (
           SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
         ), reach(node, lbl) AS (
@@ -683,11 +702,20 @@ object Corpus {
                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                 for i in range(1, len(w) - 1)]) AS s
           FROM toks WHERE len(w) >= 3
-        ), pairs AS (
-          SELECT a.doc_id AS a, b.doc_id AS b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ), post AS MATERIALIZED (
+          SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+        ), pairs AS MATERIALIZED (
+          -- inverted-index spelling (equi-join on shingle, count
+          -- shared): same integers as all-pairs list_intersect at
+          -- Σ df² cost instead of n²·|s| — keeps the sf0.1 sweep
+          -- tractable (the r10 exclusion this closes)
+          SELECT a, b FROM (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS c,
+                   any_value(a.sz) AS sza, any_value(b.sz) AS szb
+            FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          WHERE c::DOUBLE / (sza + szb - c) >= 0.8
         ), edges AS (
           SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
         ), reach(node, lbl) AS (
@@ -766,11 +794,20 @@ object Corpus {
                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                 for i in range(1, len(w) - 1)]) AS s
           FROM toks WHERE len(w) >= 3
-        ), pairs AS (
-          SELECT a.doc_id AS a, b.doc_id AS b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ), post AS MATERIALIZED (
+          SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+        ), pairs AS MATERIALIZED (
+          -- inverted-index spelling (equi-join on shingle, count
+          -- shared): same integers as all-pairs list_intersect at
+          -- Σ df² cost instead of n²·|s| — keeps the sf0.1 sweep
+          -- tractable (the r10 exclusion this closes)
+          SELECT a, b FROM (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS c,
+                   any_value(a.sz) AS sza, any_value(b.sz) AS szb
+            FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          WHERE c::DOUBLE / (sza + szb - c) >= 0.8
         ), edges AS (
           SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
         ), reach(node, lbl) AS (

@@ -941,11 +941,20 @@ object Prep {
                  list_distinct([w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]
                                 for i in range(1, len(w2) - 1)]) AS sgl
           FROM dt WHERE len(w2) >= 3
-        ), pairs AS (
-          SELECT a.doc_id AS a, b.doc_id AS b
-          FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE
-                  / (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))) >= 0.8
+        ), dpost AS MATERIALIZED (
+          SELECT doc_id, len(sgl) AS sz, unnest(sgl) AS g FROM dsh
+        ), pairs AS MATERIALIZED (
+          -- inverted-index spelling (equi-join on shingle, count
+          -- shared): same integers as all-pairs list_intersect at
+          -- Σ df² cost instead of n²·|s| — keeps the sf0.1 sweep
+          -- tractable (the r10 exclusion this closes)
+          SELECT a, b FROM (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS c,
+                   any_value(a.sz) AS sza, any_value(b.sz) AS szb
+            FROM dpost a JOIN dpost b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          WHERE c::DOUBLE / (sza + szb - c) >= 0.8
         ), edges AS (
           SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
         ), reach(node, lbl) AS (
@@ -1081,11 +1090,20 @@ object Prep {
                  list_distinct([w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]
                                 for i in range(1, len(w2) - 1)]) AS sgl
           FROM dt WHERE len(w2) >= 3
-        ), pairs AS (
-          SELECT a.doc_id AS a, b.doc_id AS b
-          FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE
-                  / (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))) >= 0.8
+        ), dpost AS MATERIALIZED (
+          SELECT doc_id, len(sgl) AS sz, unnest(sgl) AS g FROM dsh
+        ), pairs AS MATERIALIZED (
+          -- inverted-index spelling (equi-join on shingle, count
+          -- shared): same integers as all-pairs list_intersect at
+          -- Σ df² cost instead of n²·|s| — keeps the sf0.1 sweep
+          -- tractable (the r10 exclusion this closes)
+          SELECT a, b FROM (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS c,
+                   any_value(a.sz) AS sza, any_value(b.sz) AS szb
+            FROM dpost a JOIN dpost b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          WHERE c::DOUBLE / (sza + szb - c) >= 0.8
         ), edges AS (
           SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
         ), reach(node, lbl) AS (
