@@ -50,6 +50,40 @@ object GraphProbe {
         s"exchanges=[${ShuffleProbe.fmtVolumes(vols)}] " +
         s"maxRecords=${if (vols.isEmpty) 0L else vols.map(_._1).max}")
     }
+
+    // Registered-layout probe (the q125/q126 spelling): with the mass
+    // side too big to broadcast (threshold forced off — the regime a
+    // 100 TB graph's node table is ALWAYS in), BOTH spellings must
+    // keep every per-round exchange NODE-bounded — no edge-sized
+    // (≈m-record) exchange anywhere in the 5-round lineage. The raw
+    // path earns this through the staging barrier (localCheckpoint
+    // preserves the staging join's hash(src) partitioning, paid once
+    // as an in-run shuffle its metrics don't show); the bucketed
+    // registered path earns it from the LAYOUT — a plain bucket scan,
+    // no staging shuffle, no materialization job at serve time, which
+    // is both the cross-run persistence story and the smaller
+    // scheduler surface that removed the r10 q126 stamp variance.
+    // Printed: max exchange record count for each (both ≈2n), plus
+    // the bucketed path's full exchange list — exactly the five
+    // node-sized aggregates and nothing else (the mass side's groupBy
+    // partitioning is reused round-over-round, so not even the mass
+    // join side re-exchanges).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (n, m) = pairs.last
+    val edges = spark.range(m).select(
+      (col("id") % n).as("src"),
+      ((col("id") * 31 + 7) % n).as("dst"))
+    val rawVols = ShuffleProbe.exchangeVolumes(
+      PageRank.ranks(edges, iters = 5, checkpointEvery = 100))
+    graft.sources.Sinks.writeBucketed(PageRank.stageEdges(edges),
+      "graphprobe_edges_b", buckets = 32, keys = Seq("src"))
+    val stagedVols = ShuffleProbe.exchangeVolumes(
+      PageRank.ranksStaged(spark.table("graphprobe_edges_b"), iters = 5,
+        checkpointEvery = 100))
+    println(s"GRAPHPROBE-BUCKETED n=$n m=$m iters=5 noBroadcast " +
+      s"rawMaxRecords=${if (rawVols.isEmpty) 0L else rawVols.map(_._1).max} " +
+      s"bucketedMaxRecords=${if (stagedVols.isEmpty) 0L else stagedVols.map(_._1).max} " +
+      s"bucketedExchanges=[${ShuffleProbe.fmtVolumes(stagedVols)}]")
     spark.stop()
   }
 }

@@ -321,14 +321,38 @@ object Ivf {
       iters: Int = 3, trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
-    val indexed = assigned(corpus, centroids, idCol, vecCol)
+    graft.sources.Sinks.parquetPartitioned(
+      assignedQuantized(corpus, centroids, idCol, vecCol), path, "cluster")
+    writeCentroidMarker(corpus.sparkSession, path, centroids)
+    centroids
+  }
+
+  /** The SQ8 list projection [[writeIndexQuantized]] and
+    * [[appendIndexQuantized]] share: per-row (mn, qscale) affine
+    * quantization parameters ride each row, so quantized lists append
+    * exactly like float ones — no global codebook state to merge. */
+  private def assignedQuantized(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      idCol: String, vecCol: String): DataFrame =
+    assigned(corpus, centroids, idCol, vecCol)
       .select(col("neighbor_id"), col("cluster"), col("cvec"),
         array_min(col("cvec")).cast("double").as("mn"),
         Quantize.scale(col("cvec")).as("qscale"))
       .select(col("neighbor_id"), col("cluster"), col("mn"), col("qscale"),
         Quantize.codes(col("cvec"), col("mn"), col("qscale")).as("codes"))
-    graft.sources.Sinks.parquetPartitioned(indexed, path, "cluster")
-    centroids
+
+  /** [[appendIndex]] for the SQ8 layout: same pure-union append, same
+    * `_graft_centroids` guard — per-row quantization parameters make
+    * the quantized lists as append-safe as the float ones. */
+  def appendIndexQuantized(batch: DataFrame, path: String,
+      centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    checkCentroidMarker(spark, path, centroids, "appendIndexQuantized")
+    graft.sources.Sinks.parquetPartitionedMode(
+      assignedQuantized(batch, centroids, idCol, vecCol), path, "append",
+      "cluster")
+    if (readCentroidMarker(spark, path).isEmpty)
+      writeCentroidMarker(spark, path, centroids)
   }
 
   /** Search over [[writeIndexQuantized]]'s layout: same partition-

@@ -2246,12 +2246,19 @@ object Corpus {
                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                 for i in range(1, len(w) - 1)]) AS s
           FROM toks WHERE len(w) >= 3
-        ), pairs AS (
+        ), post AS MATERIALIZED (
+          SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+        ), pairs AS MATERIALIZED (
+          -- inverted-index spelling: the shingle equi-join yields
+          -- exactly the nc >= 1 pairs with the same integers as
+          -- all-pairs list_intersect, at Σ df² cost — keeps the
+          -- sf0.1 sweep fast (this is the UNCAPPED form; q164's
+          -- maxDocFreq cap is the scale story)
           SELECT x.doc_id AS x, y.doc_id AS y,
-                 len(list_intersect(x.s, y.s)) AS nc,
-                 len(x.s) AS nx, len(y.s) AS ny
-          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-          WHERE len(list_intersect(x.s, y.s)) > 0
+                 CAST(count(*) AS BIGINT) AS nc,
+                 any_value(x.sz) AS nx, any_value(y.sz) AS ny
+          FROM post x JOIN post y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
         ), directed AS (
           SELECT x AS a, y AS b, round(nc::DOUBLE / nx, 6) AS containment FROM pairs
           UNION ALL
@@ -2323,16 +2330,24 @@ object Corpus {
           FROM toks WHERE len(w) >= 3
         ), hot AS (
           SELECT s FROM shu GROUP BY s HAVING count(*) > 100
-        ), sh AS (
-          SELECT doc_id, list(s) AS s
-          FROM (SELECT doc_id, s FROM shu ANTI JOIN hot USING (s))
-          GROUP BY doc_id
-        ), pairs AS (
-          SELECT x.doc_id AS x, y.doc_id AS y,
-                 len(list_intersect(x.s, y.s)) AS nc,
-                 len(x.s) AS nx, len(y.s) AS ny
-          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-          WHERE len(list_intersect(x.s, y.s)) > 0
+        ), capped AS MATERIALIZED (
+          SELECT doc_id, s FROM shu ANTI JOIN hot USING (s)
+        ), sz AS MATERIALIZED (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+          FROM capped GROUP BY doc_id
+        ), pairs AS MATERIALIZED (
+          -- inverted-index spelling over the CAPPED postings (the
+          -- same df-capped join the Spark side runs): equi-join on
+          -- shingle + shared-count, denominators = capped list sizes
+          -- — same integers as the all-pairs list_intersect form
+          SELECT p.x, p.y, p.nc, sx.sz AS nx, sy.sz AS ny FROM (
+            SELECT x.doc_id AS x, y.doc_id AS y,
+                   CAST(count(*) AS BIGINT) AS nc
+            FROM capped x JOIN capped y
+              ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2) p
+          JOIN sz sx ON sx.doc_id = p.x
+          JOIN sz sy ON sy.doc_id = p.y
         ), directed AS (
           SELECT x AS a, y AS b, round(nc::DOUBLE / nx, 6) AS containment FROM pairs
           UNION ALL

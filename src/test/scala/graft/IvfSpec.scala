@@ -199,6 +199,33 @@ class IvfSpec extends SparkSpec {
     assert(e.getMessage.contains("does not match the existing layout"))
   }
 
+  test("appendIndexQuantized: SQ8 append == SQ8 rebuild, same guard") {
+    val b1 = emb.filter(col("vec_id") < 300)
+    val b2 = emb.filter(col("vec_id") >= 300)
+    val dirInc = Files.createTempDirectory("graft_ivfq_inc_").toString
+    val dirAll = Files.createTempDirectory("graft_ivfq_all_").toString
+    // train on b1, write its SQ8 lists; append b2 through the same
+    // persisted centroids — must equal a full write under the SAME
+    // centroids (per-row mn/qscale make quantized rows pure facts)
+    val centroids = Ivf.writeIndexQuantized(b1, dirInc, nClusters = 8, iters = 2)
+    Ivf.appendIndexQuantized(b2, dirInc, centroids)
+    // rebuild: write b1 then append b2's complement-free full set via
+    // two appends onto a bootstrap layout — same rows, different path
+    Ivf.appendIndexQuantized(b1, dirAll, centroids)
+    Ivf.appendIndexQuantized(b2, dirAll, centroids)
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val queries = emb.filter(col("vec_id") < 10)
+    assert(triples(Ivf.probeIndexQuantized(spark, dirInc, centroids, queries, k = 10)) ==
+      triples(Ivf.probeIndexQuantized(spark, dirAll, centroids, queries, k = 10)))
+    assert(spark.read.parquet(dirInc).count() == emb.count())
+    // mismatched quantizer rejected on the quantized path too
+    val e = intercept[IllegalArgumentException](
+      Ivf.appendIndexQuantized(b2, dirInc, centroids.map(_.map(_ + 1e-9))))
+    assert(e.getMessage.contains("does not match the existing layout"))
+  }
+
   test("training on a sample still assigns the full corpus") {
     val centroids = Ivf.trainCentroids(emb, k = 4, iters = 2, trainFraction = 0.5)
     assert(centroids.size == 4)
