@@ -138,6 +138,29 @@ object Contracts {
         setJaccard(disk, mem), 1.0, ">=")
     }
 
+    grade("q79_ann_ivf_disk") {
+      // the incremental-ingest certificate on the bench corpus: half
+      // the vectors written, half APPENDED through the persisted
+      // centroids — probes through the incremental layout must equal
+      // the pinned-centroid rebuild exactly (lists are pure facts
+      // under a fixed coarse quantizer; IvfSpec pins the same at the
+      // unit scale, this grades it at the bench sf per run)
+      val mid = nEmb / 2
+      val pathInc = queries.scratchPath("contracts_ivf_inc_idx")
+      val pathAll = queries.scratchPath("contracts_ivf_all_idx")
+      val centroids = Ivf.trainCentroids(emb.filter(col("vec_id") < mid),
+        16, iters = 3, trainFraction = 0.5)
+      Ivf.writeIndexWithCentroids(emb.filter(col("vec_id") < mid), pathInc,
+        centroids)
+      Ivf.appendIndex(emb.filter(col("vec_id") >= mid), pathInc, centroids)
+      Ivf.writeIndexWithCentroids(emb, pathAll, centroids)
+      val inc = triples(Ivf.probeIndex(spark, pathInc, centroids, q10, k = 10))
+      val all = triples(Ivf.probeIndex(spark, pathAll, centroids, q10, k = 10))
+      Contract("q79_ann_ivf_disk",
+        "incremental append == pinned-centroid rebuild, (q,n,rank) set jaccard",
+        setJaccard(inc, all), 1.0, ">=")
+    }
+
     grade("q91_ann_ivf_sq8") {
       val pathQ = queries.scratchPath("contracts_ivf_sq8_idx")
       val pathF = queries.scratchPath("contracts_ivf_f_idx")
