@@ -247,11 +247,15 @@ object Ivf {
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    checkCentroidMarker(spark, path, centroids, "appendIndex")
+    // bootstrap stamps BEFORE the data lands: a crash between the two
+    // then leaves an empty-but-guarded layout (safe — the retry's
+    // check passes with the same centroids, fails fast with others),
+    // never a populated-but-unguarded one a later mismatched append
+    // could silently corrupt and then certify
+    if (!checkCentroidMarker(spark, path, centroids, "appendIndex"))
+      writeCentroidMarker(spark, path, centroids)
     graft.sources.Sinks.parquetPartitionedMode(
       assigned(batch, centroids, idCol, vecCol), path, "append", "cluster")
-    if (readCentroidMarker(spark, path).isEmpty)
-      writeCentroidMarker(spark, path, centroids)
   }
 
   /** Order-sensitive FNV-1a-style fold over the centroid doubles' bit
@@ -296,9 +300,13 @@ object Ivf {
     }
   }
 
+  /** Validates `cs` against the layout's marker; returns whether a
+    * marker was present (ONE filesystem read — callers use the result
+    * to decide bootstrap stamping instead of re-reading). */
   private def checkCentroidMarker(spark: SparkSession, path: String,
-      cs: Seq[Seq[Double]], what: String): Unit =
-    readCentroidMarker(spark, path).foreach { case (k, dim, fp) =>
+      cs: Seq[Seq[Double]], what: String): Boolean = {
+    val m = readCentroidMarker(spark, path)
+    m.foreach { case (k, dim, fp) =>
       val myDim = cs.headOption.map(_.size).getOrElse(0)
       require(k == cs.size && dim == myDim && fp == centroidFingerprint(cs),
         s"$what: centroid set (k=${cs.size}, dim=$myDim, " +
@@ -308,6 +316,8 @@ object Ivf {
           "appending through different centroids scatters vectors into " +
           "lists the probe's cluster ranking disagrees with")
     }
+    m.isDefined
+  }
 
   /** [[writeIndex]] with uint8 scalar-quantized inverted lists — the
     * IVF+SQ8 layout (FAISS's `IVF…,SQ8` analog): each list row stores
@@ -347,12 +357,12 @@ object Ivf {
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    checkCentroidMarker(spark, path, centroids, "appendIndexQuantized")
+    // marker-before-data on bootstrap — see [[appendIndex]]
+    if (!checkCentroidMarker(spark, path, centroids, "appendIndexQuantized"))
+      writeCentroidMarker(spark, path, centroids)
     graft.sources.Sinks.parquetPartitionedMode(
       assignedQuantized(batch, centroids, idCol, vecCol), path, "append",
       "cluster")
-    if (readCentroidMarker(spark, path).isEmpty)
-      writeCentroidMarker(spark, path, centroids)
   }
 
   /** Search over [[writeIndexQuantized]]'s layout: same partition-

@@ -50,30 +50,56 @@ object Multimodal {
     * the payload is not a decodable image — [[decodeRecord]] then
     * falls back to the deterministic stub so pipelines stay total
     * over synthetic/opaque blobs. */
+  /** Decode-bomb guard: a few-KB container can DECLARE an enormous
+    * pixel grid (a 30000×30000 PNG header is bytes; its decoded
+    * BufferedImage is ~3.6 GB) — dimensions are checked from the
+    * HEADER, before any pixel allocation, and oversized images fall
+    * back to the stub instead of OOM-killing the executor. 64 MPx
+    * admits any sane training image (8k×8k). */
+  private val MaxImagePixels = 64L * 1024 * 1024
+
   def decodeImage(r: MediaRecord): Option[DecodedMedia] = {
-    if (r.payload == null || r.payload.isEmpty) None
-    else try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(r.payload))).map { im =>
-        val w = im.getWidth
-        val h = im.getHeight
-        val hist = new Array[Long](8)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = im.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            hist(lum >> 5) += 1
-            x += 1
-          }
-          y += 1
+    if (r.payload == null || r.payload.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // header-only dimension read — no pixel decode yet
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+            else {
+              val im = reader.read(0)
+              val hist = new Array[Long](8)
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                // bulk row fetch: one raster call per row, not one
+                // synchronized getRGB call per pixel
+                im.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val rgb = row(x)
+                  val lum = (((rgb >> 16) & 0xFF) * 299 +
+                    ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                  hist(lum >> 5) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              Some(DecodedMedia(r.mediaId, MediaMeta("image", w, h, 0, 0L),
+                hist.map(c => c.toFloat / n)))
+            }
+          } finally reader.dispose()
         }
-        val n = w.toLong * h
-        DecodedMedia(r.mediaId, MediaMeta("image", w, h, 0, 0L),
-          hist.map(c => c.toFloat / n))
-      }
+      } finally if (iis != null) iis.close()
     } catch {
       // ImageIO readers throw on truncated/corrupt containers whose
       // magic bytes looked decodable — same contract as "not an image"

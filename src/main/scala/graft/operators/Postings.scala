@@ -85,11 +85,21 @@ object Postings {
     * incomplete phrase results), so the on-disk `_graft_nbuckets`
     * marker [[writeIndex]] leaves is CHECKED here and the append
     * fails fast on disagreement. Appending onto a path with NO marker
-    * (a fresh layout — this call bootstraps it) writes the marker
-    * after the batch lands, so append-created layouts carry the same
-    * guard as writeIndex-created ones. */
+    * (a fresh layout — this call bootstraps it) stamps the marker
+    * before the batch lands, so append-created layouts carry the same
+    * guard as writeIndex-created ones even through a mid-append
+    * crash. */
   def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
-    checkMarker(postings.sparkSession, path, nBuckets, "appendIndex")
+    // bootstrap (no marker yet) stamps BEFORE the data lands: a crash
+    // between the two leaves an empty-but-guarded layout (safe), never
+    // a populated-but-unguarded one that a later mismatched nBuckets
+    // could silently corrupt and then certify. Overwrite keeps the
+    // opposite order (data then marker, in writeIndexMode): there a
+    // crash leaves new data under the OLD marker, which the next
+    // new-nBuckets probe fails FAST on — stamping first would instead
+    // certify old-bucketed data under the new bucket function.
+    if (!checkMarker(postings.sparkSession, path, nBuckets, "appendIndex"))
+      writeMarker(postings.sparkSession, path, nBuckets)
     writeIndexMode(postings, path, nBuckets, "append")
   }
 
@@ -99,12 +109,7 @@ object Postings {
     val indexed = postings.select(col("doc_id"), col("pos"), col("term"),
       pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
     graft.sources.Sinks.parquetPartitionedMode(indexed, path, mode, "tb")
-    // overwrite stamps its own marker; append must stamp one too when it
-    // BOOTSTRAPS a fresh layout (checkMarker passed vacuously above) —
-    // otherwise an append-created index is permanently unguarded and a
-    // later mismatched nBuckets silently scatters/drops postings
-    if (mode == "overwrite" ||
-        readMarker(postings.sparkSession, path).isEmpty)
+    if (mode == "overwrite")
       writeMarker(postings.sparkSession, path, nBuckets)
   }
 
@@ -133,15 +138,21 @@ object Postings {
     }
   }
 
+  /** Validates `nBuckets` against the layout's marker; returns whether
+    * a marker was present (ONE filesystem read — appendIndex uses the
+    * result to decide bootstrap stamping instead of re-reading). */
   private def checkMarker(spark: SparkSession, path: String, nBuckets: Int,
-      what: String): Unit =
-    readMarker(spark, path).foreach { stored =>
+      what: String): Boolean = {
+    val m = readMarker(spark, path)
+    m.foreach { stored =>
       require(stored == nBuckets,
         s"$what: nBuckets=$nBuckets does not match the existing layout's " +
           s"$stored (marker $path/_graft_nbuckets) — the bucket function IS " +
           "the layout; probing or appending with a different count silently " +
           "drops postings")
     }
+    m.isDefined
+  }
 
   /** [[phraseOccurrences]] served from a [[writeIndex]] layout: the
     * phrase terms' buckets are derived through the SAME Spark

@@ -565,9 +565,19 @@ object Corpus {
       bench = false),
 
     // ----- Multimodal: decode-stub metadata + feature aggregation -----
-    // Binary payload plumbing through typed Dataset stages. The decode
-    // is a deterministic stub (see Multimodal.fakeDecode scaladoc), but
-    // deterministic means ORACLE-CHECKABLE: the stub's metadata is a
+    // Binary payload plumbing through typed Dataset stages. Every
+    // payload here resolves to the deterministic STUB (see
+    // Multimodal.fakeDecode scaladoc) — LOAD-BEARING invariant: since
+    // r11, Multimodal.decode tries a REAL javax.imageio decode on
+    // kind=='image' records first, and this oracle models only the
+    // stub. It holds because syntheticMedia payloads are corpus TEXT
+    // bytes: ImageIO dispatches on container magic (PNG \x89PNG, JPEG
+    // \xFF\xD8, BMP 'BM'+valid header, GIF 'GIF8xa'+descriptor), and
+    // a natural-text prefix either matches no reader or fails parsing
+    // (caught -> stub). If this corpus ever plants REAL image bytes,
+    // the Spark side would emit pixel metadata and this oracle must
+    // be re-derived — the mismatch would fail the gate loudly, not
+    // silently. Deterministic means ORACLE-CHECKABLE: the stub's metadata is a
     // 31-polynomial byte hash (Java Arrays.hashCode) of the payload,
     // which DuckDB reproduces with a list_reduce over code points (the
     // corpus is pure ASCII, so code point == UTF-8 byte; mod 2^31

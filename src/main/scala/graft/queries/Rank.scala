@@ -115,7 +115,10 @@ object Rank {
     * staged == raw masses and the exchange-free per-round plan. */
   private def stagedTradeEdges(spark: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
-    val table = "pr_edges_staged_" + (dir.hashCode & 0x7fffffff).toString
+    // sanitized dir IN the name (not a hash of it): two sf dirs can
+    // never collide onto one table, so a session sweeping multiple
+    // sfs cannot be served the wrong dir's graph
+    val table = "pr_edges_staged_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val key = System.identityHashCode(spark).toString + ":" + table
     stagedEdgeBuilt.computeIfAbsent(key, _ => {
       graft.sources.Sinks.writeBucketed(
