@@ -91,16 +91,17 @@ object Contracts {
       // (sf0.1, nEmb=5000: 0.67 across repeated runs — deterministic
       // seeds), not at the old 2×-random 0.3: a silent change that
       // halved recall must FAIL this row, not grade green (r10
-      // verdict item 2). The tight floor applies only at corpora the
-      // band was measured on (nEmb >= 2000); smaller sweep corpora
-      // keep the legacy floor — their recall band was never
-      // calibrated, and a false CONTRACT FAILED on healthy code is
+      // verdict item 2). The tight floor applies only at the corpus
+      // size the band was actually measured at (nEmb >= 5000 — the
+      // bench sf's size; anything in between was never calibrated);
+      // smaller sweep corpora keep the legacy floor — a false
+      // CONTRACT FAILED on healthy code at an unmeasured scale is
       // worse than a loose grade at a scale the driver never grades.
       // Measured band + margins recorded in PLANS.md.
       val ann = triples(Similarity.annTopK(emb, q10, 10)).map(t => (t._1, t._2))
       Contract("q38_ann_lsh", "recall@10 vs brute-force cosine top-k",
         brutePairs.count(ann.contains).toDouble / brutePairs.size,
-        if (nEmb >= 2000) 0.55 else 0.30, ">=")
+        if (nEmb >= 5000) 0.55 else 0.30, ">=")
     }
 
     // ONE k-means run serves both q52 grades (the registered query's
@@ -125,15 +126,15 @@ object Contracts {
       // though probe-all exactness above cannot see it. Floor just
       // under the measured band at the bench sf (sf0.1, nEmb=5000:
       // 0.59 across repeated runs — deterministic training), not the
-      // old 1.4×-random 0.35 (r10 verdict item 2); tight only at
-      // band-calibrated corpus sizes, legacy floor below (see the
-      // q38 note); band in PLANS.md.
+      // old 1.4×-random 0.35 (r10 verdict item 2); tight only at the
+      // measured corpus size, legacy floor below (see the q38 note);
+      // band in PLANS.md.
       val reg = triples(Ivf.ivfTopKWithCentroids(emb, q10, 10,
         ivfCentroids, nprobe = 4)).map(t => (t._1, t._2))
       Contract("q52_ann_ivf",
         "registered config (nprobe=4/16) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        if (nEmb >= 2000) 0.50 else 0.35, ">=")
+        if (nEmb >= 5000) 0.50 else 0.35, ">=")
     }
 
     grade("q79_ann_ivf_disk") {

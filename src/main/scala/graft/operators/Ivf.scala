@@ -240,22 +240,50 @@ object Ivf {
     * vectors into lists the probe's cluster ranking disagrees with
     * (silently wrong recall), so the `_graft_centroids` fingerprint
     * marker [[writeIndex]] leaves is CHECKED and the append fails fast
-    * on disagreement. Appending onto a fresh markerless path
-    * bootstraps the layout and stamps the marker (the
-    * [[Postings.appendIndex]] contract). */
+    * on disagreement. Appending onto a fresh EMPTY markerless path
+    * bootstraps the layout and stamps the marker; a populated
+    * markerless path is refused outright (the
+    * [[Postings.appendIndex]] contract — the state machine is
+    * documented there). */
   def appendIndex(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val spark = batch.sparkSession
-    // bootstrap stamps BEFORE the data lands: a crash between the two
-    // then leaves an empty-but-guarded layout (safe — the retry's
-    // check passes with the same centroids, fails fast with others),
-    // never a populated-but-unguarded one a later mismatched append
-    // could silently corrupt and then certify
-    if (!checkCentroidMarker(spark, path, centroids, "appendIndex"))
-      writeCentroidMarker(spark, path, centroids)
+    bootstrapOrGuard(batch.sparkSession, path, centroids, "appendIndex")
     graft.sources.Sinks.parquetPartitionedMode(
       assigned(batch, centroids, idCol, vecCol), path, "append", "cluster")
+  }
+
+  /** The append-side marker/data state machine (same contract as
+    * [[Postings.appendIndex]], spelled for the centroid marker):
+    * marker matches → proceed; marker mismatch over DATA → fail fast;
+    * marker mismatch over an EMPTY path → a crashed bootstrap whose
+    * batch never landed, re-stamp for THIS quantizer instead of
+    * poisoning corrected retries; no marker over DATA → refuse (a
+    * crashed rebuild cleared the marker with the path — stamping here
+    * would certify lists assigned under an unknown quantizer); no
+    * marker, no data → fresh bootstrap, stamp BEFORE the data so a
+    * mid-append crash leaves empty-but-guarded. */
+  private def bootstrapOrGuard(spark: SparkSession, path: String,
+      centroids: Seq[Seq[Double]], what: String): Unit = {
+    lazy val populated = graft.sources.Sinks.hasDataFiles(spark, path)
+    readCentroidMarker(spark, path) match {
+      case Some((k, dim, fp)) =>
+        val same = k == centroids.size &&
+          dim == centroids.headOption.map(_.size).getOrElse(0) &&
+          fp == centroidFingerprint(centroids)
+        if (!same) {
+          if (populated) checkCentroidMarker(spark, path, centroids, what)
+          else writeCentroidMarker(spark, path, centroids)
+        }
+      case None =>
+        require(!populated,
+          s"$what: $path holds data files but no _graft_centroids marker " +
+            "— an unguarded layout (likely a crashed rebuild, which " +
+            "clears the path before rewriting); refusing to stamp a " +
+            "marker over lists whose quantizer is unknown. Rebuild with " +
+            "writeIndex (or clear the path) first")
+        writeCentroidMarker(spark, path, centroids)
+    }
   }
 
   /** Order-sensitive FNV-1a-style fold over the centroid doubles' bit
@@ -356,10 +384,8 @@ object Ivf {
   def appendIndexQuantized(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val spark = batch.sparkSession
-    // marker-before-data on bootstrap — see [[appendIndex]]
-    if (!checkCentroidMarker(spark, path, centroids, "appendIndexQuantized"))
-      writeCentroidMarker(spark, path, centroids)
+    bootstrapOrGuard(batch.sparkSession, path, centroids,
+      "appendIndexQuantized")
     graft.sources.Sinks.parquetPartitionedMode(
       assignedQuantized(batch, centroids, idCol, vecCol), path, "append",
       "cluster")
@@ -374,6 +400,7 @@ object Ivf {
       centroids: Seq[Seq[Double]], queries: DataFrame, k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireLayoutMarker(spark, path, centroids, "probeIndexQuantized")
     val probes = probeAssignments(centroids, queries, nprobe, idCol, vecCol)
     val probed = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -384,6 +411,19 @@ object Ivf {
           x => x.cast("float")).as("cvec"))
     topKOverCandidates(lists.join(broadcast(probes), Seq("cluster")), k)
   }
+
+  /** Probe-side marker requirement: presence AND match. The layout's
+    * lists were assigned under the marker's quantizer; probing with a
+    * different centroid set ranks clusters the lists disagree with
+    * (silently wrong recall), and probing an UNMARKED populated layout
+    * (a crashed rebuild) is the same hazard with the mismatch
+    * unprovable — both fail fast instead. */
+  private def requireLayoutMarker(spark: SparkSession, path: String,
+      centroids: Seq[Seq[Double]], what: String): Unit =
+    require(checkCentroidMarker(spark, path, centroids, what),
+      s"$what: no _graft_centroids marker at $path — not a completed " +
+        "graft IVF layout (a crashed rebuild leaves lists without their " +
+        "marker); rebuild with writeIndex")
 
   /** Search side over [[writeIndex]]'s layout. The probed cluster ids
     * are collected to the driver (bounded: ≤ min(nClusters, nprobe ×
@@ -397,6 +437,7 @@ object Ivf {
       centroids: Seq[Seq[Double]], queries: DataFrame, k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireLayoutMarker(spark, path, centroids, "probeIndex")
     val probes = probeAssignments(centroids, queries, nprobe, idCol, vecCol)
     val probed = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted

@@ -84,22 +84,44 @@ object Postings {
     * postings into directories the pruned probe never reads (silently
     * incomplete phrase results), so the on-disk `_graft_nbuckets`
     * marker [[writeIndex]] leaves is CHECKED here and the append
-    * fails fast on disagreement. Appending onto a path with NO marker
-    * (a fresh layout — this call bootstraps it) stamps the marker
+    * fails fast on disagreement. Appending onto an EMPTY markerless
+    * path (a fresh layout — this call bootstraps it) stamps the marker
     * before the batch lands, so append-created layouts carry the same
     * guard as writeIndex-created ones even through a mid-append
-    * crash. */
+    * crash; a POPULATED markerless path is refused outright. */
   def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
-    // bootstrap (no marker yet) stamps BEFORE the data lands: a crash
-    // between the two leaves an empty-but-guarded layout (safe), never
-    // a populated-but-unguarded one that a later mismatched nBuckets
-    // could silently corrupt and then certify. Overwrite keeps the
-    // opposite order (data then marker, in writeIndexMode): there a
-    // crash leaves new data under the OLD marker, which the next
-    // new-nBuckets probe fails FAST on — stamping first would instead
-    // certify old-bucketed data under the new bucket function.
-    if (!checkMarker(postings.sparkSession, path, nBuckets, "appendIndex"))
-      writeMarker(postings.sparkSession, path, nBuckets)
+    val spark = postings.sparkSession
+    // Marker/data state machine (crash-window audit):
+    //  marker matches               → guarded append (the common case;
+    //    whether or not rows exist yet — an empty-but-marked layout is
+    //    a crashed same-config bootstrap, and this IS its retry).
+    //  marker mismatch + data       → fail fast (the layout guard).
+    //  marker mismatch + NO data    → a crashed bootstrap whose batch
+    //    never landed: the marker guards zero rows, so re-stamp for
+    //    THIS config instead of poisoning every corrected retry.
+    //  no marker + data             → REFUSE: an unguarded populated
+    //    layout (overwrite deletes the whole path — marker included —
+    //    before rewriting, so a crashed rebuild looks exactly like
+    //    this); stamping here would certify rows whose bucket function
+    //    is unknown, the silent-drop hole the marker exists to close.
+    //  no marker + no data          → fresh bootstrap: stamp BEFORE
+    //    the data lands, so a mid-append crash leaves an
+    //    empty-but-guarded layout, never a populated-unguarded one.
+    lazy val populated = graft.sources.Sinks.hasDataFiles(spark, path)
+    readMarker(spark, path) match {
+      case Some(stored) if stored == nBuckets => ()
+      case Some(stored) =>
+        if (populated) checkMarker(spark, path, nBuckets, "appendIndex")
+        else writeMarker(spark, path, nBuckets)
+      case None =>
+        require(!populated,
+          s"appendIndex: $path holds data files but no _graft_nbuckets " +
+            "marker — an unguarded layout (likely a crashed writeIndex " +
+            "rebuild, which clears the path before rewriting); refusing " +
+            "to stamp a marker over rows whose bucket function is " +
+            "unknown. Rebuild with writeIndex (or clear the path) first")
+        writeMarker(spark, path, nBuckets)
+    }
     writeIndexMode(postings, path, nBuckets, "append")
   }
 
@@ -109,6 +131,11 @@ object Postings {
     val indexed = postings.select(col("doc_id"), col("pos"), col("term"),
       pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
     graft.sources.Sinks.parquetPartitionedMode(indexed, path, mode, "tb")
+    // overwrite stamps AFTER the data; the overwrite itself clears the
+    // whole path (old marker included) before rewriting, so a crash
+    // mid-rebuild leaves populated-UNMARKED data — a state every probe
+    // and append now refuses outright (marker presence required), so
+    // the window is fail-fast, not silently certifiable
     if (mode == "overwrite")
       writeMarker(postings.sparkSession, path, nBuckets)
   }
@@ -165,7 +192,15 @@ object Postings {
   def phraseOccurrencesFromIndex(spark: SparkSession, path: String,
       phrase: Seq[String], nBuckets: Int = 256): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    checkMarker(spark, path, nBuckets, "phraseOccurrencesFromIndex")
+    // marker PRESENCE is required, not just consistency: every graft
+    // layout carries one (writeIndex stamps after the data, appendIndex
+    // bootstraps before it), so its absence over data means a crashed
+    // rebuild whose bucket function is unknown — probing it with an
+    // assumed nBuckets would silently return incomplete phrases
+    require(checkMarker(spark, path, nBuckets, "phraseOccurrencesFromIndex"),
+      s"phraseOccurrencesFromIndex: no _graft_nbuckets marker at $path — " +
+        "not a completed graft postings layout (a crashed rebuild leaves " +
+        "data without its marker); rebuild with writeIndex")
     import spark.implicits._
     val terms = phrase.distinct
     val tbs = terms.toDF("term")

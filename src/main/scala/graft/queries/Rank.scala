@@ -113,13 +113,45 @@ object Rank {
     * testdata regenerates between rounds, and a stale warehouse table
     * would silently rank last round's graph. PageRankSpec pins
     * staged == raw masses and the exchange-free per-round plan. */
+  /** Order-sensitive FNV-1a over the raw dir string — the collision-
+    * resistant half of the staged-table name. Sanitization alone is
+    * many-to-one (`sf0.1`, `sf0_1`, `sf0-1` all sanitize to `sf0_1`,
+    * and the catalog is case-insensitive), so the name carries BOTH
+    * the readable sanitized dir and this hash of the exact raw dir:
+    * distinct dirs get distinct tables with 2^-64-class collision
+    * odds, and the readable prefix keeps the warehouse debuggable. */
+  private[graft] def dirTag(raw: String): String = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < raw.length) { h ^= raw.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    raw.replaceAll("[^A-Za-z0-9]", "_").toLowerCase + "_" +
+      java.lang.Long.toHexString(h)
+  }
+
+  /** Once-per-JVM warehouse sweep: staged-edge tables are rebuilt on
+    * first touch per session and never trusted across runs, so any
+    * `pr_edges_staged_*` table left by a PRIOR JVM (including the
+    * retired hashCode-named scheme) is dead weight — a full bucketed
+    * edge copy per (session, sf) accumulating forever. Drop them all
+    * (with their managed dirs) before this session stages its first. */
+  private val sweptStale = new java.util.concurrent.ConcurrentHashMap[Integer, Boolean]()
+  private def sweepStaleStagedEdges(spark: org.apache.spark.sql.SparkSession): Unit = {
+    sweptStale.computeIfAbsent(System.identityHashCode(spark), _ => {
+      spark.sql("SHOW TABLES").collect()
+        .map(_.getString(1)).filter(_.startsWith("pr_edges_staged_"))
+        .foreach(t => graft.sources.Sinks.dropTableWithLocation(spark, t))
+      true
+    })
+    ()
+  }
+
   private def stagedTradeEdges(spark: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
-    // sanitized dir IN the name (not a hash of it): two sf dirs can
-    // never collide onto one table, so a session sweeping multiple
-    // sfs cannot be served the wrong dir's graph
-    val table = "pr_edges_staged_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val key = System.identityHashCode(spark).toString + ":" + table
+    sweepStaleStagedEdges(spark)
+    val table = "pr_edges_staged_" + dirTag(dir)
+    // cache key = session identity + RAW dir (not the table name): even
+    // if two dirs somehow shared a name, they could not share an entry
+    val key = System.identityHashCode(spark).toString + ":" + dir
     stagedEdgeBuilt.computeIfAbsent(key, _ => {
       graft.sources.Sinks.writeBucketed(
         PageRank.stageEdges(tradeEdges(spark, dir)), table,

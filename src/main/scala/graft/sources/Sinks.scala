@@ -49,6 +49,34 @@ object Sinks {
     ()
   }
 
+  /** Public face of [[dropWithLocation]] for callers sweeping stale
+    * managed tables left by prior JVMs (e.g. retired staged-edge
+    * layouts): drops the catalog entry AND its durable warehouse dir. */
+  def dropTableWithLocation(spark: SparkSession, table: String): Unit = {
+    val (db, tbl) = parseIdent(spark, table)
+    dropWithLocation(spark, db, tbl)
+  }
+
+  /** Whether `path` holds any DATA files (`part-*`, recursively) — the
+    * index-append bootstrap guard's "is this layout populated?" probe.
+    * Marker sidecars (`_graft_*`) and `_SUCCESS` don't count: they are
+    * metadata about a layout, not rows a mismatched config could
+    * corrupt. Driver-side recursive listing, short-circuits on the
+    * first hit — called once per append, on layouts whose directory
+    * count is bounded by design (term buckets / cluster ids). */
+  def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.startsWith("part-")
+      found
+    }
+  }
+
   /** S4: partitioned parquet sink. Date-partitioned layouts
     * (`partitionBy("dt")`) are the scale-critical choice: downstream
     * interval queries prune whole directories instead of row-group

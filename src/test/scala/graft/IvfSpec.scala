@@ -120,17 +120,10 @@ class IvfSpec extends SparkSpec {
     val dirF = Files.createTempDirectory("graft_ivf_f_").toString
     val dirQ = Files.createTempDirectory("graft_ivf_q_").toString
     // shared centroids so the ONLY difference is list storage precision
+    // (the quantized layout bootstraps via appendIndexQuantized, which
+    // takes the float layout's centroids verbatim)
     val centroids = Ivf.writeIndex(emb, dirF, nClusters = 8, iters = 2)
-    val indexed = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
-        Ivf.assignCluster(centroids, col("embedding")).as("cluster"))
-      .select(col("neighbor_id"), col("cluster"), col("cvec"),
-        array_min(col("cvec")).cast("double").as("mn"),
-        graft.operators.Quantize.scale(col("cvec")).as("qscale"))
-      .select(col("neighbor_id"), col("cluster"), col("mn"), col("qscale"),
-        graft.operators.Quantize.codes(col("cvec"), col("mn"), col("qscale"))
-          .as("codes"))
-    graft.sources.Sinks.parquetPartitioned(indexed, dirQ, "cluster")
+    Ivf.appendIndexQuantized(emb, dirQ, centroids)
     val queries = emb.filter(col("vec_id") < 20)
     def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
       .groupBy(_.getAs[Long]("query_id"))
@@ -224,6 +217,31 @@ class IvfSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Ivf.appendIndexQuantized(b2, dirInc, centroids.map(_.map(_ + 1e-9))))
     assert(e.getMessage.contains("does not match the existing layout"))
+  }
+
+  test("crash windows: unmarked lists refused, dead marker over empty path re-stamped") {
+    val b1 = emb.filter(col("vec_id") < 100)
+    val centroids = Ivf.trainCentroids(b1, k = 4, iters = 2)
+    // (1) populated-but-MARKERLESS layout (a crashed rebuild cleared
+    // the marker with the path and died before the re-stamp): append
+    // and probe must refuse — the lists' quantizer is unknowable
+    val dir = Files.createTempDirectory("graft_ivf_crash_").toString
+    Ivf.writeIndexWithCentroids(b1, dir, centroids)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_centroids"))
+    val e1 = intercept[IllegalArgumentException](Ivf.appendIndex(b1, dir, centroids))
+    assert(e1.getMessage.contains("no _graft_centroids marker"))
+    val e2 = intercept[IllegalArgumentException](
+      Ivf.probeIndex(spark, dir, centroids, emb.filter(col("vec_id") < 5), k = 5))
+    assert(e2.getMessage.contains("no _graft_centroids marker"))
+    // (2) marker over an EMPTY path (a bootstrap whose batch never
+    // landed): a corrected-quantizer retry must re-stamp and succeed
+    val dir2 = Files.createTempDirectory("graft_ivf_dead_").toString
+    Ivf.writeIndexWithCentroids(b1.limit(0), dir2, centroids.map(_.map(_ + 1.0)))
+    // ^ zero-row write leaves the wrong-quantizer marker and no data
+    Ivf.appendIndex(b1, dir2, centroids)
+    val got = Ivf.probeIndex(spark, dir2, centroids,
+      emb.filter(col("vec_id") < 5), k = 5).count()
+    assert(got > 0)
   }
 
   test("training on a sample still assigns the full corpus") {

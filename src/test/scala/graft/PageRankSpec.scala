@@ -138,6 +138,18 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("staged-edge table names are collision-free across sanitization-equal dirs") {
+    // sanitization alone is many-to-one ('sf0.1', 'sf0_1', 'sf0-1' all
+    // sanitize to sf0_1, and the catalog is case-insensitive): the name
+    // must carry a hash of the exact raw dir so distinct dirs can never
+    // share a table (and thus never be served each other's graph)
+    val tags = Seq("testdata/sf0.1", "testdata/sf0_1", "testdata/sf0-1",
+      "testdata/SF0.1").map(graft.queries.Rank.dirTag)
+    assert(tags.distinct.size == tags.size, s"collision in $tags")
+    // and every tag is a valid catalog identifier fragment
+    assert(tags.forall(_.matches("[a-z0-9_]+")), tags.toString)
+  }
+
   test("guards: damping must be a proper fraction") {
     intercept[IllegalArgumentException] {
       PageRank.ranks(g3, iters = 1, dampNum = 100, dampDen = 100)

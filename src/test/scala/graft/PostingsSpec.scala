@@ -143,6 +143,34 @@ class PostingsSpec extends SparkSpec {
     assert(res.nonEmpty)
   }
 
+  test("crash windows: unmarked data refused, dead marker over empty path re-stamped") {
+    // (1) populated-but-MARKERLESS layout — what a crashed writeIndex
+    // rebuild leaves (overwrite clears the whole path, marker included,
+    // before the data re-lands; the re-stamp never ran): the bootstrap
+    // append and the probe must both REFUSE rather than certify rows
+    // whose bucket function is unknown
+    val dir = java.nio.file.Files.createTempDirectory("postings_crash").toString
+    Postings.writeIndex(Postings.build(docs, "doc_id", "text"), dir, 16)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_nbuckets"))
+    val e1 = intercept[IllegalArgumentException](
+      Postings.appendIndex(Postings.build(docs, "doc_id", "text"), dir, 64))
+    assert(e1.getMessage.contains("no _graft_nbuckets marker"))
+    val e2 = intercept[IllegalArgumentException](
+      Postings.phraseOccurrencesFromIndex(spark, dir, Seq("quick"), 16))
+    assert(e2.getMessage.contains("no _graft_nbuckets marker"))
+    // (2) marker over an EMPTY path — a bootstrap whose first batch
+    // never landed: the dead marker guards zero rows, so a retry with
+    // a CORRECTED config must re-stamp and succeed, not be poisoned
+    val dir2 = java.nio.file.Files.createTempDirectory("postings_dead").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, "_graft_nbuckets"), "16".getBytes("UTF-8"))
+    Postings.appendIndex(Postings.build(docs, "doc_id", "text"), dir2, 64)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, "_graft_nbuckets")), "UTF-8").trim == "64")
+    assert(Postings.phraseOccurrencesFromIndex(spark, dir2,
+      Seq("quick", "brown"), 64).collect().nonEmpty)
+  }
+
   test("topNgram derives the most frequent n-gram with desc/asc tiebreak") {
     // "quick brown" 4× (doc 3 twice) beats "brown fox" 3×
     assert(Postings.topNgram(docs, "text", n = 2) == Seq("quick", "brown"))
