@@ -221,7 +221,8 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     graft.sources.Sinks.parquetPartitioned(
       assigned(corpus, centroids, idCol, vecCol), path, "cluster")
-    writeCentroidMarker(corpus.sparkSession, path, centroids)
+    Layout.writeMarker(corpus.sparkSession, path, markerFile,
+      centroidPayload(centroids))
   }
 
   /** Incremental growth of a [[writeIndex]] layout: assign a new batch
@@ -248,42 +249,11 @@ object Ivf {
   def appendIndex(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    bootstrapOrGuard(batch.sparkSession, path, centroids, "appendIndex")
+    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+      centroidPayload(centroids), "appendIndex",
+      centroidMismatch("appendIndex", path, centroids))
     graft.sources.Sinks.parquetPartitionedMode(
       assigned(batch, centroids, idCol, vecCol), path, "append", "cluster")
-  }
-
-  /** The append-side marker/data state machine (same contract as
-    * [[Postings.appendIndex]], spelled for the centroid marker):
-    * marker matches → proceed; marker mismatch over DATA → fail fast;
-    * marker mismatch over an EMPTY path → a crashed bootstrap whose
-    * batch never landed, re-stamp for THIS quantizer instead of
-    * poisoning corrected retries; no marker over DATA → refuse (a
-    * crashed rebuild cleared the marker with the path — stamping here
-    * would certify lists assigned under an unknown quantizer); no
-    * marker, no data → fresh bootstrap, stamp BEFORE the data so a
-    * mid-append crash leaves empty-but-guarded. */
-  private def bootstrapOrGuard(spark: SparkSession, path: String,
-      centroids: Seq[Seq[Double]], what: String): Unit = {
-    lazy val populated = graft.sources.Sinks.hasDataFiles(spark, path)
-    readCentroidMarker(spark, path) match {
-      case Some((k, dim, fp)) =>
-        val same = k == centroids.size &&
-          dim == centroids.headOption.map(_.size).getOrElse(0) &&
-          fp == centroidFingerprint(centroids)
-        if (!same) {
-          if (populated) checkCentroidMarker(spark, path, centroids, what)
-          else writeCentroidMarker(spark, path, centroids)
-        }
-      case None =>
-        require(!populated,
-          s"$what: $path holds data files but no _graft_centroids marker " +
-            "— an unguarded layout (likely a crashed rebuild, which " +
-            "clears the path before rewriting); refusing to stamp a " +
-            "marker over lists whose quantizer is unknown. Rebuild with " +
-            "writeIndex (or clear the path) first")
-        writeCentroidMarker(spark, path, centroids)
-    }
   }
 
   /** Order-sensitive FNV-1a-style fold over the centroid doubles' bit
@@ -300,52 +270,22 @@ object Ivf {
     h
   }
 
-  private def centroidMarkerPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_graft_centroids")
+  /** Exact identity of the coarse quantizer as the [[Layout]] marker
+    * payload: `k dim fingerprint`. */
+  private val markerFile = "_graft_centroids"
 
-  private def writeCentroidMarker(spark: SparkSession, path: String,
-      cs: Seq[Seq[Double]]): Unit = {
-    val p = centroidMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+  private def centroidPayload(cs: Seq[Seq[Double]]): String = {
     val dim = cs.headOption.map(_.size).getOrElse(0)
-    try out.write(s"${cs.size} $dim ${centroidFingerprint(cs)}"
-      .getBytes("UTF-8"))
-    finally out.close()
+    s"${cs.size} $dim ${centroidFingerprint(cs)}"
   }
 
-  private def readCentroidMarker(spark: SparkSession,
-      path: String): Option[(Int, Int, Long)] = {
-    val p = centroidMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val parts = new String(in.readAllBytes(), "UTF-8").trim.split(' ')
-        Some((parts(0).toInt, parts(1).toInt, parts(2).toLong))
-      } finally in.close()
-    }
-  }
-
-  /** Validates `cs` against the layout's marker; returns whether a
-    * marker was present (ONE filesystem read — callers use the result
-    * to decide bootstrap stamping instead of re-reading). */
-  private def checkCentroidMarker(spark: SparkSession, path: String,
-      cs: Seq[Seq[Double]], what: String): Boolean = {
-    val m = readCentroidMarker(spark, path)
-    m.foreach { case (k, dim, fp) =>
-      val myDim = cs.headOption.map(_.size).getOrElse(0)
-      require(k == cs.size && dim == myDim && fp == centroidFingerprint(cs),
-        s"$what: centroid set (k=${cs.size}, dim=$myDim, " +
-          s"fp=${centroidFingerprint(cs)}) does not match the existing " +
-          s"layout's (k=$k, dim=$dim, fp=$fp) (marker " +
-          s"$path/_graft_centroids) — the coarse quantizer IS the layout; " +
-          "appending through different centroids scatters vectors into " +
-          "lists the probe's cluster ranking disagrees with")
-    }
-    m.isDefined
-  }
+  private def centroidMismatch(what: String, path: String,
+      cs: Seq[Seq[Double]])(stored: String): String =
+    s"$what: centroid set (k dim fp = ${centroidPayload(cs)}) does not " +
+      s"match the existing layout's ($stored) (marker $path/$markerFile) " +
+      "— the coarse quantizer IS the layout; appending through different " +
+      "centroids scatters vectors into lists the probe's cluster ranking " +
+      "disagrees with"
 
   /** [[writeIndex]] with uint8 scalar-quantized inverted lists — the
     * IVF+SQ8 layout (FAISS's `IVF…,SQ8` analog): each list row stores
@@ -361,7 +301,8 @@ object Ivf {
     val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
     graft.sources.Sinks.parquetPartitioned(
       assignedQuantized(corpus, centroids, idCol, vecCol), path, "cluster")
-    writeCentroidMarker(corpus.sparkSession, path, centroids)
+    Layout.writeMarker(corpus.sparkSession, path, markerFile,
+      centroidPayload(centroids))
     centroids
   }
 
@@ -384,8 +325,9 @@ object Ivf {
   def appendIndexQuantized(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    bootstrapOrGuard(batch.sparkSession, path, centroids,
-      "appendIndexQuantized")
+    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+      centroidPayload(centroids), "appendIndexQuantized",
+      centroidMismatch("appendIndexQuantized", path, centroids))
     graft.sources.Sinks.parquetPartitionedMode(
       assignedQuantized(batch, centroids, idCol, vecCol), path, "append",
       "cluster")
@@ -412,18 +354,17 @@ object Ivf {
     topKOverCandidates(lists.join(broadcast(probes), Seq("cluster")), k)
   }
 
-  /** Probe-side marker requirement: presence AND match. The layout's
-    * lists were assigned under the marker's quantizer; probing with a
-    * different centroid set ranks clusters the lists disagree with
-    * (silently wrong recall), and probing an UNMARKED populated layout
-    * (a crashed rebuild) is the same hazard with the mismatch
-    * unprovable — both fail fast instead. */
+  /** Probe-side marker requirement: presence AND match ([[Layout
+    * .requireMarker]]). The layout's lists were assigned under the
+    * marker's quantizer; probing with a different centroid set ranks
+    * clusters the lists disagree with (silently wrong recall), and
+    * probing an UNMARKED populated layout (a crashed rebuild) is the
+    * same hazard with the mismatch unprovable — both fail fast. */
   private def requireLayoutMarker(spark: SparkSession, path: String,
       centroids: Seq[Seq[Double]], what: String): Unit =
-    require(checkCentroidMarker(spark, path, centroids, what),
-      s"$what: no _graft_centroids marker at $path — not a completed " +
-        "graft IVF layout (a crashed rebuild leaves lists without their " +
-        "marker); rebuild with writeIndex")
+    Layout.requireMarker(spark, path, markerFile,
+      centroidPayload(centroids), what,
+      centroidMismatch(what, path, centroids))
 
   /** Search side over [[writeIndex]]'s layout. The probed cluster ids
     * are collected to the driver (bounded: ≤ min(nClusters, nprobe ×

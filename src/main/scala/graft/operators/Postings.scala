@@ -90,38 +90,10 @@ object Postings {
     * guard as writeIndex-created ones even through a mid-append
     * crash; a POPULATED markerless path is refused outright. */
   def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
-    val spark = postings.sparkSession
-    // Marker/data state machine (crash-window audit):
-    //  marker matches               → guarded append (the common case;
-    //    whether or not rows exist yet — an empty-but-marked layout is
-    //    a crashed same-config bootstrap, and this IS its retry).
-    //  marker mismatch + data       → fail fast (the layout guard).
-    //  marker mismatch + NO data    → a crashed bootstrap whose batch
-    //    never landed: the marker guards zero rows, so re-stamp for
-    //    THIS config instead of poisoning every corrected retry.
-    //  no marker + data             → REFUSE: an unguarded populated
-    //    layout (overwrite deletes the whole path — marker included —
-    //    before rewriting, so a crashed rebuild looks exactly like
-    //    this); stamping here would certify rows whose bucket function
-    //    is unknown, the silent-drop hole the marker exists to close.
-    //  no marker + no data          → fresh bootstrap: stamp BEFORE
-    //    the data lands, so a mid-append crash leaves an
-    //    empty-but-guarded layout, never a populated-unguarded one.
-    lazy val populated = graft.sources.Sinks.hasDataFiles(spark, path)
-    readMarker(spark, path) match {
-      case Some(stored) if stored == nBuckets => ()
-      case Some(stored) =>
-        if (populated) checkMarker(spark, path, nBuckets, "appendIndex")
-        else writeMarker(spark, path, nBuckets)
-      case None =>
-        require(!populated,
-          s"appendIndex: $path holds data files but no _graft_nbuckets " +
-            "marker — an unguarded layout (likely a crashed writeIndex " +
-            "rebuild, which clears the path before rewriting); refusing " +
-            "to stamp a marker over rows whose bucket function is " +
-            "unknown. Rebuild with writeIndex (or clear the path) first")
-        writeMarker(spark, path, nBuckets)
-    }
+    // the (marker, data) crash-window state machine is the shared
+    // layout protocol — documented once at [[Layout.bootstrapOrGuard]]
+    Layout.bootstrapOrGuard(postings.sparkSession, path, markerFile,
+      nBuckets.toString, "appendIndex", mismatchMsg("appendIndex", path, nBuckets))
     writeIndexMode(postings, path, nBuckets, "append")
   }
 
@@ -137,49 +109,22 @@ object Postings {
     // and append now refuses outright (marker presence required), so
     // the window is fail-fast, not silently certifiable
     if (mode == "overwrite")
-      writeMarker(postings.sparkSession, path, nBuckets)
+      Layout.writeMarker(postings.sparkSession, path, markerFile,
+        nBuckets.toString)
   }
 
   /** The layout's bucket count, persisted as an underscore-prefixed
-    * sidecar (parquet readers skip `_` files) so appenders and probes
-    * can fail fast on a bucket-function mismatch instead of silently
-    * mis-bucketing/mis-pruning. */
-  private def markerPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_graft_nbuckets")
+    * sidecar so appenders and probes can fail fast on a
+    * bucket-function mismatch instead of silently
+    * mis-bucketing/mis-pruning ([[Layout]] protocol). */
+  private val markerFile = "_graft_nbuckets"
 
-  private def writeMarker(spark: SparkSession, path: String, n: Int): Unit = {
-    val p = markerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readMarker(spark: SparkSession, path: String): Option[Int] = {
-    val p = markerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
-      finally in.close()
-    }
-  }
-
-  /** Validates `nBuckets` against the layout's marker; returns whether
-    * a marker was present (ONE filesystem read — appendIndex uses the
-    * result to decide bootstrap stamping instead of re-reading). */
-  private def checkMarker(spark: SparkSession, path: String, nBuckets: Int,
-      what: String): Boolean = {
-    val m = readMarker(spark, path)
-    m.foreach { stored =>
-      require(stored == nBuckets,
-        s"$what: nBuckets=$nBuckets does not match the existing layout's " +
-          s"$stored (marker $path/_graft_nbuckets) — the bucket function IS " +
-          "the layout; probing or appending with a different count silently " +
-          "drops postings")
-    }
-    m.isDefined
-  }
+  private def mismatchMsg(what: String, path: String,
+      nBuckets: Int)(stored: String): String =
+    s"$what: nBuckets=$nBuckets does not match the existing layout's " +
+      s"$stored (marker $path/$markerFile) — the bucket function IS " +
+      "the layout; probing or appending with a different count silently " +
+      "drops postings"
 
   /** [[phraseOccurrences]] served from a [[writeIndex]] layout: the
     * phrase terms' buckets are derived through the SAME Spark
@@ -197,10 +142,9 @@ object Postings {
     // bootstraps before it), so its absence over data means a crashed
     // rebuild whose bucket function is unknown — probing it with an
     // assumed nBuckets would silently return incomplete phrases
-    require(checkMarker(spark, path, nBuckets, "phraseOccurrencesFromIndex"),
-      s"phraseOccurrencesFromIndex: no _graft_nbuckets marker at $path — " +
-        "not a completed graft postings layout (a crashed rebuild leaves " +
-        "data without its marker); rebuild with writeIndex")
+    Layout.requireMarker(spark, path, markerFile, nBuckets.toString,
+      "phraseOccurrencesFromIndex",
+      mismatchMsg("phraseOccurrencesFromIndex", path, nBuckets))
     import spark.implicits._
     val terms = phrase.distinct
     val tbs = terms.toDF("term")

@@ -133,11 +133,25 @@ object Pq {
   def adcPrefilterTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCand: Int, codebooks: Seq[Seq[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nCand >= k, s"nCand $nCand must be >= k $k")
     // the persisted-index shape: (id, codes) — 4 bytes/vector at
     // m=8, k=16 — is all the prefilter scan ever reads
     val coded = corpus.select(col(idCol).as("neighbor_id"),
       encode(codebooks, col(vecCol)).as("codes"))
+    topKFromCoded(coded, corpus, queries, k, nCand, codebooks, idCol, vecCol)
+  }
+
+  /** The shortlist→rescore tail [[adcPrefilterTopK]] and
+    * [[adcPrefilterTopKFromIndex]] share: ADC-shortlist `nCand` per
+    * query over the coded scan against the BROADCAST query batch, then
+    * exact cosine on the shortlist only. The rescore join back to the
+    * float corpus is shortlist-sized (nQueries × nCand ids) against a
+    * column-pruned (id, vec) scan — the codes carry the heavy scan,
+    * the floats are touched `nCand`-per-query times. */
+  private def topKFromCoded(coded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, nCand: Int,
+      codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String, vecCol: String): DataFrame = {
+    require(nCand >= k, s"nCand $nCand must be >= k $k")
     val qb = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec")))
     val shortlist = coded
@@ -159,5 +173,92 @@ object Pq {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  // ---- persisted codes layout (the [[Layout]] marker protocol) ----
+
+  /** Exact identity of the quantizer as the marker payload:
+    * `m k sub fingerprint` (order-sensitive FNV-1a over every codebook
+    * double's bit pattern — encoding is deterministic in the exact
+    * bits, so only exact bits make two layouts compatible). */
+  private val markerFile = "_graft_codebooks"
+
+  private def codebookFingerprint(cbs: Seq[Seq[Seq[Double]]]): Long = {
+    var h = 0xcbf29ce484222325L
+    for (cb <- cbs; c <- cb; x <- c) {
+      h ^= java.lang.Double.doubleToLongBits(x)
+      h *= 0x100000001b3L
+    }
+    h
+  }
+
+  private def codebookPayload(cbs: Seq[Seq[Seq[Double]]]): String = {
+    val k = cbs.headOption.map(_.size).getOrElse(0)
+    val sub = cbs.headOption.flatMap(_.headOption).map(_.size).getOrElse(0)
+    s"${cbs.size} $k $sub ${codebookFingerprint(cbs)}"
+  }
+
+  private def codebookMismatch(what: String, path: String,
+      cbs: Seq[Seq[Seq[Double]]])(stored: String): String =
+    s"$what: codebooks (m k sub fp = ${codebookPayload(cbs)}) do not " +
+      s"match the existing layout's ($stored) (marker $path/$markerFile) " +
+      "— the codebooks ARE the layout; codes written under different " +
+      "codebooks decode to different vectors, silently corrupting every " +
+      "ADC shortlist"
+
+  /** Persist the codes-only index: `(neighbor_id, codes)` — the
+    * encode-once/probe-many artifact. Encoding is the expensive
+    * full-corpus projection (m × k distance evaluations per vector);
+    * the persisted codes are 64× smaller than the floats (m=8, k=16,
+    * dim=64), so at 100 TB of embeddings the probe's heavy scan reads
+    * ~1.6 TB of codes and touches the floats only for the
+    * nCand-per-query shortlist. No partitioning: ADC is a full
+    * codes-scan by design (the compression, not pruning, is the
+    * lever — [[Ivf]] is the pruned layout). Marker stamped AFTER the
+    * data (the [[Layout]] overwrite idiom — a crashed rebuild leaves
+    * unmarked data every reader refuses). */
+  def writeIndex(corpus: DataFrame, path: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encode(codebooks, col(vecCol)).as("codes"))
+    coded.write.mode("overwrite").parquet(path)
+    Layout.writeMarker(corpus.sparkSession, path, markerFile,
+      codebookPayload(codebooks))
+  }
+
+  /** Incremental growth of a [[writeIndex]] layout: encode a new batch
+    * through the PINNED codebooks and append — codes are pure facts
+    * under a fixed quantizer, so append == rebuild exactly (PqSpec
+    * pins probe and row parity; the daily-ingest shape [[Ivf
+    * .appendIndex]] has for inverted lists, here for codes). The
+    * codebooks are NOT retrained (retraining re-codes the corpus — a
+    * rebuild); the `_graft_codebooks` marker enforces exact-bit
+    * identity via the [[Layout.bootstrapOrGuard]] state machine. */
+  def appendIndex(batch: DataFrame, path: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+      codebookPayload(codebooks), "appendIndex",
+      codebookMismatch("appendIndex", path, codebooks))
+    batch.select(col(idCol).as("neighbor_id"),
+        encode(codebooks, col(vecCol)).as("codes"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** [[adcPrefilterTopK]] served from a [[writeIndex]] layout: the
+    * prefilter scans the persisted codes (never re-encoding the
+    * corpus); only the shortlist joins back to the float corpus for
+    * the exact rescore. Marker presence AND match required — probing
+    * with different codebooks decodes every candidate wrong. */
+  def adcPrefilterTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      nCand: Int, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    Layout.requireMarker(spark, path, markerFile, codebookPayload(codebooks),
+      "adcPrefilterTopKFromIndex",
+      codebookMismatch("adcPrefilterTopKFromIndex", path, codebooks))
+    topKFromCoded(spark.read.parquet(path), corpus, queries, k, nCand,
+      codebooks, idCol, vecCol)
   }
 }

@@ -766,6 +766,40 @@ object Corpus {
       },
       None),
 
+    // ----- On-disk PQ: persisted codes index + incremental append -----
+    // The encode-once/probe-many artifact that carries q138's 100 TB
+    // story: [[Pq.writeIndex]] persists the (id, codes) scan — 64×
+    // smaller than the floats — and the probe reads codes, never
+    // re-encoding the corpus; floats are touched only for the
+    // nCand-per-query exact rescore. This query exercises the full
+    // daily-ingest lifecycle: write HALF the corpus, append the rest
+    // through the PINNED codebooks ([[Pq.appendIndex]] — codes are
+    // pure facts under a fixed quantizer, so append == rebuild
+    // exactly; the `_graft_codebooks` marker fails fast on a quantizer
+    // mismatch), then serve from the index. Same training config as
+    // q138, so this must produce q138's exact rows (CONTRACTS.json
+    // grades fromIndex == in-memory and append == rebuild at 1.0;
+    // PqSpec pins both). Rows-only: k-means codebooks aren't
+    // oracle-reproducible. Benched: expect ≈ q138 + the index write.
+    QueryDef(
+      "q170_pq_index",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val cbs = graft.operators.Pq.trainCodebooks(e, dim = 64, m = 8,
+          k = 16, iters = 2, trainFraction = 0.5)
+        val path = scratchPath("pq_index")
+        // even/odd halves: a scale-independent split (a fixed id cutoff
+        // would leave the append empty at small sfs)
+        graft.operators.Pq.writeIndex(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0), path, cbs)
+        graft.operators.Pq.appendIndex(
+          e.filter(pmod(col("vec_id"), lit(2)) === 1), path, cbs)
+        graft.operators.Pq.adcPrefilterTopKFromIndex(spark, path, e,
+            e.filter(col("vec_id") < 10), k = 10, nCand = 100, cbs)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None),
+
     // ----- Leakage-safe train/val/test split (group-atomic) -----
     // Splitting documents independently leaks near-duplicates across
     // train and eval — the classic contamination bug a per-document

@@ -67,6 +67,49 @@ class PqSpec extends SparkSpec {
     assert(recall > 0.2, f"PQ recall $recall%.2f not above 2x random (0.1)")
   }
 
+  test("persisted index: write+append == in-memory; codebook guard fails fast") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val cbs = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 2,
+      trainFraction = 0.5)
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // lifecycle: write the even half, append the odd half through the
+    // PINNED codebooks, serve from the persisted codes — must equal
+    // the encode-in-query spelling exactly (codes are pure facts
+    // under a fixed quantizer)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx_").toString
+    Pq.writeIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0), dir, cbs)
+    Pq.appendIndex(e.filter(pmod(col("vec_id"), lit(2)) === 1), dir, cbs)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_codebooks")), "marker not stamped")
+    assert(triples(Pq.adcPrefilterTopKFromIndex(spark, dir, e, queries,
+        k = 10, nCand = 100, cbs)) ===
+      triples(Pq.adcPrefilterTopK(e, queries, k = 10, nCand = 100, cbs)))
+    // raw row parity: every vector coded exactly once
+    assert(spark.read.parquet(dir).count() == e.count())
+    // mismatched codebooks (a 1-ulp-class nudge) fail fast on append
+    // AND probe — codes under different codebooks decode wrong
+    val nudged = cbs.map(_.map(_.map(_ + 1e-9)))
+    val e1 = intercept[IllegalArgumentException](
+      Pq.appendIndex(e.limit(1), dir, nudged))
+    assert(e1.getMessage.contains("do not match the existing layout"))
+    val e2 = intercept[IllegalArgumentException](
+      Pq.adcPrefilterTopKFromIndex(spark, dir, e, queries,
+        k = 10, nCand = 100, nudged))
+    assert(e2.getMessage.contains("do not match the existing layout"))
+    // crash window: a populated layout whose marker is gone (crashed
+    // rebuild) is refused by append and probe alike
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_codebooks"))
+    val e3 = intercept[IllegalArgumentException](
+      Pq.appendIndex(e.limit(1), dir, cbs))
+    assert(e3.getMessage.contains("no _graft_codebooks marker"))
+    val e4 = intercept[IllegalArgumentException](
+      Pq.adcPrefilterTopKFromIndex(spark, dir, e, queries,
+        k = 10, nCand = 100, cbs))
+    assert(e4.getMessage.contains("no _graft_codebooks marker"))
+  }
+
   test("training: shapes, code range, empty-cell survival") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val cbs = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 1,
