@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Ivf, Pq, Similarity}
+import graft.operators.{Dedup, Ivf, IvfPq, Pq, Similarity}
 import graft.sources.Tables
 
 /** Runtime contract grades for the `no_oracle` queries — the eight
@@ -235,6 +235,35 @@ object Contracts {
         "registered config (nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
         math.max(0.45, 2.0 * 100.0 / nEmb), ">=")
+    }
+
+    grade("q171_ann_ivfpq") {
+      // the composed index's exactness certificate: probe EVERY list
+      // with a FULL shortlist — both levers off — must equal brute
+      // force bit-for-bit (rank included); pruning and compression
+      // then only move recall at partial nprobe/nCand
+      val path = queries.scratchPath("contracts_ivfpq_idx")
+      IvfPq.writeIndex(emb, path, ivfCentroids, pqCbs)
+      val all = triples(IvfPq.probeIndex(spark, path, emb, ivfCentroids,
+        pqCbs, q10, k = 10, nprobe = 16, nCand = nEmb.toInt))
+      Contract("q171_ann_ivfpq",
+        "probe-all + full-shortlist == brute force, (q,n,rank) set jaccard",
+        setJaccard(all, bruteTriples), 1.0, ">=")
+    }
+
+    grade("q171_ann_ivfpq") {
+      // the SHIPPED configuration (nprobe=4/16, nCand=100): recall is
+      // bounded above by q52's (same pruning) and approaches it when
+      // the ADC shortlist covers the probed lists well. Floor at the
+      // IVF-registered floor minus the PQ shortlist's margin —
+      // measured band recorded in PLANS.md; never below 2×random.
+      val path = queries.scratchPath("contracts_ivfpq_idx")
+      val reg = triples(IvfPq.probeIndex(spark, path, emb, ivfCentroids,
+        pqCbs, q10, k = 10, nprobe = 4, nCand = 100)).map(t => (t._1, t._2))
+      Contract("q171_ann_ivfpq",
+        "registered config (nprobe=4/16, nCand=100) recall@10 vs brute force",
+        brutePairs.count(reg.contains).toDouble / brutePairs.size,
+        if (nEmb >= 2000) 0.45 else math.max(0.2, 2.0 * 100.0 / nEmb), ">=")
     }
 
     grade("q170_pq_index") {

@@ -274,7 +274,7 @@ object Ivf {
     * payload: `k dim fingerprint`. */
   private val markerFile = "_graft_centroids"
 
-  private def centroidPayload(cs: Seq[Seq[Double]]): String = {
+  private[operators] def centroidPayload(cs: Seq[Seq[Double]]): String = {
     val dim = cs.headOption.map(_.size).getOrElse(0)
     s"${cs.size} $dim ${centroidFingerprint(cs)}"
   }

@@ -110,7 +110,7 @@ object Pq {
 
   /** ADC inner product of a float query against a coded candidate:
     * `Σ_j dot(slice(q, j), codebooks[j][codes[j]])`. */
-  private def adcDot(codebooks: Seq[Seq[Seq[Double]]], qvec: Column,
+  private[operators] def adcDot(codebooks: Seq[Seq[Seq[Double]]], qvec: Column,
                      codes: Column): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
@@ -192,7 +192,7 @@ object Pq {
     h
   }
 
-  private def codebookPayload(cbs: Seq[Seq[Seq[Double]]]): String = {
+  private[operators] def codebookPayload(cbs: Seq[Seq[Seq[Double]]]): String = {
     val k = cbs.headOption.map(_.size).getOrElse(0)
     val sub = cbs.headOption.flatMap(_.headOption).map(_.size).getOrElse(0)
     s"${cbs.size} $k $sub ${codebookFingerprint(cbs)}"

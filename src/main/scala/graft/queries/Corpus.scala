@@ -800,6 +800,35 @@ object Corpus {
       },
       None),
 
+    // ----- IVF+PQ: the composed index (prune × compress) -----
+    // [[graft.operators.IvfPq]] — the Jégou et al. IVFADC shape:
+    // IVF's coarse quantizer prunes WHICH lists a probe reads
+    // (partition filter, zero I/O outside the probed directories) and
+    // PQ's codes shrink WHAT each list stores (4 logical bytes/vector
+    // at m=8,k=16). The levers multiply — at production settings
+    // (nClusters=4096, nprobe=64) a 100 TB float corpus serves from
+    // ~25 GB of touched codes per probe batch. Exactness certified by
+    // IvfPqSpec + CONTRACTS.json (probe-all + full-shortlist == brute
+    // force, rank included); registered config graded on recall per
+    // bench run. Rows-only: doubly-trained k-means isn't
+    // oracle-reproducible. Benched: expect ≈ q79's write + a cheaper
+    // probe (codes, not floats, inside the pruned lists).
+    QueryDef(
+      "q171_ann_ivfpq",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val cents = graft.operators.Ivf.trainCentroids(e, 16, iters = 3,
+          trainFraction = 0.25)
+        val cbs = graft.operators.Pq.trainCodebooks(e, dim = 64, m = 8,
+          k = 16, iters = 2, trainFraction = 0.5)
+        val path = scratchPath("ivfpq_index")
+        graft.operators.IvfPq.writeIndex(e, path, cents, cbs)
+        graft.operators.IvfPq.probeIndex(spark, path, e, cents, cbs,
+            e.filter(col("vec_id") < 10), k = 10, nprobe = 4, nCand = 100)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None),
+
     // ----- Leakage-safe train/val/test split (group-atomic) -----
     // Splitting documents independently leaks near-duplicates across
     // train and eval — the classic contamination bug a per-document

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, IvfPq, Pq, Similarity}
+import graft.sources.Tables
+import java.nio.file.Files
+
+/** The composed IVF+PQ index ([[operators.IvfPq]]): probe-all +
+  * full-shortlist exactness (both levers certified off at once),
+  * partition pruning of the coded lists, append == rebuild under the
+  * pinned quantizer pair, and the double-quantizer marker guard.
+  */
+class IvfPqSpec extends SparkSpec {
+
+  private val s = spark
+  import s.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  private lazy val centroids = Ivf.trainCentroids(emb, k = 8, iters = 2,
+    trainFraction = 0.5)
+  private lazy val codebooks = Pq.trainCodebooks(emb, dim = 64, m = 8,
+    k = 16, iters = 2, trainFraction = 0.5)
+
+  private def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Int]("rank"))).toSet
+
+  test("probe-all + full shortlist degrades to exact brute force") {
+    // nprobe = nClusters and nCand >= corpus: pruning admits every
+    // list and the ADC shortlist admits every candidate, so the exact
+    // rescore IS brute force — pruning/compression only move recall
+    // at partial settings, never correctness
+    val dir = Files.createTempDirectory("graft_ivfpq_all_").toString
+    IvfPq.writeIndex(emb, dir, centroids, codebooks)
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val got = triples(IvfPq.probeIndex(spark, dir, emb, centroids,
+      codebooks, queries, k = 10, nprobe = 8, nCand = n))
+    val exact = triples(Similarity.bruteForceTopK(emb, queries, k = 10))
+    assert(got === exact)
+  }
+
+  test("the probe scan prunes to the probed cluster directories") {
+    val dir = Files.createTempDirectory("graft_ivfpq_prune_").toString
+    IvfPq.writeIndex(emb, dir, centroids, codebooks)
+    val q1 = emb.filter(col("vec_id") === 0)
+    val expectedProbed = Ivf
+      .probeAssignments(centroids, q1, nprobe = 3, "vec_id", "embedding")
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    assert(expectedProbed.size == 3)
+    val res = IvfPq.probeIndex(spark, dir, emb, centroids, codebooks,
+      q1, k = 5, nprobe = 3, nCand = 50)
+    // the static cluster IN-list lands in PartitionFilters (directory
+    // pruning at listing time), and the files feeding the probe live
+    // in exactly the probed directories
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]* IN \\(".r
+      .findFirstIn(plan).isDefined,
+      s"cluster predicate did not reach PartitionFilters:\n$plan")
+    val readDirs = spark.read.parquet(dir)
+      .filter(col("cluster").isin(expectedProbed.toSeq.map(Int.box): _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0).split("/").init.last).toSet
+    assert(readDirs == expectedProbed.map(c => s"cluster=$c"))
+  }
+
+  test("append == rebuild under the pinned quantizer pair; marker guards both") {
+    val dirInc = Files.createTempDirectory("graft_ivfpq_inc_").toString
+    val dirAll = Files.createTempDirectory("graft_ivfpq_full_").toString
+    IvfPq.writeIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0), dirInc,
+      centroids, codebooks)
+    IvfPq.appendIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 1), dirInc,
+      centroids, codebooks)
+    IvfPq.writeIndex(emb, dirAll, centroids, codebooks)
+    val queries = emb.filter(col("vec_id") < 5)
+    assert(triples(IvfPq.probeIndex(spark, dirInc, emb, centroids,
+        codebooks, queries, k = 10, nprobe = 4, nCand = 100)) ===
+      triples(IvfPq.probeIndex(spark, dirAll, emb, centroids,
+        codebooks, queries, k = 10, nprobe = 4, nCand = 100)))
+    assert(spark.read.parquet(dirInc).count() ==
+      spark.read.parquet(dirAll).count())
+    // EITHER quantizer nudged fails the marker, on append and probe
+    val badC = centroids.map(_.map(_ + 1e-9))
+    val badQ = codebooks.map(_.map(_.map(_ + 1e-9)))
+    for ((c, q) <- Seq((badC, codebooks), (centroids, badQ))) {
+      val e1 = intercept[IllegalArgumentException](
+        IvfPq.appendIndex(emb.limit(1), dirInc, c, q))
+      assert(e1.getMessage.contains("does not match the existing layout"))
+      val e2 = intercept[IllegalArgumentException](
+        IvfPq.probeIndex(spark, dirInc, emb, c, q, queries, k = 5))
+      assert(e2.getMessage.contains("does not match the existing layout"))
+    }
+    // crash window: populated-but-markerless refused outright
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dirInc, "_graft_ivfpq"))
+    val e3 = intercept[IllegalArgumentException](
+      IvfPq.appendIndex(emb.limit(1), dirInc, centroids, codebooks))
+    assert(e3.getMessage.contains("no _graft_ivfpq marker"))
+    val e4 = intercept[IllegalArgumentException](
+      IvfPq.probeIndex(spark, dirInc, emb, centroids, codebooks, queries, k = 5))
+    assert(e4.getMessage.contains("no _graft_ivfpq marker"))
+  }
+}
