@@ -266,6 +266,28 @@ object Contracts {
         if (nEmb >= 2000) 0.45 else math.max(0.2, 2.0 * 100.0 / nEmb), ">=")
     }
 
+    grade("q172_image_neardup") {
+      // the planted-duplicate certificate: every re-encoded copy (the
+      // REAL resize round-trip at native size — same pixels, new
+      // bytes) must be recovered at Hamming 0 through the banded join;
+      // a dHash or banding regression that loses re-encoded
+      // duplicates fails here
+      val sparkI = spark
+      import sparkI.implicits._
+      val imgs = graft.operators.Multimodal.syntheticImages(spark, docs)
+      val copies = graft.operators.Multimodal.resize(
+          imgs.filter(_.mediaId % 10 == 0), 16, 16)
+        .map(r => r.copy(mediaId = r.mediaId + 100000000L))
+      val planted = docs.filter(col("doc_id") % 10 === 0).count()
+      val recovered = graft.operators.Multimodal
+        .nearDupImages(imgs.union(copies), maxHamming = 3)
+        .filter(col("b") === col("a") + 100000000L && col("hamming") === 0)
+        .count()
+      Contract("q172_image_neardup",
+        "planted re-encoded copies recovered at Hamming 0, recall",
+        recovered.toDouble / math.max(1L, planted), 1.0, ">=")
+    }
+
     grade("q170_pq_index") {
       // the persisted-codes lifecycle certificate, graded per bench
       // run at the bench sf (PqSpec pins the same at unit scale):

@@ -58,11 +58,15 @@ object Multimodal {
     * admits any sane training image (8k×8k). */
   private val MaxImagePixels = 64L * 1024 * 1024
 
-  def decodeImage(r: MediaRecord): Option[DecodedMedia] = {
-    if (r.payload == null || r.payload.isEmpty) return None
+  /** The guarded pixel decode [[decodeImage]], [[dHash]] and the real
+    * [[resize]] share: header-checked dimensions, then the decoded
+    * `BufferedImage`. None for empty/non-image/oversized/corrupt
+    * payloads. */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (payload == null || payload.isEmpty) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
+        new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -74,29 +78,7 @@ object Multimodal {
             val w = reader.getWidth(0)
             val h = reader.getHeight(0)
             if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
-            else {
-              val im = reader.read(0)
-              val hist = new Array[Long](8)
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                // bulk row fetch: one raster call per row, not one
-                // synchronized getRGB call per pixel
-                im.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val rgb = row(x)
-                  val lum = (((rgb >> 16) & 0xFF) * 299 +
-                    ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
-                  hist(lum >> 5) += 1
-                  x += 1
-                }
-                y += 1
-              }
-              val n = w.toLong * h
-              Some(DecodedMedia(r.mediaId, MediaMeta("image", w, h, 0, 0L),
-                hist.map(c => c.toFloat / n)))
-            }
+            else Some(reader.read(0))
           } finally reader.dispose()
         }
       } finally if (iis != null) iis.close()
@@ -106,6 +88,33 @@ object Multimodal {
       case _: java.io.IOException | _: RuntimeException => None
     }
   }
+
+  /** BT.601 integer luma of a packed RGB pixel (0..255). */
+  private def luma(rgb: Int): Int =
+    (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+      (rgb & 0xFF) * 114) / 1000
+
+  def decodeImage(r: MediaRecord): Option[DecodedMedia] =
+    readImage(r.payload).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val hist = new Array[Long](8)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        // bulk row fetch: one raster call per row, not one
+        // synchronized getRGB call per pixel
+        im.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          hist(luma(row(x)) >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      DecodedMedia(r.mediaId, MediaMeta("image", w, h, 0, 0L),
+        hist.map(c => c.toFloat / n))
+    }
 
   /** The per-record decode [[decode]] maps: real pixels for decodable
     * images, the deterministic stub for audio/video and for opaque
@@ -160,12 +169,30 @@ object Multimodal {
     }
   }
 
+  /** Headless `Graphics2D` downscale to exactly (w, h) — the shared
+    * resampler of the REAL [[resize]] and [[dHash]]. Bilinear
+    * interpolation: deterministic for a given JDK, smooth enough that
+    * a re-encoded copy of an image lands on the same hash. */
+  private def scaleTo(im: java.awt.image.BufferedImage, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(im, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
   /** Resize stage (images; audio/video pass through untouched): narrow
-    * and partition-preserving like [[decode]]. The STUB "resampler"
-    * deterministically re-derives a payload whose length is
-    * proportional to the target pixel count (a real implementation
-    * decodes, scales, re-encodes — same signature, same plan shape);
-    * metadata downstream then reports the target dimensions. */
+    * and partition-preserving like [[decode]]. DECODABLE images are
+    * REALLY resized — decode, `Graphics2D` bilinear scale to the
+    * target grid, re-encode as PNG (lossless, every JVM writes it) —
+    * so a decode downstream reports the target dimensions from actual
+    * pixels. Non-decodable "image" payloads (synthetic opaque blobs)
+    * keep the deterministic stub resample so pipelines stay total. */
   def resize(ds: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
     require(width > 0 && height > 0)
     val spark = ds.sparkSession
@@ -173,16 +200,147 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { r =>
         if (r.kind != "image") r
-        else {
-          // stub resample: payload bytes cycled to pixel-count length
-          val target = math.max(1, (width.toLong * height / 1024).toInt)
-          val out =
-            if (r.payload.isEmpty) new Array[Byte](target)
-            else Array.tabulate(target)(i => r.payload(i % r.payload.length))
-          r.copy(payload = out)
+        else readImage(r.payload) match {
+          case Some(im) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaleTo(im, width, height), "png", bos)
+            r.copy(payload = bos.toByteArray)
+          case None =>
+            // stub resample: payload bytes cycled to pixel-count length
+            val target = math.max(1, (width.toLong * height / 1024).toInt)
+            val out =
+              if (r.payload.isEmpty) new Array[Byte](target)
+              else Array.tabulate(target)(i => r.payload(i % r.payload.length))
+            r.copy(payload = out)
         }
       }
     }
+  }
+
+  // ---- perceptual fingerprint + image near-dup ----
+
+  /** 64-bit difference hash (dHash — the classic cheap perceptual
+    * fingerprint): downscale to a 9×8 luma grid, emit one bit per
+    * horizontally adjacent pair (left > right). Robust to re-encoding
+    * (PNG vs BMP of the same pixels hash identically — the scaled
+    * grid sees pixels, not containers) and to small local edits (a
+    * few changed cells flip a few bits), while global changes move
+    * many bits. None for non-decodable payloads. */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    readImage(payload).map { im =>
+      val g = scaleTo(im, 9, 8)
+      var bits = 0L
+      var i = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(g.getRGB(x, y)) > luma(g.getRGB(x + 1, y)))
+            bits |= 1L << i
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  /** (media_id, dhash) for every DECODABLE image — the narrow
+    * fingerprint stage: payloads (MBs) never leave their partition,
+    * only 8-byte hashes flow downstream into the banded join. */
+  def imageHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap(r =>
+        if (r.kind != "image") None
+        else dHash(r.payload).map(h => (r.mediaId, h)))
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs by banded Hamming join — the LSH discipline
+    * the text dedup family uses, on perceptual hashes: split each
+    * 64-bit dHash into 4 fixed 16-bit bands and equi-join on
+    * (band, value), so candidates share at least one exact band and
+    * the plan is a hash join on fixed-width keys — NEVER all-pairs.
+    * Pigeonhole makes recall EXACT for `maxHamming` ≤ 3: ≤ 3
+    * differing bits cannot touch all 4 bands, so every true pair
+    * shares a band (MultimodalSpec pins banded == brute-force pairs).
+    * Each candidate is verified with the exact Hamming distance
+    * (`bit_count(a XOR b)`).
+    *
+    * @return (a, b, hamming), a < b, hamming ≤ maxHamming
+    */
+  def nearDupImages(ds: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4 fixed 16-bit bands guarantee full " +
+        "recall only to Hamming 3 — raise the band count for looser radii")
+    val h = imageHashes(ds)
+    val bands = h.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("dhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("bb"))
+      .select(col("media_id"), col("dhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    bands.as("x").join(bands.as("y"), Seq("band", "bval"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic REAL images from the documents corpus: a 16×16
+    * grayscale rendering of the text's character-class histogram
+    * (16 classes × 16 rows of quantized frequency), PNG-encoded.
+    * Near-duplicate texts have near-identical histograms, so their
+    * images land within a few dHash bits — which is what makes this a
+    * faithful stand-in for a real image lake with re-encoded/lightly-
+    * edited duplicates: the whole decode→fingerprint→banded-join
+    * pipeline runs on REAL pixels end-to-end. */
+  def syntheticImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val counts = new Array[Long](16)
+          var i = 0
+          while (i < text.length) {
+            val c = text.charAt(i)
+            val cls =
+              if (c >= 'a' && c <= 'z') (c - 'a') % 12
+              else if (c >= 'A' && c <= 'Z') (c - 'A') % 12
+              else if (c >= '0' && c <= '9') 12
+              else if (c == ' ') 13
+              else if (c == '.' || c == ',') 14
+              else 15
+            counts(cls) += 1
+            i += 1
+          }
+          val mx = math.max(1L, counts.max)
+          val im = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < 16) {
+            // column brightness = the class's relative frequency;
+            // rows fill bar-chart style so small frequency shifts
+            // move few pixels (near-dup texts → near-dup images)
+            val lvl = ((counts(x) * 16) / mx).toInt
+            var y = 0
+            while (y < 16) {
+              val on = (15 - y) < lvl
+              val v = if (on) 230 else 25
+              im.setRGB(x, y, (v << 16) | (v << 8) | v)
+              y += 1
+            }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, "png", bos)
+          MediaRecord(id, "image", bos.toByteArray)
+        }
+      }
   }
 
   /** Build a synthetic media table from the documents corpus: payload =

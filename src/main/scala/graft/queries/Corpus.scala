@@ -829,6 +829,36 @@ object Corpus {
       },
       None),
 
+    // ----- Image near-dup: REAL pixels → dHash → banded Hamming -----
+    // The multimodal face of the dedup family: deterministic REAL
+    // 16×16 PNGs rendered from each document ([[Multimodal
+    // .syntheticImages]] — char-class histogram bars, so near-dup
+    // texts yield near-dup pixels), fingerprinted with the 64-bit
+    // difference hash over a 9×8 bilinear downscale, paired by the
+    // banded Hamming join (4×16-bit bands — the text-LSH discipline
+    // on perceptual hashes; recall EXACT to Hamming 3 by pigeonhole,
+    // NEVER all-pairs). Every 10th image additionally rides a planted
+    // RE-ENCODED copy (the real [[Multimodal.resize]] at native size:
+    // same pixels, different bytes — the duplicate class a real image
+    // lake carries), which MUST land at Hamming 0; CONTRACTS.json
+    // grades that recall at 1.0 per bench run, MultimodalSpec pins
+    // banded == brute-force pairs and the dHash properties at unit
+    // scale. Offset 1e8 keeps planted ids collision-safe at any sf.
+    // Rows-only: the pixel pipeline isn't DuckDB-expressible.
+    QueryDef(
+      "q172_image_neardup",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables.load(spark, dir, "documents")
+        val imgs = Multimodal.syntheticImages(spark, docs)
+        val copies = Multimodal.resize(
+            imgs.filter(_.mediaId % 10 == 0), 16, 16)
+          .map(r => r.copy(mediaId = r.mediaId + 100000000L))
+        Multimodal.nearDupImages(imgs.union(copies), maxHamming = 3)
+          .orderBy(col("a"), col("b"))
+      },
+      None),
+
     // ----- Leakage-safe train/val/test split (group-atomic) -----
     // Splitting documents independently leaks near-duplicates across
     // train and eval — the classic contamination bug a per-document

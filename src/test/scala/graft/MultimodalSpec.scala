@@ -103,6 +103,103 @@ class MultimodalSpec extends SparkSpec {
     assert(byMedia.keySet.forall(id => kinds(id) > 0))
   }
 
+  test("REAL resize: decodable images are actually rescaled pixels") {
+    val s = spark
+    import s.implicits._
+    val rec = Multimodal.MediaRecord(1L, "image", encodedImage("png", 64, 32))
+    val out = Multimodal.resize(Seq(rec).toDS(), 16, 16).head()
+    val d = Multimodal.decodeImage(out).get
+    // the decode downstream reports the TARGET grid from real pixels
+    assert(d.meta.width == 16 && d.meta.height == 16)
+    // the half-black/half-white structure survives the rescale: mass
+    // stays at the luma extremes (bilinear blurs only the seam column)
+    assert(d.features(0) > 0.3f && d.features(7) > 0.3f, d.features.toSeq.toString)
+  }
+
+  /** A 9×8 image with an explicit luma grid — scaleTo(9,8) is then
+    * identity-sized, so the dHash bits are hand-predictable. */
+  private def gridImage(lum: (Int, Int) => Int, fmt: String = "png"): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = lum(x, y) & 0xFF
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, fmt, bos))
+    bos.toByteArray
+  }
+
+  test("dHash: container-invariant, local edits flip few bits, inversion flips all") {
+    // a fixed pseudo-random luma pattern (deterministic arithmetic)
+    def base(x: Int, y: Int) = (x * 37 + y * 101 + (x * y * 13) % 97) % 256
+    val h1 = Multimodal.dHash(gridImage(base, "png")).get
+    val h2 = Multimodal.dHash(gridImage(base, "bmp")).get
+    // same pixels, different container → identical fingerprint
+    assert(h1 == h2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one edited cell touches at most its two adjacent comparisons
+    // (base(4,3)=254, neighbors 178/233: zeroing it flips both)
+    def edited(x: Int, y: Int) = if (x == 4 && y == 3) 0 else base(x, y)
+    val he = Multimodal.dHash(gridImage(edited)).get
+    assert(ham(h1, he) >= 1 && ham(h1, he) <= 2, s"hamming ${ham(h1, he)}")
+    // luma inversion flips every strict comparison both ways
+    val hi = Multimodal.dHash(gridImage((x, y) => 255 - base(x, y))).get
+    assert(ham(h1, hi) > 32, s"hamming ${ham(h1, hi)}")
+    // non-decodable → None, never a crash
+    assert(Multimodal.dHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("nearDupImages: banded join finds exactly the brute-force pairs (Hamming <= 3)") {
+    val s = spark
+    import s.implicits._
+    def base(x: Int, y: Int) = (x * 37 + y * 101 + (x * y * 13) % 97) % 256
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", gridImage(base, "png")),
+      Multimodal.MediaRecord(2L, "image", gridImage(base, "bmp")),   // = 1 re-encoded
+      Multimodal.MediaRecord(3L, "image",
+        gridImage((x, y) => if (x == 4 && y == 3) 0 else base(x, y))), // near 1
+      Multimodal.MediaRecord(4L, "image",
+        gridImage((x, y) => 255 - base(x, y))),                      // far from all
+      Multimodal.MediaRecord(5L, "image", "opaque".getBytes("UTF-8")), // non-decodable
+      Multimodal.MediaRecord(6L, "audio", Array[Byte](1, 2))).toDS()
+    val got = Multimodal.nearDupImages(recs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same hashes — the banded join must match
+    // EXACTLY (pigeonhole: <= 3 diffs cannot touch all 4 bands)
+    val hs = Multimodal.imageHashes(recs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L || p._2 == 6L))
+    // radius beyond the banding guarantee is refused, not silently lossy
+    intercept[IllegalArgumentException](Multimodal.nearDupImages(recs, maxHamming = 4))
+  }
+
+  test("syntheticImages render real PNGs; re-encoded copies land at Hamming 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val imgs = Multimodal.syntheticImages(spark, docs)
+    val one = imgs.head()
+    val d = Multimodal.decodeImage(one).get
+    assert(d.meta.width == 16 && d.meta.height == 16)
+    // the q172 planted-copy shape: the real resize at native size is a
+    // pixel-identical re-encode, so every copy pairs at Hamming 0
+    val copies = Multimodal.resize(imgs.filter(_.mediaId % 10 == 0), 16, 16)
+      .map(r => r.copy(mediaId = r.mediaId + 100000000L))
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    val zero = Multimodal.nearDupImages(imgs.union(copies), maxHamming = 3)
+      .filter(col("b") === col("a") + 100000000L && col("hamming") === 0)
+      .count()
+    assert(zero == planted, s"recovered $zero of $planted planted copies")
+  }
+
   test("resize touches only images, is deterministic, stays narrow") {
     val resized = Multimodal.resize(media, 224, 224)
     // no exchange: the stage must be partition-preserving
