@@ -254,16 +254,17 @@ object Contracts {
     grade("q171_ann_ivfpq") {
       // the SHIPPED configuration (nprobe=4/16, nCand=100): recall is
       // bounded above by q52's (same pruning) and approaches it when
-      // the ADC shortlist covers the probed lists well. Floor at the
-      // IVF-registered floor minus the PQ shortlist's margin —
-      // measured band recorded in PLANS.md; never below 2×random.
+      // the ADC shortlist covers the probed lists well. Floors sit
+      // strictly UNDER q52's (0.50/0.35) at every size — a floor above
+      // the upper bound's floor could fail healthy code that q52
+      // passes. Measured band (0.53 at the bench sf) in PLANS.md.
       val path = queries.scratchPath("contracts_ivfpq_idx")
       val reg = triples(IvfPq.probeIndex(spark, path, emb, ivfCentroids,
         pqCbs, q10, k = 10, nprobe = 4, nCand = 100)).map(t => (t._1, t._2))
       Contract("q171_ann_ivfpq",
         "registered config (nprobe=4/16, nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        if (nEmb >= 2000) 0.45 else math.max(0.2, 2.0 * 100.0 / nEmb), ">=")
+        if (nEmb >= 2000) 0.45 else 0.30, ">=")
     }
 
     grade("q172_image_neardup") {
@@ -279,13 +280,18 @@ object Contracts {
           imgs.filter(_.mediaId % 10 == 0), 16, 16)
         .map(r => r.copy(mediaId = r.mediaId + 100000000L))
       val planted = docs.filter(col("doc_id") % 10 === 0).count()
+      // zero planted copies means the certificate cannot run — surface
+      // it as a loud per-query ERROR (the grade harness catches), not
+      // a 0.0/1.0 false failure on healthy code
+      require(planted > 0,
+        "q172 contract needs at least one doc_id % 10 == 0 to plant a copy")
       val recovered = graft.operators.Multimodal
         .nearDupImages(imgs.union(copies), maxHamming = 3)
         .filter(col("b") === col("a") + 100000000L && col("hamming") === 0)
         .count()
       Contract("q172_image_neardup",
         "planted re-encoded copies recovered at Hamming 0, recall",
-        recovered.toDouble / math.max(1L, planted), 1.0, ">=")
+        recovered.toDouble / planted, 1.0, ">=")
     }
 
     grade("q170_pq_index") {

@@ -222,7 +222,7 @@ object Ivf {
     graft.sources.Sinks.parquetPartitioned(
       assigned(corpus, centroids, idCol, vecCol), path, "cluster")
     Layout.writeMarker(corpus.sparkSession, path, markerFile,
-      centroidPayload(centroids))
+      centroidPayload(centroids, "float"))
   }
 
   /** Incremental growth of a [[writeIndex]] layout: assign a new batch
@@ -250,42 +250,38 @@ object Ivf {
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      centroidPayload(centroids), "appendIndex",
-      centroidMismatch("appendIndex", path, centroids))
+      centroidPayload(centroids, "float"), "appendIndex",
+      centroidMismatch("appendIndex", path, centroids, "float"))
     graft.sources.Sinks.parquetPartitionedMode(
       assigned(batch, centroids, idCol, vecCol), path, "append", "cluster")
   }
 
-  /** Order-sensitive FNV-1a-style fold over the centroid doubles' bit
-    * patterns — exact identity of the coarse quantizer (the same
-    * doubles in the same order), not approximate equality: assignment
-    * is deterministic in the exact bits, so only exact bits make two
-    * layouts compatible. */
-  private def centroidFingerprint(cs: Seq[Seq[Double]]): Long = {
-    var h = 0xcbf29ce484222325L
-    for (c <- cs; x <- c) {
-      h ^= java.lang.Double.doubleToLongBits(x)
-      h *= 0x100000001b3L
-    }
-    h
-  }
-
   /** Exact identity of the coarse quantizer as the [[Layout]] marker
-    * payload: `k dim fingerprint`. */
+    * payload: `flavor k dim fingerprint` ([[Layout.fnv1a64]] over the
+    * centroid doubles' exact bits — assignment is deterministic in
+    * the bits, so only exact bits make two layouts compatible). The
+    * FLAVOR names the row schema ("float" vs "sq8"): both layouts
+    * share this marker file and directory scheme, and without the
+    * token a float append through the CORRECT centroids onto an SQ8
+    * layout would pass the guard and mix row schemas the probe then
+    * silently mis-decodes. */
   private val markerFile = "_graft_centroids"
 
-  private[operators] def centroidPayload(cs: Seq[Seq[Double]]): String = {
+  private[operators] def centroidPayload(cs: Seq[Seq[Double]],
+      flavor: String): String = {
     val dim = cs.headOption.map(_.size).getOrElse(0)
-    s"${cs.size} $dim ${centroidFingerprint(cs)}"
+    s"$flavor ${cs.size} $dim ${Layout.fnv1a64(
+      cs.iterator.flatMap(_.iterator).map(java.lang.Double.doubleToLongBits))}"
   }
 
   private def centroidMismatch(what: String, path: String,
-      cs: Seq[Seq[Double]])(stored: String): String =
-    s"$what: centroid set (k dim fp = ${centroidPayload(cs)}) does not " +
-      s"match the existing layout's ($stored) (marker $path/$markerFile) " +
-      "— the coarse quantizer IS the layout; appending through different " +
-      "centroids scatters vectors into lists the probe's cluster ranking " +
-      "disagrees with"
+      cs: Seq[Seq[Double]], flavor: String)(stored: String): String =
+    s"$what: layout identity (flavor k dim fp = " +
+      s"${centroidPayload(cs, flavor)}) does not match the existing " +
+      s"layout's ($stored) (marker $path/$markerFile) — the list flavor " +
+      "and the coarse quantizer ARE the layout; a flavor mismatch mixes " +
+      "row schemas the probe mis-decodes, a centroid mismatch scatters " +
+      "vectors into lists the probe's cluster ranking disagrees with"
 
   /** [[writeIndex]] with uint8 scalar-quantized inverted lists — the
     * IVF+SQ8 layout (FAISS's `IVF…,SQ8` analog): each list row stores
@@ -302,7 +298,7 @@ object Ivf {
     graft.sources.Sinks.parquetPartitioned(
       assignedQuantized(corpus, centroids, idCol, vecCol), path, "cluster")
     Layout.writeMarker(corpus.sparkSession, path, markerFile,
-      centroidPayload(centroids))
+      centroidPayload(centroids, "sq8"))
     centroids
   }
 
@@ -326,8 +322,8 @@ object Ivf {
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      centroidPayload(centroids), "appendIndexQuantized",
-      centroidMismatch("appendIndexQuantized", path, centroids))
+      centroidPayload(centroids, "sq8"), "appendIndexQuantized",
+      centroidMismatch("appendIndexQuantized", path, centroids, "sq8"))
     graft.sources.Sinks.parquetPartitionedMode(
       assignedQuantized(batch, centroids, idCol, vecCol), path, "append",
       "cluster")
@@ -342,7 +338,7 @@ object Ivf {
       centroids: Seq[Seq[Double]], queries: DataFrame, k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    requireLayoutMarker(spark, path, centroids, "probeIndexQuantized")
+    requireLayoutMarker(spark, path, centroids, "probeIndexQuantized", "sq8")
     val probes = probeAssignments(centroids, queries, nprobe, idCol, vecCol)
     val probed = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -361,10 +357,10 @@ object Ivf {
     * probing an UNMARKED populated layout (a crashed rebuild) is the
     * same hazard with the mismatch unprovable — both fail fast. */
   private def requireLayoutMarker(spark: SparkSession, path: String,
-      centroids: Seq[Seq[Double]], what: String): Unit =
+      centroids: Seq[Seq[Double]], what: String, flavor: String): Unit =
     Layout.requireMarker(spark, path, markerFile,
-      centroidPayload(centroids), what,
-      centroidMismatch(what, path, centroids))
+      centroidPayload(centroids, flavor), what,
+      centroidMismatch(what, path, centroids, flavor))
 
   /** Search side over [[writeIndex]]'s layout. The probed cluster ids
     * are collected to the driver (bounded: ≤ min(nClusters, nprobe ×
@@ -378,7 +374,7 @@ object Ivf {
       centroids: Seq[Seq[Double]], queries: DataFrame, k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    requireLayoutMarker(spark, path, centroids, "probeIndex")
+    requireLayoutMarker(spark, path, centroids, "probeIndex", "float")
     val probes = probeAssignments(centroids, queries, nprobe, idCol, vecCol)
     val probed = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted

@@ -41,7 +41,8 @@ object IvfPq {
 
   private def payload(centroids: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]]): String =
-    Ivf.centroidPayload(centroids) + " | " + Pq.codebookPayload(codebooks)
+    Ivf.centroidPayload(centroids, "ivfpq") + " | " +
+      Pq.codebookPayload(codebooks)
 
   private def mismatch(what: String, path: String,
       centroids: Seq[Seq[Double]],

@@ -31,7 +31,20 @@ import org.apache.spark.sql.SparkSession
   * over data is the crashed-rebuild state, where any assumed
   * organization silently returns wrong results.
   */
-private[operators] object Layout {
+private[graft] object Layout {
+
+  /** Order-sensitive 64-bit FNV-1a over a stream of longs — the one
+    * fingerprint every layout identity in the engine folds through
+    * (centroid bits, codebook bits, staged-table dir names): exact
+    * identity, not approximate equality. */
+  def fnv1a64(xs: Iterator[Long]): Long = {
+    var h = 0xcbf29ce484222325L
+    while (xs.hasNext) {
+      h ^= xs.next()
+      h *= 0x100000001b3L
+    }
+    h
+  }
 
   private def markerPath(path: String, file: String) =
     new org.apache.hadoop.fs.Path(path, file)

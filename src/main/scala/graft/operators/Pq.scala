@@ -183,19 +183,12 @@ object Pq {
     * bits, so only exact bits make two layouts compatible). */
   private val markerFile = "_graft_codebooks"
 
-  private def codebookFingerprint(cbs: Seq[Seq[Seq[Double]]]): Long = {
-    var h = 0xcbf29ce484222325L
-    for (cb <- cbs; c <- cb; x <- c) {
-      h ^= java.lang.Double.doubleToLongBits(x)
-      h *= 0x100000001b3L
-    }
-    h
-  }
-
   private[operators] def codebookPayload(cbs: Seq[Seq[Seq[Double]]]): String = {
     val k = cbs.headOption.map(_.size).getOrElse(0)
     val sub = cbs.headOption.flatMap(_.headOption).map(_.size).getOrElse(0)
-    s"${cbs.size} $k $sub ${codebookFingerprint(cbs)}"
+    s"${cbs.size} $k $sub ${Layout.fnv1a64(cbs.iterator
+      .flatMap(_.iterator).flatMap(_.iterator)
+      .map(java.lang.Double.doubleToLongBits))}"
   }
 
   private def codebookMismatch(what: String, path: String,

@@ -90,9 +90,9 @@ object Rank {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
 
-  /** Guard for the once-per-(session, dir) staged-edge build below:
-    * the bucketed write must run exactly once per JVM session even if
-    * both graph queries race to it. */
+  /** Guard for the once-per-(JVM, dir) staged-edge build below: the
+    * bucketed write must run exactly once per JVM even if both graph
+    * queries (or sibling sessions sharing the catalog) race to it. */
   private val stagedEdgeBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -113,46 +113,33 @@ object Rank {
     * testdata regenerates between rounds, and a stale warehouse table
     * would silently rank last round's graph. PageRankSpec pins
     * staged == raw masses and the exchange-free per-round plan. */
-  /** Order-sensitive FNV-1a over the raw dir string — the collision-
-    * resistant half of the staged-table name. Sanitization alone is
-    * many-to-one (`sf0.1`, `sf0_1`, `sf0-1` all sanitize to `sf0_1`,
-    * and the catalog is case-insensitive), so the name carries BOTH
-    * the readable sanitized dir and this hash of the exact raw dir:
-    * distinct dirs get distinct tables with 2^-64-class collision
-    * odds, and the readable prefix keeps the warehouse debuggable. */
-  private[graft] def dirTag(raw: String): String = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < raw.length) { h ^= raw.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    raw.replaceAll("[^A-Za-z0-9]", "_").toLowerCase + "_" +
-      java.lang.Long.toHexString(h)
-  }
-
-  /** Once-per-JVM warehouse sweep: staged-edge tables are rebuilt on
-    * first touch per session and never trusted across runs, so any
-    * `pr_edges_staged_*` table left by a PRIOR JVM (including the
-    * retired hashCode-named scheme) is dead weight — a full bucketed
-    * edge copy per (session, sf) accumulating forever. Drop them all
-    * (with their managed dirs) before this session stages its first. */
-  private val sweptStale = new java.util.concurrent.ConcurrentHashMap[Integer, Boolean]()
-  private def sweepStaleStagedEdges(spark: org.apache.spark.sql.SparkSession): Unit = {
-    sweptStale.computeIfAbsent(System.identityHashCode(spark), _ => {
-      spark.sql("SHOW TABLES").collect()
-        .map(_.getString(1)).filter(_.startsWith("pr_edges_staged_"))
-        .foreach(t => graft.sources.Sinks.dropTableWithLocation(spark, t))
-      true
-    })
-    ()
-  }
+  /** Order-sensitive FNV-1a ([[graft.operators.Layout.fnv1a64]]) over
+    * the raw dir string — the collision-resistant half of the
+    * staged-table name. Sanitization alone is many-to-one (`sf0.1`,
+    * `sf0_1`, `sf0-1` all sanitize to `sf0_1`, and the catalog is
+    * case-insensitive), so the name carries BOTH the readable
+    * sanitized dir and this hash of the exact raw dir: distinct dirs
+    * get distinct tables with 2^-64-class collision odds, and the
+    * readable prefix keeps the warehouse debuggable. Locale.ROOT:
+    * default-locale lowercasing can emit non-ASCII (tr-TR maps 'I' to
+    * dotless ı), which would break the identifier invariant. */
+  private[graft] def dirTag(raw: String): String =
+    raw.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT) +
+      "_" + java.lang.Long.toHexString(
+        graft.operators.Layout.fnv1a64(raw.iterator.map(_.toLong)))
 
   private def stagedTradeEdges(spark: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
-    sweepStaleStagedEdges(spark)
     val table = "pr_edges_staged_" + dirTag(dir)
-    // cache key = session identity + RAW dir (not the table name): even
-    // if two dirs somehow shared a name, they could not share an entry
-    val key = System.identityHashCode(spark).toString + ":" + dir
-    stagedEdgeBuilt.computeIfAbsent(key, _ => {
+    // cache key = the RAW dir alone: every session in this JVM shares
+    // the in-memory catalog and the per-PID warehouse (scratchPath),
+    // so one build per (JVM, dir) is both sufficient and necessary —
+    // keying by session identity would make a newSession() clone
+    // drop-and-rewrite a table the parent's cache already points at.
+    // No cross-JVM cleanup is needed (and none would work): the
+    // warehouse dir is per-PID under /tmp, so a dead JVM's staged
+    // tables are unreachable from any later catalog and go with /tmp.
+    stagedEdgeBuilt.computeIfAbsent(dir, _ => {
       graft.sources.Sinks.writeBucketed(
         PageRank.stageEdges(tradeEdges(spark, dir)), table,
         buckets = 32, keys = Seq("src"))

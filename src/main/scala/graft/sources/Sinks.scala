@@ -49,14 +49,6 @@ object Sinks {
     ()
   }
 
-  /** Public face of [[dropWithLocation]] for callers sweeping stale
-    * managed tables left by prior JVMs (e.g. retired staged-edge
-    * layouts): drops the catalog entry AND its durable warehouse dir. */
-  def dropTableWithLocation(spark: SparkSession, table: String): Unit = {
-    val (db, tbl) = parseIdent(spark, table)
-    dropWithLocation(spark, db, tbl)
-  }
-
   /** Whether `path` holds any DATA files (`part-*`, recursively) — the
     * index-append bootstrap guard's "is this layout populated?" probe.
     * Marker sidecars (`_graft_*`) and `_SUCCESS` don't count: they are

@@ -219,6 +219,33 @@ class IvfSpec extends SparkSpec {
     assert(e.getMessage.contains("does not match the existing layout"))
   }
 
+  test("flavor guard: float and SQ8 layouts reject each other even with matching centroids") {
+    // both layouts share the marker file and directory scheme but not
+    // the row schema: without the flavor token in the payload, a float
+    // append through the CORRECT centroids onto an SQ8 layout would
+    // pass the centroid check and mix row schemas the probe then
+    // silently mis-decodes (null mn/qscale/codes on the float rows)
+    val b1 = emb.filter(col("vec_id") < 100)
+    val dirQ = Files.createTempDirectory("graft_ivf_flavor_q_").toString
+    val centroids = Ivf.writeIndexQuantized(b1, dirQ, nClusters = 4, iters = 2)
+    val e1 = intercept[IllegalArgumentException](
+      Ivf.appendIndex(b1, dirQ, centroids))
+    assert(e1.getMessage.contains("does not match the existing layout"))
+    val e2 = intercept[IllegalArgumentException](
+      Ivf.probeIndex(spark, dirQ, centroids, emb.filter(col("vec_id") < 5), k = 5))
+    assert(e2.getMessage.contains("does not match the existing layout"))
+    // and the mirror image: SQ8 append/probe onto a float layout
+    val dirF = Files.createTempDirectory("graft_ivf_flavor_f_").toString
+    Ivf.writeIndexWithCentroids(b1, dirF, centroids)
+    val e3 = intercept[IllegalArgumentException](
+      Ivf.appendIndexQuantized(b1, dirF, centroids))
+    assert(e3.getMessage.contains("does not match the existing layout"))
+    val e4 = intercept[IllegalArgumentException](
+      Ivf.probeIndexQuantized(spark, dirF, centroids,
+        emb.filter(col("vec_id") < 5), k = 5))
+    assert(e4.getMessage.contains("does not match the existing layout"))
+  }
+
   test("crash windows: unmarked lists refused, dead marker over empty path re-stamped") {
     val b1 = emb.filter(col("vec_id") < 100)
     val centroids = Ivf.trainCentroids(b1, k = 4, iters = 2)
