@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, IvfPq, Pq}
+
+/** Measured backing for the ANN-layout scale claims in PLANS.md: the
+  * compression ("PQ codes are ~64× smaller than floats") and pruning
+  * ("a probe touches only the probed cluster directories") levers are
+  * stated as arithmetic in the scaladoc — this probe measures them on
+  * the real sf corpus, in bytes on disk, so the claims are data.
+  *
+  * For each layout (IVF float / IVF SQ8 / flat PQ codes / IVFPQ) it
+  * reports the total on-disk size and bytes-per-vector; for the
+  * partitioned layouts it then derives the registered probe's
+  * (nprobe=4 of 16, 10 queries) probed-cluster set — the same
+  * `probeAssignments` the serving path pushes as its partition filter
+  * (IvfSpec/IvfPqSpec pin that the filter lands in PartitionFilters
+  * and that exactly these directories are read) — and reports the
+  * TOUCHED bytes: the physical I/O bound of the probe.
+  *
+  * Usage: `runMain graft.IndexProbe [sfDir]` — one line per
+  * measurement.
+  */
+object IndexProbe {
+
+  private def dirBytes(spark: org.apache.spark.sql.SparkSession,
+      path: String, sub: Option[Set[Int]] = None): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      val parent = f.getPath.getParent.getName
+      val keep = name.startsWith("part-") && (sub match {
+        case None => true
+        case Some(clusters) =>
+          parent.startsWith("cluster=") &&
+            clusters.contains(parent.stripPrefix("cluster=").toInt)
+      })
+      if (keep) total += f.getLen
+    }
+    total
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Session.builder("graft-indexprobe", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val centroids = Ivf.trainCentroids(emb, 16, iters = 3, trainFraction = 0.25)
+    val codebooks = Pq.trainCodebooks(emb, dim = 64, m = 8, k = 16,
+      iters = 2, trainFraction = 0.5)
+
+    val base = graft.queries.scratchPath("indexprobe")
+    val (pF, pQ, pP, pC) = (s"$base/ivf_float", s"$base/ivf_sq8",
+      s"$base/ivfpq", s"$base/pq_codes")
+    Ivf.writeIndexWithCentroids(emb, pF, centroids)
+    Ivf.appendIndexQuantized(emb, pQ, centroids)
+    IvfPq.writeIndex(emb, pP, centroids, codebooks)
+    Pq.writeIndex(emb, pC, codebooks)
+
+    def mb(b: Long) = f"${b / 1048576.0}%.2f MiB"
+    val (bF, bQ, bP, bC) =
+      (dirBytes(spark, pF), dirBytes(spark, pQ), dirBytes(spark, pP),
+        dirBytes(spark, pC))
+    println(f"INDEXPROBE n=$n layout=ivf_float  total=${mb(bF)} bytes/vec=${bF.toDouble / n}%.1f")
+    println(f"INDEXPROBE n=$n layout=ivf_sq8    total=${mb(bQ)} bytes/vec=${bQ.toDouble / n}%.1f (x${bF.toDouble / bQ}%.1f vs float)")
+    println(f"INDEXPROBE n=$n layout=pq_codes   total=${mb(bC)} bytes/vec=${bC.toDouble / n}%.1f (x${bF.toDouble / bC}%.1f vs float)")
+    println(f"INDEXPROBE n=$n layout=ivfpq      total=${mb(bP)} bytes/vec=${bP.toDouble / n}%.1f (x${bF.toDouble / bP}%.1f vs float)")
+
+    // one query's probe set (nprobe=4 of 16): pruning is PER QUERY —
+    // a 10-query batch covers most clusters between them (each pruned
+    // to its own 4), so the single-query touch is the per-unit I/O
+    // bound that scales with nprobe/nClusters, not with corpus size
+    val probed = Ivf.probeAssignments(centroids,
+        emb.filter(col("vec_id") === 0), 4, "vec_id", "embedding")
+      .select(col("cluster")).distinct().collect().map(_.getInt(0)).toSet
+    val (tF, tP) = (dirBytes(spark, pF, Some(probed)),
+      dirBytes(spark, pP, Some(probed)))
+    println(f"INDEXPROBE probe nprobe=4/16 queries=1 probedClusters=${probed.size}")
+    println(f"INDEXPROBE touched ivf_float=${mb(tF)} (${100.0 * tF / bF}%.1f%% of layout)")
+    println(f"INDEXPROBE touched ivfpq=${mb(tP)} (${100.0 * tP / bP}%.1f%% of layout, x${tF.toDouble / tP}%.1f less than float touch)")
+    spark.stop()
+  }
+}
