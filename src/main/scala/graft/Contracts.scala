@@ -267,6 +267,41 @@ object Contracts {
         if (nEmb >= 2000) 0.45 else 0.30, ">=")
     }
 
+    // residual codebooks for the q173 IVFADC grades (trained once,
+    // shared by both — the registered query's exact training config)
+    lazy val resCbs = IvfPq.trainResidualCodebooks(emb, ivfCentroids,
+      dim = 64, m = 8, k = 16, iters = 2, trainFraction = 0.5)
+
+    grade("q173_ann_ivfadc") {
+      // exactness certificate: the centroid half of the residual ADC
+      // is exact and the rescore is exact, so probe-all + full
+      // shortlist must equal brute force bit-for-bit here too
+      val path = queries.scratchPath("contracts_ivfadc_idx")
+      IvfPq.writeIndexResidual(emb, path, ivfCentroids, resCbs)
+      val all = triples(IvfPq.probeIndexResidual(spark, path, emb,
+        ivfCentroids, resCbs, q10, k = 10, nprobe = 16, nCand = nEmb.toInt))
+      Contract("q173_ann_ivfadc",
+        "probe-all + full-shortlist == brute force, (q,n,rank) set jaccard",
+        setJaccard(all, bruteTriples), 1.0, ">=")
+    }
+
+    grade("q173_ann_ivfadc") {
+      // the SHIPPED tight-shortlist configuration (nprobe=4/16,
+      // nCand=20): residual precision is the point of this layout —
+      // IndexProbe measures 0.27 vs raw coding's 0.20 here. Floor 0.15
+      // (margin ~0.12 under the measured band, far above 2×random
+      // 2·20/nEmb=0.02, and a halved recall fails); legacy floor at
+      // 2×random below the calibrated size.
+      val path = queries.scratchPath("contracts_ivfadc_idx")
+      val reg = triples(IvfPq.probeIndexResidual(spark, path, emb,
+        ivfCentroids, resCbs, q10, k = 10, nprobe = 4, nCand = 20))
+        .map(t => (t._1, t._2))
+      Contract("q173_ann_ivfadc",
+        "registered config (nprobe=4/16, nCand=20) recall@10 vs brute force",
+        brutePairs.count(reg.contains).toDouble / brutePairs.size,
+        if (nEmb >= 2000) 0.15 else math.min(0.15, 2.0 * 20.0 / nEmb), ">=")
+    }
+
     grade("q172_image_neardup") {
       // the planted-duplicate certificate: every re-encoded copy (the
       // REAL resize round-trip at native size — same pixels, new

@@ -85,6 +85,30 @@ object IndexProbe {
     println(f"INDEXPROBE probe nprobe=4/16 queries=1 probedClusters=${probed.size}")
     println(f"INDEXPROBE touched ivf_float=${mb(tF)} (${100.0 * tF / bF}%.1f%% of layout)")
     println(f"INDEXPROBE touched ivfpq=${mb(tP)} (${100.0 * tP / bP}%.1f%% of layout, x${tF.toDouble / tP}%.1f less than float touch)")
+
+    // residual refinement: same index size, tighter ADC — measure the
+    // registered-config recall uplift vs the raw-coded layout
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = operators.Similarity.bruteForceTopK(emb, queries, 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val resCbs = IvfPq.trainResidualCodebooks(emb, centroids, dim = 64,
+      m = 8, k = 16, iters = 2, trainFraction = 0.5)
+    val pR = s"$base/ivfpq_res"
+    IvfPq.writeIndexResidual(emb, pR, centroids, resCbs)
+    val bR = dirBytes(spark, pR)
+    for (nc <- Seq(20, 50, 100)) {
+      val rRaw = recall(IvfPq.probeIndex(spark, pP, emb, centroids,
+        codebooks, queries, k = 10, nprobe = 4, nCand = nc))
+      val rRes = recall(IvfPq.probeIndexResidual(spark, pR, emb, centroids,
+        resCbs, queries, k = 10, nprobe = 4, nCand = nc))
+      println(f"INDEXPROBE recall@10 nprobe=4/16 nCand=$nc%d: raw=$rRaw%.3f residual=$rRes%.3f (residual layout ${mb(bR)})")
+    }
     spark.stop()
   }
 }

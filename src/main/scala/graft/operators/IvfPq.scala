@@ -99,11 +99,108 @@ object IvfPq {
   def probeIndex(spark: SparkSession, path: String, corpus: DataFrame,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       queries: DataFrame, k: Int, nprobe: Int = 4, nCand: Int = 100,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    probeImpl(spark, path, corpus, centroids, codebooks, queries, k,
+      nprobe, nCand, idCol, vecCol, residual = false)
+
+  // ---- residual refinement (the full IVFADC) ----
+
+  /** Residual of a vector against its assigned centroid:
+    * `vec − centroid[cluster]`. Encoding RESIDUALS instead of raw
+    * vectors is the refinement step of Jégou et al.'s IVFADC (§V.B):
+    * within one inverted list every vector shares a centroid, so the
+    * residuals are centered near zero and span a much tighter range —
+    * the same m×k codebook budget quantizes them with far less error,
+    * which tightens the ADC shortlist and lifts recall at identical
+    * index size (PLANS.md records the measured uplift). */
+  private def residualCol(centroids: Seq[Seq[Double]],
+      vec: org.apache.spark.sql.Column,
+      cluster: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(vec, element_at(typedlit(centroids), cluster + 1),
+      (x, c) => x.cast("double") - c)
+
+  /** Train PQ codebooks over the RESIDUALS under `centroids` — the
+    * training half of the residual layout (one extra narrow
+    * projection; the same deterministic Lloyd machinery). */
+  def trainResidualCodebooks(corpus: DataFrame,
+      centroids: Seq[Seq[Double]], dim: Int, m: Int, k: Int,
+      iters: Int = 3, trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    val res = corpus.select(col(idCol),
+      residualCol(centroids, col(vecCol),
+        Ivf.assignCluster(centroids, col(vecCol))).as("res_vec"))
+    Pq.trainCodebooks(res, dim, m, k, iters, trainFraction, idCol, "res_vec")
+  }
+
+  private def codedResidual(batch: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String, vecCol: String): DataFrame =
+    batch
+      .select(col(idCol).as("neighbor_id"),
+        Ivf.assignCluster(centroids, col(vecCol)).as("cluster"),
+        col(vecCol).as("v"))
+      // residual in its own projection so assignCluster isn't
+      // re-evaluated inside the zip_with
+      .select(col("neighbor_id"), col("cluster"),
+        Pq.encode(codebooks,
+          residualCol(centroids, col("v"), col("cluster"))).as("codes"))
+
+  /** [[writeIndex]] with residual-encoded lists (flavor
+    * `ivfpq-res` in the marker — raw-coded and residual-coded layouts
+    * share a schema but decode differently, so they must never mix). */
+  def writeIndexResidual(corpus: DataFrame, path: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.sources.Sinks.parquetPartitioned(
+      codedResidual(corpus, centroids, codebooks, idCol, vecCol), path,
+      "cluster")
+    Layout.writeMarker(corpus.sparkSession, path, markerFile,
+      payloadRes(centroids, codebooks))
+  }
+
+  /** [[appendIndex]] for the residual layout — same pure-union
+    * append, the residual quantizer pair pinned by its marker. */
+  def appendIndexResidual(batch: DataFrame, path: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+      payloadRes(centroids, codebooks), "appendIndexResidual",
+      mismatch("appendIndexResidual", path, centroids, codebooks))
+    graft.sources.Sinks.parquetPartitionedMode(
+      codedResidual(batch, centroids, codebooks, idCol, vecCol), path,
+      "append", "cluster")
+  }
+
+  private def payloadRes(centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): String =
+    Ivf.centroidPayload(centroids, "ivfpq-res") + " | " +
+      Pq.codebookPayload(codebooks)
+
+  /** [[probeIndex]] over a residual layout. The ADC shortlist score
+    * becomes `dot(q, centroid[cluster]) + adcRes(q, codes)`: the dot
+    * distributes over `x = c + r`, the centroid half is EXACT (the
+    * broadcast centroid literal), and only the residual half is
+    * quantized — the tighter approximation that buys the recall
+    * uplift. Same pruning, same exact-cosine rescore. */
+  def probeIndexResidual(spark: SparkSession, path: String,
+      corpus: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], queries: DataFrame, k: Int,
+      nprobe: Int = 4, nCand: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    probeImpl(spark, path, corpus, centroids, codebooks, queries, k,
+      nprobe, nCand, idCol, vecCol, residual = true)
+
+  private def probeImpl(spark: SparkSession, path: String,
+      corpus: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], queries: DataFrame, k: Int,
+      nprobe: Int, nCand: Int, idCol: String, vecCol: String,
+      residual: Boolean): DataFrame = {
     require(nCand >= k, s"nCand $nCand must be >= k $k")
-    Layout.requireMarker(spark, path, markerFile,
-      payload(centroids, codebooks), "probeIndex",
-      mismatch("probeIndex", path, centroids, codebooks))
+    val (pay, what) =
+      if (residual) (payloadRes(centroids, codebooks), "probeIndexResidual")
+      else (payload(centroids, codebooks), "probeIndex")
+    Layout.requireMarker(spark, path, markerFile, pay, what,
+      mismatch(what, path, centroids, codebooks))
     val probes = Ivf.probeAssignments(centroids, queries, nprobe,
       idCol, vecCol)
     // bounded driver collect: ≤ min(nClusters, nprobe × queries) ints,
@@ -112,10 +209,19 @@ object IvfPq {
       .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(path)
       .filter(col("cluster").isin(probed.map(Int.box): _*))
-    val shortlist = lists.join(broadcast(probes), Seq("cluster"))
+    val cand = lists.join(broadcast(probes), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Pq.adcDot(codebooks, col("qvec"), col("codes")).as("adc"))
+    val adcScore =
+      if (!residual) Pq.adcDot(codebooks, col("qvec"), col("codes"))
+      else
+        // dot(q, c) exactly + dot(q, r) via ADC
+        aggregate(zip_with(col("qvec"),
+            element_at(typedlit(centroids), col("cluster") + 1),
+            (q, c) => q.cast("double") * c),
+          lit(0.0), (acc, v) => acc + v) +
+          Pq.adcDot(codebooks, col("qvec"), col("codes"))
+    val shortlist = cand
+      .select(col("query_id"), col("neighbor_id"), adcScore.as("adc"))
       .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("adc").desc, col("neighbor_id"))))
       .filter(col("crank") <= nCand)

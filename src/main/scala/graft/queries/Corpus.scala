@@ -829,6 +829,38 @@ object Corpus {
       },
       None),
 
+    // ----- IVFADC: residual-refined IVF+PQ, tight shortlist -----
+    // The full Jégou et al. IVFADC: codes quantize the RESIDUAL
+    // `vec − centroid[cluster]` (within one list every vector shares a
+    // centroid, so residuals span a tighter range and the same m×k
+    // codebook budget quantizes them with less error), and the probe's
+    // shortlist score is exact-dot(q, centroid) + ADC(q, residual).
+    // Registered at the TIGHT shortlist (nCand=20): that is where
+    // residual precision pays — IndexProbe measures recall@10 0.27 vs
+    // the raw coding's 0.20 at nCand=20, converging at nCand ≥ 50
+    // where the shortlist saturates the probed lists — and the tight
+    // shortlist IS the 100 TB serving regime (the exact-rescore float
+    // fetches per query stay small). Exactness certificate and
+    // registered recall graded in CONTRACTS.json; IvfPqSpec pins
+    // probe-all+full-shortlist == brute, residual append == rebuild,
+    // and that raw-coded and residual-coded layouts never mix (the
+    // `ivfpq-res` marker flavor). Rows-only like its ANN siblings.
+    QueryDef(
+      "q173_ann_ivfadc",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "embeddings")
+        val cents = graft.operators.Ivf.trainCentroids(e, 16, iters = 3,
+          trainFraction = 0.25)
+        val cbs = graft.operators.IvfPq.trainResidualCodebooks(e, cents,
+          dim = 64, m = 8, k = 16, iters = 2, trainFraction = 0.5)
+        val path = scratchPath("ivfadc_index")
+        graft.operators.IvfPq.writeIndexResidual(e, path, cents, cbs)
+        graft.operators.IvfPq.probeIndexResidual(spark, path, e, cents, cbs,
+            e.filter(col("vec_id") < 10), k = 10, nprobe = 4, nCand = 20)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None),
+
     // ----- Image near-dup: REAL pixels → dHash → banded Hamming -----
     // The multimodal face of the dedup family: deterministic REAL
     // 16×16 PNGs rendered from each document ([[Multimodal

@@ -64,6 +64,46 @@ class IvfPqSpec extends SparkSpec {
     assert(readDirs == expectedProbed.map(c => s"cluster=$c"))
   }
 
+  test("residual refinement: probe-all + full shortlist is still exact; flavors never mix") {
+    // the centroid half of the residual ADC score is exact and the
+    // rescore is exact cosine, so the full-probe/full-shortlist
+    // certificate holds for the residual layout too
+    val resCbs = IvfPq.trainResidualCodebooks(emb, centroids, dim = 64,
+      m = 8, k = 16, iters = 2, trainFraction = 0.5)
+    val dirR = Files.createTempDirectory("graft_ivfpq_res_").toString
+    IvfPq.writeIndexResidual(emb, dirR, centroids, resCbs)
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    assert(triples(IvfPq.probeIndexResidual(spark, dirR, emb, centroids,
+        resCbs, queries, k = 10, nprobe = 8, nCand = n)) ===
+      triples(Similarity.bruteForceTopK(emb, queries, k = 10)))
+    // append == rebuild through the pinned pair, residual flavor
+    val dirInc = Files.createTempDirectory("graft_ivfpq_res_inc_").toString
+    IvfPq.writeIndexResidual(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      dirInc, centroids, resCbs)
+    IvfPq.appendIndexResidual(emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+      dirInc, centroids, resCbs)
+    assert(triples(IvfPq.probeIndexResidual(spark, dirInc, emb, centroids,
+        resCbs, queries, k = 10, nprobe = 4, nCand = 50)) ===
+      triples(IvfPq.probeIndexResidual(spark, dirR, emb, centroids,
+        resCbs, queries, k = 10, nprobe = 4, nCand = 50)))
+    // raw-coded and residual-coded layouts share a schema but decode
+    // differently: the flavor token must keep them apart even under
+    // the SAME quantizer pair
+    val e1 = intercept[IllegalArgumentException](
+      IvfPq.probeIndex(spark, dirR, emb, centroids, resCbs, queries, k = 5))
+    assert(e1.getMessage.contains("does not match the existing layout"))
+    val dirRaw = Files.createTempDirectory("graft_ivfpq_rawflav_").toString
+    IvfPq.writeIndex(emb, dirRaw, centroids, resCbs)
+    val e2 = intercept[IllegalArgumentException](
+      IvfPq.probeIndexResidual(spark, dirRaw, emb, centroids, resCbs,
+        queries, k = 5))
+    assert(e2.getMessage.contains("does not match the existing layout"))
+    val e3 = intercept[IllegalArgumentException](
+      IvfPq.appendIndexResidual(emb.limit(1), dirRaw, centroids, resCbs))
+    assert(e3.getMessage.contains("does not match the existing layout"))
+  }
+
   test("append == rebuild under the pinned quantizer pair; marker guards both") {
     val dirInc = Files.createTempDirectory("graft_ivfpq_inc_").toString
     val dirAll = Files.createTempDirectory("graft_ivfpq_full_").toString
