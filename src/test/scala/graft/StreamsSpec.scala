@@ -778,4 +778,59 @@ class StreamsSpec extends SparkSpec {
     val shared = streamed.groupBy(col("fp")).count().filter(col("count") >= 2)
     assert(shared.count() >= 1, "cross-batch passage must share a fingerprint")
   }
+
+  test("foreachBatch maintains the persisted postings AND IVF layouts via appendIndex") {
+    // the daily-ingest shape end-to-end through Structured Streaming:
+    // each micro-batch APPENDS into the persisted index layouts
+    // (bootstrap on the first batch — the Layout marker protocol),
+    // and the streamed index must equal the whole-corpus rebuild.
+    // The checkpoint guarantees each file lands exactly once, and
+    // append is pure union, so the composition is exactly-once.
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Ivf, Postings}
+    val in = Files.createTempDirectory("graft_fb2_in_").toString
+    val ckpt = Files.createTempDirectory("graft_fb2_ckpt_").toString
+    val pIdx = Files.createTempDirectory("graft_fb2_post_").toString
+    val vIdx = Files.createTempDirectory("graft_fb2_ivf_").toString
+
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val centroids = Ivf.trainCentroids(emb.filter(col("vec_id") < 200),
+      k = 4, iters = 2)
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
+      (batch, _) =>
+        Postings.appendIndex(Postings.build(batch, "doc_id", "text"),
+          pIdx, nBuckets = 16)
+        // embeddings keyed off the arriving doc ids — the media/vector
+        // half of the same arrival
+        val ids = batch.select(col("doc_id")).collect().map(_.getLong(0))
+        Ivf.appendIndex(emb.filter(col("vec_id").isin(ids.map(Long.box): _*)),
+          vIdx, centroids)
+    }
+
+    val batch1 = Seq(1L -> "the quick brown fox", 2L -> "lazy dog sleeps")
+    val batch2 = Seq(3L -> "quick brown dog", 4L -> "the quick brown cat")
+    writeDocs(batch1); ingest()   // bootstrap: marker stamped, batch appended
+    writeDocs(batch2); ingest()   // incremental: only the new file
+    // postings: streamed layout == whole-corpus rebuild, via the probe
+    val pAll = Files.createTempDirectory("graft_fb2_post_all_").toString
+    Postings.writeIndex(Postings.build(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text"), pAll, 16)
+    def probe(dir: String) = Postings
+      .phraseOccurrencesFromIndex(spark, dir, Seq("quick", "brown"), 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probe(pIdx) == probe(pAll) && probe(pIdx).nonEmpty)
+    // IVF: streamed lists == pinned-centroid rebuild over the same ids
+    val vAll = Files.createTempDirectory("graft_fb2_ivf_all_").toString
+    Ivf.writeIndexWithCentroids(
+      emb.filter(col("vec_id").between(1, 4)), vAll, centroids)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select(col("neighbor_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(vIdx) == rows(vAll) && rows(vIdx).size == 4)
+  }
 }
