@@ -11,8 +11,9 @@ import graft.operators.{Ivf, IvfPq, Pq}
   *
   * For each layout (IVF float / IVF SQ8 / flat PQ codes / IVFPQ) it
   * reports the total on-disk size and bytes-per-vector; for the
-  * partitioned layouts it then derives the registered probe's
-  * (nprobe=4 of 16, 10 queries) probed-cluster set — the same
+  * partitioned layouts it then derives a SINGLE query's probe set
+  * (nprobe=4 of 16; a 10-query batch covers most clusters between
+  * them, so per-query is the meaningful I/O unit) — the same
   * `probeAssignments` the serving path pushes as its partition filter
   * (IvfSpec/IvfPqSpec pin that the filter lands in PartitionFilters
   * and that exactly these directories are read) — and reports the

@@ -39,20 +39,27 @@ object IvfPq {
 
   private val markerFile = "_graft_ivfpq"
 
-  private def payload(centroids: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]]): String =
-    Ivf.centroidPayload(centroids, "ivfpq") + " | " +
-      Pq.codebookPayload(codebooks)
+  /** Marker payload: flavor token + both quantizer identities. The
+    * flavor ("ivfpq" raw vs "ivfpq-res" residual) is part of the
+    * identity — the two layouts share a schema but decode
+    * differently, so they must never mix. */
+  private def payloadOf(centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], residual: Boolean): String =
+    Ivf.centroidPayload(centroids, if (residual) "ivfpq-res" else "ivfpq") +
+      " | " + Pq.codebookPayload(codebooks)
 
+  /** Renders the guard failure with the CALLER's payload (flavor
+    * included) against the stored one — a flavor-only mismatch must
+    * show two visibly different strings. */
   private def mismatch(what: String, path: String,
-      centroids: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]])(stored: String): String =
-    s"$what: quantizer pair (centroids k dim fp | codebooks m k sub fp " +
-      s"= ${payload(centroids, codebooks)}) does not match the existing " +
-      s"layout's ($stored) (marker $path/$markerFile) — the coarse " +
-      "quantizer AND the codebooks ARE the layout; a centroid mismatch " +
-      "scatters vectors into lists the probe ranking disagrees with, a " +
-      "codebook mismatch decodes every candidate wrong"
+      myPayload: String)(stored: String): String =
+    s"$what: layout identity (flavor | centroids k dim fp | codebooks " +
+      s"m k sub fp = $myPayload) does not match the existing layout's " +
+      s"($stored) (marker $path/$markerFile) — the flavor and both " +
+      "quantizers ARE the layout; a flavor mismatch mixes encodings the " +
+      "probe mis-decodes, a centroid mismatch scatters vectors into " +
+      "lists the probe ranking disagrees with, a codebook mismatch " +
+      "decodes every candidate wrong"
 
   private def coded(batch: DataFrame, centroids: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]],
@@ -66,24 +73,40 @@ object IvfPq {
     * stamped AFTER the data (the [[Layout]] overwrite idiom). */
   def writeIndex(corpus: DataFrame, path: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    graft.sources.Sinks.parquetPartitioned(
-      coded(corpus, centroids, codebooks, idCol, vecCol), path, "cluster")
-    Layout.writeMarker(corpus.sparkSession, path, markerFile,
-      payload(centroids, codebooks))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeImpl(corpus, path, centroids, codebooks, idCol, vecCol,
+      residual = false)
 
   /** Incremental growth through the PINNED quantizer pair — pure-union
     * append into the existing cluster directories, append == rebuild
     * exactly ([[Layout.bootstrapOrGuard]] state machine). */
   def appendIndex(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    appendImpl(batch, path, centroids, codebooks, idCol, vecCol,
+      residual = false, "appendIndex")
+
+  /** One write body for both flavors — the payload carries the flavor
+    * so the two can never be confused at the marker. */
+  private def writeImpl(corpus: DataFrame, path: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String, vecCol: String, residual: Boolean): Unit = {
+    val rows = if (residual) codedResidual(corpus, centroids, codebooks, idCol, vecCol)
+               else coded(corpus, centroids, codebooks, idCol, vecCol)
+    graft.sources.Sinks.parquetPartitioned(rows, path, "cluster")
+    Layout.writeMarker(corpus.sparkSession, path, markerFile,
+      payloadOf(centroids, codebooks, residual))
+  }
+
+  private def appendImpl(batch: DataFrame, path: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String, vecCol: String, residual: Boolean, what: String): Unit = {
+    val pay = payloadOf(centroids, codebooks, residual)
     Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      payload(centroids, codebooks), "appendIndex",
-      mismatch("appendIndex", path, centroids, codebooks))
-    graft.sources.Sinks.parquetPartitionedMode(
-      coded(batch, centroids, codebooks, idCol, vecCol), path, "append",
+      pay, what, mismatch(what, path, pay))
+    val rows = if (residual) codedResidual(batch, centroids, codebooks, idCol, vecCol)
+               else coded(batch, centroids, codebooks, idCol, vecCol)
+    graft.sources.Sinks.parquetPartitionedMode(rows, path, "append",
       "cluster")
   }
 
@@ -139,42 +162,32 @@ object IvfPq {
       .select(col(idCol).as("neighbor_id"),
         Ivf.assignCluster(centroids, col(vecCol)).as("cluster"),
         col(vecCol).as("v"))
-      // residual in its own projection so assignCluster isn't
-      // re-evaluated inside the zip_with
+      // residual in its own projection: assignCluster isn't
+      // re-evaluated inside the zip_with, AND the dim-wide residual
+      // itself is aliased once instead of being duplicated into each
+      // of Pq.encode's m subspace slices (non-cheap multi-referenced
+      // aliases survive CollapseProject — the trainCodebooks idiom)
       .select(col("neighbor_id"), col("cluster"),
-        Pq.encode(codebooks,
-          residualCol(centroids, col("v"), col("cluster"))).as("codes"))
+        residualCol(centroids, col("v"), col("cluster")).as("res"))
+      .select(col("neighbor_id"), col("cluster"),
+        Pq.encode(codebooks, col("res")).as("codes"))
 
   /** [[writeIndex]] with residual-encoded lists (flavor
     * `ivfpq-res` in the marker — raw-coded and residual-coded layouts
     * share a schema but decode differently, so they must never mix). */
   def writeIndexResidual(corpus: DataFrame, path: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    graft.sources.Sinks.parquetPartitioned(
-      codedResidual(corpus, centroids, codebooks, idCol, vecCol), path,
-      "cluster")
-    Layout.writeMarker(corpus.sparkSession, path, markerFile,
-      payloadRes(centroids, codebooks))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeImpl(corpus, path, centroids, codebooks, idCol, vecCol,
+      residual = true)
 
   /** [[appendIndex]] for the residual layout — same pure-union
     * append, the residual quantizer pair pinned by its marker. */
   def appendIndexResidual(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      payloadRes(centroids, codebooks), "appendIndexResidual",
-      mismatch("appendIndexResidual", path, centroids, codebooks))
-    graft.sources.Sinks.parquetPartitionedMode(
-      codedResidual(batch, centroids, codebooks, idCol, vecCol), path,
-      "append", "cluster")
-  }
-
-  private def payloadRes(centroids: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]]): String =
-    Ivf.centroidPayload(centroids, "ivfpq-res") + " | " +
-      Pq.codebookPayload(codebooks)
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    appendImpl(batch, path, centroids, codebooks, idCol, vecCol,
+      residual = true, "appendIndexResidual")
 
   /** [[probeIndex]] over a residual layout. The ADC shortlist score
     * becomes `dot(q, centroid[cluster]) + adcRes(q, codes)`: the dot
@@ -196,13 +209,23 @@ object IvfPq {
       nprobe: Int, nCand: Int, idCol: String, vecCol: String,
       residual: Boolean): DataFrame = {
     require(nCand >= k, s"nCand $nCand must be >= k $k")
-    val (pay, what) =
-      if (residual) (payloadRes(centroids, codebooks), "probeIndexResidual")
-      else (payload(centroids, codebooks), "probeIndex")
+    val pay = payloadOf(centroids, codebooks, residual)
+    val what = if (residual) "probeIndexResidual" else "probeIndex"
     Layout.requireMarker(spark, path, markerFile, pay, what,
-      mismatch(what, path, centroids, codebooks))
-    val probes = Ivf.probeAssignments(centroids, queries, nprobe,
+      mismatch(what, path, pay))
+    val assigned = Ivf.probeAssignments(centroids, queries, nprobe,
       idCol, vecCol)
+    // the exact dot(q, centroid[cluster]) half of the residual score
+    // is constant per (query, cluster): compute it ONCE on the probe
+    // rows (nQueries × nprobe of them) before the broadcast join, not
+    // per candidate inside every probed list
+    val probes =
+      if (!residual) assigned
+      else assigned.withColumn("cdot",
+        aggregate(zip_with(col("qvec"),
+            element_at(typedlit(centroids), col("cluster") + 1),
+            (q, c) => q.cast("double") * c),
+          lit(0.0), (acc, v) => acc + v))
     // bounded driver collect: ≤ min(nClusters, nprobe × queries) ints,
     // pushed as the static partition IN-filter
     val probed = probes.select(col("cluster")).distinct()
@@ -213,13 +236,8 @@ object IvfPq {
       .filter(col("neighbor_id") =!= col("query_id"))
     val adcScore =
       if (!residual) Pq.adcDot(codebooks, col("qvec"), col("codes"))
-      else
-        // dot(q, c) exactly + dot(q, r) via ADC
-        aggregate(zip_with(col("qvec"),
-            element_at(typedlit(centroids), col("cluster") + 1),
-            (q, c) => q.cast("double") * c),
-          lit(0.0), (acc, v) => acc + v) +
-          Pq.adcDot(codebooks, col("qvec"), col("codes"))
+      // exact dot(q, c) (precomputed) + dot(q, r) via ADC
+      else col("cdot") + Pq.adcDot(codebooks, col("qvec"), col("codes"))
     val shortlist = cand
       .select(col("query_id"), col("neighbor_id"), adcScore.as("adc"))
       .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))

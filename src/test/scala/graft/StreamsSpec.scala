@@ -784,8 +784,13 @@ class StreamsSpec extends SparkSpec {
     // each micro-batch APPENDS into the persisted index layouts
     // (bootstrap on the first batch — the Layout marker protocol),
     // and the streamed index must equal the whole-corpus rebuild.
-    // The checkpoint guarantees each file lands exactly once, and
-    // append is pure union, so the composition is exactly-once.
+    // Delivery note: the checkpoint makes each file enter exactly one
+    // micro-batch, but foreachBatch itself is AT-LEAST-ONCE — a crash
+    // after the append and before the checkpoint commit replays the
+    // batch, and pure-union append is not idempotent. Production
+    // either keys appends by batchId (skip if the id's rows already
+    // landed) or rebuilds on unclean restart; this test certifies the
+    // clean-run composition.
     val s = spark
     import s.implicits._
     import graft.operators.{Ivf, Postings}
