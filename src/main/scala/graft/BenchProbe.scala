@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Targeted bench probe: reruns Bench's exact methodology (noop-sink
+  * consume, one warmup rep, three timed reps, median) for the named
+  * queries only, in the order given, in a fresh JVM — the tool for
+  * chasing single-query excursions in a driver-side BENCH_r{N} stamp
+  * without paying a full-suite run per observation.
+  *
+  * Unlike Bench it prints EVERY rep (warmup included), because the
+  * excursions it exists to probe are first-touch effects (JIT/classload
+  * of a path's first execution in bench order) that a median hides.
+  *
+  * Usage: runMain graft.BenchProbe <q141_phrase_search> [more...]
+  * with SPARK_GRAFT_SF_DIR selecting the corpus (default sf0.1).
+  */
+object BenchProbe {
+
+  private def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchProbe <queryName> [more...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Session.builder("graft-bench-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val byName = SparkEntry.all.map(q => q.name -> q).toMap
+    args.foreach { name =>
+      val q = byName.getOrElse(name,
+        sys.error(s"unknown query '$name' (full key required, e.g. q141_phrase_search)"))
+      val reps = (0 to 3).map { i =>
+        val t0 = System.nanoTime()
+        consume(q.fn(spark, sfDir))
+        val s = (System.nanoTime() - t0) / 1e9
+        val tag = if (i == 0) "warmup" else s"rep$i"
+        println(f"[probe] $name $tag%-6s ${s}%.3f s")
+        s
+      }
+      val timed = reps.drop(1).sorted
+      println(f"[probe] $name median ${timed(timed.length / 2)}%.3f s (warmup ${reps.head}%.3f)")
+    }
+    spark.stop()
+  }
+}

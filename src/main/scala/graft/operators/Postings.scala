@@ -38,14 +38,29 @@ object Postings {
     * containing `phrase` as consecutive tokens, with the number of
     * (possibly overlapping) occurrence positions. The first term's
     * postings anchor the match; each later term joins on
-    * (doc_id, pos = anchor_pos + i). */
+    * (doc_id, pos = anchor_pos + i).
+    *
+    * Plan shape: the postings are slimmed to the phrase's terms ONCE
+    * and hash-repartitioned by `doc_id` BEFORE the per-term branches
+    * split off, so (a) the corpus-sized explode under an in-memory
+    * `postings` executes a single time — every branch reads the same
+    * canonicalized Exchange (ReuseExchange; the previous shape
+    * re-evaluated the explode once per phrase term), and (b) the L−1
+    * position joins and the final per-doc count are all clustered by
+    * `doc_id` already, so no further corpus-side shuffle exists in the
+    * plan (doc_id is a prefix of every join's equi-keys). AQE may still
+    * broadcast a rare term's slice — the classic rarest-first phrase
+    * plan — without disturbing the shared exchange. */
   def phraseOccurrences(postings: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val anchor = postings.filter(col("term") === lit(phrase.head))
+    val terms = phrase.distinct
+    val slim = postings.filter(col("term").isin(terms: _*))
+      .repartition(col("doc_id"))
+    val anchor = slim.filter(col("term") === lit(phrase.head))
       .select(col("doc_id"), col("pos"))
     val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
       case (acc, (term, i)) =>
-        val next = postings.filter(col("term") === lit(term))
+        val next = slim.filter(col("term") === lit(term))
           .select(col("doc_id").as("d"), col("pos").as("p"))
         acc.join(next,
             acc("doc_id") === col("d") && col("p") === acc("pos") + lit(i))

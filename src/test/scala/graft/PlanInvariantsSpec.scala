@@ -85,6 +85,37 @@ class PlanInvariantsSpec extends SparkSpec {
       s"text column crossed the pack exchange: ${exchanges.head.child.output}")
   }
 
+  test("ANN shortlist windows keep the PARTIAL WindowGroupLimit below the exchange") {
+    // The 100 TB top-k claim for the ANN family rests on Spark's
+    // InferWindowGroupLimit planning `row_number() <= k` as a
+    // partial-mode WindowGroupLimit BELOW the per-query exchange:
+    // each input partition forwards at most k/nCand candidate rows per
+    // query, so the shuffle moves O(partitions × k) rows, not the whole
+    // scored corpus, and no single query's candidates funnel uncut
+    // into one partition. That is optimizer behavior, not code we
+    // wrote — an expression change that defeats the rule (e.g. a
+    // non-deterministic column in the order spec) would silently turn
+    // the shortlist into a full per-query shuffle while returning the
+    // same rows. Pin the Partial node count per plan: one per
+    // rank-cut window (q37 brute-force has one; q138's ADC shortlist
+    // and q171's IVFPQ probe each cut a candidate window AND the final
+    // rescore window).
+    import org.apache.spark.sql.execution.window.{Partial, WindowGroupLimitExec}
+    val expected = Seq("q37_embed_knn" -> 1, "q138_pq_ann" -> 2,
+      "q171_ann_ivfpq" -> 2)
+    expected.foreach { case (name, nPartial) =>
+      // sparkPlan, not executedPlan: AQE hides the shape until run
+      val plan = SparkEntry.all.find(_.name == name).get
+        .fn(spark, sfDir).queryExecution.sparkPlan
+      val partials = plan.collect {
+        case w: WindowGroupLimitExec if w.mode == Partial => w
+      }
+      assert(partials.size == nPartial,
+        s"$name: expected $nPartial partial-mode WindowGroupLimit nodes, " +
+          s"got ${partials.size} —\n$plan")
+    }
+  }
+
   test("q92 keeps the bloom pre-test in front of the index anti-join") {
     // the 100 TB story is bloom-negative == zero index contact; a
     // refactor that drops the might_contain routing would still return
