@@ -256,6 +256,22 @@ object Ivf {
       assigned(batch, centroids, idCol, vecCol), path, "append", "cluster")
   }
 
+  /** [[appendIndex]] keyed by a streaming micro-batch id
+    * ([[Layout.idempotentAppend]]): at-least-once `foreachBatch`
+    * replays become no-ops, crash windows are cleaned and redone —
+    * the [[Postings.appendIndexBatch]] contract for inverted lists. */
+  def appendIndexBatch(batch: DataFrame, path: String, batchId: Long,
+      centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+      centroidPayload(centroids, "float"), "appendIndexBatch",
+      centroidMismatch("appendIndexBatch", path, centroids, "float"))
+    Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
+      graft.sources.Sinks.parquetPartitioned(
+        assigned(batch, centroids, idCol, vecCol), stg, "cluster")
+    }
+  }
+
   /** Exact identity of the coarse quantizer as the [[Layout]] marker
     * payload: `flavor k dim fingerprint` ([[Layout.fnv1a64]] over the
     * centroid doubles' exact bits — assignment is deterministic in
@@ -327,6 +343,20 @@ object Ivf {
     graft.sources.Sinks.parquetPartitionedMode(
       assignedQuantized(batch, centroids, idCol, vecCol), path, "append",
       "cluster")
+  }
+
+  /** [[appendIndexQuantized]] keyed by a streaming micro-batch id
+    * ([[appendIndexBatch]]'s contract for the SQ8 layout). */
+  def appendIndexQuantizedBatch(batch: DataFrame, path: String,
+      batchId: Long, centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+      centroidPayload(centroids, "sq8"), "appendIndexQuantizedBatch",
+      centroidMismatch("appendIndexQuantizedBatch", path, centroids, "sq8"))
+    Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
+      graft.sources.Sinks.parquetPartitioned(
+        assignedQuantized(batch, centroids, idCol, vecCol), stg, "cluster")
+    }
   }
 
   /** Search over [[writeIndexQuantized]]'s layout: same partition-

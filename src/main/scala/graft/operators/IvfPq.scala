@@ -110,6 +110,35 @@ object IvfPq {
       "cluster")
   }
 
+  /** [[appendIndex]] keyed by a streaming micro-batch id
+    * ([[Layout.idempotentAppend]] — the [[Postings.appendIndexBatch]]
+    * contract for the composed layout). */
+  def appendIndexBatch(batch: DataFrame, path: String, batchId: Long,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+    appendBatchImpl(batch, path, batchId, centroids, codebooks, idCol,
+      vecCol, residual = false, "appendIndexBatch")
+
+  /** [[appendIndexResidual]] keyed by a streaming micro-batch id. */
+  def appendIndexResidualBatch(batch: DataFrame, path: String, batchId: Long,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+    appendBatchImpl(batch, path, batchId, centroids, codebooks, idCol,
+      vecCol, residual = true, "appendIndexResidualBatch")
+
+  private def appendBatchImpl(batch: DataFrame, path: String, batchId: Long,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String, vecCol: String, residual: Boolean, what: String): Boolean = {
+    val pay = payloadOf(centroids, codebooks, residual)
+    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+      pay, what, mismatch(what, path, pay))
+    val rows = if (residual) codedResidual(batch, centroids, codebooks, idCol, vecCol)
+               else coded(batch, centroids, codebooks, idCol, vecCol)
+    Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
+      graft.sources.Sinks.parquetPartitioned(rows, stg, "cluster")
+    }
+  }
+
   /** Search: probed cluster ids pushed as a static partition filter
     * (the [[Ivf.probeIndex]] pruning — IvfPqSpec pins
     * `PartitionFilters` and the probed file set), ADC shortlist of

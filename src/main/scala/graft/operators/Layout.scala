@@ -72,7 +72,16 @@ private[graft] object Layout {
   /** The append-side state machine above. `mismatch(stored)` renders
     * the fail-fast message for a payload disagreement over data;
     * `hazard` names what a mismatched organization would silently
-    * break (rides the refuse-unmarked-data message). */
+    * break (rides the refuse-unmarked-data message).
+    *
+    * Bootstrap stamps are RACE-SAFE: two concurrent bootstrappers with
+    * different payloads on an empty path both used to pass the
+    * read-check and the last [[writeMarker]] won — leaving a populated
+    * layout whose marker certified only one writer's rows. The stamp
+    * now goes through create(overwrite=false) and a re-read verify
+    * ([[stampExclusive]]), so exactly one writer proceeds and the
+    * loser fails fast instead of appending under the winner's
+    * certificate. */
   def bootstrapOrGuard(spark: SparkSession, path: String, file: String,
       payload: String, what: String,
       mismatch: String => String): Unit = {
@@ -81,7 +90,14 @@ private[graft] object Layout {
       case Some(stored) if stored == payload.trim => ()
       case Some(stored) =>
         require(!populated, mismatch(stored))
-        writeMarker(spark, path, file, payload)
+        // dead marker over an empty path: clear it, then take the same
+        // exclusive-stamp path as a fresh bootstrap — a concurrent
+        // corrected retry with a different payload loses the create
+        // race or the verify, never silently coexists
+        val p = markerPath(path, file)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, false)
+        stampExclusive(spark, path, file, payload, what)
       case None =>
         require(!populated,
           s"$what: $path holds data files but no $file marker — an " +
@@ -89,9 +105,147 @@ private[graft] object Layout {
             "the path before rewriting); refusing to stamp a marker " +
             "over data whose organization is unknown. Rebuild with " +
             "writeIndex (or clear the path) first")
-        writeMarker(spark, path, file, payload)
+        stampExclusive(spark, path, file, payload, what)
     }
   }
+
+  /** Atomic bootstrap stamp: create the marker with overwrite=false
+    * (fails if a concurrent bootstrapper got there first), then
+    * re-read and require the stored payload is OURS — the create
+    * exception alone is not enough, because the racer that lost the
+    * create must also learn whether the winner's payload happens to
+    * match (same config retried concurrently → proceed) or not
+    * (different config → fail fast). */
+  private def stampExclusive(spark: SparkSession, path: String,
+      file: String, payload: String, what: String): Unit = {
+    val p = markerPath(path, file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val out = fs.create(p, false)
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: java.io.IOException => () // lost the create race — verify below
+    }
+    val stored = readMarker(spark, path, file)
+    require(stored.contains(payload.trim),
+      s"$what: lost a concurrent bootstrap race at $path/$file — the " +
+        s"winner stamped '${stored.getOrElse("<missing>")}', this " +
+        s"writer's layout is '$payload'; appending would mix " +
+        "organizations under the winner's certificate")
+  }
+
+  /** Idempotent batch append — the missing half of the streaming
+    * maintenance story: Structured Streaming's `foreachBatch` is
+    * AT-LEAST-ONCE (a crash after the sink write but before the
+    * checkpoint commit replays the batch), and a pure-union parquet
+    * append applied twice is duplicate rows a probe then silently
+    * double-counts. This turns the append into a transaction keyed by
+    * the stream's `batchId`:
+    *
+    *   1. the batch's rows are written to a staging dir UNDER the
+    *      layout (`_graft_staging/<id>` — underscore-prefixed, so
+    *      parquet readers of the layout never see them);
+    *   2. each staged data file is PUBLISHED by per-file rename into
+    *      its final directory under a batch-unique name prefix
+    *      (`b<id>-`), preserving the staged partition structure;
+    *   3. a ledger entry (`_graft_batches/<id>`) is created — the
+    *      commit point — and the staging dir is removed.
+    *
+    * Replay protocol (every crash window lands in exactly one arm):
+    *   - ledger present → the batch fully applied; skip (and GC a
+    *     staging dir left by a crash between steps 3's create and
+    *     delete);
+    *   - no ledger, staging present → a crashed attempt that may have
+    *     published some files: delete every published file carrying
+    *     this batch's prefix (identifiable BY NAME — the reason the
+    *     prefix exists), drop staging, and redo from step 1;
+    *   - neither → first attempt; run steps 1–3.
+    *
+    * The published-file sweep lists the full layout, but only runs on
+    * replay-after-crash — never on the clean path. Single writer per
+    * path assumed, as everywhere in the [[Layout]] protocol. Returns
+    * true if the batch was applied by THIS call, false for a replay
+    * no-op. */
+  def idempotentAppend(spark: SparkSession, path: String, batchId: Long)(
+      write: String => Unit): Boolean = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // scheme-qualified throughout: listStatus returns qualified paths,
+    // and relativizing a qualified child against an unqualified root
+    // silently yields an ABSOLUTE uri — which would redirect the
+    // publish renames back inside staging (then deleted with it)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val ledger = new org.apache.hadoop.fs.Path(root, s"_graft_batches/$batchId")
+    val staging = new org.apache.hadoop.fs.Path(root, s"_graft_staging/$batchId")
+    val prefix = s"b$batchId-"
+    if (fs.exists(ledger)) {
+      if (fs.exists(staging)) fs.delete(staging, true)
+      false
+    } else {
+      if (fs.exists(staging)) {
+        deleteByPrefix(fs, root, prefix)
+        fs.delete(staging, true)
+      }
+      write(staging.toString)
+      publishStaged(fs, staging, staging, root, prefix)
+      fs.mkdirs(ledger.getParent)
+      // overwrite=false: under the single-writer assumption this never
+      // races, but if it ever does, failing beats double-committing
+      fs.create(ledger, false).close()
+      fs.delete(staging, true)
+      true
+    }
+  }
+
+  /** True iff `batchId` is recorded applied at `path` — the
+    * ledger-side read of [[idempotentAppend]]'s commit point. */
+  def batchApplied(spark: SparkSession, path: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, s"_graft_batches/$batchId")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def isHidden(name: String) =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** Move every staged DATA file into the layout, preserving the
+    * partition-directory structure relative to `stagingRoot` and
+    * prepending the batch prefix to the file name. */
+  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      stagingRoot: org.apache.hadoop.fs.Path,
+      layoutRoot: org.apache.hadoop.fs.Path, prefix: String): Unit =
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (!isHidden(name))
+          publishStaged(fs, st.getPath,
+            stagingRoot, layoutRoot, prefix)
+      } else if (!isHidden(name)) {
+        val rel = fs.makeQualified(stagingRoot).toUri
+          .relativize(fs.makeQualified(st.getPath.getParent).toUri).getPath
+        require(!rel.startsWith("/"),
+          s"idempotentAppend: ${st.getPath} did not relativize against " +
+            s"$stagingRoot — refusing to publish outside the layout")
+        val destDir = if (rel.isEmpty) layoutRoot
+          else new org.apache.hadoop.fs.Path(layoutRoot, rel)
+        fs.mkdirs(destDir)
+        val dest = new org.apache.hadoop.fs.Path(destDir, prefix + name)
+        require(fs.rename(st.getPath, dest),
+          s"idempotentAppend: rename ${st.getPath} -> $dest failed")
+      }
+    }
+
+  /** Delete every published data file carrying `prefix` anywhere under
+    * the layout (skipping hidden dirs — staging, ledger, markers). */
+  private def deleteByPrefix(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, prefix: String): Unit =
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (!isHidden(name)) deleteByPrefix(fs, st.getPath, prefix)
+      } else if (name.startsWith(prefix)) fs.delete(st.getPath, false)
+    }
 
   /** The probe-side requirement above: presence AND match. */
   def requireMarker(spark: SparkSession, path: String, file: String,

@@ -112,11 +112,34 @@ object Postings {
     writeIndexMode(postings, path, nBuckets, "append")
   }
 
+  /** [[appendIndex]] keyed by a streaming micro-batch id — the
+    * `foreachBatch` maintenance form: the append runs through
+    * [[Layout.idempotentAppend]]'s staged-publish-ledger transaction,
+    * so an at-least-once replay of an already-applied batch is a
+    * no-op and a crash mid-append is cleaned up and redone — the
+    * streamed layout equals the clean run under any crash point
+    * (StreamsSpec pins replay == clean). Returns false on a replay
+    * no-op. */
+  def appendIndexBatch(postings: DataFrame, path: String, batchId: Long,
+      nBuckets: Int = 256): Boolean = {
+    Layout.bootstrapOrGuard(postings.sparkSession, path, markerFile,
+      nBuckets.toString, "appendIndexBatch",
+      mismatchMsg("appendIndexBatch", path, nBuckets))
+    Layout.idempotentAppend(postings.sparkSession, path, batchId) { stg =>
+      graft.sources.Sinks.parquetPartitionedMode(
+        bucketed(postings, nBuckets), stg, "overwrite", "tb")
+    }
+  }
+
+  private def bucketed(postings: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    postings.select(col("doc_id"), col("pos"), col("term"),
+      pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
+  }
+
   private def writeIndexMode(postings: DataFrame, path: String,
       nBuckets: Int, mode: String): Unit = {
-    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
-    val indexed = postings.select(col("doc_id"), col("pos"), col("term"),
-      pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
+    val indexed = bucketed(postings, nBuckets)
     graft.sources.Sinks.parquetPartitionedMode(indexed, path, mode, "tb")
     // overwrite stamps AFTER the data; the overwrite itself clears the
     // whole path (old marker included) before rewriting, so a crash

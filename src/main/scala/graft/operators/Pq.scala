@@ -239,6 +239,23 @@ object Pq {
       .write.mode("append").parquet(path)
   }
 
+  /** [[appendIndex]] keyed by a streaming micro-batch id
+    * ([[Layout.idempotentAppend]]): at-least-once `foreachBatch`
+    * replays become no-ops — the [[Postings.appendIndexBatch]]
+    * contract for the flat codes layout. */
+  def appendIndexBatch(batch: DataFrame, path: String, batchId: Long,
+      codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+      codebookPayload(codebooks), "appendIndexBatch",
+      codebookMismatch("appendIndexBatch", path, codebooks))
+    Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
+      batch.select(col(idCol).as("neighbor_id"),
+          encode(codebooks, col(vecCol)).as("codes"))
+        .write.parquet(stg)
+    }
+  }
+
   /** [[adcPrefilterTopK]] served from a [[writeIndex]] layout: the
     * prefilter scans the persisted codes (never re-encoding the
     * corpus); only the shortlist joins back to the float corpus for

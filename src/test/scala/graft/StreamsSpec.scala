@@ -787,10 +787,10 @@ class StreamsSpec extends SparkSpec {
     // Delivery note: the checkpoint makes each file enter exactly one
     // micro-batch, but foreachBatch itself is AT-LEAST-ONCE — a crash
     // after the append and before the checkpoint commit replays the
-    // batch, and pure-union append is not idempotent. Production
-    // either keys appends by batchId (skip if the id's rows already
-    // landed) or rebuilds on unclean restart; this test certifies the
-    // clean-run composition.
+    // batch. The appendIndexBatch forms close that window: each append
+    // is a batchId-keyed transaction (Layout.idempotentAppend), so the
+    // replay is a no-op — pinned by the crash-replay test below; this
+    // test certifies the clean-run composition.
     val s = spark
     import s.implicits._
     import graft.operators.{Ivf, Postings}
@@ -807,14 +807,14 @@ class StreamsSpec extends SparkSpec {
 
     def ingest(): Unit = Streams.runForeachBatch(
       Streams.fileArrival(spark, in, "doc_id BIGINT, text STRING"), ckpt) {
-      (batch, _) =>
-        Postings.appendIndex(Postings.build(batch, "doc_id", "text"),
-          pIdx, nBuckets = 16)
+      (batch, bid) =>
+        Postings.appendIndexBatch(Postings.build(batch, "doc_id", "text"),
+          pIdx, bid, nBuckets = 16)
         // embeddings keyed off the arriving doc ids — the media/vector
         // half of the same arrival
         val ids = batch.select(col("doc_id")).collect().map(_.getLong(0))
-        Ivf.appendIndex(emb.filter(col("vec_id").isin(ids.map(Long.box): _*)),
-          vIdx, centroids)
+        Ivf.appendIndexBatch(emb.filter(col("vec_id").isin(ids.map(Long.box): _*)),
+          vIdx, bid, centroids)
     }
 
     val batch1 = Seq(1L -> "the quick brown fox", 2L -> "lazy dog sleeps")
@@ -837,5 +837,76 @@ class StreamsSpec extends SparkSpec {
       .select(col("neighbor_id"), col("cluster")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(rows(vIdx) == rows(vAll) && rows(vIdx).size == 4)
+  }
+
+  test("batch-keyed appends are idempotent: replays and crash windows yield the clean layout") {
+    // foreachBatch is at-least-once — a crash between the sink write
+    // and the checkpoint commit re-delivers the batch. The
+    // appendIndexBatch transaction (stage → prefix-publish → ledger,
+    // Layout.idempotentAppend) must make every re-delivery a no-op and
+    // every mid-append crash redo-safe. Each crash window the protocol
+    // claims to close is reconstructed on disk here and replayed.
+    val s = spark
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.operators.{Layout, Pq, Postings}
+    val pIdx = Files.createTempDirectory("graft_idem_post_").toString + "/idx"
+    val fs = new Path(pIdx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def post(rows: Seq[(Long, String)]) =
+      Postings.build(rows.toDF("doc_id", "text"), "doc_id", "text")
+    val b0 = Seq(1L -> "to be or not to be", 2L -> "be not afraid")
+    val b1 = Seq(3L -> "not to be trusted")
+    assert(Postings.appendIndexBatch(post(b0), pIdx, 0L, nBuckets = 8))
+    assert(Postings.appendIndexBatch(post(b1), pIdx, 1L, nBuckets = 8))
+    def snap() = spark.read.parquet(pIdx)
+      .select(col("term"), col("doc_id"), col("pos"), col("tb"))
+      .collect().map(_.toString).sorted.toSeq
+    val clean = snap()
+
+    // window 1: crash AFTER the whole append, BEFORE the checkpoint
+    // commit — the stream replays batch 1 verbatim → ledger hit, no-op
+    assert(!Postings.appendIndexBatch(post(b1), pIdx, 1L, nBuckets = 8))
+    assert(snap() == clean, "replayed batch must be a no-op")
+
+    // window 2: crash between publish and ledger — on disk: batch 1's
+    // files published, staging still present, NO ledger entry. The
+    // replay must sweep the published b1- files and redo, not stack a
+    // second copy.
+    assert(fs.delete(new Path(pIdx, "_graft_batches/1"), false))
+    fs.mkdirs(new Path(pIdx, "_graft_staging/1"))
+    assert(Postings.appendIndexBatch(post(b1), pIdx, 1L, nBuckets = 8))
+    assert(snap() == clean, "redone publish must equal the clean layout")
+
+    // window 3: crash during the staging write — staging holds partial
+    // garbage, nothing published. The replay drops staging and redoes.
+    val stg2 = new Path(pIdx, "_graft_staging/2")
+    fs.mkdirs(new Path(stg2, "tb=0"))
+    fs.create(new Path(stg2, "tb=0/part-garbage.parquet"), true).close()
+    val b2 = Seq(4L -> "to be")
+    assert(Postings.appendIndexBatch(post(b2), pIdx, 2L, nBuckets = 8))
+    assert(!fs.exists(stg2), "staging must be cleared after commit")
+
+    // the final streamed layout == the whole-corpus rebuild, through
+    // the pruned probe surface
+    val pAll = Files.createTempDirectory("graft_idem_all_").toString + "/idx"
+    Postings.writeIndex(post(b0 ++ b1 ++ b2), pAll, nBuckets = 8)
+    def probe(dir: String) = Postings
+      .phraseOccurrencesFromIndex(spark, dir, Seq("to", "be"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probe(pIdx) == probe(pAll) && probe(pIdx).nonEmpty)
+    assert(Layout.batchApplied(spark, pIdx, 2L) &&
+      !Layout.batchApplied(spark, pIdx, 3L))
+
+    // the FLAT codes layout publishes at the layout root (no partition
+    // dirs) — pin the same replay no-op on that rename shape
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 64)
+    val cbs = Pq.trainCodebooks(e, dim = 64, m = 8, k = 16, iters = 2)
+    val cIdx = Files.createTempDirectory("graft_idem_pq_").toString + "/idx"
+    assert(Pq.appendIndexBatch(e, cIdx, 0L, cbs))
+    val once = spark.read.parquet(cIdx).count()
+    assert(!Pq.appendIndexBatch(e, cIdx, 0L, cbs))
+    assert(spark.read.parquet(cIdx).count() == once,
+      "flat-layout replay must not duplicate codes")
   }
 }
