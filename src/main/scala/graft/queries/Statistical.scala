@@ -35,6 +35,50 @@ object Statistical {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Exact-at-every-sf decimal→double cast for a scale-4 moment sum
+    * (q45): quantize the sum's SCALED integer (x·10^4 — exact, it is
+    * the decimal's own representation) to 15 significant digits —
+    * mantissa < 10^15 < 2^53 — with arithmetic BOTH engines perform
+    * exactly, then rebuild the double from that mantissa. Steps
+    * (x ≥ 0, as every moment sum here is):
+    *
+    *   1. I = (x·10^4) cast to an integer decimal — exact, the
+    *      fraction is zero by construction;
+    *   2. d = digit count of I, via a string length — exact;
+    *   3. j = max(0, d − 15), the digits to drop (j = 0 at small sf:
+    *      nothing is lost until I itself approaches 2^53);
+    *   4. K = floor(I / 10^j), spelled I − (I % 10^j) then an exact
+    *      decimal division whose quotient is integral (so the
+    *      engine's result-scale rounding never fires) — the oracle
+    *      spells the same K as a HUGEINT floor-division, an identity
+    *      for non-negative I;
+    *   5. K casts to double exactly (K < 2^53); K·10^j is ONE IEEE
+    *      multiply of exact operands (10^j is representable for
+    *      j ≤ 22 — sums to 10^33, far past any sf) and the final
+    *      /10^4.0 is ONE IEEE divide — both correctly rounded, hence
+    *      bit-identical across engines.
+    *
+    * Relative quantization error ≤ 10^-14 — far below the output
+    * round() slack — and in exchange the cast stops depending on any
+    * engine's >2^53 decimal→double rounding path. Oracle twin:
+    * [[quantCastSql]]. */
+  private def quantCast(c: Column): Column = {
+    val i = (c * lit(10000)).cast(DecimalType(38, 0))
+    val d = length(i.cast("string"))
+    val j = greatest(lit(0), d - lit(15))
+    val p = pow(lit(10.0), j).cast(DecimalType(38, 0))
+    val k = ((i - i % p) / p).cast(DecimalType(38, 0))
+    k.cast("double") * pow(lit(10.0), j) / lit(10000.0)
+  }
+
+  /** DuckDB spelling of [[quantCast]] over pre-computed helper columns
+    * `i_<name>` = CAST(x * 10000 AS HUGEINT) and `j_<name>` =
+    * greatest(0, length(i) - 15): HUGEINT floor-division by 10^j, the
+    * exact cast, and the same multiply-then-divide tail. */
+  private def quantCastSql(name: String): String =
+    s"CAST(i_$name // CAST(power(10, j_$name) AS HUGEINT) AS DOUBLE) " +
+      s"* power(10, j_$name) / 10000.0"
+
   private def sql(q: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     (spark, dir) => { Tables.registerAll(spark, dir); spark.sql(q) }
 
@@ -51,20 +95,16 @@ object Statistical {
     // difference flips a rounding boundary — found REAL at sf0.001,
     // where covar_qp landed on ....245 and the two engines rounded
     // 2dp apart. The exact-sums spelling trades the numerically-
-    // stabler streaming M2 for bit-reproducibility. Cross-sf caveat on
-    // the decimal→double casts: n, sq and sp stay exactly
-    // representable far past sf1, but sq2/sp2/sqp do NOT — sp2's
-    // scale-4 scaled integer is already ~2e18 at sf0.1, so its cast
-    // ROUNDS, and the two engines' cast paths differ (Spark's
-    // BigDecimal→double is correctly rounded; DuckDB scales a
-    // hugeint→double quotient — a 1-ulp hazard). Equality therefore
-    // rests on the casts' roundings coinciding plus the output-side
-    // round() slack absorbing any residual ulp — verified empirically
-    // by the cross-sf sweep (green at sf0.001/0.01/0.1), not proven
-    // for arbitrary sf. If a larger sf ever flips a boundary here, the
-    // fix is to quantize the exact sums to a fixed significant-digit
-    // budget (mantissa < 2^53) in BOTH engines before the cast, making
-    // the casts exact again. Exact percentiles collect
+    // stabler streaming M2 for bit-reproducibility. The decimal→double
+    // casts themselves are made EXACT at every sf by [[quantCast]]:
+    // n, sq and sp stay below 2^53 in scaled-integer form far past
+    // sf1000 so their casts are exact as-is, while sq2/sp2/sqp (whose
+    // scaled integers pass 2^53 around sf0.1) are first quantized to a
+    // 15-significant-digit budget through mirrored exact integer
+    // arithmetic — after which both engines cast the identical
+    // sub-2^53 mantissa and every downstream double op is bitwise
+    // deterministic. No empirical cast-coincidence remains in this
+    // query. Exact percentiles collect
     // per-group value sketches (ObjectHashAggregate) and interpolate
     // deterministically from sorted decimals, so they stay native; at
     // 100 TB prefer approx_percentile unless exactness is required.
@@ -97,32 +137,65 @@ object Statistical {
             element_at(sort_array(collect_list(col("l_extendedprice"))),
               ((size(collect_list(col("l_extendedprice"))) + 1) / 2)
                 .cast("int")).as("med"))
-        def d(c: Column): Column = c.cast("double")
-        val mq = d(col("sq2")) - d(col("sq")) * d(col("sq")) / d(col("n"))
-        val mp = d(col("sp2")) - d(col("sp")) * d(col("sp")) / d(col("n"))
-        val mqp = d(col("sqp")) - d(col("sq")) * d(col("sp")) / d(col("n"))
-        sums.select(col("l_returnflag"),
-          round(sqrt(mq / (d(col("n")) - 1)), 4).as("sd_qty"),
-          round(mq / (d(col("n")) - 1), 4).as("var_qty"),
-          round(sqrt(mq / d(col("n"))), 4).as("sdp_qty"),
+        // the three >2^53-hazard sums go through the exact quantized
+        // cast; n/sq/sp cast exactly as-is (sub-2^53 scaled integers)
+        val casted = sums.select(col("l_returnflag"),
+          col("n").cast("double").as("nd"),
+          col("sq").cast("double").as("sqd"),
+          col("sp").cast("double").as("spd"),
+          quantCast(col("sq2")).as("sq2d"),
+          quantCast(col("sp2")).as("sp2d"),
+          quantCast(col("sqp")).as("sqpd"),
+          col("p25"), col("p75"), col("med"))
+        val mq = col("sq2d") - col("sqd") * col("sqd") / col("nd")
+        val mp = col("sp2d") - col("spd") * col("spd") / col("nd")
+        val mqp = col("sqpd") - col("sqd") * col("spd") / col("nd")
+        casted.select(col("l_returnflag"),
+          round(sqrt(mq / (col("nd") - 1)), 4).as("sd_qty"),
+          round(mq / (col("nd") - 1), 4).as("var_qty"),
+          round(sqrt(mq / col("nd")), 4).as("sdp_qty"),
           round(mqp / sqrt(mq * mp), 6).as("corr_qp"),
-          round(mqp / (d(col("n")) - 1), 2).as("covar_qp"),
+          round(mqp / (col("nd") - 1), 2).as("covar_qp"),
           round(col("p25"), 4).as("p25_qty"),
           round(col("p75"), 4).as("p75_qty"),
           col("med").cast("double").as("med_price"))
       },
-      Some("""
-        WITH s AS (
+      Some(s"""
+        WITH s0 AS (
           SELECT l_returnflag,
-                 CAST(count(*) AS DOUBLE) AS n,
-                 CAST(sum(l_quantity) AS DOUBLE) AS sq,
-                 CAST(sum(l_quantity * l_quantity) AS DOUBLE) AS sq2,
-                 CAST(sum(l_extendedprice) AS DOUBLE) AS sp,
-                 CAST(sum(l_extendedprice * l_extendedprice) AS DOUBLE) AS sp2,
-                 CAST(sum(l_quantity * l_extendedprice) AS DOUBLE) AS sqp,
+                 count(*) AS n0,
+                 sum(l_quantity) AS sq0,
+                 sum(l_quantity * l_quantity) AS sq20,
+                 sum(l_extendedprice) AS sp0,
+                 sum(l_extendedprice * l_extendedprice) AS sp20,
+                 sum(l_quantity * l_extendedprice) AS sqp0,
                  quantile_cont(l_quantity, 0.25) AS p25,
                  quantile_cont(l_quantity, 0.75) AS p75
           FROM lineitem GROUP BY l_returnflag),
+        -- quantCast twin: exact integer part + digits-to-drop per
+        -- >2^53-hazard sum (see quantCast's scaladoc)
+        s1 AS (
+          SELECT *,
+                 CAST(sq20 * 10000 AS HUGEINT) AS i_sq2,
+                 CAST(sp20 * 10000 AS HUGEINT) AS i_sp2,
+                 CAST(sqp0 * 10000 AS HUGEINT) AS i_sqp
+          FROM s0),
+        s2 AS (
+          SELECT *,
+                 greatest(0, length(CAST(i_sq2 AS VARCHAR)) - 15) AS j_sq2,
+                 greatest(0, length(CAST(i_sp2 AS VARCHAR)) - 15) AS j_sp2,
+                 greatest(0, length(CAST(i_sqp AS VARCHAR)) - 15) AS j_sqp
+          FROM s1),
+        s AS (
+          SELECT l_returnflag,
+                 CAST(n0 AS DOUBLE) AS n,
+                 CAST(sq0 AS DOUBLE) AS sq,
+                 ${quantCastSql("sq2")} AS sq2,
+                 CAST(sp0 AS DOUBLE) AS sp,
+                 ${quantCastSql("sp2")} AS sp2,
+                 ${quantCastSql("sqp")} AS sqp,
+                 p25, p75
+          FROM s2),
         md AS (
           SELECT l_returnflag, min(v) AS med FROM (
             SELECT l_returnflag, l_extendedprice AS v,
