@@ -267,6 +267,25 @@ object Contracts {
         if (nEmb >= 2000) 0.45 else 0.30, ">=")
     }
 
+    grade("q174_ann_serve") {
+      // serve == build parity: the REGISTERED q174 surface (session
+      // cache, source fingerprint, persisted layout, probe) must
+      // return exactly the rows a q171-config probe over this run's
+      // freshly built index returns — training is deterministic, so
+      // the quantizers coincide and any daylight means a stale cache,
+      // a fingerprint failure, or layout corruption, never
+      // "approximation". Exercises the cache twice per bench run (the
+      // bench reps warmed it; this re-reads it).
+      val served = triples(
+        SparkEntry.queries("q174_ann_serve")(spark, sfDir))
+      val built = triples(IvfPq.probeIndex(spark,
+        queries.scratchPath("contracts_ivfpq_idx"), emb, ivfCentroids,
+        pqCbs, q10, k = 10, nprobe = 4, nCand = 100))
+      Contract("q174_ann_serve",
+        "session-cached serve == fresh build probe, (q,n,rank) set jaccard",
+        setJaccard(served, built), 1.0, ">=")
+    }
+
     // residual codebooks for the q173 IVFADC grades (trained once,
     // shared by both — the registered query's exact training config)
     lazy val resCbs = IvfPq.trainResidualCodebooks(emb, ivfCentroids,

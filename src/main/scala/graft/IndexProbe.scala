@@ -110,6 +110,35 @@ object IndexProbe {
         resCbs, queries, k = 10, nprobe = 4, nCand = nc))
       println(f"INDEXPROBE recall@10 nprobe=4/16 nCand=$nc%d: raw=$rRaw%.3f residual=$rRes%.3f (residual layout ${mb(bR)})")
     }
+
+    // SERVE-ONLY wall time per layout: the indexes above already exist
+    // on disk — time the 10-query probe alone (warmup + 3 reps,
+    // median; the Bench methodology), no training and no write in the
+    // timed path. These are the numbers a capacity plan uses; q174
+    // registers the IVFPQ row in BENCH_DETAIL, this prints the whole
+    // family side by side.
+    def timeProbe(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val reps = (0 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val timed = reps.drop(1).sorted
+      println(f"INDEXPROBE serve-only $label%-10s median=${timed(1)}%.3f s (reps ${timed.mkString(", ")})")
+    }
+    timeProbe("ivf_float") {
+      Ivf.probeIndex(spark, pF, centroids, queries, k = 10, nprobe = 4) }
+    timeProbe("ivf_sq8") {
+      Ivf.probeIndexQuantized(spark, pQ, centroids, queries, k = 10, nprobe = 4) }
+    timeProbe("pq_codes") {
+      Pq.adcPrefilterTopKFromIndex(spark, pC, emb, queries, k = 10,
+        nCand = 100, codebooks) }
+    timeProbe("ivfpq") {
+      IvfPq.probeIndex(spark, pP, emb, centroids, codebooks, queries,
+        k = 10, nprobe = 4, nCand = 100) }
+    timeProbe("ivfadc") {
+      IvfPq.probeIndexResidual(spark, pR, emb, centroids, resCbs, queries,
+        k = 10, nprobe = 4, nCand = 20) }
     spark.stop()
   }
 }

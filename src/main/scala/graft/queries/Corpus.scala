@@ -117,6 +117,34 @@ object Corpus {
         ORDER BY score DESC, bigram LIMIT 40"""
   }
 
+  /** The q174 serving index: q171's exact IVFPQ config, built ONCE per
+    * (JVM, dir, source-state) and cached — (index path, centroids,
+    * codebooks). The cache key folds [[Tables.fingerprint]] of the
+    * embeddings parquet (paths+lengths+mtimes), so a regenerated dir
+    * rebuilds instead of serving the stale index; the path carries the
+    * fingerprint too, so the rebuild never clobbers a probe against
+    * the old layout mid-flight. Keyed by dir+state, not session
+    * identity: all sessions in a JVM share the per-PID scratch, and a
+    * newSession() clone must reuse, not rebuild (the
+    * [[Rank.stagedTradeEdges]] discipline). */
+  private val servedIvfPqBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[Seq[Double]], Seq[Seq[Seq[Double]]])]()
+
+  private def servedIvfPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val fp = java.lang.Long.toHexString(
+      Tables.fingerprint(spark, dir, Seq("embeddings")))
+    servedIvfPqBuilt.computeIfAbsent(s"$dir|$fp", _ => {
+      val e = Tables.load(spark, dir, "embeddings")
+      val cents = Ivf.trainCentroids(e, 16, iters = 3, trainFraction = 0.25)
+      val cbs = graft.operators.Pq.trainCodebooks(e, dim = 64, m = 8,
+        k = 16, iters = 2, trainFraction = 0.5)
+      val path = scratchPath(s"ivfpq_serve_$fp")
+      graft.operators.IvfPq.writeIndex(e, path, cents, cbs)
+      (path, cents, cbs)
+    })
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Text analysis: lang-ID heuristic + quality + token counts -----
@@ -857,6 +885,34 @@ object Corpus {
         graft.operators.IvfPq.writeIndexResidual(e, path, cents, cbs)
         graft.operators.IvfPq.probeIndexResidual(spark, path, e, cents, cbs,
             e.filter(col("vec_id") < 10), k = 10, nprobe = 4, nCand = 20)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None),
+
+    // ----- ANN serving: probe-only against the session-cached index -----
+    // q170–q173 bench the full lifecycle (train + write + probe) per
+    // rep, which is the BUILD cost; the number a 100 TB user actually
+    // plans capacity around is the SERVE cost — one probe against an
+    // index that already exists. This row registers it: the IVFPQ
+    // index (q171's exact config) is built ONCE per (JVM, dir,
+    // source-fingerprint) by [[servedIvfPq]] and every execution —
+    // every bench rep after the warmup — runs ONLY the probe: the
+    // partition-pruned codes scan, the broadcast ADC shortlist, and
+    // the nCand-bounded float rescore. BENCH_DETAIL's q174 wall time
+    // IS the registered serve-only latency (PLANS.md records the
+    // per-layout IndexProbe timings beside it). The source
+    // fingerprint in the cache key ([[Tables.fingerprint]]) forces a
+    // rebuild if the embeddings parquet is regenerated mid-JVM —
+    // serving a stale index would silently rank the old corpus.
+    // Rows-only like its ANN siblings; CONTRACTS.json grades
+    // serve == build-run parity at 1.0.
+    QueryDef(
+      "q174_ann_serve",
+      (spark, dir) => {
+        val (path, cents, cbs) = servedIvfPq(spark, dir)
+        val e = Tables.load(spark, dir, "embeddings")
+        graft.operators.IvfPq.probeIndex(spark, path, e, cents, cbs,
+            e.filter(col("vec_id") < 10), k = 10, nprobe = 4, nCand = 100)
           .withColumn("cos", round(col("cos"), 6))
       },
       None),

@@ -130,16 +130,25 @@ object Rank {
 
   private def stagedTradeEdges(spark: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
-    val table = "pr_edges_staged_" + dirTag(dir)
-    // cache key = the RAW dir alone: every session in this JVM shares
-    // the in-memory catalog and the per-PID warehouse (scratchPath),
-    // so one build per (JVM, dir) is both sufficient and necessary —
-    // keying by session identity would make a newSession() clone
-    // drop-and-rewrite a table the parent's cache already points at.
-    // No cross-JVM cleanup is needed (and none would work): the
-    // warehouse dir is per-PID under /tmp, so a dead JVM's staged
-    // tables are unreachable from any later catalog and go with /tmp.
-    stagedEdgeBuilt.computeIfAbsent(dir, _ => {
+    // the cache key and table name fold in a fingerprint of the edge
+    // SOURCE files (paths+lengths+mtimes of orders/lineitem parquet):
+    // a dir whose parquet is regenerated mid-JVM gets a fresh staged
+    // table instead of silently ranking the stale graph. Stale
+    // prior-fingerprint tables are unreachable garbage in the per-PID
+    // /tmp warehouse — bounded by regenerations per JVM, gone with it.
+    val fp = java.lang.Long.toHexString(
+      Tables.fingerprint(spark, dir, Seq("orders", "lineitem")))
+    val table = "pr_edges_staged_" + dirTag(dir) + "_" + fp
+    // cache key = (raw dir, fingerprint): every session in this JVM
+    // shares the in-memory catalog and the per-PID warehouse
+    // (scratchPath), so one build per (JVM, dir, source-state) is both
+    // sufficient and necessary — keying by session identity would make
+    // a newSession() clone drop-and-rewrite a table the parent's cache
+    // already points at. No cross-JVM cleanup is needed (and none
+    // would work): the warehouse dir is per-PID under /tmp, so a dead
+    // JVM's staged tables are unreachable from any later catalog and
+    // go with /tmp.
+    stagedEdgeBuilt.computeIfAbsent(s"$dir|$fp", _ => {
       graft.sources.Sinks.writeBucketed(
         PageRank.stageEdges(tradeEdges(spark, dir)), table,
         buckets = 32, keys = Seq("src"))

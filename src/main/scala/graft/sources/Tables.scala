@@ -54,4 +54,37 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Order-insensitive-input, order-sensitive-fold FNV-1a fingerprint
+    * of the on-disk identity of `tables` under `dir`: every data
+    * file's path, length, and modification time fold in (tables
+    * sorted, files sorted, so the value is stable across listings).
+    * The key ingredient of build-once-per-source caches
+    * ([[graft.queries.Rank]]'s staged edges, the serve-only ANN
+    * indexes): a cache keyed by dir alone silently serves STALE
+    * derived state when the parquet underneath is regenerated while
+    * the JVM lives — folding the file identities into the key forces
+    * a rebuild instead. Cost: one FS listing per table, no data
+    * reads. */
+  def fingerprint(spark: SparkSession, dir: String,
+      tables: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val longs = tables.sorted.iterator.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val it = fs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.hadoop.fs.LocatedFileStatus]
+          while (it.hasNext) buf += it.next()
+          buf.sortBy(_.getPath.toString).toSeq
+        }
+      files.iterator.flatMap(f =>
+        f.getPath.toString.iterator.map(_.toLong) ++
+          Iterator(f.getLen, f.getModificationTime))
+    }
+    graft.operators.Layout.fnv1a64(longs)
+  }
 }

@@ -139,4 +139,29 @@ class IvfPqSpec extends SparkSpec {
       IvfPq.probeIndex(spark, dirInc, emb, centroids, codebooks, queries, k = 5))
     assert(e4.getMessage.contains("no _graft_ivfpq marker"))
   }
+
+  test("q174 serves from the session-cached index: build once, probe many") {
+    // first touch builds (train + write); every later execution must
+    // probe the SAME on-disk layout untouched — that is the serve-only
+    // bench claim. Pin it physically: snapshot the index files between
+    // two executions and require identical (path, length, mtime).
+    val run1 = SparkEntry.queries("q174_ann_serve")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val fp = java.lang.Long.toHexString(
+      Tables.fingerprint(spark, sfDir, Seq("embeddings")))
+    val idxDir = new java.io.File(queries.scratchPath(s"ivfpq_serve_$fp"))
+    assert(idxDir.isDirectory, s"serving index not materialized at $idxDir")
+    def snapshot() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(idxDir).map(f => (f.getPath, f.length, f.lastModified)).sorted
+    }
+    val before = snapshot()
+    val run2 = SparkEntry.queries("q174_ann_serve")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(snapshot() == before,
+      "second execution must not rewrite the serving index")
+    assert(run2 == run1 && run1.nonEmpty,
+      "served rows must be stable across executions")
+  }
 }
