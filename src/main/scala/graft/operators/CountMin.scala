@@ -161,29 +161,33 @@ object CountMin {
     // corpus (exact = 0): a zero-count key is exactly where a
     // catastrophically undersized sketch would otherwise go unchecked.
     // The CMS guarantee is PER-KEY probabilistic — P(est > exact + ε·N)
-    // ≤ e^(−depth) over the hash draw — and the seeds here are fixed,
-    // so a legitimate corpus can deterministically put a few keys of a
-    // large probe set past the ε·N bracket (depth=4 ⇒ up to ~1.8% per
-    // key). A hash CATASTROPHE is many keys breaching at once; a
-    // handful is the contract working as specified. Tolerate breaches
-    // up to 3σ above the per-key bound's expectation — ⌊n·p +
-    // 3·√(n·p·(1−p))⌋ with p = e^(−depth) — which keeps SMALL probe
-    // sets strict (n = 1 ⇒ zero tolerance: a single-key certificate
-    // still throws on its breach, at a documented flake probability
-    // ≤ p) while a 30-key depth-4 probe tolerates up to
-    // ⌊2.77⌋ = 2 breaches before throwing at the third; a genuine
-    // catastrophe breaches most keys, far past any 3σ band.
-    // CAVEAT (why this is a heuristic certificate, not a proof): the
-    // binomial band models per-key breaches as INDEPENDENT draws, but
-    // every probe key shares the same `depth` hash rows, so breaches
-    // are positively correlated — one overloaded row can push many
-    // keys past the bracket at once, and the true tail probability of
-    // exceeding `allowed` on a legitimate corpus/seed combination is
-    // larger than the independent-Bernoulli 3σ figure suggests. The
-    // certificate stays useful (a catastrophe still breaches far past
-    // any band; fixed seeds make a given corpus deterministic), but a
-    // throw on an unusual corpus should be read against this
-    // correlation before being treated as sketch corruption.
+    // ≤ e^(−depth) =: p over the hash draw — and the seeds here are
+    // fixed, so a legitimate corpus can deterministically put a few
+    // keys of a large probe set past the ε·N bracket (depth=4 ⇒ up to
+    // ~1.8% per key). A hash CATASTROPHE is many keys breaching at
+    // once; a handful is the contract working as specified.
+    //
+    // Tolerance derivation (sound under ARBITRARY correlation — the
+    // point: every probe key shares the same `depth` hash rows, so
+    // breaches are positively correlated and any independence-based
+    // band understates the legitimate throw rate). Let B = Σ_k 1[key
+    // k breaches]. Linearity of expectation needs no independence:
+    // E[B] = Σ_k P(breach_k) ≤ n·p — the per-row union bound summed
+    // over the probe set. Markov's inequality, also
+    // correlation-free: P(B ≥ t) ≤ E[B]/t ≤ n·p/t. Throwing at
+    // B > allowed, i.e. B ≥ allowed+1, therefore has false-throw
+    // probability ≤ n·p/(allowed+1); choosing
+    // allowed = ⌈n·p/δ⌉ − 1 makes the certificate's stated throw
+    // probability δ ACTUAL, not modeled. δ = 1/20 here. Small probe
+    // sets stay strict — n = 1, depth = 4 gives allowed = 0, a
+    // single-key certificate still throws on its breach (at
+    // probability ≤ p ≈ 1.8% < δ) — while a 30-key depth-4 probe
+    // tolerates ⌈0.55/0.05⌉−1 = 10 of 30: looser than the old
+    // independence-assuming 3σ band (2 of 30), which is the honest
+    // price of a bound that survives one overloaded row pushing many
+    // keys past the bracket at once. A genuine catastrophe (an
+    // undersized or corrupt sketch) breaches essentially every key,
+    // far past any fraction this band admits.
     // (Underestimates est < exact remain structurally impossible and
     // always throw.)
     val keys = probeKeys.collect().map(_.getAs[String](itemCol)).filter(_ != null)
@@ -198,12 +202,13 @@ object CountMin {
       if (est > n + bound) Some(s"'$key': est=$est exact=$n") else None
     }
     val p = math.exp(-depth.toDouble)
-    val np = keys.length * p
-    val allowed = math.floor(np + 3.0 * math.sqrt(np * (1.0 - p))).toLong
+    val delta = 0.05 // the certificate's stated false-throw probability
+    val allowed = math.max(0L, math.ceil(keys.length * p / delta).toLong - 1)
     if (breaches.length > allowed)
       throw new IllegalStateException(
         s"count-min estimates out of bracket for ${breaches.length} of " +
-          s"${keys.length} probe keys (tolerance $allowed at depth=$depth): " +
+          s"${keys.length} probe keys (Markov tolerance $allowed at " +
+          s"depth=$depth, stated false-throw <= $delta): " +
           s"${breaches.take(5).mkString("; ")} " +
           s"bound=+${bound.round} (width=$width N=${sk.n})")
     rows.orderBy(col("n").desc, col(itemCol))

@@ -195,6 +195,14 @@ object Multimodal {
     * keep the deterministic stub resample so pipelines stay total. */
   def resize(ds: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
     require(width > 0 && height > 0)
+    // the OUTPUT grid gets the same pixel bound the decode side
+    // enforces: a caller-supplied 50000×50000 target would allocate a
+    // multi-GB BufferedImage in scaleTo, reintroducing exactly the
+    // executor OOM the decode-bomb guard exists to prevent
+    require(width.toLong * height <= MaxImagePixels,
+      s"resize target ${width}x$height exceeds MaxImagePixels=" +
+        s"$MaxImagePixels — the decode-side bomb guard applies to the " +
+        "output grid too")
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
@@ -262,33 +270,107 @@ object Multimodal {
     * the text dedup family uses, on perceptual hashes: split each
     * 64-bit dHash into 4 fixed 16-bit bands and equi-join on
     * (band, value), so candidates share at least one exact band and
-    * the plan is a hash join on fixed-width keys — NEVER all-pairs.
-    * Pigeonhole makes recall EXACT for `maxHamming` ≤ 3: ≤ 3
-    * differing bits cannot touch all 4 bands, so every true pair
-    * shares a band (MultimodalSpec pins banded == brute-force pairs).
-    * Each candidate is verified with the exact Hamming distance
-    * (`bit_count(a XOR b)`).
+    * the plan is a hash join on fixed-width keys — NEVER all-pairs
+    * across the corpus. Pigeonhole makes recall EXACT for
+    * `maxHamming` ≤ 3: ≤ 3 differing bits cannot touch all 4 bands,
+    * so every true pair shares a band (MultimodalSpec pins banded ==
+    * brute-force pairs). Each candidate is verified with the exact
+    * Hamming distance (`bit_count(a XOR b)`).
+    *
+    * WITHIN a band-value group the candidate set is quadratic by
+    * construction (every member pair is a candidate) — fine when
+    * groups are small, but a low-entropy lake (thousands of uniform /
+    * near-black images sharing band values) concentrates one group's
+    * n² candidate work on a single reducer. `hotBandDf`/`bandSalt`
+    * bound that: groups past the `hotBandDf` frequency threshold run
+    * through a chunk-pair (triangle) decomposition — each member gets
+    * a deterministic chunk in [0, bandSalt) by id hash, each side
+    * replicates across the other's chunk axis, and the join key grows
+    * to (band, bval, cx, cy) — so a hot group's work spreads over
+    * bandSalt² cells of ≤ ⌈n/bandSalt⌉² candidates each, with every
+    * member pair meeting in EXACTLY one cell (no recall change, no
+    * duplicate candidates; the self-join counterpart of
+    * [[Skew.saltedJoin]]'s one-sided salt). Output pairs are
+    * identical with the knob on or off — MultimodalSpec plants a hot
+    * band and pins both the parity and the per-cell bound. The
+    * default leaves the fast single-join plan untouched (no frequency
+    * pass): engage the knob when the lake's band histogram says so.
     *
     * @return (a, b, hamming), a < b, hamming ≤ maxHamming
     */
-  def nearDupImages(ds: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame = {
+  def nearDupImages(ds: Dataset[MediaRecord], maxHamming: Int = 3,
+      hotBandDf: Long = Long.MaxValue, bandSalt: Int = 8): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: 4 fixed 16-bit bands guarantee full " +
         "recall only to Hamming 3 — raise the band count for looser radii")
-    val h = imageHashes(ds)
-    val bands = h.select(col("media_id"), col("dhash"),
+    require(hotBandDf >= 1, s"hotBandDf must be >= 1, got $hotBandDf")
+    require(bandSalt >= 1, s"bandSalt must be >= 1, got $bandSalt")
+    val bands = bandExplode(imageHashes(ds))
+    val candidates =
+      if (hotBandDf == Long.MaxValue) pairCells(bands, bands)
+      else {
+        // one fixed-width aggregate on the (band, bval) key the join
+        // already shuffles on — co-partitioned, no extra exchange shape
+        val freq = bands.groupBy(col("band"), col("bval"))
+          .agg(count(lit(1)).as("bf"))
+        val withF = bands.join(freq, Seq("band", "bval"))
+        val cold = withF.filter(col("bf") <= hotBandDf).drop("bf")
+        val hot = withF.filter(col("bf") > hotBandDf).drop("bf")
+        val (hx, hy) = hotChunkSides(hot, bandSalt)
+        pairCells(cold, cold).unionByName(
+          hx.join(hy, Seq("band", "bval", "cx", "cy"))
+            .select(col("xid"), col("xh"), col("yid"), col("yh")))
+      }
+    candidates
+      .filter(col("xid") < col("yid"))
+      .select(col("xid").as("a"), col("yid").as("b"),
+        bit_count(col("xh").bitwiseXOR(col("yh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** (media_id, dhash) → one row per (band, bval) — 4 fixed 16-bit
+    * bands of the 64-bit dHash. */
+  private[graft] def bandExplode(h: DataFrame): DataFrame =
+    h.select(col("media_id"), col("dhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("dhash"), b * 16)
             .bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("bb"))
       .select(col("media_id"), col("dhash"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
-    bands.as("x").join(bands.as("y"), Seq("band", "bval"))
-      .filter(col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+
+  /** Candidate pairs within each (band, bval) group: the plain
+    * equi-join cell, columns renamed to the shared candidate schema. */
+  private def pairCells(x: DataFrame, y: DataFrame): DataFrame =
+    x.select(col("band"), col("bval"), col("media_id").as("xid"),
+        col("dhash").as("xh"))
+      .join(y.select(col("band"), col("bval"), col("media_id").as("yid"),
+        col("dhash").as("yh")), Seq("band", "bval"))
+      .select(col("xid"), col("xh"), col("yid"), col("yh"))
+
+  /** The two replicated sides of the chunk-pair decomposition for hot
+    * band groups: each member's chunk is a deterministic id hash in
+    * [0, salt); the x side keeps its chunk as `cx` and replicates
+    * across every `cy`, the y side keeps its chunk as `cy` and
+    * replicates across every `cx` — so members x, y meet in exactly
+    * the (chunk(x), chunk(y)) cell, and each (band, bval, cx, cy)
+    * join group holds ≤ ⌈|group|/salt⌉ rows per side
+    * (MultimodalSpec pins the bound). */
+  private[graft] def hotChunkSides(hot: DataFrame,
+      salt: Int): (DataFrame, DataFrame) = {
+    val chunked = hot.withColumn("chunk",
+      pmod(xxhash64(col("media_id")), lit(salt.toLong)))
+    val axis = sequence(lit(0), lit(salt - 1)).cast("array<bigint>")
+    val hx = chunked
+      .select(col("band"), col("bval"), col("media_id").as("xid"),
+        col("dhash").as("xh"), col("chunk").as("cx"))
+      .withColumn("cy", explode(axis))
+    val hy = chunked
+      .select(col("band"), col("bval"), col("media_id").as("yid"),
+        col("dhash").as("yh"), col("chunk").as("cy"))
+      .withColumn("cx", explode(axis))
+    (hx, hy)
   }
 
   /** Deterministic REAL images from the documents corpus: a 16×16

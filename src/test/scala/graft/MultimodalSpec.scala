@@ -217,4 +217,49 @@ class MultimodalSpec extends SparkSpec {
         assert(r.payload.sameElements(before(r.mediaId).payload))
     }
   }
+
+  test("resize refuses an output grid past the decode-bomb pixel bound") {
+    // the decode side caps w*h at MaxImagePixels (64M); a caller-sized
+    // 50000x50000 OUTPUT grid would allocate a multi-GB BufferedImage
+    // in scaleTo — the same OOM by the other door. Fail fast instead.
+    val e = intercept[IllegalArgumentException](
+      Multimodal.resize(media, 50000, 50000))
+    assert(e.getMessage.contains("MaxImagePixels"))
+    Multimodal.resize(media, 8192, 8192) // at the bound: allowed
+  }
+
+  test("hot-band chunk-pair salting: identical pairs, bounded cells") {
+    val s = spark
+    import s.implicits._
+    // a monochrome lake: 40 images whose dHash is ALL-ZERO bits (any
+    // constant image), so every (band, bval) group holds all 40 —
+    // the degenerate case where the plain banded join concentrates
+    // 40^2 candidate work on four reducers
+    def flat(v: Int): (Int, Int) => Int = (_, _) => v
+    val recs = ((1 to 40).map(i =>
+      Multimodal.MediaRecord(i.toLong, "image", gridImage(flat(128)))) ++
+      Seq(Multimodal.MediaRecord(99L, "image", gridImage((x, y) =>
+        (x * 37 + y * 101) % 256)))).toDS()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val plain = rows(Multimodal.nearDupImages(recs, maxHamming = 3))
+    val salted = rows(Multimodal.nearDupImages(recs, maxHamming = 3,
+      hotBandDf = 8, bandSalt = 4))
+    assert(salted == plain && plain.size == 40 * 39 / 2,
+      s"salted pairs must equal the plain join's (${plain.size} pairs)")
+    // the bounded-partition claim, pinned on the real replicated
+    // sides: a (band, bval, cx, cy) join cell holds exactly one hash
+    // CHUNK of its group per side — the hot group's 40 rows spread to
+    // cells no larger than its largest chunk (hash-balanced around
+    // 40/salt; 2x slack covers hash imbalance), where the unsalted
+    // join put all 40 in one cell
+    val bands = Multimodal.bandExplode(Multimodal.imageHashes(recs))
+    val (hx, hy) = Multimodal.hotChunkSides(bands, salt = 4)
+    for (side <- Seq(hx, hy)) {
+      val maxCell = side.groupBy(col("band"), col("bval"), col("cx"), col("cy"))
+        .count().agg(max(col("count"))).head().getLong(0)
+      assert(maxCell <= 2 * 40 / 4,
+        s"a chunk cell holds $maxCell rows — the salt is not spreading")
+    }
+  }
 }
