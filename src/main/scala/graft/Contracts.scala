@@ -56,6 +56,18 @@ object Contracts {
     lazy val emb = Tables.load(spark, sfDir, "embeddings")
     lazy val nEmb = emb.count()
     lazy val q10 = emb.filter(col("vec_id") < 10)
+    // The tight ANN recall floors below sit just under bands measured
+    // at ONE corpus (the bench sf: sf0.1, nEmb = 2000 — verified
+    // against the parquet). They apply only within a calibrated band
+    // around that size: recall at fixed nprobe/nCand legitimately
+    // FALLS as the corpus grows (the shortlist covers a shrinking
+    // fraction), so a larger corpus crossing a plain `>= 2000` gate
+    // would inherit an uncalibrated floor and fail HEALTHY code.
+    // Outside the band the legacy (2×-random-style) floors apply
+    // until someone re-measures and extends the band — the honest
+    // trade: loose grading at scales the driver never grades beats a
+    // false CONTRACT FAILED at them.
+    lazy val calibratedBand = nEmb >= 2000 && nEmb <= 4000
     // the exact ANN baseline every trained path grades against (q37)
     lazy val bruteTriples = triples(Similarity.bruteForceTopK(emb, q10, 10))
     lazy val brutePairs = bruteTriples.map(t => (t._1, t._2))
@@ -93,15 +105,14 @@ object Contracts {
       // deterministic seeds), not at the old 2×-random 0.3: a silent
       // change that halved recall must FAIL this row, not grade green
       // (r10 verdict item 2). The tight floor applies from the corpus
-      // size the band was measured at (nEmb >= 2000); the smaller
-      // sweep corpora (500 at sf0.01/0.001) keep the legacy floor —
-      // their band was never calibrated, and a false CONTRACT FAILED
-      // on healthy code is worse than a loose grade at a scale the
-      // driver never grades. Measured band + margins in PLANS.md.
+      // size band it was measured at (`calibratedBand` — see its note);
+      // the smaller sweep corpora (500 at sf0.01/0.001) and any larger
+      // uncalibrated corpus keep the legacy floor. Measured band +
+      // margins in PLANS.md.
       val ann = triples(Similarity.annTopK(emb, q10, 10)).map(t => (t._1, t._2))
       Contract("q38_ann_lsh", "recall@10 vs brute-force cosine top-k",
         brutePairs.count(ann.contains).toDouble / brutePairs.size,
-        if (nEmb >= 2000) 0.55 else 0.30, ">=")
+        if (calibratedBand) 0.55 else 0.30, ">=")
     }
 
     // ONE k-means run serves both q52 grades (the registered query's
@@ -134,7 +145,7 @@ object Contracts {
       Contract("q52_ann_ivf",
         "registered config (nprobe=4/16) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        if (nEmb >= 2000) 0.50 else 0.35, ">=")
+        if (calibratedBand) 0.50 else 0.35, ">=")
     }
 
     grade("q79_ann_ivf_disk") {
@@ -264,7 +275,7 @@ object Contracts {
       Contract("q171_ann_ivfpq",
         "registered config (nprobe=4/16, nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        if (nEmb >= 2000) 0.45 else 0.30, ">=")
+        if (calibratedBand) 0.45 else 0.30, ">=")
     }
 
     grade("q174_ann_serve") {
@@ -318,7 +329,7 @@ object Contracts {
       Contract("q173_ann_ivfadc",
         "registered config (nprobe=4/16, nCand=20) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        if (nEmb >= 2000) 0.15 else math.min(0.15, 2.0 * 20.0 / nEmb), ">=")
+        if (calibratedBand) 0.15 else math.min(0.15, 2.0 * 20.0 / nEmb), ">=")
     }
 
     grade("q172_image_neardup") {
