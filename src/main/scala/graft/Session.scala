@@ -145,6 +145,15 @@ object Session {
       // loudly, never return silent NULLs.
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Static conf: the generated-class cache defaults to 100 entries,
+      // which a 150+-query session churns through many times over —
+      // evicted classes get recompiled (~seconds for explode-heavy
+      // plans) whenever a query re-executes after the cache cycled,
+      // which is exactly the first-touch cost a bench warmup exists to
+      // absorb. 1000 entries keeps a full suite's plans resident for a
+      // few tens of MB of metaspace; on a production driver serving a
+      // fixed query set the same sizing argument applies.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       // Older events.parquet vintages carry TIMESTAMP(NANOS), which the
       // vectorized reader rejects; read those as long and convert in
       // Tables.load (newer micros vintages ignore this conf entirely).
