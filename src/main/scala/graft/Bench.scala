@@ -16,8 +16,30 @@ import org.apache.spark.sql.DataFrame
   */
 object Bench {
 
-  private def consume(df: DataFrame): Unit =
+  /** The ONE consume used by every timing surface in the repo (Bench,
+    * BenchProbe, IndexProbe): full materialization through the noop
+    * sink, so every operator actually executes. */
+  private[graft] def consume(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** The shared warmup + timed-reps harness: one warmup execution
+    * (codegen, broadcast, classload), then `reps` timed executions,
+    * CHRONOLOGICAL order preserved — the probes exist to expose
+    * first-touch ordering effects, which a pre-sorted result hides.
+    * Returns (warmupSeconds, timedSeconds). */
+  private[graft] def timeReps(mk: => DataFrame,
+      reps: Int = 3): (Double, Seq[Double]) = {
+    def one(): Double = {
+      val t0 = System.nanoTime()
+      consume(mk)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w = one()
+    (w, (1 to reps).map(_ => one()))
+  }
+
+  private[graft] def median(xs: Seq[Double]): Double =
+    xs.sorted.apply(xs.length / 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,13 +54,8 @@ object Bench {
 
     SparkEntry.all.filter(_.bench).foreach { q =>
       try {
-        consume(q.fn(spark, sfDir)) // warmup: codegen, broadcast, classload
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          consume(q.fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        timings(q.name) = runs(runs.length / 2) // median
+        val (_, runs) = timeReps(q.fn(spark, sfDir))
+        timings(q.name) = median(runs)
       } catch {
         // NonFatal only: after an OOM the JVM's medians are garbage —
         // better to die than publish them as trustworthy numbers

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
 
 /** Targeted bench probe: reruns Bench's exact methodology (noop-sink
   * consume, one warmup rep, three timed reps, median) for the named
@@ -17,9 +16,6 @@ import org.apache.spark.sql.DataFrame
   */
 object BenchProbe {
 
-  private def consume(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
-
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: BenchProbe <queryName> [more...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,16 +25,11 @@ object BenchProbe {
     args.foreach { name =>
       val q = byName.getOrElse(name,
         sys.error(s"unknown query '$name' (full key required, e.g. q141_phrase_search)"))
-      val reps = (0 to 3).map { i =>
-        val t0 = System.nanoTime()
-        consume(q.fn(spark, sfDir))
-        val s = (System.nanoTime() - t0) / 1e9
-        val tag = if (i == 0) "warmup" else s"rep$i"
-        println(f"[probe] $name $tag%-6s ${s}%.3f s")
-        s
-      }
-      val timed = reps.drop(1).sorted
-      println(f"[probe] $name median ${timed(timed.length / 2)}%.3f s (warmup ${reps.head}%.3f)")
+      val (warm, timed) = Bench.timeReps(q.fn(spark, sfDir))
+      println(f"[probe] $name warmup $warm%.3f s")
+      timed.zipWithIndex.foreach { case (s, i) =>
+        println(f"[probe] $name rep${i + 1}   $s%.3f s") }
+      println(f"[probe] $name median ${Bench.median(timed)}%.3f s (warmup $warm%.3f)")
     }
     spark.stop()
   }

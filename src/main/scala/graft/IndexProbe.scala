@@ -118,13 +118,9 @@ object IndexProbe {
     // registers the IVFPQ row in BENCH_DETAIL, this prints the whole
     // family side by side.
     def timeProbe(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
-      val reps = (0 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        mk.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val timed = reps.drop(1).sorted
-      println(f"INDEXPROBE serve-only $label%-10s median=${timed(1)}%.3f s (reps ${timed.mkString(", ")})")
+      val (_, timed) = Bench.timeReps(mk)
+      println(f"INDEXPROBE serve-only $label%-10s median=${Bench.median(timed)}%.3f s " +
+        s"(reps in order: ${timed.map(t => f"$t%.3f").mkString(", ")})")
     }
     timeProbe("ivf_float") {
       Ivf.probeIndex(spark, pF, centroids, queries, k = 10, nprobe = 4) }

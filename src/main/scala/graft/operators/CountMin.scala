@@ -203,7 +203,18 @@ object CountMin {
     }
     val p = math.exp(-depth.toDouble)
     val delta = 0.05 // the certificate's stated false-throw probability
-    val allowed = math.max(0L, math.ceil(keys.length * p / delta).toLong - 1)
+    // Clamped to n−1 so the certificate can never go VACUOUS: at
+    // depth ≤ 2, p > δ makes the Markov tolerance exceed the probe
+    // size (⌈n·p/δ⌉−1 ≥ n), and an uncapped band would let a sketch
+    // where EVERY key breaches pass silently. The clamp keeps the
+    // all-keys catastrophe arm always fatal; its own false-throw
+    // probability is P(B = n) ≤ min_k P(breach_k) ≤ p (all breaching
+    // implies any one breaching), so a clamped shallow-depth
+    // certificate throws falsely at ≤ e^(−depth) instead of the
+    // stated δ — weaker, stated, and infinitely better than a
+    // certificate structurally unable to fire.
+    val allowed = math.min(math.max(0L, keys.length - 1L),
+      math.max(0L, math.ceil(keys.length * p / delta).toLong - 1))
     if (breaches.length > allowed)
       throw new IllegalStateException(
         s"count-min estimates out of bracket for ${breaches.length} of " +

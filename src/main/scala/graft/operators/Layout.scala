@@ -90,10 +90,17 @@ private[graft] object Layout {
       case Some(stored) if stored == payload.trim => ()
       case Some(stored) =>
         require(!populated, mismatch(stored))
-        // dead marker over an empty path: clear it, then take the same
-        // exclusive-stamp path as a fresh bootstrap — a concurrent
-        // corrected retry with a different payload loses the create
-        // race or the verify, never silently coexists
+        // dead marker over an empty path: clear it, then exclusive-
+        // stamp. NOTE the narrower guarantee on THIS arm: delete-then-
+        // create is not atomic, so two concurrent CORRECTED RETRIES of
+        // a crashed bootstrap with different payloads can interleave
+        // (B's delete can remove A's fresh stamp after A's verify
+        // passed) — retrying a crashed bootstrap concurrently from two
+        // configs remains a single-writer-per-path situation, like
+        // every rewrite in this protocol. What the exclusive stamp
+        // does close here is the FRESH-bootstrap race below (no
+        // delete involved) and the stale-read interleave within one
+        // writer (the verify re-reads after create).
         val p = markerPath(path, file)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, false)
@@ -124,7 +131,13 @@ private[graft] object Layout {
       val out = fs.create(p, false)
       try out.write(payload.getBytes("UTF-8")) finally out.close()
     } catch {
-      case _: java.io.IOException => () // lost the create race — verify below
+      // only a create that LOST to a concurrent stamp falls through to
+      // the verify — if no marker exists after the failure, this was a
+      // genuine I/O failure (disk full, permissions) and reporting it
+      // as a lost race would send the operator chasing a phantom
+      // concurrent writer
+      case e: java.io.IOException =>
+        if (!fs.exists(p)) throw e
     }
     val stored = readMarker(spark, path, file)
     require(stored.contains(payload.trim),

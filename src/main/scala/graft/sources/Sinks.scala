@@ -49,24 +49,33 @@ object Sinks {
     ()
   }
 
-  /** Whether `path` holds any DATA files (`part-*`, recursively) — the
-    * index-append bootstrap guard's "is this layout populated?" probe.
-    * Marker sidecars (`_graft_*`) and `_SUCCESS` don't count: they are
-    * metadata about a layout, not rows a mismatched config could
-    * corrupt. Driver-side recursive listing, short-circuits on the
-    * first hit — called once per append, on layouts whose directory
-    * count is bounded by design (term buckets / cluster ids). */
+  /** Whether `path` holds any DATA files — the index-append bootstrap
+    * guard's "is this layout populated?" probe. Data = any
+    * non-hidden file outside hidden directories: exactly what a
+    * parquet reader of the layout would see. A name allowlist
+    * (`part-*`) is NOT enough — batch-transactional appends publish
+    * files under a `b<id>-part-*` prefix ([[graft.operators.Layout
+    * .idempotentAppend]]), and a probe that missed them would report
+    * a populated layout as empty, letting a mismatched config replace
+    * the marker over live rows. Hidden-prefixed entries (`_graft_*`
+    * markers/ledger/staging, `_SUCCESS`, `.crc`) don't count: they
+    * are metadata about a layout, not rows a mismatched config could
+    * corrupt — and the walk skips hidden DIRECTORIES entirely, so
+    * in-flight staged files (invisible to readers) don't count
+    * either. Driver-side listing, short-circuits on the first hit —
+    * called once per append, on layouts whose directory count is
+    * bounded by design (term buckets / cluster ids). */
   def hasDataFiles(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) false
-    else {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.startsWith("part-")
-      found
-    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    def walk(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(dir).exists { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) !hidden(name) && walk(st.getPath)
+        else !hidden(name)
+      }
+    fs.exists(root) && walk(root)
   }
 
   /** S4: partitioned parquet sink. Date-partitioned layouts
