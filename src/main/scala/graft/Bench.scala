@@ -26,16 +26,22 @@ object Bench {
     * (codegen, broadcast, classload), then `reps` timed executions,
     * CHRONOLOGICAL order preserved — the probes exist to expose
     * first-touch ordering effects, which a pre-sorted result hides.
-    * Returns (warmupSeconds, timedSeconds). */
-  private[graft] def timeReps(mk: => DataFrame,
-      reps: Int = 3): (Double, Seq[Double]) = {
-    def one(): Double = {
+    * `onRep(i, seconds)` fires as each rep COMPLETES (i = 0 is the
+    * warmup) so a probe chasing an excursion still has the reps
+    * already measured if a later one hangs or kills the JVM — probes
+    * print from it; Bench leaves it silent. Returns
+    * (warmupSeconds, timedSeconds). */
+  private[graft] def timeReps(mk: => DataFrame, reps: Int = 3,
+      onRep: (Int, Double) => Unit = (_, _) => ()): (Double, Seq[Double]) = {
+    def one(i: Int): Double = {
       val t0 = System.nanoTime()
       consume(mk)
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      onRep(i, s)
+      s
     }
-    val w = one()
-    (w, (1 to reps).map(_ => one()))
+    val w = one(0)
+    (w, (1 to reps).map(one))
   }
 
   private[graft] def median(xs: Seq[Double]): Double =

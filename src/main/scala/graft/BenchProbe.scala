@@ -25,10 +25,13 @@ object BenchProbe {
     args.foreach { name =>
       val q = byName.getOrElse(name,
         sys.error(s"unknown query '$name' (full key required, e.g. q141_phrase_search)"))
-      val (warm, timed) = Bench.timeReps(q.fn(spark, sfDir))
-      println(f"[probe] $name warmup $warm%.3f s")
-      timed.zipWithIndex.foreach { case (s, i) =>
-        println(f"[probe] $name rep${i + 1}   $s%.3f s") }
+      // per-rep lines print LIVE (as each rep completes), so a rep
+      // that hangs or OOMs doesn't take the already-measured ones
+      // with it — the whole point of a probe chasing an excursion
+      val (warm, timed) = Bench.timeReps(q.fn(spark, sfDir), onRep = {
+        case (0, s) => println(f"[probe] $name warmup $s%.3f s")
+        case (i, s) => println(f"[probe] $name rep$i   $s%.3f s")
+      })
       println(f"[probe] $name median ${Bench.median(timed)}%.3f s (warmup $warm%.3f)")
     }
     spark.stop()

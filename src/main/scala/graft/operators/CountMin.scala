@@ -213,13 +213,19 @@ object CountMin {
     // certificate throws falsely at ≤ e^(−depth) instead of the
     // stated δ — weaker, stated, and infinitely better than a
     // certificate structurally unable to fire.
-    val allowed = math.min(math.max(0L, keys.length - 1L),
-      math.max(0L, math.ceil(keys.length * p / delta).toLong - 1))
+    val markov = math.max(0L, math.ceil(keys.length * p / delta).toLong - 1)
+    val cap = math.max(0L, keys.length - 1L)
+    val allowed = math.min(cap, markov)
+    // when the clamp binds, δ is NOT the operative bound — the message
+    // must state the weaker e^(−depth) the comment above derives, or a
+    // legitimate shallow-depth throw (up to ~37% at depth 1) misreads
+    // as a 1-in-20 event and misdirects the investigation
+    val statedBound = if (markov > cap) p else delta
     if (breaches.length > allowed)
       throw new IllegalStateException(
         s"count-min estimates out of bracket for ${breaches.length} of " +
           s"${keys.length} probe keys (Markov tolerance $allowed at " +
-          s"depth=$depth, stated false-throw <= $delta): " +
+          f"depth=$depth, stated false-throw <= $statedBound%.3f): " +
           s"${breaches.take(5).mkString("; ")} " +
           s"bound=+${bound.round} (width=$width N=${sk.n})")
     rows.orderBy(col("n").desc, col(itemCol))

@@ -127,16 +127,23 @@ private[graft] object Layout {
       file: String, payload: String, what: String): Unit = {
     val p = markerPath(path, file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var created = false
     try {
       val out = fs.create(p, false)
+      created = true
       try out.write(payload.getBytes("UTF-8")) finally out.close()
     } catch {
       // only a create that LOST to a concurrent stamp falls through to
-      // the verify — if no marker exists after the failure, this was a
-      // genuine I/O failure (disk full, permissions) and reporting it
-      // as a lost race would send the operator chasing a phantom
-      // concurrent writer
+      // the verify. Two genuine-I/O-failure shapes must rethrow
+      // instead: the create itself failed with no marker appearing
+      // (disk full / permissions — reporting it as a lost race sends
+      // the operator chasing a phantom concurrent writer), and the
+      // create SUCCEEDED but the write/close failed (our own truncated
+      // marker is on disk — the verify would misread the partial
+      // payload as a racing winner's stamp; delete it so the retry
+      // starts clean rather than refusing its own garbage)
       case e: java.io.IOException =>
+        if (created) { fs.delete(p, false); throw e }
         if (!fs.exists(p)) throw e
     }
     val stored = readMarker(spark, path, file)
@@ -218,7 +225,14 @@ private[graft] object Layout {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def isHidden(name: String) =
+  /** The ONE hidden-name predicate the layout protocol lives by: what
+    * parquet readers skip, what [[publishStaged]]/[[deleteByPrefix]]
+    * refuse to touch, and what [[graft.sources.Sinks.hasDataFiles]]
+    * excludes from "populated". These three MUST agree — a probe whose
+    * "data" definition drifts from the publisher's reads a populated
+    * layout as empty, the exact marker-over-live-rows bug the probe
+    * exists to prevent — so they all call this. */
+  def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
   /** Move every staged DATA file into the layout, preserving the

@@ -68,7 +68,9 @@ object Sinks {
   def hasDataFiles(spark: SparkSession, path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    // the publisher's predicate, shared on purpose: "not data" here
+    // must mean exactly what Layout's publish/sweep walks skip
+    def hidden(name: String) = graft.operators.Layout.isHidden(name)
     def walk(dir: org.apache.hadoop.fs.Path): Boolean =
       fs.listStatus(dir).exists { st =>
         val name = st.getPath.getName
