@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Scale probe for the image near-dup hot-band salting (PLANS.md
+  * q172): plants a monochrome lake of growing size H on top of a
+  * diverse background corpus and records, for the plain vs the
+  * chunk-pair-salted spelling of [[Multimodal.nearDupImages]]:
+  *
+  *   - the largest join CELL's candidate count — the per-reducer
+  *     concentration the salt exists to bound. Candidate TOTALS are
+  *     conserved by design (every member pair still meets exactly
+  *     once), so exchange sums cannot show the win; the lever is the
+  *     max cell, measured here from the operator's own replicated
+  *     sides ([[Multimodal.hotChunkSides]]), not modeled;
+  *   - the executed plan's exchange volumes (the ShuffleProbe
+  *     discipline) — which also puts the salt's honest COST on the
+  *     table: the hot subset's rows replicate ×salt per side before
+  *     the join, so salted exchanges carry more rows than plain;
+  *   - pair-set parity (count + order-free checksum, computed
+  *     distributed — the hot lake's pair set is H(H−1)/2 and must
+  *     not funnel to the driver to be compared).
+  *
+  * Corpus shape per H (arithmetic-deterministic, no RNG): H copies of
+  * ONE constant 16×16 PNG (dHash all-zero ⇒ all 4 bands collide — the
+  * degenerate uniform/near-black lake), media ids offset by 10⁶, over
+  * a background of `cold` images with id-keyed gradient patterns
+  * (diverse hashes; tiny band groups — pins the cold path is
+  * untouched). Real `javax.imageio` decode end-to-end, as in q172.
+  *
+  * AQE is disabled so the executed plan's exchanges are directly
+  * enumerable. Usage: `runMain graft.SkewProbe 256 1024`.
+  */
+object SkewProbe {
+
+  private val HotDf = 64L
+  private val Salt = 8
+
+  /** splitmix64 finalizer — a full-avalanche pixel mixer, so the cold
+    * background's hashes are genuinely uniform (a weak per-pixel
+    * pattern leaves structure the 9x8 dHash grid turns into clustered
+    * hashes and a spurious cold dup lake — observed with both linear
+    * gradients and a plain XOR pattern). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def png(w: Int, h: Int)(lum: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { im.getRaster.setSample(x, y, 0, lum(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+                else Seq(256L, 1024L)
+    val cold = 2000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Session.builder("graft-skewprobe", cpus).getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at probe scale the band table fits a broadcast, which would hide
+    // the very exchanges this probe exists to measure — force the
+    // shuffle-join plan the operator runs at corpus scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    sizes.foreach { h =>
+      val flat = png(16, 16)((_, _) => 128) // one payload, H copies
+      val recs = spark.range(cold).map { i =>
+        Multimodal.MediaRecord(i, "image", png(16, 16)((x, y) =>
+          (mix(i * 289L + y * 17L + x) & 0xFF).toInt))
+      }.union(spark.range(h).map(i =>
+        Multimodal.MediaRecord(1000000L + i, "image", flat)))
+
+      // Pair-set fingerprints below are count + an order-free checksum
+      // (sum of a row hash) — set-equality evidence sized one row
+      // regardless of H, never a driver funnel. head() executes the
+      // aggregate frame, so ITS SQLMetrics are the ones read back.
+
+      // PLAIN: worst cell = the hot group itself — every (band, bval)
+      // group self-joins, so the largest cell's candidates = m² where
+      // m = max group size (measured, not assumed)
+      val t0p = System.nanoTime()
+      val plainDf = Multimodal.nearDupImages(recs, maxHamming = 3)
+      val plainAgg = plainDf.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("a"), col("b"), col("hamming"))
+          .cast("decimal(38,0)")).as("ck"))
+      // collect, not head(): head() plans a NEW limited QueryExecution,
+      // leaving this frame's SQLMetrics at zero
+      val plainFp = plainAgg.collect()(0)
+      val plainWall = (System.nanoTime() - t0p) / 1e9
+      val plainVols = ShuffleProbe.volumesOfExecuted(plainAgg)
+      val bands = Multimodal.bandExplode(Multimodal.imageHashes(recs))
+      val mPlain = bands.groupBy(col("band"), col("bval")).count()
+        .agg(max(col("count"))).head().getLong(0)
+
+      // SALTED: worst cell measured from the operator's own replicated
+      // sides — max over (band, bval, cx, cy) of |hx|·|hy|
+      val t0s = System.nanoTime()
+      val saltDf = Multimodal.nearDupImages(recs, maxHamming = 3,
+        hotBandDf = HotDf, bandSalt = Salt)
+      val saltAgg = saltDf.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("a"), col("b"), col("hamming"))
+          .cast("decimal(38,0)")).as("ck"))
+      val saltFp = saltAgg.collect()(0)
+      val saltWall = (System.nanoTime() - t0s) / 1e9
+      val saltVols = ShuffleProbe.volumesOfExecuted(saltAgg)
+      val freq = bands.groupBy(col("band"), col("bval"))
+        .agg(count(lit(1)).as("bf"))
+      val hot = bands.join(freq, Seq("band", "bval"))
+        .filter(col("bf") > HotDf).drop("bf")
+      // the bound grades against the MEASURED largest hot group g —
+      // the operator salts whatever crosses hotBandDf, planted or not
+      val g = hot.groupBy(col("band"), col("bval")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      val (hx, hy) = Multimodal.hotChunkSides(hot, Salt)
+      val cellKeys = Seq("band", "bval", "cx", "cy")
+      val mSalt = hx.groupBy(cellKeys.map(col): _*).count()
+        .withColumnRenamed("count", "nx")
+        .join(hy.groupBy(cellKeys.map(col): _*).count()
+          .withColumnRenamed("count", "ny"), cellKeys)
+        .agg(max(col("nx") * col("ny"))).head().getLong(0)
+
+      val plainCell = mPlain * mPlain
+      println(s"SKEWPROBE hot=$h cold=$cold salt=$Salt hotBandDf=$HotDf " +
+        s"plain=[wall=${f"$plainWall%.1f"}s maxCellCand=$plainCell " +
+        s"exchanges=${ShuffleProbe.fmtVolumes(plainVols)}] " +
+        s"salted=[wall=${f"$saltWall%.1f"}s maxCellCand=$mSalt " +
+        s"exchanges=${ShuffleProbe.fmtVolumes(saltVols)}] " +
+        s"cellReduction=${f"${plainCell.toDouble / math.max(mSalt, 1)}%.1f"}x " +
+        s"hotGroup=$g boundOk=${mSalt <= (2L * g / Salt) * (2L * g / Salt)} " +
+        s"pairs_equal=${plainFp.getLong(0) == saltFp.getLong(0) &&
+          plainFp.getDecimal(1) == saltFp.getDecimal(1)} " +
+        s"pairs=${plainFp.getLong(0)}")
+    }
+    spark.stop()
+  }
+}
