@@ -145,6 +145,16 @@ object Session {
       // loudly, never return silent NULLs.
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // NOTE on parquet timestamps: Spark's default output encoding is
+      // the deprecated INT96, which carries NO min/max statistics —
+      // a layout is blind to row-group pruning on its time column
+      // (measured in ZorderProbe). The stats-bearing TIMESTAMP_MICROS
+      // is deliberately NOT set session-wide: Spark annotates it
+      // isAdjustedToUTC=true, which external readers (DuckDB) surface
+      // as TIMESTAMPTZ — a different rendered value than a naive
+      // timestamp, breaking byte-level output comparisons downstream.
+      // [[graft.operators.Zorder.writeZordered]] scopes the conf to
+      // the clustered-layout writes, where the stats ARE the point.
       // Static conf: the generated-class cache defaults to 100 entries,
       // which a 150+-query session churns through many times over —
       // evicted classes get recompiled (~seconds for explode-heavy

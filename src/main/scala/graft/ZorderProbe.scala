@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.operators.Zorder
+import graft.sources.Tables
+
+/** Scale probe for the z-ordered layout (PLANS.md q175): writes the
+  * events table three ways — UNSORTED, 1-D SORTED on user_id, and
+  * Z-ORDERED on (user_id, ts) — and measures, for 2-D box predicates,
+  * what a pruning reader actually touches in each layout:
+  *
+  *   - decoded rows, from the executed plan's FileSourceScanExec
+  *     `numOutputRows` — with parquet filter pushdown on and
+  *     record-level filtering off (the defaults), this IS the
+  *     row-group pruning result: rows in surviving row groups;
+  *   - files and bytes whose per-file bounding box intersects the
+  *     predicate box ([[Zorder.boundingBoxes]] — the zone-map math a
+  *     file-skipping reader does);
+  *   - the matching-row count (identical across layouts — the
+  *     correctness anchor; q175's oracle pins it against DuckDB).
+  *
+  * The claim under measurement: a 1-D sort bounds ONLY its sort
+  * column — its ts stats span the full month in every file, so a
+  * predicate narrow in both dimensions decodes the full user-range
+  * slice; the Morton layout bounds BOTH columns per file and decodes
+  * near the true box. Wall times are deliberately not printed: at
+  * sf0.1 every scan is milliseconds — decoded rows/bytes are the
+  * quantities that scale to 100 TB.
+  *
+  * Predicate boxes are sized for the sf0.1 domain (user_id 0–1499,
+  * ts 2024-01-01..31); pass a different SPARK_GRAFT_SF_DIR knowingly.
+  * Usage: `runMain graft.ZorderProbe`.
+  */
+object ZorderProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Session.builder("graft-zorderprobe", cpus).getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // all three layouts get stats-bearing timestamps so the comparison
+    // is fair — writeZordered scopes this itself; the two baseline
+    // layouts are written directly below (Spark's INT96 default has NO
+    // stats: before this, the ts half of every box pruned nothing)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = Tables.load(spark, sfDir, "events")
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}_zprobe"
+    val files = 32
+
+    // the three layouts: same rows, same file count, different order
+    e.repartition(files)
+      .write.mode("overwrite").parquet(s"$tmp/unsorted")
+    e.repartitionByRange(files, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(s"$tmp/sorted1d")
+    Zorder.writeZordered(e, s"$tmp/zorder", Seq("user_id", "ts"),
+      bits = 16, numFiles = files)
+
+    case class Box(name: String, uLo: Long, uHi: Long, tLo: String, tHi: String)
+    val boxes = Seq(
+      // ~4% of users × ~17% of time: narrow in both dimensions — the
+      // case a 1-D sort half-solves and z-order is built for
+      Box("narrowXnarrow", 600, 659, "2024-01-10 00:00:00", "2024-01-15 00:00:00"),
+      // ~40% of users × ~7% of time: the 1-D layout's weak spot grows
+      // with the sort column's selectivity loss
+      Box("wideXnarrow", 300, 899, "2024-01-20 00:00:00", "2024-01-22 00:00:00"))
+
+    def pred(b: Box) = col("user_id").between(b.uLo, b.uHi) &&
+      col("ts") >= to_timestamp(lit(b.tLo)) &&
+      col("ts") < to_timestamp(lit(b.tHi))
+
+    def decoded(df: DataFrame): (Long, Long) = {
+      val agg = df.agg(count(lit(1)))
+      val matching = agg.collect()(0).getLong(0)
+      val scans = agg.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics.get("numOutputRows")
+          .map(_.value).getOrElse(sys.error(
+            s"numOutputRows missing on scan — metric renamed? " +
+              s"available: ${s.metrics.keys.mkString(",")}"))
+      }
+      require(scans.nonEmpty, "no FileSourceScanExec in the executed plan")
+      (matching, scans.sum)
+    }
+
+    val fsRoot = new org.apache.hadoop.fs.Path(tmp)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    Seq("unsorted", "sorted1d", "zorder").foreach { layout =>
+      val path = s"$tmp/$layout"
+      val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(st => !st.getPath.getName.startsWith("_"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      val bb = Zorder.boundingBoxes(spark, path, Seq("user_id", "ts"))
+        .collect()
+      boxes.foreach { b =>
+        val (matching, dec) =
+          decoded(spark.read.parquet(path).filter(pred(b)))
+        val tLo = java.sql.Timestamp.valueOf(b.tLo)
+        val tHi = java.sql.Timestamp.valueOf(b.tHi)
+        val touched = bb.filter { r =>
+          r.getLong(1) <= b.uHi && r.getLong(2) >= b.uLo &&
+            r.getTimestamp(3).before(tHi) && !r.getTimestamp(4).before(tLo)
+        }
+        val touchedBytes = touched.map(r =>
+          sizes(r.getString(0).split('/').last)).sum
+        println(s"ZORDERPROBE layout=$layout box=${b.name} " +
+          s"matching=$matching decodedRows=$dec " +
+          s"filesTouched=${touched.length}/${bb.length} " +
+          s"bytesTouched=${touchedBytes / 1024}/${sizes.values.sum / 1024}KiB")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimensional scan
+  * pruning — the data-layout lever for predicates over MORE THAN ONE
+  * column. A layout sorted on one column gives parquet row-group
+  * min/max stats that prune that column only; every other dimension's
+  * stats span the full domain in every file. Interleaving the bits of
+  * d quantized columns (Morton 1966) and range-clustering on the
+  * result bounds EVERY clustered dimension per file: a d-dimensional
+  * box predicate then touches the files along a curve segment instead
+  * of the whole table, and the pruning needs NO reader changes —
+  * ordinary parquet min/max stats on the original columns do it
+  * ([[graft.ZorderProbe]] measures decoded rows per layout from
+  * executed-plan SQLMetrics; this is the public pattern behind
+  * Delta/Iceberg OPTIMIZE ZORDER, re-expressed on plain parquet).
+  *
+  * 100 TB shape: one stats aggregate (min/max per clustered column,
+  * partial-aggregated to a single row — the only driver collect, 2d
+  * doubles), then exactly ONE shuffle (`repartitionByRange` on the
+  * z-value, sampled boundaries) and a LOCAL sort within partitions —
+  * the same cost any clustering rewrite pays, amortized over every
+  * scan that prunes thereafter. The z-value is plain long arithmetic
+  * (shift/and/or — whole-stage codegen keeps it in the generated
+  * loop), never a UDF.
+  *
+  * Quantization maps each column to `bits` equal-width buckets of its
+  * [min, max] — a fine default for the roughly uniform test tables;
+  * heavily skewed columns would want rank (range-boundary) bucketing,
+  * which composes here by pre-mapping the column and is documented
+  * rather than built. NULLs bucket to 0 (they sort first, like
+  * NULLS FIRST), a constant column (max == min) degenerates to one
+  * bucket, and values are clamped so max lands in the top bucket,
+  * not past it.
+  */
+object Zorder {
+
+  /** Quantize `c` to a long in [0, 2^bits) given its [lo, hi] range. */
+  private[graft] def bucket(c: Column, lo: Double, hi: Double,
+      bits: Int): Column = {
+    val n = 1L << bits
+    if (!(hi > lo)) lit(0L)
+    else {
+      val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble)
+      coalesce(least(greatest(scaled.cast("long"), lit(0L)), lit(n - 1)),
+        lit(0L))
+    }
+  }
+
+  /** Interleave the low `bits` bits of each quantized dimension into
+    * one Morton code: bit b of dimension i lands at position
+    * b·d + (d−1−i), so dimension 0 owns the MOST significant bit of
+    * each group (ties broken by leading columns, like a sort key).
+    * Monotone in each dimension with the others fixed. */
+  private[graft] def interleave(qs: Seq[Column], bits: Int): Column = {
+    val d = qs.length
+    require(d >= 2, s"z-ordering needs >= 2 dimensions, got $d (use a plain sort)")
+    require(bits >= 1 && d * bits <= 63,
+      s"d*bits = ${d * bits} must fit a non-negative long (<= 63)")
+    val terms = for {
+      b <- 0 until bits
+      (q, i) <- qs.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(q, b).bitwiseAND(lit(1L)),
+      b * d + (d - 1 - i))
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The z-value column for `cols` over `df`, quantized by a single
+    * min/max stats pass (one aggregate job, one collected row). */
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__lo_$c"),
+      max(col(c).cast("double")).as(s"__hi_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    interleave(cols.zipWithIndex.map { case (c, i) =>
+      val lo = Option(stats.get(2 * i)).fold(0.0)(_ => stats.getDouble(2 * i))
+      val hi = Option(stats.get(2 * i + 1)).fold(0.0)(_ => stats.getDouble(2 * i + 1))
+      bucket(col(c), lo, hi, bits)
+    }, bits)
+  }
+
+  /** Rewrite `df` as a z-ordered parquet layout at `path`: range-
+    * partition on the Morton code into `numFiles` files, sort within
+    * each, write. Every clustered column's per-file min/max is then
+    * tight, and ordinary pushed-down predicates prune files and row
+    * groups in all `cols` dimensions at once. */
+  def writeZordered(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 16, numFiles: Int = 32): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val z = zvalue(df, cols, bits)
+    // Scoped to THIS write: Spark's default INT96 timestamp encoding
+    // carries no min/max statistics, so a time column clustered here
+    // would prune NOTHING at read (measured in ZorderProbe: 25,199
+    // decoded rows vs 12,633 once stats exist). TIMESTAMP_MICROS is
+    // the parquet-standard stats-bearing encoding; it is not set
+    // session-wide because its isAdjustedToUTC annotation changes how
+    // external readers render values (see Session.builder's note).
+    val spark = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+    finally spark.conf.set(key, prior)
+  }
+
+  /** Per-file bounding boxes of `cols` in a written layout — the
+    * zone-map view a pruning reader sees, here for measurement
+    * ([[graft.ZorderProbe]]) and spec assertions. One narrow scan. */
+  def boundingBoxes(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

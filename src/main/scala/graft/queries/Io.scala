@@ -52,6 +52,46 @@ object Io {
       // bench = false: measures tmpdir disk write + catalog DDL, not
       // query throughput — sink cost at scale is storage-bound, and the
       // agg it ends with is q01's shape
-      bench = false)
+      bench = false),
+
+    // ----- Z-order clustered layout: multi-dim pruning round-trip -----
+    // [[graft.operators.Zorder.writeZordered]]: events rewritten as a
+    // Morton-clustered parquet layout on (user_id, ts), then a 2-D box
+    // predicate + aggregate over the layout. The oracle runs the same
+    // filter+agg on the RAW table, so the hash-match proves the
+    // clustered rewrite holds exactly the source rows and the pushed
+    // 2-D predicate selects identically through it. The pruning WIN is
+    // measured separately (ZorderProbe: decoded-row SQLMetrics per
+    // layout — unsorted vs 1-D-sorted vs z-ordered); this query pins
+    // correctness of the layout the probe measures. Benched: the rep
+    // cost is write + stats pass + pruned scan, the q79/q170 "build"
+    // convention for index-family rows.
+    QueryDef(
+      "q175_zorder_scan",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val tmp = scratchPath("zorder_events")
+        graft.operators.Zorder.writeZordered(
+          e, tmp, Seq("user_id", "ts"), bits = 16, numFiles = 32)
+        // the box sits at LOW user ids because the domain scales with
+        // sf (max 14 / 149 / 1499 at sf0.001/0.01/0.1) — ids 2..8
+        // exist and select rows at every scale factor
+        spark.read.parquet(tmp)
+          .filter(col("user_id").between(2, 8) &&
+            col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+            col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        WHERE user_id BETWEEN 2 AND 8
+          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type"""))
   )
 }

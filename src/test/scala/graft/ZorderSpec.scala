@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Zorder
+
+/** Pins the Morton-code arithmetic and the layout guarantees of
+  * [[Zorder]]: interleave parity with a reference software
+  * implementation, per-dimension monotonicity, exact row round-trip
+  * through a z-ordered rewrite, degenerate inputs (constant column,
+  * NULLs), and the zone-map property the layout exists for — every
+  * clustered dimension's per-file bounding box is narrow, so a
+  * 2-D box predicate intersects a strict subset of files.
+  */
+class ZorderSpec extends SparkSpec {
+
+  private def refMorton(xs: Seq[Long], bits: Int): Long = {
+    val d = xs.length
+    var z = 0L
+    for (b <- 0 until bits; i <- 0 until d)
+      z |= ((xs(i) >> b) & 1L) << (b * d + (d - 1 - i))
+    z
+  }
+
+  test("interleave matches a reference Morton code on the full 2D grid") {
+    val s = spark
+    import s.implicits._
+    val bits = 3
+    val grid = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+    val got = grid.select(col("x"), col("y"),
+        Zorder.interleave(Seq(col("x"), col("y")), bits).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (x <- 0L until 8L; y <- 0L until 8L)
+      assert(got((x, y)) == refMorton(Seq(x, y), bits),
+        s"z($x,$y) mismatch vs reference interleave")
+    // and a 3-dimension sample
+    val z3 = spark.range(1).select(Zorder.interleave(
+      Seq(lit(5L), lit(3L), lit(6L)), 3).as("z")).head().getLong(0)
+    assert(z3 == refMorton(Seq(5L, 3L, 6L), 3))
+  }
+
+  test("monotone in each dimension with the others fixed") {
+    for (y <- Seq(0L, 3L, 7L); x1 <- 0L until 7L) {
+      assert(refMorton(Seq(x1, y), 3) < refMorton(Seq(x1 + 1, y), 3))
+      assert(refMorton(Seq(y, x1), 3) < refMorton(Seq(y, x1 + 1), 3))
+    }
+  }
+
+  test("z-ordered rewrite round-trips every row exactly") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_rt_").toString
+    Zorder.writeZordered(e, dir, Seq("user_id", "ts"), bits = 16,
+      numFiles = 8)
+    val back = spark.read.parquet(dir)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"),
+        sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("ck"))
+        .collect()(0)
+    val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "z-ordered layout must hold exactly the source rows")
+  }
+
+  test("degenerate inputs: constant column, NULLs, bad params refused") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("id", "c")
+      .union(Seq((4L, Double.NaN)).toDF("id", "c"))
+      .withColumn("c", when(col("id") === 4L, lit(null)).otherwise(col("c")))
+    // constant dimension (max == min) and a NULL both bucket to 0 —
+    // the z-value stays defined for every row
+    val z = df.select(Zorder.interleave(Seq(
+      Zorder.bucket(col("c"), 5.0, 5.0, 8),
+      Zorder.bucket(col("id"), 1.0, 4.0, 8)), 8).as("z")).collect()
+    assert(z.forall(r => !r.isNullAt(0) && r.getLong(0) >= 0))
+    intercept[IllegalArgumentException](
+      Zorder.interleave(Seq(col("id")), 8)) // 1-D: use a plain sort
+    intercept[IllegalArgumentException](
+      Zorder.interleave(Seq(col("id"), col("c")), 32)) // 64 bits > 63
+  }
+
+  test("per-file boxes are narrow in BOTH dimensions; a 2D box prunes files") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_box_").toString
+    Zorder.writeZordered(e, dir, Seq("user_id", "value"), bits = 16,
+      numFiles = 8)
+    val boxes = Zorder.boundingBoxes(spark, dir, Seq("user_id", "value"))
+      .collect()
+    assert(boxes.length == 8, s"expected 8 files, got ${boxes.length}")
+    // the measurement a pruning reader makes: which files' boxes
+    // intersect a narrow 2D predicate box? A 1D-sorted layout bounds
+    // only its sort column; z-order must bound both, so a box that is
+    // narrow in EACH dimension intersects strictly fewer than all.
+    val (uLo, uHi, vLo, vHi) = (200L, 500L, 50.0, 150.0)
+    val touched = boxes.count { r =>
+      r.getLong(1) <= uHi && r.getLong(2) >= uLo &&
+        r.getDouble(3) <= vHi && r.getDouble(4) >= vLo
+    }
+    assert(touched < boxes.length,
+      s"2D box touched all $touched files — layout is not clustering")
+  }
+}
