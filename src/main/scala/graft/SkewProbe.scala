@@ -128,11 +128,14 @@ object SkewProbe {
         .agg(max(col("count"))).collect()(0).getLong(0)
       val (hx, hy) = Multimodal.hotChunkSides(hot, Salt)
       val cellKeys = Seq("band", "bval", "cx", "cy")
-      val mSalt = hx.groupBy(cellKeys.map(col): _*).count()
+      val cellCounts = hx.groupBy(cellKeys.map(col): _*).count()
         .withColumnRenamed("count", "nx")
         .join(hy.groupBy(cellKeys.map(col): _*).count()
           .withColumnRenamed("count", "ny"), cellKeys)
-        .agg(max(col("nx") * col("ny"))).head().getLong(0)
+      val cellRow = cellCounts
+        .agg(max(col("nx") * col("ny")).as("mc"), max(col("nx")).as("mx"))
+        .collect()(0)
+      val (mSalt, maxChunk) = (cellRow.getLong(0), cellRow.getLong(1))
 
       val plainCell = mPlain * mPlain
       println(s"SKEWPROBE hot=$h cold=$cold salt=$Salt hotBandDf=$HotDf " +
@@ -141,7 +144,12 @@ object SkewProbe {
         s"salted=[wall=${f"$saltWall%.1f"}s maxCellCand=$mSalt " +
         s"exchanges=${ShuffleProbe.fmtVolumes(saltVols)}] " +
         s"cellReduction=${f"${plainCell.toDouble / math.max(mSalt, 1)}%.1f"}x " +
-        s"hotGroup=$g boundOk=${mSalt <= (2L * g / Salt) * (2L * g / Salt)} " +
+        // maxChunk is a MEASUREMENT, not a verdict: chunks are hash-
+        // assigned, so per-chunk sizes are binomial around g/salt — a
+        // hard <= ceil(g/salt) check would flag ordinary hash variance
+        // on organic hot groups barely past the threshold (the spec
+        // pins the 2x-slack bound deterministically at test scale)
+        s"hotGroup=$g maxChunk=$maxChunk (g/salt=${g / Salt}) " +
         s"pairs_equal=${plainFp.getLong(0) == saltFp.getLong(0) &&
           plainFp.getDecimal(1) == saltFp.getDecimal(1)} " +
         s"pairs=${plainFp.getLong(0)}")

@@ -48,7 +48,7 @@ object ZorderProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val e = Tables.load(spark, sfDir, "events")
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}_zprobe"
+    val tmp = queries.scratchPath("zprobe")
     val files = 32
 
     // the three layouts: same rows, same file count, different order
@@ -99,8 +99,14 @@ object ZorderProbe {
       boxes.foreach { b =>
         val (matching, dec) =
           decoded(spark.read.parquet(path).filter(pred(b)))
-        val tLo = java.sql.Timestamp.valueOf(b.tLo)
-        val tHi = java.sql.Timestamp.valueOf(b.tHi)
+        // parse as UTC explicitly: the scan predicate's to_timestamp
+        // resolves in the session timezone (forced UTC), and
+        // Timestamp.valueOf would use the JVM default — on a non-UTC
+        // host the box math would measure a box shifted by the offset
+        def utc(s: String) = java.sql.Timestamp.from(
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .atZone(java.time.ZoneOffset.UTC).toInstant)
+        val (tLo, tHi) = (utc(b.tLo), utc(b.tHi))
         val touched = bb.filter { r =>
           r.getLong(1) <= b.uHi && r.getLong(2) >= b.uLo &&
             r.getTimestamp(3).before(tHi) && !r.getTimestamp(4).before(tLo)

@@ -37,15 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object Zorder {
 
-  /** Quantize `c` to a long in [0, 2^bits) given its [lo, hi] range. */
+  /** Quantize `c` to a long in [0, 2^bits) given its [lo, hi] range.
+    * NULLs bucket to 0; NaN and +Infinity rows land in the TOP bucket,
+    * −Infinity in bucket 0 — clamped in DOUBLE space, because an ANSI
+    * long cast of a non-finite value would crash the whole rewrite
+    * (Spark orders NaN greater than any double, so greatest→least
+    * sends it to the top). */
   private[graft] def bucket(c: Column, lo: Double, hi: Double,
       bits: Int): Column = {
     val n = 1L << bits
     if (!(hi > lo)) lit(0L)
     else {
       val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble)
-      coalesce(least(greatest(scaled.cast("long"), lit(0L)), lit(n - 1)),
-        lit(0L))
+      val clamped = least(greatest(scaled, lit(0.0)), lit((n - 1).toDouble))
+      coalesce(clamped.cast("long"), lit(0L))
     }
   }
 
@@ -70,13 +75,23 @@ object Zorder {
   /** The z-value column for `cols` over `df`, quantized by a single
     * min/max stats pass (one aggregate job, one collected row). */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+    // stats over FINITE values only: a single NaN would make max()
+    // return NaN (Spark orders it above every double) and silently
+    // degenerate the whole dimension to one bucket; ±Infinity would
+    // collapse every finite row's scale the same way. Non-finite ROWS
+    // still get defined buckets (edge clamp in [[bucket]]).
+    def finite(x: Column): Column = {
+      val d = x.cast("double")
+      when(isnan(d) || abs(d) === Double.PositiveInfinity, lit(null))
+        .otherwise(d)
+    }
     val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__lo_$c"),
-      max(col(c).cast("double")).as(s"__hi_$c")))
+      min(finite(col(c))).as(s"__lo_$c"),
+      max(finite(col(c))).as(s"__hi_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     interleave(cols.zipWithIndex.map { case (c, i) =>
-      val lo = Option(stats.get(2 * i)).fold(0.0)(_ => stats.getDouble(2 * i))
-      val hi = Option(stats.get(2 * i + 1)).fold(0.0)(_ => stats.getDouble(2 * i + 1))
+      val lo = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+      val hi = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
       bucket(col(c), lo, hi, bits)
     }, bits)
   }
@@ -97,6 +112,11 @@ object Zorder {
     // the parquet-standard stats-bearing encoding; it is not set
     // session-wide because its isAdjustedToUTC annotation changes how
     // external readers render values (see Session.builder's note).
+    // The set/restore below is a SESSION-level mutation — like every
+    // rewrite in this engine, one writer per session is assumed: a
+    // concurrent parquet write on the same session during this window
+    // would pick up MICROS (harmless but unscoped), and a concurrent
+    // writeZordered could restore the wrong prior.
     val spark = df.sparkSession
     val key = "spark.sql.parquet.outputTimestampType"
     val prior = spark.conf.get(key)

@@ -42,9 +42,21 @@ class ZorderSpec extends SparkSpec {
   }
 
   test("monotone in each dimension with the others fixed") {
-    for (y <- Seq(0L, 3L, 7L); x1 <- 0L until 7L) {
-      assert(refMorton(Seq(x1, y), 3) < refMorton(Seq(x1 + 1, y), 3))
-      assert(refMorton(Seq(y, x1), 3) < refMorton(Seq(y, x1 + 1), 3))
+    // on the PRODUCTION interleave expression (not the reference
+    // helper — asserting refMorton against itself pins nothing), at a
+    // bits width the parity grid above does not cover
+    val s = spark
+    import s.implicits._
+    val bits = 5
+    val z = (for (x <- 0L until 32L; y <- Seq(0L, 13L, 31L)) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        Zorder.interleave(Seq(col("x"), col("y")), bits).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (y <- Seq(0L, 13L, 31L); x <- 0L until 31L) {
+      assert(z((x, y)) < z((x + 1, y)),
+        s"z not monotone in dim 0 at ($x,$y)")
+      assert(refMorton(Seq(y, x), bits) < refMorton(Seq(y, x + 1), bits))
     }
   }
 
@@ -93,11 +105,15 @@ class ZorderSpec extends SparkSpec {
     // intersect a narrow 2D predicate box? A 1D-sorted layout bounds
     // only its sort column; z-order must bound both, so a box that is
     // narrow in EACH dimension intersects strictly fewer than all.
-    val (uLo, uHi, vLo, vHi) = (200L, 500L, 50.0, 150.0)
+    // The box must sit INSIDE this sf's data domain (sf0.001: user_id
+    // 0–14, value ~0–330) — an out-of-domain box touches zero files
+    // and the assertion goes vacuous, passing for an unsorted layout.
+    val (uLo, uHi, vLo, vHi) = (2L, 8L, 60.0, 120.0)
     val touched = boxes.count { r =>
       r.getLong(1) <= uHi && r.getLong(2) >= uLo &&
         r.getDouble(3) <= vHi && r.getDouble(4) >= vLo
     }
+    assert(touched > 0, "in-domain box touched no file — test is vacuous")
     assert(touched < boxes.length,
       s"2D box touched all $touched files — layout is not clustering")
   }
