@@ -122,10 +122,17 @@ object SkewProbe {
         .agg(count(lit(1)).as("bf"))
       val hot = bands.join(freq, Seq("band", "bval"))
         .filter(col("bf") > HotDf).drop("bf")
-      // the bound grades against the MEASURED largest hot group g —
-      // the operator salts whatever crosses hotBandDf, planted or not
-      val g = hot.groupBy(col("band"), col("bval")).count()
-        .agg(max(col("count"))).collect()(0).getLong(0)
+      // the measurement grades against the MEASURED largest hot group
+      // g — the operator salts whatever crosses hotBandDf, planted or
+      // not. Aggregates over an EMPTY hot set return one all-null row
+      // (a config whose lake no longer crosses the threshold): say so
+      // instead of throwing a bare NPE mid-probe.
+      val gRow = hot.groupBy(col("band"), col("bval")).count()
+        .agg(max(col("count"))).collect()(0)
+      require(!gRow.isNullAt(0),
+        s"no band group crosses hotBandDf=$HotDf at hot=$h — nothing " +
+          "to salt; raise the lake size or lower the threshold")
+      val g = gRow.getLong(0)
       val (hx, hy) = Multimodal.hotChunkSides(hot, Salt)
       val cellKeys = Seq("band", "bval", "cx", "cy")
       val cellCounts = hx.groupBy(cellKeys.map(col): _*).count()

@@ -49,8 +49,10 @@ object Zorder {
     if (!(hi > lo)) lit(0L)
     else {
       val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble)
+      // the NULL→0 mapping happens HERE: greatest skips nulls, so a
+      // null input becomes greatest(null, 0.0) = 0.0 before the clamp
       val clamped = least(greatest(scaled, lit(0.0)), lit((n - 1).toDouble))
-      coalesce(clamped.cast("long"), lit(0L))
+      clamped.cast("long")
     }
   }
 

@@ -48,16 +48,19 @@ class ZorderSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val bits = 5
-    val z = (for (x <- 0L until 32L; y <- Seq(0L, 13L, 31L)) yield (x, y))
+    val z = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
       .toDF("x", "y")
       .select(col("x"), col("y"),
         Zorder.interleave(Seq(col("x"), col("y")), bits).as("z"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-    for (y <- Seq(0L, 13L, 31L); x <- 0L until 31L) {
+    // BOTH dimensions asserted on the production expression — a dim-1
+    // check against the reference helper alone pins nothing
+    for (y <- Seq(0L, 13L, 31L); x <- 0L until 31L)
       assert(z((x, y)) < z((x + 1, y)),
         s"z not monotone in dim 0 at ($x,$y)")
-      assert(refMorton(Seq(y, x), bits) < refMorton(Seq(y, x + 1), bits))
-    }
+    for (x <- Seq(0L, 13L, 31L); y <- 0L until 31L)
+      assert(z((x, y)) < z((x, y + 1)),
+        s"z not monotone in dim 1 at ($x,$y)")
   }
 
   test("z-ordered rewrite round-trips every row exactly") {
