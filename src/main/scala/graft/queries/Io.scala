@@ -92,6 +92,41 @@ object Io {
         WHERE user_id BETWEEN 2 AND 8
           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
           AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type""")),
+
+    // ----- Rank-quantized Z-order: the skew-robust clustering form -----
+    // [[graft.operators.Zorder.writeZorderedByRank]]: equal-DEPTH
+    // (approx-quantile) buckets instead of equal-width — a heavy-tailed
+    // column under min/max scaling crams almost every row into one
+    // bucket and the curve degenerates to a 1-D sort (ZorderSpec
+    // measures the shares; ZorderProbe the decoded rows). The planted
+    // skew column is heat = value², exact in BOTH engines: value is the
+    // same IEEE double in each, and one correctly-rounded multiply of
+    // equal inputs is bit-identical, so literal heat bounds select
+    // identical rows. The box sits in the DENSE low-heat region where
+    // uniform quantization has no resolution at all.
+    QueryDef(
+      "q176_zorder_rank",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+          .withColumn("heat", col("value") * col("value"))
+        val tmp = scratchPath("zorder_rank_events")
+        graft.operators.Zorder.writeZorderedByRank(
+          e, tmp, Seq("user_id", "heat"), bits = 6, numFiles = 32)
+        spark.read.parquet(tmp)
+          .filter(col("user_id").between(2, 8) &&
+            col("heat") >= 100.0 && col("heat") < 2500.0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        WHERE user_id BETWEEN 2 AND 8
+          AND value * value >= 100.0 AND value * value < 2500.0
         GROUP BY event_type"""))
   )
 }

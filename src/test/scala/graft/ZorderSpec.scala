@@ -120,4 +120,71 @@ class ZorderSpec extends SparkSpec {
     assert(touched < boxes.length,
       s"2D box touched all $touched files — layout is not clustering")
   }
+
+  test("rankBucket matches a reference binary search, boundary-exact") {
+    val s = spark
+    import s.implicits._
+    val bounds = Seq(1.0, 3.5, 3.5, 10.0, 100.0).distinct // dedup like prod
+    def ref(v: Double) = bounds.count(v >= _).toLong
+    val vals = Seq(0.0, 1.0, 1.0001, 3.4999, 3.5, 9.9, 10.0, 99.0, 100.0,
+      100.1, -5.0)
+    val got = vals.toDF("v")
+      .select(col("v"), Zorder.rankBucket(col("v"), bounds).as("b"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(got(v) == ref(v),
+      s"rankBucket($v) = ${got(v)}, reference ${ref(v)}"))
+    // NULL -> bucket 0 (descends the false branch at every split)
+    val nb = Seq(Option.empty[Double]).toDF("v")
+      .select(Zorder.rankBucket(col("v"), bounds).as("b")).head().getLong(0)
+    assert(nb == 0L)
+  }
+
+  test("rank quantization spreads a heavy-tailed column; uniform does not") {
+    val s = spark
+    import s.implicits._
+    // value^2 of a uniform column is right-skewed: under equal-WIDTH
+    // buckets the dense low region crams into bucket 0; equal-DEPTH
+    // boundaries split it ~evenly — the property the rank mode exists
+    // for, asserted on distinct bucket counts over the same data
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .select((col("value") * col("value")).as("heat"))
+    val bits = 4
+    val r = e.agg(min(col("heat")).as("lo"), max(col("heat")).as("hi"))
+      .head()
+    val uniform = e.select(Zorder.bucket(col("heat"),
+      r.getDouble(0), r.getDouble(1), bits).as("b"))
+      .groupBy("b").count().collect()
+    val bounds = Zorder.rankBoundaries(e, "heat", bits).toSeq
+    val ranked = e.select(Zorder.rankBucket(col("heat"), bounds).as("b"))
+      .groupBy("b").count().collect()
+    val n = e.count().toDouble
+    val uniMaxShare = uniform.map(_.getLong(1)).max / n
+    val rankMaxShare = ranked.map(_.getLong(1)).max / n
+    assert(uniMaxShare > 0.4,
+      f"expected the skew pathology (got max share $uniMaxShare%.2f) — " +
+        "corpus shape changed, re-pick the skew column")
+    assert(rankMaxShare < 0.15,
+      f"rank buckets must spread the tail (max share $rankMaxShare%.2f " +
+        f"vs uniform $uniMaxShare%.2f)")
+  }
+
+  test("rank-z-ordered rewrite round-trips and prunes the dense region") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .withColumn("heat", col("value") * col("value"))
+    val dir = Files.createTempDirectory("graft_zorder_rank_").toString
+    Zorder.writeZorderedByRank(e, dir, Seq("user_id", "heat"), bits = 6,
+      numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == e.count())
+    val boxes = Zorder.boundingBoxes(spark, dir, Seq("user_id", "heat"))
+      .collect()
+    // a box in the DENSE low-heat region, where uniform quantization
+    // has no resolution at all: rank clustering must still prune
+    val touched = boxes.count { r =>
+      r.getLong(1) <= 8L && r.getLong(2) >= 2L &&
+        r.getDouble(3) <= 2500.0 && r.getDouble(4) >= 100.0
+    }
+    assert(touched > 0 && touched < boxes.length,
+      s"dense-region box touched $touched of ${boxes.length} files")
+  }
 }
