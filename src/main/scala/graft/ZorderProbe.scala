@@ -128,10 +128,12 @@ object ZorderProbe {
     // carries zero information, and the curve collapses to a 1-D
     // user_id sort. Equal-depth (rank) boundaries are quantiles — a
     // few outliers move them by ~nothing. Mild skew alone does NOT
-    // separate the modes at bits=16 (measured first: 50,245 uniform
-    // vs 56,316 rank decoded on a dense-region box — 2^16 buckets
-    // absorb a 125× tail ratio fine); the outlier regime is where
-    // rank mode earns its keep, so that is what this measures.
+    // separate the modes AT THESE REGISTERED CONFIGS — uniform@bits=16
+    // vs rank@bits=6, rank mode caps at bits=8 — measured first:
+    // 50,245 uniform vs 56,316 rank decoded on a dense-region box
+    // (2^16 equal-width buckets absorb a 125× tail ratio fine); the
+    // outlier regime is where rank mode earns its keep, so that is
+    // what this measures.
     val eh = e.withColumn("heat",
       col("value") * col("value") *
         when(col("event_id") % 9973 === 0, lit(1e6)).otherwise(lit(1.0)))

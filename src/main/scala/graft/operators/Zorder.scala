@@ -26,14 +26,16 @@ import org.apache.spark.sql.functions._
   * (shift/and/or — whole-stage codegen keeps it in the generated
   * loop), never a UDF.
   *
-  * Quantization maps each column to `bits` equal-width buckets of its
-  * [min, max] — a fine default for the roughly uniform test tables;
-  * heavily skewed columns would want rank (range-boundary) bucketing,
-  * which composes here by pre-mapping the column and is documented
-  * rather than built. NULLs bucket to 0 (they sort first, like
-  * NULLS FIRST), a constant column (max == min) degenerates to one
-  * bucket, and values are clamped so max lands in the top bucket,
-  * not past it.
+  * Quantization comes in two built forms: [[writeZordered]] maps each
+  * column to `bits` equal-WIDTH buckets of its [min, max] — the cheap
+  * default for roughly uniform columns — and [[writeZorderedByRank]]
+  * uses equal-DEPTH (approx-quantile) buckets for skewed columns,
+  * where one extreme outlier would otherwise stretch the range until
+  * every normal row shares bucket 0 and the curve degenerates to a
+  * 1-D sort (both regimes measured in ZorderProbe). NULLs bucket to 0
+  * (they sort first, like NULLS FIRST), a constant column (max == min)
+  * degenerates to one bucket, and values are clamped so max lands in
+  * the top bucket, not past it.
   */
 object Zorder {
 
@@ -104,27 +106,36 @@ object Zorder {
     * tight, and ordinary pushed-down predicates prune files and row
     * groups in all `cols` dimensions at once. */
   def writeZordered(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 16, numFiles: Int = 32): Unit = {
+      bits: Int = 16, numFiles: Int = 32): Unit =
+    writeClustered(df, path, zvalue(df, cols, bits), numFiles)
+
+  /** The one clustered-write path both quantization modes share:
+    * range-partition on `z`, local sort, write parquet, with
+    * stats-bearing timestamps scoped to THIS write. Spark's default
+    * INT96 timestamp encoding carries no min/max statistics, so a
+    * time column clustered here would prune NOTHING at read (measured
+    * in ZorderProbe: 25,199 decoded rows vs 12,633 once stats exist).
+    * TIMESTAMP_MICROS is the parquet-standard stats-bearing encoding;
+    * it is not set session-wide because its isAdjustedToUTC annotation
+    * changes how external readers render values (see Session.builder's
+    * note). The set/restore is a SESSION-level mutation — like every
+    * rewrite in this engine, one writer per session is assumed: a
+    * concurrent parquet write on the same session during this window
+    * would pick up MICROS (harmless but unscoped), and a concurrent
+    * clustered write could restore the wrong prior. `dropCols` lets
+    * the rank path stage per-dimension bucket columns and shed them
+    * after the sort (a projection preserves partitioning and
+    * intra-partition order — no exchange, no re-sort). */
+  private def writeClustered(df: DataFrame, path: String, z: Column,
+      numFiles: Int, dropCols: Seq[String] = Nil): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    val z = zvalue(df, cols, bits)
-    // Scoped to THIS write: Spark's default INT96 timestamp encoding
-    // carries no min/max statistics, so a time column clustered here
-    // would prune NOTHING at read (measured in ZorderProbe: 25,199
-    // decoded rows vs 12,633 once stats exist). TIMESTAMP_MICROS is
-    // the parquet-standard stats-bearing encoding; it is not set
-    // session-wide because its isAdjustedToUTC annotation changes how
-    // external readers render values (see Session.builder's note).
-    // The set/restore below is a SESSION-level mutation — like every
-    // rewrite in this engine, one writer per session is assumed: a
-    // concurrent parquet write on the same session during this window
-    // would pick up MICROS (harmless but unscoped), and a concurrent
-    // writeZordered could restore the wrong prior.
     val spark = df.sparkSession
     val key = "spark.sql.parquet.outputTimestampType"
     val prior = spark.conf.get(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
     try df.repartitionByRange(numFiles, z)
       .sortWithinPartitions(z)
+      .drop(dropCols: _*)
       .write.mode("overwrite").parquet(path)
     finally spark.conf.set(key, prior)
   }
@@ -139,14 +150,22 @@ object Zorder {
     * shape. Driver-bounded: ≤ 255 doubles at the bits ≤ 8 this mode
     * supports. */
   private[graft] def rankBoundaries(df: DataFrame, c: String,
-      bits: Int): Array[Double] = {
+      bits: Int): Array[Double] =
+    rankBoundariesAll(df, Seq(c), bits).head
+
+  /** All clustered columns' boundaries in ONE approxQuantile pass —
+    * the multi-column overload computes every column's sketch in a
+    * single table scan, so the stats cost does not grow with the
+    * dimension count. */
+  private def rankBoundariesAll(df: DataFrame, cols: Seq[String],
+      bits: Int): Seq[Array[Double]] = {
     require(bits >= 1 && bits <= 8,
       s"rank mode supports bits in [1,8] (<= 255 boundaries), got $bits")
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    df.select(col(c).cast("double").as(c))
-      .stat.approxQuantile(c, probs, 0.001)
-      .distinct.sorted
+    df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(cols.toArray, probs, 0.001)
+      .map(_.distinct.sorted).toSeq
   }
 
   /** Bucket of `v` among sorted `bounds` — the count of boundaries
@@ -165,28 +184,25 @@ object Zorder {
     go(0, bounds.length)
   }
 
-  /** The z-value over rank-quantized dimensions — one approxQuantile
-    * stats pass per column (driver receives ≤ 255 doubles each). */
-  def zvalueByRank(df: DataFrame, cols: Seq[String], bits: Int): Column = {
-    val perDim = cols.map(c => rankBucket(col(c).cast("double"),
-      rankBoundaries(df, c, bits).toSeq))
-    interleave(perDim, bits)
-  }
-
   /** [[writeZordered]] with rank (equi-depth) quantization — the form
-    * for skewed clustering columns. Same single-shuffle shape. */
+    * for skewed clustering columns. Same single-shuffle shape, ONE
+    * extra stats job (all columns' quantile sketches in one pass).
+    * Each dimension's decision-tree bucket is STAGED as a projected
+    * column before the interleave — interleaving the raw bucket
+    * expressions would embed the O(2^bits)-node tree once per output
+    * bit (bits copies per dimension: thousands of expression nodes,
+    * the bucket re-evaluated `bits` times per row); staging evaluates
+    * it once per row and the interleave reads cheap attributes. The
+    * stage columns are dropped after the sort, before the write. */
   def writeZorderedByRank(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Unit = {
-    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    val z = zvalueByRank(df, cols, bits)
-    val spark = df.sparkSession
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS") // same scoping note as above
-    try df.repartitionByRange(numFiles, z)
-      .sortWithinPartitions(z)
-      .write.mode("overwrite").parquet(path)
-    finally spark.conf.set(key, prior)
+    val bounds = rankBoundariesAll(df, cols, bits)
+    val bcols = cols.indices.map(i => s"__graft_zb_$i")
+    val staged = df.select(df.columns.map(col) ++
+      cols.zip(bounds).zip(bcols).map { case ((c, b), bc) =>
+        rankBucket(col(c).cast("double"), b.toSeq).as(bc) }: _*)
+    writeClustered(staged, path, interleave(bcols.map(col), bits),
+      numFiles, dropCols = bcols)
   }
 
   /** Per-file bounding boxes of `cols` in a written layout — the

@@ -175,7 +175,18 @@ class ZorderSpec extends SparkSpec {
     Zorder.writeZorderedByRank(e, dir, Seq("user_id", "heat"), bits = 6,
       numFiles = 8)
     val back = spark.read.parquet(dir)
-    assert(back.count() == e.count())
+    // content fingerprint, not just count — equal-count corruption
+    // (dropped+duplicated rows, mangled values, a leaked __graft_zb_*
+    // stage column) must fail
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"),
+        sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("ck"))
+        .collect()(0)
+    assert(back.columns.sorted.sameElements(e.columns.sorted),
+      s"schema changed through the rank rewrite: ${back.columns.mkString(",")}")
+    val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "rank layout must hold exactly the source rows")
     val boxes = Zorder.boundingBoxes(spark, dir, Seq("user_id", "heat"))
       .collect()
     // a box in the DENSE low-heat region, where uniform quantization
