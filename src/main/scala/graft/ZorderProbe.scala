@@ -31,7 +31,11 @@ import graft.sources.Tables
   *
   * Predicate boxes are sized for the sf0.1 domain (user_id 0–1499,
   * ts 2024-01-01..31); pass a different SPARK_GRAFT_SF_DIR knowingly.
-  * Usage: `runMain graft.ZorderProbe`.
+  * Usage: `runMain graft.ZorderProbe [numFiles]` — the file count is
+  * the curve's resolution lever (32 files expose ~5 z bits, 128 ~7):
+  * at 100 TB the layout has orders of magnitude more files, so the
+  * decoded-rows gap between layouts WIDENS with this knob — run it at
+  * 32 and 128 and compare.
   */
 object ZorderProbe {
 
@@ -49,7 +53,7 @@ object ZorderProbe {
 
     val e = Tables.load(spark, sfDir, "events")
     val tmp = queries.scratchPath("zprobe")
-    val files = 32
+    val files = if (args.nonEmpty) args(0).toInt else 32
 
     // the three layouts: same rows, same file count, different order
     e.repartition(files)

@@ -106,8 +106,12 @@ object Zorder {
     * tight, and ordinary pushed-down predicates prune files and row
     * groups in all `cols` dimensions at once. */
   def writeZordered(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 16, numFiles: Int = 32): Unit =
+      bits: Int = 16, numFiles: Int = 32): Unit = {
+    // validated BEFORE the stats pass — a bad argument must not cost a
+    // full-table aggregate first
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     writeClustered(df, path, zvalue(df, cols, bits), numFiles)
+  }
 
   /** The one clustered-write path both quantization modes share:
     * range-partition on `z`, local sort, write parquet, with
@@ -196,11 +200,19 @@ object Zorder {
     * stage columns are dropped after the sort, before the write. */
   def writeZorderedByRank(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(!df.columns.exists(_.startsWith("__graft_zb_")),
+      "input already carries __graft_zb_* columns — a leaked stage " +
+        "column from a crashed clustered write; drop it before re-clustering")
     val bounds = rankBoundariesAll(df, cols, bits)
     val bcols = cols.indices.map(i => s"__graft_zb_$i")
-    val staged = df.select(df.columns.map(col) ++
-      cols.zip(bounds).zip(bcols).map { case ((c, b), bc) =>
-        rankBucket(col(c).cast("double"), b.toSeq).as(bc) }: _*)
+    // withColumn, not a full re-select: re-selecting every column by
+    // name through col() would mis-parse dotted column names as
+    // nested-field access — untouched columns must never be resolved
+    val staged = cols.zip(bounds).zip(bcols).foldLeft(df) {
+      case (d, ((c, b), bc)) =>
+        d.withColumn(bc, rankBucket(col(c).cast("double"), b.toSeq))
+    }
     writeClustered(staged, path, interleave(bcols.map(col), bits),
       numFiles, dropCols = bcols)
   }

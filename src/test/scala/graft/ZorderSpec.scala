@@ -15,6 +15,13 @@ import graft.operators.Zorder
   */
 class ZorderSpec extends SparkSpec {
 
+  /** Order-insensitive content fingerprint (count + decimal-summed
+    * row hash) — the one round-trip check both rewrite tests share. */
+  private def fp(df: org.apache.spark.sql.DataFrame) =
+    df.agg(count(lit(1)).as("n"),
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("ck"))
+      .collect()(0)
+
   private def refMorton(xs: Seq[Long], bits: Int): Long = {
     val d = xs.length
     var z = 0L
@@ -69,10 +76,6 @@ class ZorderSpec extends SparkSpec {
     Zorder.writeZordered(e, dir, Seq("user_id", "ts"), bits = 16,
       numFiles = 8)
     val back = spark.read.parquet(dir)
-    def fp(df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("n"),
-        sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("ck"))
-        .collect()(0)
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
       "z-ordered layout must hold exactly the source rows")
@@ -178,10 +181,6 @@ class ZorderSpec extends SparkSpec {
     // content fingerprint, not just count — equal-count corruption
     // (dropped+duplicated rows, mangled values, a leaked __graft_zb_*
     // stage column) must fail
-    def fp(df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("n"),
-        sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("ck"))
-        .collect()(0)
     assert(back.columns.sorted.sameElements(e.columns.sorted),
       s"schema changed through the rank rewrite: ${back.columns.mkString(",")}")
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
