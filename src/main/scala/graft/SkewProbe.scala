@@ -103,7 +103,12 @@ object SkewProbe {
       val plainFp = plainAgg.collect()(0)
       val plainWall = (System.nanoTime() - t0p) / 1e9
       val plainVols = ShuffleProbe.volumesOfExecuted(plainAgg)
+      // persisted: bands feeds ONLY the measurement aggregates below
+      // (mPlain, g, the cell-count join — never the timed operator
+      // runs), and without the cache each one re-decodes every PNG
+      // from scratch (AQE off, no exchange reuse across jobs)
       val bands = Multimodal.bandExplode(Multimodal.imageHashes(recs))
+        .persist()
       val mPlain = bands.groupBy(col("band"), col("bval")).count()
         .agg(max(col("count"))).head().getLong(0)
 
@@ -160,6 +165,7 @@ object SkewProbe {
         s"pairs_equal=${plainFp.getLong(0) == saltFp.getLong(0) &&
           plainFp.getDecimal(1) == saltFp.getDecimal(1)} " +
         s"pairs=${plainFp.getLong(0)}")
+      bands.unpersist()
     }
     spark.stop()
   }

@@ -95,8 +95,10 @@ object ZorderProbe {
 
     Seq("unsorted", "sorted1d", "zorder").foreach { layout =>
       val path = s"$tmp/$layout"
+      // the ONE hidden-name definition (Layout.isHidden), so local-FS
+      // .crc checksum sidecars don't inflate the byte denominator
       val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .filter(st => !st.getPath.getName.startsWith("_"))
+        .filter(st => !graft.operators.Layout.isHidden(st.getPath.getName))
         .map(st => st.getPath.getName -> st.getLen).toMap
       val bb = Zorder.boundingBoxes(spark, path, Seq("user_id", "ts"))
         .collect()

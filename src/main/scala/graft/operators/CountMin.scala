@@ -221,10 +221,16 @@ object CountMin {
     // legitimate shallow-depth throw (up to ~37% at depth 1) misreads
     // as a 1-in-20 event and misdirects the investigation
     val statedBound = if (markov > cap) p else delta
+    // name the bound that actually applied: when the clamp binds,
+    // `allowed` is the all-keys cap, not the Markov tolerance — an
+    // operator recomputing ceil(n·p/δ)−1 would get a different number
+    // and conclude the arithmetic is broken
+    val tolLabel = if (markov > cap) s"all-keys cap $allowed (Markov $markov)"
+      else s"Markov tolerance $allowed"
     if (breaches.length > allowed)
       throw new IllegalStateException(
         s"count-min estimates out of bracket for ${breaches.length} of " +
-          s"${keys.length} probe keys (Markov tolerance $allowed at " +
+          s"${keys.length} probe keys ($tolLabel at " +
           f"depth=$depth, stated false-throw <= $statedBound%.3f): " +
           s"${breaches.take(5).mkString("; ")} " +
           s"bound=+${bound.round} (width=$width N=${sk.n})")

@@ -105,11 +105,21 @@ object Zorder {
     * each, write. Every clustered column's per-file min/max is then
     * tight, and ordinary pushed-down predicates prune files and row
     * groups in all `cols` dimensions at once. */
+  /** EVERY argument check a clustered write needs, hoisted so a bad
+    * argument never costs the full-table stats pass first — interleave
+    * re-checks its own invariants, but by then the scan has run. */
+  private def validateWrite(cols: Seq[String], bits: Int,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(cols.length >= 2,
+      s"z-ordering needs >= 2 dimensions, got ${cols.length} (use a plain sort)")
+    require(bits >= 1 && cols.length * bits <= 63,
+      s"d*bits = ${cols.length * bits} must fit a non-negative long (<= 63)")
+  }
+
   def writeZordered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 16, numFiles: Int = 32): Unit = {
-    // validated BEFORE the stats pass — a bad argument must not cost a
-    // full-table aggregate first
-    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    validateWrite(cols, bits, numFiles)
     writeClustered(df, path, zvalue(df, cols, bits), numFiles)
   }
 
@@ -200,7 +210,7 @@ object Zorder {
     * stage columns are dropped after the sort, before the write. */
   def writeZorderedByRank(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Unit = {
-    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    validateWrite(cols, bits, numFiles)
     require(!df.columns.exists(_.startsWith("__graft_zb_")),
       "input already carries __graft_zb_* columns — a leaked stage " +
         "column from a crashed clustered write; drop it before re-clustering")
