@@ -123,6 +123,13 @@ object Session {
         require(args.length == 2, "merge_tokens(arrayOfStrings, arrayOfPhraseLiterals)")
         graft.functions.MergeTokens(args(0),
           stringSeqLiteral(args(1), "merge_tokens: phrases"))
+      }),
+    (FunctionIdentifier("hilbert_d2"),
+      new ExpressionInfo(classOf[graft.functions.HilbertCode].getName, "hilbert_d2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "hilbert_d2(bucketX, bucketY, bits)")
+        graft.functions.HilbertCode(args(0), args(1),
+          intLiteral(args(2), "hilbert_d2: bits"))
       }))
 
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =

@@ -63,6 +63,8 @@ object ZorderProbe {
       .write.mode("overwrite").parquet(s"$tmp/sorted1d")
     Zorder.writeZordered(e, s"$tmp/zorder", Seq("user_id", "ts"),
       bits = 16, numFiles = files)
+    Zorder.writeHilbert(e, s"$tmp/hilbert", Seq("user_id", "ts"),
+      bits = 16, numFiles = files)
 
     case class Box(name: String, uLo: Long, uHi: Long, tLo: String, tHi: String)
     val boxes = Seq(
@@ -93,7 +95,7 @@ object ZorderProbe {
     val fsRoot = new org.apache.hadoop.fs.Path(tmp)
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    Seq("unsorted", "sorted1d", "zorder").foreach { layout =>
+    Seq("unsorted", "sorted1d", "zorder", "hilbert").foreach { layout =>
       val path = s"$tmp/$layout"
       // the ONE hidden-name definition (Layout.isHidden), so local-FS
       // .crc checksum sidecars don't inflate the byte denominator

@@ -124,6 +124,75 @@ class ZorderSpec extends SparkSpec {
       s"2D box touched all $touched files — layout is not clustering")
   }
 
+  /** Classic xy2d (public-domain algorithm), the reference for the
+    * native hilbert_d2 expression. */
+  private def refHilbert(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbert_d2 matches the reference xy2d on the full grid; curve is adjacent") {
+    val s = spark
+    import s.implicits._
+    val bits = 4
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        org.apache.spark.sql.GraftColumn.of(graft.functions.HilbertCode(
+          org.apache.spark.sql.GraftColumn.expr(col("x")),
+          org.apache.spark.sql.GraftColumn.expr(col("y")), bits)).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (x <- 0L until 16L; y <- 0L until 16L)
+      assert(grid((x, y)) == refHilbert(x, y, bits),
+        s"hilbert($x,$y) mismatch vs reference xy2d")
+    // the property Morton LACKS and the layout exists for: consecutive
+    // curve positions are ADJACENT cells (|dx|+|dy| = 1), so a box
+    // cuts the curve into few long runs — a bijection check rides
+    // along (every d in [0, 256) hit exactly once)
+    val byD = grid.map { case ((x, y), d) => d -> (x, y) }
+    assert(byD.size == 256, "hilbert_d2 is not a bijection on the grid")
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps between d=$d ($x1,$y1) and d=${d + 1} ($x2,$y2)")
+    }
+    // the SQL registration resolves too
+    val viaSql = spark.sql("SELECT hilbert_d2(5L, 3L, 4)").head().getLong(0)
+    assert(viaSql == refHilbert(5L, 3L, 4))
+  }
+
+  test("hilbert rewrite round-trips and prunes a 2D box") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_hilbert_rt_").toString
+    Zorder.writeHilbert(e, dir, Seq("user_id", "value"), bits = 16,
+      numFiles = 8)
+    val back = spark.read.parquet(dir)
+    val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "hilbert layout must hold exactly the source rows")
+    val boxes = Zorder.boundingBoxes(spark, dir, Seq("user_id", "value"))
+      .collect()
+    val touched = boxes.count { r =>
+      r.getLong(1) <= 8L && r.getLong(2) >= 2L &&
+        r.getDouble(3) <= 120.0 && r.getDouble(4) >= 60.0
+    }
+    assert(touched > 0 && touched < boxes.length,
+      s"2D box touched $touched of ${boxes.length} files")
+    intercept[IllegalArgumentException](Zorder.writeHilbert(
+      e, dir, Seq("user_id", "value", "event_id"), bits = 8, numFiles = 8))
+  }
+
   test("rankBucket matches a reference binary search, boundary-exact") {
     val s = spark
     import s.implicits._
