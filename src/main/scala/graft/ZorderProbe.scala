@@ -7,8 +7,8 @@ import graft.operators.Zorder
 import graft.sources.Tables
 
 /** Scale probe for the z-ordered layout (PLANS.md q175): writes the
-  * events table three ways — UNSORTED, 1-D SORTED on user_id, and
-  * Z-ORDERED on (user_id, ts) — and measures, for 2-D box predicates,
+  * events table four ways — UNSORTED, 1-D SORTED on user_id, and
+  * MORTON- and HILBERT-clustered on (user_id, ts) — and measures, for 2-D box predicates,
   * what a pruning reader actually touches in each layout:
   *
   *   - decoded rows, from the executed plan's FileSourceScanExec
@@ -44,7 +44,7 @@ object ZorderProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Session.builder("graft-zorderprobe", cpus).getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // all three layouts get stats-bearing timestamps so the comparison
+    // every layout gets stats-bearing timestamps so the comparison
     // is fair — writeZordered scopes this itself; the two baseline
     // layouts are written directly below (Spark's INT96 default has NO
     // stats: before this, the ts half of every box pruned nothing)
@@ -55,7 +55,7 @@ object ZorderProbe {
     val tmp = queries.scratchPath("zprobe")
     val files = if (args.nonEmpty) args(0).toInt else 32
 
-    // the three layouts: same rows, same file count, different order
+    // the layouts under comparison: same rows, same file count, different order
     e.repartition(files)
       .write.mode("overwrite").parquet(s"$tmp/unsorted")
     e.repartitionByRange(files, col("user_id"))

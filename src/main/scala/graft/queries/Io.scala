@@ -13,6 +13,38 @@ import graft.sources.{Sinks, Tables}
   */
 object Io {
 
+  /** The ONE box + aggregate q175 and q177 share — the point of q177
+    * is "same query, different curve", so comparability is by
+    * construction, not by keeping two copies in sync. The box sits at
+    * LOW user ids because the domain scales with sf (max 14 / 149 /
+    * 1499 at sf0.001/0.01/0.1) — ids 2..8 exist and select rows at
+    * every scale factor. */
+  private def eventsBoxScan(spark: org.apache.spark.sql.SparkSession,
+      dir: String, scratch: String)(
+      write: (org.apache.spark.sql.DataFrame, String) => Unit)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val tmp = scratchPath(scratch)
+    write(e, tmp)
+    spark.read.parquet(tmp)
+      .filter(col("user_id").between(2, 8) &&
+        col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast("double").as("total"))
+  }
+
+  private val eventsBoxOracle = """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        WHERE user_id BETWEEN 2 AND 8
+          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- S4+S6+S7: partitioned write → read back → CTAS → SQL -----
@@ -68,31 +100,10 @@ object Io {
     // convention for index-family rows.
     QueryDef(
       "q175_zorder_scan",
-      (spark, dir) => {
-        val e = Tables.load(spark, dir, "events")
-        val tmp = scratchPath("zorder_events")
-        graft.operators.Zorder.writeZordered(
-          e, tmp, Seq("user_id", "ts"), bits = 16, numFiles = 32)
-        // the box sits at LOW user ids because the domain scales with
-        // sf (max 14 / 149 / 1499 at sf0.001/0.01/0.1) — ids 2..8
-        // exist and select rows at every scale factor
-        spark.read.parquet(tmp)
-          .filter(col("user_id").between(2, 8) &&
-            col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
-            col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(18, 2)))
-              .cast("double").as("total"))
-      },
-      Some("""
-        SELECT event_type, count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM events
-        WHERE user_id BETWEEN 2 AND 8
-          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
-          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
-        GROUP BY event_type""")),
+      (spark, dir) => eventsBoxScan(spark, dir, "zorder_events")(
+        graft.operators.Zorder.writeZordered(_, _, Seq("user_id", "ts"),
+          bits = 16, numFiles = 32)),
+      Some(eventsBoxOracle)),
 
     // ----- Rank-quantized Z-order: the skew-robust clustering form -----
     // [[graft.operators.Zorder.writeZorderedByRank]]: equal-DEPTH
@@ -127,6 +138,21 @@ object Io {
         FROM events
         WHERE user_id BETWEEN 2 AND 8
           AND value * value >= 100.0 AND value * value < 2500.0
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ----- Hilbert-curve clustered layout (q175's locality upgrade) --
+    // [[graft.operators.Zorder.writeHilbert]] + the native `hilbert_d2`
+    // codegen expression: same box + aggregate as q175 over the
+    // Hilbert-clustered rewrite, so the oracle hash-match pins the
+    // curve rewrite's row preservation and pushed-predicate semantics.
+    // ZorderProbe carries the measured pruning comparison (hilbert
+    // dominates Morton at every measured point; spec pins the
+    // adjacency property that causes it).
+    QueryDef(
+      "q177_hilbert_scan",
+      (spark, dir) => eventsBoxScan(spark, dir, "hilbert_events")(
+        graft.operators.Zorder.writeHilbert(_, _, Seq("user_id", "ts"),
+          bits = 16, numFiles = 32)),
+      Some(eventsBoxOracle))
   )
 }
