@@ -102,8 +102,13 @@ private[graft] object Layout {
         // delete involved) and the stale-read interleave within one
         // writer (the verify re-reads after create).
         val p = markerPath(path, file)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, false)
+        // a failed delete must surface as a delete failure: swallowing
+        // it would let stampExclusive lose to the still-present OLD
+        // marker and report a misleading concurrent-bootstrap race
+        require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, false),
+          s"$what: could not clear the dead marker $p before " +
+            "re-stamping — resolve the filesystem error first")
         stampExclusive(spark, path, file, payload, what)
       case None =>
         require(!populated,
@@ -146,7 +151,19 @@ private[graft] object Layout {
         if (created) { fs.delete(p, false); throw e }
         if (!fs.exists(p)) throw e
     }
-    val stored = readMarker(spark, path, file)
+    // verify with ONE short-delay retry: the winner's create→write→
+    // close is not atomic, so a loser reading immediately after losing
+    // the create can see an empty/partial payload even when the winner
+    // is stamping the SAME config — without the retry a healthy
+    // concurrent same-payload retry fails (or reports "winner stamped
+    // ''"). One bounded re-read after 100 ms closes the in-flight
+    // window; a payload still short of ours after that is a genuinely
+    // different (or crashed mid-write) winner and fails fast below.
+    val stored = {
+      val first = readMarker(spark, path, file)
+      if (first.contains(payload.trim)) first
+      else { Thread.sleep(100); readMarker(spark, path, file) }
+    }
     require(stored.contains(payload.trim),
       s"$what: lost a concurrent bootstrap race at $path/$file — the " +
         s"winner stamped '${stored.getOrElse("<missing>")}', this " +

@@ -68,7 +68,18 @@ object Statistical {
     val j = greatest(lit(0), d - lit(15))
     val p = pow(lit(10.0), j).cast(DecimalType(38, 0))
     val k = ((i - i % p) / p).cast(DecimalType(38, 0))
-    k.cast("double") * pow(lit(10.0), j) / lit(10000.0)
+    // exactness guard: step 5 needs 10^j double-exact, which holds
+    // only for j <= 22 (scaled sums < 10^37 — sf ~10^9 territory).
+    // Past that the claim would silently degrade to approximate and
+    // the Spark/DuckDB pow paths could diverge — fail LOUDLY instead
+    // (the when-branch keeps the guard inside codegen; it never fires
+    // at any reachable sf, so the happy path is unchanged)
+    when(d <= lit(37),
+      k.cast("double") * pow(lit(10.0), j) / lit(10000.0))
+      .otherwise(raise_error(lit(
+        "quantCast: scaled sum has > 37 digits — 10^j is no longer " +
+          "double-exact and the cross-engine exactness guarantee is " +
+          "void; widen the quantization budget before trusting this sf")))
   }
 
   /** DuckDB spelling of [[quantCast]] over pre-computed helper columns

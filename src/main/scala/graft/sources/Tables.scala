@@ -64,8 +64,18 @@ object Tables {
     * indexes): a cache keyed by dir alone silently serves STALE
     * derived state when the parquet underneath is regenerated while
     * the JVM lives — folding the file identities into the key forces
-    * a rebuild instead. Cost: one FS listing per table, no data
-    * reads. */
+    * a rebuild instead.
+    *
+    * Each file also folds in a CONTENT sample — its last ≤64 bytes,
+    * which for parquet cover the footer-metadata tail (row counts,
+    * column stats) plus the 8-byte length+magic trailer — because
+    * path+length+mtime alone collide when a regeneration lands within
+    * filesystem mtime granularity with identical names and sizes: the
+    * exact stale-serve the fingerprint exists to prevent. Different
+    * data virtually always moves the footer stats even at equal file
+    * size. Cost: one FS listing plus one bounded pread per file (64
+    * bytes, never row data) — at 100 TB that is per-FILE, not
+    * per-byte, and fingerprints are computed once per cache build. */
   def fingerprint(spark: SparkSession, dir: String,
       tables: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -81,9 +91,18 @@ object Tables {
           while (it.hasNext) buf += it.next()
           buf.sortBy(_.getPath.toString).toSeq
         }
-      files.iterator.flatMap(f =>
+      files.iterator.flatMap { f =>
+        val n = math.min(f.getLen, 64L).toInt
+        val tail = new Array[Byte](n)
+        if (n > 0) {
+          val in = fs.open(f.getPath)
+          try { in.seek(f.getLen - n); in.readFully(tail) }
+          finally in.close()
+        }
         f.getPath.toString.iterator.map(_.toLong) ++
-          Iterator(f.getLen, f.getModificationTime))
+          Iterator(f.getLen, f.getModificationTime) ++
+          tail.iterator.map(_.toLong)
+      }
     }
     graft.operators.Layout.fnv1a64(longs)
   }
