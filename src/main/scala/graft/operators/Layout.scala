@@ -252,6 +252,33 @@ private[graft] object Layout {
   def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
+  /** [[publishStaged]] for operators that stage a whole rewrite
+    * (the [[graft.operators.Zorder.compactClustered]] publish step):
+    * move every data file under `stagingRoot` into `layoutRoot` under
+    * `prefix`, preserving relative directory structure. No-op when the
+    * staging dir is absent (a recovery path that already published). */
+  private[operators] def publishDir(fs: org.apache.hadoop.fs.FileSystem,
+      stagingRoot: org.apache.hadoop.fs.Path,
+      layoutRoot: org.apache.hadoop.fs.Path, prefix: String): Unit =
+    if (fs.exists(stagingRoot))
+      publishStaged(fs, stagingRoot, stagingRoot, layoutRoot, prefix)
+
+  /** Delete every published data file under `dir` EXCEPT those carrying
+    * `keepPrefix` — the swap step of a staged rewrite: the new
+    * generation's files (already published under the prefix by a
+    * crashed attempt) survive, everything else goes. Hidden names
+    * (markers, ledger, staging) are never touched. */
+  private[operators] def deleteDataExcept(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, keepPrefix: String): Unit =
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (!isHidden(name)) deleteDataExcept(fs, st.getPath, keepPrefix)
+      } else if (!isHidden(name) && !name.startsWith(keepPrefix))
+        require(fs.delete(st.getPath, false),
+          s"deleteDataExcept: could not delete ${st.getPath}")
+    }
+
   /** Move every staged DATA file into the layout, preserving the
     * partition-directory structure relative to `stagingRoot` and
     * prepending the batch prefix to the file name. */

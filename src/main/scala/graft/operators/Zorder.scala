@@ -36,8 +36,43 @@ import org.apache.spark.sql.functions._
   * (they sort first, like NULLS FIRST), a constant column (max == min)
   * degenerates to one bucket, and values are clamped so max lands in
   * the top bucket, not past it.
+  *
+  * ==Incremental story==
+  * Every clustered write stamps a `_graft_clustering` [[Layout]]
+  * marker whose payload IS the layout's quantization: curve, bits,
+  * file count, and each column's pinned bucket parameters (bit-exact
+  * doubles). That makes the layout appendable the way the index
+  * families are: [[appendClustered]] buckets a new batch through the
+  * PINNED parameters (never a fresh stats pass — fresh bounds would
+  * interleave incompatibly with the resident files) and lands it as a
+  * batchId-keyed idempotent transaction ([[Layout.idempotentAppend]]),
+  * each batch z-sorted into a few tight files, so the tail still
+  * prunes; [[compactClustered]] folds the accumulated tail back into
+  * the main `numFiles` grid through the same pinned parameters, with a
+  * crash-recoverable staged swap. Append-then-compact therefore equals
+  * a pinned-parameter full rewrite (ZorderSpec pins row parity exactly
+  * and pruning parity by decoded rows; CONTRACTS.json grades the
+  * pruning ordering per bench run).
   */
 object Zorder {
+
+  /** One clustered column's pinned quantization: `kind` "u" =
+    * equal-width with params [lo, hi]; "r" = equal-depth with params =
+    * the sorted rank boundaries. */
+  final case class ColQuant(name: String, kind: String, params: Seq[Double])
+
+  /** A clustered layout's full physical identity — everything an
+    * append or compaction needs to place NEW rows exactly where the
+    * original write would have: curve ("morton" | "hilbert"), bits per
+    * dimension, main-grid file count, and the per-column pinned
+    * quantization. Serialized bit-exactly into the `_graft_clustering`
+    * marker ([[payload]]/[[parsePayload]]). */
+  final case class Clustering(curve: String, bits: Int, numFiles: Int,
+      cols: Seq[ColQuant])
+
+  private[graft] val markerFile = "_graft_clustering"
+  private val compactingFile = "_graft_compacting"
+  private val compactTmpDir = "_graft_compact_tmp"
 
   /** Quantize `c` to a long in [0, 2^bits) given its [lo, hi] range.
     * NULLs bucket to 0; NaN and +Infinity rows land in the TOP bucket,
@@ -79,13 +114,9 @@ object Zorder {
   /** The z-value column for `cols` over `df`, quantized by a single
     * min/max stats pass (one aggregate job, one collected row). */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column =
-    interleave(quantized(df, cols, bits), bits)
+    interleave(uniformQuants(df, cols, bits).map(q =>
+      bucket(col(q.name), q.params(0), q.params(1), bits)), bits)
 
-  /** Rewrite `df` as a z-ordered parquet layout at `path`: range-
-    * partition on the Morton code into `numFiles` files, sort within
-    * each, write. Every clustered column's per-file min/max is then
-    * tight, and ordinary pushed-down predicates prune files and row
-    * groups in all `cols` dimensions at once. */
   /** EVERY argument check a clustered write needs, hoisted so a bad
     * argument never costs the full-table stats pass first — interleave
     * re-checks its own invariants, but by then the scan has run. */
@@ -96,12 +127,25 @@ object Zorder {
       s"z-ordering needs >= 2 dimensions, got ${cols.length} (use a plain sort)")
     require(bits >= 1 && cols.length * bits <= 63,
       s"d*bits = ${cols.length * bits} must fit a non-negative long (<= 63)")
+    // names travel through the _graft_clustering marker's text format
+    // (`:`/`;`/`,`/space are its separators) — clustering columns are
+    // plain top-level columns, so restrict to identifier characters
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"clustered column name '$c' must match [A-Za-z0-9_]+ (it is " +
+        "serialized into the layout marker)"))
   }
 
+  /** Rewrite `df` as a z-ordered parquet layout at `path`: range-
+    * partition on the Morton code into `numFiles` files, sort within
+    * each, write, and stamp the `_graft_clustering` marker with the
+    * pinned quantization. Every clustered column's per-file min/max is
+    * then tight, and ordinary pushed-down predicates prune files and
+    * row groups in all `cols` dimensions at once. */
   def writeZordered(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 16, numFiles: Int = 32): Unit = {
+      bits: Int = 16, numFiles: Int = 32): Clustering = {
     validateWrite(cols, bits, numFiles)
-    writeClustered(df, path, zvalue(df, cols, bits), numFiles)
+    writeAndStamp(df, path,
+      Clustering("morton", bits, numFiles, uniformQuants(df, cols, bits)))
   }
 
   /** [[writeZordered]] on the 2-D HILBERT curve instead of Morton:
@@ -116,31 +160,299 @@ object Zorder {
     * state doesn't unroll into Column combinators without doubling
     * the tree per bit plane). */
   def writeHilbert(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 16, numFiles: Int = 32): Unit = {
+      bits: Int = 16, numFiles: Int = 32): Clustering = {
     validateWrite(cols, bits, numFiles)
     require(cols.length == 2,
       s"hilbert layout is 2-D (got ${cols.length} columns) — use " +
         "writeZordered for higher dimensions")
-    // the expression is constructed directly (no name lookup), so no
-    // function registration is needed — the hilbert_d2 registry entry
-    // exists for SQL/expr() users
-    val qs = quantized(df, cols, bits)
-    val h = org.apache.spark.sql.GraftColumn.of(
-      graft.functions.HilbertCode(
-        org.apache.spark.sql.GraftColumn.expr(qs(0)),
-        org.apache.spark.sql.GraftColumn.expr(qs(1)), bits))
-    writeClustered(df, path, h, numFiles)
+    writeAndStamp(df, path,
+      Clustering("hilbert", bits, numFiles, uniformQuants(df, cols, bits)))
   }
 
-  /** The per-dimension equal-width bucket columns behind [[zvalue]] —
+  /** [[writeZordered]] with rank (equi-depth) quantization — the form
+    * for skewed clustering columns. Same single-shuffle shape, ONE
+    * extra stats job (all columns' quantile sketches in one pass).
+    * Each dimension's decision-tree bucket is STAGED as a projected
+    * column before the interleave — interleaving the raw bucket
+    * expressions would embed the O(2^bits)-node tree once per output
+    * bit (bits copies per dimension: thousands of expression nodes,
+    * the bucket re-evaluated `bits` times per row); staging evaluates
+    * it once per row and the interleave reads cheap attributes. The
+    * stage columns are dropped after the sort, before the write. */
+  def writeZorderedByRank(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 8, numFiles: Int = 32): Clustering = {
+    validateWrite(cols, bits, numFiles)
+    val bounds = rankBoundariesAll(df, cols, bits)
+    writeAndStamp(df, path, Clustering("morton", bits, numFiles,
+      cols.zip(bounds).map { case (c, b) => ColQuant(c, "r", b.toSeq) }))
+  }
+
+  /** Route to the measured-best curve for the dimension count: 2-D →
+    * Hilbert (dominates Morton at every point ZorderProbe measured —
+    * tighter per-file boxes from the jump-free curve), 3-D and up →
+    * Morton (the built hilbert_d2 state machine is 2-D; Morton's
+    * interleave generalizes to any d·bits ≤ 63). Exists so a caller
+    * cannot pick the dominated curve for 2-D by accident; the returned
+    * [[Clustering]] records which curve was chosen. */
+  def writeBest(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 16, numFiles: Int = 32): Clustering =
+    if (cols.length == 2) writeHilbert(df, path, cols, bits, numFiles)
+    else writeZordered(df, path, cols, bits, numFiles)
+
+  /** The write half every clustered form shares: bucket + curve from
+    * the PINNED parameters, one range shuffle, local sort, overwrite,
+    * then stamp the marker. Marker-after-data matches the rebuild arm
+    * of the [[Layout]] state machine: a crash between the write and
+    * the stamp leaves data-without-marker, which every append, compact
+    * and probe REFUSES (never silently mis-buckets). */
+  private def writeAndStamp(df: DataFrame, path: String,
+      cl: Clustering): Clustering = {
+    val (staged, z, drop) = clusteredFrame(df, cl)
+    withStatsTimestamps(df.sparkSession) {
+      staged.repartitionByRange(cl.numFiles, z)
+        .sortWithinPartitions(z)
+        .drop(drop: _*)
+        .write.mode("overwrite").parquet(path)
+    }
+    Layout.writeMarker(df.sparkSession, path, markerFile, payload(cl))
+    cl
+  }
+
+  /** Append a batch into an existing clustered layout as ONE
+    * idempotent batchId-keyed transaction — the daily-ingest /
+    * `foreachBatch` shape every index family already has, for
+    * clustered tables: the batch is bucketed through the layout's
+    * PINNED quantization (read from the `_graft_clustering` marker —
+    * never a fresh stats pass), z-sorted into `batchFiles` tight
+    * files, and published via [[Layout.idempotentAppend]] (replays
+    * are no-ops, crash windows are swept and redone). The appended
+    * tail therefore still prunes — each batch file carries a narrow
+    * z-range — just at batch granularity instead of the main grid's;
+    * [[compactClustered]] folds the tail back in. Returns
+    * true if the batch was applied by THIS call (false = replay).
+    *
+    * Refused fast: a missing marker (over data = crashed rebuild; over
+    * an empty path = bootstrap with a `write*` form first — unlike the
+    * index families there is no caller-side parameter set to bootstrap
+    * from, the quantization comes from a stats pass only a full write
+    * runs), or an in-flight/crashed compaction sentinel (run
+    * [[compactClustered]] to recover first). */
+  def appendClustered(batch: DataFrame, path: String, batchId: Long,
+      batchFiles: Int = 4): Boolean = {
+    val spark = batch.sparkSession
+    require(batchFiles >= 1, s"batchFiles must be >= 1, got $batchFiles")
+    requireNotCompacting(spark, path, "appendClustered")
+    val cl = clusteringOf(spark, path).getOrElse(sys.error(
+      s"appendClustered: no $markerFile marker at $path — either a " +
+        "crashed rebuild (data without its marker) or a fresh path; " +
+        "bootstrap with writeZordered/writeHilbert/writeZorderedByRank " +
+        "first (the pinned quantization comes from the write's stats " +
+        "pass)"))
+    val (staged, z, drop) = clusteredFrame(batch, cl)
+    Layout.idempotentAppend(spark, path, batchId) { stg =>
+      withStatsTimestamps(spark) {
+        staged.repartitionByRange(math.min(batchFiles, cl.numFiles), z)
+          .sortWithinPartitions(z)
+          .drop(drop: _*)
+          .write.mode("overwrite").parquet(stg)
+      }
+    }
+  }
+
+  /** Fold the appended tail back into the main grid: re-cluster ALL
+    * current rows through the PINNED quantization into the layout's
+    * `numFiles` and swap the files in a crash-recoverable staged
+    * rewrite. After a compact the layout prunes exactly like a fresh
+    * pinned-parameter rewrite (ZorderSpec pins rows exactly and
+    * decoded-rows parity; the `_graft_batches` ledger is KEPT so a
+    * replayed pre-compact batch stays a no-op rather than
+    * re-appending folded rows).
+    *
+    * Protocol (single writer per path, like every [[Layout]] rewrite):
+    *   1. stage the full re-clustered rewrite under the hidden
+    *      `_graft_compact_tmp` (parquet readers never see it);
+    *   2. stamp the `_graft_compacting` sentinel with a fresh token T —
+    *      the commit point;
+    *   3. delete every published data file NOT carrying `c<T>-`;
+    *   4. publish the staged files into the root under `c<T>-`;
+    *   5. drop the staging dir, then the sentinel.
+    * Every crash window recovers on the next call: sentinel present →
+    * resume steps 3–5 with the RECORDED token (files already published
+    * under it survive the sweep — that is what the token is for);
+    * staging without a sentinel → a pre-commit crash, the stale
+    * staging is discarded. A crashed compact leaves the layout
+    * readable-inconsistent only AFTER the sentinel exists, which is
+    * also exactly when recovery is deterministic.
+    *
+    * At 100 TB this is the amortized rewrite any clustering pays;
+    * operationally it runs partition-scoped (compact only the
+    * partitions that ingested) — this engine's layouts are single-dir,
+    * so the whole-layout form is the honest primitive. */
+  def compactClustered(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val sentinel = new org.apache.hadoop.fs.Path(root, compactingFile)
+    val tmp = new org.apache.hadoop.fs.Path(root, compactTmpDir)
+    // finish a crashed compaction before starting this one
+    if (fs.exists(sentinel)) {
+      val token = Layout.readMarker(spark, path, compactingFile).get
+      require(token.nonEmpty,
+        s"compactClustered: empty $compactingFile sentinel at $path — " +
+          "cannot tell the crashed generation's files apart; resolve " +
+          "manually")
+      Layout.deleteDataExcept(fs, root, s"c$token-")
+      Layout.publishDir(fs, tmp, root, s"c$token-")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      require(fs.delete(sentinel, false),
+        s"compactClustered: could not clear $sentinel after recovery")
+    } else if (fs.exists(tmp)) {
+      // pre-commit crash: the staged rewrite never became the layout
+      require(fs.delete(tmp, true),
+        s"compactClustered: could not clear stale staging $tmp")
+    }
+    val cl = clusteringOf(spark, path).getOrElse(sys.error(
+      s"compactClustered: no $markerFile marker at $path — not a " +
+        "clustered graft layout (or a crashed rebuild); rebuild with a " +
+        "write* form first"))
+    val (staged, z, drop) = clusteredFrame(spark.read.parquet(path), cl)
+    withStatsTimestamps(spark) {
+      staged.repartitionByRange(cl.numFiles, z)
+        .sortWithinPartitions(z)
+        .drop(drop: _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    Layout.writeMarker(spark, path, compactingFile, token)
+    Layout.deleteDataExcept(fs, root, s"c$token-")
+    Layout.publishDir(fs, tmp, root, s"c$token-")
+    fs.delete(tmp, true)
+    require(fs.delete(sentinel, false),
+      s"compactClustered: could not clear $sentinel after publish")
+  }
+
+  /** The layout's pinned clustering, read back from the marker — what
+    * [[appendClustered]] and [[compactClustered]] bucket through, and
+    * the introspection point for users ("what IS this layout?"). */
+  def clusteringOf(spark: SparkSession, path: String): Option[Clustering] =
+    Layout.readMarker(spark, path, markerFile).map(parsePayload)
+
+  private def requireNotCompacting(spark: SparkSession, path: String,
+      what: String): Unit =
+    require(Layout.readMarker(spark, path, compactingFile).isEmpty,
+      s"$what: $path carries a $compactingFile sentinel — a compaction " +
+        "is in flight or crashed mid-swap; run compactClustered (it " +
+        "recovers, then compacts) before appending")
+
+  // ----- marker payload (bit-exact, versioned, human-inspectable) -----
+
+  private def hexd(d: Double): String =
+    java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))
+  private def unhexd(s: String): Double =
+    java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(s, 16))
+
+  /** `v1 curve=<c> bits=<b> files=<n> cols=<name>:<kind>:<p0,p1,…>;…`
+    * with every double as bit-exact hex — the quantization IS the
+    * layout identity, and assignment is deterministic in the bits, so
+    * only exact bits make an append compatible (the
+    * [[Ivf.centroidPayload]] discipline for curve layouts). */
+  private[graft] def payload(cl: Clustering): String =
+    s"v1 curve=${cl.curve} bits=${cl.bits} files=${cl.numFiles} cols=" +
+      cl.cols.map(c =>
+        s"${c.name}:${c.kind}:${c.params.map(hexd).mkString(",")}")
+        .mkString(";")
+
+  private[graft] def parsePayload(s: String): Clustering = {
+    def fail(why: String) = sys.error(
+      s"$markerFile: unparseable payload ('$why'): $s")
+    val parts = s.trim.split(' ')
+    if (parts.length != 5 || parts(0) != "v1") fail("expected 5 v1 fields")
+    def field(i: Int, k: String): String = {
+      if (!parts(i).startsWith(k + "=")) fail(s"expected $k=")
+      parts(i).substring(k.length + 1)
+    }
+    val cols = field(4, "cols").split(';').toSeq.map { c =>
+      val p = c.split(':')
+      if (p.length != 3) fail(s"bad col spec $c")
+      if (p(1) != "u" && p(1) != "r") fail(s"unknown kind ${p(1)}")
+      ColQuant(p(0), p(1), p(2).split(',').toSeq.map(unhexd))
+    }
+    Clustering(field(1, "curve"), field(2, "bits").toInt,
+      field(3, "files").toInt, cols)
+  }
+
+  // ----- pinned-parameter bucketing + curve code -----
+
+  /** The bucketed frame + curve column for `cl` over `df` — the ONE
+    * placement spelling the original write, every append and every
+    * compaction share (they must never drift, or an appended batch
+    * would interleave incompatibly with the resident files). Rank
+    * buckets are STAGED as projected columns (see
+    * [[writeZorderedByRank]]'s note — the decision tree must evaluate
+    * once per row, not once per output bit); uniform buckets are cheap
+    * bit arithmetic and stay inline. Returns (frame, curve column,
+    * stage columns to drop before the write). */
+  private def clusteredFrame(df: DataFrame,
+      cl: Clustering): (DataFrame, Column, Seq[String]) = {
+    cl.cols.foreach(c => require(df.columns.contains(c.name),
+      s"clustered column '${c.name}' missing from the input (has: " +
+        s"${df.columns.mkString(", ")})"))
+    cl.cols.foreach {
+      case ColQuant(n, "u", ps) => require(ps.length == 2,
+        s"uniform quantization for '$n' needs [lo, hi], got ${ps.length}")
+      case ColQuant(_, "r", _) => ()
+      case ColQuant(n, k, _) => sys.error(s"unknown quantization kind '$k' for '$n'")
+    }
+    def curveOf(qs: Seq[Column]): Column = cl.curve match {
+      case "morton" => interleave(qs, cl.bits)
+      case "hilbert" =>
+        require(qs.length == 2,
+          s"hilbert curve is 2-D, marker has ${qs.length} columns")
+        org.apache.spark.sql.GraftColumn.of(graft.functions.HilbertCode(
+          org.apache.spark.sql.GraftColumn.expr(qs(0)),
+          org.apache.spark.sql.GraftColumn.expr(qs(1)), cl.bits))
+      case other => sys.error(s"unknown curve '$other' in $markerFile")
+    }
+    if (!cl.cols.exists(_.kind == "r")) {
+      val qs = cl.cols.map(c => bucket(col(c.name), c.params(0), c.params(1), cl.bits))
+      (df, curveOf(qs), Nil)
+    } else {
+      require(!df.columns.exists(_.startsWith("__graft_zb_")),
+        "input already carries __graft_zb_* columns — a leaked stage " +
+          "column from a crashed clustered write; drop it before re-clustering")
+      val bcols = cl.cols.indices.map(i => s"__graft_zb_$i")
+      // withColumn, not a full re-select: re-selecting every column by
+      // name through col() would mis-parse dotted column names as
+      // nested-field access — untouched columns must never be resolved
+      val staged = cl.cols.zip(bcols).foldLeft(df) { case (d, (c, bc)) =>
+        d.withColumn(bc, c.kind match {
+          case "u" => bucket(col(c.name), c.params(0), c.params(1), cl.bits)
+          case _ => rankBucket(col(c.name).cast("double"), c.params)
+        })
+      }
+      (staged, curveOf(bcols.map(col)), bcols)
+    }
+  }
+
+  /** The pinned-parameter curve value of each row of `df` — the
+    * measurement hook ZorderSpec's grid pins ride on (per-file z-range
+    * disjointness IS "fully clustered"): returns the frame extended
+    * with the curve value under `asCol`, stage columns already shed. */
+  private[graft] def curveValues(df: DataFrame, cl: Clustering,
+      asCol: String): DataFrame = {
+    val (staged, z, drop) = clusteredFrame(df, cl)
+    staged.withColumn(asCol, z).drop(drop: _*)
+  }
+
+  /** The per-dimension equal-width [lo, hi] bounds behind [[zvalue]] —
     * one min/max stats pass, shared by the Morton and Hilbert forms.
     * Stats run over FINITE values only: a single NaN would make max()
     * return NaN (Spark orders it above every double) and silently
     * degenerate the whole dimension to one bucket; ±Infinity would
     * collapse every finite row's scale the same way. Non-finite ROWS
     * still get defined buckets (edge clamp in [[bucket]]). */
-  private def quantized(df: DataFrame, cols: Seq[String],
-      bits: Int): Seq[Column] = {
+  private def uniformQuants(df: DataFrame, cols: Seq[String],
+      bits: Int): Seq[ColQuant] = {
     def finite(x: Column): Column = {
       val d = x.cast("double")
       when(isnan(d) || abs(d) === Double.PositiveInfinity, lit(null))
@@ -153,16 +465,14 @@ object Zorder {
     cols.zipWithIndex.map { case (c, i) =>
       val lo = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
       val hi = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
-      bucket(col(c), lo, hi, bits)
+      ColQuant(c, "u", Seq(lo, hi))
     }
   }
 
-  /** The one clustered-write path both quantization modes share:
-    * range-partition on `z`, local sort, write parquet, with
-    * stats-bearing timestamps scoped to THIS write. Spark's default
-    * INT96 timestamp encoding carries no min/max statistics, so a
-    * time column clustered here would prune NOTHING at read (measured
-    * in ZorderProbe: 25,199 decoded rows vs 12,633 once stats exist).
+  /** Stats-bearing timestamps scoped to ONE write: Spark's default
+    * INT96 timestamp encoding carries no min/max statistics, so a time
+    * column clustered here would prune NOTHING at read (measured in
+    * ZorderProbe: 25,199 decoded rows vs 12,633 once stats exist).
     * TIMESTAMP_MICROS is the parquet-standard stats-bearing encoding;
     * it is not set session-wide because its isAdjustedToUTC annotation
     * changes how external readers render values (see Session.builder's
@@ -170,22 +480,12 @@ object Zorder {
     * rewrite in this engine, one writer per session is assumed: a
     * concurrent parquet write on the same session during this window
     * would pick up MICROS (harmless but unscoped), and a concurrent
-    * clustered write could restore the wrong prior. `dropCols` lets
-    * the rank path stage per-dimension bucket columns and shed them
-    * after the sort (a projection preserves partitioning and
-    * intra-partition order — no exchange, no re-sort). */
-  private def writeClustered(df: DataFrame, path: String, z: Column,
-      numFiles: Int, dropCols: Seq[String] = Nil): Unit = {
-    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    val spark = df.sparkSession
+    * clustered write could restore the wrong prior. */
+  private def withStatsTimestamps[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prior = spark.conf.get(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
-    try df.repartitionByRange(numFiles, z)
-      .sortWithinPartitions(z)
-      .drop(dropCols: _*)
-      .write.mode("overwrite").parquet(path)
-    finally spark.conf.set(key, prior)
+    try body finally spark.conf.set(key, prior)
   }
 
   /** Rank (equi-depth) quantization boundaries for `c` over `df`:
@@ -230,35 +530,6 @@ object Zorder {
         when(v >= lit(bounds(mid)), go(mid + 1, hi)).otherwise(go(lo, mid))
       }
     go(0, bounds.length)
-  }
-
-  /** [[writeZordered]] with rank (equi-depth) quantization — the form
-    * for skewed clustering columns. Same single-shuffle shape, ONE
-    * extra stats job (all columns' quantile sketches in one pass).
-    * Each dimension's decision-tree bucket is STAGED as a projected
-    * column before the interleave — interleaving the raw bucket
-    * expressions would embed the O(2^bits)-node tree once per output
-    * bit (bits copies per dimension: thousands of expression nodes,
-    * the bucket re-evaluated `bits` times per row); staging evaluates
-    * it once per row and the interleave reads cheap attributes. The
-    * stage columns are dropped after the sort, before the write. */
-  def writeZorderedByRank(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 8, numFiles: Int = 32): Unit = {
-    validateWrite(cols, bits, numFiles)
-    require(!df.columns.exists(_.startsWith("__graft_zb_")),
-      "input already carries __graft_zb_* columns — a leaked stage " +
-        "column from a crashed clustered write; drop it before re-clustering")
-    val bounds = rankBoundariesAll(df, cols, bits)
-    val bcols = cols.indices.map(i => s"__graft_zb_$i")
-    // withColumn, not a full re-select: re-selecting every column by
-    // name through col() would mis-parse dotted column names as
-    // nested-field access — untouched columns must never be resolved
-    val staged = cols.zip(bounds).zip(bcols).foldLeft(df) {
-      case (d, ((c, b), bc)) =>
-        d.withColumn(bc, rankBucket(col(c).cast("double"), b.toSeq))
-    }
-    writeClustered(staged, path, interleave(bcols.map(col), bits),
-      numFiles, dropCols = bcols)
   }
 
   /** Per-file bounding boxes of `cols` in a written layout — the

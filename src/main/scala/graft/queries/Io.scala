@@ -153,6 +153,40 @@ object Io {
       (spark, dir) => eventsBoxScan(spark, dir, "hilbert_events")(
         graft.operators.Zorder.writeHilbert(_, _, Seq("user_id", "ts"),
           bits = 16, numFiles = 32)),
+      Some(eventsBoxOracle)),
+
+    // ----- Incremental clustered layout: append → replay → compact -----
+    // The daily-ingest lifecycle of a clustered table, oracle-checked
+    // end-to-end ([[graft.operators.Zorder.appendClustered]] /
+    // [[graft.operators.Zorder.compactClustered]]): bootstrap the
+    // layout from 80% of events (the stats pass pins the
+    // quantization), land the remaining 20% as TWO batchId-keyed
+    // idempotent appends through the PINNED bounds — one of them
+    // deliberately REPLAYED, the at-least-once crash window — then
+    // compact the tail back into the 32-file grid and run q175/q177's
+    // box scan over the result. The oracle is the same filter+agg on
+    // the RAW table, so the hash-match proves the whole
+    // append→replay→compact lifecycle holds exactly the source rows
+    // (a duplicated replay, a dropped batch, or a mis-bucketed append
+    // all break the aggregate). Pruning-structure parity is pinned in
+    // ZorderSpec (disjoint z-ranges) and graded per bench run in
+    // CONTRACTS.json; benched here as build+maintain cost, the
+    // q79/q170 index-family convention.
+    QueryDef(
+      "q178_clustered_append",
+      (spark, dir) => eventsBoxScan(spark, dir, "clustered_inc_events") {
+        (e, tmp) =>
+          import graft.operators.Zorder
+          Zorder.writeHilbert(e.filter(col("event_id") % 5 =!= 0), tmp,
+            Seq("user_id", "ts"), bits = 16, numFiles = 32)
+          val b1 = e.filter(col("event_id") % 5 === 0 &&
+            col("event_id") % 10 =!= 0)
+          val b2 = e.filter(col("event_id") % 10 === 0)
+          Zorder.appendClustered(b1, tmp, batchId = 1)
+          Zorder.appendClustered(b1, tmp, batchId = 1) // replay: no-op
+          Zorder.appendClustered(b2, tmp, batchId = 2)
+          Zorder.compactClustered(spark, tmp)
+      },
       Some(eventsBoxOracle))
   )
 }

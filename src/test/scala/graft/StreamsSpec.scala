@@ -909,4 +909,66 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(cIdx).count() == once,
       "flat-layout replay must not duplicate codes")
   }
+
+  test("foreachBatch maintains a clustered layout: append through pinned bounds, compact to the grid") {
+    // the daily-ingest story for CLUSTERED tables, end-to-end through
+    // Structured Streaming: the layout is bootstrapped by a static
+    // clustered write (the quantization comes from that write's stats
+    // pass — unlike the index families there is no caller-side
+    // parameter set), each micro-batch lands through the PINNED bounds
+    // as a batchId-keyed idempotent transaction, a replay is a no-op,
+    // and a compaction folds the tail into the main grid while keeping
+    // the ledger (a post-compact replay must stay a no-op).
+    val s = spark
+    import s.implicits._
+    import graft.operators.Zorder
+    val in = Files.createTempDirectory("graft_zs_in_").toString
+    val ckpt = Files.createTempDirectory("graft_zs_ckpt_").toString
+    val dir = Files.createTempDirectory("graft_zs_lay_").toString + "/events"
+
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+    // bootstrap: the resident corpus, clustered — stats over it pin
+    // the quantization every streamed batch will bucket through
+    Zorder.writeHilbert(e.filter(col("event_id") % 3 === 0), dir,
+      Seq("user_id", "value"), bits = 16, numFiles = 4)
+
+    def writeBatch(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("event_id", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in,
+        "event_id BIGINT, user_id BIGINT, value DOUBLE"), ckpt) {
+      (batch, bid) =>
+        Zorder.appendClustered(batch, dir, bid, batchFiles = 2)
+        ()
+    }
+
+    val b1 = Seq((1000001L, 3L, 50.0), (1000002L, 7L, 80.0))
+    val b2 = Seq((1000003L, 11L, 20.0), (1000004L, 2L, 300.0))
+    writeBatch(b1); ingest()
+    writeBatch(b2); ingest()
+    val base = e.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), col("user_id"), col("value")).count()
+    def ids() = spark.read.parquet(dir).select(col("event_id"))
+      .filter(col("event_id") >= 1000000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(spark.read.parquet(dir).count() == base + 4)
+    assert(ids() == Seq(1000001L, 1000002L, 1000003L, 1000004L))
+    // crash-replay: re-deliver batch 1 directly — ledger hit, no-op
+    assert(!Zorder.appendClustered(
+      b2.toDF("event_id", "user_id", "value"), dir, batchId = 1))
+    assert(spark.read.parquet(dir).count() == base + 4,
+      "replayed micro-batch must not duplicate rows")
+    // compact: tail folds into the 4-file grid, rows intact, and a
+    // replayed pre-compact batch is STILL a no-op (ledger survives)
+    Zorder.compactClustered(spark, dir)
+    assert(spark.read.parquet(dir).count() == base + 4)
+    assert(!Zorder.appendClustered(
+      b2.toDF("event_id", "user_id", "value"), dir, batchId = 1),
+      "post-compact replay must stay a no-op")
+    val files = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(files == 4, s"compaction must restore the 4-file grid, got $files")
+  }
 }

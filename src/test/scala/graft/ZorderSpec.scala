@@ -240,6 +240,160 @@ class ZorderSpec extends SparkSpec {
         f"vs uniform $uniMaxShare%.2f)")
   }
 
+  test("clustering marker payload round-trips bit-exactly") {
+    import graft.operators.Zorder.{Clustering, ColQuant}
+    val weird = Seq(0.0, -0.0, Double.MinPositiveValue, -1.7e308,
+      math.Pi, 1.0 / 3.0)
+    val cl = Clustering("hilbert", 16, 32, Seq(
+      ColQuant("user_id", "u", Seq(0.0, 1499.0)),
+      ColQuant("ts", "r", weird)))
+    val back = Zorder.parsePayload(Zorder.payload(cl))
+    assert(back.curve == cl.curve && back.bits == cl.bits &&
+      back.numFiles == cl.numFiles && back.cols.map(_.name) == Seq("user_id", "ts"))
+    // bit-exact: -0.0 must come back as -0.0, not 0.0
+    back.cols(1).params.zip(weird).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(a) ==
+        java.lang.Double.doubleToLongBits(b), s"double $b drifted to $a")
+    }
+    intercept[RuntimeException](Zorder.parsePayload("v2 something else"))
+    intercept[RuntimeException](Zorder.parsePayload(
+      "v1 curve=morton bits=8 files=4 cols=a:x:0"))
+  }
+
+  /** Per-file [zmin, zmax] of a layout under its PINNED clustering —
+    * the structural definition of "fully clustered": a pinned-parameter
+    * full rewrite range-partitions on z, so the files' z-ranges are
+    * pairwise disjoint; an appended tail OVERLAPS the main grid. */
+  private def zRanges(dir: String): Seq[(Long, Long)] = {
+    val cl = Zorder.clusteringOf(spark, dir).get
+    Zorder.curveValues(spark.read.parquet(dir), cl, "__z")
+      .select(input_file_name().as("f"), col("__z"))
+      .groupBy(col("f")).agg(min("__z").as("lo"), max("__z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  private def disjoint(rs: Seq[(Long, Long)]): Boolean = {
+    val s = rs.sortBy(_._1)
+    s.zip(s.drop(1)).forall { case ((_, hi), (lo2, _)) => hi < lo2 }
+  }
+
+  test("append is idempotent per batchId; compact folds the tail back to the grid") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_inc_").toString
+    val base = e.filter(col("event_id") % 5 =!= 0)
+    val b1 = e.filter(col("event_id") % 5 === 0 && col("event_id") % 10 =!= 0)
+    val b2 = e.filter(col("event_id") % 10 === 0)
+    val cl = Zorder.writeHilbert(base, dir, Seq("user_id", "value"),
+      bits = 16, numFiles = 8)
+    assert(Zorder.clusteringOf(spark, dir).contains(cl),
+      "marker must round-trip the write's pinned clustering")
+    assert(Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2))
+    assert(!Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2),
+      "replaying a committed batchId must be a no-op")
+    assert(Zorder.appendClustered(b2, dir, batchId = 2, batchFiles = 2))
+    // rows: base + both batches, exactly, including the replay window
+    val back = spark.read.parquet(dir)
+    val (a0, b0) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a0.getLong(0) == b0.getLong(0) && a0.getDecimal(1) == b0.getDecimal(1),
+      "appended layout must hold exactly source ∪ batches")
+    // the appended tail overlaps the main grid's z-ranges — that is
+    // the pruning debt compaction exists to pay off
+    val pre = zRanges(dir)
+    assert(pre.length > 8, s"expected tail files beyond the grid, got ${pre.length}")
+    assert(!disjoint(pre), "tail files should overlap the main grid")
+    Zorder.compactClustered(spark, dir)
+    val post = zRanges(dir)
+    assert(post.length == 8,
+      s"compact must restore the ${cl.numFiles}-file grid, got ${post.length}")
+    assert(disjoint(post),
+      "compacted files must have pairwise-disjoint z-ranges — the " +
+        "structural equality with a pinned-parameter full rewrite")
+    val back2 = spark.read.parquet(dir)
+    val (a1, b1f) = (fp(e.select(back2.columns.map(col): _*)), fp(back2))
+    assert(a1.getLong(0) == b1f.getLong(0) && a1.getDecimal(1) == b1f.getDecimal(1),
+      "compaction must preserve every row exactly")
+    // the batch ledger SURVIVES compaction: a replayed pre-compact
+    // batch must stay a no-op, not re-append folded rows
+    assert(!Zorder.appendClustered(b2, dir, batchId = 2, batchFiles = 2),
+      "ledger must survive compaction (replay would duplicate rows)")
+    // and the clustering is unchanged
+    assert(Zorder.clusteringOf(spark, dir).contains(cl))
+  }
+
+  test("append refuses markerless, missing-column, and mid-compaction layouts") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    // fresh empty path: no marker to pin against
+    val empty = Files.createTempDirectory("graft_zorder_e_").toString + "/x"
+    val err = intercept[RuntimeException](
+      Zorder.appendClustered(e, empty, batchId = 0))
+    assert(err.getMessage.contains("bootstrap"))
+    // populated but markerless (a crashed rebuild): refuse
+    val bare = Files.createTempDirectory("graft_zorder_b_").toString
+    e.limit(10).write.mode("overwrite").parquet(bare)
+    intercept[RuntimeException](Zorder.appendClustered(e, bare, batchId = 0))
+    // clustered, but a compaction sentinel is present: refuse
+    val dir = Files.createTempDirectory("graft_zorder_s_").toString
+    Zorder.writeZordered(e, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    graft.operators.Layout.writeMarker(spark, dir, "_graft_compacting", "tok1")
+    val err2 = intercept[IllegalArgumentException](
+      Zorder.appendClustered(e, dir, batchId = 0))
+    assert(err2.getMessage.contains("compact"))
+    // and a batch missing a clustered column fails with the column name
+    new org.apache.hadoop.fs.Path(dir, "_graft_compacting")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir, "_graft_compacting"), false)
+    val err3 = intercept[IllegalArgumentException](
+      Zorder.appendClustered(e.drop("value"), dir, batchId = 0))
+    assert(err3.getMessage.contains("value"))
+  }
+
+  test("compactClustered recovers every crash window deterministically") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val fsP = new org.apache.hadoop.fs.Path("/")
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // window 1: staging exists, NO sentinel (pre-commit crash) — the
+    // stale staging is discarded, the layout is untouched, and the
+    // fresh compact then runs normally
+    val d1 = Files.createTempDirectory("graft_zorder_c1_").toString
+    Zorder.writeZordered(e, d1, Seq("user_id", "value"), bits = 8, numFiles = 4)
+    Zorder.appendClustered(e.limit(50), d1, batchId = 1)
+    e.limit(3).write.parquet(s"$d1/_graft_compact_tmp")
+    Zorder.compactClustered(spark, d1)
+    val n1 = spark.read.parquet(d1).count()
+    assert(n1 == e.count() + 50,
+      s"pre-commit staging must be discarded, not published (got $n1)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d1, "_graft_compact_tmp")))
+
+    // window 2: sentinel present, staging fully written, data files
+    // partially swept — recovery must finish the OLD generation
+    // (publish the staged files under the recorded token), then the
+    // fresh compact runs; rows end exactly = the staged generation's
+    val d2 = Files.createTempDirectory("graft_zorder_c2_").toString
+    Zorder.writeZordered(e, d2, Seq("user_id", "value"), bits = 8, numFiles = 4)
+    val cl2 = Zorder.clusteringOf(spark, d2).get
+    // fabricate the staged rewrite of a DIFFERENT row set (base minus a
+    // marked slice), so "which generation won" is detectable by rows
+    val gen = e.filter(col("event_id") % 7 =!= 0)
+    graft.operators.Zorder.curveValues(gen, cl2, "__z")
+      .repartitionByRange(4, col("__z")).sortWithinPartitions(col("__z"))
+      .drop("__z").write.parquet(s"$d2/_graft_compact_tmp")
+    graft.operators.Layout.writeMarker(spark, d2, "_graft_compacting", "tokx")
+    // partial sweep: delete ONE old data file, as step 3 would
+    val oldFile = fs.listStatus(new org.apache.hadoop.fs.Path(d2))
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName)).head.getPath
+    fs.delete(oldFile, false)
+    Zorder.compactClustered(spark, d2)
+    val back2 = spark.read.parquet(d2)
+    assert(back2.count() == gen.count(),
+      "recovery must complete the staged generation, then compact it")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_compacting")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_compact_tmp")))
+    assert(disjoint(zRanges(d2)), "recovered layout must end fully clustered")
+  }
+
   test("rank-z-ordered rewrite round-trips and prunes the dense region") {
     val e = sources.Tables.load(spark, sfDir, "events")
       .withColumn("heat", col("value") * col("value"))
