@@ -386,6 +386,104 @@ object Contracts {
         setJaccard(disk, mem), 1.0, ">=")
     }
 
+    // ----- clustered-layout pruning contracts (q175/q177/q178) -----
+    // ZorderProbe measured the decoded-rows dominance ordering
+    // (hilbert < morton < 1-D sort on 2-D boxes); these rows turn that
+    // from a PLANS.md narrative into a per-run graded artifact, so a
+    // quantization, stats-encoding, or curve regression fails the
+    // bench instead of a human re-reading probe output. Decoded rows
+    // come from the executed plan's FileSourceScanExec numOutputRows —
+    // with pushdown on and record-level filtering off (the defaults)
+    // that IS the row-group pruning result. AQE is scoped OFF for the
+    // measurement scans (the metric sits under AdaptiveSparkPlanExec
+    // otherwise); thresholds carry margin over the measured band at
+    // the bench sf (PLANS.md r13).
+    lazy val events = Tables.load(spark, sfDir, "events")
+    def decodedRows(df: DataFrame): Long = {
+      val prior = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val agg = df.agg(count(lit(1)))
+        agg.collect()
+        val scans = agg.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }
+        require(scans.nonEmpty, "no FileSourceScanExec in the executed plan")
+        scans.sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    }
+    // the spread box, scaled to the corpus's own user domain (~40% of
+    // users × 2 days) — the regime where a 1-D sort's second dimension
+    // has lost all selectivity
+    lazy val boxPred = {
+      val uMax = events.agg(max(col("user_id"))).collect()(0).getLong(0)
+      col("user_id").between((0.2 * uMax).toLong, (0.6 * uMax).toLong) &&
+        col("ts") >= to_timestamp(lit("2024-01-20 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-22 00:00:00"))
+    }
+    lazy val zScratch = {
+      val root = queries.scratchPath("contracts_layouts")
+      // the 1-D baseline needs stats-bearing timestamps too, or the ts
+      // half of the box would prune nothing and flatter the clustered
+      // layouts (the ZorderProbe discipline)
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prior = spark.conf.get(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try events.repartitionByRange(32, col("user_id"))
+        .sortWithinPartitions(col("user_id"))
+        .write.mode("overwrite").parquet(s"$root/sorted1d")
+      finally spark.conf.set(key, prior)
+      graft.operators.Zorder.writeZordered(events, s"$root/morton",
+        Seq("user_id", "ts"), bits = 16, numFiles = 32)
+      graft.operators.Zorder.writeHilbert(events, s"$root/hilbert",
+        Seq("user_id", "ts"), bits = 16, numFiles = 32)
+      root
+    }
+    lazy val dec1d = decodedRows(
+      spark.read.parquet(s"$zScratch/sorted1d").filter(boxPred))
+    lazy val decMorton = decodedRows(
+      spark.read.parquet(s"$zScratch/morton").filter(boxPred))
+    lazy val decHilbert = decodedRows(
+      spark.read.parquet(s"$zScratch/hilbert").filter(boxPred))
+
+    grade("q175_zorder_scan") {
+      require(dec1d > 0, "spread box decoded nothing — box left the domain")
+      Contract("q175_zorder_scan",
+        "2-D pruning: morton decoded rows / 1-D-sorted decoded rows on the spread box",
+        decMorton.toDouble / dec1d, 0.85, "<=")
+    }
+
+    grade("q177_hilbert_scan") {
+      require(decMorton > 0, "morton layout decoded nothing — box left the domain")
+      Contract("q177_hilbert_scan",
+        "curve locality: hilbert decoded rows / morton decoded rows on the spread box",
+        decHilbert.toDouble / decMorton, 0.85, "<=")
+    }
+
+    grade("q178_clustered_append") {
+      // the incremental lifecycle's pruning parity: bootstrap 80%,
+      // append the rest in two batches through the pinned bounds,
+      // compact — the result must prune the spread box like the
+      // all-rows single write (quantization differs only by the
+      // 80%-stats min/max, so near-parity is the healthy state; a
+      // broken append or compact leaves an unclustered tail and blows
+      // the ratio)
+      val path = queries.scratchPath("contracts_clustered_inc")
+      val z = graft.operators.Zorder
+      z.writeHilbert(events.filter(col("event_id") % 5 =!= 0), path,
+        Seq("user_id", "ts"), bits = 16, numFiles = 32)
+      z.appendClustered(events.filter(col("event_id") % 5 === 0 &&
+        col("event_id") % 10 =!= 0), path, batchId = 1)
+      z.appendClustered(events.filter(col("event_id") % 10 === 0), path,
+        batchId = 2)
+      z.compactClustered(spark, path)
+      val decInc = decodedRows(spark.read.parquet(path).filter(boxPred))
+      Contract("q178_clustered_append",
+        "append+compact decoded rows / all-rows hilbert write decoded rows",
+        decInc.toDouble / decHilbert, 1.15, "<=")
+    }
+
     (out.result(), errs.result())
   }
 

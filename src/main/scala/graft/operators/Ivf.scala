@@ -248,13 +248,18 @@ object Ivf {
     * documented there). */
   def appendIndex(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      centroidPayload(centroids, "float"), "appendIndex",
-      centroidMismatch("appendIndex", path, centroids, "float"))
-    graft.sources.Sinks.parquetPartitionedMode(
-      assigned(batch, centroids, idCol, vecCol), path, "append", "cluster")
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    // ONE lease across bootstrap + publish (reentrant inside): without
+    // it a concurrent corrected-retry could replace the marker in the
+    // stamped-but-empty window and this append would land under a
+    // foreign certificate — the same discipline on every composite
+    Layout.withWriterLease(batch.sparkSession, path, "appendIndex") {
+      Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+        centroidPayload(centroids, "float"), "appendIndex",
+        centroidMismatch("appendIndex", path, centroids, "float"))
+      graft.sources.Sinks.parquetPartitionedMode(
+        assigned(batch, centroids, idCol, vecCol), path, "append", "cluster")
+    }
 
   /** [[appendIndex]] keyed by a streaming micro-batch id
     * ([[Layout.idempotentAppend]]): at-least-once `foreachBatch`
@@ -262,15 +267,16 @@ object Ivf {
     * the [[Postings.appendIndexBatch]] contract for inverted lists. */
   def appendIndexBatch(batch: DataFrame, path: String, batchId: Long,
       centroids: Seq[Seq[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      centroidPayload(centroids, "float"), "appendIndexBatch",
-      centroidMismatch("appendIndexBatch", path, centroids, "float"))
-    Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
-      graft.sources.Sinks.parquetPartitioned(
-        assigned(batch, centroids, idCol, vecCol), stg, "cluster")
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+    Layout.withWriterLease(batch.sparkSession, path, "appendIndexBatch") {
+      Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+        centroidPayload(centroids, "float"), "appendIndexBatch",
+        centroidMismatch("appendIndexBatch", path, centroids, "float"))
+      Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
+        graft.sources.Sinks.parquetPartitioned(
+          assigned(batch, centroids, idCol, vecCol), stg, "cluster")
+      }
     }
-  }
 
   /** Exact identity of the coarse quantizer as the [[Layout]] marker
     * payload: `flavor k dim fingerprint` ([[Layout.fnv1a64]] over the
@@ -336,28 +342,31 @@ object Ivf {
     * the quantized lists as append-safe as the float ones. */
   def appendIndexQuantized(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      centroidPayload(centroids, "sq8"), "appendIndexQuantized",
-      centroidMismatch("appendIndexQuantized", path, centroids, "sq8"))
-    graft.sources.Sinks.parquetPartitionedMode(
-      assignedQuantized(batch, centroids, idCol, vecCol), path, "append",
-      "cluster")
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Layout.withWriterLease(batch.sparkSession, path, "appendIndexQuantized") {
+      Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+        centroidPayload(centroids, "sq8"), "appendIndexQuantized",
+        centroidMismatch("appendIndexQuantized", path, centroids, "sq8"))
+      graft.sources.Sinks.parquetPartitionedMode(
+        assignedQuantized(batch, centroids, idCol, vecCol), path, "append",
+        "cluster")
+    }
 
   /** [[appendIndexQuantized]] keyed by a streaming micro-batch id
     * ([[appendIndexBatch]]'s contract for the SQ8 layout). */
   def appendIndexQuantizedBatch(batch: DataFrame, path: String,
       batchId: Long, centroids: Seq[Seq[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      centroidPayload(centroids, "sq8"), "appendIndexQuantizedBatch",
-      centroidMismatch("appendIndexQuantizedBatch", path, centroids, "sq8"))
-    Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
-      graft.sources.Sinks.parquetPartitioned(
-        assignedQuantized(batch, centroids, idCol, vecCol), stg, "cluster")
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+    Layout.withWriterLease(batch.sparkSession, path,
+        "appendIndexQuantizedBatch") {
+      Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+        centroidPayload(centroids, "sq8"), "appendIndexQuantizedBatch",
+        centroidMismatch("appendIndexQuantizedBatch", path, centroids, "sq8"))
+      Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
+        graft.sources.Sinks.parquetPartitioned(
+          assignedQuantized(batch, centroids, idCol, vecCol), stg, "cluster")
+      }
     }
-  }
 
   /** Search over [[writeIndexQuantized]]'s layout: same partition-
     * pruned probe as [[probeIndex]], with candidates dequantized in

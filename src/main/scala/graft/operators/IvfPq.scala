@@ -100,15 +100,16 @@ object IvfPq {
 
   private def appendImpl(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String, vecCol: String, residual: Boolean, what: String): Unit = {
-    val pay = payloadOf(centroids, codebooks, residual)
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      pay, what, mismatch(what, path, pay))
-    val rows = if (residual) codedResidual(batch, centroids, codebooks, idCol, vecCol)
-               else coded(batch, centroids, codebooks, idCol, vecCol)
-    graft.sources.Sinks.parquetPartitionedMode(rows, path, "append",
-      "cluster")
-  }
+      idCol: String, vecCol: String, residual: Boolean, what: String): Unit =
+    Layout.withWriterLease(batch.sparkSession, path, what) {
+      val pay = payloadOf(centroids, codebooks, residual)
+      Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+        pay, what, mismatch(what, path, pay))
+      val rows = if (residual) codedResidual(batch, centroids, codebooks, idCol, vecCol)
+                 else coded(batch, centroids, codebooks, idCol, vecCol)
+      graft.sources.Sinks.parquetPartitionedMode(rows, path, "append",
+        "cluster")
+    }
 
   /** [[appendIndex]] keyed by a streaming micro-batch id
     * ([[Layout.idempotentAppend]] — the [[Postings.appendIndexBatch]]
@@ -128,16 +129,17 @@ object IvfPq {
 
   private def appendBatchImpl(batch: DataFrame, path: String, batchId: Long,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String, vecCol: String, residual: Boolean, what: String): Boolean = {
-    val pay = payloadOf(centroids, codebooks, residual)
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      pay, what, mismatch(what, path, pay))
-    val rows = if (residual) codedResidual(batch, centroids, codebooks, idCol, vecCol)
-               else coded(batch, centroids, codebooks, idCol, vecCol)
-    Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
-      graft.sources.Sinks.parquetPartitioned(rows, stg, "cluster")
+      idCol: String, vecCol: String, residual: Boolean, what: String): Boolean =
+    Layout.withWriterLease(batch.sparkSession, path, what) {
+      val pay = payloadOf(centroids, codebooks, residual)
+      Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+        pay, what, mismatch(what, path, pay))
+      val rows = if (residual) codedResidual(batch, centroids, codebooks, idCol, vecCol)
+                 else coded(batch, centroids, codebooks, idCol, vecCol)
+      Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
+        graft.sources.Sinks.parquetPartitioned(rows, stg, "cluster")
+      }
     }
-  }
 
   /** Search: probed cluster ids pushed as a static partition filter
     * (the [[Ivf.probeIndex]] pruning — IvfPqSpec pins

@@ -84,6 +84,27 @@ private[graft] object Layout {
     * certificate. */
   def bootstrapOrGuard(spark: SparkSession, path: String, file: String,
       payload: String, what: String,
+      mismatch: String => String): Unit =
+    readMarker(spark, path, file) match {
+      // fast path, lease-free: a matching marker is the steady state of
+      // every append — only the MUTATING arms below serialize
+      case Some(stored) if stored == payload.trim => ()
+      case _ => withWriterLease(spark, path, what) {
+        bootstrapUnderLease(spark, path, file, payload, what, mismatch)
+      }
+    }
+
+  /** The mutating arms of the state machine, run under the writer
+    * lease (which re-reads the marker first: the racer that beat us to
+    * the lease may have already stamped). The lease closes the one
+    * window [[stampExclusive]] alone cannot: two concurrent CORRECTED
+    * RETRIES of a crashed bootstrap with different payloads, whose
+    * delete-then-create arms can interleave (B's delete removing A's
+    * fresh stamp after A's verify passed). Under the lease exactly one
+    * writer runs this block at a time; the loser THROWS loudly
+    * instead of mixing organizations. */
+  private def bootstrapUnderLease(spark: SparkSession, path: String,
+      file: String, payload: String, what: String,
       mismatch: String => String): Unit = {
     lazy val populated = graft.sources.Sinks.hasDataFiles(spark, path)
     readMarker(spark, path, file) match {
@@ -91,16 +112,11 @@ private[graft] object Layout {
       case Some(stored) =>
         require(!populated, mismatch(stored))
         // dead marker over an empty path: clear it, then exclusive-
-        // stamp. NOTE the narrower guarantee on THIS arm: delete-then-
-        // create is not atomic, so two concurrent CORRECTED RETRIES of
-        // a crashed bootstrap with different payloads can interleave
-        // (B's delete can remove A's fresh stamp after A's verify
-        // passed) — retrying a crashed bootstrap concurrently from two
-        // configs remains a single-writer-per-path situation, like
-        // every rewrite in this protocol. What the exclusive stamp
-        // does close here is the FRESH-bootstrap race below (no
-        // delete involved) and the stale-read interleave within one
-        // writer (the verify re-reads after create).
+        // stamp. Delete-then-create is not atomic on its own, but this
+        // arm only runs under the writer lease (see the caller), which
+        // serializes concurrent corrected retries; stampExclusive
+        // remains the second line of defense for a broken/expired
+        // lease.
         val p = markerPath(path, file)
         // a failed delete must surface as a delete failure: swallowing
         // it would let stampExclusive lose to the still-present OLD
@@ -118,6 +134,81 @@ private[graft] object Layout {
             "over data whose organization is unknown. Rebuild with " +
             "writeIndex (or clear the path) first")
         stampExclusive(spark, path, file, payload, what)
+    }
+  }
+
+  /** Best-effort writer lease for a layout path — the enforcement
+    * behind the protocol's single-writer-per-path assumption, which
+    * was previously documented in two places and enforced in neither.
+    * A hidden `_graft_lease` file is created with overwrite=false
+    * (exactly one concurrent acquirer wins) holding a fresh owner id;
+    * the loser THROWS immediately — loud failure beats silent layout
+    * mixing, and callers with a genuine concurrent-writer workload
+    * are holding the protocol wrong by definition. A lease left by a
+    * crashed holder expires after a TTL (default 10 min, tunable via
+    * `spark.graft.layout.lease.ttlMs`) judged by the lease file's
+    * mtime; an expired lease is broken and acquisition retried once.
+    * Released in `finally` only if still OURS (a holder that overran
+    * the TTL and was broken must not release the breaker's lease).
+    *
+    * Best-effort by design: create-exclusive is atomic on HDFS and
+    * local filesystems but only best-effort on eventually-consistent
+    * object stores, and TTL-breaking can in principle evict a live
+    * writer stalled longer than the TTL — this is a guard that turns
+    * the overwhelmingly common accident (two jobs pointed at one
+    * layout) into an immediate error, not a distributed lock
+    * service. */
+  private val heldLeases = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  def withWriterLease[A](spark: SparkSession, path: String,
+      what: String)(body: => A): A = {
+    val p = markerPath(path, "_graft_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // REENTRANT per thread: the append composites hold ONE lease
+    // across bootstrap + publish (closing the in-flight-vs-crashed
+    // marker ambiguity a per-step lease cannot), and the inner
+    // idempotentAppend/bootstrap acquisitions become no-ops
+    val key = fs.makeQualified(p).toString
+    if (heldLeases.get.contains(key)) return body
+    def acquired[B](b: => B): B = {
+      heldLeases.set(heldLeases.get + key)
+      try b finally heldLeases.set(heldLeases.get - key)
+    }
+    val ttlMs = spark.conf.getOption("spark.graft.layout.lease.ttlMs")
+      .map(_.toLong).getOrElse(10L * 60 * 1000)
+    val owner = java.util.UUID.randomUUID.toString
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        // only a lost race falls through; a create failure with no
+        // lease present is a real I/O error (the stampExclusive
+        // discipline)
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    def holder: String = readMarker(spark, path, "_graft_lease")
+      .getOrElse("<unreadable>")
+    if (!tryAcquire()) {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(p)
+          .getModificationTime > ttlMs
+        catch { case _: java.io.FileNotFoundException => true }
+      if (stale) fs.delete(p, false)
+      if (!stale || !tryAcquire())
+        throw new IllegalStateException(
+          s"$what: another writer (owner ${holder.take(8)}…) holds the " +
+            s"layout lease at $p — the Layout protocol is single-writer " +
+            "per path; wait for it to finish (a crashed holder's lease " +
+            s"expires after ${ttlMs / 1000} s)")
+    }
+    acquired {
+      try body
+      finally if (readMarker(spark, path, "_graft_lease").contains(owner))
+        fs.delete(p, false)
     }
   }
 
@@ -199,12 +290,14 @@ private[graft] object Layout {
     *   - neither → first attempt; run steps 1–3.
     *
     * The published-file sweep lists the full layout, but only runs on
-    * replay-after-crash — never on the clean path. Single writer per
-    * path assumed, as everywhere in the [[Layout]] protocol. Returns
-    * true if the batch was applied by THIS call, false for a replay
-    * no-op. */
+    * replay-after-crash — never on the clean path. The single-writer
+    * assumption is ENFORCED here via [[withWriterLease]]: a concurrent
+    * writer on the same path throws instead of interleaving publishes.
+    * Returns true if the batch was applied by THIS call, false for a
+    * replay no-op. */
   def idempotentAppend(spark: SparkSession, path: String, batchId: Long)(
-      write: String => Unit): Boolean = {
+      write: String => Unit): Boolean = withWriterLease(spark, path,
+      s"idempotentAppend(batch $batchId)") {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

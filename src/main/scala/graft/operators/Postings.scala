@@ -104,13 +104,15 @@ object Postings {
     * before the batch lands, so append-created layouts carry the same
     * guard as writeIndex-created ones even through a mid-append
     * crash; a POPULATED markerless path is refused outright. */
-  def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
+  def appendIndex(postings: DataFrame, path: String, nBuckets: Int = 256): Unit =
     // the (marker, data) crash-window state machine is the shared
-    // layout protocol — documented once at [[Layout.bootstrapOrGuard]]
-    Layout.bootstrapOrGuard(postings.sparkSession, path, markerFile,
-      nBuckets.toString, "appendIndex", mismatchMsg("appendIndex", path, nBuckets))
-    writeIndexMode(postings, path, nBuckets, "append")
-  }
+    // layout protocol — documented once at [[Layout.bootstrapOrGuard]];
+    // ONE writer lease spans bootstrap + publish on every composite
+    Layout.withWriterLease(postings.sparkSession, path, "appendIndex") {
+      Layout.bootstrapOrGuard(postings.sparkSession, path, markerFile,
+        nBuckets.toString, "appendIndex", mismatchMsg("appendIndex", path, nBuckets))
+      writeIndexMode(postings, path, nBuckets, "append")
+    }
 
   /** [[appendIndex]] keyed by a streaming micro-batch id — the
     * `foreachBatch` maintenance form: the append runs through
@@ -121,15 +123,16 @@ object Postings {
     * (StreamsSpec pins replay == clean). Returns false on a replay
     * no-op. */
   def appendIndexBatch(postings: DataFrame, path: String, batchId: Long,
-      nBuckets: Int = 256): Boolean = {
-    Layout.bootstrapOrGuard(postings.sparkSession, path, markerFile,
-      nBuckets.toString, "appendIndexBatch",
-      mismatchMsg("appendIndexBatch", path, nBuckets))
-    Layout.idempotentAppend(postings.sparkSession, path, batchId) { stg =>
-      graft.sources.Sinks.parquetPartitionedMode(
-        bucketed(postings, nBuckets), stg, "overwrite", "tb")
+      nBuckets: Int = 256): Boolean =
+    Layout.withWriterLease(postings.sparkSession, path, "appendIndexBatch") {
+      Layout.bootstrapOrGuard(postings.sparkSession, path, markerFile,
+        nBuckets.toString, "appendIndexBatch",
+        mismatchMsg("appendIndexBatch", path, nBuckets))
+      Layout.idempotentAppend(postings.sparkSession, path, batchId) { stg =>
+        graft.sources.Sinks.parquetPartitionedMode(
+          bucketed(postings, nBuckets), stg, "overwrite", "tb")
+      }
     }
-  }
 
   private def bucketed(postings: DataFrame, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")

@@ -230,14 +230,15 @@ object Pq {
     * identity via the [[Layout.bootstrapOrGuard]] state machine. */
   def appendIndex(batch: DataFrame, path: String,
       codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      codebookPayload(codebooks), "appendIndex",
-      codebookMismatch("appendIndex", path, codebooks))
-    batch.select(col(idCol).as("neighbor_id"),
-        encode(codebooks, col(vecCol)).as("codes"))
-      .write.mode("append").parquet(path)
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Layout.withWriterLease(batch.sparkSession, path, "appendIndex") {
+      Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+        codebookPayload(codebooks), "appendIndex",
+        codebookMismatch("appendIndex", path, codebooks))
+      batch.select(col(idCol).as("neighbor_id"),
+          encode(codebooks, col(vecCol)).as("codes"))
+        .write.mode("append").parquet(path)
+    }
 
   /** [[appendIndex]] keyed by a streaming micro-batch id
     * ([[Layout.idempotentAppend]]): at-least-once `foreachBatch`
@@ -245,16 +246,17 @@ object Pq {
     * contract for the flat codes layout. */
   def appendIndexBatch(batch: DataFrame, path: String, batchId: Long,
       codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
-      codebookPayload(codebooks), "appendIndexBatch",
-      codebookMismatch("appendIndexBatch", path, codebooks))
-    Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
-      batch.select(col(idCol).as("neighbor_id"),
-          encode(codebooks, col(vecCol)).as("codes"))
-        .write.parquet(stg)
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+    Layout.withWriterLease(batch.sparkSession, path, "appendIndexBatch") {
+      Layout.bootstrapOrGuard(batch.sparkSession, path, markerFile,
+        codebookPayload(codebooks), "appendIndexBatch",
+        codebookMismatch("appendIndexBatch", path, codebooks))
+      Layout.idempotentAppend(batch.sparkSession, path, batchId) { stg =>
+        batch.select(col(idCol).as("neighbor_id"),
+            encode(codebooks, col(vecCol)).as("codes"))
+          .write.parquet(stg)
+      }
     }
-  }
 
   /** [[adcPrefilterTopK]] served from a [[writeIndex]] layout: the
     * prefilter scans the persisted codes (never re-encoding the

@@ -241,6 +241,10 @@ object Zorder {
       batchFiles: Int = 4): Boolean = {
     val spark = batch.sparkSession
     require(batchFiles >= 1, s"batchFiles must be >= 1, got $batchFiles")
+    // ONE lease across sentinel check + marker read + publish: a
+    // compaction starting between the check and the append would
+    // otherwise sweep files this append is publishing
+    Layout.withWriterLease(spark, path, "appendClustered") {
     requireNotCompacting(spark, path, "appendClustered")
     val cl = clusteringOf(spark, path).getOrElse(sys.error(
       s"appendClustered: no $markerFile marker at $path — either a " +
@@ -256,6 +260,7 @@ object Zorder {
           .drop(drop: _*)
           .write.mode("overwrite").parquet(stg)
       }
+    }
     }
   }
 
@@ -288,7 +293,8 @@ object Zorder {
     * operationally it runs partition-scoped (compact only the
     * partitions that ingested) — this engine's layouts are single-dir,
     * so the whole-layout form is the honest primitive. */
-  def compactClustered(spark: SparkSession, path: String): Unit = {
+  def compactClustered(spark: SparkSession, path: String): Unit =
+    Layout.withWriterLease(spark, path, "compactClustered") {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))

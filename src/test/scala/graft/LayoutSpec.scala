@@ -53,6 +53,88 @@ class LayoutSpec extends SparkSpec {
       "batch-prefixed files in partition dirs are live rows")
   }
 
+  test("writer lease: concurrent distinct-config bootstrap-appends — one wins, one throws") {
+    // the race the lease exists for: two writers bootstrap-append onto
+    // the SAME fresh path with DIFFERENT configs (nBuckets 8 vs 16).
+    // The composite holds ONE lease across bootstrap + publish, so
+    // whatever the interleaving, exactly one wins: truly concurrent →
+    // the loser fails lease acquisition (IllegalStateException);
+    // serialized by scheduling → the loser hits the winner's marker
+    // over populated data (IllegalArgumentException). Both-succeed —
+    // data of two bucket functions under one certificate — must be
+    // impossible. Repeated rounds, fresh path each, so a scheduling
+    // accident cannot hide a regression forever.
+    val s = spark
+    import s.implicits._
+    import graft.operators.Postings
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 8) {
+        val dir = tmp(s"race$round") + "/idx"
+        val posts = Postings.build(
+          Seq(1L -> "to be or not to be").toDF("doc_id", "text"),
+          "doc_id", "text")
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        def attempt(nBuckets: Int) =
+          pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+            def call(): Option[Throwable] = {
+              barrier.await()
+              try { Postings.appendIndexBatch(posts, dir, 0L, nBuckets); None }
+              catch { case e: Throwable => Some(e) }
+            }
+          })
+        // submit BOTH before getting either — the barrier needs two
+        // in-flight parties, and get() blocks the test thread
+        val (fa, fb) = (attempt(8), attempt(16))
+        val (ra, rb) = (fa.get(), fb.get())
+        val stored = Layout.readMarker(spark, dir, "_graft_nbuckets")
+        (ra, rb) match {
+          case (None, None) =>
+            fail(s"round $round: both configs claimed success — marker " +
+              s"'${stored.getOrElse("?")}' certifies only one bucket " +
+              "function over mixed rows")
+          case (None, Some(e)) =>
+            assert(stored.contains("8"), s"winner 8 yet marker '$stored'")
+            assert(e.isInstanceOf[IllegalStateException] ||
+              e.isInstanceOf[IllegalArgumentException],
+              s"loser must throw the protocol's errors, threw $e")
+          case (Some(e), None) =>
+            assert(stored.contains("16"), s"winner 16 yet marker '$stored'")
+            assert(e.isInstanceOf[IllegalStateException] ||
+              e.isInstanceOf[IllegalArgumentException],
+              s"loser must throw the protocol's errors, threw $e")
+          case (Some(ea), Some(eb)) =>
+            fail(s"round $round: both writers failed ($ea / $eb)")
+        }
+        // no dangling lease either way
+        assert(Layout.readMarker(spark, dir, "_graft_lease").isEmpty,
+          "lease must be released after the composite")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("writer lease: reentrant within a thread, stale leases expire, live ones block") {
+    val dir = tmp("lease")
+    // reentrant: a composite holding the lease can call leased steps
+    val v = Layout.withWriterLease(spark, dir, "outer") {
+      Layout.withWriterLease(spark, dir, "inner") { 42 }
+    }
+    assert(v == 42)
+    // the lease is RELEASED after the block: a fresh acquire works
+    assert(Layout.withWriterLease(spark, dir, "again") { 7 } == 7)
+    // a live foreign lease blocks loudly
+    touch(dir, "_graft_lease")
+    val e = intercept[IllegalStateException](
+      Layout.withWriterLease(spark, dir, "blocked") { () })
+    assert(e.getMessage.contains("single-writer"))
+    // an EXPIRED foreign lease is broken and acquisition succeeds
+    spark.conf.set("spark.graft.layout.lease.ttlMs", "1")
+    try {
+      Thread.sleep(5)
+      assert(Layout.withWriterLease(spark, dir, "expired") { 9 } == 9)
+    } finally spark.conf.unset("spark.graft.layout.lease.ttlMs")
+  }
+
   test("bootstrapOrGuard refuses to stamp over batch-published unmarked data") {
     // the exact crash shape the probe fix exists for: a layout whose
     // ONLY rows came through idempotentAppend (b<id>- names), whose
