@@ -74,7 +74,18 @@ object Contracts {
     // the floors stay valid. The UPWARD half has no such argument
     // (recall genuinely falls as the corpus grows), so a materially
     // larger corpus must not inherit these floors unmeasured.
+    // TWO measured bands now: the bench corpus (nEmb ≈ 2000) and the
+    // 5× jitter-extended corpus (nEmb ≈ 10000, graft.AnnBandProbe —
+    // geometry-preserving copies of the real embeddings, measured
+    // 2026-08, floors set 0.1+ under the measured recalls: lsh 0.84,
+    // ivf 0.70, pq 0.52, ivfpq 0.48, ivfadc 0.43; PLANS.md r13). A
+    // corpus between or above the bands keeps the loose legacy floors
+    // until someone reruns the probe and adds a band — loose grading
+    // at unmeasured scales beats a false CONTRACT FAILED.
     lazy val calibratedBand = nEmb >= 1800 && nEmb <= 2200
+    lazy val band10k = nEmb >= 9000 && nEmb <= 11000
+    def floorAt(at2k: Double, at10k: Double, legacy: Double): Double =
+      if (calibratedBand) at2k else if (band10k) at10k else legacy
     // the exact ANN baseline every trained path grades against (q37)
     lazy val bruteTriples = triples(Similarity.bruteForceTopK(emb, q10, 10))
     lazy val brutePairs = bruteTriples.map(t => (t._1, t._2))
@@ -119,7 +130,7 @@ object Contracts {
       val ann = triples(Similarity.annTopK(emb, q10, 10)).map(t => (t._1, t._2))
       Contract("q38_ann_lsh", "recall@10 vs brute-force cosine top-k",
         brutePairs.count(ann.contains).toDouble / brutePairs.size,
-        if (calibratedBand) 0.55 else 0.30, ">=")
+        floorAt(0.55, 0.70, 0.30), ">=")
     }
 
     // ONE k-means run serves both q52 grades (the registered query's
@@ -152,7 +163,7 @@ object Contracts {
       Contract("q52_ann_ivf",
         "registered config (nprobe=4/16) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        if (calibratedBand) 0.50 else 0.35, ">=")
+        floorAt(0.50, 0.55, 0.35), ">=")
     }
 
     grade("q79_ann_ivf_disk") {
@@ -252,7 +263,7 @@ object Contracts {
       Contract("q138_pq_ann",
         "registered config (nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        math.max(0.45, 2.0 * 100.0 / nEmb), ">=")
+        floorAt(0.45, 0.40, math.max(0.45, 2.0 * 100.0 / nEmb)), ">=")
     }
 
     grade("q171_ann_ivfpq") {
@@ -282,7 +293,7 @@ object Contracts {
       Contract("q171_ann_ivfpq",
         "registered config (nprobe=4/16, nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        if (calibratedBand) 0.45 else 0.30, ">=")
+        floorAt(0.45, 0.38, 0.30), ">=")
     }
 
     grade("q174_ann_serve") {
@@ -302,6 +313,46 @@ object Contracts {
       Contract("q174_ann_serve",
         "session-cached serve == fresh build probe, (q,n,rank) set jaccard",
         setJaccard(served, built), 1.0, ">=")
+    }
+
+    grade("q179_serve_flagship") {
+      // the composed read path must return EXACTLY what the same
+      // composition computes from scratch (training is deterministic,
+      // so the quantizers coincide): phrase filter from a fresh
+      // postings build, ANN from this run's freshly built IVFPQ index,
+      // docs from the raw table — any daylight is a stale cache, a
+      // fingerprint failure, or artifact corruption, never
+      // "approximation"
+      import org.apache.spark.sql.expressions.Window
+      val served = SparkEntry.queries("q179_serve_flagship")(spark, sfDir)
+        .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+          col("rank").cast("long"), col("n_occ").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val d = Tables.load(spark, sfDir, "documents")
+      val phrase = graft.operators.Postings.topNgram(d, "text", n = 2)
+      val occ = graft.operators.Postings.phraseOccurrences(
+          graft.operators.Postings.build(d, "doc_id", "text"), phrase)
+        .withColumnRenamed("doc_id", "neighbor_id")
+      val ann = IvfPq.probeIndex(spark,
+          queries.scratchPath("contracts_ivfpq_idx"), emb, ivfCentroids,
+          pqCbs, q10, k = 50, nprobe = 4, nCand = 200)
+        .drop("rank")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val expect = ann.join(occ, Seq("neighbor_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          col("rank").cast("long"), col("n_occ").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      require(expect.nonEmpty,
+        "from-scratch composition returned nothing — phrase ∩ shortlist " +
+          "is empty at this sf, the flagship needs a commoner phrase")
+      Contract("q179_serve_flagship",
+        "composed serve == from-scratch composition, (q,doc,rank,n_occ) set jaccard",
+        setJaccard(served, expect), 1.0, ">=")
     }
 
     // residual codebooks for the q173 IVFADC grades (trained once,
@@ -336,7 +387,7 @@ object Contracts {
       Contract("q173_ann_ivfadc",
         "registered config (nprobe=4/16, nCand=20) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        if (calibratedBand) 0.15 else math.min(0.15, 2.0 * 20.0 / nEmb), ">=")
+        floorAt(0.15, 0.25, math.min(0.15, 2.0 * 20.0 / nEmb)), ">=")
     }
 
     grade("q172_image_neardup") {
@@ -462,13 +513,17 @@ object Contracts {
     }
 
     grade("q178_clustered_append") {
-      // the incremental lifecycle's pruning parity: bootstrap 80%,
-      // append the rest in two batches through the pinned bounds,
-      // compact — the result must prune the spread box like the
-      // all-rows single write (quantization differs only by the
-      // 80%-stats min/max, so near-parity is the healthy state; a
-      // broken append or compact leaves an unclustered tail and blows
-      // the ratio)
+      // the incremental lifecycle's STRUCTURAL parity with a pinned-
+      // parameter full rewrite: bootstrap 80%, append the rest in two
+      // batches through the pinned bounds, compact — the result must
+      // be the main grid exactly (numFiles files, pairwise-DISJOINT
+      // per-file z-ranges; an unclustered or mis-bucketed tail, or a
+      // skipped compact, shows up as overlapping ranges or extra
+      // files). Structural, not decoded-rows: range-partitioner
+      // boundary sampling moves a box's file alignment run to run,
+      // but disjointness under the pinned curve is invariant — the
+      // same pin ZorderSpec holds at unit scale, graded here at the
+      // bench sf per run. Rows-exactness is q178's oracle hash.
       val path = queries.scratchPath("contracts_clustered_inc")
       val z = graft.operators.Zorder
       z.writeHilbert(events.filter(col("event_id") % 5 =!= 0), path,
@@ -478,10 +533,18 @@ object Contracts {
       z.appendClustered(events.filter(col("event_id") % 10 === 0), path,
         batchId = 2)
       z.compactClustered(spark, path)
-      val decInc = decodedRows(spark.read.parquet(path).filter(boxPred))
+      val cl = z.clusteringOf(spark, path).get
+      val ranges = z.curveValues(spark.read.parquet(path), cl, "__z")
+        .select(input_file_name().as("f"), col("__z"))
+        .groupBy(col("f"))
+        .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val overlaps = ranges.zip(ranges.drop(1)).count {
+        case ((_, hi), (lo2, _)) => hi >= lo2
+      }
       Contract("q178_clustered_append",
-        "append+compact decoded rows / all-rows hilbert write decoded rows",
-        decInc.toDouble / decHilbert, 1.15, "<=")
+        "post-compact structural defects: overlapping z-range file pairs + file-count deviation from the 32-grid",
+        overlaps.toDouble + math.abs(ranges.length - 32).toDouble, 0.0, "<=")
     }
 
     (out.result(), errs.result())

@@ -130,6 +130,13 @@ object Session {
         require(args.length == 3, "hilbert_d2(bucketX, bucketY, bits)")
         graft.functions.HilbertCode(args(0), args(1),
           intLiteral(args(2), "hilbert_d2: bits"))
+      }),
+    (FunctionIdentifier("hilbert_dn"),
+      new ExpressionInfo(classOf[graft.functions.HilbertCodeN].getName, "hilbert_dn"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "hilbert_dn(bucket0, bucket1, ..., bits)")
+        graft.functions.HilbertCodeN(args.dropRight(1),
+          intLiteral(args.last, "hilbert_dn: bits"))
       }))
 
   def builder(appName: String, cpus: Int = defaultParallelism): SparkSession.Builder =

@@ -128,6 +128,27 @@ object ZorderProbe {
       }
     }
 
+    // ----- 3-D: morton vs hilbert_dn on (user_id, ts, value) -----
+    // the routing evidence for Zorder.writeBest at d >= 3: same rows,
+    // same file count, same bits (12/dim — 36 curve bits), identical
+    // 3-D box; only the curve differs. Hilbert's unit-step adjacency
+    // holds at any d (HilbertCodeNSpec), so the 2-D dominance argument
+    // carries — this measures it instead of assuming it.
+    Zorder.writeZordered(e, s"$tmp/z3morton", Seq("user_id", "ts", "value"),
+      bits = 12, numFiles = files)
+    Zorder.writeHilbert(e, s"$tmp/z3hilbert", Seq("user_id", "ts", "value"),
+      bits = 12, numFiles = files)
+    val pred3 = col("user_id").between(300, 899) &&
+      col("ts") >= to_timestamp(lit("2024-01-20 00:00:00")) &&
+      col("ts") < to_timestamp(lit("2024-01-22 00:00:00")) &&
+      col("value").between(50.0, 200.0)
+    Seq("z3morton", "z3hilbert").foreach { layout =>
+      val (matching, dec) =
+        decoded(spark.read.parquet(s"$tmp/$layout").filter(pred3))
+      println(s"ZORDERPROBE layout=$layout box=3d " +
+        s"matching=$matching decodedRows=$dec")
+    }
+
     // ----- rank vs uniform quantization under planted outliers -----
     // Equal-width quantization is one corrupt outlier away from
     // degenerate: a handful of sensor-glitch values 10⁶× the typical

@@ -148,23 +148,23 @@ object Zorder {
       Clustering("morton", bits, numFiles, uniformQuants(df, cols, bits)))
   }
 
-  /** [[writeZordered]] on the 2-D HILBERT curve instead of Morton:
-    * same quantization, same single-shuffle write, but the curve
-    * never takes Morton's long diagonal jumps — every successive cell
-    * is adjacent — so a box predicate cuts it into fewer, longer runs
+  /** [[writeZordered]] on the HILBERT curve instead of Morton: same
+    * quantization, same single-shuffle write, but the curve never
+    * takes Morton's long diagonal jumps — every successive cell is
+    * adjacent ([[graft.HilbertCodeNSpec]] pins unit-step adjacency at
+    * d = 2, 3, 4) — so a box predicate cuts it into fewer, longer runs
     * and the same file count covers the box with tighter bounding
     * boxes (ZorderProbe measures the decoded-rows difference on
-    * identical boxes). 2 dimensions exactly: the curve comes from the
-    * native `hilbert_d2` expression ([[graft.functions.HilbertCode]],
-    * one fused codegen loop; the xy2d algorithm's per-bit rotate/flip
-    * state doesn't unroll into Column combinators without doubling
-    * the tree per bit plane). */
+    * identical boxes, 2-D and 3-D). The curve is a native codegen
+    * expression in both arities — `hilbert_d2`
+    * ([[graft.functions.HilbertCode]], the classic xy2d loop) at two
+    * dimensions, `hilbert_dn` ([[graft.functions.HilbertCodeN]],
+    * Skilling's transpose algorithm) beyond — because the per-bit
+    * rotate/flip state doesn't unroll into Column combinators without
+    * multiplying the tree per bit plane. */
   def writeHilbert(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 16, numFiles: Int = 32): Clustering = {
     validateWrite(cols, bits, numFiles)
-    require(cols.length == 2,
-      s"hilbert layout is 2-D (got ${cols.length} columns) — use " +
-        "writeZordered for higher dimensions")
     writeAndStamp(df, path,
       Clustering("hilbert", bits, numFiles, uniformQuants(df, cols, bits)))
   }
@@ -187,17 +187,22 @@ object Zorder {
       cols.zip(bounds).map { case (c, b) => ColQuant(c, "r", b.toSeq) }))
   }
 
-  /** Route to the measured-best curve for the dimension count: 2-D →
-    * Hilbert (dominates Morton at every point ZorderProbe measured —
-    * tighter per-file boxes from the jump-free curve), 3-D and up →
-    * Morton (the built hilbert_d2 state machine is 2-D; Morton's
-    * interleave generalizes to any d·bits ≤ 63). Exists so a caller
-    * cannot pick the dominated curve for 2-D by accident; the returned
-    * [[Clustering]] records which curve was chosen. */
+  /** Route to the measured-best curve: HILBERT at every dimension
+    * count — ZorderProbe measured it dominating Morton on identical
+    * boxes in 2-D (12,151 vs 25,517 decoded rows, spread box) AND 3-D
+    * (22,117 vs 30,646, bits=12/dim) — with the caller's `bits`
+    * clamped to what d·bits ≤ 63 admits (a 4-D request at the default
+    * 16 bits would otherwise just throw; the clamp trades resolution
+    * for dimensions the way every multi-dim index does). Exists so a
+    * caller cannot pick the dominated curve by accident; the returned
+    * [[Clustering]] records the curve and the effective bits. */
   def writeBest(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 16, numFiles: Int = 32): Clustering =
-    if (cols.length == 2) writeHilbert(df, path, cols, bits, numFiles)
-    else writeZordered(df, path, cols, bits, numFiles)
+      bits: Int = 16, numFiles: Int = 32): Clustering = {
+    require(cols.length >= 2,
+      s"clustering needs >= 2 dimensions, got ${cols.length} (use a plain sort)")
+    val eff = math.min(bits, 63 / cols.length)
+    writeHilbert(df, path, cols, eff, numFiles)
+  }
 
   /** The write half every clustered form shares: bucket + curve from
     * the PINNED parameters, one range shuffle, local sort, overwrite,
@@ -411,12 +416,15 @@ object Zorder {
     }
     def curveOf(qs: Seq[Column]): Column = cl.curve match {
       case "morton" => interleave(qs, cl.bits)
-      case "hilbert" =>
-        require(qs.length == 2,
-          s"hilbert curve is 2-D, marker has ${qs.length} columns")
+      // 2-D keeps the plan-pinned hilbert_d2 fused loop; 3+ dims go
+      // through the Skilling-transpose hilbert_dn expression
+      case "hilbert" if qs.length == 2 =>
         org.apache.spark.sql.GraftColumn.of(graft.functions.HilbertCode(
           org.apache.spark.sql.GraftColumn.expr(qs(0)),
           org.apache.spark.sql.GraftColumn.expr(qs(1)), cl.bits))
+      case "hilbert" =>
+        org.apache.spark.sql.GraftColumn.of(graft.functions.HilbertCodeN(
+          qs.map(org.apache.spark.sql.GraftColumn.expr), cl.bits))
       case other => sys.error(s"unknown curve '$other' in $markerFile")
     }
     if (!cl.cols.exists(_.kind == "r")) {

@@ -145,6 +145,32 @@ object Corpus {
     })
   }
 
+  /** The retrieval-side serve artifacts for q179 — built once per
+    * (JVM, dir, source-fingerprint) like [[servedIvfPq]]: the phrase
+    * postings index, the hilbert-clustered document layout the fetch
+    * step prunes, and the pre-derived query phrase (the corpus's top
+    * trigram — corpus-derived CONFIG, computed at build time so the
+    * serve path never re-scans the corpus to formulate it). */
+  private val servedSearchBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Seq[String])]()
+
+  private def servedSearch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, Seq[String]) = {
+    val fp = java.lang.Long.toHexString(
+      Tables.fingerprint(spark, dir, Seq("documents")))
+    servedSearchBuilt.computeIfAbsent(s"$dir|$fp", _ => {
+      val d = Tables.load(spark, dir, "documents")
+      val pPath = scratchPath(s"postings_serve_$fp")
+      graft.operators.Postings.writeIndex(
+        graft.operators.Postings.build(d, "doc_id", "text"), pPath,
+        nBuckets = 64)
+      val dPath = scratchPath(s"docs_clustered_$fp")
+      graft.operators.Zorder.writeBest(d, dPath, Seq("doc_id", "n_chars"),
+        bits = 16, numFiles = 32)
+      (pPath, dPath, graft.operators.Postings.topNgram(d, "text", n = 2))
+    })
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Text analysis: lang-ID heuristic + quality + token counts -----
@@ -914,6 +940,65 @@ object Corpus {
         graft.operators.IvfPq.probeIndex(spark, path, e, cents, cbs,
             e.filter(col("vec_id") < 10), k = 10, nprobe = 4, nCand = 100)
           .withColumn("cos", round(col("cos"), 6))
+      },
+      None),
+
+    // ----- Composed serving flagship: the production read path -----
+    // One request answered ENTIRELY from persisted artifacts — the
+    // end-to-end shape a 100 TB deployment actually runs per query,
+    // with zero corpus scans on the serve path:
+    //   1. phrase filter through the postings index (q166's layout,
+    //      bucket-pruned scan — the candidate doc set);
+    //   2. ANN shortlist through the session-cached IVFPQ index
+    //      (q174's layout, partition-pruned codes scan, nprobe=4,
+    //      nCand=200, k=50 pre-filter headroom);
+    //   3. intersect on fixed-width doc ids (broadcast — phrase hits
+    //      are index-derived, never text), re-rank by exact cosine,
+    //      top 10 per query;
+    //   4. fetch serving metadata from the hilbert-CLUSTERED document
+    //      layout ([[graft.operators.Zorder.writeBest]] on
+    //      (doc_id, n_chars)) — the bounded id set (≤ 10 queries × 10
+    //      docs, the IVF probe discipline) pushes down and prunes
+    //      files by the layout's tight per-file doc_id bounds.
+    // All three artifacts are built once per (JVM, dir, fingerprint)
+    // ([[servedSearch]]/[[servedIvfPq]]); every bench rep after warmup
+    // pays only index reads — BENCH_DETAIL's q179 wall time is the
+    // composed serve latency. The doc-id ↔ vec_id identification is
+    // the corpus convention (embeddings embed documents 0..nEmb-1).
+    // Rows-only like its ANN siblings; CONTRACTS.json grades
+    // serve == from-scratch composition parity at 1.0 per bench run.
+    QueryDef(
+      "q179_serve_flagship",
+      (spark, dir) => {
+        val (pPath, dPath, phrase) = servedSearch(spark, dir)
+        val (iPath, cents, cbs) = servedIvfPq(spark, dir)
+        val e = Tables.load(spark, dir, "embeddings")
+        val phraseDocs = graft.operators.Postings
+          .phraseOccurrencesFromIndex(spark, pPath, phrase, nBuckets = 64)
+          .withColumnRenamed("doc_id", "neighbor_id")
+        val ann = graft.operators.IvfPq.probeIndex(spark, iPath, e, cents,
+            cbs, e.filter(col("vec_id") < 10), k = 50, nprobe = 4,
+            nCand = 200)
+          .drop("rank")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        val topk = ann.join(broadcast(phraseDocs), Seq("neighbor_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+        // bounded driver collect (≤ 100 longs): the served ids become a
+        // static pushed predicate on the clustered fetch — file-level
+        // pruning via the layout's per-file doc_id bounds, never a scan
+        val ids = topk.select(col("neighbor_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val fetched = spark.read.parquet(dPath)
+          .filter(col("doc_id").isin(ids.map(Long.box): _*))
+          .select(col("doc_id").as("neighbor_id"), col("source"),
+            col("n_chars"))
+        topk.join(broadcast(fetched), Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"), round(col("cos"), 6).as("cos"), col("n_occ"),
+            col("source"), col("n_chars"))
+          .orderBy(col("query_id"), col("rank"))
       },
       None),
 

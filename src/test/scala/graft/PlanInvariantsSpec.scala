@@ -24,6 +24,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q138_pq_ann",             // broadcast query batch over the codes-only scan (q37's shape)
     "q170_pq_index",           // same ADC shortlist shape as q138, served from the persisted codes
     "q174_ann_serve",          // q171's probe shape against the session-cached index
+    "q179_serve_flagship",     // embeds q174's probe (ADC broadcast-query scan)
     "q102_semantic_decontaminate", // broadcast eval probe set (q37's shape)
     "q111_collocations",       // 1-row corpus-total broadcast (score scale)
     "q113_phrases_iterated",   // same 1-row total broadcast, final pass

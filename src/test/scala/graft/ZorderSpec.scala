@@ -189,8 +189,10 @@ class ZorderSpec extends SparkSpec {
     }
     assert(touched > 0 && touched < boxes.length,
       s"2D box touched $touched of ${boxes.length} files")
+    // d >= 3 routes through hilbert_dn since r13 (was refused when the
+    // only built state machine was 2-D) — the bit-budget guard remains
     intercept[IllegalArgumentException](Zorder.writeHilbert(
-      e, dir, Seq("user_id", "value", "event_id"), bits = 8, numFiles = 8))
+      e, dir, Seq("user_id", "value", "event_id"), bits = 32, numFiles = 8))
   }
 
   test("rankBucket matches a reference binary search, boundary-exact") {
@@ -392,6 +394,36 @@ class ZorderSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_compacting")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_compact_tmp")))
     assert(disjoint(zRanges(d2)), "recovered layout must end fully clustered")
+  }
+
+  test("writeBest picks hilbert at every d and clamps bits to the long budget") {
+    // the anti-footgun pin: ZorderProbe measured hilbert dominating
+    // morton on identical boxes in BOTH 2-D and 3-D — writeBest must
+    // never hand a caller the dominated curve, and a high-d request at
+    // the default bit width must clamp rather than throw
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val d2 = Files.createTempDirectory("graft_best2_").toString
+    val d3 = Files.createTempDirectory("graft_best3_").toString
+    val cl2 = Zorder.writeBest(e, d2, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    val cl3 = Zorder.writeBest(e, d3, Seq("user_id", "value", "event_id"),
+      numFiles = 4) // default bits=16: 3×16 = 48 fits, no clamp
+    assert(cl2.curve == "hilbert" && cl2.bits == 8)
+    assert(cl3.curve == "hilbert" && cl3.bits == 16)
+    // the clamp point: 4 dims at the default 16 would need 64 bits —
+    // writeBest must clamp to ⌊63/4⌋ = 15 instead of throwing
+    val d4 = Files.createTempDirectory("graft_best4_").toString
+    val cl4 = Zorder.writeBest(e.limit(100), d4,
+      Seq("user_id", "value", "event_id", "ts"), numFiles = 2)
+    assert(cl4.curve == "hilbert" && cl4.bits == 15,
+      s"expected bits clamped to 15, got ${cl4.bits}")
+    assert(Zorder.clusteringOf(spark, d3).get.curve == "hilbert")
+    // both layouts hold the rows exactly, and the 3-D layout is
+    // genuinely clustered (disjoint z-ranges across its files)
+    Seq(d2, d3).foreach { d =>
+      assert(spark.read.parquet(d).count() == e.count())
+    }
+    assert(disjoint(zRanges(d3)), "3-D hilbert layout must be clustered")
   }
 
   test("rank-z-ordered rewrite round-trips and prunes the dense region") {
