@@ -218,12 +218,15 @@ object Ivf {
     * train-once/serve-many story. */
   def writeIndexWithCentroids(corpus: DataFrame, path: String,
       centroids: Seq[Seq[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    graft.sources.Sinks.parquetPartitioned(
-      assigned(corpus, centroids, idCol, vecCol), path, "cluster")
-    Layout.writeMarker(corpus.sparkSession, path, markerFile,
-      centroidPayload(centroids, "float"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Layout.rebuild(corpus.sparkSession, path, "writeIndex",
+        Seq(markerFile)) {
+      graft.sources.Sinks.parquetPartitionedMode(
+        assigned(corpus, centroids, idCol, vecCol), path, "append",
+        "cluster")
+      Layout.writeMarker(corpus.sparkSession, path, markerFile,
+        centroidPayload(centroids, "float"))
+    }
 
   /** Incremental growth of a [[writeIndex]] layout: assign a new batch
     * through the PERSISTED centroids and APPEND into the existing
@@ -317,10 +320,14 @@ object Ivf {
       iters: Int = 3, trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
-    graft.sources.Sinks.parquetPartitioned(
-      assignedQuantized(corpus, centroids, idCol, vecCol), path, "cluster")
-    Layout.writeMarker(corpus.sparkSession, path, markerFile,
-      centroidPayload(centroids, "sq8"))
+    Layout.rebuild(corpus.sparkSession, path, "writeIndexQuantized",
+        Seq(markerFile)) {
+      graft.sources.Sinks.parquetPartitionedMode(
+        assignedQuantized(corpus, centroids, idCol, vecCol), path,
+        "append", "cluster")
+      Layout.writeMarker(corpus.sparkSession, path, markerFile,
+        centroidPayload(centroids, "sq8"))
+    }
     centroids
   }
 

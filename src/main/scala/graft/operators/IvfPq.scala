@@ -90,13 +90,16 @@ object IvfPq {
     * so the two can never be confused at the marker. */
   private def writeImpl(corpus: DataFrame, path: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String, vecCol: String, residual: Boolean): Unit = {
-    val rows = if (residual) codedResidual(corpus, centroids, codebooks, idCol, vecCol)
-               else coded(corpus, centroids, codebooks, idCol, vecCol)
-    graft.sources.Sinks.parquetPartitioned(rows, path, "cluster")
-    Layout.writeMarker(corpus.sparkSession, path, markerFile,
-      payloadOf(centroids, codebooks, residual))
-  }
+      idCol: String, vecCol: String, residual: Boolean): Unit =
+    Layout.rebuild(corpus.sparkSession, path, "writeIndex",
+        Seq(markerFile)) {
+      val rows = if (residual) codedResidual(corpus, centroids, codebooks, idCol, vecCol)
+                 else coded(corpus, centroids, codebooks, idCol, vecCol)
+      graft.sources.Sinks.parquetPartitionedMode(rows, path, "append",
+        "cluster")
+      Layout.writeMarker(corpus.sparkSession, path, markerFile,
+        payloadOf(centroids, codebooks, residual))
+    }
 
   private def appendImpl(batch: DataFrame, path: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],

@@ -179,36 +179,93 @@ private[graft] object Layout {
     val ttlMs = spark.conf.getOption("spark.graft.layout.lease.ttlMs")
       .map(_.toLong).getOrElse(10L * 60 * 1000)
     val owner = java.util.UUID.randomUUID.toString
+    val qp = fs.makeQualified(p)
     def tryAcquire(): Boolean =
-      try {
+      if (qp.toUri.getScheme == "file") {
+        // RawLocalFileSystem.create(overwrite=false) is CHECK-THEN-ACT
+        // (an exists() test before an unconditional create), so two
+        // simultaneous acquirers can BOTH win the "exclusive" create —
+        // observed live in LayoutSpec's race harness as interleaved
+        // marker writes under two "held" leases. POSIX O_CREAT|O_EXCL
+        // via File.createNewFile IS atomic; the owner payload is
+        // written after (transient empty content is fine — ownership
+        // reads tolerate it, existence+mtime carry the protocol)
+        val local = new java.io.File(qp.toUri.getPath)
+        local.getParentFile.mkdirs()
+        try local.createNewFile() && {
+          java.nio.file.Files.write(local.toPath, owner.getBytes("UTF-8"))
+          true
+        } catch { case _: java.io.IOException => false }
+      } else try {
+        // HDFS-class filesystems: create(overwrite=false) is atomic on
+        // the namenode — the portable spelling
         val out = fs.create(p, false)
         try out.write(owner.getBytes("UTF-8")) finally out.close()
         true
       } catch {
-        // only a lost race falls through; a create failure with no
-        // lease present is a real I/O error (the stampExclusive
-        // discipline)
+        // an already-exists failure IS the lost race, regardless of
+        // what exists() says afterwards — the holder may release
+        // between our failed create and the check, and rethrowing then
+        // misreports contention as an I/O error
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // any other create failure with no lease present is a real I/O
+        // error (the stampExclusive discipline)
         case e: java.io.IOException => if (fs.exists(p)) false else throw e
       }
-    def holder: String = readMarker(spark, path, "_graft_lease")
-      .getOrElse("<unreadable>")
+    // lease reads are QUIET: on a checksum filesystem a concurrent
+    // writer's in-flight create leaves a transiently unreadable
+    // file+.crc pair, and a ChecksumException here would misreport
+    // plain contention as an I/O failure (seen live in LayoutSpec's
+    // race harness)
+    def readLeaseQuiet(): Option[String] =
+      try readMarker(spark, path, "_graft_lease")
+      catch { case _: java.io.IOException => None }
+    def staleAt(q: org.apache.hadoop.fs.Path): Boolean =
+      try System.currentTimeMillis() - fs.getFileStatus(q)
+        .getModificationTime > ttlMs
+      catch { case _: java.io.FileNotFoundException => true }
     if (!tryAcquire()) {
-      val stale =
-        try System.currentTimeMillis() - fs.getFileStatus(p)
-          .getModificationTime > ttlMs
-        catch { case _: java.io.FileNotFoundException => true }
-      if (stale) fs.delete(p, false)
-      if (!stale || !tryAcquire())
+      // break a stale lease by RENAMING it aside, never delete-then-
+      // create: two breakers that both observed staleness would both
+      // delete-and-create and both proceed (the same interleaving
+      // bootstrapUnderLease's docs warn about) — rename is exclusive,
+      // so exactly one breaker wins each attempt. The staleness
+      // decision is RE-VALIDATED on the renamed-aside file (which we
+      // now hold exclusively): the stat-then-rename window can catch a
+      // FRESH lease another breaker just created, and folding it in
+      // without the re-check would run two writers concurrently. A
+      // stolen live lease is renamed back (best-effort — if its slot
+      // was re-created meanwhile, the stolen copy is dropped and the
+      // live holder runs unprotected until its TTL, the documented
+      // best-effort boundary).
+      val broke = staleAt(p) && {
+        val aside = new org.apache.hadoop.fs.Path(p.getParent,
+          s"_graft_lease.broken.$owner")
+        val won = try fs.rename(p, aside)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          if (staleAt(aside)) { fs.delete(aside, false); true }
+          else { if (!fs.rename(aside, p)) fs.delete(aside, false); false }
+        } else
+          // a vanished lease (the other breaker already renamed it
+          // away AND released) still leaves create-exclusive to decide
+          !fs.exists(p)
+      }
+      if (!broke || !tryAcquire())
         throw new IllegalStateException(
-          s"$what: another writer (owner ${holder.take(8)}…) holds the " +
-            s"layout lease at $p — the Layout protocol is single-writer " +
+          s"$what: another writer (owner ${readLeaseQuiet()
+            .getOrElse("<unreadable>").take(8)}…) holds the layout " +
+            s"lease at $p — the Layout protocol is single-writer " +
             "per path; wait for it to finish (a crashed holder's lease " +
             s"expires after ${ttlMs / 1000} s)")
     }
     acquired {
       try body
-      finally if (readMarker(spark, path, "_graft_lease").contains(owner))
+      finally if (readLeaseQuiet().contains(owner))
         fs.delete(p, false)
+      // an unreadable or foreign lease is NOT deleted: either a
+      // breaker replaced ours (theirs to release) or the read raced a
+      // writer — worst case the leftover expires by TTL
     }
   }
 
@@ -327,6 +384,82 @@ private[graft] object Layout {
       true
     }
   }
+
+  /** Roll back every CRASHED in-flight append at `path`: a staging dir
+    * without its ledger entry is a publish that may have landed some
+    * `b<id>-` files but never committed — [[idempotentAppend]] would
+    * sweep-and-redo it on replay, but an operation that FOLDS the
+    * published files into new ones first (compaction) would strand the
+    * sweep: the replay finds nothing to sweep and re-appends rows the
+    * fold already absorbed — silent duplication. So compaction calls
+    * this under the writer lease (where any staging-without-ledger is
+    * by definition crashed, not in flight): unledgered prefixes are
+    * swept and their staging dropped (the stream's replay then redoes
+    * the batch cleanly); ledgered staging leftovers are just GC'd. */
+  private[operators] def rollbackUnledgered(spark: SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val stagingRoot = new org.apache.hadoop.fs.Path(root, "_graft_staging")
+    if (!fs.exists(stagingRoot)) return
+    fs.listStatus(stagingRoot).foreach { st =>
+      val id = st.getPath.getName
+      val ledger = new org.apache.hadoop.fs.Path(root, s"_graft_batches/$id")
+      if (!fs.exists(ledger)) deleteByPrefix(fs, root, s"b$id-")
+      fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Clear a layout for an in-place REBUILD while keeping the writer
+    * lease alive: deletes the given marker files, the batch ledger,
+    * staging and compaction leftovers, and every published data file —
+    * everything except `_graft_lease`. Exists because
+    * `mode("overwrite")` deletes the whole directory INCLUDING the
+    * lease file, so a leased rebuild that used overwrite would drop
+    * its own mutual exclusion mid-write; rebuild writers clear with
+    * this and then write in append mode into the emptied layout.
+    * Marker files are deleted FIRST so every crash window inside the
+    * rebuild leaves data-without-marker (refused by probes/appends),
+    * never marker-over-foreign-data. */
+  private[operators] def clearForRebuild(spark: SparkSession, path: String,
+      markerFiles: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    if (!fs.exists(root)) return
+    markerFiles.foreach { m =>
+      val p = new org.apache.hadoop.fs.Path(root, m)
+      if (fs.exists(p)) require(fs.delete(p, false),
+        s"clearForRebuild: could not delete marker $p")
+    }
+    Seq("_graft_batches", "_graft_staging", "_graft_compact_tmp",
+      "_graft_compacting").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(root, d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // every non-hidden file and directory (partition dirs included) —
+    // an impossible keep-prefix reuses the hidden-aware sweep
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (!isHidden(name)) require(fs.delete(st.getPath, true),
+        s"clearForRebuild: could not delete ${st.getPath}")
+    }
+  }
+
+  /** The one spelling of a LEASED in-place rebuild every writeIndex
+    * form shares: acquire the writer lease, clear the layout (lease
+    * survives — see [[clearForRebuild]] for why `mode("overwrite")`
+    * cannot be used here), run the body (which writes append-mode into
+    * the emptied layout and stamps its marker LAST). A concurrent
+    * appender or compactor throws at lease acquisition instead of
+    * publishing into a half-rebuilt layout. */
+  private[operators] def rebuild[A](spark: SparkSession, path: String,
+      what: String, markerFiles: Seq[String])(body: => A): A =
+    withWriterLease(spark, path, what) {
+      clearForRebuild(spark, path, markerFiles)
+      body
+    }
 
   /** True iff `batchId` is recorded applied at `path` — the
     * ledger-side read of [[idempotentAppend]]'s commit point. */

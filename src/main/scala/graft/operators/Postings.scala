@@ -143,15 +143,22 @@ object Postings {
   private def writeIndexMode(postings: DataFrame, path: String,
       nBuckets: Int, mode: String): Unit = {
     val indexed = bucketed(postings, nBuckets)
-    graft.sources.Sinks.parquetPartitionedMode(indexed, path, mode, "tb")
-    // overwrite stamps AFTER the data; the overwrite itself clears the
-    // whole path (old marker included) before rewriting, so a crash
-    // mid-rebuild leaves populated-UNMARKED data — a state every probe
-    // and append now refuses outright (marker presence required), so
-    // the window is fail-fast, not silently certifiable
     if (mode == "overwrite")
-      Layout.writeMarker(postings.sparkSession, path, markerFile,
-        nBuckets.toString)
+      // rebuilds hold the writer lease and clear-then-append instead
+      // of mode("overwrite") — overwrite deletes the whole dir
+      // INCLUDING an in-flight writer's lease file ([[Layout.rebuild]]).
+      // The marker stamps AFTER the data, so a crash mid-rebuild
+      // leaves populated-UNMARKED data — a state every probe and
+      // append refuses outright (fail-fast, not silently certifiable)
+      Layout.rebuild(postings.sparkSession, path, "writeIndex",
+          Seq(markerFile)) {
+        graft.sources.Sinks.parquetPartitionedMode(indexed, path,
+          "append", "tb")
+        Layout.writeMarker(postings.sparkSession, path, markerFile,
+          nBuckets.toString)
+      }
+    else
+      graft.sources.Sinks.parquetPartitionedMode(indexed, path, mode, "tb")
   }
 
   /** The layout's bucket count, persisted as an underscore-prefixed

@@ -212,13 +212,15 @@ object Pq {
     * unmarked data every reader refuses). */
   def writeIndex(corpus: DataFrame, path: String,
       codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val coded = corpus.select(col(idCol).as("neighbor_id"),
-      encode(codebooks, col(vecCol)).as("codes"))
-    coded.write.mode("overwrite").parquet(path)
-    Layout.writeMarker(corpus.sparkSession, path, markerFile,
-      codebookPayload(codebooks))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Layout.rebuild(corpus.sparkSession, path, "writeIndex",
+        Seq(markerFile)) {
+      corpus.select(col(idCol).as("neighbor_id"),
+          encode(codebooks, col(vecCol)).as("codes"))
+        .write.mode("append").parquet(path)
+      Layout.writeMarker(corpus.sparkSession, path, markerFile,
+        codebookPayload(codebooks))
+    }
 
   /** Incremental growth of a [[writeIndex]] layout: encode a new batch
     * through the PINNED codebooks and append — codes are pure facts

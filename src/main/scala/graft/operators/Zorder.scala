@@ -211,17 +211,26 @@ object Zorder {
     * the stamp leaves data-without-marker, which every append, compact
     * and probe REFUSES (never silently mis-buckets). */
   private def writeAndStamp(df: DataFrame, path: String,
-      cl: Clustering): Clustering = {
-    val (staged, z, drop) = clusteredFrame(df, cl)
-    withStatsTimestamps(df.sparkSession) {
-      staged.repartitionByRange(cl.numFiles, z)
-        .sortWithinPartitions(z)
-        .drop(drop: _*)
-        .write.mode("overwrite").parquet(path)
+      cl: Clustering): Clustering =
+    // a rebuild holds the SAME writer lease appends and compactions do
+    // — mode("overwrite") would delete the whole dir INCLUDING an
+    // in-flight writer's lease file and ledger, letting a concurrent
+    // append publish into the fresh layout under the new marker
+    // (silent mixing); instead: clear under the lease (lease file
+    // survives), write append-mode into the emptied layout, stamp
+    Layout.withWriterLease(df.sparkSession, path, "writeClustered") {
+      Layout.clearForRebuild(df.sparkSession, path,
+        Seq(markerFile, compactingFile))
+      val (staged, z, drop) = clusteredFrame(df, cl)
+      withStatsTimestamps(df.sparkSession) {
+        staged.repartitionByRange(cl.numFiles, z)
+          .sortWithinPartitions(z)
+          .drop(drop: _*)
+          .write.mode("append").parquet(path)
+      }
+      Layout.writeMarker(df.sparkSession, path, markerFile, payload(cl))
+      cl
     }
-    Layout.writeMarker(df.sparkSession, path, markerFile, payload(cl))
-    cl
-  }
 
   /** Append a batch into an existing clustered layout as ONE
     * idempotent batchId-keyed transaction — the daily-ingest /
@@ -257,6 +266,22 @@ object Zorder {
         "bootstrap with writeZordered/writeHilbert/writeZorderedByRank " +
         "first (the pinned quantization comes from the write's stats " +
         "pass)"))
+    // schema parity with the resident layout, checked BEFORE anything
+    // lands: parquet directories have no schema enforcement of their
+    // own, and a narrower (or differently-typed) batch would read back
+    // with sampled-footer roulette — silent nulls, or whole columns
+    // dropped by the next compaction. Name set AND per-name type must
+    // match (nullability is a reader concern).
+    val resident = spark.read.parquet(path).schema
+      .map(f => f.name -> f.dataType).toMap
+    val incoming = batch.schema.map(f => f.name -> f.dataType).toMap
+    require(incoming == resident,
+      s"appendClustered: batch schema ${incoming.toSeq.sortBy(_._1)
+        .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")} " +
+        s"does not match the resident layout's ${resident.toSeq
+        .sortBy(_._1).map { case (n, t) => s"$n:${t.simpleString}" }
+        .mkString(", ")} at $path — appending it would corrupt every " +
+        "future read (parquet dirs have no schema enforcement)")
     val (staged, z, drop) = clusteredFrame(batch, cl)
     Layout.idempotentAppend(spark, path, batchId) { stg =>
       withStatsTimestamps(spark) {
@@ -322,11 +347,22 @@ object Zorder {
       require(fs.delete(tmp, true),
         s"compactClustered: could not clear stale staging $tmp")
     }
+    // roll back any CRASHED append before folding: an unledgered
+    // publish folded into the compacted files would strand the
+    // stream's sweep-and-redo — the replay re-appends rows the fold
+    // already absorbed (under the lease, staging-without-ledger IS
+    // crashed, never in-flight)
+    Layout.rollbackUnledgered(spark, path)
     val cl = clusteringOf(spark, path).getOrElse(sys.error(
       s"compactClustered: no $markerFile marker at $path — not a " +
         "clustered graft layout (or a crashed rebuild); rebuild with a " +
         "write* form first"))
-    val (staged, z, drop) = clusteredFrame(spark.read.parquet(path), cl)
+    // mergeSchema: the fold must see EVERY column present anywhere in
+    // the layout, not one sampled footer's view — with schema-checked
+    // appends the schemas agree, but a pre-check legacy layout must
+    // surface its width here rather than silently drop columns
+    val (staged, z, drop) = clusteredFrame(
+      spark.read.option("mergeSchema", "true").parquet(path), cl)
     withStatsTimestamps(spark) {
       staged.repartitionByRange(cl.numFiles, z)
         .sortWithinPartitions(z)

@@ -982,9 +982,15 @@ object Corpus {
           .drop("rank")
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id"))
-        val topk = ann.join(broadcast(phraseDocs), Seq("neighbor_id"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
+        // materialization barrier: the ids collect below AND the final
+        // fetch join both consume topk — without the barrier the whole
+        // probe+join+window pipeline executes TWICE per serve call and
+        // the benched serve latency doubles (the Barrier discipline
+        // from the curation flagships; ≤ 100 tiny rows materialized)
+        val topk = graft.operators.Barrier.materialize(
+          ann.join(broadcast(phraseDocs), Seq("neighbor_id"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10))
         // bounded driver collect (≤ 100 longs): the served ids become a
         // static pushed predicate on the clustered fetch — file-level
         // pruning via the layout's per-file doc_id bounds, never a scan

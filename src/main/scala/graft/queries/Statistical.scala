@@ -74,8 +74,12 @@ object Statistical {
     // the Spark/DuckDB pow paths could diverge — fail LOUDLY instead
     // (the when-branch keeps the guard inside codegen; it never fires
     // at any reachable sf, so the happy path is unchanged)
-    when(d <= lit(37),
-      k.cast("double") * pow(lit(10.0), j) / lit(10000.0))
+    // NULL propagates FIRST: length(NULL) makes the digit guard NULL,
+    // and CaseWhen would fall through to the error branch — an empty
+    // or all-NULL group must stay NULL, not abort the query
+    when(c.isNull, lit(null).cast("double"))
+      .when(d <= lit(37),
+        k.cast("double") * pow(lit(10.0), j) / lit(10000.0))
       .otherwise(raise_error(lit(
         "quantCast: scaled sum has > 37 digits — 10^j is no longer " +
           "double-exact and the cross-engine exactness guarantee is " +

@@ -74,8 +74,15 @@ object Tables {
     * exact stale-serve the fingerprint exists to prevent. Different
     * data virtually always moves the footer stats even at equal file
     * size. Cost: one FS listing plus one bounded pread per file (64
-    * bytes, never row data) — at 100 TB that is per-FILE, not
-    * per-byte, and fingerprints are computed once per cache build. */
+    * bytes, never row data) — and DELIBERATELY paid on every cache
+    * lookup, not just cache builds: the per-call fingerprint IS the
+    * freshness check that makes a mid-JVM regeneration rebuild instead
+    * of serving stale state. Caching the sample by (path, len, mtime)
+    * would reintroduce exactly the mtime-granularity collision the
+    * sample exists to close. For the serve paths this is micro- to
+    * milliseconds per call on the test tables (1-2 flat files); a
+    * million-file layout should fingerprint its _graft_* markers
+    * instead of calling this per request. */
   def fingerprint(spark: SparkSession, dir: String,
       tables: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration

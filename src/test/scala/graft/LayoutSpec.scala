@@ -135,6 +135,55 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.layout.lease.ttlMs")
   }
 
+  test("writer lease: two breakers of one stale lease — at most one proceeds") {
+    // the stale-break race: delete-then-create would let BOTH breakers
+    // through (B's delete removes A's fresh lease); rename-aside is
+    // exclusive, so exactly one wins each round. Both-succeed is the
+    // bug; both-fail is impossible (the rename winner proceeds).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 10) {
+        val dir = tmp(s"brk$round")
+        touch(dir, "_graft_lease")
+        // age the foreign lease PAST the TTL by mtime, keeping the TTL
+        // itself comfortably above the body duration — a tiny TTL
+        // would let the loser legitimately TTL-break the winner's
+        // FRESH lease mid-body (documented overrun behavior, not the
+        // race under test)
+        val lp = new org.apache.hadoop.fs.Path(dir, "_graft_lease")
+        val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        lfs.setTimes(lp, System.currentTimeMillis() - 60000, -1)
+        spark.conf.set("spark.graft.layout.lease.ttlMs", "30000")
+        try {
+          val gate = new java.util.concurrent.CyclicBarrier(2)
+          val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+          val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+          def attempt() = pool.submit(
+            new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean = {
+                gate.await()
+                try {
+                  Layout.withWriterLease(spark, dir, "race") {
+                    val now = inBody.incrementAndGet()
+                    peak.updateAndGet(p => math.max(p, now))
+                    Thread.sleep(20)
+                    inBody.decrementAndGet()
+                    true
+                  }
+                } catch { case _: IllegalStateException => false }
+              }
+            })
+          val (fa, fb) = (attempt(), attempt())
+          val (ra, rb) = (fa.get(), fb.get())
+          assert(ra || rb, s"round $round: the rename winner must proceed")
+          assert(peak.get() <= 1,
+            s"round $round: both breakers ran the body CONCURRENTLY — " +
+              "the delete-then-create interleaving is back")
+        } finally spark.conf.unset("spark.graft.layout.lease.ttlMs")
+      }
+    } finally pool.shutdown()
+  }
+
   test("bootstrapOrGuard refuses to stamp over batch-published unmarked data") {
     // the exact crash shape the probe fix exists for: a layout whose
     // ONLY rows came through idempotentAppend (b<id>- names), whose

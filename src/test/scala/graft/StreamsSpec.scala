@@ -926,7 +926,12 @@ class StreamsSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft_zs_ckpt_").toString
     val dir = Files.createTempDirectory("graft_zs_lay_").toString + "/events"
 
+    // the resident corpus PROJECTED to the streamed schema — appends
+    // are schema-checked against the layout (a narrower batch would
+    // corrupt every future read), so the bootstrap must carry exactly
+    // the columns the stream delivers
     val e = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
     // bootstrap: the resident corpus, clustered — stats over it pin
     // the quantization every streamed batch will bucket through
     Zorder.writeHilbert(e.filter(col("event_id") % 3 === 0), dir,

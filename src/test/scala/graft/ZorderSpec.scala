@@ -348,6 +348,55 @@ class ZorderSpec extends SparkSpec {
     val err3 = intercept[IllegalArgumentException](
       Zorder.appendClustered(e.drop("value"), dir, batchId = 0))
     assert(err3.getMessage.contains("value"))
+    // schema parity is exact, both directions: a WIDER batch (extra
+    // column) and a retyped column are refused too — parquet dirs have
+    // no schema enforcement, so the append is where it must happen
+    val err4 = intercept[IllegalArgumentException](
+      Zorder.appendClustered(e.withColumn("extra", lit(1)), dir, batchId = 0))
+    assert(err4.getMessage.contains("schema"))
+    val err5 = intercept[IllegalArgumentException](Zorder.appendClustered(
+      e.withColumn("value", col("value").cast("float")), dir, batchId = 0))
+    assert(err5.getMessage.contains("schema"))
+    // a rebuild while another writer holds the lease throws instead of
+    // deleting their lease with the directory (the overwrite hazard)
+    graft.operators.Layout.writeMarker(spark, dir, "_graft_lease", "foreign")
+    intercept[IllegalStateException](
+      Zorder.writeZordered(e, dir, Seq("user_id", "value"), bits = 8,
+        numFiles = 4))
+    new org.apache.hadoop.fs.Path(dir, "_graft_lease")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir, "_graft_lease"), false)
+  }
+
+  test("compaction rolls back a crashed unledgered append; the replay then redoes it once") {
+    // the double-count window: an append crashed AFTER publishing its
+    // b<id>- files but BEFORE the ledger entry. A compaction that
+    // folded those files in would strand the replay's sweep — the
+    // redo re-appends rows the fold already absorbed. compactClustered
+    // must roll the crashed append BACK first, so the fold excludes it
+    // and the replay applies exactly once.
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = Files.createTempDirectory("graft_zorder_rb_").toString
+    val base = e.filter(col("event_id") % 3 =!= 0)
+    val b1 = e.filter(col("event_id") % 3 === 0)
+    Zorder.writeZordered(base, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    assert(Zorder.appendClustered(b1, dir, batchId = 1))
+    // fabricate the crash window on disk: ledger gone, staging present
+    // (idempotentAppend's publish-before-ledger state)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_batches/1"), false))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "_graft_staging/1"))
+    Zorder.compactClustered(spark, dir)
+    // the fold must NOT contain the unledgered batch
+    assert(spark.read.parquet(dir).count() == base.count(),
+      "compaction must roll back, not absorb, a crashed unledgered append")
+    // the stream's replay then applies it exactly once
+    assert(Zorder.appendClustered(b1, dir, batchId = 1),
+      "rolled-back batch must be redoable")
+    assert(spark.read.parquet(dir).count() == base.count() + b1.count(),
+      "replay after rollback must land the batch exactly once")
   }
 
   test("compactClustered recovers every crash window deterministically") {
