@@ -219,8 +219,7 @@ object Ivf {
   def writeIndexWithCentroids(corpus: DataFrame, path: String,
       centroids: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    Layout.rebuild(corpus.sparkSession, path, "writeIndex",
-        Seq(markerFile)) {
+    Layout.rebuild(corpus.sparkSession, path, "writeIndex") {
       graft.sources.Sinks.parquetPartitionedMode(
         assigned(corpus, centroids, idCol, vecCol), path, "append",
         "cluster")
@@ -320,8 +319,7 @@ object Ivf {
       iters: Int = 3, trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val centroids = trainCentroids(corpus, nClusters, iters, trainFraction, idCol, vecCol)
-    Layout.rebuild(corpus.sparkSession, path, "writeIndexQuantized",
-        Seq(markerFile)) {
+    Layout.rebuild(corpus.sparkSession, path, "writeIndexQuantized") {
       graft.sources.Sinks.parquetPartitionedMode(
         assignedQuantized(corpus, centroids, idCol, vecCol), path,
         "append", "cluster")

@@ -91,8 +91,7 @@ object IvfPq {
   private def writeImpl(corpus: DataFrame, path: String,
       centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       idCol: String, vecCol: String, residual: Boolean): Unit =
-    Layout.rebuild(corpus.sparkSession, path, "writeIndex",
-        Seq(markerFile)) {
+    Layout.rebuild(corpus.sparkSession, path, "writeIndex") {
       val rows = if (residual) codedResidual(corpus, centroids, codebooks, idCol, vecCol)
                  else coded(corpus, centroids, codebooks, idCol, vecCol)
       graft.sources.Sinks.parquetPartitionedMode(rows, path, "append",

@@ -192,10 +192,24 @@ private[graft] object Layout {
         // reads tolerate it, existence+mtime carry the protocol)
         val local = new java.io.File(qp.toUri.getPath)
         local.getParentFile.mkdirs()
-        try local.createNewFile() && {
-          java.nio.file.Files.write(local.toPath, owner.getBytes("UTF-8"))
-          true
-        } catch { case _: java.io.IOException => false }
+        try {
+          if (!local.createNewFile()) false // exists: the lost race
+          else try {
+            java.nio.file.Files.write(local.toPath, owner.getBytes("UTF-8"))
+            true
+          } catch {
+            // our own create succeeded but the payload write failed
+            // (disk full, quota): remove the empty lease so the retry
+            // isn't blocked for a full TTL by a lease nobody holds,
+            // and surface the REAL error — not phantom contention
+            case e: java.io.IOException => local.delete(); throw e
+          }
+        } catch {
+          case e: java.io.IOException =>
+            // createNewFile itself threw: only a now-existing file is
+            // contention; anything else (permissions) is a real error
+            if (local.exists()) false else throw e
+        }
       } else try {
         // HDFS-class filesystems: create(overwrite=false) is atomic on
         // the namenode — the portable spelling
@@ -412,38 +426,37 @@ private[graft] object Layout {
   }
 
   /** Clear a layout for an in-place REBUILD while keeping the writer
-    * lease alive: deletes the given marker files, the batch ledger,
-    * staging and compaction leftovers, and every published data file —
-    * everything except `_graft_lease`. Exists because
+    * lease alive: deletes EVERYTHING under the path — data files,
+    * ledger, staging, compaction leftovers, and every marker of every
+    * family — except the lease file itself. Exists because
     * `mode("overwrite")` deletes the whole directory INCLUDING the
     * lease file, so a leased rebuild that used overwrite would drop
     * its own mutual exclusion mid-write; rebuild writers clear with
     * this and then write in append mode into the emptied layout.
-    * Marker files are deleted FIRST so every crash window inside the
-    * rebuild leaves data-without-marker (refused by probes/appends),
-    * never marker-over-foreign-data. */
-  private[operators] def clearForRebuild(spark: SparkSession, path: String,
-      markerFiles: Seq[String]): Unit = {
+    * The sweep is deliberately marker-family-agnostic: clearing only
+    * the rebuilding family's marker would leave a FOREIGN family's
+    * stale marker certifying the new rows (e.g. an Ivf
+    * `_graft_centroids` surviving an IvfPq rebuild lets a later
+    * Ivf.appendIndex pass its guard and mix row schemas) — overwrite
+    * semantics minus the lease, exactly. Markers go before data, so
+    * every crash window inside the rebuild leaves data-without-marker
+    * (refused by probes/appends), never marker-over-foreign-data. */
+  private[operators] def clearForRebuild(spark: SparkSession,
+      path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     if (!fs.exists(root)) return
-    markerFiles.foreach { m =>
-      val p = new org.apache.hadoop.fs.Path(root, m)
-      if (fs.exists(p)) require(fs.delete(p, false),
-        s"clearForRebuild: could not delete marker $p")
-    }
-    Seq("_graft_batches", "_graft_staging", "_graft_compact_tmp",
-      "_graft_compacting").foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(root, d)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-    // every non-hidden file and directory (partition dirs included) —
-    // an impossible keep-prefix reuses the hidden-aware sweep
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (!isHidden(name)) require(fs.delete(st.getPath, true),
-        s"clearForRebuild: could not delete ${st.getPath}")
+    def keep(name: String) =
+      name == "_graft_lease" || name.startsWith("_graft_lease.")
+    // two passes: hidden (markers/protocol state) first, then data
+    Seq(true, false).foreach { hiddenPass =>
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (isHidden(name) == hiddenPass && !keep(name))
+          require(fs.delete(st.getPath, true),
+            s"clearForRebuild: could not delete ${st.getPath}")
+      }
     }
   }
 
@@ -455,9 +468,9 @@ private[graft] object Layout {
     * appender or compactor throws at lease acquisition instead of
     * publishing into a half-rebuilt layout. */
   private[operators] def rebuild[A](spark: SparkSession, path: String,
-      what: String, markerFiles: Seq[String])(body: => A): A =
+      what: String)(body: => A): A =
     withWriterLease(spark, path, what) {
-      clearForRebuild(spark, path, markerFiles)
+      clearForRebuild(spark, path)
       body
     }
 

@@ -150,8 +150,7 @@ object Postings {
       // The marker stamps AFTER the data, so a crash mid-rebuild
       // leaves populated-UNMARKED data — a state every probe and
       // append refuses outright (fail-fast, not silently certifiable)
-      Layout.rebuild(postings.sparkSession, path, "writeIndex",
-          Seq(markerFile)) {
+      Layout.rebuild(postings.sparkSession, path, "writeIndex") {
         graft.sources.Sinks.parquetPartitionedMode(indexed, path,
           "append", "tb")
         Layout.writeMarker(postings.sparkSession, path, markerFile,

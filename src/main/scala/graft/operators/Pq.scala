@@ -213,8 +213,7 @@ object Pq {
   def writeIndex(corpus: DataFrame, path: String,
       codebooks: Seq[Seq[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    Layout.rebuild(corpus.sparkSession, path, "writeIndex",
-        Seq(markerFile)) {
+    Layout.rebuild(corpus.sparkSession, path, "writeIndex") {
       corpus.select(col(idCol).as("neighbor_id"),
           encode(codebooks, col(vecCol)).as("codes"))
         .write.mode("append").parquet(path)

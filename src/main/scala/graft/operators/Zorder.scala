@@ -71,8 +71,22 @@ object Zorder {
       cols: Seq[ColQuant])
 
   private[graft] val markerFile = "_graft_clustering"
+  private[graft] val schemaFile = "_graft_schema"
   private val compactingFile = "_graft_compacting"
   private val compactTmpDir = "_graft_compact_tmp"
+
+  /** The layout's DATA schema as a marker payload — what
+    * [[appendClustered]] validates batches against: one line per field,
+    * `urlenc(name)=catalogString`, order-insensitive compare. A marker
+    * read instead of `spark.read.parquet(path).schema` because the
+    * latter is (a) a full directory listing + footer read per
+    * streaming micro-batch, (b) sampled-footer roulette on a legacy
+    * mixed layout, and (c) an AnalysisException on an empty-but-marked
+    * bootstrap layout. */
+  private def schemaPayload(schema: org.apache.spark.sql.types.StructType): String =
+    schema.fields.map(f =>
+      java.net.URLEncoder.encode(f.name, "UTF-8") + "=" +
+        f.dataType.catalogString).sorted.mkString("\n")
 
   /** Quantize `c` to a long in [0, 2^bits) given its [lo, hi] range.
     * NULLs bucket to 0; NaN and +Infinity rows land in the TOP bucket,
@@ -216,11 +230,13 @@ object Zorder {
     // — mode("overwrite") would delete the whole dir INCLUDING an
     // in-flight writer's lease file and ledger, letting a concurrent
     // append publish into the fresh layout under the new marker
-    // (silent mixing); instead: clear under the lease (lease file
-    // survives), write append-mode into the emptied layout, stamp
-    Layout.withWriterLease(df.sparkSession, path, "writeClustered") {
-      Layout.clearForRebuild(df.sparkSession, path,
-        Seq(markerFile, compactingFile))
+    // (silent mixing); Layout.rebuild clears under the lease (lease
+    // file survives) and the write goes append-mode into the emptied
+    // layout. Markers stamped LAST: clustering identity + the data
+    // SCHEMA (what appendClustered validates batches against — a
+    // marker read, not a per-batch directory listing, and defined even
+    // for an empty bootstrap layout).
+    Layout.rebuild(df.sparkSession, path, "writeClustered") {
       val (staged, z, drop) = clusteredFrame(df, cl)
       withStatsTimestamps(df.sparkSession) {
         staged.repartitionByRange(cl.numFiles, z)
@@ -229,6 +245,8 @@ object Zorder {
           .write.mode("append").parquet(path)
       }
       Layout.writeMarker(df.sparkSession, path, markerFile, payload(cl))
+      Layout.writeMarker(df.sparkSession, path, schemaFile,
+        schemaPayload(df.schema))
       cl
     }
 
@@ -271,17 +289,28 @@ object Zorder {
     // own, and a narrower (or differently-typed) batch would read back
     // with sampled-footer roulette — silent nulls, or whole columns
     // dropped by the next compaction. Name set AND per-name type must
-    // match (nullability is a reader concern).
-    val resident = spark.read.parquet(path).schema
-      .map(f => f.name -> f.dataType).toMap
-    val incoming = batch.schema.map(f => f.name -> f.dataType).toMap
-    require(incoming == resident,
-      s"appendClustered: batch schema ${incoming.toSeq.sortBy(_._1)
-        .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")} " +
-        s"does not match the resident layout's ${resident.toSeq
-        .sortBy(_._1).map { case (n, t) => s"$n:${t.simpleString}" }
-        .mkString(", ")} at $path — appending it would corrupt every " +
-        "future read (parquet dirs have no schema enforcement)")
+    // match (nullability is a reader concern). Validated against the
+    // `_graft_schema` marker the write stamped — one tiny read per
+    // batch, never a directory listing; a pre-marker legacy layout
+    // falls back to a mergeSchema read over its data files (skipped
+    // when empty — nothing to corrupt, the batch defines the schema).
+    val resident = Layout.readMarker(spark, path, schemaFile)
+      .orElse {
+        if (graft.sources.Sinks.hasDataFiles(spark, path))
+          Some(schemaPayload(
+            spark.read.option("mergeSchema", "true").parquet(path).schema))
+        else None
+      }
+    val incoming = schemaPayload(batch.schema)
+    resident.foreach(r => require(r == incoming,
+      s"appendClustered: batch schema [${incoming.replace("\n", ", ")}] " +
+        s"does not match the resident layout's [${r.replace("\n", ", ")}] " +
+        s"at $path — appending it would corrupt every future read " +
+        "(parquet dirs have no schema enforcement)"))
+    // legacy empty-markerless-schema layout: stamp so the NEXT batch
+    // is validated against this one's schema
+    if (resident.isEmpty)
+      Layout.writeMarker(spark, path, schemaFile, incoming)
     val (staged, z, drop) = clusteredFrame(batch, cl)
     Layout.idempotentAppend(spark, path, batchId) { stg =>
       withStatsTimestamps(spark) {

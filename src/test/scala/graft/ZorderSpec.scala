@@ -368,6 +368,44 @@ class ZorderSpec extends SparkSpec {
       .delete(new org.apache.hadoop.fs.Path(dir, "_graft_lease"), false)
   }
 
+  test("empty bootstrap then stream: appends validate against the schema marker") {
+    // the bootstrap-empty-then-stream flow: a clustered layout created
+    // from an EMPTY frame has no data files to infer a schema from —
+    // the _graft_schema marker carries it, so the first append
+    // validates and lands instead of crashing on schema inference
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_zorder_mt_").toString + "/lay"
+    val empty = Seq.empty[(Long, Long, Double)].toDF("id", "user_id", "value")
+    Zorder.writeZordered(empty, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    val b = Seq((1L, 3L, 50.0), (2L, 7L, 80.0)).toDF("id", "user_id", "value")
+    assert(Zorder.appendClustered(b, dir, batchId = 0, batchFiles = 1))
+    assert(spark.read.parquet(dir).count() == 2)
+    // and the schema gate still bites: a retyped batch is refused
+    intercept[IllegalArgumentException](Zorder.appendClustered(
+      b.withColumn("value", col("value").cast("float")), dir, batchId = 1))
+  }
+
+  test("a rebuild clears FOREIGN markers — no stale certificate survives") {
+    // clearForRebuild is marker-family-agnostic: a stale marker from a
+    // different index family surviving a rebuild would keep certifying
+    // the new family's rows (e.g. an Ivf _graft_centroids over a
+    // clustered layout lets Ivf.appendIndex pass its guard and mix row
+    // schemas) — overwrite semantics minus the lease, exactly
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_fm_").toString
+    graft.operators.Layout.writeMarker(spark, dir, "_graft_centroids",
+      "float 4 64 1234")
+    Zorder.writeZordered(e.limit(100), dir, Seq("user_id", "value"),
+      bits = 8, numFiles = 2)
+    assert(graft.operators.Layout.readMarker(spark, dir,
+      "_graft_centroids").isEmpty,
+      "foreign marker must not survive a rebuild")
+    assert(Zorder.clusteringOf(spark, dir).isDefined,
+      "the rebuilding family's own marker must be stamped")
+  }
+
   test("compaction rolls back a crashed unledgered append; the replay then redoes it once") {
     // the double-count window: an append crashed AFTER publishing its
     // b<id>- files but BEFORE the ledger entry. A compaction that
