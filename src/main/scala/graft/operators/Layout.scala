@@ -192,9 +192,21 @@ private[graft] object Layout {
         // reads tolerate it, existence+mtime carry the protocol)
         val local = new java.io.File(qp.toUri.getPath)
         local.getParentFile.mkdirs()
-        try {
-          if (!local.createNewFile()) false // exists: the lost race
-          else try {
+        // two SEPARATE handler scopes, not nested in one try: a
+        // payload-write failure rethrown through a shared outer catch
+        // would hit the exists() contention check and be reclassified
+        // as "another writer" — the misdiagnosis this path exists to
+        // avoid
+        val created =
+          try local.createNewFile()
+          catch {
+            // createNewFile itself threw: only a now-existing file is
+            // contention; anything else (permissions) is a real error
+            case e: java.io.IOException =>
+              if (local.exists()) false else throw e
+          }
+        created && {
+          try {
             java.nio.file.Files.write(local.toPath, owner.getBytes("UTF-8"))
             true
           } catch {
@@ -204,11 +216,6 @@ private[graft] object Layout {
             // and surface the REAL error — not phantom contention
             case e: java.io.IOException => local.delete(); throw e
           }
-        } catch {
-          case e: java.io.IOException =>
-            // createNewFile itself threw: only a now-existing file is
-            // contention; anything else (permissions) is a real error
-            if (local.exists()) false else throw e
         }
       } else try {
         // HDFS-class filesystems: create(overwrite=false) is atomic on
@@ -449,15 +456,23 @@ private[graft] object Layout {
     if (!fs.exists(root)) return
     def keep(name: String) =
       name == "_graft_lease" || name.startsWith("_graft_lease.")
-    // two passes: hidden (markers/protocol state) first, then data
-    Seq(true, false).foreach { hiddenPass =>
+    // THREE ordered passes, because crash windows between them must
+    // all land in refused states: (1) hidden FILES — the marker
+    // certificates — go first, so no window pairs a live marker with
+    // a half-cleared layout; (2) hidden DIRS — ledger/staging — go
+    // second: deleting the ledger while a marker still stood would
+    // let a crash leave a healthy-looking layout whose committed
+    // batches replay as duplicates; (3) data last (data-without-marker
+    // is the refused crashed-rebuild state).
+    def sweep(pred: org.apache.hadoop.fs.FileStatus => Boolean): Unit =
       fs.listStatus(root).foreach { st =>
-        val name = st.getPath.getName
-        if (isHidden(name) == hiddenPass && !keep(name))
+        if (pred(st) && !keep(st.getPath.getName))
           require(fs.delete(st.getPath, true),
             s"clearForRebuild: could not delete ${st.getPath}")
       }
-    }
+    sweep(st => !st.isDirectory && isHidden(st.getPath.getName))
+    sweep(st => st.isDirectory && isHidden(st.getPath.getName))
+    sweep(st => !isHidden(st.getPath.getName))
   }
 
   /** The one spelling of a LEASED in-place rebuild every writeIndex

@@ -292,27 +292,44 @@ object Zorder {
     // match (nullability is a reader concern). Validated against the
     // `_graft_schema` marker the write stamped — one tiny read per
     // batch, never a directory listing; a pre-marker legacy layout
-    // falls back to a mergeSchema read over its data files (skipped
+    // falls back to ONE mergeSchema read over its data files (skipped
     // when empty — nothing to corrupt, the batch defines the schema).
-    val resident = Layout.readMarker(spark, path, schemaFile)
-      .orElse {
-        if (graft.sources.Sinks.hasDataFiles(spark, path))
-          Some(schemaPayload(
-            spark.read.option("mergeSchema", "true").parquet(path).schema))
-        else None
-      }
+    // A mismatch over an EMPTY layout re-stamps instead of refusing —
+    // the [[Layout]] state machine's dead-marker arm: a corrected
+    // producer must not be poisoned forever by a schema nothing ever
+    // landed under.
+    val markerSchema = Layout.readMarker(spark, path, schemaFile)
+    lazy val hasFiles = graft.sources.Sinks.hasDataFiles(spark, path)
+    val resident = markerSchema.orElse {
+      if (hasFiles)
+        Some(schemaPayload(
+          spark.read.option("mergeSchema", "true").parquet(path).schema))
+      else None
+    }
     val incoming = schemaPayload(batch.schema)
-    resident.foreach(r => require(r == incoming,
-      s"appendClustered: batch schema [${incoming.replace("\n", ", ")}] " +
-        s"does not match the resident layout's [${r.replace("\n", ", ")}] " +
-        s"at $path — appending it would corrupt every future read " +
-        "(parquet dirs have no schema enforcement)"))
-    // legacy empty-markerless-schema layout: stamp so the NEXT batch
-    // is validated against this one's schema
-    if (resident.isEmpty)
-      Layout.writeMarker(spark, path, schemaFile, incoming)
+    if (resident.exists(_ != incoming)) {
+      // "empty" keys on ROWS, not files: Spark writes a schema-only
+      // 0-row part file even for an empty bootstrap frame, and a
+      // corrected producer must not be poisoned by a schema nothing
+      // ever landed under. The count runs ONLY on a mismatch, never on
+      // the per-batch hot path.
+      val hasRows = hasFiles &&
+        spark.read.option("mergeSchema", "true").parquet(path).count() > 0
+      require(!hasRows,
+        s"appendClustered: batch schema [${incoming.replace("\n", ", ")}] " +
+          s"does not match the resident layout's " +
+          s"[${resident.get.replace("\n", ", ")}] at $path — appending " +
+          "it would corrupt every future read (parquet dirs have no " +
+          "schema enforcement)")
+      // rowless re-stamp arm: clear the stale schema-only files so a
+      // reader's sampled footer can never resurrect the old schema
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Layout.deleteDataExcept(fs,
+        fs.makeQualified(new org.apache.hadoop.fs.Path(path)), " ")
+    }
     val (staged, z, drop) = clusteredFrame(batch, cl)
-    Layout.idempotentAppend(spark, path, batchId) { stg =>
+    val applied = Layout.idempotentAppend(spark, path, batchId) { stg =>
       withStatsTimestamps(spark) {
         staged.repartitionByRange(math.min(batchFiles, cl.numFiles), z)
           .sortWithinPartitions(z)
@@ -320,6 +337,13 @@ object Zorder {
           .write.mode("overwrite").parquet(stg)
       }
     }
+    // stamp/refresh AFTER the batch landed (or replayed) so a rejected
+    // or crashed first append can never poison the gate with a schema
+    // nothing holds: covers the legacy-absent marker (one fallback
+    // read, then marker reads forever) and the re-stamp-over-empty arm
+    if (!markerSchema.contains(incoming))
+      Layout.writeMarker(spark, path, schemaFile, incoming)
+    applied
     }
   }
 

@@ -379,10 +379,18 @@ class ZorderSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long, Double)].toDF("id", "user_id", "value")
     Zorder.writeZordered(empty, dir, Seq("user_id", "value"), bits = 8,
       numFiles = 4)
-    val b = Seq((1L, 3L, 50.0), (2L, 7L, 80.0)).toDF("id", "user_id", "value")
+    // over an EMPTY layout a corrected producer's different schema
+    // RE-STAMPS instead of refusing (the dead-marker protocol arm —
+    // nothing landed under the bootstrap schema, so nothing poisons),
+    // and the new schema becomes the gate
+    val b = Seq((1L, 3L, 50.0, "x"), (2L, 7L, 80.0, "y"))
+      .toDF("id", "user_id", "value", "tag")
     assert(Zorder.appendClustered(b, dir, batchId = 0, batchFiles = 1))
     assert(spark.read.parquet(dir).count() == 2)
-    // and the schema gate still bites: a retyped batch is refused
+    assert(graft.operators.Layout.readMarker(spark, dir, "_graft_schema")
+      .exists(_.contains("tag")), "landed schema must be re-stamped")
+    // and the schema gate now bites on the POPULATED layout: a retyped
+    // batch is refused
     intercept[IllegalArgumentException](Zorder.appendClustered(
       b.withColumn("value", col("value").cast("float")), dir, batchId = 1))
   }
