@@ -106,11 +106,32 @@ private[graft] object Layout {
   private def bootstrapUnderLease(spark: SparkSession, path: String,
       file: String, payload: String, what: String,
       mismatch: String => String): Unit = {
-    lazy val populated = graft.sources.Sinks.hasDataFiles(spark, path)
+    // "populated" keys on ROWS, not files: Spark writes a schema-only
+    // 0-ROW part file even when an empty frame bootstraps a layout,
+    // and keying the refuse arms on hasDataFiles would poison every
+    // corrected retry of a bootstrap nothing landed under. The row
+    // probe short-circuits at the first row (isEmpty = limit 1) and
+    // only runs on the RARE mismatch/markerless arms, never the
+    // steady-state append path (the marker-match fast path is in the
+    // caller). A rowless-but-filed layout has its stale schema-bearing
+    // files PURGED before re-stamping — a reader's sampled footer must
+    // not resurrect the old organization.
+    lazy val hasFiles = graft.sources.Sinks.hasDataFiles(spark, path)
+    lazy val populated = hasFiles &&
+      (try !spark.read.parquet(path).isEmpty
+      // unreadable data counts as data: a corrupt or foreign file is
+      // exactly what must NOT be certified by a fresh marker
+      catch { case scala.util.control.NonFatal(_) => true })
+    def purgeRowlessFiles(): Unit = if (hasFiles) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      deleteData(root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        root)
+    }
     readMarker(spark, path, file) match {
       case Some(stored) if stored == payload.trim => ()
       case Some(stored) =>
         require(!populated, mismatch(stored))
+        purgeRowlessFiles()
         // dead marker over an empty path: clear it, then exclusive-
         // stamp. Delete-then-create is not atomic on its own, but this
         // arm only runs under the writer lease (see the caller), which
@@ -128,11 +149,12 @@ private[graft] object Layout {
         stampExclusive(spark, path, file, payload, what)
       case None =>
         require(!populated,
-          s"$what: $path holds data files but no $file marker — an " +
+          s"$what: $path holds data rows but no $file marker — an " +
             "unguarded layout (likely a crashed rebuild, which clears " +
             "the path before rewriting); refusing to stamp a marker " +
             "over data whose organization is unknown. Rebuild with " +
             "writeIndex (or clear the path) first")
+        purgeRowlessFiles()
         stampExclusive(spark, path, file, payload, what)
     }
   }
@@ -524,13 +546,26 @@ private[graft] object Layout {
     * (markers, ledger, staging) are never touched. */
   private[operators] def deleteDataExcept(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, keepPrefix: String): Unit =
+    deleteDataImpl(fs, dir, Some(keepPrefix))
+
+  /** Delete EVERY published data file under `dir` (hidden protocol
+    * state untouched) — the stale-file purge of the rowless re-stamp
+    * arms: 0-row schema-bearing part files must not survive a
+    * re-bootstrap, or a reader's sampled footer can resurrect the old
+    * schema/flavor. */
+  private[operators] def deleteData(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit =
+    deleteDataImpl(fs, dir, None)
+
+  private def deleteDataImpl(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, keepPrefix: Option[String]): Unit =
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) {
-        if (!isHidden(name)) deleteDataExcept(fs, st.getPath, keepPrefix)
-      } else if (!isHidden(name) && !name.startsWith(keepPrefix))
+        if (!isHidden(name)) deleteDataImpl(fs, st.getPath, keepPrefix)
+      } else if (!isHidden(name) && !keepPrefix.exists(name.startsWith))
         require(fs.delete(st.getPath, false),
-          s"deleteDataExcept: could not delete ${st.getPath}")
+          s"deleteData: could not delete ${st.getPath}")
     }
 
   /** Move every staged DATA file into the layout, preserving the

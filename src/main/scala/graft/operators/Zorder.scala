@@ -300,33 +300,41 @@ object Zorder {
     // landed under.
     val markerSchema = Layout.readMarker(spark, path, schemaFile)
     lazy val hasFiles = graft.sources.Sinks.hasDataFiles(spark, path)
+    // the legacy-fallback frame is built ONCE and reused by the
+    // mismatch arm's row probe
+    lazy val residentDf = spark.read.option("mergeSchema", "true").parquet(path)
     val resident = markerSchema.orElse {
-      if (hasFiles)
-        Some(schemaPayload(
-          spark.read.option("mergeSchema", "true").parquet(path).schema))
-      else None
+      if (hasFiles) Some(schemaPayload(residentDf.schema)) else None
     }
     val incoming = schemaPayload(batch.schema)
     if (resident.exists(_ != incoming)) {
       // "empty" keys on ROWS, not files: Spark writes a schema-only
       // 0-row part file even for an empty bootstrap frame, and a
       // corrected producer must not be poisoned by a schema nothing
-      // ever landed under. The count runs ONLY on a mismatch, never on
-      // the per-batch hot path.
-      val hasRows = hasFiles &&
-        spark.read.option("mergeSchema", "true").parquet(path).count() > 0
+      // ever landed under. isEmpty short-circuits at the first row and
+      // runs ONLY on a mismatch, never on the per-batch hot path.
+      val hasRows = hasFiles && !residentDf.isEmpty
       require(!hasRows,
         s"appendClustered: batch schema [${incoming.replace("\n", ", ")}] " +
           s"does not match the resident layout's " +
           s"[${resident.get.replace("\n", ", ")}] at $path — appending " +
           "it would corrupt every future read (parquet dirs have no " +
           "schema enforcement)")
-      // rowless re-stamp arm: clear the stale schema-only files so a
-      // reader's sampled footer can never resurrect the old schema
+      // rowless re-stamp arm: clear the stale schema-only files AND the
+      // old schema marker TOGETHER — a crash after this append
+      // publishes must leave marker-absent-over-new-data (the retry's
+      // fallback read then sees the NEW schema and the idempotent
+      // replay proceeds), never old-marker-over-new-rows, which would
+      // brick every retry on this very gate
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Layout.deleteDataExcept(fs,
-        fs.makeQualified(new org.apache.hadoop.fs.Path(path)), " ")
+      Layout.deleteData(fs,
+        fs.makeQualified(new org.apache.hadoop.fs.Path(path)))
+      markerSchema.foreach { _ =>
+        val sm = new org.apache.hadoop.fs.Path(path, schemaFile)
+        require(fs.delete(sm, false),
+          s"appendClustered: could not clear the stale schema marker $sm")
+      }
     }
     val (staged, z, drop) = clusteredFrame(batch, cl)
     val applied = Layout.idempotentAppend(spark, path, batchId) { stg =>
