@@ -5,29 +5,30 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Ivf, IvfPq, Pq, Similarity}
 import graft.sources.Tables
 
-/** Measurement harness behind the SECOND calibrated ANN contract band
-  * (`Contracts.floors`): the tight recall floors were measured at the
+/** Measurement harness behind the upper calibrated ANN contract bands
+  * (`Contracts.floorAt`): the tight recall floors were measured at the
   * bench corpus (nEmb = 2000) and deliberately do NOT extend upward —
   * recall at fixed nprobe/nCand falls as the corpus grows (the
   * shortlist covers a shrinking fraction), so a larger corpus crossing
   * a plain size gate would inherit uncalibrated floors and fail
-  * healthy code. This probe builds a 5× corpus (10,000 vectors) that
+  * healthy code. This probe builds a `copies`× corpus (default 5 →
+  * 10,000 vectors; 3 → 6,000 — both bands are measured) that
   * PRESERVES the real embeddings' cluster geometry — every real vector
-  * plus four deterministically jittered copies (±0.05/dim, xxhash64-
+  * plus deterministically jittered copies (±0.05/dim, xxhash64-
   * keyed, ≈13° angular displacement: inside-cluster, outside-top-k) —
   * and measures every registered ANN configuration's recall@10 against
   * brute force on it. The printed values, minus a margin, are the
-  * nEmb ∈ [9000, 11000] floors recorded in `Contracts.floors` and
-  * PLANS.md; rerun after a testdata regeneration to re-calibrate.
+  * per-band floors recorded in `Contracts.floorAt` and PLANS.md;
+  * rerun after a testdata regeneration to re-calibrate.
   *
-  * Usage: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.AnnBandProbe`
+  * Usage: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.AnnBandProbe [copies]`
   */
 object AnnBandProbe {
 
-  /** The 5× jittered corpus: copy 0 is the original vector under its
-    * original id; copies 1–4 ride collision-safe id offsets (10^6 per
-    * copy — far above any sf's id range) with a deterministic per-
-    * (id, copy, dim) perturbation in [−0.05, 0.05]. */
+  /** The jitter-extended corpus: copy 0 is the original vector under
+    * its original id; further copies ride collision-safe id offsets
+    * (10^6 per copy — far above any sf's id range) with a
+    * deterministic per-(id, copy, dim) perturbation in [−0.05, 0.05]. */
   def jittered(emb: DataFrame, copies: Int = 5): DataFrame = {
     val c = emb.sparkSession.range(copies).toDF("copy")
     emb.crossJoin(broadcast(c))
@@ -45,13 +46,14 @@ object AnnBandProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val copies = if (args.nonEmpty) args(0).toInt else 5
     val spark = Session.builder("graft-annbandprobe", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val big = jittered(Tables.load(spark, sfDir, "embeddings")).cache()
+    val big = jittered(Tables.load(spark, sfDir, "embeddings"), copies).cache()
     val n = big.count()
     val q10 = big.filter(col("vec_id") < 10)
-    println(s"ANNBAND corpus n=$n (5x jittered, geometry-preserving)")
+    println(s"ANNBAND corpus n=$n (${copies}x jittered, geometry-preserving)")
 
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))

@@ -74,18 +74,23 @@ object Contracts {
     // the floors stay valid. The UPWARD half has no such argument
     // (recall genuinely falls as the corpus grows), so a materially
     // larger corpus must not inherit these floors unmeasured.
-    // TWO measured bands now: the bench corpus (nEmb ≈ 2000) and the
-    // 5× jitter-extended corpus (nEmb ≈ 10000, graft.AnnBandProbe —
-    // geometry-preserving copies of the real embeddings, measured
-    // 2026-08, floors set 0.1+ under the measured recalls: lsh 0.84,
-    // ivf 0.70, pq 0.52, ivfpq 0.48, ivfadc 0.43; PLANS.md r13). A
-    // corpus between or above the bands keeps the loose legacy floors
-    // until someone reruns the probe and adds a band — loose grading
-    // at unmeasured scales beats a false CONTRACT FAILED.
+    // THREE measured bands now: the bench corpus (nEmb ≈ 2000) and
+    // the jitter-extended corpora (nEmb ≈ 6000 and ≈ 10000,
+    // graft.AnnBandProbe with 3 and 5 geometry-preserving copies of
+    // the real embeddings, measured 2026-08, floors 0.1+ under the
+    // measured recalls — @10k: lsh 0.84 / ivf 0.70 / pq 0.52 /
+    // ivfpq 0.48 / ivfadc 0.43; @6k: 0.70 / 0.62 / 0.55 / 0.48 /
+    // 0.35; PLANS.md r13). A corpus between or above the bands keeps
+    // the loose legacy floors until someone reruns the probe and adds
+    // a band — loose grading at unmeasured scales beats a false
+    // CONTRACT FAILED.
     lazy val calibratedBand = nEmb >= 1800 && nEmb <= 2200
+    lazy val band6k = nEmb >= 5400 && nEmb <= 6600
     lazy val band10k = nEmb >= 9000 && nEmb <= 11000
-    def floorAt(at2k: Double, at10k: Double, legacy: Double): Double =
-      if (calibratedBand) at2k else if (band10k) at10k else legacy
+    def floorAt(at2k: Double, at6k: Double, at10k: Double,
+        legacy: Double): Double =
+      if (calibratedBand) at2k else if (band6k) at6k
+      else if (band10k) at10k else legacy
     // the exact ANN baseline every trained path grades against (q37)
     lazy val bruteTriples = triples(Similarity.bruteForceTopK(emb, q10, 10))
     lazy val brutePairs = bruteTriples.map(t => (t._1, t._2))
@@ -130,7 +135,7 @@ object Contracts {
       val ann = triples(Similarity.annTopK(emb, q10, 10)).map(t => (t._1, t._2))
       Contract("q38_ann_lsh", "recall@10 vs brute-force cosine top-k",
         brutePairs.count(ann.contains).toDouble / brutePairs.size,
-        floorAt(0.55, 0.70, 0.30), ">=")
+        floorAt(0.55, 0.55, 0.70, 0.30), ">=")
     }
 
     // ONE k-means run serves both q52 grades (the registered query's
@@ -163,7 +168,7 @@ object Contracts {
       Contract("q52_ann_ivf",
         "registered config (nprobe=4/16) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        floorAt(0.50, 0.55, 0.35), ">=")
+        floorAt(0.50, 0.50, 0.55, 0.35), ">=")
     }
 
     grade("q79_ann_ivf_disk") {
@@ -269,7 +274,7 @@ object Contracts {
         // would fail healthy code at the first unmeasured larger
         // corpus, so past 2.2k the unmeasured fallback is pure
         // 2×random until a band is measured
-        floorAt(0.45, 0.40,
+        floorAt(0.45, 0.42, 0.40,
           if (nEmb <= 2200) math.max(0.45, 2.0 * 100.0 / nEmb)
           else 2.0 * 100.0 / nEmb), ">=")
     }
@@ -301,7 +306,7 @@ object Contracts {
       Contract("q171_ann_ivfpq",
         "registered config (nprobe=4/16, nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        floorAt(0.45, 0.38, 0.30), ">=")
+        floorAt(0.45, 0.38, 0.38, 0.30), ">=")
     }
 
     grade("q174_ann_serve") {
@@ -395,7 +400,7 @@ object Contracts {
       Contract("q173_ann_ivfadc",
         "registered config (nprobe=4/16, nCand=20) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        floorAt(0.15, 0.25, math.min(0.15, 2.0 * 20.0 / nEmb)), ">=")
+        floorAt(0.15, 0.22, 0.25, math.min(0.15, 2.0 * 20.0 / nEmb)), ">=")
     }
 
     grade("q172_image_neardup") {
