@@ -128,6 +128,36 @@ object ZorderProbe {
       }
     }
 
+    // ----- incremental lifecycle: tail pruning before/after compact -----
+    // the append == rebuild story in decoded rows: bootstrap 80%,
+    // append the rest in four batchId-keyed batches (each z-sorted
+    // into 2 tight files), measure the box BEFORE compaction (the
+    // pruning debt of the tail) and AFTER (the restored grid), against
+    // the all-rows single write above. The claim under measurement:
+    // appended batch files are themselves tight (each covers a narrow
+    // z-range), so the pre-compact penalty is bounded by the number of
+    // TAIL FILES INTERSECTING the box — not by tail row count — and
+    // compaction returns the layout to single-write pruning.
+    val inc = s"$tmp/hilbert_inc"
+    Zorder.writeHilbert(e.filter(col("event_id") % 5 =!= 0), inc,
+      Seq("user_id", "ts"), bits = 16, numFiles = files)
+    (0 until 4).foreach { b =>
+      Zorder.appendClustered(
+        e.filter(col("event_id") % 5 === 0 && col("event_id") % 4 === b),
+        inc, batchId = b, batchFiles = 2)
+    }
+    boxes.foreach { bx =>
+      val (m1, d1) = decoded(spark.read.parquet(inc).filter(pred(bx)))
+      println(s"ZORDERPROBE layout=hilbertAppended box=${bx.name} " +
+        s"matching=$m1 decodedRows=$d1")
+    }
+    Zorder.compactClustered(spark, inc)
+    boxes.foreach { bx =>
+      val (m2, d2) = decoded(spark.read.parquet(inc).filter(pred(bx)))
+      println(s"ZORDERPROBE layout=hilbertCompacted box=${bx.name} " +
+        s"matching=$m2 decodedRows=$d2")
+    }
+
     // ----- 3-D: morton vs hilbert_dn on (user_id, ts, value) -----
     // the routing evidence for Zorder.writeBest at d >= 3: same rows,
     // same file count, same bits (12/dim — 36 curve bits), identical

@@ -201,6 +201,20 @@ object Zorder {
       cols.zip(bounds).map { case (c, b) => ColQuant(c, "r", b.toSeq) }))
   }
 
+  /** [[writeZorderedByRank]] on the HILBERT curve — the skew-robust
+    * quantization combined with the measured-better curve (q176 pinned
+    * rank mode on Morton before the d-dimensional hilbert existed;
+    * there is no reason to pair the robust buckets with the dominated
+    * curve). Same staged decision-tree bucketing, same single-shuffle
+    * write; bits ≤ 8 (the rank-boundary budget). */
+  def writeHilbertByRank(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 8, numFiles: Int = 32): Clustering = {
+    validateWrite(cols, bits, numFiles)
+    val bounds = rankBoundariesAll(df, cols, bits)
+    writeAndStamp(df, path, Clustering("hilbert", bits, numFiles,
+      cols.zip(bounds).map { case (c, b) => ColQuant(c, "r", b.toSeq) }))
+  }
+
   /** Route to the measured-best curve: HILBERT at every dimension
     * count — ZorderProbe measured it dominating Morton on identical
     * boxes in 2-D (12,151 vs 25,517 decoded rows, spread box) AND 3-D

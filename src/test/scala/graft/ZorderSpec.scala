@@ -521,6 +521,40 @@ class ZorderSpec extends SparkSpec {
     assert(disjoint(zRanges(d3)), "3-D hilbert layout must be clustered")
   }
 
+  test("rank-quantized HILBERT rewrite: round-trip, dense-region pruning, appendable") {
+    // the skew-robust buckets on the measured-better curve — and the
+    // full incremental story through the parsed marker (kind=r +
+    // curve=hilbert is a combination only the marker round-trip
+    // exercises: the append re-derives the staged decision tree from
+    // the serialized boundaries)
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .withColumn("heat", col("value") * col("value"))
+    val dir = Files.createTempDirectory("graft_hilbert_rank_").toString
+    val base = e.filter(col("event_id") % 4 =!= 0)
+    val b1 = e.filter(col("event_id") % 4 === 0)
+    val cl = Zorder.writeHilbertByRank(base, dir, Seq("user_id", "heat"),
+      bits = 6, numFiles = 8)
+    assert(cl.curve == "hilbert" && cl.cols.forall(_.kind == "r"))
+    assert(Zorder.clusteringOf(spark, dir).contains(cl))
+    assert(Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2))
+    Zorder.compactClustered(spark, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.sorted.sameElements(e.columns.sorted))
+    val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "rank-hilbert lifecycle must hold exactly the source rows")
+    assert(disjoint(zRanges(dir)), "compacted rank-hilbert grid must be clustered")
+    // dense-region pruning, where uniform quantization has no resolution
+    val boxes = Zorder.boundingBoxes(spark, dir, Seq("user_id", "heat"))
+      .collect()
+    val touched = boxes.count { r =>
+      r.getLong(1) <= 8L && r.getLong(2) >= 2L &&
+        r.getDouble(3) <= 2500.0 && r.getDouble(4) >= 100.0
+    }
+    assert(touched > 0 && touched < boxes.length,
+      s"dense-region box touched $touched of ${boxes.length} files")
+  }
+
   test("rank-z-ordered rewrite round-trips and prunes the dense region") {
     val e = sources.Tables.load(spark, sfDir, "events")
       .withColumn("heat", col("value") * col("value"))
