@@ -122,10 +122,19 @@ private[graft] object Layout {
       // unreadable data counts as data: a corrupt or foreign file is
       // exactly what must NOT be certified by a fresh marker
       catch { case scala.util.control.NonFatal(_) => true })
-    def purgeRowlessFiles(): Unit = if (hasFiles) {
+    def purgeRowlessFiles(): Unit = {
       val root = new org.apache.hadoop.fs.Path(path)
-      deleteData(root.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        root)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hasFiles) deleteData(fs, root)
+      // the batch LEDGER goes with the rowless files: every ledgered
+      // batch contributed zero rows to this layout, and a corrected
+      // replay of one of those batchIds (now carrying rows) must
+      // RE-APPLY rather than no-op — keeping the ledger here would
+      // silently drop that batch's rows forever
+      Seq("_graft_batches", "_graft_staging").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(root, d)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
     }
     readMarker(spark, path, file) match {
       case Some(stored) if stored == payload.trim => ()
@@ -553,7 +562,7 @@ private[graft] object Layout {
     * arms: 0-row schema-bearing part files must not survive a
     * re-bootstrap, or a reader's sampled footer can resurrect the old
     * schema/flavor. */
-  private[operators] def deleteData(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def deleteData(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Unit =
     deleteDataImpl(fs, dir, None)
 

@@ -326,8 +326,13 @@ object Zorder {
       // 0-row part file even for an empty bootstrap frame, and a
       // corrected producer must not be poisoned by a schema nothing
       // ever landed under. isEmpty short-circuits at the first row and
-      // runs ONLY on a mismatch, never on the per-batch hot path.
-      val hasRows = hasFiles && !residentDf.isEmpty
+      // runs ONLY on a mismatch, never on the per-batch hot path;
+      // unreadable data conservatively counts as rows (the
+      // bootstrapUnderLease discipline — corrupt files must refuse,
+      // not bootstrap)
+      val hasRows = hasFiles &&
+        (try !residentDf.isEmpty
+        catch { case scala.util.control.NonFatal(_) => true })
       require(!hasRows,
         s"appendClustered: batch schema [${incoming.replace("\n", ", ")}] " +
           s"does not match the resident layout's " +
@@ -348,6 +353,13 @@ object Zorder {
         val sm = new org.apache.hadoop.fs.Path(path, schemaFile)
         require(fs.delete(sm, false),
           s"appendClustered: could not clear the stale schema marker $sm")
+      }
+      // the ledger goes too: every ledgered batch contributed zero
+      // rows, and a corrected replay of one of those batchIds (now
+      // carrying rows) must RE-APPLY, not no-op into losing them
+      Seq("_graft_batches", "_graft_staging").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(path, d)
+        if (fs.exists(p)) fs.delete(p, true)
       }
     }
     val (staged, z, drop) = clusteredFrame(batch, cl)
@@ -583,13 +595,24 @@ object Zorder {
       when(isnan(d) || abs(d) === Double.PositiveInfinity, lit(null))
         .otherwise(d)
     }
-    val aggs = cols.flatMap(c => Seq(
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
       min(finite(col(c))).as(s"__lo_$c"),
       max(finite(col(c))).as(s"__hi_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // clustering an EMPTY frame is refused outright: zero rows pin a
+    // degenerate lo = hi quantization into the marker, every future
+    // append buckets to curve value 0, and the layout never prunes —
+    // permanently, because appends and compactions bucket through the
+    // PINNED parameters by design. A single all-NULL column still
+    // degenerates to one bucket (documented above); a whole frame
+    // with no stats is a bootstrap mistake and must fail loudly.
+    require(stats.getLong(0) > 0,
+      "cannot cluster an EMPTY frame — the stats pass would pin a " +
+        "degenerate quantization that never prunes; bootstrap the " +
+        "layout from resident data")
     cols.zipWithIndex.map { case (c, i) =>
-      val lo = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
-      val hi = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
+      val lo = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
+      val hi = if (stats.isNullAt(2 * i + 2)) 0.0 else stats.getDouble(2 * i + 2)
       ColQuant(c, "u", Seq(lo, hi))
     }
   }
@@ -634,6 +657,10 @@ object Zorder {
       bits: Int): Seq[Array[Double]] = {
     require(bits >= 1 && bits <= 8,
       s"rank mode supports bits in [1,8] (<= 255 boundaries), got $bits")
+    require(!df.isEmpty,
+      "cannot cluster an EMPTY frame — the quantile pass would pin a " +
+        "degenerate quantization that never prunes; bootstrap the " +
+        "layout from resident data")
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
     df.select(cols.map(c => col(c).cast("double").as(c)): _*)

@@ -368,29 +368,40 @@ class ZorderSpec extends SparkSpec {
       .delete(new org.apache.hadoop.fs.Path(dir, "_graft_lease"), false)
   }
 
-  test("empty bootstrap then stream: appends validate against the schema marker") {
-    // the bootstrap-empty-then-stream flow: a clustered layout created
-    // from an EMPTY frame has no data files to infer a schema from —
-    // the _graft_schema marker carries it, so the first append
-    // validates and lands instead of crashing on schema inference
+  test("empty bootstrap refused; rowless crash state re-stamps schema AND replays the ledger") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_zorder_mt_").toString + "/lay"
+    // clustering an EMPTY frame would pin a degenerate lo = hi
+    // quantization that never prunes — refused in BOTH stats modes
     val empty = Seq.empty[(Long, Long, Double)].toDF("id", "user_id", "value")
-    Zorder.writeZordered(empty, dir, Seq("user_id", "value"), bits = 8,
-      numFiles = 4)
-    // over an EMPTY layout a corrected producer's different schema
-    // RE-STAMPS instead of refusing (the dead-marker protocol arm —
-    // nothing landed under the bootstrap schema, so nothing poisons),
-    // and the new schema becomes the gate
+    val d0 = Files.createTempDirectory("graft_zorder_mt0_").toString
+    intercept[IllegalArgumentException](Zorder.writeZordered(
+      empty, d0, Seq("user_id", "value"), bits = 8, numFiles = 4))
+    intercept[IllegalArgumentException](Zorder.writeZorderedByRank(
+      empty, d0, Seq("user_id", "value"), bits = 4, numFiles = 4))
+
+    // the rowless re-stamp arm: markers + ledger survive but every
+    // data file is gone (a purge-side crash shape). A corrected
+    // producer's NEW schema must re-stamp, and the ledger must go with
+    // the rowless files — a surviving ledger would no-op the corrected
+    // replay of a batchId whose rows all vanished, losing them forever
+    val dir = Files.createTempDirectory("graft_zorder_mt_").toString + "/lay"
+    val a = Seq((1L, 3L, 50.0), (2L, 7L, 80.0)).toDF("id", "user_id", "value")
+    Zorder.writeZordered(a, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 2)
+    assert(Zorder.appendClustered(a, dir, batchId = 0, batchFiles = 1))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.Layout.deleteData(fs,
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dir)))
     val b = Seq((1L, 3L, 50.0, "x"), (2L, 7L, 80.0, "y"))
       .toDF("id", "user_id", "value", "tag")
-    assert(Zorder.appendClustered(b, dir, batchId = 0, batchFiles = 1))
+    assert(Zorder.appendClustered(b, dir, batchId = 0, batchFiles = 1),
+      "corrected replay over a rowless layout must RE-APPLY, not no-op")
     assert(spark.read.parquet(dir).count() == 2)
     assert(graft.operators.Layout.readMarker(spark, dir, "_graft_schema")
       .exists(_.contains("tag")), "landed schema must be re-stamped")
-    // and the schema gate now bites on the POPULATED layout: a retyped
-    // batch is refused
+    // and the schema gate bites again on the now-populated layout
     intercept[IllegalArgumentException](Zorder.appendClustered(
       b.withColumn("value", col("value").cast("float")), dir, batchId = 1))
   }
