@@ -74,23 +74,37 @@ object Contracts {
     // the floors stay valid. The UPWARD half has no such argument
     // (recall genuinely falls as the corpus grows), so a materially
     // larger corpus must not inherit these floors unmeasured.
-    // THREE measured bands now: the bench corpus (nEmb ≈ 2000) and
+    // THREE measured anchors now: the bench corpus (nEmb ≈ 2000) and
     // the jitter-extended corpora (nEmb ≈ 6000 and ≈ 10000,
     // graft.AnnBandProbe with 3 and 5 geometry-preserving copies of
     // the real embeddings, measured 2026-08, floors 0.1+ under the
     // measured recalls — @10k: lsh 0.84 / ivf 0.70 / pq 0.52 /
     // ivfpq 0.48 / ivfadc 0.43; @6k: 0.70 / 0.62 / 0.55 / 0.48 /
-    // 0.35; PLANS.md r13). A corpus between or above the bands keeps
-    // the loose legacy floors until someone reruns the probe and adds
-    // a band — loose grading at unmeasured scales beats a false
+    // 0.35; PLANS.md r13). INSIDE [1800, 11000] the floor is the
+    // PIECEWISE-LINEAR interpolation through the anchors (flat on the
+    // ±10% jitter shoulders): recall at fixed nprobe/nCand moves
+    // smoothly with corpus size per the shortlist-fraction model the
+    // anchors themselves confirmed (monotone between every measured
+    // pair), so interpolated floors keep roughly the anchors' ~0.1
+    // margin — and close the r13 cliff where a corpus at nEmb = 2300
+    // fell off the measured band onto a near-zero legacy floor (a real
+    // recall regression passed silently in the gaps). OUTSIDE the
+    // measured span the legacy (2×-random-style) floors still apply:
+    // below 1800 the downward-monotonicity argument would allow at2k,
+    // but the small sweep corpora keep their historical loose floors;
+    // above 11000 recall genuinely falls with N and nothing is
+    // measured — loose grading at unmeasured scales beats a false
     // CONTRACT FAILED.
-    lazy val calibratedBand = nEmb >= 1800 && nEmb <= 2200
-    lazy val band6k = nEmb >= 5400 && nEmb <= 6600
-    lazy val band10k = nEmb >= 9000 && nEmb <= 11000
     def floorAt(at2k: Double, at6k: Double, at10k: Double,
-        legacy: Double): Double =
-      if (calibratedBand) at2k else if (band6k) at6k
-      else if (band10k) at10k else legacy
+        legacy: Double): Double = {
+      def lerp(x0: Long, y0: Double, x1: Long, y1: Double): Double =
+        y0 + (y1 - y0) * (nEmb - x0).toDouble / (x1 - x0).toDouble
+      if (nEmb < 1800 || nEmb > 11000) legacy
+      else if (nEmb <= 2000) at2k
+      else if (nEmb <= 6000) lerp(2000, at2k, 6000, at6k)
+      else if (nEmb <= 10000) lerp(6000, at6k, 10000, at10k)
+      else at10k
+    }
     // the exact ANN baseline every trained path grades against (q37)
     lazy val bruteTriples = triples(Similarity.bruteForceTopK(emb, q10, 10))
     lazy val brutePairs = bruteTriples.map(t => (t._1, t._2))
@@ -128,7 +142,7 @@ object Contracts {
       // deterministic seeds), not at the old 2×-random 0.3: a silent
       // change that halved recall must FAIL this row, not grade green
       // (r10 verdict item 2). The tight floor applies from the corpus
-      // size band it was measured at (`calibratedBand` — see its note);
+      // size band it was measured at (`floorAt` — see its note);
       // the smaller sweep corpora (500 at sf0.01/0.001) and any larger
       // uncalibrated corpus keep the legacy floor. Measured band +
       // margins in PLANS.md.
@@ -268,12 +282,13 @@ object Contracts {
       Contract("q138_pq_ann",
         "registered config (nCand=100) recall@10 vs brute force",
         brutePairs.count(reg.contains).toDouble / brutePairs.size,
-        // legacy floor is size-aware: below the 2k band the 0.45 only
-        // tightens (smaller N raises nCand/N), but ABOVE the measured
-        // bands recall falls monotonically with N — a flat 0.45 there
-        // would fail healthy code at the first unmeasured larger
-        // corpus, so past 2.2k the unmeasured fallback is pure
-        // 2×random until a band is measured
+        // the legacy floor now only applies OUTSIDE the measured span
+        // (floorAt interpolates inside [1800, 11000]): below it the
+        // 0.45 only tightens (smaller N raises nCand/N), above it
+        // recall falls monotonically with N — a flat 0.45 there would
+        // fail healthy code at the first unmeasured larger corpus, so
+        // past 11k the fallback is pure 2×random until a band is
+        // measured
         floorAt(0.45, 0.42, 0.40,
           if (nEmb <= 2200) math.max(0.45, 2.0 * 100.0 / nEmb)
           else 2.0 * 100.0 / nEmb), ">=")
@@ -527,37 +542,49 @@ object Contracts {
 
     grade("q178_clustered_append") {
       // the incremental lifecycle's STRUCTURAL parity with a pinned-
-      // parameter full rewrite: bootstrap 80%, append the rest in two
-      // batches through the pinned bounds, compact — the result must
-      // be the main grid exactly (numFiles files, pairwise-DISJOINT
-      // per-file z-ranges; an unclustered or mis-bucketed tail, or a
-      // skipped compact, shows up as overlapping ranges or extra
-      // files). Structural, not decoded-rows: range-partitioner
-      // boundary sampling moves a box's file alignment run to run,
-      // but disjointness under the pinned curve is invariant — the
-      // same pin ZorderSpec holds at unit scale, graded here at the
-      // bench sf per run. Rows-exactness is q178's oracle hash.
+      // parameter full rewrite, now through BOTH compact forms:
+      // bootstrap 80%, append batch 1, TAIL-compact (the amortized
+      // per-ingest fold — it must leave the whole layout pairwise-
+      // disjoint, replacements included: a replacement file spanning
+      // an untouched resident's range is the defect the region split
+      // exists to prevent), append batch 2, whole-compact — the end
+      // state must be the main grid exactly (numFiles files,
+      // pairwise-DISJOINT per-file z-ranges; an unclustered or
+      // mis-bucketed tail, or a skipped compact, shows up as
+      // overlapping ranges or extra files). Structural, not
+      // decoded-rows: range-partitioner boundary sampling moves a
+      // box's file alignment run to run, but disjointness under the
+      // pinned curve is invariant — the same pin ZorderSpec holds at
+      // unit scale, graded here at the bench sf per run.
+      // Rows-exactness is q178's oracle hash.
       val path = queries.scratchPath("contracts_clustered_inc")
       val z = graft.operators.Zorder
+      def overlapsAndFiles(): (Int, Int) = {
+        val cl = z.clusteringOf(spark, path).get
+        val ranges = z.curveValues(spark.read.parquet(path), cl, "__z")
+          .select(input_file_name().as("f"), col("__z"))
+          .groupBy(col("f"))
+          .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+          .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        (ranges.zip(ranges.drop(1)).count {
+          case ((_, hi), (lo2, _)) => hi >= lo2
+        }, ranges.length)
+      }
       z.writeHilbert(events.filter(col("event_id") % 5 =!= 0), path,
         Seq("user_id", "ts"), bits = 16, numFiles = 32)
       z.appendClustered(events.filter(col("event_id") % 5 === 0 &&
         col("event_id") % 10 =!= 0), path, batchId = 1)
+      require(z.compactTail(spark, path),
+        "batch 1's tail must be present to fold")
+      val (tailDefects, _) = overlapsAndFiles()
       z.appendClustered(events.filter(col("event_id") % 10 === 0), path,
         batchId = 2)
       z.compactClustered(spark, path)
-      val cl = z.clusteringOf(spark, path).get
-      val ranges = z.curveValues(spark.read.parquet(path), cl, "__z")
-        .select(input_file_name().as("f"), col("__z"))
-        .groupBy(col("f"))
-        .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
-        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-      val overlaps = ranges.zip(ranges.drop(1)).count {
-        case ((_, hi), (lo2, _)) => hi >= lo2
-      }
+      val (finalDefects, nFiles) = overlapsAndFiles()
       Contract("q178_clustered_append",
-        "post-compact structural defects: overlapping z-range file pairs + file-count deviation from the 32-grid",
-        overlaps.toDouble + math.abs(ranges.length - 32).toDouble, 0.0, "<=")
+        "structural defects: overlapping z-range pairs after tail-compact + after whole-compact + file-count deviation from the 32-grid",
+        tailDefects.toDouble + finalDefects.toDouble +
+          math.abs(nFiles - 32).toDouble, 0.0, "<=")
     }
 
     (out.result(), errs.result())

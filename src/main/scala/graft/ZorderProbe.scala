@@ -158,6 +158,78 @@ object ZorderProbe {
         s"matching=$m2 decodedRows=$d2")
     }
 
+    // ----- tail-scoped compaction: rewrite ∝ tail; parity with whole -----
+    // the amortized-ingest claim (Zorder.compactTail), measured in TWO
+    // regimes on a TIME-LEADING layout (the choice a daily-ingest
+    // table makes — with user_id leading, any time-batch interleaves
+    // across every user region and the fold honestly degrades toward
+    // the whole-layout rewrite):
+    //   - backfill: the batch's keys lie INSIDE the pinned bounds
+    //     (late-arriving data, or a domain bootstrapped with headroom —
+    //     the recommended shape for an append-heavy dimension) — full
+    //     quantization resolution, tight tail intervals, few residents
+    //     folded;
+    //   - newdays: the batch lies BEYOND the pinned ts bound, so every
+    //     row CLAMPS to the top bucket — intra-batch resolution is
+    //     gone and the top-slab z-span folds a fixed fraction of the
+    //     layout (the documented cost of pinned quantization without
+    //     headroom; a periodic rebuild re-derives the bounds).
+    // Measured per regime: bytes REWRITTEN (tail + overlapped
+    // residents) vs total layout bytes, and decoded rows vs a
+    // WHOLE-compacted twin of the same lifecycle on identical boxes.
+    def dataSizes(dir: String): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => !st.isDirectory &&
+          !graft.operators.Layout.isHidden(st.getPath.getName))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    def tsIn(lo: String, hi: String) =
+      col("ts") >= to_timestamp(lit(lo)) && col("ts") < to_timestamp(lit(hi))
+    // batchFiles is the tail's z-FOOTPRINT precision: the fold sees a
+    // tail file as its [zmin, zmax] hull, so a spread batch appended
+    // into too few files bridges the curve segments it actually
+    // occupies and folds the residents in between — 2 files measured
+    // 13 residents folded on the backfill slab, 8 files measures the
+    // honest ~slab-sized fold below
+    Seq(
+      ("backfill", tsIn("2024-01-20 00:00:00", "2024-01-22 00:00:00"), 8),
+      ("newdays", tsIn("2024-01-30 00:00:00", "2024-02-01 00:00:00"), 8)
+    ).foreach { case (kind, batchPred, batchFiles) =>
+      val tl = s"$tmp/hilbert_tail_$kind"
+      val wl = s"$tmp/hilbert_whole_$kind"
+      Seq(tl, wl).foreach { dir =>
+        Zorder.writeHilbert(e.filter(!batchPred), dir,
+          Seq("ts", "user_id"), bits = 16, numFiles = files)
+        Zorder.appendClustered(e.filter(batchPred), dir,
+          batchId = 1, batchFiles = batchFiles)
+      }
+      val pre = dataSizes(tl)
+      require(Zorder.compactTail(spark, tl), "probe tail must fold")
+      val post = dataSizes(tl)
+      val folded = pre.filter { case (n, _) => !post.contains(n) }
+      val tailNames = pre.keySet.filter(_.matches("b\\d+-.*"))
+      println(s"ZORDERPROBE tailcompact kind=$kind " +
+        s"totalKiB=${pre.values.sum / 1024} " +
+        s"tailKiB=${tailNames.map(pre).sum / 1024} " +
+        s"rewrittenKiB=${folded.values.sum / 1024} " +
+        s"untouchedKiB=${(pre.values.sum - folded.values.sum) / 1024} " +
+        s"foldedFiles=${folded.size - tailNames.size}main+" +
+        s"${tailNames.size}tail of ${pre.size - tailNames.size}main")
+      Zorder.compactClustered(spark, wl)
+      // parity on the standard boxes plus a box over the batch itself
+      // (the region the fold rewrote)
+      val batchBox = if (kind == "backfill")
+        Box("batchRegion", 300, 899, "2024-01-20 00:00:00", "2024-01-22 00:00:00")
+      else
+        Box("batchRegion", 300, 899, "2024-01-30 00:00:00", "2024-02-01 00:00:00")
+      (boxes :+ batchBox).foreach { bx =>
+        val (m1, d1) = decoded(spark.read.parquet(tl).filter(pred(bx)))
+        val (m2, d2) = decoded(spark.read.parquet(wl).filter(pred(bx)))
+        require(m1 == m2, s"row-parity broke on ${bx.name}: $m1 vs $m2")
+        println(s"ZORDERPROBE layout=tailVsWhole kind=$kind box=${bx.name} " +
+          s"matching=$m1 decodedTail=$d1 decodedWhole=$d2")
+      }
+    }
+
     // ----- 3-D: morton vs hilbert_dn on (user_id, ts, value) -----
     // the routing evidence for Zorder.writeBest at d >= 3: same rows,
     // same file count, same bits (12/dim — 36 curve bits), identical

@@ -117,25 +117,9 @@ private[graft] object Layout {
     // files PURGED before re-stamping — a reader's sampled footer must
     // not resurrect the old organization.
     lazy val hasFiles = graft.sources.Sinks.hasDataFiles(spark, path)
-    lazy val populated = hasFiles &&
-      (try !spark.read.parquet(path).isEmpty
-      // unreadable data counts as data: a corrupt or foreign file is
-      // exactly what must NOT be certified by a fresh marker
-      catch { case scala.util.control.NonFatal(_) => true })
-    def purgeRowlessFiles(): Unit = {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (hasFiles) deleteData(fs, root)
-      // the batch LEDGER goes with the rowless files: every ledgered
-      // batch contributed zero rows to this layout, and a corrected
-      // replay of one of those batchIds (now carrying rows) must
-      // RE-APPLY rather than no-op — keeping the ledger here would
-      // silently drop that batch's rows forever
-      Seq("_graft_batches", "_graft_staging").foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(root, d)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-    }
+    lazy val populated = hasRowsConservative(hasFiles,
+      spark.read.parquet(path))
+    def purgeRowlessFiles(): Unit = purgeRowlessLayout(spark, path, hasFiles)
     readMarker(spark, path, file) match {
       case Some(stored) if stored == payload.trim => ()
       case Some(stored) =>
@@ -168,6 +152,43 @@ private[graft] object Layout {
     }
   }
 
+  /** The "populated" probe of the rowless re-stamp protocol, shared by
+    * [[bootstrapUnderLease]] and
+    * [[graft.operators.Zorder.appendClustered]]'s schema-mismatch arm
+    * (one spelling, so the two cannot drift): "populated" keys on
+    * ROWS, not files — Spark writes a schema-only 0-row part file even
+    * when an empty frame bootstraps a layout, and keying the refuse
+    * arms on file presence would poison every corrected retry of a
+    * bootstrap nothing landed under. The row probe short-circuits at
+    * the first row (isEmpty = limit 1) and only runs on the RARE
+    * mismatch/markerless arms, never a steady-state append.
+    * Unreadable data counts as data: a corrupt or foreign file is
+    * exactly what must NOT be certified by a fresh marker. */
+  private[graft] def hasRowsConservative(hasFiles: => Boolean,
+      read: => org.apache.spark.sql.DataFrame): Boolean =
+    hasFiles &&
+      (try !read.isEmpty
+      catch { case scala.util.control.NonFatal(_) => true })
+
+  /** The purge half of the protocol: clear a ROWLESS layout's stale
+    * schema-bearing files (a reader's sampled footer must not
+    * resurrect the old organization) AND its batch ledger — every
+    * ledgered batch contributed zero rows, and a corrected replay of
+    * one of those batchIds (now carrying rows) must RE-APPLY rather
+    * than no-op; keeping the ledger would silently drop that batch's
+    * rows forever. Call only under the writer lease, only after
+    * [[hasRowsConservative]] said rowless. */
+  private[graft] def purgeRowlessLayout(spark: SparkSession, path: String,
+      hasFiles: Boolean): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasFiles) deleteData(fs, fs.makeQualified(root))
+    Seq("_graft_batches", "_graft_staging").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(root, d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Best-effort writer lease for a layout path — the enforcement
     * behind the protocol's single-writer-per-path assumption, which
     * was previously documented in two places and enforced in neither.
@@ -193,6 +214,10 @@ private[graft] object Layout {
     override def initialValue(): Set[String] = Set.empty
   }
 
+  private def leaseTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.layout.lease.ttlMs")
+      .map(_.toLong).getOrElse(10L * 60 * 1000)
+
   def withWriterLease[A](spark: SparkSession, path: String,
       what: String)(body: => A): A = {
     val p = markerPath(path, "_graft_lease")
@@ -207,8 +232,7 @@ private[graft] object Layout {
       heldLeases.set(heldLeases.get + key)
       try b finally heldLeases.set(heldLeases.get - key)
     }
-    val ttlMs = spark.conf.getOption("spark.graft.layout.lease.ttlMs")
-      .map(_.toLong).getOrElse(10L * 60 * 1000)
+    val ttlMs = leaseTtlMs(spark)
     val owner = java.util.UUID.randomUUID.toString
     val qp = fs.makeQualified(p)
     def tryAcquire(): Boolean =
@@ -248,21 +272,35 @@ private[graft] object Layout {
             case e: java.io.IOException => local.delete(); throw e
           }
         }
-      } else try {
+      } else {
         // HDFS-class filesystems: create(overwrite=false) is atomic on
         // the namenode — the portable spelling
-        val out = fs.create(p, false)
-        try out.write(owner.getBytes("UTF-8")) finally out.close()
-        true
-      } catch {
-        // an already-exists failure IS the lost race, regardless of
-        // what exists() says afterwards — the holder may release
-        // between our failed create and the check, and rethrowing then
-        // misreports contention as an I/O error
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        // any other create failure with no lease present is a real I/O
-        // error (the stampExclusive discipline)
-        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+        var created = false
+        try {
+          val out = fs.create(p, false)
+          created = true
+          try out.write(owner.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          // an already-exists failure on the CREATE IS the lost race,
+          // regardless of what exists() says afterwards — the holder
+          // may release between our failed create and the check, and
+          // rethrowing then misreports contention as an I/O error
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException
+              if !created => false
+          case e: java.io.IOException =>
+            // our own create succeeded but the payload write/close
+            // failed (disk full, quota): delete the orphaned empty
+            // lease — otherwise it blocks every writer for a full TTL
+            // — and surface the REAL error; the exists(p) fallthrough
+            // below would see OUR OWN file and misreport the I/O
+            // failure as "another writer holds the lease" (the
+            // stampExclusive discipline, mirrored)
+            if (created) { fs.delete(p, false); throw e }
+            // create failed some other way: only a lease that exists
+            // is contention; anything else is a real I/O error
+            if (fs.exists(p)) false else throw e
+        }
       }
     // lease reads are QUIET: on a checksum filesystem a concurrent
     // writer's in-flight create leaves a transiently unreadable
@@ -277,6 +315,13 @@ private[graft] object Layout {
         .getModificationTime > ttlMs
       catch { case _: java.io.FileNotFoundException => true }
     if (!tryAcquire()) {
+      // contention path (rare): GC dead lease TOMBSTONES first — a
+      // breaker that crashed between its rename-aside and the
+      // delete/rename-back leaves a `_graft_lease.broken.<uuid>`
+      // (and a crashed release a `.released.<uuid>`) that nothing
+      // else sweeps; once its mtime exceeds the TTL it is dead by
+      // construction (its holder's own lease would have expired)
+      gcDeadLeaseFiles(fs, p.getParent, ttlMs)
       // break a stale lease by RENAMING it aside, never delete-then-
       // create: two breakers that both observed staleness would both
       // delete-and-create and both proceed (the same interleaving
@@ -313,13 +358,56 @@ private[graft] object Layout {
     }
     acquired {
       try body
-      finally if (readLeaseQuiet().contains(owner))
-        fs.delete(p, false)
-      // an unreadable or foreign lease is NOT deleted: either a
-      // breaker replaced ours (theirs to release) or the read raced a
-      // writer — worst case the leftover expires by TTL
+      finally {
+        // release by EXCLUSIVE RENAME, never check-then-act: a read-
+        // our-owner-then-delete release could observe our owner, have
+        // a TTL-breaker rename our overrun lease aside and create its
+        // OWN before the delete runs — deleting the breaker's live
+        // lease and letting a third writer run concurrently with it.
+        // Rename is exclusive: whoever renamed holds the file alone,
+        // and ownership is verified on the renamed copy.
+        val tomb = new org.apache.hadoop.fs.Path(p.getParent,
+          s"_graft_lease.released.$owner")
+        val got = try fs.rename(p, tomb)
+          catch { case _: java.io.IOException => false }
+        if (got) {
+          val ours = try {
+            val in = fs.open(tomb)
+            try new String(in.readAllBytes(), "UTF-8").trim == owner
+            finally in.close()
+          } catch { case _: java.io.IOException => false }
+          if (ours) fs.delete(tomb, false)
+          // foreign (a breaker replaced ours mid-body) or unreadable:
+          // hand it back — if its slot was re-created meanwhile the
+          // copy is dropped and that holder runs unprotected until its
+          // TTL, the documented best-effort boundary
+          else if (!fs.rename(tomb, p)) fs.delete(tomb, false)
+        }
+        // rename failed: the lease is already gone or replaced-and-
+        // being-renamed — not ours to touch; a leftover expires by TTL
+      }
     }
   }
+
+  /** Delete dead lease SIDE files (`_graft_lease.broken.*` /
+    * `.released.*`) older than `ttlMs` — crash debris of a breaker or
+    * releaser that died between its rename and its delete. The live
+    * `_graft_lease` itself is never touched (no dot after the name).
+    * Swept on the lease CONTENTION path and in [[clearForRebuild]],
+    * never per-acquisition — a listStatus per append would tax the
+    * hot path for debris only contention can create. */
+  private def gcDeadLeaseFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, ttlMs: Long): Unit =
+    try {
+      if (!fs.exists(dir)) return
+      val now = System.currentTimeMillis()
+      fs.listStatus(dir).foreach { st =>
+        if (!st.isDirectory &&
+            st.getPath.getName.startsWith("_graft_lease.") &&
+            now - st.getModificationTime > ttlMs)
+          fs.delete(st.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () } // GC is best-effort
 
   /** Atomic bootstrap stamp: create the marker with overwrite=false
     * (fails if a concurrent bootstrapper got there first), then
@@ -485,6 +573,10 @@ private[graft] object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     if (!fs.exists(root)) return
+    // dead lease side files don't survive a rebuild either (the one
+    // other sweep point besides the contention path — a layout whose
+    // breakers crashed but is never contended again GCs here)
+    gcDeadLeaseFiles(fs, root, leaseTtlMs(spark))
     def keep(name: String) =
       name == "_graft_lease" || name.startsWith("_graft_lease.")
     // THREE ordered passes, because crash windows between them must

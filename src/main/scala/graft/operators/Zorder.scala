@@ -47,11 +47,14 @@ import org.apache.spark.sql.functions._
   * interleave incompatibly with the resident files) and lands it as a
   * batchId-keyed idempotent transaction ([[Layout.idempotentAppend]]),
   * each batch z-sorted into a few tight files, so the tail still
-  * prunes; [[compactClustered]] folds the accumulated tail back into
-  * the main `numFiles` grid through the same pinned parameters, with a
-  * crash-recoverable staged swap. Append-then-compact therefore equals
-  * a pinned-parameter full rewrite (ZorderSpec pins row parity exactly
-  * and pruning parity by decoded rows; CONTRACTS.json grades the
+  * prunes; [[compactTail]] folds the accumulated tail into exactly the
+  * resident files it overlaps — rewrite bytes ∝ tail × overlap, the
+  * amortized form daily ingest runs — and [[compactClustered]] folds
+  * EVERYTHING back into the main `numFiles` grid (the periodic
+  * defragmentation), both through the same pinned parameters with
+  * crash-recoverable staged swaps. Append-then-compact therefore
+  * equals a pinned-parameter full rewrite (ZorderSpec pins row parity
+  * exactly and structural disjointness; CONTRACTS.json grades the
   * pruning ordering per bench run).
   */
 object Zorder {
@@ -74,6 +77,13 @@ object Zorder {
   private[graft] val schemaFile = "_graft_schema"
   private val compactingFile = "_graft_compacting"
   private val compactTmpDir = "_graft_compact_tmp"
+  private val tailCompactingFile = "_graft_tail_compacting"
+  private val tailTmpDir = "_graft_tail_tmp"
+  private[graft] val zrangesFile = "_graft_zranges"
+  // NOT underscore-prefixed: it becomes a partitionBy DIRECTORY name
+  // (`graftzregion=3/`) inside the tail staging dir, and a hidden name
+  // there would make publish/recovery skip the staged files
+  private val regionCol = "graftzregion"
 
   /** The layout's DATA schema as a marker payload — what
     * [[appendClustered]] validates batches against: one line per field,
@@ -134,7 +144,7 @@ object Zorder {
   /** EVERY argument check a clustered write needs, hoisted so a bad
     * argument never costs the full-table stats pass first — interleave
     * re-checks its own invariants, but by then the scan has run. */
-  private def validateWrite(cols: Seq[String], bits: Int,
+  private def validateWrite(df: DataFrame, cols: Seq[String], bits: Int,
       numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(cols.length >= 2,
@@ -147,6 +157,32 @@ object Zorder {
     cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"clustered column name '$c' must match [A-Za-z0-9_]+ (it is " +
         "serialized into the layout marker)"))
+    // TYPE gate, the same loud style as the empty-frame refusal: the
+    // quantizers cast to double, and a non-castable column (StringType,
+    // binary, arrays…) silently becomes all-NULL doubles → lo = hi =
+    // 0.0 is PINNED into the marker → that dimension buckets to 0
+    // forever and the layout never prunes it — the degenerate
+    // quantization, reachable by clustering on (user_id, source)
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"clustered column '$c' missing from the input (has: " +
+          s"${df.columns.mkString(", ")})"))
+      val ok = f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+      require(ok,
+        s"clustered column '$c' has type ${f.dataType.catalogString} — " +
+          "clustering needs a numeric/date/timestamp/boolean column " +
+          s"(a ${f.dataType.catalogString} casts to all-NULL doubles, " +
+          "pinning a degenerate never-pruning quantization into the " +
+          "layout marker); cluster on a numeric key, or derive one " +
+          "(e.g. a dictionary code or xxhash64 bucket) first")
+    }
   }
 
   /** Rewrite `df` as a z-ordered parquet layout at `path`: range-
@@ -157,7 +193,7 @@ object Zorder {
     * row groups in all `cols` dimensions at once. */
   def writeZordered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 16, numFiles: Int = 32): Clustering = {
-    validateWrite(cols, bits, numFiles)
+    validateWrite(df, cols, bits, numFiles)
     writeAndStamp(df, path,
       Clustering("morton", bits, numFiles, uniformQuants(df, cols, bits)))
   }
@@ -178,7 +214,7 @@ object Zorder {
     * multiplying the tree per bit plane. */
   def writeHilbert(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 16, numFiles: Int = 32): Clustering = {
-    validateWrite(cols, bits, numFiles)
+    validateWrite(df, cols, bits, numFiles)
     writeAndStamp(df, path,
       Clustering("hilbert", bits, numFiles, uniformQuants(df, cols, bits)))
   }
@@ -195,7 +231,7 @@ object Zorder {
     * stage columns are dropped after the sort, before the write. */
   def writeZorderedByRank(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Clustering = {
-    validateWrite(cols, bits, numFiles)
+    validateWrite(df, cols, bits, numFiles)
     val bounds = rankBoundariesAll(df, cols, bits)
     writeAndStamp(df, path, Clustering("morton", bits, numFiles,
       cols.zip(bounds).map { case (c, b) => ColQuant(c, "r", b.toSeq) }))
@@ -209,7 +245,7 @@ object Zorder {
     * write; bits ≤ 8 (the rank-boundary budget). */
   def writeHilbertByRank(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Clustering = {
-    validateWrite(cols, bits, numFiles)
+    validateWrite(df, cols, bits, numFiles)
     val bounds = rankBoundariesAll(df, cols, bits)
     writeAndStamp(df, path, Clustering("hilbert", bits, numFiles,
       cols.zip(bounds).map { case (c, b) => ColQuant(c, "r", b.toSeq) }))
@@ -277,6 +313,13 @@ object Zorder {
     * [[compactClustered]] folds the tail back in. Returns
     * true if the batch was applied by THIS call (false = replay).
     *
+    * Values beyond the pinned bounds CLAMP to the edge bucket (rows
+    * stay correct, but intra-batch resolution in that dimension is
+    * gone and a later fold widens — ZorderProbe measures the two
+    * regimes): for an append-heavy dimension like event time,
+    * bootstrap with headroom past the current max, or rebuild
+    * periodically (a rebuild re-derives the bounds).
+    *
     * Refused fast: a missing marker (over data = crashed rebuild; over
     * an empty path = bootstrap with a `write*` form first — unlike the
     * index families there is no caller-side parameter set to bootstrap
@@ -322,44 +365,30 @@ object Zorder {
     }
     val incoming = schemaPayload(batch.schema)
     if (resident.exists(_ != incoming)) {
-      // "empty" keys on ROWS, not files: Spark writes a schema-only
-      // 0-row part file even for an empty bootstrap frame, and a
-      // corrected producer must not be poisoned by a schema nothing
-      // ever landed under. isEmpty short-circuits at the first row and
-      // runs ONLY on a mismatch, never on the per-batch hot path;
-      // unreadable data conservatively counts as rows (the
-      // bootstrapUnderLease discipline — corrupt files must refuse,
-      // not bootstrap)
-      val hasRows = hasFiles &&
-        (try !residentDf.isEmpty
-        catch { case scala.util.control.NonFatal(_) => true })
-      require(!hasRows,
+      // rowless re-stamp arm, the ONE Layout-level spelling
+      // ([[Layout.hasRowsConservative]]/[[Layout.purgeRowlessLayout]],
+      // shared with bootstrapUnderLease so the two protocols cannot
+      // drift): a mismatch over ROWS refuses; over a rowless layout
+      // the stale files, ledger AND the old schema marker are cleared
+      // together — a crash after this append publishes must leave
+      // marker-absent-over-new-data (the retry's fallback read then
+      // sees the NEW schema and the idempotent replay proceeds), never
+      // old-marker-over-new-rows, which would brick every retry on
+      // this very gate. The mergeSchema frame built above is reused as
+      // the row probe.
+      require(!Layout.hasRowsConservative(hasFiles, residentDf),
         s"appendClustered: batch schema [${incoming.replace("\n", ", ")}] " +
           s"does not match the resident layout's " +
           s"[${resident.get.replace("\n", ", ")}] at $path — appending " +
           "it would corrupt every future read (parquet dirs have no " +
           "schema enforcement)")
-      // rowless re-stamp arm: clear the stale schema-only files AND the
-      // old schema marker TOGETHER — a crash after this append
-      // publishes must leave marker-absent-over-new-data (the retry's
-      // fallback read then sees the NEW schema and the idempotent
-      // replay proceeds), never old-marker-over-new-rows, which would
-      // brick every retry on this very gate
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Layout.deleteData(fs,
-        fs.makeQualified(new org.apache.hadoop.fs.Path(path)))
+      Layout.purgeRowlessLayout(spark, path, hasFiles)
       markerSchema.foreach { _ =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val sm = new org.apache.hadoop.fs.Path(path, schemaFile)
         require(fs.delete(sm, false),
           s"appendClustered: could not clear the stale schema marker $sm")
-      }
-      // the ledger goes too: every ledgered batch contributed zero
-      // rows, and a corrected replay of one of those batchIds (now
-      // carrying rows) must RE-APPLY, not no-op into losing them
-      Seq("_graft_batches", "_graft_staging").foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(path, d)
-        if (fs.exists(p)) fs.delete(p, true)
       }
     }
     val (staged, z, drop) = clusteredFrame(batch, cl)
@@ -406,10 +435,10 @@ object Zorder {
     * readable-inconsistent only AFTER the sentinel exists, which is
     * also exactly when recovery is deterministic.
     *
-    * At 100 TB this is the amortized rewrite any clustering pays;
-    * operationally it runs partition-scoped (compact only the
-    * partitions that ingested) — this engine's layouts are single-dir,
-    * so the whole-layout form is the honest primitive. */
+    * At 100 TB this whole-layout form is the periodic DEFRAGMENTATION
+    * (it alone restores the exact `numFiles` grid); the per-ingest
+    * compact is [[compactTail]], which rewrites only the tail and the
+    * resident files it overlaps — rewrite bytes ∝ tail, not table. */
   def compactClustered(spark: SparkSession, path: String): Unit =
     Layout.withWriterLease(spark, path, "compactClustered") {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -417,6 +446,10 @@ object Zorder {
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val sentinel = new org.apache.hadoop.fs.Path(root, compactingFile)
     val tmp = new org.apache.hadoop.fs.Path(root, compactTmpDir)
+    // finish a crashed TAIL compaction first (same lease): its fold
+    // set's files are deleted-but-unreplaced until its staged files
+    // publish, and this whole-layout fold must see the completed state
+    recoverTailCrash(spark, fs, root)
     // finish a crashed compaction before starting this one
     if (fs.exists(sentinel)) {
       val token = Layout.readMarker(spark, path, compactingFile).get
@@ -463,6 +496,356 @@ object Zorder {
     fs.delete(tmp, true)
     require(fs.delete(sentinel, false),
       s"compactClustered: could not clear $sentinel after publish")
+    // the z-range cache describes files the swap just deleted — drop
+    // it (it is a pure cache: a missing entry is recomputed by the
+    // next compactTail from a targeted scan, never trusted stale)
+    val zr = new org.apache.hadoop.fs.Path(root, zrangesFile)
+    if (fs.exists(zr)) fs.delete(zr, false)
+  }
+
+  /** Fold ONLY the appended tail back into the layout — the amortized
+    * form of [[compactClustered]], whose whole-layout rewrite is the
+    * one cost that does not scale: at 100 TB with daily ingest, a
+    * full-table rewrite per compact prices clustered ingest out.
+    * This form rewrites the `b<id>-` batch files PLUS exactly the
+    * resident files whose z-ranges the tail's z-ranges intersect,
+    * leaving disjoint resident files UNTOUCHED on disk — rewrite bytes
+    * are bounded by tail size × overlap, not table size (a
+    * time-correlated daily batch lands in a narrow curve segment and
+    * touches few resident files; a domain-spanning batch honestly
+    * degrades toward the whole-layout fold).
+    *
+    * ==Why the result is still fully clustered==
+    * The layout invariant (every non-tail file's z-range is pairwise
+    * disjoint — established by the bootstrap write's range partition,
+    * maintained here by induction) makes the fold set CLOSED: a
+    * resident file not intersecting any tail interval can't intersect
+    * any folded row's z-value either. The rewritten rows are
+    * range-partitioned on z and split by REGION (the merged fold
+    * intervals, which the invariant keeps interval-disjoint from every
+    * untouched file) via a `partitionBy` on a region bucket, so no
+    * replacement file can SPAN a gap that holds an untouched file —
+    * replacement z-ranges stay disjoint from untouched ones, and
+    * ZorderSpec pins pairwise disjointness of the whole layout after a
+    * tail compact (the same structural "fully clustered" definition
+    * the whole-compact contract grades).
+    *
+    * ==Cost shape==
+    * The fold sees each tail file as its [zmin, zmax] HULL, so the
+    * append's `batchFiles` is the tail's z-footprint precision: a
+    * spread batch landed in too few files bridges the curve segments
+    * it actually occupies and folds the residents in between — size
+    * `batchFiles` to the batch's spread (ZorderProbe measures the
+    * difference on a backfill slab).
+    * One narrow scan of the TAIL files (clustered columns only)
+    * computes the tail's exact z-ranges; resident files' ranges come
+    * from the `_graft_zranges` cache — a pure cache: entries for
+    * missing files are recomputed by a targeted scan and re-stamped,
+    * so the FIRST tail compact of a legacy layout pays one narrow
+    * full scan and every later one scans ∝ tail. The rewrite
+    * (shuffle + sort + write of full-width rows, the dominant cost)
+    * is ∝ fold set by construction. Replacement file count is sized
+    * by bytes (fold bytes / mean resident file bytes), so file sizes
+    * stay near the grid's.
+    *
+    * ==Crash protocol==
+    * Same staged-swap discipline as [[compactClustered]], with the
+    * fold set RECORDED in the sentinel (the whole-compact form can
+    * identify victims as "everything not carrying the token"; a
+    * partial fold cannot): stage under `_graft_tail_tmp`; stamp
+    * `_graft_tail_compacting` = token + fold-file list (the commit
+    * point); delete exactly the listed files; publish staged files
+    * under `t<token>-`; drop staging, then the sentinel. Every crash
+    * window recovers deterministically ([[recoverTailCrash]], run by
+    * both compact forms): sentinel present → resume delete/publish
+    * with the recorded token and list; staging without sentinel →
+    * pre-commit crash, staging discarded. Appends refuse while the
+    * sentinel stands. The batch LEDGER is kept, crashed unledgered
+    * appends are rolled back first, and replays stay no-ops — the
+    * [[compactClustered]] rules unchanged.
+    *
+    * Returns true if a tail was folded; false = no `b<id>-` files (the
+    * steady state — callers can invoke it unconditionally per ingest
+    * cycle). */
+  def compactTail(spark: SparkSession, path: String): Boolean =
+    Layout.withWriterLease(spark, path, "compactTail") {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    // a crashed WHOLE compaction owns its own recovery (its sentinel
+    // describes a full-generation swap this form must not half-finish)
+    require(Layout.readMarker(spark, path, compactingFile).isEmpty,
+      s"compactTail: $path carries a $compactingFile sentinel — run " +
+        "compactClustered (it recovers the crashed whole-layout swap, " +
+        "then compacts)")
+    recoverTailCrash(spark, fs, root)
+    Layout.rollbackUnledgered(spark, path)
+    val cl = clusteringOf(spark, path).getOrElse(sys.error(
+      s"compactTail: no $markerFile marker at $path — not a clustered " +
+        "graft layout (or a crashed rebuild); rebuild with a write* " +
+        "form first"))
+    val files = listDataFiles(fs, root)
+    val (tails, mains) = files.partition(st =>
+      st.getPath.getName.matches("b\\d+-.*"))
+    if (tails.isEmpty) false
+    else {
+      // exact per-file z-ranges: cached for residents (self-healing —
+      // entries whose file vanished are dropped, files without entries
+      // get ONE targeted narrow scan), always freshly scanned for the
+      // tail (its files are new by definition). File names are unique
+      // forever (every write embeds a job UUID), so a named entry can
+      // never describe different bytes.
+      val names = files.map(_.getPath.getName).toSet
+      val cached = readZranges(spark, path).filter(e => names.contains(e._1))
+      val missing = files.filter(st => !cached.contains(st.getPath.getName))
+      val ivs = cached ++ computeZranges(spark, cl, missing.map(_.getPath))
+      // 0-row files have no interval: tail ones join the fold (they
+      // must not linger as eternal "tail"); resident ones are inert
+      val tailIvs = mergeIntervals(
+        tails.flatMap(st => ivs.get(st.getPath.getName)))
+      def hits(iv: (Long, Long), in: Seq[(Long, Long)]): Boolean =
+        in.exists(r => iv._1 <= r._2 && iv._2 >= r._1)
+      val foldMains = mains.filter(st =>
+        ivs.get(st.getPath.getName).exists(hits(_, tailIvs)))
+      val foldSet = tails ++ foldMains
+      val foldNames = foldSet.map(_.getPath.getName).toSet
+      val untouchedIvs = mains.filterNot(st => foldNames(st.getPath.getName))
+        .flatMap(st => ivs.get(st.getPath.getName)).sortBy(_._1)
+      // regions: merged fold intervals, then adjacent regions coalesced
+      // when no untouched interval sits in the gap between them (fewer
+      // region-boundary files, same disjointness guarantee)
+      val regions = coalesceRegions(mergeIntervals(
+        foldSet.flatMap(st => ivs.get(st.getPath.getName))), untouchedIvs)
+      // replacement file count by BYTES, so replacement files stay the
+      // grid's size: fold bytes over the mean resident file
+      val foldBytes = foldSet.map(_.getLen).sum
+      val meanMain =
+        if (mains.nonEmpty) math.max(1L, mains.map(_.getLen).sum / mains.length)
+        else math.max(1L, foldBytes / cl.numFiles)
+      val k = math.max(1, math.min(cl.numFiles,
+        math.round(foldBytes.toDouble / meanMain).toInt))
+      val tmp = new org.apache.hadoop.fs.Path(root, tailTmpDir)
+      val foldDf = spark.read.option("mergeSchema", "true")
+        .parquet(foldSet.map(_.getPath.toString): _*)
+      require(!foldDf.columns.contains(regionCol),
+        s"compactTail: input already carries a $regionCol column — a " +
+          "leaked stage column from a crashed tail compact; drop it first")
+      val (staged, z, drop) = clusteredFrame(foldDf, cl)
+      // the region bucket is a MONOTONE function of z (regions are
+      // sorted, the bucket is a balanced search over their upper
+      // bounds), so the z sort below orders it too; computed BEFORE
+      // the stage-column drop because z references them in rank mode.
+      // partitionBy on it splits each range task's output file at
+      // region boundaries — the step that keeps a replacement file
+      // from spanning a gap holding an untouched file. With one
+      // region there is nothing to split, skip the partition dirs.
+      withStatsTimestamps(spark) {
+        if (regions.length <= 1)
+          staged.repartitionByRange(k, z).sortWithinPartitions(z)
+            .drop(drop: _*)
+            .write.mode("overwrite").parquet(tmp.toString)
+        else
+          // sort key leads with the region so the dynamic-partition
+          // writer's required ordering is already satisfied and it
+          // inserts no sort of its own (which would not preserve the
+          // z order within regions); region is monotone in z, so
+          // (region, z) IS the z order
+          staged.withColumn(regionCol, regionBucket(z, regions.map(_._2)))
+            .repartitionByRange(k, z)
+            .sortWithinPartitions(col(regionCol), z)
+            .drop(drop: _*)
+            .write.mode("overwrite").partitionBy(regionCol)
+            .parquet(tmp.toString)
+      }
+      // commit point: the sentinel records the token AND the fold set
+      // (a partial fold's victims are not recoverable by name pattern
+      // the way the whole-compact's "everything but the token" is)
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      Layout.writeMarker(spark, path, tailCompactingFile,
+        (token +: foldSet.map(st =>
+          java.net.URLEncoder.encode(st.getPath.getName, "UTF-8")))
+          .mkString("\n"))
+      foldSet.foreach { st =>
+        require(fs.delete(st.getPath, false),
+          s"compactTail: could not delete folded file ${st.getPath}")
+      }
+      publishFlattened(fs, tmp, root, s"t$token-")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      require(fs.delete(
+        new org.apache.hadoop.fs.Path(root, tailCompactingFile), false),
+        s"compactTail: could not clear the sentinel after publish")
+      // refresh the z-range cache: untouched entries kept, folded ones
+      // dropped, replacements scanned (∝ rewrite). Best-effort AFTER
+      // the swap committed — a crash before this line just means the
+      // next compact rescans the replacement files.
+      val replacements = listDataFiles(fs, root)
+        .filter(_.getPath.getName.startsWith(s"t$token-"))
+      writeZranges(spark, path,
+        (ivs -- foldNames) ++
+          computeZranges(spark, cl, replacements.map(_.getPath)))
+      true
+    }
+  }
+
+  /** Recovery for [[compactTail]]'s crash windows — run under the
+    * writer lease by BOTH compact forms before they start. Sentinel
+    * present → the fold committed: delete any still-present listed
+    * fold files, publish whatever is still staged under the recorded
+    * token (files already published survive — their staged copies are
+    * gone), drop staging and the sentinel. Staging without a sentinel
+    * → a pre-commit crash: the layout is untouched, discard staging. */
+  private def recoverTailCrash(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val sentinel = new org.apache.hadoop.fs.Path(root, tailCompactingFile)
+    val tmp = new org.apache.hadoop.fs.Path(root, tailTmpDir)
+    if (fs.exists(sentinel)) {
+      val lines = Layout.readMarker(spark, root.toString, tailCompactingFile)
+        .get.split('\n').map(_.trim)
+      require(lines.nonEmpty && lines(0).nonEmpty,
+        s"compactTail: empty $tailCompactingFile sentinel at $root — " +
+          "cannot tell the crashed fold's files apart; resolve manually")
+      val token = lines(0)
+      lines.drop(1).filter(_.nonEmpty).foreach { enc =>
+        val p = new org.apache.hadoop.fs.Path(root,
+          java.net.URLDecoder.decode(enc, "UTF-8"))
+        if (fs.exists(p)) require(fs.delete(p, false),
+          s"compactTail: recovery could not delete folded file $p")
+      }
+      publishFlattened(fs, tmp, root, s"t$token-")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      require(fs.delete(sentinel, false),
+        s"compactTail: could not clear $sentinel after recovery")
+    } else if (fs.exists(tmp)) {
+      require(fs.delete(tmp, true),
+        s"compactTail: could not clear stale staging $tmp")
+    }
+  }
+
+  /** Move every staged data file into the layout root under `prefix`,
+    * FLATTENING partition directories into the name (the tail staging
+    * is `graftzregion=N/part-…`; the layout is a flat directory) —
+    * `t<token>-<N>-part-…`. Deterministic, so a crashed publish
+    * resumes with the same destination names. No-op when staging is
+    * absent (a recovery that already published). */
+  private def publishFlattened(fs: org.apache.hadoop.fs.FileSystem,
+      stagingRoot: org.apache.hadoop.fs.Path,
+      layoutRoot: org.apache.hadoop.fs.Path, prefix: String): Unit = {
+    def walk(d: org.apache.hadoop.fs.Path, tag: String): Unit =
+      fs.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (!Layout.isHidden(name))
+            walk(st.getPath, tag +
+              name.substring(name.indexOf('=') + 1)
+                .replaceAll("[^A-Za-z0-9]", "") + "-")
+        } else if (!Layout.isHidden(name)) {
+          val dest = new org.apache.hadoop.fs.Path(layoutRoot,
+            prefix + tag + name)
+          require(fs.rename(st.getPath, dest),
+            s"compactTail: rename ${st.getPath} -> $dest failed")
+        }
+      }
+    if (fs.exists(stagingRoot)) walk(stagingRoot, "")
+  }
+
+  /** The layout's published data files — clustered layouts are FLAT
+    * (every write form, append publish and compact publish lands files
+    * in the root), so one non-recursive listing, hidden names skipped. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => !st.isDirectory && !Layout.isHidden(st.getPath.getName))
+
+  /** Exact per-file [zmin, zmax] under the PINNED clustering for
+    * exactly `paths` — a COLUMN-PRUNED scan (clustered columns only),
+    * grouped by file. Files with zero rows produce no entry. */
+  private def computeZranges(spark: SparkSession, cl: Clustering,
+      paths: Seq[org.apache.hadoop.fs.Path]): Map[String, (Long, Long)] =
+    if (paths.isEmpty) Map.empty
+    else {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(paths.map(_.toString): _*)
+        .select(cl.cols.map(c => col(c.name)): _*)
+      val (staged, z, _) = clusteredFrame(df, cl)
+      staged.select(input_file_name().as("__f"), z.as("__z"))
+        .groupBy(col("__f"))
+        .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+        .collect()
+        .map { r =>
+          val f = r.getString(0)
+          f.substring(f.lastIndexOf('/') + 1) -> (r.getLong(1), r.getLong(2))
+        }.toMap
+    }
+
+  /** The `_graft_zranges` cache: `urlenc(name)=hexlo,hexhi` per line.
+    * A PURE cache — unparseable content reads as empty and missing
+    * entries are recomputed by targeted scan, so correctness never
+    * rests on it; file names embed write-job UUIDs, so a named entry
+    * can never describe different bytes. */
+  private def readZranges(spark: SparkSession,
+      path: String): Map[String, (Long, Long)] =
+    try Layout.readMarker(spark, path, zrangesFile).map { s =>
+      s.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        val Array(lo, hi) = line.substring(i + 1).split(',')
+        java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
+          (java.lang.Long.parseUnsignedLong(lo, 16),
+            java.lang.Long.parseUnsignedLong(hi, 16))
+      }.toMap
+    }.getOrElse(Map.empty)
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def writeZranges(spark: SparkSession, path: String,
+      ivs: Map[String, (Long, Long)]): Unit =
+    Layout.writeMarker(spark, path, zrangesFile,
+      ivs.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+        java.net.URLEncoder.encode(n, "UTF-8") + "=" +
+          java.lang.Long.toHexString(lo) + "," +
+          java.lang.Long.toHexString(hi)
+      }.mkString("\n"))
+
+  /** Merge overlapping-or-touching closed long intervals (sorted by
+    * lo). Touching = hi >= lo2 − 1: two integer intervals with no gap
+    * value between them behave as one. */
+  private[graft] def mergeIntervals(
+      ivs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = ivs.sortBy(_._1)
+    sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (lo2, hi2))
+          if lo2 <= hi || (hi < Long.MaxValue && lo2 == hi + 1) =>
+        (lo, math.max(hi, hi2)) :: rest
+      case (acc, iv) => iv :: acc
+    }.reverse
+  }
+
+  /** Coalesce adjacent regions when NO untouched interval intersects
+    * the open gap between them — fewer regions means fewer
+    * boundary-split files; the guarantee (no replacement file spans an
+    * untouched file's range) only needs splits at gaps that HOLD one.
+    * Both inputs sorted by lo; untouched intervals never intersect the
+    * regions themselves (the layout invariant), only gaps. */
+  private[graft] def coalesceRegions(regions: Seq[(Long, Long)],
+      untouched: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    regions.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (lo2, hi2))
+          if !untouched.exists(u => u._2 > hi && u._1 < lo2) =>
+        (lo, math.max(hi, hi2)) :: rest
+      case (acc, iv) => iv :: acc
+    }.reverse
+
+  /** Region index of `z` — count of regions whose hi bound is below
+    * it, as a balanced when/otherwise tree over LONGS (the rankBucket
+    * shape; every fold z lies inside some region by construction). */
+  private def regionBucket(z: Column, his: Seq[Long]): Column = {
+    def go(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(z > lit(his(mid)), go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    go(0, his.length - 1)
   }
 
   /** The layout's pinned clustering, read back from the marker — what
@@ -472,11 +855,16 @@ object Zorder {
     Layout.readMarker(spark, path, markerFile).map(parsePayload)
 
   private def requireNotCompacting(spark: SparkSession, path: String,
-      what: String): Unit =
+      what: String): Unit = {
     require(Layout.readMarker(spark, path, compactingFile).isEmpty,
       s"$what: $path carries a $compactingFile sentinel — a compaction " +
         "is in flight or crashed mid-swap; run compactClustered (it " +
         "recovers, then compacts) before appending")
+    require(Layout.readMarker(spark, path, tailCompactingFile).isEmpty,
+      s"$what: $path carries a $tailCompactingFile sentinel — a tail " +
+        "compaction is in flight or crashed mid-swap; run compactTail " +
+        "or compactClustered (both recover it) before appending")
+  }
 
   // ----- marker payload (bit-exact, versioned, human-inspectable) -----
 

@@ -158,20 +158,25 @@ object Io {
     // ----- Incremental clustered layout: append → replay → compact -----
     // The daily-ingest lifecycle of a clustered table, oracle-checked
     // end-to-end ([[graft.operators.Zorder.appendClustered]] /
+    // [[graft.operators.Zorder.compactTail]] /
     // [[graft.operators.Zorder.compactClustered]]): bootstrap the
     // layout from 80% of events (the stats pass pins the
     // quantization), land the remaining 20% as TWO batchId-keyed
     // idempotent appends through the PINNED bounds — one of them
-    // deliberately REPLAYED, the at-least-once crash window — then
-    // compact the tail back into the 32-file grid and run q175/q177's
-    // box scan over the result. The oracle is the same filter+agg on
-    // the RAW table, so the hash-match proves the whole
-    // append→replay→compact lifecycle holds exactly the source rows
-    // (a duplicated replay, a dropped batch, or a mis-bucketed append
-    // all break the aggregate). Pruning-structure parity is pinned in
-    // ZorderSpec (disjoint z-ranges) and graded per bench run in
-    // CONTRACTS.json; benched here as build+maintain cost, the
-    // q79/q170 index-family convention.
+    // deliberately REPLAYED, the at-least-once crash window — with a
+    // TAIL-SCOPED compact between them (the amortized per-ingest form:
+    // rewrites only the batch files plus the resident files they
+    // overlap) and a whole-layout compact at the end (the periodic
+    // defragmentation restoring the 32-file grid), then run
+    // q175/q177's box scan over the result. The oracle is the same
+    // filter+agg on the RAW table, so the hash-match proves the whole
+    // append→replay→tail-compact→append→compact lifecycle holds
+    // exactly the source rows (a duplicated replay, a dropped batch, a
+    // mis-bucketed append, or a fold that loses/duplicates overlapped
+    // residents all break the aggregate). Pruning-structure parity is
+    // pinned in ZorderSpec (disjoint z-ranges after BOTH compact
+    // forms) and graded per bench run in CONTRACTS.json; benched here
+    // as build+maintain cost, the q79/q170 index-family convention.
     QueryDef(
       "q178_clustered_append",
       (spark, dir) => eventsBoxScan(spark, dir, "clustered_inc_events") {
@@ -184,6 +189,7 @@ object Io {
           val b2 = e.filter(col("event_id") % 10 === 0)
           Zorder.appendClustered(b1, tmp, batchId = 1)
           Zorder.appendClustered(b1, tmp, batchId = 1) // replay: no-op
+          Zorder.compactTail(spark, tmp) // amortized fold of batch 1
           Zorder.appendClustered(b2, tmp, batchId = 2)
           Zorder.compactClustered(spark, tmp)
       },

@@ -184,6 +184,62 @@ class LayoutSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("writer lease: release verifies ownership on the renamed copy; foreign leases survive") {
+    // clean release: no lease, no released-tombstone debris
+    val dir = tmp("rel")
+    Layout.withWriterLease(spark, dir, "clean") { () }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_graft_lease"))
+    assert(left.isEmpty, s"release left lease debris: ${left.mkString(",")}")
+    // a lease REPLACED mid-body (a TTL-breaker evicted an overrun
+    // holder) is not ours to release: the release renames it aside,
+    // sees a foreign owner on the renamed copy, and hands it BACK —
+    // never deletes it (deleting would let a third writer in)
+    Layout.withWriterLease(spark, dir, "overrun") {
+      Layout.writeMarker(spark, dir, "_graft_lease", "foreign-breaker")
+    }
+    assert(Layout.readMarker(spark, dir, "_graft_lease")
+      .contains("foreign-breaker"),
+      "a foreign (breaker's) lease must survive our release")
+    val tombs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_graft_lease."))
+    assert(tombs.isEmpty, s"handback left tombstones: ${tombs.mkString(",")}")
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_lease"), false)
+  }
+
+  test("writer lease: dead broken/released tombstones are GC'd on contention") {
+    // a breaker that crashed between rename-aside and delete leaves
+    // _graft_lease.broken.<uuid> that nothing else sweeps — the next
+    // CONTENDED acquisition (the only path that can create more of
+    // them) deletes any older than the TTL; fresh ones are kept (their
+    // holder may still be mid-handback)
+    val dir = tmp("gc")
+    touch(dir, "_graft_lease.broken.deadbeef")
+    touch(dir, "_graft_lease.released.cafebabe")
+    touch(dir, "_graft_lease.broken.fresh01")
+    touch(dir, "_graft_lease") // stale live lease → forces contention
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def age(name: String): Unit = fs.setTimes(
+      new org.apache.hadoop.fs.Path(dir, name),
+      System.currentTimeMillis() - 60000, -1)
+    age("_graft_lease.broken.deadbeef")
+    age("_graft_lease.released.cafebabe")
+    age("_graft_lease")
+    spark.conf.set("spark.graft.layout.lease.ttlMs", "30000")
+    try assert(Layout.withWriterLease(spark, dir, "gc") { 1 } == 1)
+    finally spark.conf.unset("spark.graft.layout.lease.ttlMs")
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    assert(!names.contains("_graft_lease.broken.deadbeef") &&
+      !names.contains("_graft_lease.released.cafebabe"),
+      s"dead tombstones must be GC'd, left: ${names.mkString(",")}")
+    assert(names.contains("_graft_lease.broken.fresh01"),
+      "a tombstone younger than the TTL must be kept")
+  }
+
   test("bootstrapOrGuard refuses to stamp over batch-published unmarked data") {
     // the exact crash shape the probe fix exists for: a layout whose
     // ONLY rows came through idempotentAppend (b<id>- names), whose

@@ -99,6 +99,40 @@ class ZorderSpec extends SparkSpec {
       Zorder.interleave(Seq(col("id"), col("c")), 32)) // 64 bits > 63
   }
 
+  test("clustering columns are type-gated: a string column is refused loudly") {
+    // a StringType clustered column used to cast to all-NULL doubles,
+    // pinning lo = hi = 0.0 into the marker — that dimension buckets
+    // to 0 forever and the layout never prunes it. The gate must fire
+    // BEFORE any stats pass or marker write, naming the column.
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_tg_").toString + "/lay"
+    val err = intercept[IllegalArgumentException](Zorder.writeZordered(
+      e, dir, Seq("user_id", "event_type"), bits = 8, numFiles = 4))
+    assert(err.getMessage.contains("event_type") &&
+      err.getMessage.contains("string"),
+      s"gate must name the column and its type: ${err.getMessage}")
+    assert(Zorder.clusteringOf(spark, dir).isEmpty,
+      "no marker may be written for a refused layout")
+    // every write form gates (they all share validateWrite)
+    intercept[IllegalArgumentException](Zorder.writeHilbert(
+      e, dir, Seq("user_id", "event_type"), bits = 8, numFiles = 4))
+    intercept[IllegalArgumentException](Zorder.writeZorderedByRank(
+      e, dir, Seq("user_id", "event_type"), bits = 4, numFiles = 4))
+    intercept[IllegalArgumentException](Zorder.writeHilbertByRank(
+      e, dir, Seq("user_id", "event_type"), bits = 4, numFiles = 4))
+    intercept[IllegalArgumentException](Zorder.writeBest(
+      e, dir, Seq("user_id", "event_type"), numFiles = 4))
+    // timestamps stay clusterable (q177/q178's layouts), and a missing
+    // column is named too
+    val ok = Files.createTempDirectory("graft_zorder_tg2_").toString
+    Zorder.writeZordered(e.limit(200), ok, Seq("user_id", "ts"),
+      bits = 8, numFiles = 2)
+    assert(Zorder.clusteringOf(spark, ok).isDefined)
+    val miss = intercept[RuntimeException](Zorder.writeZordered(
+      e, dir, Seq("user_id", "no_such_col"), bits = 8, numFiles = 4))
+    assert(miss.getMessage.contains("no_such_col"))
+  }
+
   test("per-file boxes are narrow in BOTH dimensions; a 2D box prunes files") {
     val e = sources.Tables.load(spark, sfDir, "events")
     val dir = Files.createTempDirectory("graft_zorder_box_").toString
@@ -320,6 +354,175 @@ class ZorderSpec extends SparkSpec {
       "ledger must survive compaction (replay would duplicate rows)")
     // and the clustering is unchanged
     assert(Zorder.clusteringOf(spark, dir).contains(cl))
+  }
+
+  test("compactTail folds ONLY the overlapping files; untouched residents survive; result stays clustered") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_tc_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataNames: Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir))
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName))
+      .map(_.getPath.getName).toSet
+    // base owns users [5,14]; the batches own [0,4] — a LOW-z tail
+    // (user is the leading Morton dimension, and the pinned bounds
+    // clamp sub-range users to bucket 0..low), so files holding only
+    // high-user rows must survive the fold BYTE-UNTOUCHED
+    val base = e.filter(col("user_id") >= 5)
+    val b1 = e.filter(col("user_id") < 5 && col("event_id") % 2 === 0)
+    val b2 = e.filter(col("user_id") < 5 && col("event_id") % 2 =!= 0)
+    val cl = Zorder.writeZordered(base, dir, Seq("user_id", "value"),
+      bits = 8, numFiles = 8)
+    val mains = dataNames
+    assert(Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2))
+    assert(Zorder.appendClustered(b2, dir, batchId = 2, batchFiles = 2))
+    assert(Zorder.compactTail(spark, dir), "a present tail must fold")
+    val after = dataNames
+    // tail gone; SOME residents untouched (the ∝-tail property's
+    // on-disk observable), SOME folded (the overlap was real)
+    assert(!after.exists(_.matches("b\\d+-.*")), "no tail files may remain")
+    val untouched = mains & after
+    assert(untouched.nonEmpty,
+      s"a low-z tail must leave high-z residents untouched ($mains -> $after)")
+    assert((mains -- after).nonEmpty,
+      "the tail overlapped SOMETHING — at least one resident must fold")
+    assert(after.exists(_.startsWith("t")), "replacement files must publish")
+    // rows exact, clustering unchanged, and the layout is STILL fully
+    // clustered: pairwise-disjoint z-ranges including the replacements
+    val back = spark.read.parquet(dir)
+    val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "tail compact must hold exactly source ∪ batches")
+    assert(disjoint(zRanges(dir)),
+      "tail-compacted layout must have pairwise-disjoint z-ranges — " +
+        "the same structural 'fully clustered' the whole compact pins")
+    assert(Zorder.clusteringOf(spark, dir).contains(cl))
+    // ledger survives: a replayed pre-compact batch stays a no-op
+    assert(!Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2),
+      "ledger must survive tail compaction")
+    // steady state: nothing to fold
+    assert(!Zorder.compactTail(spark, dir),
+      "no tail -> compactTail must report nothing folded")
+    // the z-range cache is a PURE cache: corrupt it, ingest again,
+    // fold again — correctness must not move
+    graft.operators.Layout.writeMarker(spark, dir,
+      graft.operators.Zorder.zrangesFile, "garbage ][ not parseable")
+    assert(Zorder.appendClustered(e.filter(col("user_id") < 5), dir,
+      batchId = 3, batchFiles = 2))
+    assert(Zorder.compactTail(spark, dir))
+    assert(disjoint(zRanges(dir)), "fold under a corrupt cache must still cluster")
+    assert(spark.read.parquet(dir).count() == e.count() + b1.count() + b2.count())
+    // and the whole-layout compact still restores the exact grid on top
+    Zorder.compactClustered(spark, dir)
+    val post = zRanges(dir)
+    assert(post.length == 8 && disjoint(post),
+      s"whole compact after tail compacts must restore the grid, got ${post.length}")
+  }
+
+  test("compactTail with a two-ended tail splits replacements at the untouched middle") {
+    // the case the REGION split exists for: tail intervals at BOTH ends
+    // of the curve with untouched residents between them — a naive
+    // range-partition of the fold rows would emit a replacement file
+    // whose z-range SPANS the middle gap and overlaps every untouched
+    // file inside it; the partitionBy-on-region split must keep each
+    // replacement inside its own end
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_tc2_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = e.filter(col("user_id").between(3, 11) ||
+      col("event_id") % 4 =!= 0)
+    val bLow = e.filter(col("event_id") % 4 === 0 && col("user_id") < 3)
+    val bHigh = e.filter(col("event_id") % 4 === 0 && col("user_id") > 11)
+    Zorder.writeZordered(base, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 8)
+    assert(Zorder.appendClustered(bLow, dir, batchId = 1, batchFiles = 2))
+    assert(Zorder.appendClustered(bHigh, dir, batchId = 2, batchFiles = 2))
+    assert(Zorder.compactTail(spark, dir))
+    // replacements carry DISTINCT region tags (t<token>-<R>-part…)
+    val repl = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("t")).toSeq
+    val regionsSeen = repl.flatMap(
+      "^t[0-9a-f]{8}-(\\d+)-part.*".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(regionsSeen.distinct.size >= 2,
+      s"two-ended tail must publish >= 2 regions, files: ${repl.mkString(",")}")
+    // untouched middle survives; the WHOLE layout stays disjoint (the
+    // assertion a spanning replacement file would break); rows exact
+    assert(disjoint(zRanges(dir)),
+      "replacements must not span the untouched middle")
+    val back = spark.read.parquet(dir)
+    val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "two-ended tail compact must hold exactly the source rows")
+  }
+
+  test("compactTail recovers crash windows; appends refuse under its sentinel") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window 1: staging without a sentinel (pre-commit crash) — the
+    // stale staging is discarded and the fresh fold proceeds
+    val d1 = Files.createTempDirectory("graft_zorder_tw1_").toString
+    Zorder.writeZordered(e.filter(col("user_id") >= 5), d1,
+      Seq("user_id", "value"), bits = 8, numFiles = 4)
+    Zorder.appendClustered(e.filter(col("user_id") < 5), d1, batchId = 1)
+    e.limit(3).write.parquet(s"$d1/_graft_tail_tmp")
+    assert(Zorder.compactTail(spark, d1))
+    assert(spark.read.parquet(d1).count() == e.count(),
+      "pre-commit staging must be discarded, not published")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d1, "_graft_tail_tmp")))
+
+    // window 2: sentinel + staged fold + PARTIAL victim sweep — the
+    // recovery must delete the remaining listed victims, publish the
+    // staged generation under the recorded token, and end exact
+    val d2 = Files.createTempDirectory("graft_zorder_tw2_").toString
+    Zorder.writeZordered(e.filter(col("user_id") >= 5), d2,
+      Seq("user_id", "value"), bits = 8, numFiles = 4)
+    val cl2 = Zorder.clusteringOf(spark, d2).get
+    Zorder.appendClustered(e.filter(col("user_id") < 5), d2, batchId = 1)
+    val tails = fs.listStatus(new org.apache.hadoop.fs.Path(d2))
+      .filter(st => !st.isDirectory && st.getPath.getName.matches("b\\d+-.*"))
+      .map(_.getPath).toSeq
+    assert(tails.size >= 2, s"need >= 2 tail files, got ${tails.size}")
+    // stage the fold of exactly the tail rows, commit the sentinel
+    // listing them, then "crash" after deleting only ONE of them
+    graft.operators.Zorder
+      .curveValues(spark.read.parquet(tails.map(_.toString): _*), cl2, "__z")
+      .repartitionByRange(2, col("__z")).sortWithinPartitions(col("__z"))
+      .drop("__z").write.parquet(s"$d2/_graft_tail_tmp")
+    graft.operators.Layout.writeMarker(spark, d2, "_graft_tail_compacting",
+      ("tok42" +: tails.map(p =>
+        java.net.URLEncoder.encode(p.getName, "UTF-8"))).mkString("\n"))
+    assert(fs.delete(tails.head, false))
+    // appends refuse while the sentinel stands
+    val err = intercept[IllegalArgumentException](Zorder.appendClustered(
+      e.filter(col("user_id") < 5), d2, batchId = 9))
+    assert(err.getMessage.contains("tail"), err.getMessage)
+    // recovery (via the fresh compact) completes the crashed fold
+    assert(!Zorder.compactTail(spark, d2),
+      "after recovery the recovered layout has no tail left")
+    assert(spark.read.parquet(d2).count() == e.count(),
+      "recovery must complete the staged generation exactly")
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(d2))
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName))
+      .map(_.getPath.getName)
+    assert(!names.exists(_.matches("b\\d+-.*")), "victims must be swept")
+    assert(names.exists(_.startsWith("ttok42-")),
+      s"staged files must publish under the RECORDED token, got " +
+        names.mkString(","))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_tail_compacting")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_tail_tmp")))
+    // and compactClustered ALSO recovers a tail crash (both forms do)
+    val d3 = Files.createTempDirectory("graft_zorder_tw3_").toString
+    Zorder.writeZordered(e, d3, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    e.limit(3).write.parquet(s"$d3/_graft_tail_tmp")
+    Zorder.compactClustered(spark, d3)
+    assert(spark.read.parquet(d3).count() == e.count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d3, "_graft_tail_tmp")))
   }
 
   test("append refuses markerless, missing-column, and mid-compaction layouts") {
