@@ -80,29 +80,33 @@ object Contracts {
     // the real embeddings, measured 2026-08, floors 0.1+ under the
     // measured recalls — @10k: lsh 0.84 / ivf 0.70 / pq 0.52 /
     // ivfpq 0.48 / ivfadc 0.43; @6k: 0.70 / 0.62 / 0.55 / 0.48 /
-    // 0.35; PLANS.md r13). INSIDE [1800, 11000] the floor is the
-    // PIECEWISE-LINEAR interpolation through the anchors (flat on the
-    // ±10% jitter shoulders): recall at fixed nprobe/nCand moves
-    // smoothly with corpus size per the shortlist-fraction model the
-    // anchors themselves confirmed (monotone between every measured
-    // pair), so interpolated floors keep roughly the anchors' ~0.1
-    // margin — and close the r13 cliff where a corpus at nEmb = 2300
-    // fell off the measured band onto a near-zero legacy floor (a real
-    // recall regression passed silently in the gaps). OUTSIDE the
-    // measured span the legacy (2×-random-style) floors still apply:
-    // below 1800 the downward-monotonicity argument would allow at2k,
-    // but the small sweep corpora keep their historical loose floors;
-    // above 11000 recall genuinely falls with N and nothing is
-    // measured — loose grading at unmeasured scales beats a false
-    // CONTRACT FAILED.
+    // 0.35; PLANS.md r13). INSIDE [1800, 11000] the floor is FLAT at
+    // the measured value across each band's ±10% regeneration-jitter
+    // shoulder (a corpus inside a measured band must get exactly the
+    // floor measured for that band — interpolating within a shoulder
+    // would tighten a rising series past its own measurement) and
+    // PIECEWISE-LINEAR between band edges: recall at fixed
+    // nprobe/nCand moves smoothly with corpus size per the
+    // shortlist-fraction model the anchors themselves confirmed
+    // (monotone between every measured pair), so interpolated floors
+    // keep roughly the anchors' ~0.1 margin — and close the r13 cliff
+    // where a corpus at nEmb = 2300 fell off the measured band onto a
+    // near-zero legacy floor (a real recall regression passed silently
+    // in the gaps). OUTSIDE the measured span the legacy
+    // (2×-random-style) floors still apply: below 1800 the
+    // downward-monotonicity argument would allow at2k, but the small
+    // sweep corpora keep their historical loose floors; above 11000
+    // recall genuinely falls with N and nothing is measured — loose
+    // grading at unmeasured scales beats a false CONTRACT FAILED.
     def floorAt(at2k: Double, at6k: Double, at10k: Double,
         legacy: Double): Double = {
       def lerp(x0: Long, y0: Double, x1: Long, y1: Double): Double =
         y0 + (y1 - y0) * (nEmb - x0).toDouble / (x1 - x0).toDouble
       if (nEmb < 1800 || nEmb > 11000) legacy
-      else if (nEmb <= 2000) at2k
-      else if (nEmb <= 6000) lerp(2000, at2k, 6000, at6k)
-      else if (nEmb <= 10000) lerp(6000, at6k, 10000, at10k)
+      else if (nEmb <= 2200) at2k
+      else if (nEmb < 5400) lerp(2200, at2k, 5400, at6k)
+      else if (nEmb <= 6600) at6k
+      else if (nEmb < 9000) lerp(6600, at6k, 9000, at10k)
       else at10k
     }
     // the exact ANN baseline every trained path grades against (q37)

@@ -209,7 +209,7 @@ object ZorderProbe {
       val tailNames = pre.keySet.filter(_.matches("b\\d+-.*"))
       println(s"ZORDERPROBE tailcompact kind=$kind " +
         s"totalKiB=${pre.values.sum / 1024} " +
-        s"tailKiB=${tailNames.map(pre).sum / 1024} " +
+        s"tailKiB=${tailNames.toSeq.map(pre).sum / 1024} " +
         s"rewrittenKiB=${folded.values.sum / 1024} " +
         s"untouchedKiB=${(pre.values.sum - folded.values.sum) / 1024} " +
         s"foldedFiles=${folded.size - tailNames.size}main+" +

@@ -57,6 +57,29 @@ private[graft] object Layout {
     try out.write(payload.getBytes("UTF-8")) finally out.close()
   }
 
+  /** [[writeMarker]] with an ATOMIC publish: payload goes to a hidden
+    * temp name first and RENAMES into place, so a crash mid-write can
+    * never leave a torn payload under the real name. For markers whose
+    * payload is a LIST a recovery path acts on (e.g. compactTail's
+    * fold-set sentinel), a torn list is silent corruption — the
+    * recovery would process only the surviving prefix; single-token
+    * markers don't need this (any prefix is used self-consistently).
+    * The dest must not exist (sentinels are created once per
+    * operation); a leftover temp from a pre-rename crash is hidden
+    * (underscore name) and swept by the caller's recovery. */
+  def writeMarkerAtomic(spark: SparkSession, path: String, file: String,
+      payload: String): Unit = {
+    val p = markerPath(path, file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = markerPath(path,
+      s"$file.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, p),
+      s"writeMarkerAtomic: rename $tmp -> $p failed (marker already " +
+        "present, or a filesystem error)")
+  }
+
   def readMarker(spark: SparkSession, path: String,
       file: String): Option[String] = {
     val p = markerPath(path, file)

@@ -139,7 +139,8 @@ object Zorder {
     * min/max stats pass (one aggregate job, one collected row). */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column =
     interleave(uniformQuants(df, cols, bits).map(q =>
-      bucket(col(q.name), q.params(0), q.params(1), bits)), bits)
+      bucket(numericView(df.schema, q.name), q.params(0), q.params(1),
+        bits)), bits)
 
   /** EVERY argument check a clustered write needs, hoisted so a bad
     * argument never costs the full-table stats pass first — interleave
@@ -157,12 +158,18 @@ object Zorder {
     cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"clustered column name '$c' must match [A-Za-z0-9_]+ (it is " +
         "serialized into the layout marker)"))
-    // TYPE gate, the same loud style as the empty-frame refusal: the
-    // quantizers cast to double, and a non-castable column (StringType,
-    // binary, arrays…) silently becomes all-NULL doubles → lo = hi =
-    // 0.0 is PINNED into the marker → that dimension buckets to 0
-    // forever and the layout never prunes it — the degenerate
-    // quantization, reachable by clustering on (user_id, source)
+    // TYPE gate, the same loud style as the empty-frame refusal: a
+    // non-numeric column (StringType, binary, arrays…) would either
+    // crash the stats pass with a raw cast error or — under a lax cast
+    // — silently become all-NULL doubles, pinning lo = hi = 0.0 into
+    // the marker so that dimension buckets to 0 forever and the layout
+    // never prunes it. Allowed: numeric, TIMESTAMP (casts to epoch
+    // seconds), DATE (normalized to epoch days via [[numericView]] —
+    // ANSI forbids DATE→DOUBLE directly), boolean. TIMESTAMP_NTZ is
+    // REFUSED rather than normalized: its only double spelling goes
+    // through a session-timezone reinterpretation, and a pinned
+    // quantization that shifts with the session timezone would
+    // mis-bucket appends made from a differently-zoned session.
     cols.foreach { c =>
       val f = df.schema.fields.find(_.name == c).getOrElse(
         sys.error(s"clustered column '$c' missing from the input (has: " +
@@ -171,19 +178,34 @@ object Zorder {
         case _: org.apache.spark.sql.types.NumericType => true
         case org.apache.spark.sql.types.DateType |
              org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType |
              org.apache.spark.sql.types.BooleanType => true
         case _ => false
       }
       require(ok,
         s"clustered column '$c' has type ${f.dataType.catalogString} — " +
-          "clustering needs a numeric/date/timestamp/boolean column " +
-          s"(a ${f.dataType.catalogString} casts to all-NULL doubles, " +
-          "pinning a degenerate never-pruning quantization into the " +
-          "layout marker); cluster on a numeric key, or derive one " +
-          "(e.g. a dictionary code or xxhash64 bucket) first")
+          "clustering needs a numeric, timestamp, date or boolean " +
+          "column (anything else pins a degenerate never-pruning " +
+          "quantization into the layout marker, or crashes the stats " +
+          "pass); cluster on a numeric key, cast timestamp_ntz to " +
+          "timestamp, or derive a key (e.g. a dictionary code or " +
+          "xxhash64 bucket) first")
     }
   }
+
+  /** The ONE numeric spelling of a clustered column every stats pass
+    * and every bucketing shares (they must agree bit-for-bit, or the
+    * pinned params would mis-bucket appends): plain `cast("double")`
+    * for numeric/timestamp/boolean; DATE goes through `unix_date`
+    * (epoch DAYS — timezone-free, so the pinned quantization means the
+    * same thing in every session; ANSI forbids casting DATE to a
+    * numeric directly). */
+  private def numericView(schema: org.apache.spark.sql.types.StructType,
+      name: String): Column =
+    schema.fields.find(_.name == name).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.DateType) =>
+        unix_date(col(name)).cast("double")
+      case _ => col(name).cast("double")
+    }
 
   /** Rewrite `df` as a z-ordered parquet layout at `path`: range-
     * partition on the Morton code into `numFiles` files, sort within
@@ -659,10 +681,15 @@ object Zorder {
       }
       // commit point: the sentinel records the token AND the fold set
       // (a partial fold's victims are not recoverable by name pattern
-      // the way the whole-compact's "everything but the token" is)
+      // the way the whole-compact's "everything but the token" is).
+      // Written ATOMICALLY with a length-checked header — a torn list
+      // would make recovery delete only SOME victims while publishing
+      // ALL replacements, silently duplicating the unlisted files'
+      // rows (the whole-compact sentinel is torn-safe by construction,
+      // any token prefix being used self-consistently; a list is not)
       val token = java.util.UUID.randomUUID.toString.take(8)
-      Layout.writeMarker(spark, path, tailCompactingFile,
-        (token +: foldSet.map(st =>
+      Layout.writeMarkerAtomic(spark, path, tailCompactingFile,
+        (s"v1 $token ${foldSet.length}" +: foldSet.map(st =>
           java.net.URLEncoder.encode(st.getPath.getName, "UTF-8")))
           .mkString("\n"))
       foldSet.foreach { st =>
@@ -702,11 +729,25 @@ object Zorder {
     if (fs.exists(sentinel)) {
       val lines = Layout.readMarker(spark, root.toString, tailCompactingFile)
         .get.split('\n').map(_.trim)
-      require(lines.nonEmpty && lines(0).nonEmpty,
-        s"compactTail: empty $tailCompactingFile sentinel at $root — " +
-          "cannot tell the crashed fold's files apart; resolve manually")
-      val token = lines(0)
-      lines.drop(1).filter(_.nonEmpty).foreach { enc =>
+      // the header's recorded length re-verifies list integrity (the
+      // atomic write makes a torn sentinel unreachable; this is the
+      // second line of defense for a hand-damaged or foreign file —
+      // acting on a PARTIAL fold list would duplicate the rows of
+      // every unlisted victim)
+      val header = lines.headOption.getOrElse("").split(' ')
+      require(header.length == 3 && header(0) == "v1" &&
+        header(1).nonEmpty,
+        s"compactTail: unparseable $tailCompactingFile sentinel at " +
+          s"$root — cannot tell the crashed fold's files apart; " +
+          "resolve manually")
+      val token = header(1)
+      val names = lines.drop(1).filter(_.nonEmpty)
+      require(names.length == header(2).toInt,
+        s"compactTail: $tailCompactingFile sentinel at $root lists " +
+          s"${names.length} files but records ${header(2)} — a torn " +
+          "or damaged fold list; resolve manually (acting on a prefix " +
+          "would duplicate the unlisted files' rows)")
+      names.foreach { enc =>
         val p = new org.apache.hadoop.fs.Path(root,
           java.net.URLDecoder.decode(enc, "UTF-8"))
         if (fs.exists(p)) require(fs.delete(p, false),
@@ -719,6 +760,13 @@ object Zorder {
     } else if (fs.exists(tmp)) {
       require(fs.delete(tmp, true),
         s"compactTail: could not clear stale staging $tmp")
+    }
+    // a pre-rename crash of the atomic sentinel write leaves a hidden
+    // temp — dead by construction once we got here (no sentinel stands)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (!st.isDirectory &&
+          st.getPath.getName.startsWith(tailCompactingFile + ".tmp."))
+        fs.delete(st.getPath, false)
     }
   }
 
@@ -939,7 +987,8 @@ object Zorder {
       case other => sys.error(s"unknown curve '$other' in $markerFile")
     }
     if (!cl.cols.exists(_.kind == "r")) {
-      val qs = cl.cols.map(c => bucket(col(c.name), c.params(0), c.params(1), cl.bits))
+      val qs = cl.cols.map(c => bucket(numericView(df.schema, c.name),
+        c.params(0), c.params(1), cl.bits))
       (df, curveOf(qs), Nil)
     } else {
       require(!df.columns.exists(_.startsWith("__graft_zb_")),
@@ -951,8 +1000,9 @@ object Zorder {
       // nested-field access — untouched columns must never be resolved
       val staged = cl.cols.zip(bcols).foldLeft(df) { case (d, (c, bc)) =>
         d.withColumn(bc, c.kind match {
-          case "u" => bucket(col(c.name), c.params(0), c.params(1), cl.bits)
-          case _ => rankBucket(col(c.name).cast("double"), c.params)
+          case "u" => bucket(numericView(df.schema, c.name),
+            c.params(0), c.params(1), cl.bits)
+          case _ => rankBucket(numericView(df.schema, c.name), c.params)
         })
       }
       (staged, curveOf(bcols.map(col)), bcols)
@@ -984,8 +1034,8 @@ object Zorder {
         .otherwise(d)
     }
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      min(finite(col(c))).as(s"__lo_$c"),
-      max(finite(col(c))).as(s"__hi_$c")))
+      min(finite(numericView(df.schema, c))).as(s"__lo_$c"),
+      max(finite(numericView(df.schema, c))).as(s"__hi_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     // clustering an EMPTY frame is refused outright: zero rows pin a
     // degenerate lo = hi quantization into the marker, every future
@@ -1051,7 +1101,7 @@ object Zorder {
         "layout from resident data")
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    df.select(cols.map(c => numericView(df.schema, c).as(c)): _*)
       .stat.approxQuantile(cols.toArray, probs, 0.001)
       .map(_.distinct.sorted).toSeq
   }

@@ -493,7 +493,7 @@ class ZorderSpec extends SparkSpec {
       .repartitionByRange(2, col("__z")).sortWithinPartitions(col("__z"))
       .drop("__z").write.parquet(s"$d2/_graft_tail_tmp")
     graft.operators.Layout.writeMarker(spark, d2, "_graft_tail_compacting",
-      ("tok42" +: tails.map(p =>
+      (s"v1 tok42 ${tails.size}" +: tails.map(p =>
         java.net.URLEncoder.encode(p.getName, "UTF-8"))).mkString("\n"))
     assert(fs.delete(tails.head, false))
     // appends refuse while the sentinel stands
@@ -523,6 +523,51 @@ class ZorderSpec extends SparkSpec {
     Zorder.compactClustered(spark, d3)
     assert(spark.read.parquet(d3).count() == e.count())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d3, "_graft_tail_tmp")))
+
+    // a TORN/damaged fold list (count mismatch) must refuse loudly —
+    // acting on a prefix would duplicate the unlisted victims' rows
+    val d4 = Files.createTempDirectory("graft_zorder_tw4_").toString
+    Zorder.writeZordered(e, d4, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    graft.operators.Layout.writeMarker(spark, d4, "_graft_tail_compacting",
+      "v1 tokxx 3\nonlyonefile.parquet")
+    val torn = intercept[IllegalArgumentException](
+      Zorder.compactTail(spark, d4))
+    assert(torn.getMessage.contains("torn") ||
+      torn.getMessage.contains("lists"), torn.getMessage)
+  }
+
+  test("DATE columns cluster via epoch days; TIMESTAMP_NTZ is refused loudly") {
+    // ANSI forbids DATE→DOUBLE, so a date column must go through the
+    // shared unix_date normalization in EVERY stats pass and bucketing
+    // (write, rank boundaries, append, tail compact) — and NTZ is
+    // refused outright: its only numeric spelling shifts with the
+    // session timezone, which would mis-bucket cross-session appends
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .withColumn("d", to_date(col("ts")))
+    val dir = Files.createTempDirectory("graft_zorder_date_").toString
+    val base = e.filter(col("d") < to_date(lit("2024-01-20")))
+    val batch = e.filter(col("d") >= to_date(lit("2024-01-20")))
+    Zorder.writeHilbert(base, dir, Seq("user_id", "d"), bits = 8,
+      numFiles = 4)
+    assert(Zorder.appendClustered(batch, dir, batchId = 1, batchFiles = 2))
+    Zorder.compactTail(spark, dir)
+    val back = spark.read.parquet(dir)
+    val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "date-clustered lifecycle must hold exactly the source rows")
+    assert(disjoint(zRanges(dir)), "date-clustered layout must stay clustered")
+    // rank mode shares the same normalization
+    val dr = Files.createTempDirectory("graft_zorder_dater_").toString
+    Zorder.writeZorderedByRank(e, dr, Seq("user_id", "d"), bits = 4,
+      numFiles = 2)
+    assert(spark.read.parquet(dr).count() == e.count())
+    // NTZ: refused with the column and type named
+    val ntz = e.withColumn("tn", col("ts").cast("timestamp_ntz"))
+    val err = intercept[IllegalArgumentException](Zorder.writeZordered(
+      ntz, dir, Seq("user_id", "tn"), bits = 8, numFiles = 4))
+    assert(err.getMessage.contains("tn") &&
+      err.getMessage.contains("timestamp_ntz"), err.getMessage)
   }
 
   test("append refuses markerless, missing-column, and mid-compaction layouts") {
