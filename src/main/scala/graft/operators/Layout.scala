@@ -49,12 +49,17 @@ private[graft] object Layout {
   private def markerPath(path: String, file: String) =
     new org.apache.hadoop.fs.Path(path, file)
 
+  private def writeTo(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, payload: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+  }
+
   def writeMarker(spark: SparkSession, path: String, file: String,
       payload: String): Unit = {
     val p = markerPath(path, file)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    writeTo(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+      payload)
   }
 
   /** [[writeMarker]] with an ATOMIC publish: payload goes to a hidden
@@ -73,8 +78,7 @@ private[graft] object Layout {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = markerPath(path,
       s"$file.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    writeTo(fs, tmp, payload)
     require(fs.rename(tmp, p),
       s"writeMarkerAtomic: rename $tmp -> $p failed (marker already " +
         "present, or a filesystem error)")

@@ -726,17 +726,32 @@ object Zorder {
       root: org.apache.hadoop.fs.Path): Unit = {
     val sentinel = new org.apache.hadoop.fs.Path(root, tailCompactingFile)
     val tmp = new org.apache.hadoop.fs.Path(root, tailTmpDir)
+    // a pre-rename crash of the atomic sentinel write leaves a hidden
+    // temp; it can ONLY coexist with the staging dir (the temp is
+    // created while staging stands, and staging is dropped only after
+    // the rename succeeded), so the sweep lives in the crash arms —
+    // the steady no-crash path pays no extra directory listing
+    def sweepSentinelTemps(): Unit =
+      fs.listStatus(root).foreach { st =>
+        if (!st.isDirectory &&
+            st.getPath.getName.startsWith(tailCompactingFile + ".tmp."))
+          fs.delete(st.getPath, false)
+      }
     if (fs.exists(sentinel)) {
       val lines = Layout.readMarker(spark, root.toString, tailCompactingFile)
         .get.split('\n').map(_.trim)
       // the header's recorded length re-verifies list integrity (the
-      // atomic write makes a torn sentinel unreachable; this is the
-      // second line of defense for a hand-damaged or foreign file —
-      // acting on a PARTIAL fold list would duplicate the rows of
-      // every unlisted victim)
+      // atomic write makes a torn sentinel unreachable, and the v1
+      // header is the only format any released writer ever stamped;
+      // this is the second line of defense for a hand-damaged or
+      // foreign file — acting on a PARTIAL fold list would duplicate
+      // the rows of every unlisted victim). The count must parse as a
+      // bounded integer INSIDE the guard, or a mangled field would
+      // escape as a bare NumberFormatException without the
+      // resolve-manually context.
       val header = lines.headOption.getOrElse("").split(' ')
       require(header.length == 3 && header(0) == "v1" &&
-        header(1).nonEmpty,
+        header(1).nonEmpty && header(2).matches("\\d{1,9}"),
         s"compactTail: unparseable $tailCompactingFile sentinel at " +
           s"$root — cannot tell the crashed fold's files apart; " +
           "resolve manually")
@@ -757,16 +772,11 @@ object Zorder {
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(sentinel, false),
         s"compactTail: could not clear $sentinel after recovery")
+      sweepSentinelTemps()
     } else if (fs.exists(tmp)) {
       require(fs.delete(tmp, true),
         s"compactTail: could not clear stale staging $tmp")
-    }
-    // a pre-rename crash of the atomic sentinel write leaves a hidden
-    // temp — dead by construction once we got here (no sentinel stands)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      if (!st.isDirectory &&
-          st.getPath.getName.startsWith(tailCompactingFile + ".tmp."))
-        fs.delete(st.getPath, false)
+      sweepSentinelTemps()
     }
   }
 
