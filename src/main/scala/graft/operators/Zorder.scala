@@ -731,6 +731,9 @@ object Zorder {
     // created while staging stands, and staging is dropped only after
     // the rename succeeded), so the sweep lives in the crash arms —
     // the steady no-crash path pays no extra directory listing
+    // the sweep runs FIRST in each arm — after the arm's own deletes a
+    // crash would leave the temp with neither sentinel nor staging,
+    // a state no later call re-enters, and the temp would leak forever
     def sweepSentinelTemps(): Unit =
       fs.listStatus(root).foreach { st =>
         if (!st.isDirectory &&
@@ -738,6 +741,7 @@ object Zorder {
           fs.delete(st.getPath, false)
       }
     if (fs.exists(sentinel)) {
+      sweepSentinelTemps()
       val lines = Layout.readMarker(spark, root.toString, tailCompactingFile)
         .get.split('\n').map(_.trim)
       // the header's recorded length re-verifies list integrity (the
@@ -772,11 +776,10 @@ object Zorder {
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(sentinel, false),
         s"compactTail: could not clear $sentinel after recovery")
-      sweepSentinelTemps()
     } else if (fs.exists(tmp)) {
+      sweepSentinelTemps()
       require(fs.delete(tmp, true),
         s"compactTail: could not clear stale staging $tmp")
-      sweepSentinelTemps()
     }
   }
 
