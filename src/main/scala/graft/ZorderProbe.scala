@@ -184,14 +184,13 @@ object ZorderProbe {
         .map(st => st.getPath.getName -> st.getLen).toMap
     def tsIn(lo: String, hi: String) =
       col("ts") >= to_timestamp(lit(lo)) && col("ts") < to_timestamp(lit(hi))
-    // batchFiles is the tail's z-FOOTPRINT precision: the fold sees a
-    // tail file as its [zmin, zmax] hull, so a spread batch appended
-    // into too few files bridges the curve segments it actually
-    // occupies and folds the residents in between — 2 files measured
-    // 13 residents folded on the backfill slab, 8 files measures the
-    // honest ~slab-sized fold below
+    // the fold is VALUE-level (a resident folds iff a tail z-value
+    // lands inside its interval), so batchFiles does not move the fold
+    // size — the two regimes run at DIFFERENT batchFiles (2 and 8) as
+    // the independence check; under the earlier hull-based cut, 2
+    // files dragged 13 residents in for the 6.5% backfill slab
     Seq(
-      ("backfill", tsIn("2024-01-20 00:00:00", "2024-01-22 00:00:00"), 8),
+      ("backfill", tsIn("2024-01-20 00:00:00", "2024-01-22 00:00:00"), 2),
       ("newdays", tsIn("2024-01-30 00:00:00", "2024-02-01 00:00:00"), 8)
     ).foreach { case (kind, batchPred, batchFiles) =>
       val tl = s"$tmp/hilbert_tail_$kind"

@@ -553,22 +553,22 @@ object Zorder {
     * the whole-compact contract grades).
     *
     * ==Cost shape==
-    * The fold sees each tail file as its [zmin, zmax] HULL, so the
-    * append's `batchFiles` is the tail's z-footprint precision: a
-    * spread batch landed in too few files bridges the curve segments
-    * it actually occupies and folds the residents in between — size
-    * `batchFiles` to the batch's spread (ZorderProbe measures the
-    * difference on a backfill slab).
-    * One narrow scan of the TAIL files (clustered columns only)
-    * computes the tail's exact z-ranges; resident files' ranges come
-    * from the `_graft_zranges` cache — a pure cache: entries for
-    * missing files are recomputed by a targeted scan and re-stamped,
-    * so the FIRST tail compact of a legacy layout pays one narrow
-    * full scan and every later one scans ∝ tail. The rewrite
-    * (shuffle + sort + write of full-width rows, the dominant cost)
-    * is ∝ fold set by construction. Replacement file count is sized
-    * by bytes (fold bytes / mean resident file bytes), so file sizes
-    * stay near the grid's.
+    * Overlap is tested at VALUE level — a resident folds iff some tail
+    * z-value lands inside its interval — so the fold is MINIMAL and
+    * independent of how many files the append spread the batch over
+    * (a hull test would let a spread batch's few files bridge the
+    * curve segments they occupy and drag every resident in between
+    * into the rewrite). One narrow scan of the TAIL files (clustered
+    * columns only) feeds a binary search over the broadcast resident
+    * boundaries; resident files' own ranges come from the
+    * `_graft_zranges` cache — a pure cache: entries for missing files
+    * are recomputed by a targeted scan and re-stamped, so the FIRST
+    * tail compact of a legacy layout pays one narrow full scan and
+    * every later one scans ∝ tail. The rewrite (shuffle + sort + write
+    * of full-width rows, the dominant cost) is ∝ fold set by
+    * construction. Replacement file count is sized by bytes (fold
+    * bytes / mean resident file bytes), so file sizes stay near the
+    * grid's.
     *
     * ==Crash protocol==
     * Same staged-swap discipline as [[compactClustered]], with the
@@ -611,33 +611,85 @@ object Zorder {
       st.getPath.getName.matches("b\\d+-.*"))
     if (tails.isEmpty) false
     else {
-      // exact per-file z-ranges: cached for residents (self-healing —
-      // entries whose file vanished are dropped, files without entries
-      // get ONE targeted narrow scan), always freshly scanned for the
-      // tail (its files are new by definition). File names are unique
-      // forever (every write embeds a job UUID), so a named entry can
-      // never describe different bytes.
+      // resident per-file z-ranges: cached and self-healing — entries
+      // whose file vanished are dropped, residents without entries get
+      // ONE targeted narrow scan. File names are unique forever (every
+      // write embeds a job UUID), so a named entry can never describe
+      // different bytes. Tail files need no range entries: the fold
+      // tests them by VALUE below.
       val names = files.map(_.getPath.getName).toSet
       val cached = readZranges(spark, path).filter(e => names.contains(e._1))
-      val missing = files.filter(st => !cached.contains(st.getPath.getName))
+      val missing = mains.filter(st => !cached.contains(st.getPath.getName))
       val ivs = cached ++ computeZranges(spark, cl, missing.map(_.getPath))
-      // 0-row files have no interval: tail ones join the fold (they
-      // must not linger as eternal "tail"); resident ones are inert
-      val tailIvs = mergeIntervals(
-        tails.flatMap(st => ivs.get(st.getPath.getName)))
-      def hits(iv: (Long, Long), in: Seq[(Long, Long)]): Boolean =
-        in.exists(r => iv._1 <= r._2 && iv._2 >= r._1)
-      val foldMains = mains.filter(st =>
-        ivs.get(st.getPath.getName).exists(hits(_, tailIvs)))
+      // fold selection by VALUE-level overlap, never per-tail-file
+      // hulls: a resident folds iff at least one tail z-VALUE lands
+      // inside its interval. A hull test over-folds badly — a spread
+      // batch landed in few files BRIDGES the curve segments it
+      // occupies and drags every resident in between into the rewrite
+      // (measured in ZorderProbe's first cut: 50 of 128 residents for
+      // a 6.5% time slab; value-level folds only the residents the
+      // slab actually crosses, independent of the append's
+      // batchFiles). One job over the tail's z-values: each value
+      // binary-searches a broadcast boundary list of the sorted
+      // resident intervals and lands in a resident slot or an
+      // inter-resident GAP slot; per-slot min/max come back in one
+      // tiny aggregate. A deliberate udf: a maintenance job over tail
+      // rows only (never a benched query path), EXACT long arithmetic
+      // (a double spelling corrupts codes past 2^53), O(log M) per row
+      // over a boundary list with no codegen-expressible spelling at
+      // 10^5 residents.
+      val mainIvsSorted = mains.flatMap(st =>
+        ivs.get(st.getPath.getName).map(iv => (st.getPath.getName, iv)))
+        .sortBy(_._2._1)
+      val flat = mainIvsSorted
+        .flatMap { case (_, (lo, hi)) => Seq(lo, hi) }.toArray
+      val m = mainIvsSorted.length
+      // the binary search needs the layout invariant (pairwise-disjoint
+      // resident intervals → strictly sorted bounds); a layout that
+      // lost it (foreign writes) folds EVERYTHING — the fold itself
+      // restores the invariant
+      val invariantHolds =
+        flat.indices.drop(1).forall(i => flat(i - 1) <= flat(i))
+      val (foldMainNames, gapIvs): (Set[String], Seq[(Long, Long)]) =
+        if (!invariantHolds) (mainIvsSorted.map(_._1).toSet, Seq.empty)
+        else {
+          val bcFlat = spark.sparkContext.broadcast(flat)
+          val slotOf = udf { (zv: Long) =>
+            val a = bcFlat.value
+            val p = java.util.Arrays.binarySearch(a, zv)
+            if (p >= 0) (p / 2).toLong // on a bound => inside resident p/2
+            else {
+              val q = -p - 1
+              if (q % 2 == 1) (q / 2).toLong // strictly inside resident
+              else (a.length / 2 + q / 2).toLong // gap before resident q/2
+            }
+          }
+          val tailDf = spark.read.option("mergeSchema", "true")
+            .parquet(tails.map(_.getPath.toString): _*)
+            .select(cl.cols.map(c => col(c.name)): _*)
+          val (stagedT, zT, _) = clusteredFrame(tailDf, cl)
+          val slots = stagedT.select(zT.as("__z"))
+            .groupBy(slotOf(col("__z")).as("__slot"))
+            .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          bcFlat.destroy()
+          (slots.collect { case (s, _, _) if s < m =>
+            mainIvsSorted(s.toInt)._1 }.toSet,
+            slots.collect { case (s, lo, hi) if s >= m => (lo, hi) }.toSeq)
+        }
+      val foldMains = mains.filter(st => foldMainNames(st.getPath.getName))
       val foldSet = tails ++ foldMains
       val foldNames = foldSet.map(_.getPath.getName).toSet
       val untouchedIvs = mains.filterNot(st => foldNames(st.getPath.getName))
         .flatMap(st => ivs.get(st.getPath.getName)).sortBy(_._1)
-      // regions: merged fold intervals, then adjacent regions coalesced
-      // when no untouched interval sits in the gap between them (fewer
-      // region-boundary files, same disjointness guarantee)
+      // regions: folded residents' intervals plus the PER-GAP tail
+      // value spans (each lies strictly between resident intervals, so
+      // it can never cover an untouched resident), merged, then
+      // adjacent regions coalesced when no untouched interval sits
+      // between them (fewer region-boundary files, same guarantee)
       val regions = coalesceRegions(mergeIntervals(
-        foldSet.flatMap(st => ivs.get(st.getPath.getName))), untouchedIvs)
+        foldMains.flatMap(st => ivs.get(st.getPath.getName)) ++ gapIvs),
+        untouchedIvs)
       // replacement file count by BYTES, so replacement files stay the
       // grid's size: fold bytes over the mean resident file
       val foldBytes = foldSet.map(_.getLen).sum
