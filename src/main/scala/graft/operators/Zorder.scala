@@ -645,11 +645,16 @@ object Zorder {
         .flatMap { case (_, (lo, hi)) => Seq(lo, hi) }.toArray
       val m = mainIvsSorted.length
       // the binary search needs the layout invariant (pairwise-disjoint
-      // resident intervals → strictly sorted bounds); a layout that
-      // lost it (foreign writes) folds EVERYTHING — the fold itself
-      // restores the invariant
-      val invariantHolds =
-        flat.indices.drop(1).forall(i => flat(i - 1) <= flat(i))
+      // resident intervals); a layout that lost it (foreign writes)
+      // folds EVERYTHING — the fold itself restores the invariant.
+      // WITHIN an interval lo <= hi suffices, but BETWEEN intervals the
+      // check must be STRICT: residents sharing an endpoint ([100,200],
+      // [200,300]) are non-decreasing yet overlap at the shared value,
+      // and the search would fold only one of them — leaving the
+      // overlap in place forever instead of triggering the repair
+      val invariantHolds = flat.indices.drop(1).forall(i =>
+        if (i % 2 == 1) flat(i - 1) <= flat(i) // lo_k <= hi_k
+        else flat(i - 1) < flat(i)) // hi_k < lo_{k+1}
       val (foldMainNames, gapIvs): (Set[String], Seq[(Long, Long)]) =
         if (!invariantHolds) (mainIvsSorted.map(_._1).toSet, Seq.empty)
         else {

@@ -458,6 +458,45 @@ class ZorderSpec extends SparkSpec {
       "two-ended tail compact must hold exactly the source rows")
   }
 
+  test("compactTail repairs a layout whose resident intervals overlap (foreign files)") {
+    // the invariant-lost arm: resident z-intervals that OVERLAP (files
+    // landed outside the protocol) make the binary-search fold
+    // unsound, so the fold must take EVERYTHING with an interval —
+    // restoring pairwise disjointness — rather than trust the search
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_fr_").toString
+    val foreignSrc = Files.createTempDirectory("graft_zorder_frs_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e1 = e.filter(col("event_id") % 2 === 0)
+    val e2 = e.filter(col("event_id") % 2 =!= 0 && col("event_id") % 3 =!= 0)
+    val b1 = e.filter(col("event_id") % 2 =!= 0 && col("event_id") % 3 === 0)
+    Zorder.writeZordered(e1, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 2)
+    // foreign files: a second clustered write of DIFFERENT rows over
+    // the same domain, hand-copied in — their intervals overlap the
+    // residents'
+    Zorder.writeZordered(e2, foreignSrc, Seq("user_id", "value"), bits = 8,
+      numFiles = 2)
+    fs.listStatus(new org.apache.hadoop.fs.Path(foreignSrc))
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName))
+      .zipWithIndex.foreach { case (st, i) =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dir, s"foreign$i.parquet"),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    assert(Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2))
+    assert(Zorder.compactTail(spark, dir))
+    assert(disjoint(zRanges(dir)),
+      "the repair fold must restore pairwise-disjoint residents")
+    val back = spark.read.parquet(dir)
+    val expect = e1.unionByName(e2).unionByName(b1)
+    val (a, b) = (fp(expect.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "the repair fold must hold exactly resident ∪ foreign ∪ batch rows")
+  }
+
   test("compactTail recovers crash windows; appends refuse under its sentinel") {
     val e = sources.Tables.load(spark, sfDir, "events")
     val fs = new org.apache.hadoop.fs.Path("/")
