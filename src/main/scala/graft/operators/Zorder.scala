@@ -638,23 +638,31 @@ object Zorder {
       // (a double spelling corrupts codes past 2^53), O(log M) per row
       // over a boundary list with no codegen-expressible spelling at
       // 10^5 residents.
+      // sorted by (lo, hi) — lo alone is not enough: sorted-run file
+      // splitting can put a single-value file (0,0) NEXT TO the wider
+      // run file (0,2) that shares its boundary value, and a lo-tie
+      // ordered (0,2),(0,0) would read as genuine overlap below
       val mainIvsSorted = mains.flatMap(st =>
         ivs.get(st.getPath.getName).map(iv => (st.getPath.getName, iv)))
-        .sortBy(_._2._1)
+        .sortBy(_._2)
       val flat = mainIvsSorted
         .flatMap { case (_, (lo, hi)) => Seq(lo, hi) }.toArray
       val m = mainIvsSorted.length
-      // the binary search needs the layout invariant (pairwise-disjoint
-      // resident intervals); a layout that lost it (foreign writes)
-      // folds EVERYTHING — the fold itself restores the invariant.
-      // WITHIN an interval lo <= hi suffices, but BETWEEN intervals the
-      // check must be STRICT: residents sharing an endpoint ([100,200],
-      // [200,300]) are non-decreasing yet overlap at the shared value,
-      // and the search would fold only one of them — leaving the
-      // overlap in place forever instead of triggering the repair
+      // the binary search needs the layout near-invariant: residents
+      // pairwise disjoint EXCEPT at shared BOUNDARY values — a range
+      // task's sorted output split across files (e.g. under
+      // spark.sql.files.maxRecordsPerFile) legally puts one z value on
+      // both sides of a cut, including single-value files inside a
+      // wider neighbor's boundary ((0,0) beside (0,2)). Under the
+      // (lo, hi) sort these all keep `flat` non-decreasing and are
+      // handled by the containment expansion below, never by the
+      // repair arm (a repair that whole-folds a healthy tie layout
+      // would pay a full-table rewrite EVERY cycle, and the rewrite
+      // under the same config regenerates the tie). GENUINE interior
+      // overlap makes `flat` decrease somewhere (hi_k > lo_{k+1}) and
+      // folds EVERYTHING — that fold restores the invariant.
       val invariantHolds = flat.indices.drop(1).forall(i =>
-        if (i % 2 == 1) flat(i - 1) <= flat(i) // lo_k <= hi_k
-        else flat(i - 1) < flat(i)) // hi_k < lo_{k+1}
+        flat(i - 1) <= flat(i))
       val (foldMainNames, gapIvs): (Set[String], Seq[(Long, Long)]) =
         if (!invariantHolds) (mainIvsSorted.map(_._1).toSet, Seq.empty)
         else {
@@ -678,8 +686,29 @@ object Zorder {
             .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           bcFlat.destroy()
-          (slots.collect { case (s, _, _) if s < m =>
-            mainIvsSorted(s.toInt)._1 }.toSet,
+          // containment EXPANSION for endpoint ties: a tail value ON a
+          // shared endpoint lives in BOTH residents, but the search
+          // returned only one slot — fold every resident whose interval
+          // contains the slot's boundary values (an interior value is
+          // contained only by its own slot, so expanding unconditionally
+          // is exact). los is sorted; residents containing v form a
+          // contiguous run ending at the last lo <= v.
+          val los = mainIvsSorted.map(_._2._1).toArray
+          def containing(v: Long): Seq[Int] = {
+            var j = java.util.Arrays.binarySearch(los, v)
+            if (j < 0) j = -j - 2 // last lo <= v
+            else while (j + 1 < m && los(j + 1) == v) j += 1
+            val out = Seq.newBuilder[Int]
+            var i = j
+            while (i >= 0 && mainIvsSorted(i)._2._2 >= v) {
+              out += i; i -= 1
+            }
+            out.result()
+          }
+          val folded = slots.collect { case (s, lo, hi) if s < m =>
+            s.toInt +: (containing(lo) ++ containing(hi))
+          }.flatten.toSet
+          (folded.map(i => mainIvsSorted(i)._1),
             slots.collect { case (s, lo, hi) if s >= m => (lo, hi) }.toSeq)
         }
       val foldMains = mains.filter(st => foldMainNames(st.getPath.getName))

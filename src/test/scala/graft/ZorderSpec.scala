@@ -458,6 +458,62 @@ class ZorderSpec extends SparkSpec {
       "two-ended tail compact must hold exactly the source rows")
   }
 
+  test("endpoint ties between residents fold by containment, not whole-layout repair") {
+    // hi_k == lo_{k+1} is a LEGAL layout state: a range task's z-sorted
+    // output split across files (spark.sql.files.maxRecordsPerFile)
+    // puts one z value on both sides of the cut. The fold must (a) NOT
+    // treat it as the lost invariant (whole-folding a healthy tie
+    // layout would pay a full rewrite every cycle, and the rewrite
+    // regenerates the tie), and (b) fold EVERY resident containing a
+    // tied tail value — the search alone returns one arbitrary side
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_tie_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "97")
+    try Zorder.writeZordered(e, dir, Seq("user_id", "value"), bits = 1,
+      numFiles = 2)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val pre = zRanges(dir).sortBy(_._1)
+    assert(pre.zip(pre.drop(1)).exists { case ((_, hi), (lo2, _)) => hi == lo2 },
+      s"precondition: the split layout must carry endpoint ties, got $pre")
+    def dataNames: Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir))
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName))
+      .map(_.getPath.getName).toSet
+    val mains = dataNames
+    // the batch lands entirely in z = 0 (both dims in the lower half
+    // of the pinned bounds at bits = 1)
+    val b = e.filter(col("user_id") <= 5 && col("value") < 100.0)
+    assert(b.count() > 0, "tie batch must be non-empty")
+    assert(Zorder.appendClustered(b, dir, batchId = 1, batchFiles = 1))
+    assert(Zorder.compactTail(spark, dir))
+    val after = dataNames
+    // (a) NOT the repair arm: residents not containing z=0 survive
+    assert((mains & after).nonEmpty,
+      "a tie layout must not whole-fold — residents away from the " +
+        "batch's z must survive")
+    // (b) containment expansion: NO surviving old resident still
+    // contains z = 0 — both sides of every 0-tie folded
+    val cl = Zorder.clusteringOf(spark, dir).get
+    val survivors = Zorder.curveValues(spark.read.parquet(dir), cl, "__z")
+      .select(input_file_name().as("f"), col("__z"))
+      .groupBy(col("f")).agg(min("__z").as("lo"))
+      .collect().filter(r => (mains & after)(r.getString(0).split('/').last))
+    assert(survivors.forall(_.getLong(1) > 0L),
+      "every resident containing the tied z=0 must have folded")
+    // rows exact through the tie fold; no overlap beyond ties remains
+    val back = spark.read.parquet(dir)
+    val expect = e.unionByName(b)
+    val (a2, b2) = (fp(expect.select(back.columns.map(col): _*)), fp(back))
+    assert(a2.getLong(0) == b2.getLong(0) && a2.getDecimal(1) == b2.getDecimal(1),
+      "tie fold must hold exactly resident ∪ batch rows")
+    val post = zRanges(dir).sortBy(_._1)
+    assert(post.zip(post.drop(1)).forall { case ((_, hi), (lo2, _)) => hi <= lo2 },
+      s"no overlap beyond endpoint ties may remain, got $post")
+  }
+
   test("compactTail repairs a layout whose resident intervals overlap (foreign files)") {
     // the invariant-lost arm: resident z-intervals that OVERLAP (files
     // landed outside the protocol) make the binary-search fold
