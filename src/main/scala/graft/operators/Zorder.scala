@@ -538,19 +538,26 @@ object Zorder {
     * degrades toward the whole-layout fold).
     *
     * ==Why the result is still fully clustered==
-    * The layout invariant (every non-tail file's z-range is pairwise
-    * disjoint — established by the bootstrap write's range partition,
-    * maintained here by induction) makes the fold set CLOSED: a
-    * resident file not intersecting any tail interval can't intersect
-    * any folded row's z-value either. The rewritten rows are
-    * range-partitioned on z and split by REGION (the merged fold
-    * intervals, which the invariant keeps interval-disjoint from every
-    * untouched file) via a `partitionBy` on a region bucket, so no
-    * replacement file can SPAN a gap that holds an untouched file —
-    * replacement z-ranges stay disjoint from untouched ones, and
-    * ZorderSpec pins pairwise disjointness of the whole layout after a
-    * tail compact (the same structural "fully clustered" definition
-    * the whole-compact contract grades).
+    * The layout near-invariant — every non-tail file's z-range is
+    * pairwise disjoint EXCEPT at shared boundary values (a range
+    * task's sorted output split across files legally puts one z value
+    * on both sides of a cut, e.g. under
+    * `spark.sql.files.maxRecordsPerFile`) — makes the fold set CLOSED:
+    * a resident whose interval holds no tail z-VALUE can't hold any
+    * folded row's value beyond a shared endpoint, and residents tied
+    * at a folded value are folded too (the containment expansion). The
+    * rewritten rows are range-partitioned on z and split by REGION
+    * (the fold intervals merged by the untouched-aware
+    * [[buildRegions]] rule) via a `partitionBy` on a region bucket, so
+    * no replacement file can SPAN a junction that an untouched file
+    * sits at or inside — replacement z-ranges at worst TIE an
+    * untouched file at a boundary value the layout already shared,
+    * never strictly contain one. ZorderSpec pins pairwise
+    * disjointness after a tail compact on tie-free layouts (the same
+    * structural "fully clustered" the whole-compact contract grades)
+    * and no-overlap-beyond-ties on tie layouts; a layout with GENUINE
+    * interior overlap (foreign writes) folds everything, restoring the
+    * invariant.
     *
     * ==Cost shape==
     * Overlap is tested at VALUE level — a resident folds iff some tail
@@ -705,8 +712,10 @@ object Zorder {
             }
             out.result()
           }
+          // (the slot itself is always in containing(lo) — its tail
+          // min lies inside its own interval)
           val folded = slots.collect { case (s, lo, hi) if s < m =>
-            s.toInt +: (containing(lo) ++ containing(hi))
+            containing(lo) ++ containing(hi)
           }.flatten.toSet
           (folded.map(i => mainIvsSorted(i)._1),
             slots.collect { case (s, lo, hi) if s >= m => (lo, hi) }.toSeq)
@@ -718,11 +727,18 @@ object Zorder {
         .flatMap(st => ivs.get(st.getPath.getName)).sortBy(_._1)
       // regions: folded residents' intervals plus the PER-GAP tail
       // value spans (each lies strictly between resident intervals, so
-      // it can never cover an untouched resident), merged, then
-      // adjacent regions coalesced when no untouched interval sits
-      // between them (fewer region-boundary files, same guarantee)
-      val regions = coalesceRegions(mergeIntervals(
-        foldMains.flatMap(st => ivs.get(st.getPath.getName)) ++ gapIvs),
+      // it can never cover an untouched resident), merged by the
+      // UNTOUCHED-AWARE rule — adjacent intervals join only when no
+      // untouched resident sits at or between their junction. One rule
+      // for overlap, touching AND gap coalescing, because under
+      // endpoint ties each of the naive forms can swallow an untouched
+      // resident: folded (0,10) and (10,30) with untouched (10,10)
+      // between them must stay two regions, or the replacement spans
+      // [0,30], strictly contains (10,10), and the next compact trips
+      // the whole-layout repair — the recurring full rewrite this
+      // operator exists to avoid
+      val regions = buildRegions(
+        foldMains.flatMap(st => ivs.get(st.getPath.getName)) ++ gapIvs,
         untouchedIvs)
       // replacement file count by BYTES, so replacement files stay the
       // grid's size: fold bytes over the mean resident file
@@ -953,31 +969,25 @@ object Zorder {
           java.lang.Long.toHexString(hi)
       }.mkString("\n"))
 
-  /** Merge overlapping-or-touching closed long intervals (sorted by
-    * lo). Touching = hi >= lo2 − 1: two integer intervals with no gap
-    * value between them behave as one. */
-  private[graft] def mergeIntervals(
-      ivs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-    val sorted = ivs.sortBy(_._1)
-    sorted.foldLeft(List.empty[(Long, Long)]) {
-      case ((lo, hi) :: rest, (lo2, hi2))
-          if lo2 <= hi || (hi < Long.MaxValue && lo2 == hi + 1) =>
-        (lo, math.max(hi, hi2)) :: rest
-      case (acc, iv) => iv :: acc
-    }.reverse
-  }
-
-  /** Coalesce adjacent regions when NO untouched interval intersects
-    * the open gap between them — fewer regions means fewer
-    * boundary-split files; the guarantee (no replacement file spans an
-    * untouched file's range) only needs splits at gaps that HOLD one.
-    * Both inputs sorted by lo; untouched intervals never intersect the
-    * regions themselves (the layout invariant), only gaps. */
-  private[graft] def coalesceRegions(regions: Seq[(Long, Long)],
+  /** Region construction for the tail fold: sort the fold intervals
+    * by (lo, hi) and merge each adjacent pair UNLESS an untouched
+    * resident sits at or between their junction — `u.hi >= hi₁ &&
+    * u.lo <= lo₂` over the CLOSED junction [hi₁, lo₂]. One rule covers
+    * overlap, endpoint-touch and gap coalescing, and it is the rule
+    * the disjointness argument needs under endpoint ties: an untouched
+    * resident can only TOUCH fold intervals at shared boundary values
+    * (anything deeper failed the invariant check and took the repair
+    * arm), so blocking every junction it touches keeps it outside the
+    * merged region's interior — replacement files then tie it at worst,
+    * never strictly contain it. Blocked junctions leave regions that
+    * may share a boundary value; the region bucket (a monotone
+    * hi-bound search) still assigns every z deterministically, the
+    * shared value landing with the LEFT region. */
+  private[graft] def buildRegions(ivs: Seq[(Long, Long)],
       untouched: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    regions.foldLeft(List.empty[(Long, Long)]) {
+    ivs.sorted.foldLeft(List.empty[(Long, Long)]) {
       case ((lo, hi) :: rest, (lo2, hi2))
-          if !untouched.exists(u => u._2 > hi && u._1 < lo2) =>
+          if !untouched.exists(u => u._2 >= hi && u._1 <= lo2) =>
         (lo, math.max(hi, hi2)) :: rest
       case (acc, iv) => iv :: acc
     }.reverse

@@ -475,8 +475,10 @@ class ZorderSpec extends SparkSpec {
       numFiles = 2)
     finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     val pre = zRanges(dir).sortBy(_._1)
-    assert(pre.zip(pre.drop(1)).exists { case ((_, hi), (lo2, _)) => hi == lo2 },
-      s"precondition: the split layout must carry endpoint ties, got $pre")
+    // the tie must be AT THE BATCH'S VALUE (z = 0), or assertion (b)
+    // passes without the containment expansion ever firing
+    assert(pre.count { case (lo, hi) => lo <= 0L && 0L <= hi } >= 2,
+      s"precondition: >= 2 residents must share the batch's z=0, got $pre")
     def dataNames: Set[String] = fs.listStatus(
         new org.apache.hadoop.fs.Path(dir))
       .filter(st => !st.isDirectory &&
