@@ -723,8 +723,10 @@ object Zorder {
       val foldMains = mains.filter(st => foldMainNames(st.getPath.getName))
       val foldSet = tails ++ foldMains
       val foldNames = foldSet.map(_.getPath.getName).toSet
+      // sorted by (lo, hi) — buildRegions' binary search needs the hi
+      // sequence non-decreasing, which a lo-only sort breaks on lo-ties
       val untouchedIvs = mains.filterNot(st => foldNames(st.getPath.getName))
-        .flatMap(st => ivs.get(st.getPath.getName)).sortBy(_._1)
+        .flatMap(st => ivs.get(st.getPath.getName)).sorted
       // regions: folded residents' intervals plus the PER-GAP tail
       // value spans (each lies strictly between resident intervals, so
       // it can never cover an untouched resident), merged by the
@@ -984,13 +986,29 @@ object Zorder {
     * hi-bound search) still assigns every z deterministically, the
     * shared value landing with the LEFT region. */
   private[graft] def buildRegions(ivs: Seq[(Long, Long)],
-      untouched: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      untouched: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    // the junction test is O(log U), not a linear exists — at 10^5
+    // residents with half folded, a linear scan per junction is 10^9
+    // driver comparisons. untouched is sorted by lo, and under the
+    // layout near-invariant its his are non-decreasing too, so the
+    // candidate with u.hi >= hi of MINIMAL lo is exactly the first
+    // index by the his order — one binary search, one lo check.
+    val uLos = untouched.map(_._1).toArray
+    val uHis = untouched.map(_._2).toArray
+    def blocked(hi: Long, lo2: Long): Boolean = {
+      var l = 0; var r = uHis.length
+      while (l < r) {
+        val mid = (l + r) >>> 1
+        if (uHis(mid) >= hi) r = mid else l = mid + 1
+      }
+      l < uLos.length && uLos(l) <= lo2
+    }
     ivs.sorted.foldLeft(List.empty[(Long, Long)]) {
-      case ((lo, hi) :: rest, (lo2, hi2))
-          if !untouched.exists(u => u._2 >= hi && u._1 <= lo2) =>
+      case ((lo, hi) :: rest, (lo2, hi2)) if !blocked(hi, lo2) =>
         (lo, math.max(hi, hi2)) :: rest
       case (acc, iv) => iv :: acc
     }.reverse
+  }
 
   /** Region index of `z` — count of regions whose hi bound is below
     * it, as a balanced when/otherwise tree over LONGS (the rankBucket
