@@ -61,8 +61,13 @@ object Zorder {
 
   /** One clustered column's pinned quantization: `kind` "u" =
     * equal-width with params [lo, hi]; "r" = equal-depth with params =
-    * the sorted rank boundaries. */
-  final case class ColQuant(name: String, kind: String, params: Seq[Double])
+    * the sorted numeric rank boundaries; "s" = equal-depth over a
+    * STRING key with `sparams` = the boundary strings, sorted in
+    * Spark's UTF8 binary order (the order the bucketing comparisons
+    * run in — a driver-side java.lang.String sort would disagree on
+    * supplementary characters). */
+  final case class ColQuant(name: String, kind: String,
+      params: Seq[Double], sparams: Seq[String] = Nil)
 
   /** A clustered layout's full physical identity — everything an
     * append or compaction needs to place NEW rows exactly where the
@@ -146,7 +151,7 @@ object Zorder {
     * argument never costs the full-table stats pass first — interleave
     * re-checks its own invariants, but by then the scan has run. */
   private def validateWrite(df: DataFrame, cols: Seq[String], bits: Int,
-      numFiles: Int): Unit = {
+      numFiles: Int, allowStrings: Boolean = false): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(cols.length >= 2,
       s"z-ordering needs >= 2 dimensions, got ${cols.length} (use a plain sort)")
@@ -179,16 +184,21 @@ object Zorder {
         case org.apache.spark.sql.types.DateType |
              org.apache.spark.sql.types.TimestampType |
              org.apache.spark.sql.types.BooleanType => true
+        // strings carry no numeric scale to stretch equal-WIDTH
+        // buckets over — only the RANK forms admit them, with
+        // boundaries pinned as actual key strings
+        case org.apache.spark.sql.types.StringType => allowStrings
         case _ => false
       }
       require(ok,
         s"clustered column '$c' has type ${f.dataType.catalogString} — " +
           "clustering needs a numeric, timestamp, date or boolean " +
-          "column (anything else pins a degenerate never-pruning " +
-          "quantization into the layout marker, or crashes the stats " +
-          "pass); cluster on a numeric key, cast timestamp_ntz to " +
-          "timestamp, or derive a key (e.g. a dictionary code or " +
-          "xxhash64 bucket) first")
+          "column (string keys: use writeZorderedByRank/" +
+          "writeHilbertByRank, which pin rank boundaries; anything " +
+          "else pins a degenerate never-pruning quantization into the " +
+          "layout marker, or crashes the stats pass); cluster on a " +
+          "numeric key, cast timestamp_ntz to timestamp, or derive a " +
+          "key (e.g. a dictionary code or xxhash64 bucket) first")
     }
   }
 
@@ -253,10 +263,9 @@ object Zorder {
     * stage columns are dropped after the sort, before the write. */
   def writeZorderedByRank(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Clustering = {
-    validateWrite(df, cols, bits, numFiles)
-    val bounds = rankBoundariesAll(df, cols, bits)
-    writeAndStamp(df, path, Clustering("morton", bits, numFiles,
-      cols.zip(bounds).map { case (c, b) => ColQuant(c, "r", b.toSeq) }))
+    validateWrite(df, cols, bits, numFiles, allowStrings = true)
+    writeAndStamp(df, path,
+      Clustering("morton", bits, numFiles, rankQuants(df, cols, bits)))
   }
 
   /** [[writeZorderedByRank]] on the HILBERT curve — the skew-robust
@@ -267,10 +276,9 @@ object Zorder {
     * write; bits ≤ 8 (the rank-boundary budget). */
   def writeHilbertByRank(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Clustering = {
-    validateWrite(df, cols, bits, numFiles)
-    val bounds = rankBoundariesAll(df, cols, bits)
-    writeAndStamp(df, path, Clustering("hilbert", bits, numFiles,
-      cols.zip(bounds).map { case (c, b) => ColQuant(c, "r", b.toSeq) }))
+    validateWrite(df, cols, bits, numFiles, allowStrings = true)
+    writeAndStamp(df, path,
+      Clustering("hilbert", bits, numFiles, rankQuants(df, cols, bits)))
   }
 
   /** Route to the measured-best curve: HILBERT at every dimension
@@ -1049,15 +1057,22 @@ object Zorder {
     java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(s, 16))
 
   /** `v1 curve=<c> bits=<b> files=<n> cols=<name>:<kind>:<p0,p1,…>;…`
-    * with every double as bit-exact hex — the quantization IS the
-    * layout identity, and assignment is deterministic in the bits, so
-    * only exact bits make an append compatible (the
-    * [[Ivf.centroidPayload]] discipline for curve layouts). */
+    * with every double as bit-exact hex, and kind "s" params as
+    * URL-encoded boundary strings — the quantization IS the layout
+    * identity, and assignment is deterministic in the bits/bytes, so
+    * only exact params make an append compatible (the
+    * [[Ivf.centroidPayload]] discipline for curve layouts). A kind-s
+    * column with ZERO boundaries (single-value key) serializes to an
+    * empty param field; the layout's own boundary derivation never
+    * emits an empty STRING boundary (the byte-order minimum is never a
+    * boundary), so the empty field is unambiguous. */
   private[graft] def payload(cl: Clustering): String =
     s"v1 curve=${cl.curve} bits=${cl.bits} files=${cl.numFiles} cols=" +
-      cl.cols.map(c =>
-        s"${c.name}:${c.kind}:${c.params.map(hexd).mkString(",")}")
-        .mkString(";")
+      cl.cols.map(c => c.kind match {
+        case "s" => s"${c.name}:s:" + c.sparams.map(
+          java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+        case k => s"${c.name}:$k:${c.params.map(hexd).mkString(",")}"
+      }).mkString(";")
 
   private[graft] def parsePayload(s: String): Clustering = {
     def fail(why: String) = sys.error(
@@ -1069,10 +1084,19 @@ object Zorder {
       parts(i).substring(k.length + 1)
     }
     val cols = field(4, "cols").split(';').toSeq.map { c =>
-      val p = c.split(':')
+      // limit -1: a kind-s column with zero boundaries ends in ':'
+      val p = c.split(":", -1)
       if (p.length != 3) fail(s"bad col spec $c")
-      if (p(1) != "u" && p(1) != "r") fail(s"unknown kind ${p(1)}")
-      ColQuant(p(0), p(1), p(2).split(',').toSeq.map(unhexd))
+      p(1) match {
+        case "u" | "r" =>
+          ColQuant(p(0), p(1), p(2).split(',').toSeq.map(unhexd))
+        case "s" =>
+          val sp = if (p(2).isEmpty) Nil
+            else p(2).split(",", -1).toSeq.map(
+              java.net.URLDecoder.decode(_, "UTF-8"))
+          ColQuant(p(0), "s", Nil, sp)
+        case k => fail(s"unknown kind $k")
+      }
     }
     Clustering(field(1, "curve"), field(2, "bits").toInt,
       field(3, "files").toInt, cols)
@@ -1095,10 +1119,11 @@ object Zorder {
       s"clustered column '${c.name}' missing from the input (has: " +
         s"${df.columns.mkString(", ")})"))
     cl.cols.foreach {
-      case ColQuant(n, "u", ps) => require(ps.length == 2,
+      case ColQuant(n, "u", ps, _) => require(ps.length == 2,
         s"uniform quantization for '$n' needs [lo, hi], got ${ps.length}")
-      case ColQuant(_, "r", _) => ()
-      case ColQuant(n, k, _) => sys.error(s"unknown quantization kind '$k' for '$n'")
+      case ColQuant(_, "r", _, _) | ColQuant(_, "s", _, _) => ()
+      case ColQuant(n, k, _, _) =>
+        sys.error(s"unknown quantization kind '$k' for '$n'")
     }
     def curveOf(qs: Seq[Column]): Column = cl.curve match {
       case "morton" => interleave(qs, cl.bits)
@@ -1113,7 +1138,7 @@ object Zorder {
           qs.map(org.apache.spark.sql.GraftColumn.expr), cl.bits))
       case other => sys.error(s"unknown curve '$other' in $markerFile")
     }
-    if (!cl.cols.exists(_.kind == "r")) {
+    if (!cl.cols.exists(c => c.kind == "r" || c.kind == "s")) {
       val qs = cl.cols.map(c => bucket(numericView(df.schema, c.name),
         c.params(0), c.params(1), cl.bits))
       (df, curveOf(qs), Nil)
@@ -1129,6 +1154,7 @@ object Zorder {
         d.withColumn(bc, c.kind match {
           case "u" => bucket(numericView(df.schema, c.name),
             c.params(0), c.params(1), cl.bits)
+          case "s" => rankBucketStr(col(c.name), c.sparams)
           case _ => rankBucket(numericView(df.schema, c.name), c.params)
         })
       }
@@ -1233,6 +1259,74 @@ object Zorder {
       .map(_.distinct.sorted).toSeq
   }
 
+  /** The rank quantization of EVERY clustered column, mixed-type:
+    * numeric/timestamp/date columns share one approxQuantile pass
+    * (kind "r"); STRING columns get equal-depth boundaries over their
+    * key frequencies (kind "s") — one small aggregate each. */
+  private def rankQuants(df: DataFrame, cols: Seq[String],
+      bits: Int): Seq[ColQuant] = {
+    val isStr = cols.map(c => c -> df.schema.fields.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)).toMap
+    val numCols = cols.filterNot(isStr)
+    val numBounds =
+      if (numCols.isEmpty) Map.empty[String, Seq[Double]]
+      else numCols.zip(rankBoundariesAll(df, numCols, bits))
+        .map { case (c, b) => c -> b.toSeq }.toMap
+    cols.map { c =>
+      if (isStr(c)) ColQuant(c, "s", Nil,
+        stringRankBoundaries(df, c, bits))
+      else ColQuant(c, "r", numBounds(c))
+    }
+  }
+
+  /** Equal-depth boundaries for a STRING clustering key: the distinct
+    * keys and their counts (one shuffle over the distinct keys —
+    * small by the categorical-key assumption this mode makes), sorted
+    * IN SPARK (its UTF8 binary order is what the bucketing comparisons
+    * run in; a driver-side java String sort would disagree on
+    * supplementary characters), then cumulative counts pick the first
+    * key of each new bucket. NULLs are excluded (they bucket to 0 like
+    * every quantizer here); the global minimum key is never a boundary
+    * (bucket 0 starts below every boundary), so an EMPTY-string
+    * boundary is unreachable — the marker serialization relies on it.
+    * Refused loudly past 65,536 distinct keys: a free-text column is
+    * not a clustering key — hash it (xxhash64) to a numeric bucket
+    * instead. */
+  private def stringRankBoundaries(df: DataFrame, c: String,
+      bits: Int): Seq[String] = {
+    val maxDistinct = 65536
+    val counts = df.select(col(c)).na.drop
+      .groupBy(col(c)).count()
+      .orderBy(col(c))
+      .limit(maxDistinct + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(counts.length <= maxDistinct,
+      s"string clustering column '$c' has more than $maxDistinct " +
+        "distinct keys — that is a free-text column, not a clustering " +
+        "key; derive a numeric bucket (e.g. xxhash64) instead")
+    require(counts.nonEmpty,
+      s"cannot cluster on '$c': no non-NULL keys — the boundary pass " +
+        "would pin a degenerate quantization that never prunes")
+    val total = counts.map(_._2).sum
+    val n = 1L << bits
+    val bounds = Seq.newBuilder[String]
+    var cum = 0L
+    var nextTarget = 1L
+    counts.foreach { case (v, cnt) =>
+      // v starts bucket `nextTarget` when the rows BEFORE it already
+      // filled the previous buckets — the first key never qualifies
+      if (cum * n >= nextTarget * total && nextTarget < n) {
+        bounds += v
+        nextTarget += 1
+        // skip targets this key's mass alone covers
+        while (cum * n >= nextTarget * total && nextTarget < n)
+          nextTarget += 1
+      }
+      cum += cnt
+    }
+    bounds.result()
+  }
+
   /** Bucket of `v` among sorted `bounds` — the count of boundaries
     * ≤ v, spelled as a BALANCED BINARY DECISION TREE of when/otherwise
     * (log₂ comparisons per row, fully whole-stage-codegen'd; no UDF,
@@ -1240,6 +1334,20 @@ object Zorder {
     * split and lands in bucket 0; NaN compares greater than any
     * double in Spark and lands in the top bucket. */
   private[graft] def rankBucket(v: Column, bounds: Seq[Double]): Column = {
+    def go(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(v >= lit(bounds(mid)), go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    go(0, bounds.length)
+  }
+
+  /** [[rankBucket]] over STRING boundaries — the same balanced
+    * when/otherwise tree, comparing in Spark's UTF8 binary order
+    * (codegen'd string comparisons, no UDF). NULL descends the false
+    * branch at every split and lands in bucket 0. */
+  private[graft] def rankBucketStr(v: Column, bounds: Seq[String]): Column = {
     def go(lo: Int, hi: Int): Column =
       if (lo >= hi) lit(lo.toLong)
       else {

@@ -207,6 +207,48 @@ object Io {
     // ZorderProbe's 3-D section (hilbert 22,117 vs morton 30,646
     // decoded rows on the same box); curve properties (bijection,
     // unit-step adjacency at d=2..4) pinned in HilbertCodeNSpec.
+    // ----- String-keyed rank clustering (kind "s") -----
+    // Clustering on a (numeric, STRING) pair — the (user, source) /
+    // (user, event_type) shape a categorical key makes: the rank form
+    // pins equal-depth BOUNDARY STRINGS into the `_graft_clustering`
+    // marker (URL-encoded, Spark UTF8-binary sorted) and buckets
+    // through a codegen'd string when/otherwise tree — no dictionary
+    // table, no hash collisions, and per-file min/max stats on the
+    // string column prune equality/range predicates on it. The full
+    // lifecycle runs per rep (bootstrap 80% → append 20% through the
+    // PINNED string boundaries → tail-compact), then a box scan
+    // (user range × one event_type) whose oracle is the same
+    // filter+agg on the RAW table — the hash-match pins that string
+    // bucketing, append placement and the fold hold every row exactly.
+    // Pruning structure is pinned in ZorderSpec (disjoint z-ranges;
+    // string-box file pruning).
+    QueryDef(
+      "q181_string_cluster_scan",
+      (spark, dir) => {
+        import graft.operators.Zorder
+        val e = Tables.load(spark, dir, "events")
+        val tmp = scratchPath("strcluster_events")
+        Zorder.writeHilbertByRank(e.filter(col("event_id") % 5 =!= 0),
+          tmp, Seq("user_id", "event_type"), bits = 4, numFiles = 32)
+        Zorder.appendClustered(e.filter(col("event_id") % 5 === 0), tmp,
+          batchId = 1)
+        Zorder.compactTail(spark, tmp)
+        spark.read.parquet(tmp)
+          .filter(col("user_id").between(2, 8) &&
+            col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        WHERE user_id BETWEEN 2 AND 8
+          AND event_type IN ('click', 'purchase')
+        GROUP BY event_type""")),
+
     QueryDef(
       "q180_hilbert3_scan",
       (spark, dir) => {

@@ -113,15 +113,17 @@ class ZorderSpec extends SparkSpec {
       s"gate must name the column and its type: ${err.getMessage}")
     assert(Zorder.clusteringOf(spark, dir).isEmpty,
       "no marker may be written for a refused layout")
-    // every write form gates (they all share validateWrite)
+    // every UNIFORM write form gates (strings have no numeric scale to
+    // stretch equal-width buckets over; the RANK forms accept them —
+    // the kind-s lifecycle test covers that path)
     intercept[IllegalArgumentException](Zorder.writeHilbert(
       e, dir, Seq("user_id", "event_type"), bits = 8, numFiles = 4))
-    intercept[IllegalArgumentException](Zorder.writeZorderedByRank(
-      e, dir, Seq("user_id", "event_type"), bits = 4, numFiles = 4))
-    intercept[IllegalArgumentException](Zorder.writeHilbertByRank(
-      e, dir, Seq("user_id", "event_type"), bits = 4, numFiles = 4))
     intercept[IllegalArgumentException](Zorder.writeBest(
       e, dir, Seq("user_id", "event_type"), numFiles = 4))
+    // non-string junk is refused by EVERY form, rank included
+    val arr = e.withColumn("arr", array(col("user_id")))
+    intercept[IllegalArgumentException](Zorder.writeZorderedByRank(
+      arr, dir, Seq("user_id", "arr"), bits = 4, numFiles = 4))
     // timestamps stay clusterable (q177/q178's layouts), and a missing
     // column is named too
     val ok = Files.createTempDirectory("graft_zorder_tg2_").toString
@@ -294,6 +296,57 @@ class ZorderSpec extends SparkSpec {
     intercept[RuntimeException](Zorder.parsePayload("v2 something else"))
     intercept[RuntimeException](Zorder.parsePayload(
       "v1 curve=morton bits=8 files=4 cols=a:x:0"))
+    // kind "s": boundary STRINGS round-trip through URL encoding even
+    // when they contain the payload's own separators
+    val clS = Clustering("hilbert", 4, 8, Seq(
+      ColQuant("user_id", "r", Seq(1.0, 2.0)),
+      ColQuant("source", "s", Nil,
+        Seq("a,b", "x:y", "sp ace", "ümlaut≥", ";semi", "v1 curve="))))
+    val backS = Zorder.parsePayload(Zorder.payload(clS))
+    assert(backS.cols(1).kind == "s" &&
+      backS.cols(1).sparams == clS.cols(1).sparams,
+      s"string boundaries drifted: ${backS.cols(1).sparams}")
+    // zero string boundaries (single-key column) round-trip to Nil
+    val clS0 = Clustering("morton", 2, 2, Seq(
+      ColQuant("a", "r", Seq(1.0)), ColQuant("b", "s", Nil, Nil)))
+    assert(Zorder.parsePayload(Zorder.payload(clS0)).cols(1).sparams.isEmpty)
+  }
+
+  test("string rank clustering: lifecycle through pinned boundary keys; string-box pruning") {
+    // kind "s": a categorical STRING key clusters through equal-depth
+    // boundary strings pinned in the marker — append and fold bucket
+    // batches through the SAME boundaries, and per-file min/max stats
+    // on the string column prune equality predicates on it
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_str_").toString
+    val base = e.filter(col("event_id") % 4 =!= 0)
+    val b1 = e.filter(col("event_id") % 4 === 0)
+    val cl = Zorder.writeHilbertByRank(base, dir,
+      Seq("user_id", "event_type"), bits = 3, numFiles = 8)
+    assert(cl.cols(1).kind == "s" && cl.cols(1).sparams.nonEmpty,
+      s"string column must pin kind-s boundaries, got ${cl.cols(1)}")
+    assert(Zorder.clusteringOf(spark, dir).contains(cl),
+      "kind-s marker must round-trip from disk")
+    assert(Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2))
+    assert(Zorder.compactTail(spark, dir))
+    Zorder.compactClustered(spark, dir)
+    val back = spark.read.parquet(dir)
+    val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
+    assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
+      "string-clustered lifecycle must hold exactly the source rows")
+    assert(disjoint(zRanges(dir)), "string-clustered grid must be clustered")
+    // the pruning the mode exists for: a single-key predicate touches
+    // a strict subset of files by the string column's zone maps
+    val boxes = Zorder.boundingBoxes(spark, dir,
+      Seq("user_id", "event_type")).collect()
+    val touched = boxes.count(r =>
+      r.getString(3) <= "click" && r.getString(4) >= "click")
+    assert(touched > 0 && touched < boxes.length,
+      s"event_type='click' touched $touched of ${boxes.length} files — " +
+        "the string dimension is not clustering")
+    // uniform forms still refuse strings (no numeric scale to stretch)
+    intercept[IllegalArgumentException](Zorder.writeZordered(
+      e, dir, Seq("user_id", "event_type"), bits = 8, numFiles = 4))
   }
 
   /** Per-file [zmin, zmax] of a layout under its PINNED clustering —
