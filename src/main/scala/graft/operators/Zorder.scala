@@ -252,8 +252,12 @@ object Zorder {
   }
 
   /** [[writeZordered]] with rank (equi-depth) quantization — the form
-    * for skewed clustering columns. Same single-shuffle shape, ONE
-    * extra stats job (all columns' quantile sketches in one pass).
+    * for skewed clustering columns, and the ONLY form that accepts
+    * STRING columns (kind "s": equal-depth boundary keys, for
+    * categorical keys like source/language — see
+    * [[stringRankBoundaries]]). Same single-shuffle shape; stats cost
+    * is ONE quantile job covering every numeric column plus one small
+    * distinct-key aggregate PER string column.
     * Each dimension's decision-tree bucket is STAGED as a projected
     * column before the interleave — interleaving the raw bucket
     * expressions would embed the O(2^bits)-node tree once per output
@@ -1089,6 +1093,10 @@ object Zorder {
       if (p.length != 3) fail(s"bad col spec $c")
       p(1) match {
         case "u" | "r" =>
+          // split(":", -1) admits a trailing-empty param field (a
+          // kind-s need); for u/r an empty field is marker damage and
+          // must fail AS marker damage, not a bare NumberFormatException
+          if (p(2).isEmpty) fail(s"empty ${p(1)} params in $c")
           ColQuant(p(0), p(1), p(2).split(',').toSeq.map(unhexd))
         case "s" =>
           val sp = if (p(2).isEmpty) Nil
@@ -1265,6 +1273,13 @@ object Zorder {
     * key frequencies (kind "s") — one small aggregate each. */
   private def rankQuants(df: DataFrame, cols: Seq[String],
       bits: Int): Seq[ColQuant] = {
+    // the boundary budget gates HERE, not only inside the numeric
+    // quantile pass — an all-string clustering otherwise reaches
+    // stringRankBoundaries with 2^16 bucket targets (a marker holding
+    // tens of thousands of boundary strings and a when-tree past the
+    // codegen method limit)
+    require(bits >= 1 && bits <= 8,
+      s"rank mode supports bits in [1,8] (<= 255 boundaries), got $bits")
     val isStr = cols.map(c => c -> df.schema.fields.find(_.name == c)
       .exists(_.dataType == org.apache.spark.sql.types.StringType)).toMap
     val numCols = cols.filterNot(isStr)
@@ -1275,7 +1290,17 @@ object Zorder {
     cols.map { c =>
       if (isStr(c)) ColQuant(c, "s", Nil,
         stringRankBoundaries(df, c, bits))
-      else ColQuant(c, "r", numBounds(c))
+      else {
+        // an all-NULL column yields ZERO quantile boundaries — a
+        // silently constant dimension that never prunes, and a marker
+        // col spec with an empty param field; refuse like the
+        // empty-frame case
+        require(numBounds(c).nonEmpty,
+          s"rank clustering column '$c' has no non-NULL values — the " +
+            "quantile pass would pin a degenerate quantization that " +
+            "never prunes")
+        ColQuant(c, "r", numBounds(c))
+      }
     }
   }
 
@@ -1295,8 +1320,10 @@ object Zorder {
   private def stringRankBoundaries(df: DataFrame, c: String,
       bits: Int): Seq[String] = {
     val maxDistinct = 65536
+    // the aggregate is aliased away from "count": a clustering column
+    // NAMED count would otherwise make the orderBy ambiguous
     val counts = df.select(col(c)).na.drop
-      .groupBy(col(c)).count()
+      .groupBy(col(c)).agg(count(lit(1)).as("__graft_cnt"))
       .orderBy(col(c))
       .limit(maxDistinct + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))

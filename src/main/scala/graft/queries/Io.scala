@@ -207,6 +207,33 @@ object Io {
     // ZorderProbe's 3-D section (hilbert 22,117 vs morton 30,646
     // decoded rows on the same box); curve properties (bijection,
     // unit-step adjacency at d=2..4) pinned in HilbertCodeNSpec.
+    QueryDef(
+      "q180_hilbert3_scan",
+      (spark, dir) => {
+        val e = Tables.load(spark, dir, "events")
+        val tmp = scratchPath("hilbert3_events")
+        graft.operators.Zorder.writeBest(e, tmp,
+          Seq("user_id", "ts", "value"), bits = 12, numFiles = 32)
+        spark.read.parquet(tmp)
+          .filter(col("user_id").between(2, 8) &&
+            col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+            col("ts") < to_timestamp(lit("2024-01-15 00:00:00")) &&
+            col("value").between(50.0, 200.0))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        WHERE user_id BETWEEN 2 AND 8
+          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+          AND value BETWEEN 50.0 AND 200.0
+        GROUP BY event_type""")),
+
     // ----- String-keyed rank clustering (kind "s") -----
     // Clustering on a (numeric, STRING) pair — the (user, source) /
     // (user, event_type) shape a categorical key makes: the rank form
@@ -247,33 +274,6 @@ object Io {
         FROM events
         WHERE user_id BETWEEN 2 AND 8
           AND event_type IN ('click', 'purchase')
-        GROUP BY event_type""")),
-
-    QueryDef(
-      "q180_hilbert3_scan",
-      (spark, dir) => {
-        val e = Tables.load(spark, dir, "events")
-        val tmp = scratchPath("hilbert3_events")
-        graft.operators.Zorder.writeBest(e, tmp,
-          Seq("user_id", "ts", "value"), bits = 12, numFiles = 32)
-        spark.read.parquet(tmp)
-          .filter(col("user_id").between(2, 8) &&
-            col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
-            col("ts") < to_timestamp(lit("2024-01-15 00:00:00")) &&
-            col("value").between(50.0, 200.0))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(18, 2)))
-              .cast("double").as("total"))
-      },
-      Some("""
-        SELECT event_type, count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM events
-        WHERE user_id BETWEEN 2 AND 8
-          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
-          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
-          AND value BETWEEN 50.0 AND 200.0
         GROUP BY event_type"""))
   )
 }
