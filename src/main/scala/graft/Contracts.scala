@@ -563,7 +563,17 @@ object Contracts {
       // Rows-exactness is q178's oracle hash.
       val path = queries.scratchPath("contracts_clustered_inc")
       val z = graft.operators.Zorder
-      def overlapsAndFiles(): (Int, Int) = {
+      // `strict` selects the overlap definition per stage: after the
+      // TAIL compact an endpoint tie (hi == lo2) is a LEGAL layout
+      // state compactTail deliberately preserves (a range task's
+      // sorted output split across files — e.g. under
+      // spark.sql.files.maxRecordsPerFile — puts one z value on both
+      // sides of a cut; ZorderSpec's tie test asserts only hi <= lo2),
+      // so only hi > lo2 counts as a defect there. The WHOLE compact
+      // keeps the stronger hi >= lo2 grade: it restores the pure
+      // numFiles range-partition, where this bench config produces no
+      // legal ties.
+      def overlapsAndFiles(strict: Boolean): (Int, Int) = {
         val cl = z.clusteringOf(spark, path).get
         val ranges = z.curveValues(spark.read.parquet(path), cl, "__z")
           .select(input_file_name().as("f"), col("__z"))
@@ -571,7 +581,7 @@ object Contracts {
           .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
           .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
         (ranges.zip(ranges.drop(1)).count {
-          case ((_, hi), (lo2, _)) => hi >= lo2
+          case ((_, hi), (lo2, _)) => if (strict) hi > lo2 else hi >= lo2
         }, ranges.length)
       }
       z.writeHilbert(events.filter(col("event_id") % 5 =!= 0), path,
@@ -580,11 +590,11 @@ object Contracts {
         col("event_id") % 10 =!= 0), path, batchId = 1)
       require(z.compactTail(spark, path),
         "batch 1's tail must be present to fold")
-      val (tailDefects, _) = overlapsAndFiles()
+      val (tailDefects, _) = overlapsAndFiles(strict = true)
       z.appendClustered(events.filter(col("event_id") % 10 === 0), path,
         batchId = 2)
       z.compactClustered(spark, path)
-      val (finalDefects, nFiles) = overlapsAndFiles()
+      val (finalDefects, nFiles) = overlapsAndFiles(strict = false)
       Contract("q178_clustered_append",
         "structural defects: overlapping z-range pairs after tail-compact + after whole-compact + file-count deviation from the 32-grid",
         tailDefects.toDouble + finalDefects.toDouble +

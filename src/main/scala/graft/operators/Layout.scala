@@ -392,11 +392,24 @@ private[graft] object Layout {
         // OWN before the delete runs — deleting the breaker's live
         // lease and letting a third writer run concurrently with it.
         // Rename is exclusive: whoever renamed holds the file alone,
-        // and ownership is verified on the renamed copy.
+        // and ownership is verified on the renamed copy. A pre-read
+        // ownership check gates the rename: an OVERRUN holder whose
+        // lease a TTL-breaker already replaced must not even
+        // transiently steal the breaker's live lease (the
+        // unconditional rename stole it on EVERY overrun release and
+        // leaned on the hand-back; a third writer acquiring inside
+        // that steal window ran concurrently with the breaker). The
+        // read-then-rename window remains — rename-and-verify below
+        // is the second line — but the steal now needs a breaker swap
+        // INSIDE the window instead of happening every time. A lease
+        // that reads foreign or unreadable is left alone (the breaker
+        // owns it, or it expires by TTL).
+        val preRead = readLeaseQuiet()
         val tomb = new org.apache.hadoop.fs.Path(p.getParent,
           s"_graft_lease.released.$owner")
-        val got = try fs.rename(p, tomb)
-          catch { case _: java.io.IOException => false }
+        val got = preRead.contains(owner) &&
+          (try fs.rename(p, tomb)
+          catch { case _: java.io.IOException => false })
         if (got) {
           val ours = try {
             val in = fs.open(tomb)

@@ -194,15 +194,17 @@ class LayoutSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("_graft_lease"))
     assert(left.isEmpty, s"release left lease debris: ${left.mkString(",")}")
     // a lease REPLACED mid-body (a TTL-breaker evicted an overrun
-    // holder) is not ours to release: the release renames it aside,
-    // sees a foreign owner on the renamed copy, and hands it BACK —
-    // never deletes it (deleting would let a third writer in)
+    // holder) is not ours to release: the pre-read ownership check
+    // sees a foreign owner and never touches it — the breaker's live
+    // lease is not even transiently renamed aside (the old handback
+    // path opened a steal window on every overrun release); deleting
+    // or stealing it would let a third writer run concurrently
     Layout.withWriterLease(spark, dir, "overrun") {
       Layout.writeMarker(spark, dir, "_graft_lease", "foreign-breaker")
     }
     assert(Layout.readMarker(spark, dir, "_graft_lease")
       .contains("foreign-breaker"),
-      "a foreign (breaker's) lease must survive our release")
+      "a foreign (breaker's) lease must survive our release untouched")
     val tombs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).filter(_.startsWith("_graft_lease."))
     assert(tombs.isEmpty, s"handback left tombstones: ${tombs.mkString(",")}")
