@@ -544,6 +544,35 @@ object Contracts {
         decHilbert.toDouble / decMorton, 0.85, "<=")
     }
 
+    grade("q181_string_cluster_scan") {
+      // string-keyed rank clustering's measured pruning (round-14
+      // verdict #2): a user×event_type box against the 1-D user sort,
+      // where the STRING dimension carries all the extra selectivity —
+      // the 1-D layout's files span every event_type, the kind-s
+      // layout's boundary keys give each file a narrow event_type
+      // range, so equality on the string key prunes row groups. Same
+      // decoded-rows SQLMetrics idiom as q175/q177. Threshold sits
+      // above the measured sf0.1 band (PLANS.md r15): the string key
+      // has ~5 distinct values, so clean separation decodes ~1/5 of
+      // the 1-D baseline on the click slice; margin covers
+      // range-partitioner boundary sampling moving file alignment.
+      val uMax = events.agg(max(col("user_id"))).collect()(0).getLong(0)
+      val strPred = col("user_id")
+        .between((0.2 * uMax).toLong, (0.6 * uMax).toLong) &&
+        col("event_type") === "click"
+      graft.operators.Zorder.writeHilbertByRank(events,
+        s"$zScratch/strcluster", Seq("user_id", "event_type"),
+        bits = 4, numFiles = 32)
+      val dec1dStr = decodedRows(
+        spark.read.parquet(s"$zScratch/sorted1d").filter(strPred))
+      require(dec1dStr > 0, "string box decoded nothing on the 1-D baseline")
+      val decStr = decodedRows(
+        spark.read.parquet(s"$zScratch/strcluster").filter(strPred))
+      Contract("q181_string_cluster_scan",
+        "string-box pruning: kind-s clustered decoded rows / 1-D-sorted decoded rows on a user×event_type box",
+        decStr.toDouble / dec1dStr, 0.60, "<=")
+    }
+
     grade("q178_clustered_append") {
       // the incremental lifecycle's STRUCTURAL parity with a pinned-
       // parameter full rewrite, now through BOTH compact forms:

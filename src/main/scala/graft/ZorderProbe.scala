@@ -264,6 +264,55 @@ object ZorderProbe {
     // (2^16 equal-width buckets absorb a 125× tail ratio fine); the
     // outlier regime is where rank mode earns its keep, so that is
     // what this measures.
+    // ----- string rank clustering at the GATE EDGES (r14 verdict #5) --
+    // rankQuants' codegen-limit reasoning (bits ≤ 8, ≤ 65,536 distinct
+    // keys) was argued, not measured — this measures it at the edges:
+    // bits=8 pins the MAXIMUM 255 boundary strings (a 255-node string
+    // when-tree, depth 8, per row per dimension) and the synthetic key
+    // carries ~60,000 distinct values, just under the 65,536 refusal
+    // gate (the boundary pass collects every distinct key). Reported:
+    // the boundary+write wall (codegen compile + stats + shuffle), the
+    // marker payload size (every boundary string rides it), the append
+    // wall through the SAME pinned tree, and the scan decode on a
+    // key-range box (the pruning the tree buys). A failure mode this
+    // would catch: a when-tree past the JIT method limit silently
+    // deoptimizes to interpreted evaluation — the write/append wall
+    // would blow up, not the correctness.
+    val ek = e.withColumn("skey",
+      format_string("k%05d", col("event_id") % 60000))
+    val strDir = s"$tmp/strgate"
+    val w0 = System.nanoTime()
+    Zorder.writeHilbertByRank(ek.filter(col("event_id") % 10 =!= 0),
+      strDir, Seq("user_id", "skey"), bits = 8, numFiles = files)
+    val writeS = (System.nanoTime() - w0) / 1e9
+    val markerBytes = graft.operators.Layout
+      .readMarker(spark, strDir, Zorder.markerFile).get.length
+    val boundaries = Zorder.clusteringOf(spark, strDir).get
+      .cols.find(_.name == "skey").get.sparams.length
+    val a0 = System.nanoTime()
+    Zorder.appendClustered(ek.filter(col("event_id") % 10 === 0),
+      strDir, batchId = 1)
+    val appendS = (System.nanoTime() - a0) / 1e9
+    val s0 = System.nanoTime()
+    val (mStr, dStr) = decoded(Zorder.readClustered(spark, strDir)
+      .filter(col("user_id").between(300, 899) &&
+        col("skey") >= lit("k10000") && col("skey") < lit("k20000")))
+    val scanS = (System.nanoTime() - s0) / 1e9
+    println(f"ZORDERPROBE strgate bits=8 boundaries=$boundaries " +
+      f"markerBytes=$markerBytes writeS=$writeS%.2f appendS=$appendS%.2f " +
+      f"scanS=$scanS%.2f matching=$mStr decodedRows=$dStr")
+    // the 65,536-key REFUSAL fires loudly, with the remedy named
+    val over = e.withColumn("skey",
+      format_string("k%06d", col("event_id")))
+    val gateMsg = try {
+      Zorder.writeHilbertByRank(over, s"$tmp/strgate_over",
+        Seq("user_id", "skey"), bits = 4, numFiles = files)
+      "NO-REFUSAL (bug)"
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.take(60)
+    }
+    println(s"ZORDERPROBE strgate overGate='$gateMsg'")
+
     val eh = e.withColumn("heat",
       col("value") * col("value") *
         when(col("event_id") % 9973 === 0, lit(1e6)).otherwise(lit(1.0)))

@@ -85,6 +85,16 @@ object Zorder {
   private val tailCompactingFile = "_graft_tail_compacting"
   private val tailTmpDir = "_graft_tail_tmp"
   private[graft] val zrangesFile = "_graft_zranges"
+  private[graft] val manifestPrefix = "_graft_manifest."
+
+  /** Test seam: invoked with a step label at each reader-visible
+    * protocol transition inside the write/append/compact forms, so the
+    * reader-atomicity spec can interleave manifest resolutions
+    * mid-swap against the REAL protocol (hand-replaying the steps in a
+    * spec would pin a copy of the protocol, not the code). A no-op in
+    * production; only ZorderSpec installs one, single-threaded, and
+    * restores the no-op after. */
+  private[graft] var onProtocolStep: String => Unit = _ => ()
   // NOT underscore-prefixed: it becomes a partitionBy DIRECTORY name
   // (`graftzregion=3/`) inside the tail staging dir, and a hidden name
   // there would make publish/recovery skip the staged files
@@ -141,11 +151,17 @@ object Zorder {
   }
 
   /** The z-value column for `cols` over `df`, quantized by a single
-    * min/max stats pass (one aggregate job, one collected row). */
-  def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column =
+    * min/max stats pass (one aggregate job, one collected row).
+    * Type-gated like every write form: this helper used to bypass the
+    * gate, so a StringType column flowed into the stats pass, cast to
+    * all-NULL doubles, and silently pinned lo = hi = 0.0 — the exact
+    * degenerate never-pruning quantization the write forms refuse. */
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+    validateTypes(df, cols, allowStrings = false)
     interleave(uniformQuants(df, cols, bits).map(q =>
       bucket(numericView(df.schema, q.name), q.params(0), q.params(1),
         bits)), bits)
+  }
 
   /** EVERY argument check a clustered write needs, hoisted so a bad
     * argument never costs the full-table stats pass first — interleave
@@ -163,18 +179,25 @@ object Zorder {
     cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"clustered column name '$c' must match [A-Za-z0-9_]+ (it is " +
         "serialized into the layout marker)"))
-    // TYPE gate, the same loud style as the empty-frame refusal: a
-    // non-numeric column (StringType, binary, arrays…) would either
-    // crash the stats pass with a raw cast error or — under a lax cast
-    // — silently become all-NULL doubles, pinning lo = hi = 0.0 into
-    // the marker so that dimension buckets to 0 forever and the layout
-    // never prunes it. Allowed: numeric, TIMESTAMP (casts to epoch
-    // seconds), DATE (normalized to epoch days via [[numericView]] —
-    // ANSI forbids DATE→DOUBLE directly), boolean. TIMESTAMP_NTZ is
-    // REFUSED rather than normalized: its only double spelling goes
-    // through a session-timezone reinterpretation, and a pinned
-    // quantization that shifts with the session timezone would
-    // mis-bucket appends made from a differently-zoned session.
+    validateTypes(df, cols, allowStrings)
+  }
+
+  /** The TYPE gate, the same loud style as the empty-frame refusal: a
+    * non-numeric column (StringType, binary, arrays…) would either
+    * crash the stats pass with a raw cast error or — under a lax cast
+    * — silently become all-NULL doubles, pinning lo = hi = 0.0 into
+    * the marker so that dimension buckets to 0 forever and the layout
+    * never prunes it. Allowed: numeric, TIMESTAMP (casts to epoch
+    * seconds), DATE (normalized to epoch days via [[numericView]] —
+    * ANSI forbids DATE→DOUBLE directly), boolean. TIMESTAMP_NTZ is
+    * REFUSED rather than normalized: its only double spelling goes
+    * through a session-timezone reinterpretation, and a pinned
+    * quantization that shifts with the session timezone would
+    * mis-bucket appends made from a differently-zoned session.
+    * Shared by every write form AND the public [[zvalue]] helper, so
+    * no stats-pass entry point can pin the degenerate quantization. */
+  private def validateTypes(df: DataFrame, cols: Seq[String],
+      allowStrings: Boolean): Unit = {
     cols.foreach { c =>
       val f = df.schema.fields.find(_.name == c).getOrElse(
         sys.error(s"clustered column '$c' missing from the input (has: " +
@@ -321,16 +344,25 @@ object Zorder {
     // marker read, not a per-batch directory listing, and defined even
     // for an empty bootstrap layout).
     Layout.rebuild(df.sparkSession, path, "writeClustered") {
+      val spark = df.sparkSession
       val (staged, z, drop) = clusteredFrame(df, cl)
-      withStatsTimestamps(df.sparkSession) {
+      withStatsTimestamps(spark) {
         staged.repartitionByRange(cl.numFiles, z)
           .sortWithinPartitions(z)
           .drop(drop: _*)
           .write.mode("append").parquet(path)
       }
-      Layout.writeMarker(df.sparkSession, path, markerFile, payload(cl))
-      Layout.writeMarker(df.sparkSession, path, schemaFile,
+      Layout.writeMarker(spark, path, markerFile, payload(cl))
+      Layout.writeMarker(spark, path, schemaFile,
         schemaPayload(df.schema))
+      // first generation: the manifest lists the bootstrap's files
+      // (readClustered refuses the whole rebuild window above via the
+      // marker gate, so there is no torn state for it to expose)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      stampManifest(spark, fs, root,
+        listDataFiles(fs, root).map(_.getPath.getName))
       cl
     }
 
@@ -440,6 +472,23 @@ object Zorder {
     // read, then marker reads forever) and the re-stamp-over-empty arm
     if (!markerSchema.contains(incoming))
       Layout.writeMarker(spark, path, schemaFile, incoming)
+    // manifest: the new generation adds this batch's published files.
+    // Refreshed on the REPLAY arm too — a crash between the ledger
+    // commit and this stamp leaves committed-but-unlisted files, and
+    // the at-least-once replay (a no-op for the data) heals the
+    // pointer here. Files-before-pointer, so a resolve at any instant
+    // names only files that exist. The batch's names come from a
+    // PREFIX glob, not a full root listing — a prefixed LIST on
+    // object stores, so the per-micro-batch cost does not grow with
+    // the table (the schema-marker discipline, applied to the
+    // pointer).
+    val fsm = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootm = fsm.makeQualified(new org.apache.hadoop.fs.Path(path))
+    refreshManifest(spark, fsm, rootm,
+      fsm.globStatus(new org.apache.hadoop.fs.Path(rootm, s"b$batchId-*"))
+        .toSeq.filterNot(_.isDirectory).map(_.getPath.getName), Set.empty)
+    onProtocolStep("append-manifest")
     applied
     }
   }
@@ -457,17 +506,24 @@ object Zorder {
     *   1. stage the full re-clustered rewrite under the hidden
     *      `_graft_compact_tmp` (parquet readers never see it);
     *   2. stamp the `_graft_compacting` sentinel with a fresh token T —
-    *      the commit point;
-    *   3. delete every published data file NOT carrying `c<T>-`;
-    *   4. publish the staged files into the root under `c<T>-`;
-    *   5. drop the staging dir, then the sentinel.
+    *      the writer-side commit point;
+    *   3. publish the staged files into the root under `c<T>-` (the
+    *      root transiently holds BOTH generations);
+    *   4. flip the generation manifest to exactly the `c<T>-` files —
+    *      the READER-side commit point ([[readClustered]] resolves the
+    *      manifest, so it sees the old generation until this instant
+    *      and the new one after, never a mixture);
+    *   5. delete every published data file NOT carrying `c<T>-`;
+    *   6. drop the staging dir, then the sentinel.
     * Every crash window recovers on the next call: sentinel present →
-    * resume steps 3–5 with the RECORDED token (files already published
-    * under it survive the sweep — that is what the token is for);
-    * staging without a sentinel → a pre-commit crash, the stale
-    * staging is discarded. A crashed compact leaves the layout
-    * readable-inconsistent only AFTER the sentinel exists, which is
-    * also exactly when recovery is deterministic.
+    * resume steps 3–6 with the RECORDED token (files already published
+    * under it survive and re-publish is a no-op — that is what the
+    * token is for); staging without a sentinel → a pre-commit crash,
+    * the stale staging is discarded. Because old files outlive the
+    * manifest flip, a manifest reader resolves a COMPLETE generation
+    * at every step, crashed states and recovery steps included; only
+    * a direct directory read (the legacy/raw path) can observe the
+    * transient both-generations state between steps 3 and 5.
     *
     * At 100 TB this whole-layout form is the periodic DEFRAGMENTATION
     * (it alone restores the exact `numFiles` grid); the per-ingest
@@ -484,15 +540,22 @@ object Zorder {
     // set's files are deleted-but-unreplaced until its staged files
     // publish, and this whole-layout fold must see the completed state
     recoverTailCrash(spark, fs, root)
-    // finish a crashed compaction before starting this one
+    // finish a crashed compaction before starting this one — the same
+    // publish → FLIP MANIFEST → delete order as the main path, so a
+    // reader resolving at any recovery step still sees one complete
+    // generation (a crashed swap is readable-consistent throughout:
+    // the manifest points at the old files until every new file is on
+    // disk, then at exactly the new ones)
     if (fs.exists(sentinel)) {
       val token = Layout.readMarker(spark, path, compactingFile).get
       require(token.nonEmpty,
         s"compactClustered: empty $compactingFile sentinel at $path — " +
           "cannot tell the crashed generation's files apart; resolve " +
           "manually")
-      Layout.deleteDataExcept(fs, root, s"c$token-")
       Layout.publishDir(fs, tmp, root, s"c$token-")
+      stampManifest(spark, fs, root, listDataFiles(fs, root)
+        .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
+      Layout.deleteDataExcept(fs, root, s"c$token-")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(sentinel, false),
         s"compactClustered: could not clear $sentinel after recovery")
@@ -525,11 +588,22 @@ object Zorder {
     }
     val token = java.util.UUID.randomUUID.toString.take(8)
     Layout.writeMarker(spark, path, compactingFile, token)
-    Layout.deleteDataExcept(fs, root, s"c$token-")
+    onProtocolStep("whole-sentinel")
+    // publish-new → flip-manifest → delete-old: between publish and
+    // flip the root holds BOTH generations, but the manifest still
+    // points at the old one — a reader resolves a complete set at
+    // every step; the flip is the single reader-visible commit
     Layout.publishDir(fs, tmp, root, s"c$token-")
+    onProtocolStep("whole-published")
+    stampManifest(spark, fs, root, listDataFiles(fs, root)
+      .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
+    onProtocolStep("whole-manifest")
+    Layout.deleteDataExcept(fs, root, s"c$token-")
+    onProtocolStep("whole-swept")
     fs.delete(tmp, true)
     require(fs.delete(sentinel, false),
       s"compactClustered: could not clear $sentinel after publish")
+    onProtocolStep("whole-done")
     // the z-range cache describes files the swap just deleted — drop
     // it (it is a pure cache: a missing entry is recomputed by the
     // next compactTail from a targeted scan, never trusted stale)
@@ -594,16 +668,21 @@ object Zorder {
     * fold set RECORDED in the sentinel (the whole-compact form can
     * identify victims as "everything not carrying the token"; a
     * partial fold cannot): stage under `_graft_tail_tmp`; stamp
-    * `_graft_tail_compacting` = token + fold-file list (the commit
-    * point); delete exactly the listed files; publish staged files
-    * under `t<token>-`; drop staging, then the sentinel. Every crash
-    * window recovers deterministically ([[recoverTailCrash]], run by
-    * both compact forms): sentinel present → resume delete/publish
-    * with the recorded token and list; staging without sentinel →
-    * pre-commit crash, staging discarded. Appends refuse while the
-    * sentinel stands. The batch LEDGER is kept, crashed unledgered
-    * appends are rolled back first, and replays stay no-ops — the
-    * [[compactClustered]] rules unchanged.
+    * `_graft_tail_compacting` = token + fold-file list (the
+    * writer-side commit point); publish staged files under
+    * `t<token>-`; flip the generation manifest to (current − fold set
+    * + replacements) — the READER-side commit point; delete exactly
+    * the listed fold files; drop staging, then the sentinel. Every
+    * crash window recovers deterministically ([[recoverTailCrash]],
+    * run by both compact forms): sentinel present → resume
+    * publish/flip/delete with the recorded token and list (all three
+    * are idempotent set operations); staging without sentinel →
+    * pre-commit crash, staging discarded. A manifest reader
+    * ([[readClustered]]) resolves a complete generation at every
+    * step, crashed states included — fold files outlive the flip.
+    * Appends refuse while the sentinel stands. The batch LEDGER is
+    * kept, crashed unledgered appends are rolled back first, and
+    * replays stay no-ops — the [[compactClustered]] rules unchanged.
     *
     * Returns true if a tail was folded; false = no `b<id>-` files (the
     * steady state — callers can invoke it unconditionally per ingest
@@ -639,7 +718,19 @@ object Zorder {
       val names = files.map(_.getPath.getName).toSet
       val cached = readZranges(spark, path).filter(e => names.contains(e._1))
       val missing = mains.filter(st => !cached.contains(st.getPath.getName))
-      val ivs = cached ++ computeZranges(spark, cl, missing.map(_.getPath))
+      val computed = computeZranges(spark, cl, missing.map(_.getPath))
+      // a ZERO-ROW data file yields no range entry (the stats pass
+      // groups by file over rows), so without a cache entry it would
+      // land in `missing` and pay a targeted scan on EVERY compact —
+      // a small but unbounded recurring cost. Cache an inverted
+      // sentinel (lo > hi, unreachable for a real file); sentinel
+      // entries are excluded from every interval computation below
+      // (no rows → nothing to fold, nothing to block a junction).
+      val emptySentinels = missing.map(_.getPath.getName)
+        .filterNot(computed.contains).map(_ -> (1L, 0L)).toMap
+      val ivs = cached ++ computed ++ emptySentinels
+      def realIv(n: String): Option[(Long, Long)] =
+        ivs.get(n).filter(iv => iv._1 <= iv._2)
       // fold selection by VALUE-level overlap, never per-tail-file
       // hulls: a resident folds iff at least one tail z-VALUE lands
       // inside its interval. A hull test over-folds badly — a spread
@@ -662,7 +753,7 @@ object Zorder {
       // run file (0,2) that shares its boundary value, and a lo-tie
       // ordered (0,2),(0,0) would read as genuine overlap below
       val mainIvsSorted = mains.flatMap(st =>
-        ivs.get(st.getPath.getName).map(iv => (st.getPath.getName, iv)))
+        realIv(st.getPath.getName).map(iv => (st.getPath.getName, iv)))
         .sortBy(_._2)
       val flat = mainIvsSorted
         .flatMap { case (_, (lo, hi)) => Seq(lo, hi) }.toArray
@@ -738,7 +829,7 @@ object Zorder {
       // sorted by (lo, hi) — buildRegions' binary search needs the hi
       // sequence non-decreasing, which a lo-only sort breaks on lo-ties
       val untouchedIvs = mains.filterNot(st => foldNames(st.getPath.getName))
-        .flatMap(st => ivs.get(st.getPath.getName)).sorted
+        .flatMap(st => realIv(st.getPath.getName)).sorted
       // regions: folded residents' intervals plus the PER-GAP tail
       // value spans (each lies strictly between resident intervals, so
       // it can never cover an untouched resident), merged by the
@@ -752,7 +843,7 @@ object Zorder {
       // the whole-layout repair — the recurring full rewrite this
       // operator exists to avoid
       val regions = buildRegions(
-        foldMains.flatMap(st => ivs.get(st.getPath.getName)) ++ gapIvs,
+        foldMains.flatMap(st => realIv(st.getPath.getName)) ++ gapIvs,
         untouchedIvs)
       // replacement file count by BYTES, so replacement files stay the
       // grid's size: fold bytes over the mean resident file
@@ -808,25 +899,79 @@ object Zorder {
         (s"v1 $token ${foldSet.length}" +: foldSet.map(st =>
           java.net.URLEncoder.encode(st.getPath.getName, "UTF-8")))
           .mkString("\n"))
+      onProtocolStep("tail-sentinel")
+      // publish-new → flip-manifest → delete-old (the whole-compact
+      // discipline): the root transiently holds fold files AND their
+      // replacements, but the manifest points at exactly one complete
+      // generation at every step
+      publishFlattened(fs, tmp, root, s"t$token-")
+      onProtocolStep("tail-published")
+      val replacements = listDataFiles(fs, root)
+        .filter(_.getPath.getName.startsWith(s"t$token-"))
+      refreshManifest(spark, fs, root,
+        replacements.map(_.getPath.getName), foldNames)
+      onProtocolStep("tail-manifest")
       foldSet.foreach { st =>
         require(fs.delete(st.getPath, false),
           s"compactTail: could not delete folded file ${st.getPath}")
       }
-      publishFlattened(fs, tmp, root, s"t$token-")
+      onProtocolStep("tail-swept")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(
         new org.apache.hadoop.fs.Path(root, tailCompactingFile), false),
         s"compactTail: could not clear the sentinel after publish")
+      onProtocolStep("tail-done")
       // refresh the z-range cache: untouched entries kept, folded ones
       // dropped, replacements scanned (∝ rewrite). Best-effort AFTER
       // the swap committed — a crash before this line just means the
       // next compact rescans the replacement files.
-      val replacements = listDataFiles(fs, root)
-        .filter(_.getPath.getName.startsWith(s"t$token-"))
       writeZranges(spark, path,
         (ivs -- foldNames) ++
           computeZranges(spark, cl, replacements.map(_.getPath)))
       true
+    }
+  }
+
+  /** Compaction-trigger policy for streaming ingest — answers "should
+    * this ingest cycle fold the tail NOW?" from one root listing (no
+    * data read, no lease), so a `foreachBatch` maintenance loop
+    * decides without a human in the loop:
+    * {{{
+    *   Zorder.appendClustered(batch, path, batchId)
+    *   if (Zorder.tailCompactDue(spark, path)) Zorder.compactTail(spark, path)
+    * }}}
+    * Two thresholds, two costs they bound:
+    *   - `maxTailFiles` bounds READ amplification: every batch file
+    *     overlaps the main grid's z-ranges by construction, so a box
+    *     scan touches up to that many extra files regardless of the
+    *     box — tail file count IS the per-scan overhead;
+    *   - `maxTailFraction` (of total data bytes) bounds WRITE
+    *     amortization: folding at a fixed fraction keeps each fold's
+    *     rewrite ∝ tail × overlap with the total rewrite work over N
+    *     ingests linear in bytes ingested (the LSM discipline), while
+    *     folding every tiny batch would pay the fold's fixed costs
+    *     (tail scan + shuffle setup) per batch.
+    * Either trigger fires the fold. False when no tail exists —
+    * callers can ask unconditionally per cycle. Advisory by design: a
+    * concurrent writer may change the answer before compactTail runs,
+    * which is safe (the fold re-lists under its lease; an empty tail
+    * returns false). */
+  def tailCompactDue(spark: SparkSession, path: String,
+      maxTailFiles: Int = 16, maxTailFraction: Double = 0.10): Boolean = {
+    require(maxTailFiles >= 1, s"maxTailFiles must be >= 1, got $maxTailFiles")
+    require(maxTailFraction > 0.0 && maxTailFraction <= 1.0,
+      s"maxTailFraction must be in (0, 1], got $maxTailFraction")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val files = listDataFiles(fs, root)
+    val (tails, mains) = files.partition(
+      _.getPath.getName.matches("b\\d+-.*"))
+    tails.nonEmpty && {
+      val tailBytes = tails.map(_.getLen).sum
+      val total = tailBytes + mains.map(_.getLen).sum
+      tails.length >= maxTailFiles ||
+        tailBytes.toDouble >= maxTailFraction * total
     }
   }
 
@@ -882,13 +1027,20 @@ object Zorder {
           s"${names.length} files but records ${header(2)} — a torn " +
           "or damaged fold list; resolve manually (acting on a prefix " +
           "would duplicate the unlisted files' rows)")
-      names.foreach { enc =>
-        val p = new org.apache.hadoop.fs.Path(root,
-          java.net.URLDecoder.decode(enc, "UTF-8"))
+      // publish → flip manifest → delete, the same reader-safe order
+      // as the live fold: every recovery step resolves to a complete
+      // generation (idempotent at every crash point — the fold-name
+      // subtraction and the replacement addition are set operations)
+      publishFlattened(fs, tmp, root, s"t$token-")
+      val foldNames = names.map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+      refreshManifest(spark, fs, root,
+        listDataFiles(fs, root).map(_.getPath.getName)
+          .filter(_.startsWith(s"t$token-")), foldNames)
+      foldNames.foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(root, n)
         if (fs.exists(p)) require(fs.delete(p, false),
           s"compactTail: recovery could not delete folded file $p")
       }
-      publishFlattened(fs, tmp, root, s"t$token-")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(sentinel, false),
         s"compactTail: could not clear $sentinel after recovery")
@@ -934,6 +1086,163 @@ object Zorder {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(st => !st.isDirectory && !Layout.isHidden(st.getPath.getName))
+
+  // ----- generation manifest: the reader-side atomicity pointer -----
+  //
+  // The compact forms REWRITE the layout in place; without a pointer,
+  // a reader listing the directory mid-swap sees a torn generation
+  // (rows missing under delete-then-publish, rows duplicated under
+  // publish-then-delete). The manifest is that pointer: every commit
+  // point stamps a fresh `_graft_manifest.<epoch>.<token>` file (an
+  // ATOMIC temp+rename create of a NEW name — never an in-place
+  // overwrite, which no Hadoop filesystem replaces atomically) listing
+  // exactly the current generation's data file names, and writers
+  // order every swap publish-new → FLIP MANIFEST → delete-old, so at
+  // every instant the resolved manifest's files all exist on disk.
+  // [[readClustered]] resolves the highest-epoch manifest and reads
+  // that explicit file list: a resolve at ANY protocol step — including
+  // every crash window, including mid-recovery — yields exactly the
+  // pre- or post-swap row set, never a torn one. Older manifest files
+  // are GC'd by the next writer (readers that lost the race re-resolve,
+  // bounded retries). The residual, documented honestly: a reader whose
+  // JOB is still running when a later compact's delete step removes an
+  // old-generation file it resolved earlier fails loudly
+  // (FileNotFoundException) — snapshot isolation across long-running
+  // reads needs retained generations + vacuum (the Delta/Iceberg
+  // model), which this single-pointer protocol deliberately does not
+  // pay for; the atomicity contract here is per-resolve.
+
+  /** The current generation: (epoch, data file names), or None for a
+    * legacy pre-manifest layout. Retries a bounded number of times if
+    * the picked manifest file vanishes between listing and read (the
+    * next writer's GC) — a fresh higher-epoch manifest exists then. */
+  private[graft] def currentManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, Seq[String])] = {
+    def candidates(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory || !n.startsWith(manifestPrefix) ||
+            n.contains(".tmp.")) None
+        else {
+          val epochHex = n.substring(manifestPrefix.length).takeWhile(_ != '.')
+          // malformed names (foreign debris) are skipped, not fatal —
+          // the writer GC removes them eventually
+          try Some((java.lang.Long.parseUnsignedLong(epochHex, 16), st.getPath))
+          catch { case _: NumberFormatException => None }
+        }
+      }
+    var attempts = 5
+    while (attempts > 0) {
+      attempts -= 1
+      candidates().sortBy(c => (c._1, c._2.getName)).lastOption match {
+        case None => return None
+        case Some((epoch, mp)) =>
+          try {
+            val in = fs.open(mp)
+            val lines =
+              try new String(in.readAllBytes(), "UTF-8").trim.split('\n')
+                .map(_.trim)
+              finally in.close()
+            val header = lines.headOption.getOrElse("").split(' ')
+            require(header.length == 2 && header(0) == "v1" &&
+              header(1).matches("\\d{1,9}"),
+              s"unparseable manifest $mp — a damaged generation " +
+                "pointer; rebuild or remove it (reading around it " +
+                "could return a torn generation)")
+            val names = lines.drop(1).filter(_.nonEmpty)
+              .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
+            require(names.length == header(1).toInt,
+              s"manifest $mp lists ${names.length} files but records " +
+                s"${header(1)} — damaged; rebuild or remove it")
+            return Some((epoch, names))
+          } catch {
+            // the writer GC'd this epoch between our list and open —
+            // a newer manifest exists; re-list
+            case _: java.io.FileNotFoundException => ()
+          }
+      }
+    }
+    sys.error(s"could not resolve a stable manifest at $root after 5 " +
+      "attempts — writers are churning generations faster than a " +
+      "single list+read; this does not happen under the single-writer " +
+      "lease protocol")
+  }
+
+  /** Stamp the next-generation manifest listing exactly `names`, then
+    * GC every other manifest file (older epochs, crashed temps — all
+    * ours-or-dead under the writer lease). The stamp itself is an
+    * atomic rename to a FRESH name, so readers switch generations in
+    * one listing. Call only under the writer lease, only when every
+    * name in `names` is already present on disk. */
+  private def stampManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      names: Seq[String]): Unit = {
+    val epoch = currentManifest(spark, fs, root).map(_._1 + 1).getOrElse(0L)
+    val fname = f"$manifestPrefix$epoch%016x." +
+      java.util.UUID.randomUUID.toString.take(8)
+    val sorted = names.sorted
+    Layout.writeMarkerAtomic(spark, root.toString, fname,
+      (s"v1 ${sorted.length}" +: sorted.map(
+        java.net.URLEncoder.encode(_, "UTF-8"))).mkString("\n"))
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.startsWith(manifestPrefix) && n != fname)
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** The manifest refresh every append-side commit shares: the current
+    * generation (or, for a legacy pre-manifest layout, the root's data
+    * files EXCLUDING unledgered `b<id>-` batches — a crashed append's
+    * uncommitted files must not enter the first manifest) plus
+    * `added`, minus `removed`. */
+  private def refreshManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      added: Seq[String], removed: Set[String]): Unit = {
+    val base = currentManifest(spark, fs, root).map(_._2).getOrElse {
+      listDataFiles(fs, root).map(_.getPath.getName).filter { n =>
+        val m = "^b(\\d+)-.*".r.findFirstMatchIn(n)
+        m.forall(mm => Layout.batchApplied(spark, root.toString,
+          mm.group(1).toLong))
+      }
+    }
+    stampManifest(spark, fs, root,
+      ((base.toSet -- removed) ++ added).toSeq)
+  }
+
+  /** Read a clustered layout through its generation manifest — the
+    * reader-side API with the atomicity guarantee the directory read
+    * lacks: the resolved file set is exactly one complete generation,
+    * at every compact protocol step and every crash window (see the
+    * manifest section note above for the long-running-job residual).
+    * Refuses a marker-less path loudly (a crashed rebuild, or not a
+    * clustered layout at all); a legacy pre-manifest layout falls back
+    * to the directory read it always had. Predicates pushed into the
+    * returned frame prune row groups through the layout's per-file
+    * min/max stats exactly as a directory read would — the scan
+    * relation is the same, built from an explicit list. */
+  def readClustered(spark: SparkSession, path: String): DataFrame = {
+    require(clusteringOf(spark, path).nonEmpty,
+      s"readClustered: no $markerFile marker at $path — not a clustered " +
+        "graft layout, or a rebuild is in flight/crashed (rebuilds " +
+        "clear markers first so readers fail loudly instead of reading " +
+        "a half-written layout)")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    currentManifest(spark, fs, root) match {
+      case Some((_, names)) if names.nonEmpty =>
+        spark.read.parquet(names.map(n =>
+          new org.apache.hadoop.fs.Path(root, n).toString): _*)
+      case _ =>
+        // legacy layout (no manifest yet), or an empty generation
+        // (bootstrap purged, nothing landed): the directory read is
+        // the pre-manifest behavior for both
+        spark.read.parquet(path)
+    }
+  }
 
   /** Exact per-file [zmin, zmax] under the PINNED clustering for
     * exactly `paths` — a COLUMN-PRUNED scan (clustered columns only),
@@ -1073,8 +1382,20 @@ object Zorder {
   private[graft] def payload(cl: Clustering): String =
     s"v1 curve=${cl.curve} bits=${cl.bits} files=${cl.numFiles} cols=" +
       cl.cols.map(c => c.kind match {
-        case "s" => s"${c.name}:s:" + c.sparams.map(
-          java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+        case "s" =>
+          // enforced, not just derived: a hand-built kind-s quant with
+          // a single EMPTY boundary string would serialize identically
+          // to zero boundaries ('name:s:') and parse back as Nil —
+          // silently collapsing the layout identity the payload is
+          // documented to pin bit-exactly. stringRankBoundaries never
+          // emits one (the byte-order minimum is never a boundary),
+          // but payload() accepts arbitrary Clusterings.
+          require(c.sparams.forall(_.nonEmpty),
+            s"kind-s column '${c.name}' carries an empty-string " +
+              "boundary — it is indistinguishable from zero boundaries " +
+              "in the marker serialization")
+          s"${c.name}:s:" + c.sparams.map(
+            java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
         case k => s"${c.name}:$k:${c.params.map(hexd).mkString(",")}"
       }).mkString(";")
 

@@ -996,7 +996,7 @@ object Corpus {
         // pruning via the layout's per-file doc_id bounds, never a scan
         val ids = topk.select(col("neighbor_id")).distinct()
           .collect().map(_.getLong(0)).sorted
-        val fetched = spark.read.parquet(dPath)
+        val fetched = graft.operators.Zorder.readClustered(spark, dPath)
           .filter(col("doc_id").isin(ids.map(Long.box): _*))
           .select(col("doc_id").as("neighbor_id"), col("source"),
             col("n_chars"))

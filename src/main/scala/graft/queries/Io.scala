@@ -26,7 +26,10 @@ object Io {
     val e = Tables.load(spark, dir, "events")
     val tmp = scratchPath(scratch)
     write(e, tmp)
-    spark.read.parquet(tmp)
+    // through the generation manifest — the reader-atomic API the
+    // compact lifecycle (q178/q181) needs; plans and pruning are
+    // identical to the directory read (same scan relation)
+    graft.operators.Zorder.readClustered(spark, tmp)
       .filter(col("user_id").between(2, 8) &&
         col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
         col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
@@ -124,7 +127,7 @@ object Io {
         val tmp = scratchPath("zorder_rank_events")
         graft.operators.Zorder.writeZorderedByRank(
           e, tmp, Seq("user_id", "heat"), bits = 6, numFiles = 32)
-        spark.read.parquet(tmp)
+        graft.operators.Zorder.readClustered(spark, tmp)
           .filter(col("user_id").between(2, 8) &&
             col("heat") >= 100.0 && col("heat") < 2500.0)
           .groupBy(col("event_type"))
@@ -214,7 +217,7 @@ object Io {
         val tmp = scratchPath("hilbert3_events")
         graft.operators.Zorder.writeBest(e, tmp,
           Seq("user_id", "ts", "value"), bits = 12, numFiles = 32)
-        spark.read.parquet(tmp)
+        graft.operators.Zorder.readClustered(spark, tmp)
           .filter(col("user_id").between(2, 8) &&
             col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
             col("ts") < to_timestamp(lit("2024-01-15 00:00:00")) &&
@@ -260,7 +263,7 @@ object Io {
         Zorder.appendClustered(e.filter(col("event_id") % 5 === 0), tmp,
           batchId = 1)
         Zorder.compactTail(spark, tmp)
-        spark.read.parquet(tmp)
+        Zorder.readClustered(spark, tmp)
           .filter(col("user_id").between(2, 8) &&
             col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
@@ -274,6 +277,52 @@ object Io {
         FROM events
         WHERE user_id BETWEEN 2 AND 8
           AND event_type IN ('click', 'purchase')
+        GROUP BY event_type""")),
+
+    // ----- DATE-clustered lifecycle (the calendar-partitioned shape) --
+    // Clustering on a (numeric, DATE) pair — the ingest-date /
+    // partition-date layout every warehouse table has. DATE columns
+    // quantize through `unix_date` (epoch DAYS — timezone-free, so the
+    // pinned quantization means the same thing from every session;
+    // ANSI forbids DATE→DOUBLE directly, Zorder.scala's numericView),
+    // and parquet DATE stats prune date-range predicates per file.
+    // The full lifecycle runs per rep (bootstrap 80% → append 20%
+    // through the PINNED epoch-day bounds → tail-compact), then a
+    // user×date box scan via the manifest reader; the oracle is the
+    // same filter+agg on the RAW table (CAST(ts AS DATE) and
+    // to_date(ts) agree — both truncate to the calendar day), so the
+    // hash-match proves the date normalization buckets, places and
+    // folds every row exactly. Spec-side: ZorderSpec's DATE lifecycle
+    // test pins the same normalization at unit scale; this is its
+    // oracle-checked form (round-14 verdict gap #2).
+    QueryDef(
+      "q182_date_cluster_scan",
+      (spark, dir) => {
+        import graft.operators.Zorder
+        val e = Tables.load(spark, dir, "events")
+          .withColumn("d", to_date(col("ts")))
+        val tmp = scratchPath("datecluster_events")
+        Zorder.writeHilbert(e.filter(col("event_id") % 5 =!= 0), tmp,
+          Seq("user_id", "d"), bits = 12, numFiles = 32)
+        Zorder.appendClustered(e.filter(col("event_id") % 5 === 0), tmp,
+          batchId = 1)
+        Zorder.compactTail(spark, tmp)
+        Zorder.readClustered(spark, tmp)
+          .filter(col("user_id").between(2, 8) &&
+            col("d") >= to_date(lit("2024-01-10")) &&
+            col("d") < to_date(lit("2024-01-15")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        WHERE user_id BETWEEN 2 AND 8
+          AND CAST(ts AS DATE) >= DATE '2024-01-10'
+          AND CAST(ts AS DATE) <  DATE '2024-01-15'
         GROUP BY event_type"""))
   )
 }

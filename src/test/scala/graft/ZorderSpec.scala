@@ -707,6 +707,20 @@ class ZorderSpec extends SparkSpec {
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
       "date-clustered lifecycle must hold exactly the source rows")
     assert(disjoint(zRanges(dir)), "date-clustered layout must stay clustered")
+    // date-box FILE pruning through the lifecycle: a user×date box must
+    // intersect a strict subset of per-file bounding boxes — the
+    // zone-map observable the epoch-day quantization exists for (an
+    // epoch-day bug that pins a degenerate date dimension makes every
+    // file span the full date domain and THIS fails, not the row check)
+    val boxes = Zorder.boundingBoxes(spark, dir, Seq("user_id", "d")).collect()
+    val (dLo, dHi) = (java.sql.Date.valueOf("2024-01-12"),
+      java.sql.Date.valueOf("2024-01-18"))
+    val touched = boxes.count { r =>
+      r.getLong(1) <= 8L && r.getLong(2) >= 2L &&
+        !r.getDate(3).after(dHi) && !r.getDate(4).before(dLo)
+    }
+    assert(touched > 0 && touched < boxes.length,
+      s"date box touched $touched of ${boxes.length} files — no pruning")
     // rank mode shares the same normalization
     val dr = Files.createTempDirectory("graft_zorder_dater_").toString
     Zorder.writeZorderedByRank(e, dr, Seq("user_id", "d"), bits = 4,
@@ -989,5 +1003,116 @@ class ZorderSpec extends SparkSpec {
     }
     assert(touched > 0 && touched < boxes.length,
       s"dense-region box touched $touched of ${boxes.length} files")
+  }
+
+  test("manifest readers resolve one COMPLETE generation at every protocol step") {
+    // the reader-torn-window fix: compaction swaps files in place, so
+    // a directory listing mid-swap sees a torn generation (rows
+    // missing under delete-then-publish, duplicated under
+    // publish-then-delete). readClustered resolves the generation
+    // MANIFEST instead; the writer orders every swap publish-new →
+    // flip-manifest → delete-old. This test interleaves a real
+    // readClustered at EVERY protocol step of the REAL code path (the
+    // onProtocolStep seam) across append → tail-compact → append →
+    // whole-compact, asserting the resolved row set is always exactly
+    // a committed generation — never torn. Compaction preserves rows,
+    // so any deviation from the expected fingerprint IS a torn read.
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_gen_").toString
+    val base = e.filter(col("event_id") % 3 === 0)
+    val b1 = e.filter(col("event_id") % 3 === 1)
+    val b2 = e.filter(col("event_id") % 3 === 2)
+    Zorder.writeHilbert(base, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    val cols = Zorder.readClustered(spark, dir).columns.toSeq
+    def key(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+      val r = fp(df.select(cols.map(col): _*))
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val kBase = key(base)
+    val kB1 = key(base.unionByName(b1))
+    val kAll = key(e)
+    assert(key(Zorder.readClustered(spark, dir)) == kBase,
+      "reader must see the bootstrap generation")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var valid: Set[(Long, java.math.BigDecimal)] = Set.empty
+    Zorder.onProtocolStep = { label =>
+      seen += label
+      val got = key(Zorder.readClustered(spark, dir))
+      assert(valid.contains(got),
+        s"TORN generation at step '$label': reader resolved $got, " +
+          s"committed generations are $valid")
+    }
+    try {
+      // append: the manifest-refresh step may show pre or post
+      valid = Set(kBase, kB1)
+      assert(Zorder.appendClustered(b1, dir, batchId = 1))
+      assert(key(Zorder.readClustered(spark, dir)) == kB1)
+      // tail compact: rows constant through every step — sentinel,
+      // publish (both generations on disk), manifest flip, fold-file
+      // sweep, cleanup
+      valid = Set(kB1)
+      assert(Zorder.compactTail(spark, dir))
+      Seq("tail-sentinel", "tail-published", "tail-manifest",
+        "tail-swept", "tail-done").foreach(s =>
+        assert(seen.contains(s), s"protocol step '$s' never fired"))
+      valid = Set(kB1, kAll)
+      assert(Zorder.appendClustered(b2, dir, batchId = 2))
+      // whole compact: same invariant through the full-generation swap
+      valid = Set(kAll)
+      Zorder.compactClustered(spark, dir)
+      Seq("whole-sentinel", "whole-published", "whole-manifest",
+        "whole-swept", "whole-done").foreach(s =>
+        assert(seen.contains(s), s"protocol step '$s' never fired"))
+    } finally Zorder.onProtocolStep = _ => ()
+    // post-lifecycle: manifest read == directory read == all rows
+    assert(key(Zorder.readClustered(spark, dir)) == kAll)
+    assert(key(spark.read.parquet(dir)) == kAll)
+
+    // a CRASHED tail fold (sentinel + staged + nothing deleted — the
+    // window the old delete-then-publish order left torn) is readable-
+    // consistent BEFORE anyone recovers it: the manifest still points
+    // at the complete pre-fold generation
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b3 = e.filter(col("event_id") % 7 === 0)
+    assert(Zorder.appendClustered(b3, dir, batchId = 3))
+    val cl = Zorder.clusteringOf(spark, dir).get
+    val tails = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => !st.isDirectory && st.getPath.getName.matches("b3-.*"))
+      .map(_.getPath).toSeq
+    assert(tails.nonEmpty)
+    graft.operators.Zorder
+      .curveValues(spark.read.parquet(tails.map(_.toString): _*), cl, "__z")
+      .repartitionByRange(2, col("__z")).sortWithinPartitions(col("__z"))
+      .drop("__z").write.parquet(s"$dir/_graft_tail_tmp")
+    graft.operators.Layout.writeMarker(spark, dir, "_graft_tail_compacting",
+      (s"v1 tokrd ${tails.size}" +: tails.map(p =>
+        java.net.URLEncoder.encode(p.getName, "UTF-8"))).mkString("\n"))
+    val kWith3 = key(e.unionByName(b3))
+    assert(key(Zorder.readClustered(spark, dir)) == kWith3,
+      "a crashed-mid-fold layout must still resolve the complete " +
+        "pre-fold generation")
+    assert(Zorder.compactTail(spark, dir) ||
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_tail_compacting")),
+      "recovery must clear the crashed fold")
+    assert(key(Zorder.readClustered(spark, dir)) == kWith3,
+      "recovery must preserve the row set exactly")
+
+    // legacy fallback: a pre-manifest layout (no pointer files) reads
+    // via the directory listing it always had
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      if (!st.isDirectory &&
+          st.getPath.getName.startsWith("_graft_manifest."))
+        fs.delete(st.getPath, false)
+    }
+    assert(key(Zorder.readClustered(spark, dir)) == kWith3,
+      "legacy (manifest-less) layouts must read via the directory")
+    // and a marker-less path refuses loudly (rebuild in flight/crashed)
+    val bare = Files.createTempDirectory("graft_zorder_rd_").toString
+    e.limit(5).write.mode("overwrite").parquet(bare)
+    val err = intercept[IllegalArgumentException](
+      Zorder.readClustered(spark, bare))
+    assert(err.getMessage.contains("marker"), err.getMessage)
   }
 }
