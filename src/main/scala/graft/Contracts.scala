@@ -608,7 +608,12 @@ object Contracts {
           .select(input_file_name().as("f"), col("__z"))
           .groupBy(col("f"))
           .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
-          .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+          // sorted by the FULL (lo, hi) tuple — a lo-only sort can put
+          // a lo-tied wider file before its single-value neighbor
+          // ((v,hi) before (v,v), legal under maxRecordsPerFile) and
+          // grade the legal tie as strict overlap (the compactTail
+          // fold's own sorting discipline, Zorder.scala)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
         (ranges.zip(ranges.drop(1)).count {
           case ((_, hi), (lo2, _)) => if (strict) hi > lo2 else hi >= lo2
         }, ranges.length)

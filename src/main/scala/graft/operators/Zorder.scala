@@ -1178,8 +1178,12 @@ object Zorder {
     * name in `names` is already present on disk. */
   private def stampManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      names: Seq[String]): Unit = {
-    val epoch = currentManifest(spark, fs, root).map(_._1 + 1).getOrElse(0L)
+      names: Seq[String], epochHint: Option[Long] = None): Unit = {
+    // epochHint saves a second full manifest read when the caller
+    // already resolved the current generation (refreshManifest — the
+    // per-micro-batch path)
+    val epoch = epochHint.getOrElse(
+      currentManifest(spark, fs, root).map(_._1 + 1).getOrElse(0L))
     val fname = f"$manifestPrefix$epoch%016x." +
       java.util.UUID.randomUUID.toString.take(8)
     val sorted = names.sorted
@@ -1201,15 +1205,21 @@ object Zorder {
   private def refreshManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       added: Seq[String], removed: Set[String]): Unit = {
-    val base = currentManifest(spark, fs, root).map(_._2).getOrElse {
+    val cur = currentManifest(spark, fs, root)
+    val base = cur.map(_._2).getOrElse {
       listDataFiles(fs, root).map(_.getPath.getName).filter { n =>
         val m = "^b(\\d+)-.*".r.findFirstMatchIn(n)
         m.forall(mm => Layout.batchApplied(spark, root.toString,
           mm.group(1).toLong))
       }
     }
-    stampManifest(spark, fs, root,
-      ((base.toSet -- removed) ++ added).toSeq)
+    val next = (base.toSet -- removed) ++ added
+    // a no-op refresh (a REPLAYED append whose files the manifest
+    // already lists) does not burn a generation — restamping an
+    // identical set would pay a write + GC per at-least-once replay
+    if (!cur.exists(_._2.toSet == next))
+      stampManifest(spark, fs, root, next.toSeq,
+        epochHint = Some(cur.map(_._1 + 1).getOrElse(0L)))
   }
 
   /** Read a clustered layout through its generation manifest — the
@@ -1332,17 +1342,10 @@ object Zorder {
   }
 
   /** Region index of `z` — count of regions whose hi bound is below
-    * it, as a balanced when/otherwise tree over LONGS (the rankBucket
-    * shape; every fold z lies inside some region by construction). */
-  private def regionBucket(z: Column, his: Seq[Long]): Column = {
-    def go(lo: Int, hi: Int): Column =
-      if (lo >= hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(z > lit(his(mid)), go(mid + 1, hi)).otherwise(go(lo, mid))
-      }
-    go(0, his.length - 1)
-  }
+    * it ([[searchTree]]; every fold z lies inside some region by
+    * construction, so the last index is the open top). */
+  private def regionBucket(z: Column, his: Seq[Long]): Column =
+    searchTree(i => z > lit(his(i)), his.length - 1)
 
   /** The layout's pinned clustering, read back from the marker — what
     * [[appendClustered]] and [[compactClustered]] bucket through, and
@@ -1675,35 +1678,36 @@ object Zorder {
     bounds.result()
   }
 
-  /** Bucket of `v` among sorted `bounds` — the count of boundaries
-    * ≤ v, spelled as a BALANCED BINARY DECISION TREE of when/otherwise
-    * (log₂ comparisons per row, fully whole-stage-codegen'd; no UDF,
-    * no interpreted HOF). NULL descends the false branch at every
-    * split and lands in bucket 0; NaN compares greater than any
-    * double in Spark and lands in the top bucket. */
-  private[graft] def rankBucket(v: Column, bounds: Seq[Double]): Column = {
+  /** The ONE balanced when/otherwise BINARY DECISION TREE every
+    * bucketing form shares (numeric rank, string rank, region split —
+    * three hand-kept copies previously, whose tree-shape conventions
+    * could silently drift and mis-place appends relative to
+    * residents): returns how many of the `n` ordered split predicates
+    * hold, as a LONG column, in log₂ n comparisons per row, fully
+    * whole-stage-codegen'd — no UDF, no interpreted HOF. `cmp(i)`
+    * must be monotone in i for a fixed row (true at i implies true
+    * below it), which ordered boundaries give for free. NULL descends
+    * the false branch at every split and lands in bucket 0. */
+  private def searchTree(cmp: Int => Column, n: Int): Column = {
     def go(lo: Int, hi: Int): Column =
       if (lo >= hi) lit(lo.toLong)
       else {
         val mid = (lo + hi) / 2
-        when(v >= lit(bounds(mid)), go(mid + 1, hi)).otherwise(go(lo, mid))
+        when(cmp(mid), go(mid + 1, hi)).otherwise(go(lo, mid))
       }
-    go(0, bounds.length)
+    go(0, n)
   }
 
-  /** [[rankBucket]] over STRING boundaries — the same balanced
-    * when/otherwise tree, comparing in Spark's UTF8 binary order
-    * (codegen'd string comparisons, no UDF). NULL descends the false
-    * branch at every split and lands in bucket 0. */
-  private[graft] def rankBucketStr(v: Column, bounds: Seq[String]): Column = {
-    def go(lo: Int, hi: Int): Column =
-      if (lo >= hi) lit(lo.toLong)
-      else {
-        val mid = (lo + hi) / 2
-        when(v >= lit(bounds(mid)), go(mid + 1, hi)).otherwise(go(lo, mid))
-      }
-    go(0, bounds.length)
-  }
+  /** Bucket of `v` among sorted `bounds` — the count of boundaries
+    * ≤ v ([[searchTree]]). NaN compares greater than any double in
+    * Spark and lands in the top bucket. */
+  private[graft] def rankBucket(v: Column, bounds: Seq[Double]): Column =
+    searchTree(i => v >= lit(bounds(i)), bounds.length)
+
+  /** [[rankBucket]] over STRING boundaries — the same tree, comparing
+    * in Spark's UTF8 binary order (codegen'd string comparisons). */
+  private[graft] def rankBucketStr(v: Column, bounds: Seq[String]): Column =
+    searchTree(i => v >= lit(bounds(i)), bounds.length)
 
   /** Per-file bounding boxes of `cols` in a written layout — the
     * zone-map view a pruning reader sees, here for measurement

@@ -1039,7 +1039,7 @@ class StreamsSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.input_file_name().as("f"),
         col("__z"))
       .groupBy(col("f")).agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
-      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
     assert(ranges.zip(ranges.drop(1)).forall { case ((_, hi), (lo2, _)) =>
       hi <= lo2 }, s"policy-driven folds must keep the layout clustered: " +
       ranges.mkString(","))

@@ -564,7 +564,9 @@ class ZorderSpec extends SparkSpec {
     val (a2, b2) = (fp(expect.select(back.columns.map(col): _*)), fp(back))
     assert(a2.getLong(0) == b2.getLong(0) && a2.getDecimal(1) == b2.getDecimal(1),
       "tie fold must hold exactly resident ∪ batch rows")
-    val post = zRanges(dir).sortBy(_._1)
+    // (lo, hi) sort — a lo-only sort misorders lo-ties with unequal
+    // his and fails this assertion on correct behavior
+    val post = zRanges(dir).sorted
     assert(post.zip(post.drop(1)).forall { case ((_, hi), (lo2, _)) => hi <= lo2 },
       s"no overlap beyond endpoint ties may remain, got $post")
   }
