@@ -485,9 +485,14 @@ object Zorder {
     val fsm = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootm = fsm.makeQualified(new org.apache.hadoop.fs.Path(path))
+    // Option-wrapped: globStatus returns NULL (not an empty array) on
+    // some filesystems when nothing matches — reachable here for an
+    // EMPTY batch, whose staged write publishes no data files
     refreshManifest(spark, fsm, rootm,
-      fsm.globStatus(new org.apache.hadoop.fs.Path(rootm, s"b$batchId-*"))
-        .toSeq.filterNot(_.isDirectory).map(_.getPath.getName), Set.empty)
+      Option(fsm.globStatus(
+        new org.apache.hadoop.fs.Path(rootm, s"b$batchId-*")))
+        .getOrElse(Array.empty).toSeq
+        .filterNot(_.isDirectory).map(_.getPath.getName), Set.empty)
     onProtocolStep("append-manifest")
     applied
     }

@@ -1070,6 +1070,16 @@ class ZorderSpec extends SparkSpec {
     // post-lifecycle: manifest read == directory read == all rows
     assert(key(Zorder.readClustered(spark, dir)) == kAll)
     assert(key(spark.read.parquet(dir)) == kAll)
+    // plan parity: the explicit-file-list scan still pushes predicates
+    // down to parquet (PushedFilters) and prunes columns (ReadSchema) —
+    // the properties every pruning contract rides on; a manifest
+    // reader that built its relation differently would silently lose
+    // row-group pruning while staying row-correct
+    val planStr = Zorder.readClustered(spark, dir)
+      .filter(col("user_id").between(2, 8)).select(col("value"))
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("GreaterThanOrEqual(user_id,2)"),
+      s"manifest read lost filter pushdown:\n$planStr")
 
     // a CRASHED tail fold (sentinel + staged + nothing deleted — the
     // window the old delete-then-publish order left torn) is readable-
