@@ -914,6 +914,41 @@ class ZorderSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_compacting")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_compact_tmp")))
     assert(disjoint(zRanges(d2)), "recovered layout must end fully clustered")
+
+    // window 3 (the publish-before-delete order): sentinel + staging
+    // + SOME c<token>- files already published — a mid-publish crash.
+    // Both generations coexist on disk, the manifest still points at
+    // the OLD one: a reader resolving BEFORE recovery must get the
+    // complete old row set (a directory read would double-count);
+    // recovery completes the publish, flips the manifest, sweeps —
+    // and the reader then resolves exactly the staged generation.
+    val d3 = Files.createTempDirectory("graft_zorder_c3_").toString
+    Zorder.writeZordered(e, d3, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    val cl3 = Zorder.clusteringOf(spark, d3).get
+    val gen3 = e.filter(col("event_id") % 3 =!= 0)
+    graft.operators.Zorder.curveValues(gen3, cl3, "__z")
+      .repartitionByRange(4, col("__z")).sortWithinPartitions(col("__z"))
+      .drop("__z").write.parquet(s"$d3/_graft_compact_tmp")
+    graft.operators.Layout.writeMarker(spark, d3, "_graft_compacting", "toky")
+    val staged3 = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$d3/_graft_compact_tmp"))
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName))
+    assert(staged3.length >= 2, "window needs >= 2 staged files")
+    // hand-publish ONE staged file, exactly as step 3's rename would
+    val one = staged3.head.getPath
+    assert(fs.rename(one,
+      new org.apache.hadoop.fs.Path(d3, s"ctoky-${one.getName}")))
+    assert(Zorder.readClustered(spark, d3).count() == e.count(),
+      "mid-publish crash: a manifest reader must resolve the complete " +
+        "OLD generation (directory coexistence must be invisible)")
+    Zorder.compactClustered(spark, d3)
+    assert(Zorder.readClustered(spark, d3).count() == gen3.count(),
+      "after recovery the reader must resolve the staged generation")
+    assert(spark.read.parquet(d3).count() == gen3.count(),
+      "recovery must sweep the old generation from disk")
+    assert(disjoint(zRanges(d3)))
   }
 
   test("writeBest picks hilbert at every d and clamps bits to the long budget") {
