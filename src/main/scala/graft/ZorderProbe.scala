@@ -301,17 +301,23 @@ object ZorderProbe {
     println(f"ZORDERPROBE strgate bits=8 boundaries=$boundaries " +
       f"markerBytes=$markerBytes writeS=$writeS%.2f appendS=$appendS%.2f " +
       f"scanS=$scanS%.2f matching=$mStr decodedRows=$dStr")
-    // the 65,536-key REFUSAL fires loudly, with the remedy named
-    val over = e.withColumn("skey",
-      format_string("k%06d", col("event_id")))
-    val gateMsg = try {
-      Zorder.writeHilbertByRank(over, s"$tmp/strgate_over",
-        Seq("user_id", "skey"), bits = 4, numFiles = files)
-      "NO-REFUSAL (bug)"
-    } catch { case e: IllegalArgumentException =>
-      e.getMessage.take(60)
-    }
-    println(s"ZORDERPROBE strgate overGate='$gateMsg'")
+    // the 65,536-key REFUSAL fires loudly, with the remedy named —
+    // guarded on the corpus actually CARRYING that many distinct ids
+    // (at a small sf the write legitimately succeeds, and reporting
+    // that as a bug would send the reader hunting a phantom)
+    if (e.select(col("event_id")).distinct().count() > 65536) {
+      val over = e.withColumn("skey",
+        format_string("k%06d", col("event_id")))
+      val gateMsg = try {
+        Zorder.writeHilbertByRank(over, s"$tmp/strgate_over",
+          Seq("user_id", "skey"), bits = 4, numFiles = files)
+        "NO-REFUSAL (bug)"
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.take(60)
+      }
+      println(s"ZORDERPROBE strgate overGate='$gateMsg'")
+    } else println("ZORDERPROBE strgate overGate=SKIPPED " +
+      "(corpus has <= 65,536 distinct ids — the gate cannot fire here)")
 
     val eh = e.withColumn("heat",
       col("value") * col("value") *

@@ -1125,11 +1125,17 @@ object Zorder {
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Option[(Long, Seq[String])] = {
     def candidates(): Seq[(Long, org.apache.hadoop.fs.Path)] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.flatMap { st =>
+      // a PREFIXED glob, not a full root listing: on an object store
+      // this is a prefix LIST over the handful of manifest files, so
+      // the per-resolve (and per-micro-batch refresh) cost does not
+      // grow with the table's data file count. Null-guarded —
+      // globStatus returns null (not empty) on some filesystems when
+      // nothing matches.
+      Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, manifestPrefix + "*")))
+        .getOrElse(Array.empty).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        if (st.isDirectory || !n.startsWith(manifestPrefix) ||
-            n.contains(".tmp.")) None
+        if (st.isDirectory || n.contains(".tmp.")) None
         else {
           val epochHex = n.substring(manifestPrefix.length).takeWhile(_ != '.')
           // malformed names (foreign debris) are skipped, not fatal —
@@ -1138,7 +1144,13 @@ object Zorder {
           catch { case _: NumberFormatException => None }
         }
       }
-    var attempts = 5
+    // bounded retries WITH backoff: a lock-free reader can lose the
+    // list-then-open race to a fast-stamping writer's GC on every
+    // attempt (each loss proves a NEWER manifest exists — the layout
+    // is healthy, the reader is just slower than the churn), so the
+    // budget is generous and backs off to outlast a burst of
+    // micro-batch commits rather than crashing a correct reader
+    var attempts = 12
     while (attempts > 0) {
       attempts -= 1
       candidates().sortBy(c => (c._1, c._2.getName)).lastOption match {
@@ -1164,15 +1176,17 @@ object Zorder {
             return Some((epoch, names))
           } catch {
             // the writer GC'd this epoch between our list and open —
-            // a newer manifest exists; re-list
-            case _: java.io.FileNotFoundException => ()
+            // a newer manifest exists; back off and re-list
+            case _: java.io.FileNotFoundException =>
+              Thread.sleep(25L * (12 - attempts))
           }
       }
     }
-    sys.error(s"could not resolve a stable manifest at $root after 5 " +
-      "attempts — writers are churning generations faster than a " +
-      "single list+read; this does not happen under the single-writer " +
-      "lease protocol")
+    sys.error(s"could not resolve a stable manifest at $root after 12 " +
+      "list+read attempts — a writer kept stamping and GC'ing newer " +
+      "generations faster than this reader could open one (the layout " +
+      "itself is healthy; every lost race proves a newer manifest " +
+      "exists). Retry the read, or slow the ingest commit rate")
   }
 
   /** Stamp the next-generation manifest listing exactly `names`, then
@@ -1195,9 +1209,12 @@ object Zorder {
     Layout.writeMarkerAtomic(spark, root.toString, fname,
       (s"v1 ${sorted.length}" +: sorted.map(
         java.net.URLEncoder.encode(_, "UTF-8"))).mkString("\n"))
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (!st.isDirectory && n.startsWith(manifestPrefix) && n != fname)
+    // GC via the same PREFIXED glob as the resolve — never a full root
+    // listing (the per-commit cost must not grow with the table)
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(root, manifestPrefix + "*")))
+      .getOrElse(Array.empty).foreach { st =>
+      if (!st.isDirectory && st.getPath.getName != fname)
         fs.delete(st.getPath, false)
     }
   }
@@ -1348,9 +1365,32 @@ object Zorder {
 
   /** Region index of `z` — count of regions whose hi bound is below
     * it ([[searchTree]]; every fold z lies inside some region by
-    * construction, so the last index is the open top). */
+    * construction, so the last index is the open top). Gated like the
+    * rank trees: past 256 regions the when-tree's node count risks
+    * the generated-method limit (past which Spark silently
+    * deoptimizes to interpreted evaluation — the failure mode the
+    * bits ≤ 8 rank gate documents), and a heavily-scattered fold at
+    * the 10⁵-resident scale can legitimately produce thousands of
+    * regions. Beyond the gate this falls back to a udf binary search
+    * over a broadcast bound array — the [[compactTail]] slotOf
+    * discipline: a maintenance rewrite over fold rows only, exact
+    * long arithmetic, O(log R) per row, never a benched query path. */
   private def regionBucket(z: Column, his: Seq[Long]): Column =
-    searchTree(i => z > lit(his(i)), his.length - 1)
+    if (his.length <= 256) searchTree(i => z > lit(his(i)), his.length - 1)
+    else {
+      val bounds = his.dropRight(1).toArray // last region is the open top
+      val slot = udf { (zv: Long) =>
+        // count of his STRICTLY below zv — exact parity with the
+        // tree's `>` comparison, including duplicate bounds (a point
+        // region tied at a blocked junction): walk back to the FIRST
+        // equal bound, the index the tree's left-descent lands on
+        val p = java.util.Arrays.binarySearch(bounds, zv)
+        var i = if (p >= 0) p else -p - 1
+        while (i > 0 && bounds(i - 1) == zv) i -= 1
+        i.toLong
+      }
+      slot(z)
+    }
 
   /** The layout's pinned clustering, read back from the marker — what
     * [[appendClustered]] and [[compactClustered]] bucket through, and
