@@ -214,13 +214,16 @@ private[graft] object Layout {
       val p = new org.apache.hadoop.fs.Path(root, d)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    // generation manifests die with the purged files: a stale pointer
-    // naming just-deleted files would break every manifest reader
-    // until the next commit's refresh — and the refresh itself would
-    // UNION the dead names back in (its base is the current manifest)
+    // generation manifests (and the retire ledger) die with the
+    // purged files: a stale pointer naming just-deleted files would
+    // break every manifest reader until the next commit's refresh —
+    // and the refresh itself would UNION the dead names back in (its
+    // base is the current manifest)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
       if (!st.isDirectory &&
-          st.getPath.getName.startsWith(graft.operators.Zorder.manifestPrefix))
+          (n.startsWith(graft.operators.Zorder.manifestPrefix) ||
+            n == graft.operators.Zorder.retiredFile))
         fs.delete(st.getPath, false)
     }
   }

@@ -534,13 +534,24 @@ object Zorder {
     * (it alone restores the exact `numFiles` grid); the per-ingest
     * compact is [[compactTail]], which rewrites only the tail and the
     * resident files it overlaps — rewrite bytes ∝ tail, not table. */
-  def compactClustered(spark: SparkSession, path: String): Unit =
+  def compactClustered(spark: SparkSession, path: String,
+      retainMs: Long = 0L): Unit =
     Layout.withWriterLease(spark, path, "compactClustered") {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val sentinel = new org.apache.hadoop.fs.Path(root, compactingFile)
     val tmp = new org.apache.hadoop.fs.Path(root, compactTmpDir)
+    // files a PREVIOUS retention compact left in grace: excluded from
+    // every enumeration below (they are old-generation rows — folding
+    // or re-deleting them would duplicate or break in-flight readers)
+    def retiredNow = readRetired(spark, path).keySet
+    def sweepVictims(token: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val r = retiredNow
+      listDataFiles(fs, root).filter(st =>
+        !st.getPath.getName.startsWith(s"c$token-") &&
+          !r(st.getPath.getName))
+    }
     // finish a crashed TAIL compaction first (same lease): its fold
     // set's files are deleted-but-unreplaced until its staged files
     // publish, and this whole-layout fold must see the completed state
@@ -560,7 +571,7 @@ object Zorder {
       Layout.publishDir(fs, tmp, root, s"c$token-")
       stampManifest(spark, fs, root, listDataFiles(fs, root)
         .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
-      Layout.deleteDataExcept(fs, root, s"c$token-")
+      retireOrDelete(spark, fs, root, sweepVictims(token), retainMs)
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(sentinel, false),
         s"compactClustered: could not clear $sentinel after recovery")
@@ -582,9 +593,17 @@ object Zorder {
     // mergeSchema: the fold must see EVERY column present anywhere in
     // the layout, not one sampled footer's view — with schema-checked
     // appends the schemas agree, but a pre-check legacy layout must
-    // surface its width here rather than silently drop columns
+    // surface its width here rather than silently drop columns.
+    // Explicit LIVE paths, never the directory: retired files are
+    // old-generation rows whose fold-in would duplicate every one.
+    val retired0 = retiredNow
+    val livePaths = listDataFiles(fs, root)
+      .filterNot(st => retired0(st.getPath.getName)).map(_.getPath)
+    require(livePaths.nonEmpty,
+      s"compactClustered: no live data files at $path — nothing to fold")
     val (staged, z, drop) = clusteredFrame(
-      spark.read.option("mergeSchema", "true").parquet(path), cl)
+      spark.read.option("mergeSchema", "true")
+        .parquet(livePaths.map(_.toString): _*), cl)
     withStatsTimestamps(spark) {
       staged.repartitionByRange(cl.numFiles, z)
         .sortWithinPartitions(z)
@@ -603,7 +622,7 @@ object Zorder {
     stampManifest(spark, fs, root, listDataFiles(fs, root)
       .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
     onProtocolStep("whole-manifest")
-    Layout.deleteDataExcept(fs, root, s"c$token-")
+    retireOrDelete(spark, fs, root, sweepVictims(token), retainMs)
     onProtocolStep("whole-swept")
     fs.delete(tmp, true)
     require(fs.delete(sentinel, false),
@@ -692,7 +711,8 @@ object Zorder {
     * Returns true if a tail was folded; false = no `b<id>-` files (the
     * steady state — callers can invoke it unconditionally per ingest
     * cycle). */
-  def compactTail(spark: SparkSession, path: String): Boolean =
+  def compactTail(spark: SparkSession, path: String,
+      retainMs: Long = 0L): Boolean =
     Layout.withWriterLease(spark, path, "compactTail") {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -709,7 +729,12 @@ object Zorder {
       s"compactTail: no $markerFile marker at $path — not a clustered " +
         "graft layout (or a crashed rebuild); rebuild with a write* " +
         "form first"))
+    // retired files (a previous retention compact's grace) are OUT of
+    // the fold universe entirely: not residents (their rows are
+    // old-generation duplicates), not invariant inputs, not blockers
+    val retired0 = readRetired(spark, path).keySet
     val files = listDataFiles(fs, root)
+      .filterNot(st => retired0(st.getPath.getName))
     val (tails, mains) = files.partition(st =>
       st.getPath.getName.matches("b\\d+-.*"))
     if (tails.isEmpty) false
@@ -916,10 +941,7 @@ object Zorder {
       refreshManifest(spark, fs, root,
         replacements.map(_.getPath.getName), foldNames)
       onProtocolStep("tail-manifest")
-      foldSet.foreach { st =>
-        require(fs.delete(st.getPath, false),
-          s"compactTail: could not delete folded file ${st.getPath}")
-      }
+      retireOrDelete(spark, fs, root, foldSet, retainMs)
       onProtocolStep("tail-swept")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(
@@ -969,7 +991,12 @@ object Zorder {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    // retired tails (a retention fold's victims, still in grace) are
+    // not a foldable tail — counting them would report due-forever
+    // while compactTail correctly finds nothing to fold
+    val retired0 = readRetired(spark, path).keySet
     val files = listDataFiles(fs, root)
+      .filterNot(st => retired0(st.getPath.getName))
     val (tails, mains) = files.partition(
       _.getPath.getName.matches("b\\d+-.*"))
     tails.nonEmpty && {
@@ -986,7 +1013,12 @@ object Zorder {
     * fold files, publish whatever is still staged under the recorded
     * token (files already published survive — their staged copies are
     * gone), drop staging and the sentinel. Staging without a sentinel
-    * → a pre-commit crash: the layout is untouched, discard staging. */
+    * → a pre-commit crash: the layout is untouched, discard staging.
+    * Retention note: recovery always DELETES the listed fold files,
+    * even if the crashed call asked for grace (the sentinel does not
+    * record retainMs) — a crash degrades reader grace for that one
+    * fold, never correctness; a retire-ledger entry for a file
+    * recovery deleted is pruned by the next vacuum. */
   private def recoverTailCrash(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
@@ -1229,7 +1261,13 @@ object Zorder {
       added: Seq[String], removed: Set[String]): Unit = {
     val cur = currentManifest(spark, fs, root)
     val base = cur.map(_._2).getOrElse {
-      listDataFiles(fs, root).map(_.getPath.getName).filter { n =>
+      // legacy-migration arm: unledgered batches (crashed appends) and
+      // retire-ledgered files (unreachable without a manifest, but a
+      // hand-deleted manifest must not resurrect old generations) are
+      // both excluded from the first manifest
+      val retired = readRetired(spark, root.toString).keySet
+      listDataFiles(fs, root).map(_.getPath.getName)
+        .filterNot(retired).filter { n =>
         val m = "^b(\\d+)-.*".r.findFirstMatchIn(n)
         m.forall(mm => Layout.batchApplied(spark, root.toString,
           mm.group(1).toLong))
@@ -1243,6 +1281,127 @@ object Zorder {
       stampManifest(spark, fs, root, next.toSeq,
         epochHint = Some(cur.map(_._1 + 1).getOrElse(0L)))
   }
+
+  // ----- retention: snapshot grace for in-flight readers -----
+  //
+  // The manifest gives per-RESOLVE atomicity; a reader whose job is
+  // still running when a later compact DELETES an old-generation file
+  // it resolved earlier still fails. Retention closes that, opt-in:
+  // `compactTail(path, retainMs)` / `compactClustered(path, retainMs)`
+  // with retainMs > 0 RETIRE the replaced files instead of deleting
+  // them — the files stay at their paths (an in-flight reader's
+  // resolved list keeps reading), recorded in the `_graft_retired`
+  // ledger with their retire time — and [[vacuumClustered]] deletes
+  // them once older than the caller's grace window (the
+  // Delta VACUUM shape). The ledger is LENIENT-parsed and advisory
+  // for timing only: correctness rests on the manifest (retired files
+  // are never in it), and vacuum self-heals by stamping any
+  // unmanifested data file it finds unledgered. The documented trade:
+  // under retention, plain DIRECTORY reads of the layout double-count
+  // (retired files are visible to them) — retention layouts are
+  // manifest-readers-only ([[readClustered]]), which is what a
+  // serving deployment uses anyway. Every maintenance pass
+  // (compactTail's resident enumeration, compactClustered's fold
+  // source) excludes retired names, so retired rows are never folded
+  // back in.
+
+  private[graft] val retiredFile = "_graft_retired"
+
+  /** `urlenc(name)=retireEpochMs` per line; lenient like the z-range
+    * cache — unparseable content reads empty, correctness never rests
+    * on it (vacuum re-stamps what it cannot account for). */
+  private[graft] def readRetired(spark: SparkSession,
+      path: String): Map[String, Long] =
+    try Layout.readMarker(spark, path, retiredFile).map { s =>
+      s.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('=')
+        java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
+          line.substring(i + 1).toLong
+      }.toMap
+    }.getOrElse(Map.empty)
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def writeRetired(spark: SparkSession, path: String,
+      m: Map[String, Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, retiredFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (m.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
+    else Layout.writeMarker(spark, path, retiredFile,
+      m.toSeq.sortBy(_._1).map { case (n, t) =>
+        java.net.URLEncoder.encode(n, "UTF-8") + "=" + t
+      }.mkString("\n"))
+  }
+
+  /** Delete retired files whose grace expired: every data file NOT in
+    * the current manifest is garbage-in-waiting — ledgered entries
+    * older than `olderThanMs` are deleted, younger ones kept, and
+    * UNLEDGERED ones (a crash between flip and retire, or a foreign
+    * hand-copy) are self-healed by stamping them with the current
+    * time, so they age out on a later vacuum instead of leaking
+    * forever. `b<id>-` batch files are never touched (crash debris of
+    * the append protocol belongs to its own rollback). Requires a
+    * manifest (a legacy directory-is-truth layout has no garbage
+    * notion); returns the number of files deleted. Manifest-is-truth
+    * warning: after the grace, vacuum WILL delete any data file the
+    * manifest does not list — do not hand-copy files into a vacuumed
+    * layout. */
+  def vacuumClustered(spark: SparkSession, path: String,
+      olderThanMs: Long = 0L): Int =
+    Layout.withWriterLease(spark, path, "vacuumClustered") {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    currentManifest(spark, fs, root) match {
+      case None => 0 // legacy layout: the directory IS the truth
+      case Some((_, names)) =>
+        val live = names.toSet
+        val ledger = readRetired(spark, path)
+        val now = System.currentTimeMillis()
+        var deleted = 0
+        val keep = Map.newBuilder[String, Long]
+        listDataFiles(fs, root).foreach { st =>
+          val n = st.getPath.getName
+          // `b<id>-` files are skipped UNLESS retire-ledgered: an
+          // unledgered one is either append-crash debris (the append
+          // protocol's rollback owns it) or a committed batch whose
+          // manifest heal is pending — both must survive vacuum; a
+          // RETIRED tail (a retention fold's victim) ages out normally
+          if (!live(n) && (ledger.contains(n) || !n.matches("b\\d+-.*"))) {
+            ledger.get(n) match {
+              case Some(t) if now - t >= olderThanMs =>
+                require(fs.delete(st.getPath, false),
+                  s"vacuumClustered: could not delete retired $n")
+                deleted += 1
+              case Some(t) => keep += n -> t
+              case None => keep += n -> now // self-heal: age from now
+            }
+          }
+        }
+        // entries for vanished files drop out by construction (the
+        // ledger is rebuilt from the files actually present)
+        writeRetired(spark, path, keep.result())
+        deleted
+    }
+  }
+
+  /** The delete-or-retire step every swap shares: with grace, the
+    * victims are stamped into the retired ledger and left at their
+    * paths; without, they are deleted now. Either way the manifest
+    * already excludes them — this step is invisible to manifest
+    * readers. */
+  private def retireOrDelete(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      victims: Seq[org.apache.hadoop.fs.FileStatus], retainMs: Long): Unit =
+    if (retainMs > 0) {
+      val now = System.currentTimeMillis()
+      writeRetired(spark, root.toString,
+        readRetired(spark, root.toString) ++
+          victims.map(_.getPath.getName -> now))
+    } else victims.foreach { st =>
+      require(fs.delete(st.getPath, false),
+        s"compact: could not delete replaced file ${st.getPath}")
+    }
 
   /** Read a clustered layout through its generation manifest — the
     * reader-side API with the atomicity guarantee the directory read

@@ -1162,4 +1162,91 @@ class ZorderSpec extends SparkSpec {
       Zorder.readClustered(spark, bare))
     assert(err.getMessage.contains("marker"), err.getMessage)
   }
+
+  test("retention: a resolved generation keeps reading through the swap until vacuum") {
+    // the snapshot-grace upgrade over per-resolve atomicity: with
+    // retainMs > 0 the compact forms RETIRE replaced files (ledgered,
+    // left at their paths) instead of deleting them, so a reader that
+    // resolved the OLD generation before the swap still reads it
+    // mid-job; vacuumClustered deletes them once past the caller's
+    // grace window and self-heals unledgered garbage. Manifest-is-
+    // truth throughout: new resolves see exactly the new generation,
+    // retired rows never fold back in, and the trigger policy does
+    // not count retired tails.
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_ret_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val base = e.filter(col("event_id") % 4 =!= 0)
+    val b1 = e.filter(col("event_id") % 4 === 0)
+    Zorder.writeHilbert(base, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    assert(Zorder.appendClustered(b1, dir, batchId = 1))
+    // an in-flight reader: resolve the current generation to explicit
+    // paths NOW, read it AFTER the swap
+    val oldGen = Zorder.currentManifest(spark, fs, root).get._2
+      .map(n => new org.apache.hadoop.fs.Path(root, n).toString)
+    val preCount = spark.read.parquet(oldGen: _*).count()
+    assert(preCount == e.count())
+    val hour = 3600L * 1000
+    assert(Zorder.compactTail(spark, dir, retainMs = hour))
+    // grace: the resolved old generation still reads, byte-complete
+    assert(spark.read.parquet(oldGen: _*).count() == preCount,
+      "a retention fold must leave the old generation readable")
+    // new resolves see exactly the new generation (rows identical)
+    assert(Zorder.readClustered(spark, dir).count() == e.count())
+    // retired tails are not a foldable tail: not due, nothing to fold
+    assert(!Zorder.tailCompactDue(spark, dir))
+    assert(!Zorder.compactTail(spark, dir))
+    // a live grace window vacuums nothing
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = hour) == 0)
+    assert(spark.read.parquet(oldGen: _*).count() == preCount)
+    // expired grace: retired files deleted; directory == manifest
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0)
+    assert(spark.read.parquet(dir).count() == e.count(),
+      "post-vacuum the directory holds exactly the live generation")
+    assert(Zorder.readClustered(spark, dir).count() == e.count())
+    assert(disjoint(zRanges(dir)), "retention fold must stay clustered")
+
+    // whole-compact retention: append again, compact with grace —
+    // the pre-compact generation survives until vacuumed
+    assert(Zorder.appendClustered(e.filter(col("event_id") % 9 === 0),
+      dir, batchId = 2))
+    val gen2 = Zorder.currentManifest(spark, fs, root).get._2
+      .map(n => new org.apache.hadoop.fs.Path(root, n).toString)
+    val expect2 = e.count() + e.filter(col("event_id") % 9 === 0).count()
+    Zorder.compactClustered(spark, dir, retainMs = hour)
+    assert(spark.read.parquet(gen2: _*).count() == expect2,
+      "whole-compact retention must leave the old generation readable")
+    assert(Zorder.readClustered(spark, dir).count() == expect2)
+    // a SECOND retention compact while the first's grace stands must
+    // not fold or re-retire the retired files (they are out of the
+    // fold universe) — rows stay exact
+    Zorder.compactClustered(spark, dir, retainMs = hour)
+    assert(Zorder.readClustered(spark, dir).count() == expect2,
+      "re-compacting under grace must not duplicate retired rows")
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0)
+    assert(spark.read.parquet(dir).count() == expect2)
+    assert(disjoint(zRanges(dir)))
+
+    // self-heal: an unmanifested foreign file is STAMPED (not deleted)
+    // on first sight, and ages out on the next vacuum
+    val foreignSrc =
+      Files.createTempDirectory("graft_zorder_retf_").toString + "/src"
+    e.limit(10).write.parquet(foreignSrc)
+    val fFile = fs.listStatus(new org.apache.hadoop.fs.Path(foreignSrc))
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName)).head.getPath
+    val fDest = new org.apache.hadoop.fs.Path(root, "foreign0.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, fFile, fs, fDest, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = hour) == 0,
+      "first sight: stamp into the ledger, never delete inside grace")
+    assert(fs.exists(fDest))
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) == 1,
+      "aged out: the stamped foreign file is garbage after the grace")
+    assert(!fs.exists(fDest))
+    assert(Zorder.readClustered(spark, dir).count() == expect2)
+  }
 }
