@@ -323,6 +323,47 @@ object Io {
         WHERE user_id BETWEEN 2 AND 8
           AND CAST(ts AS DATE) >= DATE '2024-01-10'
           AND CAST(ts AS DATE) <  DATE '2024-01-15'
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ----- Retention lifecycle: retire → grace reads → vacuum -----
+    // The snapshot-grace story oracle-checked end-to-end: bootstrap
+    // 80%, append 20%, TAIL-compact with a one-hour grace (the fold's
+    // victims are RETIRED — ledgered, left at their paths — so a
+    // reader that resolved the pre-compact generation keeps reading),
+    // then vacuum twice: inside the grace (must delete nothing) and
+    // with it expired (restores directory == manifest). The box scan
+    // runs through the manifest reader; the oracle is the same
+    // filter+agg on the RAW table, so the hash-match proves the
+    // retire/vacuum bookkeeping neither loses, duplicates nor
+    // double-serves a single row through the whole cycle. The
+    // mid-grace invariants (old generation byte-complete, fold
+    // universe excludes retired, re-compact under grace adds nothing)
+    // are spec-pinned in ZorderSpec's retention test.
+    QueryDef(
+      "q183_retention_vacuum",
+      (spark, dir) => {
+        import graft.operators.Zorder
+        val e = Tables.load(spark, dir, "events")
+        val tmp = scratchPath("retention_events")
+        Zorder.writeHilbert(e.filter(col("event_id") % 5 =!= 0), tmp,
+          Seq("user_id", "ts"), bits = 16, numFiles = 32)
+        Zorder.appendClustered(e.filter(col("event_id") % 5 === 0), tmp,
+          batchId = 1)
+        Zorder.compactTail(spark, tmp, retainMs = 3600L * 1000)
+        require(Zorder.vacuumClustered(spark, tmp,
+          olderThanMs = 3600L * 1000) == 0,
+          "an unexpired grace window must vacuum nothing")
+        require(Zorder.vacuumClustered(spark, tmp, olderThanMs = 0L) > 0,
+          "the expired grace must reclaim the retired generation")
+        Zorder.readClustered(spark, tmp)
+          .filter(col("user_id").between(2, 8) &&
+            col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+            col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+      },
+      Some(eventsBoxOracle))
   )
 }
