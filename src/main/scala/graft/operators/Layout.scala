@@ -223,7 +223,7 @@ private[graft] object Layout {
       val n = st.getPath.getName
       if (!st.isDirectory &&
           (n.startsWith(graft.operators.Zorder.manifestPrefix) ||
-            n == graft.operators.Zorder.retiredFile))
+            n.startsWith(graft.operators.Zorder.retiredPrefix)))
         fs.delete(st.getPath, false)
     }
   }
@@ -692,15 +692,6 @@ private[graft] object Layout {
     if (fs.exists(stagingRoot))
       publishStaged(fs, stagingRoot, stagingRoot, layoutRoot, prefix)
 
-  /** Delete every published data file under `dir` EXCEPT those carrying
-    * `keepPrefix` — the swap step of a staged rewrite: the new
-    * generation's files (already published under the prefix by a
-    * crashed attempt) survive, everything else goes. Hidden names
-    * (markers, ledger, staging) are never touched. */
-  private[operators] def deleteDataExcept(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, keepPrefix: String): Unit =
-    deleteDataImpl(fs, dir, Some(keepPrefix))
-
   /** Delete EVERY published data file under `dir` (hidden protocol
     * state untouched) — the stale-file purge of the rowless re-stamp
     * arms: 0-row schema-bearing part files must not survive a
@@ -708,15 +699,15 @@ private[graft] object Layout {
     * schema/flavor. */
   private[graft] def deleteData(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Unit =
-    deleteDataImpl(fs, dir, None)
+    deleteDataImpl(fs, dir)
 
   private def deleteDataImpl(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, keepPrefix: Option[String]): Unit =
+      dir: org.apache.hadoop.fs.Path): Unit =
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) {
-        if (!isHidden(name)) deleteDataImpl(fs, st.getPath, keepPrefix)
-      } else if (!isHidden(name) && !keepPrefix.exists(name.startsWith))
+        if (!isHidden(name)) deleteDataImpl(fs, st.getPath)
+      } else if (!isHidden(name))
         require(fs.delete(st.getPath, false),
           s"deleteData: could not delete ${st.getPath}")
     }

@@ -487,12 +487,19 @@ object Zorder {
     val rootm = fsm.makeQualified(new org.apache.hadoop.fs.Path(path))
     // Option-wrapped: globStatus returns NULL (not an empty array) on
     // some filesystems when nothing matches — reachable here for an
-    // EMPTY batch, whose staged write publishes no data files
+    // EMPTY batch, whose staged write publishes no data files.
+    // RETIRED names are excluded from the heal: after a retention
+    // fold, this batch's b<id>- files are still ON DISK (ledgered, in
+    // grace) but their rows live in the fold's replacements — an
+    // unfiltered glob on a replay would stamp them back into the
+    // manifest and double-count every row of the batch
+    val retiredA = readRetired(spark, path).keySet
     refreshManifest(spark, fsm, rootm,
       Option(fsm.globStatus(
         new org.apache.hadoop.fs.Path(rootm, s"b$batchId-*")))
         .getOrElse(Array.empty).toSeq
-        .filterNot(_.isDirectory).map(_.getPath.getName), Set.empty)
+        .filterNot(_.isDirectory).map(_.getPath.getName)
+        .filterNot(retiredA), Set.empty)
     onProtocolStep("append-manifest")
     applied
     }
@@ -544,14 +551,16 @@ object Zorder {
     val tmp = new org.apache.hadoop.fs.Path(root, compactTmpDir)
     // files a PREVIOUS retention compact left in grace: excluded from
     // every enumeration below (they are old-generation rows — folding
-    // or re-deleting them would duplicate or break in-flight readers)
-    def retiredNow = readRetired(spark, path).keySet
-    def sweepVictims(token: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val r = retiredNow
+    // or re-deleting them would duplicate or break in-flight readers).
+    // The ledger is read once per phase: the recovery arm takes its
+    // own read (its retireOrDelete may append entries), the main path
+    // reads once into retired0 and reuses it for the final sweep —
+    // under the lease nothing else writes it mid-call.
+    def sweepVictims(token: String,
+        retired: Set[String]): Seq[org.apache.hadoop.fs.FileStatus] =
       listDataFiles(fs, root).filter(st =>
         !st.getPath.getName.startsWith(s"c$token-") &&
-          !r(st.getPath.getName))
-    }
+          !retired(st.getPath.getName))
     // finish a crashed TAIL compaction first (same lease): its fold
     // set's files are deleted-but-unreplaced until its staged files
     // publish, and this whole-layout fold must see the completed state
@@ -571,7 +580,8 @@ object Zorder {
       Layout.publishDir(fs, tmp, root, s"c$token-")
       stampManifest(spark, fs, root, listDataFiles(fs, root)
         .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
-      retireOrDelete(spark, fs, root, sweepVictims(token), retainMs)
+      retireOrDelete(spark, fs, root,
+        sweepVictims(token, readRetired(spark, path).keySet), retainMs)
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(sentinel, false),
         s"compactClustered: could not clear $sentinel after recovery")
@@ -596,7 +606,7 @@ object Zorder {
     // surface its width here rather than silently drop columns.
     // Explicit LIVE paths, never the directory: retired files are
     // old-generation rows whose fold-in would duplicate every one.
-    val retired0 = retiredNow
+    val retired0 = readRetired(spark, path).keySet
     val livePaths = listDataFiles(fs, root)
       .filterNot(st => retired0(st.getPath.getName)).map(_.getPath)
     require(livePaths.nonEmpty,
@@ -622,7 +632,7 @@ object Zorder {
     stampManifest(spark, fs, root, listDataFiles(fs, root)
       .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
     onProtocolStep("whole-manifest")
-    retireOrDelete(spark, fs, root, sweepVictims(token), retainMs)
+    retireOrDelete(spark, fs, root, sweepVictims(token, retired0), retainMs)
     onProtocolStep("whole-swept")
     fs.delete(tmp, true)
     require(fs.delete(sentinel, false),
@@ -1305,31 +1315,89 @@ object Zorder {
   // source) excludes retired names, so retired rows are never folded
   // back in.
 
-  private[graft] val retiredFile = "_graft_retired"
+  private[graft] val retiredPrefix = "_graft_retired."
 
-  /** `urlenc(name)=retireEpochMs` per line; lenient like the z-range
-    * cache — unparseable content reads empty, correctness never rests
-    * on it (vacuum re-stamps what it cannot account for). */
+  /** The retire ledger, VERSIONED like the manifest
+    * (`_graft_retired.<epoch>.<uuid>`, atomic temp+rename to a fresh
+    * name, older epochs GC'd by the next writer): the ledger is a
+    * LIST a later fold's exclusions depend on, and an in-place
+    * overwrite torn mid-write would lenient-parse as EMPTY — the next
+    * compact would then fold the still-on-disk retired files back in,
+    * silently duplicating every row their replacements already hold
+    * (the exact hazard [[Layout.writeMarkerAtomic]]'s doc names for
+    * list-valued markers). Payload: `urlenc(name)=retireEpochMs` per
+    * line. Reads stay lenient at the PARSE level only (a damaged
+    * payload reads empty — unreachable through the atomic writer);
+    * the resolve itself retries a vanished epoch like the manifest's. */
   private[graft] def readRetired(spark: SparkSession,
-      path: String): Map[String, Long] =
-    try Layout.readMarker(spark, path, retiredFile).map { s =>
-      s.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf('=')
-        java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
-          line.substring(i + 1).toLong
-      }.toMap
-    }.getOrElse(Map.empty)
-    catch { case scala.util.control.NonFatal(_) => Map.empty }
+      path: String): Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    var attempts = 5
+    while (attempts > 0) {
+      attempts -= 1
+      val cands = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, retiredPrefix + "*")))
+        .getOrElse(Array.empty).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory || n.contains(".tmp.")) None
+          else {
+            val eh = n.substring(retiredPrefix.length).takeWhile(_ != '.')
+            try Some((java.lang.Long.parseUnsignedLong(eh, 16), st.getPath))
+            catch { case _: NumberFormatException => None }
+          }
+        }
+      cands.sortBy(c => (c._1, c._2.getName)).lastOption match {
+        case None => return Map.empty
+        case Some((_, lp)) =>
+          try {
+            val in = fs.open(lp)
+            val s = try new String(in.readAllBytes(), "UTF-8")
+              finally in.close()
+            return try s.split('\n').iterator.map(_.trim)
+              .filter(_.nonEmpty).map { line =>
+                val i = line.lastIndexOf('=')
+                java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
+                  line.substring(i + 1).toLong
+              }.toMap
+            catch { case scala.util.control.NonFatal(_) => Map.empty }
+          } catch {
+            // a writer GC'd this epoch between list and open; re-list
+            case _: java.io.FileNotFoundException => ()
+          }
+      }
+    }
+    Map.empty // advisory reader (tailCompactDue) racing a churny writer
+  }
 
+  /** Stamp the next retire-ledger epoch (atomic fresh-name rename),
+    * then GC older epochs and crashed temps. Writer-lease callers
+    * only. */
   private def writeRetired(spark: SparkSession, path: String,
       m: Map[String, Long]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, retiredFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (m.isEmpty) { if (fs.exists(p)) fs.delete(p, false) }
-    else Layout.writeMarker(spark, path, retiredFile,
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    def ledgers() = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(root, retiredPrefix + "*")))
+      .getOrElse(Array.empty).toSeq.filter(st => !st.isDirectory)
+    val epoch = ledgers().flatMap { st =>
+      val n = st.getPath.getName
+      if (n.contains(".tmp.")) None
+      else try Some(java.lang.Long.parseUnsignedLong(
+        n.substring(retiredPrefix.length).takeWhile(_ != '.'), 16))
+      catch { case _: NumberFormatException => None }
+    }.maxOption.map(_ + 1).getOrElse(0L)
+    val fname = f"$retiredPrefix$epoch%016x." +
+      java.util.UUID.randomUUID.toString.take(8)
+    Layout.writeMarkerAtomic(spark, root.toString, fname,
       m.toSeq.sortBy(_._1).map { case (n, t) =>
         java.net.URLEncoder.encode(n, "UTF-8") + "=" + t
       }.mkString("\n"))
+    ledgers().foreach { st =>
+      if (st.getPath.getName != fname) fs.delete(st.getPath, false)
+    }
   }
 
   /** Delete retired files whose grace expired: every data file NOT in
@@ -1346,9 +1414,17 @@ object Zorder {
     * manifest does not list — do not hand-copy files into a vacuumed
     * layout. */
   def vacuumClustered(spark: SparkSession, path: String,
-      olderThanMs: Long = 0L): Int =
+      olderThanMs: Long): Int =
     Layout.withWriterLease(spark, path, "vacuumClustered") {
     require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    // a crashed compaction's published-but-unflipped replacement files
+    // are UNMANIFESTED — the self-heal arm below would stamp them into
+    // the ledger, and after recovery flips them live, the next fold
+    // would exclude them as "retired" and REWRITE THE LAYOUT WITHOUT
+    // THEIR ROWS. Refuse under either sentinel (the appendClustered
+    // discipline): under the lease a standing sentinel is crashed, and
+    // the compact forms recover it
+    requireNotCompacting(spark, path, "vacuumClustered")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))

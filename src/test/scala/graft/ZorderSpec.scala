@@ -1199,6 +1199,24 @@ class ZorderSpec extends SparkSpec {
     // retired tails are not a foldable tail: not due, nothing to fold
     assert(!Zorder.tailCompactDue(spark, dir))
     assert(!Zorder.compactTail(spark, dir))
+    // the at-least-once REPLAY of the folded batch (its b1- files are
+    // retired but still on disk) must stay a no-op all the way into
+    // the manifest: an unfiltered heal would stamp the retired files
+    // back in and double-count every batch-1 row
+    assert(!Zorder.appendClustered(b1, dir, batchId = 1))
+    assert(Zorder.readClustered(spark, dir).count() == e.count(),
+      "a replay after a retention fold must not resurrect retired " +
+        "batch files into the manifest")
+    // vacuum REFUSES under a compaction sentinel: a crashed swap's
+    // published-but-unflipped replacements are unmanifested, and
+    // stamping them as garbage would lose their rows after recovery
+    graft.operators.Layout.writeMarker(spark, dir,
+      "_graft_tail_compacting", "v1 tokvv 0")
+    val vErr = intercept[IllegalArgumentException](
+      Zorder.vacuumClustered(spark, dir, olderThanMs = 0L))
+    assert(vErr.getMessage.contains("compact"), vErr.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_tail_compacting"),
+      false)
     // a live grace window vacuums nothing
     assert(Zorder.vacuumClustered(spark, dir, olderThanMs = hour) == 0)
     assert(spark.read.parquet(oldGen: _*).count() == preCount)
