@@ -569,7 +569,11 @@ object Contracts {
       val decStr = decodedRows(
         spark.read.parquet(s"$zScratch/strcluster").filter(strPred))
       Contract("q181_string_cluster_scan",
-        "string-box pruning: kind-s clustered decoded rows / 1-D-sorted decoded rows on a user×event_type box",
+        // ASCII on purpose: this string travels through CONTRACTS.json
+        // AND sbt's stdout capture, whose default charset mangles
+        // non-ASCII to '?' (seen live: 'user?event_type' in a committed
+        // artifact)
+        "string-box pruning: kind-s clustered decoded rows / 1-D-sorted decoded rows on a user-by-event_type box",
         decStr.toDouble / dec1dStr, 0.60, "<=")
     }
 

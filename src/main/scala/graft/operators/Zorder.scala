@@ -580,8 +580,9 @@ object Zorder {
       Layout.publishDir(fs, tmp, root, s"c$token-")
       stampManifest(spark, fs, root, listDataFiles(fs, root)
         .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
+      val recLedger = readRetired(spark, path)
       retireOrDelete(spark, fs, root,
-        sweepVictims(token, readRetired(spark, path).keySet), retainMs)
+        sweepVictims(token, recLedger.keySet), retainMs, recLedger)
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(sentinel, false),
         s"compactClustered: could not clear $sentinel after recovery")
@@ -606,7 +607,8 @@ object Zorder {
     // surface its width here rather than silently drop columns.
     // Explicit LIVE paths, never the directory: retired files are
     // old-generation rows whose fold-in would duplicate every one.
-    val retired0 = readRetired(spark, path).keySet
+    val retiredM = readRetired(spark, path)
+    val retired0 = retiredM.keySet
     val livePaths = listDataFiles(fs, root)
       .filterNot(st => retired0(st.getPath.getName)).map(_.getPath)
     require(livePaths.nonEmpty,
@@ -632,7 +634,8 @@ object Zorder {
     stampManifest(spark, fs, root, listDataFiles(fs, root)
       .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
     onProtocolStep("whole-manifest")
-    retireOrDelete(spark, fs, root, sweepVictims(token, retired0), retainMs)
+    retireOrDelete(spark, fs, root, sweepVictims(token, retired0),
+      retainMs, retiredM)
     onProtocolStep("whole-swept")
     fs.delete(tmp, true)
     require(fs.delete(sentinel, false),
@@ -742,7 +745,8 @@ object Zorder {
     // retired files (a previous retention compact's grace) are OUT of
     // the fold universe entirely: not residents (their rows are
     // old-generation duplicates), not invariant inputs, not blockers
-    val retired0 = readRetired(spark, path).keySet
+    val retiredM = readRetired(spark, path)
+    val retired0 = retiredM.keySet
     val files = listDataFiles(fs, root)
       .filterNot(st => retired0(st.getPath.getName))
     val (tails, mains) = files.partition(st =>
@@ -951,7 +955,7 @@ object Zorder {
       refreshManifest(spark, fs, root,
         replacements.map(_.getPath.getName), foldNames)
       onProtocolStep("tail-manifest")
-      retireOrDelete(spark, fs, root, foldSet, retainMs)
+      retireOrDelete(spark, fs, root, foldSet, retainMs, retiredM)
       onProtocolStep("tail-swept")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(
@@ -1159,39 +1163,34 @@ object Zorder {
   // model), which this single-pointer protocol deliberately does not
   // pay for; the atomicity contract here is per-resolve.
 
-  /** The current generation: (epoch, data file names), or None for a
-    * legacy pre-manifest layout. Retries a bounded number of times if
-    * the picked manifest file vanishes between listing and read (the
-    * next writer's GC) — a fresh higher-epoch manifest exists then. */
-  private[graft] def currentManifest(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[(Long, Seq[String])] = {
+  /** The ONE versioned-marker protocol the manifest and the retire
+    * ledger share (two parallel copies had already drifted on backoff
+    * and exhaustion behavior): family files are
+    * `<prefix><epoch-16hex>.<uuid>`, resolved by a PREFIXED glob (a
+    * prefix LIST on object stores — never a full root listing, so
+    * per-resolve cost does not grow with the table), `.tmp.` temps and
+    * malformed foreign names skipped, highest epoch read with bounded
+    * BACKED-OFF retries on a vanished file (a lock-free reader can
+    * lose the list-then-open race to a fast-stamping writer's GC on
+    * every attempt — each loss proves a NEWER file exists, so the
+    * reader backs off to outlast a burst of commits). Returns None
+    * when the family has no file; `onExhaust` decides the give-up
+    * behavior per family. */
+  private def resolveVersioned(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, prefix: String)(
+      onExhaust: => Option[(Long, String)]): Option[(Long, String)] = {
     def candidates(): Seq[(Long, org.apache.hadoop.fs.Path)] =
-      // a PREFIXED glob, not a full root listing: on an object store
-      // this is a prefix LIST over the handful of manifest files, so
-      // the per-resolve (and per-micro-batch refresh) cost does not
-      // grow with the table's data file count. Null-guarded —
-      // globStatus returns null (not empty) on some filesystems when
-      // nothing matches.
-      Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(root, manifestPrefix + "*")))
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, prefix + "*")))
         .getOrElse(Array.empty).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory || n.contains(".tmp.")) None
-        else {
-          val epochHex = n.substring(manifestPrefix.length).takeWhile(_ != '.')
-          // malformed names (foreign debris) are skipped, not fatal —
-          // the writer GC removes them eventually
-          try Some((java.lang.Long.parseUnsignedLong(epochHex, 16), st.getPath))
-          catch { case _: NumberFormatException => None }
+          val n = st.getPath.getName
+          if (st.isDirectory || n.contains(".tmp.")) None
+          else {
+            val epochHex = n.substring(prefix.length).takeWhile(_ != '.')
+            try Some((java.lang.Long.parseUnsignedLong(epochHex, 16),
+              st.getPath))
+            catch { case _: NumberFormatException => None }
+          }
         }
-      }
-    // bounded retries WITH backoff: a lock-free reader can lose the
-    // list-then-open race to a fast-stamping writer's GC on every
-    // attempt (each loss proves a NEWER manifest exists — the layout
-    // is healthy, the reader is just slower than the churn), so the
-    // budget is generous and backs off to outlast a burst of
-    // micro-batch commits rather than crashing a correct reader
     var attempts = 12
     while (attempts > 0) {
       attempts -= 1
@@ -1200,65 +1199,81 @@ object Zorder {
         case Some((epoch, mp)) =>
           try {
             val in = fs.open(mp)
-            val lines =
-              try new String(in.readAllBytes(), "UTF-8").trim.split('\n')
-                .map(_.trim)
-              finally in.close()
-            val header = lines.headOption.getOrElse("").split(' ')
-            require(header.length == 2 && header(0) == "v1" &&
-              header(1).matches("\\d{1,9}"),
-              s"unparseable manifest $mp — a damaged generation " +
-                "pointer; rebuild or remove it (reading around it " +
-                "could return a torn generation)")
-            val names = lines.drop(1).filter(_.nonEmpty)
-              .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
-            require(names.length == header(1).toInt,
-              s"manifest $mp lists ${names.length} files but records " +
-                s"${header(1)} — damaged; rebuild or remove it")
-            return Some((epoch, names))
+            return Some((epoch,
+              try new String(in.readAllBytes(), "UTF-8") finally in.close()))
           } catch {
             // the writer GC'd this epoch between our list and open —
-            // a newer manifest exists; back off and re-list
+            // a newer file exists; back off and re-list
             case _: java.io.FileNotFoundException =>
               Thread.sleep(25L * (12 - attempts))
           }
       }
     }
-    sys.error(s"could not resolve a stable manifest at $root after 12 " +
-      "list+read attempts — a writer kept stamping and GC'ing newer " +
-      "generations faster than this reader could open one (the layout " +
-      "itself is healthy; every lost race proves a newer manifest " +
-      "exists). Retry the read, or slow the ingest commit rate")
+    onExhaust
   }
 
-  /** Stamp the next-generation manifest listing exactly `names`, then
-    * GC every other manifest file (older epochs, crashed temps — all
-    * ours-or-dead under the writer lease). The stamp itself is an
-    * atomic rename to a FRESH name, so readers switch generations in
-    * one listing. Call only under the writer lease, only when every
-    * name in `names` is already present on disk. */
-  private def stampManifest(spark: SparkSession,
+  /** Stamp the next epoch of a versioned family (atomic rename to a
+    * FRESH name — readers switch in one listing), then GC every other
+    * family file: older epochs and crashed temps, all ours-or-dead
+    * under the writer lease. */
+  private def stampVersioned(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      names: Seq[String], epochHint: Option[Long] = None): Unit = {
-    // epochHint saves a second full manifest read when the caller
-    // already resolved the current generation (refreshManifest — the
-    // per-micro-batch path)
-    val epoch = epochHint.getOrElse(
-      currentManifest(spark, fs, root).map(_._1 + 1).getOrElse(0L))
-    val fname = f"$manifestPrefix$epoch%016x." +
+      prefix: String, epoch: Long, payload: String): Unit = {
+    val fname = f"$prefix$epoch%016x." +
       java.util.UUID.randomUUID.toString.take(8)
-    val sorted = names.sorted
-    Layout.writeMarkerAtomic(spark, root.toString, fname,
-      (s"v1 ${sorted.length}" +: sorted.map(
-        java.net.URLEncoder.encode(_, "UTF-8"))).mkString("\n"))
-    // GC via the same PREFIXED glob as the resolve — never a full root
-    // listing (the per-commit cost must not grow with the table)
-    Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(root, manifestPrefix + "*")))
+    Layout.writeMarkerAtomic(spark, root.toString, fname, payload)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, prefix + "*")))
       .getOrElse(Array.empty).foreach { st =>
       if (!st.isDirectory && st.getPath.getName != fname)
         fs.delete(st.getPath, false)
     }
+  }
+
+  /** The current generation: (epoch, data file names), or None for a
+    * legacy pre-manifest layout. Exhausted resolve retries fail
+    * LOUDLY — a manifest reader silently seeing an empty generation
+    * would return wrong (empty-ish) results. */
+  private[graft] def currentManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, Seq[String])] =
+    resolveVersioned(fs, root, manifestPrefix) {
+      sys.error(s"could not resolve a stable manifest at $root after " +
+        "12 list+read attempts — a writer kept stamping and GC'ing " +
+        "newer generations faster than this reader could open one " +
+        "(the layout itself is healthy; every lost race proves a " +
+        "newer manifest exists). Retry the read, or slow the ingest " +
+        "commit rate")
+    }.map { case (epoch, payload) =>
+      val lines = payload.trim.split('\n').map(_.trim)
+      val header = lines.headOption.getOrElse("").split(' ')
+      require(header.length == 2 && header(0) == "v1" &&
+        header(1).matches("\\d{1,9}"),
+        s"unparseable manifest (epoch $epoch) at $root — a damaged " +
+          "generation pointer; rebuild or remove it (reading around " +
+          "it could return a torn generation)")
+      val names = lines.drop(1).filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
+      require(names.length == header(1).toInt,
+        s"manifest (epoch $epoch) at $root lists ${names.length} " +
+          s"files but records ${header(1)} — damaged; rebuild or " +
+          "remove it")
+      (epoch, names)
+    }
+
+  /** Stamp the next-generation manifest listing exactly `names`. Call
+    * only under the writer lease, only when every name in `names` is
+    * already present on disk. `epochHint` saves a second manifest
+    * read when the caller already resolved the current generation
+    * (refreshManifest — the per-micro-batch path). */
+  private def stampManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      names: Seq[String], epochHint: Option[Long] = None): Unit = {
+    val epoch = epochHint.getOrElse(
+      currentManifest(spark, fs, root).map(_._1 + 1).getOrElse(0L))
+    val sorted = names.sorted
+    stampVersioned(spark, fs, root, manifestPrefix, epoch,
+      (s"v1 ${sorted.length}" +: sorted.map(
+        java.net.URLEncoder.encode(_, "UTF-8"))).mkString("\n"))
   }
 
   /** The manifest refresh every append-side commit shares: the current
@@ -1329,75 +1344,51 @@ object Zorder {
     * line. Reads stay lenient at the PARSE level only (a damaged
     * payload reads empty — unreachable through the atomic writer);
     * the resolve itself retries a vanished epoch like the manifest's. */
+  private def parseRetired(s: String): Map[String, Long] =
+    try s.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf('=')
+      java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
+        line.substring(i + 1).toLong
+    }.toMap
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   private[graft] def readRetired(spark: SparkSession,
       path: String): Map[String, Long] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-    var attempts = 5
-    while (attempts > 0) {
-      attempts -= 1
-      val cands = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(root, retiredPrefix + "*")))
-        .getOrElse(Array.empty).toSeq.flatMap { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory || n.contains(".tmp.")) None
-          else {
-            val eh = n.substring(retiredPrefix.length).takeWhile(_ != '.')
-            try Some((java.lang.Long.parseUnsignedLong(eh, 16), st.getPath))
-            catch { case _: NumberFormatException => None }
-          }
-        }
-      cands.sortBy(c => (c._1, c._2.getName)).lastOption match {
-        case None => return Map.empty
-        case Some((_, lp)) =>
-          try {
-            val in = fs.open(lp)
-            val s = try new String(in.readAllBytes(), "UTF-8")
-              finally in.close()
-            return try s.split('\n').iterator.map(_.trim)
-              .filter(_.nonEmpty).map { line =>
-                val i = line.lastIndexOf('=')
-                java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
-                  line.substring(i + 1).toLong
-              }.toMap
-            catch { case scala.util.control.NonFatal(_) => Map.empty }
-          } catch {
-            // a writer GC'd this epoch between list and open; re-list
-            case _: java.io.FileNotFoundException => ()
-          }
-      }
+    // exhaustion degrades to the LEGACY fallback (in practice, empty):
+    // the only lease-less caller is the advisory tailCompactDue; every
+    // correctness-bearing caller holds the lease, where churn cannot
+    // happen
+    resolveVersioned(fs, root, retiredPrefix)(None) match {
+      case Some((_, payload)) => parseRetired(payload)
+      case None =>
+        // migration arm: one round's interim code wrote a dot-less
+        // in-place `_graft_retired` — files it holds in grace must not
+        // silently re-enter the fold universe (the next compact would
+        // duplicate their rows); the next writeRetired deletes it
+        Layout.readMarker(spark, root.toString, "_graft_retired")
+          .map(parseRetired).getOrElse(Map.empty)
     }
-    Map.empty // advisory reader (tailCompactDue) racing a churny writer
   }
 
-  /** Stamp the next retire-ledger epoch (atomic fresh-name rename),
-    * then GC older epochs and crashed temps. Writer-lease callers
+  /** Stamp the next retire-ledger epoch ([[stampVersioned]]) and clear
+    * the legacy dot-less ledger if one stands. Writer-lease callers
     * only. */
   private def writeRetired(spark: SparkSession, path: String,
       m: Map[String, Long]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-    def ledgers() = Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(root, retiredPrefix + "*")))
-      .getOrElse(Array.empty).toSeq.filter(st => !st.isDirectory)
-    val epoch = ledgers().flatMap { st =>
-      val n = st.getPath.getName
-      if (n.contains(".tmp.")) None
-      else try Some(java.lang.Long.parseUnsignedLong(
-        n.substring(retiredPrefix.length).takeWhile(_ != '.'), 16))
-      catch { case _: NumberFormatException => None }
-    }.maxOption.map(_ + 1).getOrElse(0L)
-    val fname = f"$retiredPrefix$epoch%016x." +
-      java.util.UUID.randomUUID.toString.take(8)
-    Layout.writeMarkerAtomic(spark, root.toString, fname,
+    val epoch = resolveVersioned(fs, root, retiredPrefix)(None)
+      .map(_._1 + 1).getOrElse(0L)
+    stampVersioned(spark, fs, root, retiredPrefix, epoch,
       m.toSeq.sortBy(_._1).map { case (n, t) =>
         java.net.URLEncoder.encode(n, "UTF-8") + "=" + t
       }.mkString("\n"))
-    ledgers().foreach { st =>
-      if (st.getPath.getName != fname) fs.delete(st.getPath, false)
-    }
+    val legacy = new org.apache.hadoop.fs.Path(root, "_graft_retired")
+    if (fs.exists(legacy)) fs.delete(legacy, false)
   }
 
   /** Delete retired files whose grace expired: every data file NOT in
@@ -1455,8 +1446,12 @@ object Zorder {
           }
         }
         // entries for vanished files drop out by construction (the
-        // ledger is rebuilt from the files actually present)
-        writeRetired(spark, path, keep.result())
+        // ledger is rebuilt from the files actually present); a NO-OP
+        // vacuum (nothing deleted, ledger unchanged) skips the stamp —
+        // a periodic vacuum cron on a retention-free layout must not
+        // burn a ledger epoch per run
+        val next = keep.result()
+        if (deleted > 0 || next != ledger) writeRetired(spark, path, next)
         deleted
     }
   }
@@ -1468,12 +1463,12 @@ object Zorder {
     * readers. */
   private def retireOrDelete(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      victims: Seq[org.apache.hadoop.fs.FileStatus], retainMs: Long): Unit =
+      victims: Seq[org.apache.hadoop.fs.FileStatus], retainMs: Long,
+      ledger: Map[String, Long]): Unit =
     if (retainMs > 0) {
       val now = System.currentTimeMillis()
       writeRetired(spark, root.toString,
-        readRetired(spark, root.toString) ++
-          victims.map(_.getPath.getName -> now))
+        ledger ++ victims.map(_.getPath.getName -> now))
     } else victims.foreach { st =>
       require(fs.delete(st.getPath, false),
         s"compact: could not delete replaced file ${st.getPath}")
