@@ -414,12 +414,24 @@ private[graft] object Layout {
         // read-then-rename window remains — rename-and-verify below
         // is the second line — but the steal now needs a breaker swap
         // INSIDE the window instead of happening every time. A lease
-        // that reads foreign or unreadable is left alone (the breaker
-        // owns it, or it expires by TTL).
-        val preRead = readLeaseQuiet()
+        // that READS FOREIGN is left alone (the breaker owns it; it
+        // expires by TTL). A read that ERRORS (the transient checksum
+        // race readLeaseQuiet itself documents) falls through to the
+        // rename-and-verify path instead of skipping the release —
+        // skipping left OUR OWN live lease standing until TTL on a
+        // transient I/O blip, a liveness regression the old
+        // rename-and-verify path never had; the verify-on-tomb below
+        // still hands back a foreign lease caught this way.
+        val preRead = try Left(readMarker(spark, path, "_graft_lease"))
+          catch { case _: java.io.IOException => Right(()) }
         val tomb = new org.apache.hadoop.fs.Path(p.getParent,
           s"_graft_lease.released.$owner")
-        val got = preRead.contains(owner) &&
+        val tryRename = preRead match {
+          case Left(Some(o)) => o == owner // readable: ours only
+          case Left(None) => false         // gone: nothing to release
+          case Right(_) => true            // unreadable: verify on tomb
+        }
+        val got = tryRename &&
           (try fs.rename(p, tomb)
           catch { case _: java.io.IOException => false })
         if (got) {

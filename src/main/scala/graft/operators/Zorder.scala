@@ -1341,16 +1341,32 @@ object Zorder {
     * silently duplicating every row their replacements already hold
     * (the exact hazard [[Layout.writeMarkerAtomic]]'s doc names for
     * list-valued markers). Payload: `urlenc(name)=retireEpochMs` per
-    * line. Reads stay lenient at the PARSE level only (a damaged
-    * payload reads empty — unreachable through the atomic writer);
-    * the resolve itself retries a vanished epoch like the manifest's. */
-  private def parseRetired(s: String): Map[String, Long] =
-    try s.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { line =>
-      val i = line.lastIndexOf('=')
-      java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
-        line.substring(i + 1).toLong
+    * line. A malformed LINE in the versioned ledger fails LOUDLY
+    * per-line (strict=true) — the atomic writer makes torn payloads
+    * unreachable, so a bad line is external damage, and both lenient
+    * spellings amplify it into silent row duplication (whole-parse
+    * catch empties the ENTIRE ledger, so the next compact folds every
+    * still-on-disk retired file back in; a silent per-line skip does
+    * the same for just the damaged entry). Only the LEGACY dot-less
+    * in-place ledger parses leniently per line (strict=false): it was
+    * written in place, so a torn tail line is reachable there, and
+    * keeping the intact lines beats emptying the map. */
+  private def parseRetired(s: String, strict: Boolean): Map[String, Long] =
+    s.split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+      try {
+        val i = line.lastIndexOf('=')
+        Some(java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
+          line.substring(i + 1).toLong)
+      } catch {
+        case scala.util.control.NonFatal(_) if strict => sys.error(
+          s"unparseable $retiredPrefix ledger line '${line.take(80)}' — " +
+            "a hand edit or foreign write damaged the retire ledger; " +
+            "resolve manually (reading around it would let the next " +
+            "compact fold the damaged entry's file back in and " +
+            "duplicate its rows)")
+        case scala.util.control.NonFatal(_) => None
+      }
     }.toMap
-    catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   private[graft] def readRetired(spark: SparkSession,
       path: String): Map[String, Long] = {
@@ -1362,14 +1378,14 @@ object Zorder {
     // correctness-bearing caller holds the lease, where churn cannot
     // happen
     resolveVersioned(fs, root, retiredPrefix)(None) match {
-      case Some((_, payload)) => parseRetired(payload)
+      case Some((_, payload)) => parseRetired(payload, strict = true)
       case None =>
         // migration arm: one round's interim code wrote a dot-less
         // in-place `_graft_retired` — files it holds in grace must not
         // silently re-enter the fold universe (the next compact would
         // duplicate their rows); the next writeRetired deletes it
         Layout.readMarker(spark, root.toString, "_graft_retired")
-          .map(parseRetired).getOrElse(Map.empty)
+          .map(parseRetired(_, strict = false)).getOrElse(Map.empty)
     }
   }
 
@@ -1460,14 +1476,17 @@ object Zorder {
     * victims are stamped into the retired ledger and left at their
     * paths; without, they are deleted now. Either way the manifest
     * already excludes them — this step is invisible to manifest
-    * readers. */
+    * readers. An EMPTY victim set under grace skips the ledger stamp
+    * (vacuum's no-op discipline): a whole-compact recovery re-run
+    * after the sweep already completed must not burn a ledger epoch
+    * + GC per call for no state change. */
   private def retireOrDelete(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       victims: Seq[org.apache.hadoop.fs.FileStatus], retainMs: Long,
       ledger: Map[String, Long]): Unit =
     if (retainMs > 0) {
       val now = System.currentTimeMillis()
-      writeRetired(spark, root.toString,
+      if (victims.nonEmpty) writeRetired(spark, root.toString,
         ledger ++ victims.map(_.getPath.getName -> now))
     } else victims.foreach { st =>
       require(fs.delete(st.getPath, false),
@@ -1501,7 +1520,16 @@ object Zorder {
       case _ =>
         // legacy layout (no manifest yet), or an empty generation
         // (bootstrap purged, nothing landed): the directory read is
-        // the pre-manifest behavior for both
+        // the pre-manifest behavior for both — REFUSED when a retire
+        // ledger coexists (currently unreachable: retention requires
+        // a manifest and folds never emit zero files, but the
+        // directory read would double-count any in-grace retired
+        // file, so the invariant is enforced, not assumed)
+        require(readRetired(spark, path).isEmpty,
+          s"readClustered: $path has no resolvable generation but a " +
+            "non-empty retire ledger — a directory read would serve " +
+            "retired (old-generation) rows; rebuild the layout or " +
+            "vacuum past the grace first")
         spark.read.parquet(path)
     }
   }

@@ -1266,5 +1266,22 @@ class ZorderSpec extends SparkSpec {
       "aged out: the stamped foreign file is garbage after the grace")
     assert(!fs.exists(fDest))
     assert(Zorder.readClustered(spark, dir).count() == expect2)
+
+    // a damaged VERSIONED ledger line fails LOUDLY per line instead of
+    // lenient-parsing the whole ledger to empty — empty would let the
+    // next compact fold every still-on-disk retired file back in and
+    // silently duplicate their rows (this round's hardening; the
+    // legacy dot-less in-place ledger stays lenient per line, its
+    // writer could tear)
+    graft.operators.Layout.writeMarkerAtomic(spark, dir,
+      "_graft_retired.00000000000000ff.deadbeef",
+      "ok%2Eparquet=123\nno-equals-sign-line")
+    val exLedger = intercept[RuntimeException] {
+      Zorder.vacuumClustered(spark, dir, olderThanMs = 0L)
+    }
+    assert(exLedger.getMessage.contains("resolve manually"),
+      s"damaged ledger must fail loudly, got: ${exLedger.getMessage}")
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      "_graft_retired.00000000000000ff.deadbeef"), false)
   }
 }
