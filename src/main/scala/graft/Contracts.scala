@@ -537,6 +537,50 @@ object Contracts {
         decMorton.toDouble / dec1d, 0.85, "<=")
     }
 
+    // ----- manifest file skipping (files OPENED, not rows decoded) --
+    // The round-15 residual: readClustered handed Spark the full file
+    // list and pruning happened only via parquet footers AFTER
+    // planning touched every file. The box overload prunes the list
+    // against the manifest's per-file column stats BEFORE the scan
+    // relation exists; these rows grade kept/total on each query's own
+    // box, so a stats-encoding or pruning regression fails the bench.
+    // Thresholds sit ~3x above the measured band (sf0.1: q175 3/32 =
+    // 0.094, q181 2/32 = 0.0625, q182 1/32 = 0.031; sf0.01 all
+    // 0.0625 — measured 2026-08-16, PLANS.md r16), far below the 1.0
+    // a pruning regression produces.
+    grade("q175_zorder_scan") {
+      val (kept, all) = graft.operators.Zorder.pruneFiles(spark,
+        s"$zScratch/morton",
+        Seq(("user_id", 2: Any, 8: Any),
+          ("ts", java.time.Instant.parse("2024-01-10T00:00:00Z"): Any,
+            java.time.Instant.parse("2024-01-15T00:00:00Z"): Any)))
+      require(all.nonEmpty, "morton layout has no manifest entries")
+      require(kept.nonEmpty, "the q175 box pruned EVERYTHING — stats " +
+        "or bound conversion broke (the box selects rows at every sf)")
+      Contract("q175_zorder_scan",
+        "manifest file skipping: files planned / table files on the q175 box",
+        kept.length.toDouble / all.length, 0.25, "<=")
+    }
+
+    grade("q182_date_cluster_scan") {
+      // the DATE-clustered layout's file skipping: epoch-day footer
+      // stats against java.time.LocalDate bounds — the calendar-
+      // partitioned shape every warehouse table scans by
+      val dpath = s"$zScratch/datecluster"
+      graft.operators.Zorder.writeHilbert(
+        events.withColumn("d", to_date(col("ts"))), dpath,
+        Seq("user_id", "d"), bits = 12, numFiles = 32)
+      val (kept, all) = graft.operators.Zorder.pruneFiles(spark, dpath,
+        Seq(("user_id", 2: Any, 8: Any),
+          ("d", java.time.LocalDate.parse("2024-01-10"): Any,
+            java.time.LocalDate.parse("2024-01-14"): Any)))
+      require(all.nonEmpty && kept.nonEmpty,
+        "date box pruned everything or layout empty — stats broke")
+      Contract("q182_date_cluster_scan",
+        "manifest file skipping: files planned / table files on the q182 box",
+        kept.length.toDouble / all.length, 0.20, "<=")
+    }
+
     grade("q177_hilbert_scan") {
       require(decMorton > 0, "morton layout decoded nothing — box left the domain")
       Contract("q177_hilbert_scan",
@@ -575,6 +619,21 @@ object Contracts {
         // artifact)
         "string-box pruning: kind-s clustered decoded rows / 1-D-sorted decoded rows on a user-by-event_type box",
         decStr.toDouble / dec1dStr, 0.60, "<=")
+    }
+
+    grade("q181_string_cluster_scan") {
+      // file skipping through kind-s STRING stats: the q181 box's
+      // string endpoints compare in UTF-8 byte order against per-file
+      // event_type min/max (layout written by the grade above)
+      val (kept, all) = graft.operators.Zorder.pruneFiles(spark,
+        s"$zScratch/strcluster",
+        Seq(("user_id", 2: Any, 8: Any),
+          ("event_type", "click": Any, "purchase": Any)))
+      require(all.nonEmpty && kept.nonEmpty,
+        "string box pruned everything or layout empty — stats broke")
+      Contract("q181_string_cluster_scan",
+        "manifest file skipping: files planned / table files on the q181 box",
+        kept.length.toDouble / all.length, 0.25, "<=")
     }
 
     grade("q178_clustered_append") {

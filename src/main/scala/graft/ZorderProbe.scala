@@ -335,6 +335,49 @@ object ZorderProbe {
         println(s"ZORDERPROBE layout=$label box=outlierHeat " +
           s"matching=$matching decodedRows=$dec")
     }
+
+    // ----- manifest scaling: commit bytes ∝ batch, planning ∝ match --
+    // The r16 claims under measurement, at two table scales (×8 file
+    // count): (a) the newest manifest file written per APPEND commit —
+    // a DELTA — stays ~constant as the table grows (the r15 full-list
+    // stamp grew with it; printed side by side with the base size a
+    // full-list commit would pay); (b) the box overload's planned file
+    // count tracks MATCHING files, not table files (kept/total falls
+    // as the grid refines over the same box).
+    def manifestSizes(dir: String): (Long, Long, Int, Int) = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fsx = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fam = fsx.listStatus(root).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("_graft_manifest") && !n.contains(".tmp.")
+      }
+      val (deltas, bases) =
+        fam.partition(_.getPath.getName.startsWith("_graft_manifestd."))
+      (if (bases.isEmpty) 0L else bases.map(_.getLen).max,
+        if (deltas.isEmpty) 0L
+        else deltas.maxBy(_.getPath.getName.substring(17))(
+          Ordering.String).getLen,
+        bases.length, deltas.length)
+    }
+    Seq(32, 256).foreach { nf =>
+      val dir = s"$tmp/mscale$nf"
+      Zorder.writeZordered(e, dir, Seq("user_id", "ts"), bits = 16,
+        numFiles = nf)
+      var deltaBytes = Seq.empty[Long]
+      (1 to 3).foreach { i =>
+        Zorder.appendClustered(
+          e.filter(col("event_id") % 100 === i), dir, batchId = i)
+        deltaBytes :+= manifestSizes(dir)._2
+      }
+      val (baseBytes, _, _, _) = manifestSizes(dir)
+      val box = Seq(("user_id", 2: Any, 8: Any),
+        ("ts", java.time.Instant.parse("2024-01-10T00:00:00Z"): Any,
+          java.time.Instant.parse("2024-01-15T00:00:00Z"): Any))
+      val (kept, all) = Zorder.pruneFiles(spark, dir, box)
+      println(s"ZORDERPROBE manifest files=$nf baseBytes=$baseBytes " +
+        s"deltaBytesPerAppend=${deltaBytes.mkString(",")} " +
+        s"plannedFiles=${kept.length} tableFiles=${all.length}")
+    }
     spark.stop()
   }
 }

@@ -223,6 +223,7 @@ private[graft] object Layout {
       val n = st.getPath.getName
       if (!st.isDirectory &&
           (n.startsWith(graft.operators.Zorder.manifestPrefix) ||
+            n.startsWith(graft.operators.Zorder.manifestDeltaPrefix) ||
             n.startsWith(graft.operators.Zorder.retiredPrefix)))
         fs.delete(st.getPath, false)
     }

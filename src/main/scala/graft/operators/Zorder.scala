@@ -86,6 +86,7 @@ object Zorder {
   private val tailTmpDir = "_graft_tail_tmp"
   private[graft] val zrangesFile = "_graft_zranges"
   private[graft] val manifestPrefix = "_graft_manifest."
+  private[graft] val manifestDeltaPrefix = "_graft_manifestd."
 
   /** Test seam: invoked with a step label at each reader-visible
     * protocol transition inside the write/append/compact forms, so the
@@ -355,14 +356,15 @@ object Zorder {
       Layout.writeMarker(spark, path, markerFile, payload(cl))
       Layout.writeMarker(spark, path, schemaFile,
         schemaPayload(df.schema))
-      // first generation: the manifest lists the bootstrap's files
-      // (readClustered refuses the whole rebuild window above via the
-      // marker gate, so there is no torn state for it to expose)
+      // first generation: a BASE manifest listing the bootstrap's
+      // files with their footer stats (readClustered refuses the whole
+      // rebuild window above via the marker gate, so there is no torn
+      // state for it to expose)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-      stampManifest(spark, fs, root,
-        listDataFiles(fs, root).map(_.getPath.getName))
+      stampManifest(spark, fs, root, footerStats(spark, fs, root,
+        listDataFiles(fs, root).map(_.getPath.getName), Some(cl)))
       cl
     }
 
@@ -494,12 +496,14 @@ object Zorder {
     // unfiltered glob on a replay would stamp them back into the
     // manifest and double-count every row of the batch
     val retiredA = readRetired(spark, path).keySet
-    refreshManifest(spark, fsm, rootm,
-      Option(fsm.globStatus(
+    val addedNames = Option(fsm.globStatus(
         new org.apache.hadoop.fs.Path(rootm, s"b$batchId-*")))
-        .getOrElse(Array.empty).toSeq
-        .filterNot(_.isDirectory).map(_.getPath.getName)
-        .filterNot(retiredA), Set.empty)
+      .getOrElse(Array.empty).toSeq
+      .filterNot(_.isDirectory).map(_.getPath.getName)
+      .filterNot(retiredA)
+    commitManifestDelta(spark, fsm, rootm,
+      footerStats(spark, fsm, rootm, addedNames, Some(cl)), Set.empty,
+      deferGc = retiredA.nonEmpty)
     onProtocolStep("append-manifest")
     applied
     }
@@ -578,9 +582,12 @@ object Zorder {
           "cannot tell the crashed generation's files apart; resolve " +
           "manually")
       Layout.publishDir(fs, tmp, root, s"c$token-")
-      stampManifest(spark, fs, root, listDataFiles(fs, root)
-        .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
       val recLedger = readRetired(spark, path)
+      stampManifest(spark, fs, root, footerStats(spark, fs, root,
+        listDataFiles(fs, root)
+          .map(_.getPath.getName).filter(_.startsWith(s"c$token-")),
+        clusteringOf(spark, path)),
+        deferGc = retainMs > 0 || recLedger.nonEmpty)
       retireOrDelete(spark, fs, root,
         sweepVictims(token, recLedger.keySet), retainMs, recLedger)
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -631,8 +638,11 @@ object Zorder {
     // every step; the flip is the single reader-visible commit
     Layout.publishDir(fs, tmp, root, s"c$token-")
     onProtocolStep("whole-published")
-    stampManifest(spark, fs, root, listDataFiles(fs, root)
-      .map(_.getPath.getName).filter(_.startsWith(s"c$token-")))
+    stampManifest(spark, fs, root, footerStats(spark, fs, root,
+      listDataFiles(fs, root)
+        .map(_.getPath.getName).filter(_.startsWith(s"c$token-")),
+      Some(cl)),
+      deferGc = retainMs > 0 || retired0.nonEmpty)
     onProtocolStep("whole-manifest")
     retireOrDelete(spark, fs, root, sweepVictims(token, retired0),
       retainMs, retiredM)
@@ -952,8 +962,10 @@ object Zorder {
       onProtocolStep("tail-published")
       val replacements = listDataFiles(fs, root)
         .filter(_.getPath.getName.startsWith(s"t$token-"))
-      refreshManifest(spark, fs, root,
-        replacements.map(_.getPath.getName), foldNames)
+      commitManifestDelta(spark, fs, root,
+        footerStats(spark, fs, root,
+          replacements.map(_.getPath.getName), Some(cl)),
+        foldNames, deferGc = retainMs > 0 || retired0.nonEmpty)
       onProtocolStep("tail-manifest")
       retireOrDelete(spark, fs, root, foldSet, retainMs, retiredM)
       onProtocolStep("tail-swept")
@@ -1084,9 +1096,13 @@ object Zorder {
       // subtraction and the replacement addition are set operations)
       publishFlattened(fs, tmp, root, s"t$token-")
       val foldNames = names.map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
-      refreshManifest(spark, fs, root,
-        listDataFiles(fs, root).map(_.getPath.getName)
-          .filter(_.startsWith(s"t$token-")), foldNames)
+      commitManifestDelta(spark, fs, root,
+        footerStats(spark, fs, root,
+          listDataFiles(fs, root).map(_.getPath.getName)
+            .filter(_.startsWith(s"t$token-")),
+          clusteringOf(spark, root.toString)),
+        foldNames,
+        deferGc = readRetired(spark, root.toString).nonEmpty)
       foldNames.foreach { n =>
         val p = new org.apache.hadoop.fs.Path(root, n)
         if (fs.exists(p)) require(fs.delete(p, false),
@@ -1143,25 +1159,48 @@ object Zorder {
   // The compact forms REWRITE the layout in place; without a pointer,
   // a reader listing the directory mid-swap sees a torn generation
   // (rows missing under delete-then-publish, rows duplicated under
-  // publish-then-delete). The manifest is that pointer: every commit
-  // point stamps a fresh `_graft_manifest.<epoch>.<token>` file (an
-  // ATOMIC temp+rename create of a NEW name — never an in-place
-  // overwrite, which no Hadoop filesystem replaces atomically) listing
-  // exactly the current generation's data file names, and writers
-  // order every swap publish-new → FLIP MANIFEST → delete-old, so at
-  // every instant the resolved manifest's files all exist on disk.
-  // [[readClustered]] resolves the highest-epoch manifest and reads
-  // that explicit file list: a resolve at ANY protocol step — including
-  // every crash window, including mid-recovery — yields exactly the
-  // pre- or post-swap row set, never a torn one. Older manifest files
-  // are GC'd by the next writer (readers that lost the race re-resolve,
-  // bounded retries). The residual, documented honestly: a reader whose
-  // JOB is still running when a later compact's delete step removes an
-  // old-generation file it resolved earlier fails loudly
-  // (FileNotFoundException) — snapshot isolation across long-running
-  // reads needs retained generations + vacuum (the Delta/Iceberg
-  // model), which this single-pointer protocol deliberately does not
-  // pay for; the atomicity contract here is per-resolve.
+  // publish-then-delete). The manifest is that pointer, SEGMENTED the
+  // way a log-structured commit log is:
+  //
+  //   - BASE files `_graft_manifest.<epoch>.<token>` hold the FULL
+  //     generation: one line per data file, with optional per-file
+  //     per-clustered-column [min,max] stats (the Delta/Iceberg
+  //     add-file stats, read from parquet FOOTERS at commit time —
+  //     O(commit files) driver-side metadata reads, no Spark job);
+  //   - DELTA files `_graft_manifestd.<epoch>.<token>` hold one
+  //     commit's add/remove records only, so the serialization cost
+  //     of an append/tail-fold commit is ∝ THE BATCH, not the table
+  //     (the r15 residual: a full-list stamp per micro-batch was a
+  //     multi-MB rewrite per commit at 10^5 files).
+  //
+  // Every file is an ATOMIC temp+rename create of a NEW name — never
+  // an in-place overwrite, which no Hadoop filesystem replaces
+  // atomically. Epochs are DENSE (every commit is prior+1), so a
+  // reader resolves generation E as: highest base B <= E, plus the
+  // contiguous delta chain B+1..E — a gap means the chain was GC'd
+  // (vacuumed), and the resolve fails loudly rather than serving a
+  // torn generation. Writers order every swap publish-new → COMMIT
+  // MANIFEST → delete-old, so at every instant the resolved
+  // generation's files all exist on disk; [[readClustered]] therefore
+  // yields exactly the pre- or post-swap row set at ANY protocol
+  // step, crash windows and recovery included. Delta chains REBASE
+  // into a fresh base when the pending delta lines reach a fixed
+  // fraction of the table (amortized commit bytes stay ∝ batch — the
+  // LSM discipline the data files already follow) or the chain hits
+  // a length cap (bounding resolve cost); the whole-layout compact is
+  // a natural rebase (its commit IS the full new generation).
+  //
+  // GC of superseded manifest files (old bases, rebased-away deltas):
+  // IMMEDIATE at each base stamp while no retire ledger stands (the
+  // single-pointer behavior — readers that lose a list-then-open race
+  // re-resolve with bounded backed-off retries), DEFERRED TO VACUUM
+  // while one does: retained (in-grace) data files keep their
+  // manifest history alive, which is what makes [[readClustered]]'s
+  // asOfEpoch overload able to pin a retained generation — epoch
+  // history lives exactly as long as the grace files it describes,
+  // and vacuum reclaims both together. The per-resolve atomicity
+  // contract is unchanged; snapshot isolation across long-running
+  // reads is the retention + asOfEpoch pair.
 
   /** The ONE versioned-marker protocol the manifest and the retire
     * ledger share (two parallel copies had already drifted on backoff
@@ -1229,6 +1268,165 @@ object Zorder {
     }
   }
 
+  /** One resolved generation: its epoch, the file-name → stats-payload
+    * map ("" = no stats recorded; legacy v1 lines, or columns whose
+    * footers carried no usable statistics), the base epoch the chain
+    * started from and the total delta LINES pending on it (the rebase
+    * trigger's inputs). */
+  private final case class Gen(epoch: Long, entries: Map[String, String],
+      baseEpoch: Long, deltaLines: Long)
+
+  /** `urlenc(name)` or `urlenc(name)\t<stats>` — the one entry line
+    * format base adds and delta `+` records share. */
+  private def encEntry(name: String, stats: String): String =
+    java.net.URLEncoder.encode(name, "UTF-8") +
+      (if (stats.isEmpty) "" else "\t" + stats)
+
+  private def decEntry(line: String): (String, String) = {
+    val i = line.indexOf('\t')
+    if (i < 0) (java.net.URLDecoder.decode(line, "UTF-8"), "")
+    else (java.net.URLDecoder.decode(line.substring(0, i), "UTF-8"),
+      line.substring(i + 1))
+  }
+
+  /** The manifest FAMILY at `root`: (isDelta, epoch, path) per file,
+    * one prefixed glob (`_graft_manifest*` — a prefix LIST on object
+    * stores, catching both the base and the delta prefix), `.tmp.`
+    * temps and malformed foreign names skipped. */
+  private def manifestFamily(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[(Boolean, Long, org.apache.hadoop.fs.Path)] =
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(root, "_graft_manifest*")))
+      .getOrElse(Array.empty).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        val prefix =
+          if (n.startsWith(manifestDeltaPrefix)) Some(manifestDeltaPrefix)
+          else if (n.startsWith(manifestPrefix)) Some(manifestPrefix)
+          else None
+        prefix match {
+          case Some(p) if !st.isDirectory && !n.contains(".tmp.") =>
+            val epochHex = n.substring(p.length).takeWhile(_ != '.')
+            try Some((p == manifestDeltaPrefix,
+              java.lang.Long.parseUnsignedLong(epochHex, 16), st.getPath))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
+
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Resolve generation `asOf` (None = the newest) from the base +
+    * delta-chain family. None = no manifest family at all (a legacy
+    * pre-manifest layout). A vanished file mid-read (a reader losing
+    * the list-then-open race to a writer's GC) re-lists with bounded
+    * BACKED-OFF retries — each loss proves a newer commit exists; the
+    * last attempt's failures are LOUD. A requested epoch whose chain
+    * is gone (vacuumed history, or never existed) fails loudly — a
+    * pinned reader silently served a different generation would be a
+    * snapshot-isolation hole. */
+  private def resolveGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, asOf: Option[Long]): Option[Gen] = {
+    var attempts = 12
+    while (attempts > 0) {
+      attempts -= 1
+      val fam = manifestFamily(fs, root)
+      if (fam.isEmpty) return None
+      val bases = fam.filter(!_._1)
+      require(bases.nonEmpty,
+        s"manifest family at $root has delta files but no base — a " +
+          "damaged generation chain; rebuild the layout (reading " +
+          "around it could serve a torn generation)")
+      val newest = fam.map(_._2).max
+      val target = asOf.getOrElse(newest)
+      require(target <= newest,
+        s"asOfEpoch $target is in the future at $root (newest " +
+          s"committed epoch is $newest)")
+      val baseCands = bases.filter(_._2 <= target)
+      require(baseCands.nonEmpty || asOf.isEmpty,
+        s"epoch $target at $root predates the oldest retained base " +
+          "manifest — its generation was vacuumed (or never existed); " +
+          "pinned reads only reach epochs whose retired files are " +
+          "still inside the vacuum grace")
+      // same-epoch duplicates (a recovery restamp) resolve by name,
+      // deterministically, like the single-pointer protocol did
+      val (_, baseEpoch, basePath) =
+        baseCands.sortBy(c => (c._2, c._3.getName)).last
+      val chain = (baseEpoch + 1) to target
+      val deltaByEpoch = fam.filter(_._1).groupBy(_._2)
+      val missing = chain.filterNot(deltaByEpoch.contains)
+      try {
+        if (missing.nonEmpty) {
+          if (asOf.nonEmpty) sys.error(
+            s"generation $target at $root is not reconstructable — " +
+              s"delta epoch(s) ${missing.take(4).mkString(",")} are " +
+              "gone from the chain (vacuumed history, or foreign " +
+              "deletion); pin a newer epoch")
+          // current read: our listing straddled a rebase (new base
+          // stamped, old deltas GC'd, the base not yet in our list) —
+          // retryable, a newer commit exists by construction
+          throw new java.io.FileNotFoundException(
+            s"chain gap at epoch(s) ${missing.take(4).mkString(",")}")
+        }
+        val baseLines = readManifestFile(fs, basePath).trim
+          .split('\n').map(_.trim)
+        val bh = baseLines.headOption.getOrElse("").split(' ')
+        require(bh.length == 2 && (bh(0) == "v1" || bh(0) == "v2") &&
+          bh(1).matches("\\d{1,9}"),
+          s"unparseable base manifest (epoch $baseEpoch) at $root — a " +
+            "damaged generation pointer; rebuild or remove it (reading " +
+            "around it could return a torn generation)")
+        val baseEntries = baseLines.drop(1).filter(_.nonEmpty).map(decEntry)
+        require(baseEntries.length == bh(1).toInt,
+          s"base manifest (epoch $baseEpoch) at $root lists " +
+            s"${baseEntries.length} files but records ${bh(1)} — " +
+            "damaged; rebuild or remove it")
+        var entries = baseEntries.toMap
+        var deltaLines = 0L
+        chain.foreach { e =>
+          val dp = deltaByEpoch(e).sortBy(_._3.getName).last._3
+          val lines = readManifestFile(fs, dp).trim.split('\n').map(_.trim)
+          val h = lines.headOption.getOrElse("").split(' ')
+          require(h.length == 3 && h(0) == "v2d" &&
+            h(1).matches("\\d{1,9}") && h(2).matches("\\d{1,9}"),
+            s"unparseable delta manifest (epoch $e) at $root — " +
+              "damaged; rebuild the layout")
+          val body = lines.drop(1).filter(_.nonEmpty)
+          require(body.length == h(1).toInt + h(2).toInt,
+            s"delta manifest (epoch $e) at $root carries " +
+              s"${body.length} records but declares ${h(1)}+${h(2)} — " +
+              "damaged; rebuild the layout")
+          body.foreach { l =>
+            if (l.startsWith("+")) entries += decEntry(l.substring(1))
+            else if (l.startsWith("-"))
+              entries -= java.net.URLDecoder.decode(l.substring(1), "UTF-8")
+            else sys.error(s"delta manifest (epoch $e) at $root has a " +
+              s"record without a +/- tag ('${l.take(40)}') — damaged; " +
+              "rebuild the layout")
+          }
+          deltaLines += body.length
+        }
+        return Some(Gen(target, entries, baseEpoch, deltaLines))
+      } catch {
+        // the writer GC'd part of the chain between our list and open —
+        // a newer commit exists; back off and re-list
+        case _: java.io.FileNotFoundException =>
+          Thread.sleep(25L * (12 - attempts))
+      }
+    }
+    sys.error(
+      s"could not resolve a stable manifest chain at $root after " +
+        "12 list+read attempts — a writer kept committing and " +
+        "GC'ing faster than this reader could open the chain (the " +
+        "layout itself is healthy; every lost race proves a newer " +
+        "commit exists). Retry the read, or slow the ingest commit " +
+        "rate")
+  }
+
   /** The current generation: (epoch, data file names), or None for a
     * legacy pre-manifest layout. Exhausted resolve retries fail
     * LOUDLY — a manifest reader silently seeing an empty generation
@@ -1236,75 +1434,375 @@ object Zorder {
   private[graft] def currentManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Option[(Long, Seq[String])] =
-    resolveVersioned(fs, root, manifestPrefix) {
-      sys.error(s"could not resolve a stable manifest at $root after " +
-        "12 list+read attempts — a writer kept stamping and GC'ing " +
-        "newer generations faster than this reader could open one " +
-        "(the layout itself is healthy; every lost race proves a " +
-        "newer manifest exists). Retry the read, or slow the ingest " +
-        "commit rate")
-    }.map { case (epoch, payload) =>
-      val lines = payload.trim.split('\n').map(_.trim)
-      val header = lines.headOption.getOrElse("").split(' ')
-      require(header.length == 2 && header(0) == "v1" &&
-        header(1).matches("\\d{1,9}"),
-        s"unparseable manifest (epoch $epoch) at $root — a damaged " +
-          "generation pointer; rebuild or remove it (reading around " +
-          "it could return a torn generation)")
-      val names = lines.drop(1).filter(_.nonEmpty)
-        .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
-      require(names.length == header(1).toInt,
-        s"manifest (epoch $epoch) at $root lists ${names.length} " +
-          s"files but records ${header(1)} — damaged; rebuild or " +
-          "remove it")
-      (epoch, names)
-    }
+    resolveGeneration(fs, root, None)
+      .map(g => (g.epoch, g.entries.keys.toSeq))
 
-  /** Stamp the next-generation manifest listing exactly `names`. Call
-    * only under the writer lease, only when every name in `names` is
-    * already present on disk. `epochHint` saves a second manifest
-    * read when the caller already resolved the current generation
-    * (refreshManifest — the per-micro-batch path). */
-  private def stampManifest(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      names: Seq[String], epochHint: Option[Long] = None): Unit = {
-    val epoch = epochHint.getOrElse(
-      currentManifest(spark, fs, root).map(_._1 + 1).getOrElse(0L))
-    val sorted = names.sorted
-    stampVersioned(spark, fs, root, manifestPrefix, epoch,
-      (s"v1 ${sorted.length}" +: sorted.map(
-        java.net.URLEncoder.encode(_, "UTF-8"))).mkString("\n"))
+  /** The newest committed generation epoch of a clustered layout —
+    * what a snapshot-pinning reader records before a long job and
+    * hands to [[readClustered]]'s asOfEpoch overload. None = a legacy
+    * pre-manifest layout. */
+  def currentEpoch(spark: SparkSession, path: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    resolveGeneration(fs, root, None).map(_.epoch)
   }
 
-  /** The manifest refresh every append-side commit shares: the current
+  /** Write one manifest-family file (base or delta) at `epoch`:
+    * atomic temp+rename to a FRESH name — readers switch in one
+    * listing, an in-place overwrite is never atomic on HDFS-likes. */
+  private def writeManifestFile(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, prefix: String, epoch: Long,
+      payload: String): Unit =
+    Layout.writeMarkerAtomic(spark, root.toString,
+      f"$prefix$epoch%016x." + java.util.UUID.randomUUID.toString.take(8),
+      payload)
+
+  /** GC superseded manifest files: bases below `keepBaseEpoch`, deltas
+    * at or below it (the active chain is the newest base plus deltas
+    * above it), and crashed `.tmp.` temps. Writer-lease callers only.
+    * Callers decide WHEN (immediate at a base stamp while no retire
+    * ledger stands; from vacuum once every grace expired) — history
+    * must outlive the retained files it describes. */
+  private def gcManifestHistory(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, keepBaseEpoch: Long): Unit = {
+    manifestFamily(fs, root).foreach { case (isDelta, epoch, p) =>
+      if (if (isDelta) epoch <= keepBaseEpoch else epoch < keepBaseEpoch)
+        fs.delete(p, false)
+    }
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root,
+      "_graft_manifest*")))
+      .getOrElse(Array.empty).foreach { st =>
+        if (!st.isDirectory && st.getPath.getName.contains(".tmp."))
+          fs.delete(st.getPath, false)
+      }
+  }
+
+  /** Stamp a BASE manifest holding exactly `entries` (name → stats
+    * payload). Call only under the writer lease, only when every name
+    * is already present on disk. `epochHint` saves a second resolve
+    * when the caller already holds the current generation. Superseded
+    * history is GC'd immediately unless `deferGc` (a retire ledger
+    * stands, or this commit is itself retiring files): retained
+    * generations keep their manifest chain until vacuum, so
+    * epoch-pinned readers can reach them through the grace. */
+  private def stampManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      entries: Map[String, String], epochHint: Option[Long] = None,
+      deferGc: Boolean = false): Unit = {
+    val epoch = epochHint.getOrElse(
+      resolveGeneration(fs, root, None).map(_.epoch + 1).getOrElse(0L))
+    val sorted = entries.toSeq.sortBy(_._1)
+    writeManifestFile(spark, root, manifestPrefix, epoch,
+      (s"v2 ${sorted.length}" +: sorted.map { case (n, s) =>
+        encEntry(n, s)
+      }).mkString("\n"))
+    if (!deferGc) gcManifestHistory(fs, root, epoch)
+  }
+
+  /** Bound on the delta chain a resolve must open — past it the next
+    * commit rebases regardless of the byte-amortization trigger. */
+  private val maxDeltaChain = 64
+
+  /** The manifest COMMIT every append-side path shares: current
     * generation (or, for a legacy pre-manifest layout, the root's data
     * files EXCLUDING unledgered `b<id>-` batches — a crashed append's
     * uncommitted files must not enter the first manifest) plus
-    * `added`, minus `removed`. */
-  private def refreshManifest(spark: SparkSession,
+    * `added`, minus `removed`. Writes a DELTA record (cost ∝ this
+    * commit) unless the pending chain crossed the rebase trigger:
+    * delta lines ≥ max(16, |table|/4) — amortized commit bytes then
+    * stay ∝ batch at every table size (each rebase's full-list cost
+    * is paid once per ~4×-its-size of delta traffic) — or chain
+    * length > [[maxDeltaChain]] (resolve cost stays bounded). */
+  private def commitManifestDelta(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      added: Seq[String], removed: Set[String]): Unit = {
-    val cur = currentManifest(spark, fs, root)
-    val base = cur.map(_._2).getOrElse {
-      // legacy-migration arm: unledgered batches (crashed appends) and
-      // retire-ledgered files (unreachable without a manifest, but a
-      // hand-deleted manifest must not resurrect old generations) are
-      // both excluded from the first manifest
-      val retired = readRetired(spark, root.toString).keySet
-      listDataFiles(fs, root).map(_.getPath.getName)
-        .filterNot(retired).filter { n =>
-        val m = "^b(\\d+)-.*".r.findFirstMatchIn(n)
-        m.forall(mm => Layout.batchApplied(spark, root.toString,
-          mm.group(1).toLong))
+      added: Map[String, String], removed: Set[String],
+      deferGc: Boolean): Unit =
+    resolveGeneration(fs, root, None) match {
+      case None =>
+        // legacy-migration arm: unledgered batches (crashed appends)
+        // and retire-ledgered files (unreachable without a manifest,
+        // but a hand-deleted manifest must not resurrect old
+        // generations) are both excluded from the first base. Stats
+        // start empty for legacy residents (conservative — they gain
+        // stats when a fold rewrites them); `added` keeps its own.
+        val retired = readRetired(spark, root.toString).keySet
+        val legacy = listDataFiles(fs, root).map(_.getPath.getName)
+          .filterNot(retired).filter { n =>
+            val m = "^b(\\d+)-.*".r.findFirstMatchIn(n)
+            m.forall(mm => Layout.batchApplied(spark, root.toString,
+              mm.group(1).toLong))
+          }.map(_ -> "").toMap
+        stampManifest(spark, fs, root, (legacy -- removed) ++ added,
+          epochHint = Some(0L), deferGc = deferGc)
+      case Some(cur) =>
+        val next = (cur.entries -- removed) ++ added
+        // a no-op commit (a REPLAYED append whose files the manifest
+        // already lists) does not burn an epoch — restamping an
+        // identical generation would pay a write per at-least-once
+        // replay
+        if (next != cur.entries) {
+          val adds = added.filter { case (n, s) => cur.entries.get(n)
+            .forall(_ != s) }
+          val rems = removed.filter(cur.entries.contains)
+          val thisLines = adds.size + rems.size
+          val pendingChain = cur.epoch - cur.baseEpoch + 1
+          if (pendingChain > maxDeltaChain ||
+              cur.deltaLines + thisLines >=
+                math.max(16L, next.size.toLong / 4))
+            stampManifest(spark, fs, root, next,
+              epochHint = Some(cur.epoch + 1), deferGc = deferGc)
+          else
+            writeManifestFile(spark, root, manifestDeltaPrefix,
+              cur.epoch + 1,
+              (s"v2d ${adds.size} ${rems.size}" +:
+                (adds.toSeq.sortBy(_._1).map { case (n, s) =>
+                  "+" + encEntry(n, s)
+                } ++ rems.toSeq.sorted.map(n =>
+                  "-" + java.net.URLEncoder.encode(n, "UTF-8"))))
+                .mkString("\n"))
+        }
+    }
+
+  // ----- per-file column stats: manifest data skipping -----
+  //
+  // Each commit records, per data file it adds, the [min,max] of every
+  // CLUSTERED column, read from the file's parquet FOOTER on the
+  // driver (O(commit files) metadata reads, no Spark job — the
+  // Delta/Iceberg add-file stats discipline). readClustered's box
+  // overload pre-filters the generation's file list against a
+  // conjunctive box BEFORE building the scan, so planning cost is
+  // ∝ matching files, not table files — at 10^5 files the difference
+  // between a footer-stats-after-planning read (the r15 shape) and a
+  // real metadata-pruned one. Values serialize in the layout's ONE
+  // canonical numeric spelling (numericView: DATE → epoch days,
+  // TIMESTAMP → epoch seconds, boolean → 0/1) as bit-exact hex
+  // doubles widened one ulp outward — every double-path rounding
+  // (int64 beyond 2^53, micros→seconds) stays conservative — and
+  // strings URL-encoded raw, compared in UTF-8 BYTE order (Spark's
+  // binary string order; a java.lang.String compare would disagree on
+  // supplementary characters). Stats are a pure ACCELERATOR with a
+  // one-sided failure mode: a column with no usable footer stats is
+  // simply unprunable (kept), and damaged stats payloads lenient-parse
+  // to unprunable — the opposite lenient choice (pruning on damage)
+  // would silently drop rows.
+
+  /** Manifest stats payloads for exactly `names`: name →
+    * `urlenc(col)=<min>,<max>;…` (reprs: `d`+hex-double / `s`+urlenc).
+    * A column is recorded only when EVERY row group in the file
+    * carries usable statistics for it; an unreadable footer yields
+    * "" (the file stays unprunable — conservative). */
+  private def footerStats(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      names: Seq[String], cl: Option[Clustering]): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def statsOf(n: String): String = cl match {
+      case None => ""
+      case Some(c) =>
+        try {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(root, n), conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            c.cols.flatMap { cq =>
+              val per = blocks.map { b =>
+                b.getColumns.asScala
+                  .find(_.getPath.toDotString == cq.name)
+                  .flatMap(chunkMinMax)
+              }
+              if (per.isEmpty || per.exists(_.isEmpty)) None
+              else {
+                val vs = per.map(_.get)
+                val mn = vs.map(_._1).reduce(statMin)
+                val mx = vs.map(_._2).reduce(statMax)
+                Some(java.net.URLEncoder.encode(cq.name, "UTF-8") +
+                  "=" + reprOf(mn, up = false) + "," +
+                  reprOf(mx, up = true))
+              }
+            }.mkString(";")
+          } finally reader.close()
+        } catch { case scala.util.control.NonFatal(_) => "" }
+    }
+    // footer opens run CONCURRENTLY (bounded pool): a local/HDFS open
+    // costs tens of ms in checksum+seek round-trips, and a bootstrap
+    // or whole-compact commit stats its entire grid — serially that
+    // put ~1 s per commit on the lifecycle paths (measured, PLANS.md
+    // r16); a commit's stats pass should cost one open's latency, not
+    // files × latency. Threads are bounded and torn down per call — a
+    // maintenance-path cost, never a standing pool.
+    if (names.length <= 1) names.map(n => n -> statsOf(n)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, names.length))
+      try {
+        names.map(n => n -> pool.submit(
+          new java.util.concurrent.Callable[String] {
+            def call(): String = statsOf(n)
+          })).map { case (n, f) => n -> f.get() }.toMap
+      } finally pool.shutdown()
+    }
+  }
+
+  /** One column chunk's (min, max) in the canonical spelling, or None
+    * when its statistics are absent/unusable (NaN endpoints, INT96,
+    * non-string binary, …). */
+  private def chunkMinMax(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[(Either[Double, String], Either[Double, String])] = {
+    val st = cc.getStatistics
+    if (st == null || st.isEmpty || !st.hasNonNullValue) None
+    else for {
+      mn <- statVal(cc.getPrimitiveType,
+        st.genericGetMin.asInstanceOf[AnyRef])
+      mx <- statVal(cc.getPrimitiveType,
+        st.genericGetMax.asInstanceOf[AnyRef])
+    } yield (mn, mx)
+  }
+
+  private def statVal(pt: org.apache.parquet.schema.PrimitiveType,
+      v: AnyRef): Option[Either[Double, String]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 =>
+        // plain ints and DATE (epoch days) share the double spelling
+        Some(Left(v.asInstanceOf[Number].doubleValue))
+      case INT64 => pt.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          val raw = v.asInstanceOf[Number].longValue
+          Some(Left(t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => raw / 1e6
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => raw / 1e3
+            case _ => raw / 1e9
+          }))
+        case _ => Some(Left(v.asInstanceOf[Number].doubleValue))
+      }
+      case FLOAT | DOUBLE =>
+        val d = v.asInstanceOf[Number].doubleValue
+        if (d.isNaN) None else Some(Left(d))
+      case BOOLEAN =>
+        Some(Left(if (v.asInstanceOf[java.lang.Boolean]) 1.0 else 0.0))
+      case BINARY if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(Right(new String(
+          v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+          java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None // INT96 (no stats), FIXED, non-string binary
+    }
+  }
+
+  /** UTF-8 unsigned byte order — Spark's binary string comparison. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def statMin(a: Either[Double, String],
+      b: Either[Double, String]): Either[Double, String] = (a, b) match {
+    case (Left(x), Left(y)) => Left(math.min(x, y))
+    case (Right(x), Right(y)) => Right(if (utf8Lt(x, y)) x else y)
+    case _ => a
+  }
+
+  private def statMax(a: Either[Double, String],
+      b: Either[Double, String]): Either[Double, String] = (a, b) match {
+    case (Left(x), Left(y)) => Left(math.max(x, y))
+    case (Right(x), Right(y)) => Right(if (utf8Lt(x, y)) y else x)
+    case _ => a
+  }
+
+  /** Serialize one endpoint, widening doubles one ulp OUTWARD (`up`
+    * = this is a max) so conversion rounding can never flip a keep
+    * into a prune. */
+  private def reprOf(v: Either[Double, String], up: Boolean): String =
+    v match {
+      case Left(d) => "d" + hexd(if (up) Math.nextUp(d) else Math.nextDown(d))
+      case Right(s) => "s" + java.net.URLEncoder.encode(s, "UTF-8")
+    }
+
+  private def parseRepr(r: String): Option[Either[Double, String]] =
+    if (r.startsWith("d"))
+      try Some(Left(unhexd(r.substring(1))))
+      catch { case scala.util.control.NonFatal(_) => None }
+    else if (r.startsWith("s"))
+      try Some(Right(java.net.URLDecoder.decode(r.substring(1), "UTF-8")))
+      catch { case scala.util.control.NonFatal(_) => None }
+    else None
+
+  /** A stats payload back to col → (minRepr, maxRepr). Damage parses
+    * to EMPTY — the file becomes unprunable, never wrongly pruned. */
+  private def parseStatsPayload(s: String): Map[String, (String, String)] =
+    if (s.isEmpty) Map.empty
+    else try s.split(';').iterator.map { f =>
+      val i = f.indexOf('=')
+      val Array(lo, hi) = f.substring(i + 1).split(",", 2)
+      java.net.URLDecoder.decode(f.substring(0, i), "UTF-8") -> (lo, hi)
+    }.toMap
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** A query-side bound in the canonical spelling, or None for a type
+    * this pruner does not understand (→ no pruning on that column). */
+  private def boundVal(v: Any): Option[Either[Double, String]] = v match {
+    case s: String => Some(Right(s))
+    case b: Boolean => Some(Left(if (b) 1.0 else 0.0))
+    case d: java.sql.Date => Some(Left(d.toLocalDate.toEpochDay.toDouble))
+    case d: java.time.LocalDate => Some(Left(d.toEpochDay.toDouble))
+    case t: java.sql.Timestamp => Some(Left(
+      t.getTime / 1000.0 + (t.getNanos % 1000000) / 1e9))
+    case i: java.time.Instant =>
+      Some(Left(i.getEpochSecond + i.getNano / 1e9))
+    case n: Number => Some(Left(n.doubleValue))
+    case _ => None
+  }
+
+  /** Whether a file with `stats` can hold a row inside the box —
+    * conservative on every unknown: missing column stats, unparseable
+    * reprs, kind mismatches and exotic bound types all KEEP. */
+  private def statsIntersect(stats: Map[String, (String, String)],
+      box: Seq[(String, Any, Any)]): Boolean =
+    box.forall { case (c, loAny, hiAny) =>
+      stats.get(c) match {
+        case None => true
+        case Some((mnR, mxR)) =>
+          (parseRepr(mnR), parseRepr(mxR),
+            boundVal(loAny), boundVal(hiAny)) match {
+            case (Some(Left(fmn)), Some(Left(fmx)),
+                Some(Left(lo)), Some(Left(hi))) =>
+              !(fmx < Math.nextDown(lo) || fmn > Math.nextUp(hi))
+            case (Some(Right(fmn)), Some(Right(fmx)),
+                Some(Right(lo)), Some(Right(hi))) =>
+              !(utf8Lt(fmx, lo) || utf8Lt(hi, fmn))
+            case _ => true
+          }
       }
     }
-    val next = (base.toSet -- removed) ++ added
-    // a no-op refresh (a REPLAYED append whose files the manifest
-    // already lists) does not burn a generation — restamping an
-    // identical set would pay a write + GC per at-least-once replay
-    if (!cur.exists(_._2.toSet == next))
-      stampManifest(spark, fs, root, next.toSeq,
-        epochHint = Some(cur.map(_._1 + 1).getOrElse(0L)))
+
+  /** The box overload's file-level decision, exposed for measurement
+    * ([[graft.Contracts]] grades kept/total per bench run;
+    * [[graft.ZorderProbe]] the scaling shape): (kept names, all
+    * names) for the CURRENT generation. */
+  private[graft] def pruneFiles(spark: SparkSession, path: String,
+      box: Seq[(String, Any, Any)]): (Seq[String], Seq[String]) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    resolveGeneration(fs, root, None) match {
+      case None => (Seq.empty, Seq.empty)
+      case Some(g) =>
+        val all = g.entries.keys.toSeq.sorted
+        (all.filter(n =>
+          statsIntersect(parseStatsPayload(g.entries(n)), box)), all)
+    }
   }
 
   // ----- retention: snapshot grace for in-flight readers -----
@@ -1467,7 +1965,26 @@ object Zorder {
         // a periodic vacuum cron on a retention-free layout must not
         // burn a ledger epoch per run
         val next = keep.result()
-        if (deleted > 0 || next != ledger) writeRetired(spark, path, next)
+        val changed = deleted > 0 || next != ledger
+        if (changed) writeRetired(spark, path, next)
+        // manifest-history CUT rides the same grace: when THIS vacuum
+        // empties the ledger (the last grace expired), the retained
+        // bases/deltas describe generations with no readable files
+        // left — restamp the current generation as a fresh BASE, whose
+        // immediate GC reclaims everything below it, so a pinned read
+        // of a reclaimed epoch refuses at RESOLVE time ("predates the
+        // oldest retained base") instead of deep inside a scan. While
+        // ANY grace file remains, the whole history stays — a pinned
+        // epoch whose OWN files aged out of an overlapping grace fails
+        // at scan time, the documented coarse-grain trade for a
+        // one-flag rule. A crash between the file deletes and this
+        // stamp leaves stale history standing until the next retention
+        // cycle's vacuum — a bounded leak, never a correctness hole
+        // (resolving a stale epoch fails loudly at scan).
+        if (changed && next.isEmpty)
+          resolveGeneration(fs, root, None).foreach(g =>
+            stampManifest(spark, fs, root, g.entries,
+              epochHint = Some(g.epoch + 1), deferGc = false))
         deleted
     }
   }
@@ -1532,6 +2049,71 @@ object Zorder {
             "vacuum past the grace first")
         spark.read.parquet(path)
     }
+  }
+
+  /** [[readClustered]] PINNED to a past generation: resolve epoch
+    * `asOfEpoch` through the retained base + delta chain and read
+    * exactly that generation's files. The snapshot-isolation
+    * completion of retention: record [[currentEpoch]] before a long
+    * job, compact with `retainMs > 0` freely — the pinned read keeps
+    * serving the PRE-swap row set for as long as the retired files
+    * survive the vacuum grace (manifest history lives exactly as long
+    * as the grace files; see the manifest section note). Refused
+    * loudly once vacuum reclaimed the chain ("predates the oldest
+    * retained base" / "not reconstructable"); a pinned epoch whose
+    * own files aged out of an OVERLAPPING grace fails at scan time
+    * (FileNotFoundException) — both are loud, neither can silently
+    * serve a different generation. */
+  def readClustered(spark: SparkSession, path: String,
+      asOfEpoch: Long): DataFrame = {
+    require(clusteringOf(spark, path).nonEmpty,
+      s"readClustered: no $markerFile marker at $path — not a clustered " +
+        "graft layout, or a rebuild is in flight/crashed")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val g = resolveGeneration(fs, root, Some(asOfEpoch)).getOrElse(
+      sys.error(s"readClustered: $path has no generation manifest — a " +
+        "legacy pre-manifest layout has no epochs to pin"))
+    require(g.entries.nonEmpty,
+      s"readClustered: generation $asOfEpoch at $path is empty — " +
+        "nothing to read at that epoch")
+    spark.read.parquet(g.entries.keys.toSeq.sorted.map(n =>
+      new org.apache.hadoop.fs.Path(root, n).toString): _*)
+  }
+
+  /** [[readClustered]] restricted by a conjunctive BOX — `(column,
+    * inclusive lo, inclusive hi)` triples: the generation's per-file
+    * manifest stats pre-filter the FILE LIST before the scan relation
+    * is built, so planning cost is ∝ files that can match, not table
+    * files (at 10^5 files the difference between metadata pruning and
+    * the r15 shape, where parquet footer stats pruned rows only AFTER
+    * planning touched every file). Pruning is CONSERVATIVE file
+    * SKIPPING, not filtering: the frame holds every row of every file
+    * whose recorded [min,max] can intersect the box (a superset of
+    * the matching rows — files without stats are kept), and the
+    * caller applies its own exact predicate on top, which Spark then
+    * also pushes into the kept files' row-group stats as always.
+    * Legacy layouts (no manifest) and stats-less generations degrade
+    * to the unpruned read — never to a wrong one. */
+  def readClustered(spark: SparkSession, path: String,
+      box: Seq[(String, Any, Any)]): DataFrame = {
+    require(clusteringOf(spark, path).nonEmpty,
+      s"readClustered: no $markerFile marker at $path — not a clustered " +
+        "graft layout, or a rebuild is in flight/crashed")
+    val (kept, all) = pruneFiles(spark, path, box)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    if (all.isEmpty) readClustered(spark, path) // legacy/empty: unpruned
+    else if (kept.isEmpty)
+      // no file can match: an empty frame with the layout's schema,
+      // anchored on one footer (zero row groups survive lit(false))
+      spark.read.parquet(
+        new org.apache.hadoop.fs.Path(root, all.head).toString)
+        .where(lit(false))
+    else spark.read.parquet(kept.map(n =>
+      new org.apache.hadoop.fs.Path(root, n).toString): _*)
   }
 
   /** Exact per-file [zmin, zmax] under the PINNED clustering for

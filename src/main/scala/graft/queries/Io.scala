@@ -26,10 +26,18 @@ object Io {
     val e = Tables.load(spark, dir, "events")
     val tmp = scratchPath(scratch)
     write(e, tmp)
-    // through the generation manifest — the reader-atomic API the
-    // compact lifecycle (q178/q181) needs; plans and pruning are
-    // identical to the directory read (same scan relation)
-    graft.operators.Zorder.readClustered(spark, tmp)
+    // through the generation manifest's BOX overload — the manifest's
+    // per-file column stats pre-filter the FILE LIST before planning
+    // (at 10^5 files, planning cost ∝ matching files, not table
+    // files; CONTRACTS.json grades the kept/total ratio per bench
+    // run), and the residual predicate below then prunes row groups
+    // inside the kept files exactly as the unpruned read did. Bounds
+    // as explicit UTC instants (the session timezone), inclusive —
+    // a superset of the half-open filter, which stays authoritative.
+    graft.operators.Zorder.readClustered(spark, tmp, Seq(
+        ("user_id", 2: Any, 8: Any),
+        ("ts", java.time.Instant.parse("2024-01-10T00:00:00Z"): Any,
+          java.time.Instant.parse("2024-01-15T00:00:00Z"): Any)))
       .filter(col("user_id").between(2, 8) &&
         col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
         col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
@@ -217,7 +225,11 @@ object Io {
         val tmp = scratchPath("hilbert3_events")
         graft.operators.Zorder.writeBest(e, tmp,
           Seq("user_id", "ts", "value"), bits = 12, numFiles = 32)
-        graft.operators.Zorder.readClustered(spark, tmp)
+        graft.operators.Zorder.readClustered(spark, tmp, Seq(
+            ("user_id", 2: Any, 8: Any),
+            ("ts", java.time.Instant.parse("2024-01-10T00:00:00Z"): Any,
+              java.time.Instant.parse("2024-01-15T00:00:00Z"): Any),
+            ("value", 50.0: Any, 200.0: Any)))
           .filter(col("user_id").between(2, 8) &&
             col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
             col("ts") < to_timestamp(lit("2024-01-15 00:00:00")) &&
@@ -263,7 +275,12 @@ object Io {
         Zorder.appendClustered(e.filter(col("event_id") % 5 === 0), tmp,
           batchId = 1)
         Zorder.compactTail(spark, tmp)
-        Zorder.readClustered(spark, tmp)
+        // the kind-s string boundaries feed the manifest stats too:
+        // the box's string endpoints compare in UTF-8 byte order
+        // against per-file min/max of event_type
+        Zorder.readClustered(spark, tmp, Seq(
+            ("user_id", 2: Any, 8: Any),
+            ("event_type", "click": Any, "purchase": Any)))
           .filter(col("user_id").between(2, 8) &&
             col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
@@ -307,7 +324,12 @@ object Io {
         Zorder.appendClustered(e.filter(col("event_id") % 5 === 0), tmp,
           batchId = 1)
         Zorder.compactTail(spark, tmp)
-        Zorder.readClustered(spark, tmp)
+        // DATE stats quantize to epoch days on both sides (footer
+        // DATE annotation and java.time.LocalDate bound) — exact
+        Zorder.readClustered(spark, tmp, Seq(
+            ("user_id", 2: Any, 8: Any),
+            ("d", java.time.LocalDate.parse("2024-01-10"): Any,
+              java.time.LocalDate.parse("2024-01-14"): Any)))
           .filter(col("user_id").between(2, 8) &&
             col("d") >= to_date(lit("2024-01-10")) &&
             col("d") < to_date(lit("2024-01-15")))

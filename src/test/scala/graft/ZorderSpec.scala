@@ -1147,10 +1147,11 @@ class ZorderSpec extends SparkSpec {
       "recovery must preserve the row set exactly")
 
     // legacy fallback: a pre-manifest layout (no pointer files) reads
-    // via the directory listing it always had
+    // via the directory listing it always had — the WHOLE family goes
+    // (bases and deltas; a delta-only remnant is damage, not legacy)
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
       if (!st.isDirectory &&
-          st.getPath.getName.startsWith("_graft_manifest."))
+          st.getPath.getName.startsWith("_graft_manifest"))
         fs.delete(st.getPath, false)
     }
     assert(key(Zorder.readClustered(spark, dir)) == kWith3,
@@ -1283,5 +1284,169 @@ class ZorderSpec extends SparkSpec {
       s"damaged ledger must fail loudly, got: ${exLedger.getMessage}")
     fs.delete(new org.apache.hadoop.fs.Path(root,
       "_graft_retired.00000000000000ff.deadbeef"), false)
+  }
+
+  /** (bases, deltas) of the manifest family at `dir`, by file name. */
+  private def familyCounts(dir: String): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("_graft_manifest") && !n.contains(".tmp."))
+    (names.count(_.startsWith("_graft_manifest.")),
+      names.count(_.startsWith("_graft_manifestd.")))
+  }
+
+  test("manifest commits are DELTAS ∝ batch; the chain rebases and whole-compact re-bases") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_delta_").toString
+    Zorder.writeHilbert(e.filter(col("event_id") % 11 === 0), dir,
+      Seq("user_id", "value"), bits = 8, numFiles = 4)
+    assert(familyCounts(dir) == ((1, 0)),
+      "bootstrap must stamp exactly one BASE manifest, no deltas")
+    // appends commit deltas (serialization ∝ batch, the r15 full-list
+    // residual) until the rebase trigger folds the chain into a fresh
+    // base whose stamp GCs the superseded files (no grace here)
+    var sawDelta = false
+    var sawRebase = false
+    var id = 1L
+    while (id <= 10 && !sawRebase) {
+      assert(Zorder.appendClustered(
+        e.filter(col("event_id") % 11 === id), dir, batchId = id))
+      val (b, d) = familyCounts(dir)
+      assert(b == 1, s"exactly one base must stand after append $id, got $b")
+      if (d > 0) sawDelta = true
+      if (d == 0) sawRebase = true
+      id += 1
+    }
+    assert(sawDelta, "appends must commit manifest DELTAS, not full lists")
+    assert(sawRebase,
+      "the delta chain must REBASE once its lines cross the trigger " +
+        "(and the rebase must GC the superseded chain — no grace here)")
+    // a replayed append must not burn an epoch (no-op commit)
+    val famBefore = familyCounts(dir)
+    assert(!Zorder.appendClustered(
+      e.filter(col("event_id") % 11 === 1), dir, batchId = 1))
+    assert(familyCounts(dir) == famBefore,
+      "an at-least-once replay must not write a new manifest commit")
+    // rows stay exact through the mixed base/delta chain: slices
+    // 0..id-1 of the %11 split landed, each exactly once
+    val want = fp(e.filter(col("event_id") % 11 < lit(id))
+      .select(e.columns.map(col): _*))
+    val got = fp(Zorder.readClustered(spark, dir)
+      .select(e.columns.map(col): _*))
+    assert(got == want,
+      "delta-chain reads must hold exactly the appended union")
+    // whole-compact is a natural rebase: one base, zero deltas
+    Zorder.compactClustered(spark, dir)
+    assert(familyCounts(dir) == ((1, 0)),
+      "whole-compact must leave exactly one base manifest")
+  }
+
+  test("manifest stats prune the file list; box reads stay row-exact") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_stats_").toString
+    Zorder.writeZordered(e, dir, Seq("user_id", "ts"), bits = 12,
+      numFiles = 16)
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-14 23:59:59")
+    val box = Seq(("user_id", 2: Any, 8: Any), ("ts", lo: Any, hi: Any))
+    val pred = col("user_id").between(2, 8) &&
+      col("ts") >= lit(lo) && col("ts") <= lit(hi)
+    val (kept, all) = Zorder.pruneFiles(spark, dir, box)
+    assert(all.length == 16, s"expected the 16-file grid, got ${all.length}")
+    assert(kept.nonEmpty && kept.length < all.length,
+      s"the box must prune files at the MANIFEST level " +
+        s"(kept ${kept.length} of ${all.length})")
+    val want = fp(Zorder.readClustered(spark, dir).filter(pred))
+    assert(fp(Zorder.readClustered(spark, dir, box).filter(pred)) == want,
+      "box read + residual predicate must equal the unpruned read")
+    // conservative arms: a column without stats prunes nothing; an
+    // out-of-domain box reads empty with the layout's schema
+    assert(Zorder.pruneFiles(spark, dir,
+      Seq(("event_type", "a": Any, "zzzz": Any)))._1.length == all.length,
+      "a non-clustered column has no stats — no pruning")
+    val none = Zorder.readClustered(spark, dir,
+      Seq(("user_id", 1000000: Any, 2000000: Any)))
+    assert(none.count() == 0 && none.columns.toSet == e.columns.toSet,
+      "an out-of-domain box reads empty with the layout's schema")
+    // stats survive the append (delta) and fold (replacement) commits
+    Zorder.appendClustered(e.limit(500), dir, batchId = 1)
+    assert(Zorder.compactTail(spark, dir))
+    val want2 = fp(Zorder.readClustered(spark, dir).filter(pred))
+    assert(fp(Zorder.readClustered(spark, dir, box).filter(pred)) == want2,
+      "box read must stay exact through append + tail fold")
+    val (kept2, all2) = Zorder.pruneFiles(spark, dir, box)
+    assert(kept2.length < all2.length,
+      "replacement files must carry stats (fold commits re-stat)")
+    // kind-s string boundaries: stats prune a string-equality box too
+    val sdir = Files.createTempDirectory("graft_zorder_sstats_").toString
+    Zorder.writeHilbertByRank(e, sdir, Seq("user_id", "event_type"),
+      bits = 4, numFiles = 16)
+    val sbox = Seq(("event_type", "click": Any, "click": Any))
+    val (skept, sall) = Zorder.pruneFiles(spark, sdir, sbox)
+    assert(skept.nonEmpty && skept.length < sall.length,
+      s"string stats must prune the equality box " +
+        s"(kept ${skept.length} of ${sall.length})")
+    val spred = col("event_type") === "click"
+    assert(fp(Zorder.readClustered(spark, sdir, sbox).filter(spred)) ==
+      fp(Zorder.readClustered(spark, sdir).filter(spred)),
+      "string box read must stay row-exact")
+    // DATE stats: epoch-day spelling agrees between footer and bound
+    val ddir = Files.createTempDirectory("graft_zorder_dstats_").toString
+    val ed = e.withColumn("d", to_date(col("ts")))
+    Zorder.writeHilbert(ed, ddir, Seq("user_id", "d"), bits = 8,
+      numFiles = 16)
+    val dbox = Seq(("d", java.sql.Date.valueOf("2024-01-10"): Any,
+      java.sql.Date.valueOf("2024-01-14"): Any))
+    val dpred = col("d").between(lit("2024-01-10"), lit("2024-01-14"))
+    val (dkept, dall) = Zorder.pruneFiles(spark, ddir, dbox)
+    assert(dkept.nonEmpty && dkept.length < dall.length,
+      s"date stats must prune (kept ${dkept.length} of ${dall.length})")
+    assert(fp(Zorder.readClustered(spark, ddir, dbox).filter(dpred)) ==
+      fp(Zorder.readClustered(spark, ddir).filter(dpred)),
+      "date box read must stay row-exact")
+  }
+
+  test("epoch-pinned reads serve the retained generation; vacuum cuts them off loudly") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_pin_").toString
+    val base = e.filter(col("event_id") % 3 === 0)
+    val b1 = e.filter(col("event_id") % 3 === 1)
+    val b2 = e.filter(col("event_id") % 3 === 2)
+    val hour = 3600L * 1000
+    Zorder.writeHilbert(base, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    assert(Zorder.currentEpoch(spark, dir).contains(0L))
+    assert(Zorder.appendClustered(b1, dir, batchId = 1))
+    val pin = Zorder.currentEpoch(spark, dir).get
+    assert(pin == 1L, s"append must commit epoch 1, got $pin")
+    val cols = base.columns.toSeq
+    def k(df: org.apache.spark.sql.DataFrame) = fp(df.select(cols.map(col): _*))
+    val kPin = k(base.unionByName(b1))
+    // retention fold + another append: the pinned epoch keeps serving
+    // the PRE-fold generation (its files are retired, not deleted)
+    assert(Zorder.compactTail(spark, dir, retainMs = hour))
+    assert(Zorder.appendClustered(b2, dir, batchId = 2))
+    assert(k(Zorder.readClustered(spark, dir, asOfEpoch = pin)) == kPin,
+      "the pinned epoch must serve the pre-fold generation mid-grace")
+    assert(k(Zorder.readClustered(spark, dir)) == k(e),
+      "the current read must serve the post-fold generation")
+    // an unexpired vacuum changes nothing for the pinned reader
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = hour) == 0)
+    assert(k(Zorder.readClustered(spark, dir, asOfEpoch = pin)) == kPin)
+    // a FUTURE epoch refuses loudly
+    val exF = intercept[IllegalArgumentException](
+      Zorder.readClustered(spark, dir, asOfEpoch = 999L))
+    assert(exF.getMessage.contains("future"), exF.getMessage)
+    // expired grace: vacuum reclaims the files AND cuts the manifest
+    // history with a fresh base — the pinned epoch now refuses at
+    // RESOLVE time, never silently serving a different generation
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0)
+    val exV = intercept[Exception](
+      Zorder.readClustered(spark, dir, asOfEpoch = pin).count())
+    assert(exV.getMessage.contains("predates the oldest retained base"),
+      s"a vacuumed pin must refuse at resolve time, got: ${exV.getMessage}")
+    assert(k(Zorder.readClustered(spark, dir)) == k(e),
+      "the current read must survive the history cut")
   }
 }
