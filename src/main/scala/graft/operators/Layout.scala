@@ -224,7 +224,8 @@ private[graft] object Layout {
       if (!st.isDirectory &&
           (n.startsWith(graft.operators.Zorder.manifestPrefix) ||
             n.startsWith(graft.operators.Zorder.manifestDeltaPrefix) ||
-            n.startsWith(graft.operators.Zorder.retiredPrefix)))
+            n.startsWith(graft.operators.Zorder.retiredPrefix) ||
+            n.startsWith(graft.operators.Zorder.schemaDdlPrefix)))
         fs.delete(st.getPath, false)
     }
   }

@@ -87,6 +87,7 @@ object Zorder {
   private[graft] val zrangesFile = "_graft_zranges"
   private[graft] val manifestPrefix = "_graft_manifest."
   private[graft] val manifestDeltaPrefix = "_graft_manifestd."
+  private[graft] val schemaDdlPrefix = "_graft_schemad."
 
   /** Test seam: invoked with a step label at each reader-visible
     * protocol transition inside the write/append/compact forms, so the
@@ -737,32 +738,178 @@ object Zorder {
   def compactTail(spark: SparkSession, path: String,
       retainMs: Long = 0L): Boolean =
     Layout.withWriterLease(spark, path, "compactTail") {
+      val (fs, root, cl, retiredM, tails, mains) =
+        tailFoldPreamble(spark, path, "compactTail")
+      if (tails.isEmpty) false
+      else {
+        foldAndPublish(spark, path, fs, root, cl, retainMs, retiredM,
+          tails, mains, extraProbe = None, transform = _.get)
+        true
+      }
+    }
+
+  /** Keyed MERGE — CDC apply / upsert / delete on a clustered layout,
+    * rewriting EXACTLY the files the changed keys can live in (located
+    * by clustering-value containment over the per-file z-ranges, the
+    * [[compactTail]] discipline) through the same staged-fold crash
+    * protocol: sentinel + publish-new → flip-manifest → delete-old (or
+    * retire under `retainMs` grace), recovery shared with the tail
+    * fold. Rewrite cost is ∝ touched files × overlap + the standing
+    * tail, never table size — the 100 TB CDC-apply shape.
+    *
+    * Semantics (the Delta MERGE essentials):
+    *   - `changes` rows carry the layout's FULL data schema (so every
+    *     row knows its clustering values), plus the optional
+    *     `deleteCol` (true = remove the key) and `versionCol` markers;
+    *   - a change key present in the layout is REPLACED by the change
+    *     row (all its resident copies — merge enforces key uniqueness
+    *     among the keys it touches); an absent key INSERTS; a delete
+    *     of an absent key is a no-op;
+    *   - duplicate keys WITHIN the batch refuse loudly unless
+    *     `versionCol` is given, where the highest version wins
+    *     (last-write survivor rule);
+    *   - all standing tail (`b<id>-`) files fold in as a side effect —
+    *     they overlap every box, so any of them could hold a touched
+    *     key, and folding them is work the next compact owed anyway;
+    *   - merge batches are CDC-sized by assumption: replacement file
+    *     count is sized by FOLD bytes, so a bulk load smuggled in as
+    *     merge-inserts lands under-split — bulk ingest belongs to
+    *     [[appendClustered]] (inserts here are the keys a CDC stream
+    *     creates, not a backfill).
+    *
+    * ==The clustering-immutability contract==
+    * A key's CLUSTERING column values are its address: the rewrite
+    * touches exactly the files whose z-interval contains the change
+    * row's clustering values. Updating a key's clustering columns in
+    * place would leave the old row at its old address untouched (a
+    * silent duplicate) — move a row by sending a DELETE carrying the
+    * OLD clustering values plus an INSERT carrying the new ones in the
+    * same batch. Non-clustering columns update freely. */
+  def mergeClustered(spark: SparkSession, path: String,
+      changes: DataFrame, keyCols: Seq[String],
+      deleteCol: Option[String] = None, versionCol: Option[String] = None,
+      retainMs: Long = 0L): Unit =
+    Layout.withWriterLease(spark, path, "mergeClustered") {
+      val (fs, root, cl, retiredM, tails, mains) =
+        tailFoldPreamble(spark, path, "mergeClustered")
+      require(keyCols.nonEmpty, "mergeClustered: keyCols is empty")
+      val metaCols = deleteCol.toSeq ++ versionCol.toSeq
+      metaCols.foreach(c => require(changes.columns.contains(c),
+        s"mergeClustered: marker column $c is not in the changes batch"))
+      require(!keyCols.exists(metaCols.contains),
+        s"mergeClustered: keyCols and marker columns overlap")
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        changes.schema.fields.filterNot(f => metaCols.contains(f.name)))
+      keyCols.foreach(k => require(dataSchema.fieldNames.contains(k),
+        s"mergeClustered: key column $k is not in the changes batch"))
+      // schema parity — the appendClustered gate, applied to merges:
+      // a narrower or retyped batch would corrupt every future read
+      Layout.readMarker(spark, path, schemaFile).foreach { rp =>
+        require(rp == schemaPayload(dataSchema),
+          s"mergeClustered: change schema [${schemaPayload(dataSchema)
+            .replace("\n", ", ")}] does not match the resident " +
+            s"layout's [${rp.replace("\n", ", ")}] at $path (marker " +
+            "columns excluded); run migrateSchemaWiden first if this " +
+            "is a widening")
+      }
+      // survivor rule within the batch: versionCol → last-write wins;
+      // no versionCol → duplicate keys are ambiguous, refuse loudly
+      // (one bounded job over the CHANGES batch, never the table)
+      val keyed = versionCol match {
+        case Some(v) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy(col(v).desc)
+          changes.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        case None =>
+          val dup = changes.groupBy(keyCols.map(col): _*)
+            .count().filter(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"mergeClustered: duplicate key ${dup.headOption} in the " +
+              "changes batch and no versionCol to arbitrate — dedupe " +
+              "first or pass versionCol (last-write wins)")
+          changes
+      }
+      keyed.cache()
+      try {
+        if (keyed.isEmpty) () // an empty batch is a no-op, not a fold
+        else {
+          val isDelete = deleteCol.map(c =>
+            coalesce(col(c).cast("boolean"), lit(false)))
+            .getOrElse(lit(false))
+          val upserts = keyed.filter(!isDelete).drop(metaCols: _*)
+          val changeKeys = keyed.select(keyCols.map(col): _*).distinct()
+          foldAndPublish(spark, path, fs, root, cl, retainMs, retiredM,
+            tails, mains, extraProbe = Some(keyed),
+            transform = {
+              // every resident copy of a changed key drops (anti-join
+              // on the key), the surviving change rows take its place;
+              // allowMissingColumns covers a widened-schema fold whose
+              // oldest files predate the migration
+              case Some(fold) => fold
+                .join(changeKeys, keyCols, "left_anti")
+                .unionByName(upserts, allowMissingColumns = true)
+              case None => upserts // pure insert into gaps: no victims
+            })
+        }
+      } finally keyed.unpersist()
+    }
+
+  /** The shared entry discipline of the tail-fold protocol family
+    * ([[compactTail]], [[mergeClustered]]): refuse under a crashed
+    * WHOLE compaction (its sentinel describes a full-generation swap
+    * this form must not half-finish), recover any crashed tail fold,
+    * roll back crashed unledgered appends, and enumerate the fold
+    * universe — retired files (a previous retention compact's grace)
+    * are OUT entirely: not residents (their rows are old-generation
+    * duplicates), not invariant inputs, not blockers. */
+  private def tailFoldPreamble(spark: SparkSession, path: String,
+      what: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path, Clustering, Map[String, Long],
+      Seq[org.apache.hadoop.fs.FileStatus],
+      Seq[org.apache.hadoop.fs.FileStatus]) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-    // a crashed WHOLE compaction owns its own recovery (its sentinel
-    // describes a full-generation swap this form must not half-finish)
     require(Layout.readMarker(spark, path, compactingFile).isEmpty,
-      s"compactTail: $path carries a $compactingFile sentinel — run " +
+      s"$what: $path carries a $compactingFile sentinel — run " +
         "compactClustered (it recovers the crashed whole-layout swap, " +
         "then compacts)")
     recoverTailCrash(spark, fs, root)
     Layout.rollbackUnledgered(spark, path)
     val cl = clusteringOf(spark, path).getOrElse(sys.error(
-      s"compactTail: no $markerFile marker at $path — not a clustered " +
+      s"$what: no $markerFile marker at $path — not a clustered " +
         "graft layout (or a crashed rebuild); rebuild with a write* " +
         "form first"))
-    // retired files (a previous retention compact's grace) are OUT of
-    // the fold universe entirely: not residents (their rows are
-    // old-generation duplicates), not invariant inputs, not blockers
     val retiredM = readRetired(spark, path)
-    val retired0 = retiredM.keySet
     val files = listDataFiles(fs, root)
-      .filterNot(st => retired0(st.getPath.getName))
+      .filterNot(st => retiredM.keySet(st.getPath.getName))
     val (tails, mains) = files.partition(st =>
       st.getPath.getName.matches("b\\d+-.*"))
-    if (tails.isEmpty) false
-    else {
+    (fs, root, cl, retiredM, tails, mains)
+  }
+
+  /** The staged-fold core [[compactTail]] and [[mergeClustered]]
+    * share: select the fold set by VALUE-level containment (all tails
+    * + every main whose z-interval holds a probe value), rewrite
+    * `transform(foldDf)` through the region-split staged swap, and
+    * publish under the tail-fold crash protocol (sentinel → publish →
+    * manifest flip → delete-or-retire). `extraProbe` adds rows whose
+    * clustering values must be covered beyond the tail's (a merge's
+    * change rows); `transform` receives the fold frame (None when the
+    * probe touched no file — a pure gap insert) and returns the rows
+    * to publish in the fold set's place. */
+  private def foldAndPublish(spark: SparkSession, path: String,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      cl: Clustering, retainMs: Long, retiredM: Map[String, Long],
+      tails: Seq[org.apache.hadoop.fs.FileStatus],
+      mains: Seq[org.apache.hadoop.fs.FileStatus],
+      extraProbe: Option[DataFrame],
+      transform: Option[DataFrame] => DataFrame): Unit = {
+    val retired0 = retiredM.keySet
+    val files = tails ++ mains
+    locally {
       // resident per-file z-ranges: cached and self-healing — entries
       // whose file vanished are dropped, residents without entries get
       // ONE targeted narrow scan. File names are unique forever (every
@@ -841,11 +988,18 @@ object Zorder {
               else (a.length / 2 + q / 2).toLong // gap before resident q/2
             }
           }
-          val tailDf = spark.read.option("mergeSchema", "true")
-            .parquet(tails.map(_.getPath.toString): _*)
-            .select(cl.cols.map(c => col(c.name)): _*)
-          val (stagedT, zT, _) = clusteredFrame(tailDf, cl)
-          val slots = stagedT.select(zT.as("__z"))
+          val probeParts = (if (tails.isEmpty) Seq.empty[DataFrame]
+            else Seq(spark.read.option("mergeSchema", "true")
+              .parquet(tails.map(_.getPath.toString): _*))) ++
+            extraProbe.toSeq
+          val probeZ = probeParts.map { p =>
+            val (stagedP, zP, _) = clusteredFrame(
+              p.select(cl.cols.map(c => col(c.name)): _*), cl)
+            stagedP.select(zP.as("__z"))
+          }.reduceOption(_ unionByName _).getOrElse(sys.error(
+            "foldAndPublish: nothing to probe — no tails and no extra " +
+              "probe (caller bug)"))
+          val slots = probeZ
             .groupBy(slotOf(col("__z")).as("__slot"))
             .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -908,12 +1062,15 @@ object Zorder {
       val k = math.max(1, math.min(cl.numFiles,
         math.round(foldBytes.toDouble / meanMain).toInt))
       val tmp = new org.apache.hadoop.fs.Path(root, tailTmpDir)
-      val foldDf = spark.read.option("mergeSchema", "true")
-        .parquet(foldSet.map(_.getPath.toString): _*)
-      require(!foldDf.columns.contains(regionCol),
+      val foldDf =
+        if (foldSet.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(foldSet.map(_.getPath.toString): _*))
+      val rewritten = transform(foldDf)
+      require(!rewritten.columns.contains(regionCol),
         s"compactTail: input already carries a $regionCol column — a " +
           "leaked stage column from a crashed tail compact; drop it first")
-      val (staged, z, drop) = clusteredFrame(foldDf, cl)
+      val (staged, z, drop) = clusteredFrame(rewritten, cl)
       // the region bucket is a MONOTONE function of z (regions are
       // sorted, the bucket is a balanced search over their upper
       // bounds), so the z sort below orders it too; computed BEFORE
@@ -947,10 +1104,13 @@ object Zorder {
       // would make recovery delete only SOME victims while publishing
       // ALL replacements, silently duplicating the unlisted files'
       // rows (the whole-compact sentinel is torn-safe by construction,
-      // any token prefix being used self-consistently; a list is not)
+      // any token prefix being used self-consistently; a list is not).
+      // v2 adds the caller's retainMs to the header so a crashed fold
+      // keeps its reader grace: recovery retires (not deletes) the
+      // victims when the crashed call asked for retention
       val token = java.util.UUID.randomUUID.toString.take(8)
       Layout.writeMarkerAtomic(spark, path, tailCompactingFile,
-        (s"v1 $token ${foldSet.length}" +: foldSet.map(st =>
+        (s"v2 $token ${foldSet.length} $retainMs" +: foldSet.map(st =>
           java.net.URLEncoder.encode(st.getPath.getName, "UTF-8")))
           .mkString("\n"))
       onProtocolStep("tail-sentinel")
@@ -981,7 +1141,6 @@ object Zorder {
       writeZranges(spark, path,
         (ivs -- foldNames) ++
           computeZranges(spark, cl, replacements.map(_.getPath)))
-      true
     }
   }
 
@@ -1040,11 +1199,11 @@ object Zorder {
     * token (files already published survive — their staged copies are
     * gone), drop staging and the sentinel. Staging without a sentinel
     * → a pre-commit crash: the layout is untouched, discard staging.
-    * Retention note: recovery always DELETES the listed fold files,
-    * even if the crashed call asked for grace (the sentinel does not
-    * record retainMs) — a crash degrades reader grace for that one
-    * fold, never correctness; a retire-ledger entry for a file
-    * recovery deleted is pruned by the next vacuum. */
+    * Retention note: a v2 sentinel records the crashed call's
+    * retainMs, so recovery RETIRES the listed fold files under the
+    * same grace the live path would have given them — a crash no
+    * longer degrades reader grace. Legacy v1 sentinels (no retainMs
+    * field) recover with delete, the pre-v2 behavior. */
   private def recoverTailCrash(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
@@ -1078,12 +1237,17 @@ object Zorder {
       // escape as a bare NumberFormatException without the
       // resolve-manually context.
       val header = lines.headOption.getOrElse("").split(' ')
-      require(header.length == 3 && header(0) == "v1" &&
+      require(((header.length == 3 && header(0) == "v1") ||
+        (header.length == 4 && header(0) == "v2" &&
+          header(3).matches("\\d{1,18}"))) &&
         header(1).nonEmpty && header(2).matches("\\d{1,9}"),
         s"compactTail: unparseable $tailCompactingFile sentinel at " +
           s"$root — cannot tell the crashed fold's files apart; " +
           "resolve manually")
       val token = header(1)
+      // v1 (pre-grace) sentinels recover with delete; v2 carries the
+      // crashed call's retainMs so grace survives the crash
+      val retainMs = if (header.length == 4) header(3).toLong else 0L
       val names = lines.drop(1).filter(_.nonEmpty)
       require(names.length == header(2).toInt,
         s"compactTail: $tailCompactingFile sentinel at $root lists " +
@@ -1096,18 +1260,22 @@ object Zorder {
       // subtraction and the replacement addition are set operations)
       publishFlattened(fs, tmp, root, s"t$token-")
       val foldNames = names.map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+      val retiredM = readRetired(spark, root.toString)
       commitManifestDelta(spark, fs, root,
         footerStats(spark, fs, root,
           listDataFiles(fs, root).map(_.getPath.getName)
             .filter(_.startsWith(s"t$token-")),
           clusteringOf(spark, root.toString)),
         foldNames,
-        deferGc = readRetired(spark, root.toString).nonEmpty)
-      foldNames.foreach { n =>
-        val p = new org.apache.hadoop.fs.Path(root, n)
-        if (fs.exists(p)) require(fs.delete(p, false),
-          s"compactTail: recovery could not delete folded file $p")
-      }
+        deferGc = retainMs > 0 || retiredM.nonEmpty)
+      // only fold files still on disk enter the sweep: a crash mid-
+      // sweep leaves a subset, and retiring a vanished name would put
+      // a phantom entry in the ledger (vacuum would drop it, but the
+      // ledger should never name a file that is not there)
+      val surviving = foldNames.toSeq.sorted
+        .map(n => new org.apache.hadoop.fs.Path(root, n))
+        .filter(fs.exists).map(fs.getFileStatus)
+      retireOrDelete(spark, fs, root, surviving, retainMs, retiredM)
       if (fs.exists(tmp)) fs.delete(tmp, true)
       require(fs.delete(sentinel, false),
         s"compactTail: could not clear $sentinel after recovery")
@@ -2010,6 +2178,105 @@ object Zorder {
         s"compact: could not delete replaced file ${st.getPath}")
     }
 
+  /** Widen a clustered layout's schema IN METADATA — no table rewrite:
+    * `added`'s columns join the declared schema, and every pre-
+    * migration file backfills them with NULL at read time (the columns
+    * are forced nullable for exactly that reason). Two marker writes,
+    * nothing touches a data file:
+    *   1. a versioned `_graft_schemad.<epoch>.<uuid>` DDL marker (the
+    *      shared versioned-marker protocol) recording the FULL widened
+    *      schema in read order — [[readClustered]] applies it as the
+    *      explicit read schema, which is what makes the null backfill
+    *      a metadata property instead of a mergeSchema scan;
+    *   2. the `_graft_schema` gate payload, so [[appendClustered]]
+    *      accepts widened batches from here on (and REFUSES
+    *      old-schema batches — migration is the producer flip too;
+    *      flip producers after migrating).
+    * Widen-only by design: dropping or retyping a column changes what
+    * existing BYTES mean and needs a rewrite, which the compact
+    * machinery can do but this op refuses to imply. Adding a column
+    * that already exists refuses — except the exact-replay arm (same
+    * names, same types), which heals the crash window between the two
+    * marker writes by re-stamping the gate. Clustering columns are
+    * untouched by construction (they exist, so they collide).
+    * Compaction is already widen-safe: both fold forms read their
+    * inputs with mergeSchema, so a fold over mixed pre/post files
+    * unions the column and null-fills the old rows physically. */
+  def migrateSchemaWiden(spark: SparkSession, path: String,
+      added: org.apache.spark.sql.types.StructType): Unit =
+    Layout.withWriterLease(spark, path, "migrateSchemaWiden") {
+      require(added.fields.nonEmpty,
+        "migrateSchemaWiden: no columns to add")
+      requireNotCompacting(spark, path, "migrateSchemaWiden")
+      require(clusteringOf(spark, path).nonEmpty,
+        s"migrateSchemaWiden: no $markerFile marker at $path — not a " +
+          "clustered graft layout, or a rebuild is in flight/crashed")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      // resident schema in READ order: the standing DDL marker for a
+      // repeat migration, else one footer read of the current
+      // generation (a per-migration cost, never a per-batch one)
+      val resident = readerSchema(spark, fs, root)
+        .getOrElse(readClustered(spark, path).schema)
+      val residentLower = resident.fields.map(f =>
+        f.name.toLowerCase(java.util.Locale.ROOT) ->
+          f.dataType.catalogString).toMap
+      val (replayed, fresh) = added.fields.partition(f =>
+        residentLower.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          .contains(f.dataType.catalogString))
+      val collisions = fresh.filter(f => residentLower.contains(
+        f.name.toLowerCase(java.util.Locale.ROOT)))
+      require(collisions.isEmpty,
+        s"migrateSchemaWiden: column(s) ${collisions.map(_.name)
+          .mkString(", ")} already exist at $path with a DIFFERENT " +
+          "type — retyping needs a rewrite, not a metadata migration")
+      require(replayed.isEmpty || fresh.isEmpty,
+        s"migrateSchemaWiden: ${replayed.map(_.name).mkString(", ")} " +
+          s"already declared at $path but ${fresh.map(_.name)
+            .mkString(", ")} not — a partial replay; migrate the " +
+          "missing columns alone")
+      val widened =
+        if (fresh.isEmpty) resident // exact replay: heal the gate only
+        else org.apache.spark.sql.types.StructType(
+          resident.fields ++ fresh.map(_.copy(nullable = true)))
+      if (fresh.nonEmpty) {
+        val epoch = resolveVersioned(fs, root, schemaDdlPrefix)(None)
+          .map(_._1 + 1).getOrElse(0L)
+        stampVersioned(spark, fs, root, schemaDdlPrefix, epoch,
+          widened.toDDL)
+      }
+      // gate LAST: a crash between the two writes leaves readers on
+      // the widened schema and appends on the old gate — widened
+      // batches refuse (loud, no corruption), and re-running the same
+      // migration lands in the replay arm above and heals this stamp
+      Layout.writeMarker(spark, path, schemaFile, schemaPayload(widened))
+    }
+
+  /** The layout's DECLARED read schema — present only after a
+    * [[migrateSchemaWiden]]; None everywhere else, where the files'
+    * own footers are the schema (pre-migration behavior, unchanged). */
+  private def readerSchema(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Option[org.apache.spark.sql.types.StructType] =
+    resolveVersioned(fs, root, schemaDdlPrefix)(None).map { case (_, ddl) =>
+      org.apache.spark.sql.types.StructType.fromDDL(ddl) }
+
+  /** One parquet read spelling for every [[readClustered]] arm: the
+    * declared (post-migration) schema when one stands — missing
+    * columns backfill NULL per file — else the plain footer-driven
+    * read. */
+  private def readDeclared(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      paths: Seq[String]): DataFrame = {
+    val reader = readerSchema(spark, fs, root) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
+    reader.parquet(paths: _*)
+  }
+
   /** Read a clustered layout through its generation manifest — the
     * reader-side API with the atomicity guarantee the directory read
     * lacks: the resolved file set is exactly one complete generation,
@@ -2032,8 +2299,8 @@ object Zorder {
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     currentManifest(spark, fs, root) match {
       case Some((_, names)) if names.nonEmpty =>
-        spark.read.parquet(names.map(n =>
-          new org.apache.hadoop.fs.Path(root, n).toString): _*)
+        readDeclared(spark, fs, root, names.map(n =>
+          new org.apache.hadoop.fs.Path(root, n).toString))
       case _ =>
         // legacy layout (no manifest yet), or an empty generation
         // (bootstrap purged, nothing landed): the directory read is
@@ -2047,7 +2314,7 @@ object Zorder {
             "non-empty retire ledger — a directory read would serve " +
             "retired (old-generation) rows; rebuild the layout or " +
             "vacuum past the grace first")
-        spark.read.parquet(path)
+        readDeclared(spark, fs, root, Seq(path))
     }
   }
 
@@ -2078,8 +2345,11 @@ object Zorder {
     require(g.entries.nonEmpty,
       s"readClustered: generation $asOfEpoch at $path is empty — " +
         "nothing to read at that epoch")
-    spark.read.parquet(g.entries.keys.toSeq.sorted.map(n =>
-      new org.apache.hadoop.fs.Path(root, n).toString): _*)
+    // the CURRENT declared schema on purpose: the pin is a row-set
+    // pin, and the schema is table-level metadata (a pinned read after
+    // a widening sees the new column as NULL, never a schema error)
+    readDeclared(spark, fs, root, g.entries.keys.toSeq.sorted.map(n =>
+      new org.apache.hadoop.fs.Path(root, n).toString))
   }
 
   /** [[readClustered]] restricted by a conjunctive BOX — `(column,
@@ -2109,11 +2379,11 @@ object Zorder {
     else if (kept.isEmpty)
       // no file can match: an empty frame with the layout's schema,
       // anchored on one footer (zero row groups survive lit(false))
-      spark.read.parquet(
-        new org.apache.hadoop.fs.Path(root, all.head).toString)
+      readDeclared(spark, fs, root, Seq(
+        new org.apache.hadoop.fs.Path(root, all.head).toString))
         .where(lit(false))
-    else spark.read.parquet(kept.map(n =>
-      new org.apache.hadoop.fs.Path(root, n).toString): _*)
+    else readDeclared(spark, fs, root, kept.map(n =>
+      new org.apache.hadoop.fs.Path(root, n).toString))
   }
 
   /** Exact per-file [zmin, zmax] under the PINNED clustering for

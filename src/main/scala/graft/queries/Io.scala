@@ -386,6 +386,75 @@ object Io {
             sum(col("value").cast(DecimalType(18, 2)))
               .cast("double").as("total"))
       },
-      Some(eventsBoxOracle))
+      Some(eventsBoxOracle)),
+
+    // ----- Keyed MERGE: CDC apply (update + delete + insert) -----
+    // The reference's one DDL declares a PRIMARY KEY
+    // (`dags/sql/sample.sql:20-24`); this is the row-level mutation
+    // that key implies, on the clustered table format: bootstrap 6/7,
+    // append 1/7 (the tail left UNfolded on purpose — the merge must
+    // hunt keys there too), then ONE change batch carrying updates
+    // (value doubled, event_type rewritten), deletes, and inserts
+    // (fresh ids offset by 10^9, so the upsert arm and the insert arm
+    // both execute). mergeClustered locates the touched files by
+    // clustering-value containment and rewrites exactly those plus
+    // the tail through the staged-fold protocol; the box scan then
+    // hash-matches DuckDB computing the same merge as set algebra
+    // over the raw table — update wins over resident, delete removes,
+    // insert lands, untouched keys ride through byte-exact.
+    QueryDef(
+      "q184_merge_upsert",
+      (spark, dir) => {
+        import graft.operators.Zorder
+        val e = Tables.load(spark, dir, "events")
+        val tmp = scratchPath("merge_events")
+        Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), tmp,
+          Seq("user_id", "ts"), bits = 16, numFiles = 32)
+        Zorder.appendClustered(e.filter(col("event_id") % 7 === 0), tmp,
+          batchId = 1)
+        val updates = e.filter(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+          .withColumn("event_type", lit("merged"))
+          .withColumn("__del", lit(false))
+        val deletes = e.filter(col("event_id") % 10 === 5)
+          .withColumn("__del", lit(true))
+        val inserts = e.filter(col("event_id") % 10 === 7)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("value", col("value") + 1.5)
+          .withColumn("__del", lit(false))
+        Zorder.mergeClustered(spark, tmp,
+          updates.unionByName(deletes).unionByName(inserts),
+          keyCols = Seq("event_id"), deleteCol = Some("__del"))
+        Zorder.readClustered(spark, tmp, Seq(("user_id", 2: Any, 8: Any)))
+          .filter(col("user_id").between(2, 8))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            sum(col("event_id")).as("id_sum"))
+      },
+      Some("""
+        WITH upd AS (
+          SELECT event_id, ts, user_id, 'merged' AS event_type,
+                 value * 2 AS value, props
+          FROM events WHERE event_id % 10 = 0
+        ),
+        ins AS (
+          SELECT event_id + 1000000000 AS event_id, ts, user_id,
+                 event_type, value + 1.5 AS value, props
+          FROM events WHERE event_id % 10 = 7
+        ),
+        merged AS (
+          SELECT event_id, ts, user_id, event_type, value, props
+          FROM events WHERE event_id % 10 NOT IN (0, 5)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM merged
+        WHERE user_id BETWEEN 2 AND 8
+        GROUP BY event_type"""))
   )
 }

@@ -1286,6 +1286,262 @@ class ZorderSpec extends SparkSpec {
       "_graft_retired.00000000000000ff.deadbeef"), false)
   }
 
+  test("mergeClustered: update/delete/insert land exactly; untouched files survive; crash recovers") {
+    // the keyed MERGE over the clustered table format: changes locate
+    // their victim files by clustering-value containment (the
+    // compactTail discipline), so a narrow change batch rewrites a
+    // narrow file set; all tail files fold in as a side effect; the
+    // whole thing rides the tail-fold sentinel protocol, so a crash
+    // at the commit point recovers into the SAME merged state.
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val cols = e.columns.toSeq
+    def dataFiles(d: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(d)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName))
+        .map(_.getPath.getName).toSet
+    }
+    val dir = Files.createTempDirectory("graft_zorder_mrg_").toString
+    Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), dir,
+      Seq("user_id", "ts"), bits = 16, numFiles = 8)
+    Zorder.appendClustered(e.filter(col("event_id") % 7 === 0), dir,
+      batchId = 1)
+    // fold to the steady state FIRST: a standing tail spans the whole
+    // z-domain, so merging over one folds everything (the documented
+    // combined fold+merge); locality is the COMPACTED-table property,
+    // which is the state the trigger policy maintains
+    assert(Zorder.compactTail(spark, dir))
+    val before = dataFiles(dir)
+    // a NARROW change batch: only user 1's rows (clustering values
+    // immutable per key — the documented contract), so only the files
+    // whose z-interval holds user 1 can be touched
+    val updKeys = col("user_id") === 1 && col("event_id") % 2 === 0
+    val delKeys = col("user_id") === 1 && col("event_id") % 2 === 1
+    val upd = e.filter(updKeys)
+      .withColumn("value", col("value") + 100.0)
+    val ins = e.filter(updKeys)
+      .withColumn("event_id", col("event_id") + 100000000L)
+    assert(upd.count() > 0 && e.filter(delKeys).count() > 0,
+      "fixture must have user-1 rows on both key parities")
+    val changes = upd.withColumn("__del", lit(false))
+      .unionByName(e.filter(delKeys).withColumn("__del", lit(true)))
+      .unionByName(ins.withColumn("__del", lit(false)))
+    Zorder.mergeClustered(spark, dir, changes, Seq("event_id"),
+      deleteCol = Some("__del"))
+    val expected = e.filter(!updKeys && !delKeys)
+      .unionByName(upd).unionByName(ins)
+    val got = Zorder.readClustered(spark, dir)
+    assert(got.count() == expected.count())
+    assert(fp(got.select(cols.map(col): _*)) ==
+      fp(expected.select(cols.map(col): _*)),
+      "merged rows must equal the set-algebra merge exactly")
+    assert(disjoint(zRanges(dir)), "merge output must stay clustered")
+    val after = dataFiles(dir)
+    val untouched = before & after
+    assert(untouched.size >= 4,
+      s"a narrow merge must leave most of the 8-file grid untouched, " +
+        s"survivors: ${untouched.size}")
+    // a merge over a STANDING tail folds it in as a side effect (any
+    // tail file could hold a touched key): no b-files survive, rows
+    // stay exact
+    val b2 = e.filter(col("event_id") % 11 === 3)
+      .withColumn("event_id", col("event_id") + 200000000L)
+    val preTailCnt = Zorder.readClustered(spark, dir).count()
+    val k1 = e.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val k1Present = Zorder.readClustered(spark, dir)
+      .filter(col("event_id") === k1).count() > 0
+    assert(Zorder.appendClustered(b2, dir, batchId = 2))
+    Zorder.mergeClustered(spark, dir,
+      e.filter(col("event_id") === k1).withColumn("value", lit(7.5)),
+      Seq("event_id"))
+    assert(!dataFiles(dir).exists(_.matches("b\\d+-.*")),
+      "a merge over a standing tail folds it in")
+    assert(Zorder.readClustered(spark, dir).count() ==
+      preTailCnt + b2.count() + (if (k1Present) 0 else 1))
+
+    // duplicate keys refuse without a versionCol; with one, the
+    // highest version wins (last-write survivor rule)
+    val k0 = e.agg(min(col("event_id"))).collect()(0).getLong(0)
+    val oneKey = e.filter(col("event_id") === k0)
+    val dupErr = intercept[IllegalArgumentException](
+      Zorder.mergeClustered(spark, dir,
+        oneKey.unionByName(oneKey), Seq("event_id")))
+    assert(dupErr.getMessage.contains("duplicate"), dupErr.getMessage)
+    Zorder.mergeClustered(spark, dir,
+      oneKey.withColumn("value", lit(111.0)).withColumn("__v", lit(1L))
+        .unionByName(oneKey.withColumn("value", lit(222.0))
+          .withColumn("__v", lit(2L))),
+      Seq("event_id"), versionCol = Some("__v"))
+    val vRows = Zorder.readClustered(spark, dir)
+      .filter(col("event_id") === k0).select(col("value")).collect()
+    assert(vRows.map(_.getDouble(0)).toSeq == Seq(222.0),
+      s"last-write must win, got ${vRows.mkString(",")}")
+    // a narrower/retyped batch refuses on the schema gate
+    val schemaErr = intercept[IllegalArgumentException](
+      Zorder.mergeClustered(spark, dir, oneKey.drop("props"),
+        Seq("event_id")))
+    assert(schemaErr.getMessage.contains("schema"), schemaErr.getMessage)
+
+    // crash at the sentinel commit: the merge is committed — recovery
+    // (via any tail-protocol entry) completes it into the same state
+    val dir2 = Files.createTempDirectory("graft_zorder_mrgc_").toString
+    Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), dir2,
+      Seq("user_id", "ts"), bits = 16, numFiles = 8)
+    Zorder.appendClustered(e.filter(col("event_id") % 7 === 0), dir2,
+      batchId = 1)
+    case class Crash() extends RuntimeException("simulated crash")
+    Zorder.onProtocolStep = l => if (l == "tail-sentinel") throw Crash()
+    try intercept[Crash](Zorder.mergeClustered(spark, dir2, changes,
+      Seq("event_id"), deleteCol = Some("__del")))
+    finally Zorder.onProtocolStep = _ => ()
+    assert(!Zorder.compactTail(spark, dir2),
+      "recovery leaves no tail (the crashed merge had folded it)")
+    val recovered = Zorder.readClustered(spark, dir2)
+    assert(recovered.count() == expected.count())
+    assert(fp(recovered.select(cols.map(col): _*)) ==
+      fp(expected.select(cols.map(col): _*)),
+      "a recovered crashed merge must equal the uncrashed merge")
+  }
+
+  test("schema widening is a metadata migration: NULL backfill, gate flips, folds keep the column") {
+    // migrateSchemaWiden adds columns by writing TWO markers (the
+    // versioned DDL read-schema + the append gate) and zero data
+    // files: pre-migration files backfill the new column with NULL at
+    // read time via the declared schema; post-migration appends must
+    // carry it (the gate refuses old-schema batches — migration IS
+    // the producer flip); compaction folds mixed pre/post files into
+    // a physically-unified layout.
+    import org.apache.spark.sql.types.{StructType, StructField,
+      StringType, LongType}
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_mig_").toString
+    val old = e.filter(col("event_id") % 3 =!= 0)
+    val nw = e.filter(col("event_id") % 3 === 0)
+    Zorder.writeHilbert(old, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    Zorder.migrateSchemaWiden(spark, dir,
+      StructType(Seq(StructField("tag", StringType))))
+    // metadata-only: the declared column reads NULL from every
+    // pre-migration file, rows and clustering untouched
+    val widened = Zorder.readClustered(spark, dir)
+    assert(widened.columns.contains("tag"))
+    assert(widened.count() == old.count())
+    assert(widened.filter(col("tag").isNotNull).count() == 0,
+      "pre-migration rows must backfill NULL")
+    // the gate flips: widened batches land, old-schema batches refuse
+    assert(Zorder.appendClustered(nw.withColumn("tag", lit("b1")), dir,
+      batchId = 1))
+    val gateErr = intercept[IllegalArgumentException](
+      Zorder.appendClustered(nw, dir, batchId = 2))
+    assert(gateErr.getMessage.contains("schema"), gateErr.getMessage)
+    val mixed = Zorder.readClustered(spark, dir)
+    assert(mixed.count() == e.count())
+    assert(mixed.filter(col("tag") === "b1").count() == nw.count(),
+      "widened batch rows must carry their column through the read")
+    // the box read serves the declared schema too
+    val boxed = Zorder.readClustered(spark, dir,
+      Seq(("user_id", 0: Any, Long.MaxValue: Any)))
+    assert(boxed.columns.contains("tag"))
+    assert(boxed.count() == e.count())
+    // a fold over MIXED pre/post files unifies physically (mergeSchema
+    // inputs): rows exact, tag values survive, layout stays clustered
+    assert(Zorder.compactTail(spark, dir))
+    val folded = Zorder.readClustered(spark, dir)
+    assert(folded.count() == e.count())
+    assert(folded.filter(col("tag") === "b1").count() == nw.count(),
+      "the fold must not drop the widened column's values")
+    assert(disjoint(zRanges(dir)), "fold after widening stays clustered")
+    // replay heals (same name, same type — the crash-window arm);
+    // retype and partial-replay refuse loudly
+    Zorder.migrateSchemaWiden(spark, dir,
+      StructType(Seq(StructField("tag", StringType))))
+    assert(Zorder.readClustered(spark, dir).count() == e.count())
+    val retype = intercept[IllegalArgumentException](
+      Zorder.migrateSchemaWiden(spark, dir,
+        StructType(Seq(StructField("tag", LongType)))))
+    assert(retype.getMessage.contains("DIFFERENT"), retype.getMessage)
+    val partial = intercept[IllegalArgumentException](
+      Zorder.migrateSchemaWiden(spark, dir, StructType(Seq(
+        StructField("tag", StringType), StructField("tag2", StringType)))))
+    assert(partial.getMessage.contains("partial"), partial.getMessage)
+    // second widening stacks on the first (repeat migrations read the
+    // standing DDL marker, not the footers)
+    Zorder.migrateSchemaWiden(spark, dir,
+      StructType(Seq(StructField("score", LongType))))
+    val twice = Zorder.readClustered(spark, dir)
+    assert(twice.columns.contains("tag") && twice.columns.contains("score"))
+    assert(twice.filter(col("score").isNotNull).count() == 0)
+    // a REBUILD sheds the declared schema with every other marker
+    Zorder.writeHilbert(old, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    assert(!Zorder.readClustered(spark, dir).columns.contains("tag"),
+      "a rebuild must not inherit the old declared schema")
+  }
+
+  test("a crashed retention fold keeps its grace: recovery retires, never deletes") {
+    // the v2 fold sentinel records the crashed call's retainMs, so the
+    // grace window is crash-proof: recovery retires the fold victims
+    // under the SAME grace the live path would have given them. A v1
+    // (pre-grace) sentinel still recovers with delete — the existing
+    // crash-window test covers that arm.
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_gcr_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val base = e.filter(col("event_id") % 4 =!= 0)
+    val b1 = e.filter(col("event_id") % 4 === 0)
+    Zorder.writeHilbert(base, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    assert(Zorder.appendClustered(b1, dir, batchId = 1))
+    val preEpoch = Zorder.currentEpoch(spark, dir).get
+    val oldGen = Zorder.currentManifest(spark, fs, root).get._2
+      .map(n => new org.apache.hadoop.fs.Path(root, n).toString)
+    val preCount = spark.read.parquet(oldGen: _*).count()
+    assert(preCount == e.count())
+    // crash the REAL code path right after the sentinel commit: the
+    // widest recovery window (publish + manifest flip + sweep all
+    // happen in recovery, where the grace used to be lost)
+    val hour = 3600L * 1000
+    case class Crash() extends RuntimeException("simulated crash")
+    Zorder.onProtocolStep = l => if (l == "tail-sentinel") throw Crash()
+    try intercept[Crash](Zorder.compactTail(spark, dir, retainMs = hour))
+    finally Zorder.onProtocolStep = _ => ()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "_graft_tail_compacting")))
+    // the sentinel must carry the v2 header with the caller's grace
+    val sentinelHead = graft.operators.Layout.readMarker(spark, dir,
+      "_graft_tail_compacting").get.split('\n').head.split(' ')
+    assert(sentinelHead(0) == "v2" && sentinelHead(3) == hour.toString,
+      s"fold sentinel must record retainMs, got " +
+        sentinelHead.mkString(" "))
+    // recovery (via a fresh compact, itself WITHOUT grace — the
+    // sentinel's recorded retainMs governs) retires the victims
+    assert(!Zorder.compactTail(spark, dir),
+      "after recovery there is no tail left to fold")
+    val retired = Zorder.readRetired(spark, dir)
+    assert(retired.nonEmpty,
+      "recovery of a v2 sentinel must RETIRE the fold victims")
+    retired.keys.foreach(n => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(root, n)),
+      s"retired victim $n must survive on disk through the grace"))
+    // grace holds: the pre-fold generation stays readable, by explicit
+    // paths and by epoch pin; the live read is exact (no duplication)
+    assert(spark.read.parquet(oldGen: _*).count() == preCount,
+      "the crashed fold's grace must survive recovery")
+    assert(Zorder.readClustered(spark, dir, asOfEpoch = preEpoch)
+      .count() == preCount,
+      "an epoch-pinned read must reach the pre-crash generation")
+    assert(Zorder.readClustered(spark, dir).count() == e.count())
+    // and the grace ends the normal way: vacuum past it deletes the
+    // retired set exactly, leaving directory == manifest
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = hour) == 0)
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) ==
+      retired.size)
+    assert(spark.read.parquet(dir).count() == e.count())
+  }
+
   /** (bases, deltas) of the manifest family at `dir`, by file name. */
   private def familyCounts(dir: String): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(dir)
