@@ -47,6 +47,21 @@ object Bench {
   private[graft] def median(xs: Seq[Double]): Double =
     xs.sorted.apply(xs.length / 2)
 
+  /** Pre-registered host-capacity canaries (floors in PLANS.md,
+    * "Canary-normalized bench metric"): constant-path queries whose
+    * code is frozen and whose plans have no optimizer decision left to
+    * flip, re-timed at suite START / MIDDLE / END so the run carries
+    * its own measurement of the host window it executed in. Three
+    * classes on purpose — a pushed-filter scan, a scalar-library
+    * projection, a join+agg composition — so one class-specific drift
+    * (e.g. q62's fixed-overhead level shift) cannot masquerade as a
+    * host window. Floors are sf0.1 idle medians; normalization is
+    * sf0.1-only (the floors mean nothing at another scale). */
+  private val canaryExpected: Seq[(String, Double)] = Seq(
+    "q42_predicates" -> 0.52,
+    "q44_scalar_breadth" -> 0.12,
+    "q128_rm3_expansion" -> 0.87)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // parallelism comes from Session.defaultParallelism (env override or
@@ -58,7 +73,27 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    SparkEntry.all.filter(_.bench).foreach { q =>
+    val benched = SparkEntry.all.filter(_.bench)
+    val canaryDefs = canaryExpected.flatMap { case (n, e) =>
+      benched.find(_.name == n).map(q => (q, e)) }
+    val canaryStamps = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ListBuffer[Double]]
+    // one warmup + one timed rep per canary per position: the canaries
+    // are sub-second, so 3 positions × 3 canaries stay ~1% of the
+    // suite; the per-canary statistic is the median of the 3 timed
+    // stamps, which resists a single excursion while a genuine
+    // capacity window (all three positions elevated) passes through
+    def probeCanaries(): Unit = canaryDefs.foreach { case (q, _) =>
+      try {
+        val (_, runs) = timeReps(q.fn(spark, sfDir), reps = 1)
+        canaryStamps.getOrElseUpdate(q.name,
+          scala.collection.mutable.ListBuffer.empty) ++= runs
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    probeCanaries()
+    benched.zipWithIndex.foreach { case (q, i) =>
+      if (i == benched.size / 2) probeCanaries()
       try {
         val (_, runs) = timeReps(q.fn(spark, sfDir))
         timings(q.name) = median(runs)
@@ -69,6 +104,7 @@ object Bench {
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    probeCanaries()
 
     def jstr(s: String): String = Json.str(s)
     // Locale.ROOT: f"$v%.3f" uses the JVM default locale, which under
@@ -78,8 +114,39 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // canary normalization: factor = median over canaries of
+    // (pre-registered idle floor / median observed stamp); the
+    // normalized total projects the run onto the registered host
+    // window, so a contaminated driver stamp and an idle stamp agree.
+    // Clamped to [0.25, 4] — past 4× the host was so far gone the
+    // projection itself is untrustworthy, and the clamp keeps one
+    // broken canary from flipping the sign of a conclusion. sf0.1-only
+    // (the floors are sf0.1 measurements).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val sfIsFloorScale =
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val canaryRatios = canaryDefs.flatMap { case (q, exp) =>
+      canaryStamps.get(q.name).filter(_.nonEmpty)
+        .map(st => exp / median(st.toSeq)) }
+    val canaryFactor =
+      if (sfIsFloorScale && canaryRatios.nonEmpty)
+        Some(math.min(4.0, math.max(0.25, median(canaryRatios))))
+      else None
+    val canariesJson = canaryDefs.map { case (q, exp) =>
+      val st = canaryStamps.getOrElse(q.name,
+        scala.collection.mutable.ListBuffer.empty[Double]).toSeq
+      jstr(q.name) + ":{" + "\"expected\":" + fmt(exp) +
+        ",\"observed\":" + (if (st.isEmpty) "null" else fmt(median(st))) +
+        ",\"stamps\":[" + st.map(fmt).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val normFields = canaryFactor match {
+      case Some(f) =>
+        s""","value_normalized":${fmt(total * f)},"canary_factor":${fmt(f)}"""
+      case None => ""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${Json.str(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$normFields,"canaries":$canariesJson,"queries":$qs,"errors":$errs,"sf":${Json.str(sfDir)}}"""
     // The driver's stdout pickup reads a bounded tail window: with 77+
     // benched queries the per-query map overflows it and the line
     // truncates mid-map (BENCH_r06 `parsed: null`). So stdout carries
@@ -101,7 +168,7 @@ object Bench {
       (shown ++ extra).mkString("{", ",", "}")
     }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"errors":$errsCompact,"sf":${Json.str(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$normFields,"n_queries":${timings.size},"errors":$errsCompact,"sf":${Json.str(sfDir)}}"""
     println(compact)
     System.err.println(json)
     // Best-effort: a missing/read-only cwd must not fail a bench run

@@ -698,6 +698,34 @@ object Contracts {
           math.abs(nFiles - 32).toDouble, 0.0, "<=")
     }
 
+    grade("q183_retention_vacuum") {
+      // the grace discipline, graded per run: a retention fold retires
+      // (never deletes) its victims; a vacuum INSIDE the grace window
+      // deletes nothing; a vacuum PAST it deletes exactly the retired
+      // set — no more (manifest-live or batch files would be data
+      // loss) and no less (a leak the ledger exists to prevent). Any
+      // deviation is a protocol regression, so the threshold is 0.
+      val path = queries.scratchPath("contracts_retention")
+      val z = graft.operators.Zorder
+      z.writeHilbert(events.filter(col("event_id") % 5 =!= 0), path,
+        Seq("user_id", "ts"), bits = 16, numFiles = 32)
+      z.appendClustered(events.filter(col("event_id") % 5 === 0), path,
+        batchId = 1)
+      val hour = 3600L * 1000
+      require(z.compactTail(spark, path, retainMs = hour),
+        "batch 1's tail must be present to fold")
+      val retired = z.readRetired(spark, path).size
+      require(retired > 0, "a retention fold must ledger its victims")
+      val rows = z.readClustered(spark, path).count()
+      val midGrace = z.vacuumClustered(spark, path, olderThanMs = hour)
+      val pastGrace = z.vacuumClustered(spark, path, olderThanMs = 0L)
+      Contract("q183_retention_vacuum",
+        "grace discipline: files deleted inside the window + |deleted past it - retired set| + post-vacuum row drift",
+        midGrace.toDouble + math.abs(pastGrace - retired).toDouble +
+          math.abs(z.readClustered(spark, path).count() - rows).toDouble,
+        0.0, "<=")
+    }
+
     (out.result(), errs.result())
   }
 
