@@ -1097,6 +1097,25 @@ object Zorder {
             .write.mode("overwrite").partitionBy(regionCol)
             .parquet(tmp.toString)
       }
+      // a dynamic-partition write emits NO file for zero rows, so a
+      // merge that deleted every row of every fold file would publish
+      // an EMPTY generation — unreadable (no footer to infer a schema
+      // from). Detected on a free staging listing (never a Spark job)
+      // and restaged through the single-region arm, which writes one
+      // zero-row parquet file WITH the schema; the generation stays
+      // readable and reports zero rows, which is what a full delete
+      // means.
+      def stagingHasData(d: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(d) && fs.listStatus(d).exists { st =>
+          if (st.isDirectory) stagingHasData(st.getPath)
+          else !Layout.isHidden(st.getPath.getName)
+        }
+      if (!stagingHasData(tmp))
+        withStatsTimestamps(spark) {
+          staged.repartitionByRange(k, z).sortWithinPartitions(z)
+            .drop(drop: _*)
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
       // commit point: the sentinel records the token AND the fold set
       // (a partial fold's victims are not recoverable by name pattern
       // the way the whole-compact's "everything but the token" is).

@@ -1383,6 +1383,20 @@ class ZorderSpec extends SparkSpec {
         Seq("event_id")))
     assert(schemaErr.getMessage.contains("schema"), schemaErr.getMessage)
 
+    // a merge that deletes EVERY row still publishes a READABLE
+    // zero-row generation (a dynamic-partition write emits no file
+    // for zero rows; the restage arm writes one schema-bearing file)
+    val dir3 = Files.createTempDirectory("graft_zorder_mrgd_").toString
+    Zorder.writeHilbert(e.filter(col("user_id") === 1), dir3,
+      Seq("user_id", "ts"), bits = 8, numFiles = 2)
+    Zorder.mergeClustered(spark, dir3,
+      e.filter(col("user_id") === 1).withColumn("__del", lit(true)),
+      Seq("event_id"), deleteCol = Some("__del"))
+    val emptied = Zorder.readClustered(spark, dir3)
+    assert(emptied.count() == 0, "a full delete means zero rows")
+    assert(emptied.columns.toSet == e.columns.toSet,
+      "the emptied generation must keep its schema readable")
+
     // crash at the sentinel commit: the merge is committed — recovery
     // (via any tail-protocol entry) completes it into the same state
     val dir2 = Files.createTempDirectory("graft_zorder_mrgc_").toString
