@@ -2016,6 +2016,87 @@ object Zorder {
   // back in.
 
   private[graft] val retiredPrefix = "_graft_retired."
+  private[graft] val pinPrefix = "_graft_pin."
+
+  // ----- reader pins: the registration floor under vacuum ----------
+  //
+  // Epoch-pinned reads gave a long job a snapshot; vacuum's grace was
+  // still CALLER-TRUSTED — nothing tied the window to the longest
+  // running reader, so a cron'd vacuum could reclaim a generation a
+  // reader was still scanning. A pin is that tie: a reader registers
+  // `_graft_pin.<epoch-hex>.<uuid>` (atomic fresh-name write, NO
+  // writer lease — readers must never contend with the ingest path)
+  // with an explicit TTL, and [[vacuumClustered]] will not delete a
+  // retired file whose retire time is >= the pin's creation time (the
+  // pinned generation can only reference files retired AFTER the pin
+  // was taken; files retired before it were already out of the
+  // generation the reader resolved). The TTL bounds a crashed
+  // reader's hold — vacuum GCs expired pins — and the writer-lease
+  // serialization of retire/vacuum closes the races: a pin created
+  // mid-vacuum has creation > every retire time that vacuum is
+  // considering, and the generation it pinned is manifest-LIVE, which
+  // vacuum never touches.
+
+  /** Register a reader pin on the CURRENT generation: returns
+    * (pinnedEpoch, pinId). Read through
+    * `readClustered(path, pinnedEpoch)`; release with [[unpin]] (or
+    * let the TTL lapse — a crashed reader holds nothing past it).
+    * Refuses a pre-manifest layout (no epochs to pin) and a
+    * non-positive TTL (an unbounded pin would make one crashed reader
+    * block retention forever). */
+  def pinRead(spark: SparkSession, path: String, ttlMs: Long)
+      : (Long, String) = {
+    require(ttlMs > 0, s"pinRead: ttlMs must be > 0, got $ttlMs")
+    val epoch = currentEpoch(spark, path).getOrElse(sys.error(
+      s"pinRead: $path has no generation manifest — a legacy " +
+        "pre-manifest layout has no epochs to pin"))
+    val now = System.currentTimeMillis()
+    val name = f"$pinPrefix$epoch%016x." +
+      java.util.UUID.randomUUID.toString.take(8)
+    Layout.writeMarkerAtomic(spark, path, name, s"v1 $now ${now + ttlMs}")
+    (epoch, name)
+  }
+
+  /** Release a reader pin by the id [[pinRead]] returned. Idempotent:
+    * a pin already GC'd by vacuum (TTL lapsed) is not an error. */
+  def unpin(spark: SparkSession, path: String, pinId: String): Unit = {
+    require(pinId.startsWith(pinPrefix) && !pinId.contains("/"),
+      s"unpin: '$pinId' is not a pin id")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), pinId), false): Unit
+  }
+
+  /** Unexpired pins' creation times at `root`, GC'ing expired pins and
+    * crashed `.tmp.` leftovers on the way (writer-lease callers only —
+    * vacuum). A malformed pin file refuses LOUDLY: silently ignoring
+    * one could reclaim a generation a live reader still scans, and
+    * the atomic writer makes a torn payload unreachable, so damage is
+    * external and needs a human. */
+  private def activePinCreations(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      now: Long): Seq[Long] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root,
+      pinPrefix + "*"))).getOrElse(Array.empty).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) None
+      else if (n.contains(".tmp.")) { fs.delete(st.getPath, false); None }
+      else {
+        val payload = {
+          val in = fs.open(st.getPath)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+        val parts = payload.trim.split(' ')
+        require(parts.length == 3 && parts(0) == "v1" &&
+          parts(1).matches("\\d{1,18}") && parts(2).matches("\\d{1,18}"),
+          s"vacuumClustered: unparseable reader pin $n at $root — " +
+            "ignoring it could reclaim a generation a live reader " +
+            "still scans; resolve manually")
+        if (parts(2).toLong <= now) { fs.delete(st.getPath, false); None }
+        else Some(parts(1).toLong)
+      }
+    }
 
   /** The retire ledger, VERSIONED like the manifest
     * (`_graft_retired.<epoch>.<uuid>`, atomic temp+rename to a fresh
@@ -2101,10 +2182,14 @@ object Zorder {
     * forever. `b<id>-` batch files are never touched (crash debris of
     * the append protocol belongs to its own rollback). Requires a
     * manifest (a legacy directory-is-truth layout has no garbage
-    * notion); returns the number of files deleted. Manifest-is-truth
-    * warning: after the grace, vacuum WILL delete any data file the
-    * manifest does not list — do not hand-copy files into a vacuumed
-    * layout. */
+    * notion); returns the number of files deleted. Reader pins FLOOR
+    * the grace: a file retired at or after an unexpired [[pinRead]]'s
+    * creation survives regardless of `olderThanMs` (see the pin
+    * section note) — the caller's window governs only unpinned
+    * history, which makes a cron'd vacuum safe next to long readers.
+    * Manifest-is-truth warning: after the grace, vacuum WILL delete
+    * any data file the manifest does not list — do not hand-copy
+    * files into a vacuumed layout. */
   def vacuumClustered(spark: SparkSession, path: String,
       olderThanMs: Long): Int =
     Layout.withWriterLease(spark, path, "vacuumClustered") {
@@ -2126,6 +2211,12 @@ object Zorder {
         val live = names.toSet
         val ledger = readRetired(spark, path)
         val now = System.currentTimeMillis()
+        // the reader-registration floor: a retired file whose retire
+        // time is at or after an unexpired pin's creation may belong
+        // to the generation that reader resolved — it survives this
+        // vacuum regardless of the caller's grace, until the pin is
+        // released or its TTL lapses
+        val pinFloors = activePinCreations(spark, fs, root, now)
         var deleted = 0
         val keep = Map.newBuilder[String, Long]
         listDataFiles(fs, root).foreach { st =>
@@ -2137,7 +2228,8 @@ object Zorder {
           // RETIRED tail (a retention fold's victim) ages out normally
           if (!live(n) && (ledger.contains(n) || !n.matches("b\\d+-.*"))) {
             ledger.get(n) match {
-              case Some(t) if now - t >= olderThanMs =>
+              case Some(t) if now - t >= olderThanMs &&
+                  !pinFloors.exists(_ <= t) =>
                 require(fs.delete(st.getPath, false),
                   s"vacuumClustered: could not delete retired $n")
                 deleted += 1

@@ -1286,6 +1286,66 @@ class ZorderSpec extends SparkSpec {
       "_graft_retired.00000000000000ff.deadbeef"), false)
   }
 
+  test("reader pins floor the vacuum: pinned generations survive any grace until unpin or TTL") {
+    // epoch-pinned reads gave a long job a snapshot; the pin makes
+    // vacuum RESPECT it — a cron'd vacuum with an aggressive window
+    // cannot reclaim files a registered reader still scans. TTL bounds
+    // a crashed reader's hold; expired pins are GC'd by vacuum.
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_pin_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Zorder.writeHilbert(e.filter(col("event_id") % 4 =!= 0), dir,
+      Seq("user_id", "ts"), bits = 16, numFiles = 4)
+    assert(Zorder.appendClustered(e.filter(col("event_id") % 4 === 0),
+      dir, batchId = 1))
+    // a long reader registers BEFORE the swap
+    val (ep, pinId) = Zorder.pinRead(spark, dir, ttlMs = 3600L * 1000)
+    assert(ep == Zorder.currentEpoch(spark, dir).get)
+    assert(Zorder.compactTail(spark, dir, retainMs = 1L))
+    Thread.sleep(5)
+    // the grace EXPIRED, but the pin floors it: nothing deletes, the
+    // pinned read stays byte-complete
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) == 0,
+      "an unexpired pin must block the vacuum regardless of grace")
+    assert(Zorder.readClustered(spark, dir, asOfEpoch = ep).count() ==
+      e.count(), "the pinned generation must survive the vacuum")
+    // release → the same vacuum reclaims
+    Zorder.unpin(spark, dir, pinId)
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0)
+    assert(Zorder.readClustered(spark, dir).count() == e.count())
+    // an EXPIRED pin holds nothing and is GC'd by the vacuum that
+    // notices it
+    assert(Zorder.appendClustered(
+      e.filter(col("event_id") % 9 === 0)
+        .withColumn("event_id", col("event_id") + 300000000L),
+      dir, batchId = 2))
+    val (_, stale) = Zorder.pinRead(spark, dir, ttlMs = 1L)
+    Thread.sleep(10)
+    assert(Zorder.compactTail(spark, dir, retainMs = 1L))
+    Thread.sleep(5)
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0,
+      "an expired pin must not block the vacuum")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), stale)),
+      "vacuum must GC the expired pin file")
+    // a damaged pin file refuses LOUDLY (ignoring it could reclaim a
+    // live reader's generation)
+    graft.operators.Layout.writeMarkerAtomic(spark, dir,
+      "_graft_pin.00000000000000aa.deadbeef", "not a pin")
+    val pinErr = intercept[IllegalArgumentException](
+      Zorder.vacuumClustered(spark, dir, olderThanMs = 0L))
+    assert(pinErr.getMessage.contains("pin"), pinErr.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+      dir), "_graft_pin.00000000000000aa.deadbeef"), false)
+    // pre-manifest layouts have no epochs to pin — refuse loudly
+    val bare = Files.createTempDirectory("graft_zorder_pinb_").toString
+    e.limit(5).write.mode("overwrite").parquet(bare)
+    val bareErr = intercept[RuntimeException](
+      Zorder.pinRead(spark, bare, ttlMs = 1000L))
+    assert(bareErr.getMessage.contains("manifest"), bareErr.getMessage)
+  }
+
   test("mergeClustered: update/delete/insert land exactly; untouched files survive; crash recovers") {
     // the keyed MERGE over the clustered table format: changes locate
     // their victim files by clustering-value containment (the
