@@ -698,6 +698,39 @@ object Contracts {
           math.abs(nFiles - 32).toDouble, 0.0, "<=")
     }
 
+    grade("q184_merge_upsert") {
+      // merge locality, graded per run: a change batch confined to ONE
+      // user's keys must rewrite only the files whose z-interval can
+      // hold that user's clustering values — the rest of the 32-file
+      // grid survives byte-identical (name-identical: every rewrite
+      // publishes fresh names). The q184 oracle proves the merge's
+      // VALUES; this row grades its 100 TB claim, rewrite cost ∝
+      // touched files. Threshold carries 2x margin over the measured
+      // band (sf0.1: 4/32 = 0.125, 2026-08-16 — one user of ~1500
+      // spans 1-2 files, doubled by containment-tie expansion at the
+      // shared boundary values).
+      val path = queries.scratchPath("contracts_merge")
+      val z = graft.operators.Zorder
+      def names(): Set[String] = {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).filter(st => !st.isDirectory &&
+          !graft.operators.Layout.isHidden(st.getPath.getName))
+          .map(_.getPath.getName).toSet
+      }
+      z.writeHilbert(events, path, Seq("user_id", "ts"), bits = 16,
+        numFiles = 32)
+      val before = names()
+      val changes = events
+        .filter(col("user_id") === 1 && col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 100.0)
+      require(!changes.isEmpty, "no user-1 rows to merge — fixture broke")
+      z.mergeClustered(spark, path, changes, Seq("event_id"))
+      Contract("q184_merge_upsert",
+        "merge locality: fraction of the 32-file grid rewritten by a single-user change batch",
+        (before -- names()).size.toDouble / before.size, 0.25, "<=")
+    }
+
     grade("q183_retention_vacuum") {
       // the grace discipline, graded per run: a retention fold retires
       // (never deletes) its victims; a vacuum INSIDE the grace window
