@@ -549,6 +549,8 @@ object Zorder {
   def compactClustered(spark: SparkSession, path: String,
       retainMs: Long = 0L): Unit =
     Layout.withWriterLease(spark, path, "compactClustered") {
+    require(retainMs >= 0,
+      s"compactClustered: retainMs must be >= 0, got $retainMs")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
@@ -739,7 +741,7 @@ object Zorder {
       retainMs: Long = 0L): Boolean =
     Layout.withWriterLease(spark, path, "compactTail") {
       val (fs, root, cl, retiredM, tails, mains) =
-        tailFoldPreamble(spark, path, "compactTail")
+        tailFoldPreamble(spark, path, "compactTail", retainMs)
       if (tails.isEmpty) false
       else {
         foldAndPublish(spark, path, fs, root, cl, retainMs, retiredM,
@@ -791,7 +793,7 @@ object Zorder {
       retainMs: Long = 0L): Unit =
     Layout.withWriterLease(spark, path, "mergeClustered") {
       val (fs, root, cl, retiredM, tails, mains) =
-        tailFoldPreamble(spark, path, "mergeClustered")
+        tailFoldPreamble(spark, path, "mergeClustered", retainMs)
       require(keyCols.nonEmpty, "mergeClustered: keyCols is empty")
       val metaCols = deleteCol.toSeq ++ versionCol.toSeq
       metaCols.foreach(c => require(changes.columns.contains(c),
@@ -833,6 +835,16 @@ object Zorder {
       }
       keyed.cache()
       try {
+        // NULL keys refuse loudly: the replacement anti-join is
+        // null-UNsafe equality (NULL matches nothing), so a NULL-key
+        // change would union in its row while every resident NULL-key
+        // copy survives — a silent duplicate — and a NULL-key delete
+        // would silently no-op
+        require(keyed.filter(keyCols.map(col(_).isNull)
+          .reduce(_ || _)).isEmpty,
+          s"mergeClustered: the changes batch carries NULL in a key " +
+            s"column (${keyCols.mkString(", ")}) — a NULL key cannot " +
+            "address a resident row; filter or repair the batch first")
         if (keyed.isEmpty) () // an empty batch is a no-op, not a fold
         else {
           val isDelete = deleteCol.map(c =>
@@ -865,10 +877,15 @@ object Zorder {
     * are OUT entirely: not residents (their rows are old-generation
     * duplicates), not invariant inputs, not blockers. */
   private def tailFoldPreamble(spark: SparkSession, path: String,
-      what: String): (org.apache.hadoop.fs.FileSystem,
+      what: String, retainMs: Long): (org.apache.hadoop.fs.FileSystem,
       org.apache.hadoop.fs.Path, Clustering, Map[String, Long],
       Seq[org.apache.hadoop.fs.FileStatus],
       Seq[org.apache.hadoop.fs.FileStatus]) = {
+    // a negative retainMs would behave as "no grace" live but be
+    // written verbatim into the v2 sentinel, whose recovery header
+    // check (\d{1,18}) then refuses — one crash would brick every
+    // compaction path until a human cleared the sentinel
+    require(retainMs >= 0, s"$what: retainMs must be >= 0, got $retainMs")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
@@ -1460,6 +1477,15 @@ object Zorder {
     * footers carried no usable statistics), the base epoch the chain
     * started from and the total delta LINES pending on it (the rebase
     * trigger's inputs). */
+  /** Newest-generation resolve cache: path → (family name-set
+    * signature, resolved Gen). Sound because the versioned-marker
+    * protocol only ever creates FRESH names — a matching name set is
+    * a proof of matching contents, across writers in other JVMs too.
+    * Concurrent map: readers resolve from any thread. */
+  private val genCache =
+    new scala.collection.concurrent.TrieMap[String,
+      (Set[String], Gen)]()
+
   private final case class Gen(epoch: Long, entries: Map[String, String],
       baseEpoch: Long, deltaLines: Long)
 
@@ -1523,6 +1549,20 @@ object Zorder {
       attempts -= 1
       val fam = manifestFamily(fs, root)
       if (fam.isEmpty) return None
+      // newest-generation resolves are cached per path, keyed by the
+      // family's NAME SET: every commit writes a fresh
+      // `<prefix><epoch>.<uuid>` and never rewrites in place, so an
+      // identical name set proves identical bytes and the multi-MB
+      // base parse is skipped — without this, every micro-batch
+      // commit re-reads O(table) manifest bytes just to append a
+      // delta record ∝ batch (the read-side half of the r15
+      // commit-cost residual). Pinned (asOf) resolves stay uncached:
+      // rare, and a stale hit there would be a snapshot hole.
+      val famSig = fam.map(_._3.getName).toSet
+      if (asOf.isEmpty) genCache.get(root.toString) match {
+        case Some((sig, gen)) if sig == famSig => return Some(gen)
+        case _ => ()
+      }
       val bases = fam.filter(!_._1)
       require(bases.nonEmpty,
         s"manifest family at $root has delta files but no base — a " +
@@ -1597,7 +1637,16 @@ object Zorder {
           }
           deltaLines += body.length
         }
-        return Some(Gen(target, entries, baseEpoch, deltaLines))
+        val gen = Gen(target, entries, baseEpoch, deltaLines)
+        if (asOf.isEmpty) {
+          // bounded: drop a stale entry beyond the cap (tests create
+          // hundreds of throwaway layouts per JVM; production touches
+          // a handful of paths)
+          if (genCache.size >= 64 && !genCache.contains(root.toString))
+            genCache.remove(genCache.keysIterator.next())
+          genCache.put(root.toString, (famSig, gen))
+        }
+        return Some(gen)
       } catch {
         // the writer GC'd part of the chain between our list and open —
         // a newer commit exists; back off and re-list
@@ -1653,8 +1702,26 @@ object Zorder {
     * must outlive the retained files it describes. */
   private def gcManifestHistory(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, keepBaseEpoch: Long): Unit = {
+    // reader pins extend history retention: resolving a pinned epoch P
+    // needs the newest base <= P plus the deltas above it, so while an
+    // unexpired pin with P below the cut stands, the cut clamps down
+    // to that base — otherwise a pure-append rebase (or vacuum's
+    // history cut) would make a pinned epoch unresolvable while every
+    // file of its generation is still intact. Pins at or above the
+    // cut need no clamp: the kept base + kept deltas already reach
+    // them. Expired pins are GC'd inside activePins (every caller
+    // here holds the writer lease).
+    val cut = activePins(fs, root, System.currentTimeMillis())
+      .map(_._1).minOption match {
+      case Some(p) if p < keepBaseEpoch =>
+        val bases = manifestFamily(fs, root)
+          .collect { case (false, e, _) if e <= p => e }
+        if (bases.isEmpty) return // no base can serve the pin: keep all
+        bases.max
+      case _ => keepBaseEpoch
+    }
     manifestFamily(fs, root).foreach { case (isDelta, epoch, p) =>
-      if (if (isDelta) epoch <= keepBaseEpoch else epoch < keepBaseEpoch)
+      if (if (isDelta) epoch <= cut else epoch < cut)
         fs.delete(p, false)
     }
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(root,
@@ -1852,10 +1919,25 @@ object Zorder {
       v: AnyRef): Option[Either[Double, String]] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
+    // DECIMAL(p<=18) is stored as INT32/INT64 holding the UNSCALED
+    // integer (12.34 at scale 2 is 1234 on disk) — both int arms must
+    // rescale or the recorded bounds sit 10^scale too high and the box
+    // pruner silently drops every matching file (rows vanish, no
+    // error). Scaling by a positive 10^-scale preserves order, so
+    // min/max stay min/max. DECIMAL(p>18) lands in FIXED/BINARY and
+    // falls through to None — conservative keep, never a wrong prune.
+    def descale(d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation)
+        : Option[Either[Double, String]] =
+      Some(Left(v.asInstanceOf[Number].doubleValue *
+        math.pow(10, -d.getScale)))
     pt.getPrimitiveTypeName match {
-      case INT32 =>
-        // plain ints and DATE (epoch days) share the double spelling
-        Some(Left(v.asInstanceOf[Number].doubleValue))
+      case INT32 => pt.getLogicalTypeAnnotation match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          descale(d)
+        case _ =>
+          // plain ints and DATE (epoch days) share the double spelling
+          Some(Left(v.asInstanceOf[Number].doubleValue))
+      }
       case INT64 => pt.getLogicalTypeAnnotation match {
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
           val raw = v.asInstanceOf[Number].longValue
@@ -1864,6 +1946,8 @@ object Zorder {
             case LogicalTypeAnnotation.TimeUnit.MILLIS => raw / 1e3
             case _ => raw / 1e9
           }))
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          descale(d)
         case _ => Some(Left(v.asInstanceOf[Number].doubleValue))
       }
       case FLOAT | DOUBLE =>
@@ -2047,14 +2131,29 @@ object Zorder {
   def pinRead(spark: SparkSession, path: String, ttlMs: Long)
       : (Long, String) = {
     require(ttlMs > 0, s"pinRead: ttlMs must be > 0, got $ttlMs")
-    val epoch = currentEpoch(spark, path).getOrElse(sys.error(
-      s"pinRead: $path has no generation manifest — a legacy " +
-        "pre-manifest layout has no epochs to pin"))
-    val now = System.currentTimeMillis()
-    val name = f"$pinPrefix$epoch%016x." +
-      java.util.UUID.randomUUID.toString.take(8)
-    Layout.writeMarkerAtomic(spark, path, name, s"v1 $now ${now + ttlMs}")
-    (epoch, name)
+    // resolve → stamp → RE-verify, bounded retry: the stamp races the
+    // lease-holding writer, so a retire can land between the resolve
+    // and the stamp — its retire time would sit BELOW this pin's
+    // creation and the floor would not block it. But every retire is
+    // preceded by a manifest flip (publish → flip → retire, one
+    // protocol), so "epoch unchanged after the stamp" proves no
+    // retire interleaved; a moved epoch re-pins at the new current.
+    var attempts = 8
+    while (attempts > 0) {
+      attempts -= 1
+      val epoch = currentEpoch(spark, path).getOrElse(sys.error(
+        s"pinRead: $path has no generation manifest — a legacy " +
+          "pre-manifest layout has no epochs to pin"))
+      val now = System.currentTimeMillis()
+      val name = f"$pinPrefix$epoch%016x." +
+        java.util.UUID.randomUUID.toString.take(8)
+      Layout.writeMarkerAtomic(spark, path, name, s"v1 $now ${now + ttlMs}")
+      if (currentEpoch(spark, path).contains(epoch)) return (epoch, name)
+      unpin(spark, path, name) // a swap interleaved: this pin is too late
+    }
+    sys.error(s"pinRead: the writer kept committing faster than this " +
+      s"reader could pin at $path after 8 attempts — retry, or slow " +
+      "the ingest commit rate")
   }
 
   /** Release a reader pin by the id [[pinRead]] returned. Idempotent:
@@ -2068,33 +2167,36 @@ object Zorder {
       new org.apache.hadoop.fs.Path(path), pinId), false): Unit
   }
 
-  /** Unexpired pins' creation times at `root`, GC'ing expired pins and
-    * crashed `.tmp.` leftovers on the way (writer-lease callers only —
-    * vacuum). A malformed pin file refuses LOUDLY: silently ignoring
-    * one could reclaim a generation a live reader still scans, and
-    * the atomic writer makes a torn payload unreachable, so damage is
-    * external and needs a human. */
-  private def activePinCreations(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      now: Long): Seq[Long] =
+  /** Unexpired pins at `root` as (pinnedEpoch, creationMs), GC'ing
+    * expired pins and crashed `.tmp.` leftovers on the way
+    * (writer-lease callers only — vacuum and the manifest-history GC,
+    * both commit-path code). A malformed pin file refuses LOUDLY:
+    * silently ignoring one could reclaim a generation a live reader
+    * still scans, and the atomic writer makes a torn payload
+    * unreachable, so damage is external and needs a human. */
+  private def activePins(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, now: Long): Seq[(Long, Long)] =
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(root,
       pinPrefix + "*"))).getOrElse(Array.empty).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (st.isDirectory) None
       else if (n.contains(".tmp.")) { fs.delete(st.getPath, false); None }
       else {
+        val epochHex = n.substring(pinPrefix.length).takeWhile(_ != '.')
         val payload = {
           val in = fs.open(st.getPath)
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
         }
         val parts = payload.trim.split(' ')
         require(parts.length == 3 && parts(0) == "v1" &&
-          parts(1).matches("\\d{1,18}") && parts(2).matches("\\d{1,18}"),
+          parts(1).matches("\\d{1,18}") && parts(2).matches("\\d{1,18}") &&
+          epochHex.matches("[0-9a-f]{16}"),
           s"vacuumClustered: unparseable reader pin $n at $root — " +
             "ignoring it could reclaim a generation a live reader " +
             "still scans; resolve manually")
         if (parts(2).toLong <= now) { fs.delete(st.getPath, false); None }
-        else Some(parts(1).toLong)
+        else Some((java.lang.Long.parseUnsignedLong(epochHex, 16),
+          parts(1).toLong))
       }
     }
 
@@ -2216,7 +2318,7 @@ object Zorder {
         // to the generation that reader resolved — it survives this
         // vacuum regardless of the caller's grace, until the pin is
         // released or its TTL lapses
-        val pinFloors = activePinCreations(spark, fs, root, now)
+        val pinFloors = activePins(fs, root, now).map(_._2)
         var deleted = 0
         val keep = Map.newBuilder[String, Long]
         listDataFiles(fs, root).foreach { st =>
@@ -2279,15 +2381,25 @@ object Zorder {
   private def retireOrDelete(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       victims: Seq[org.apache.hadoop.fs.FileStatus], retainMs: Long,
-      ledger: Map[String, Long]): Unit =
-    if (retainMs > 0) {
-      val now = System.currentTimeMillis()
+      ledger: Map[String, Long]): Unit = {
+    val now = System.currentTimeMillis()
+    // an unexpired reader pin UPGRADES an ungraceful sweep to a
+    // retire: outright deletion would yank the pinned generation's
+    // files out from under the reader — the vacuum floor governs only
+    // ledgered files, so the protection has to start here. The entry
+    // ages from now, so the first vacuum after the pin releases
+    // reclaims it; a compact on an unpinned layout pays nothing
+    // beyond one pin glob per sweep.
+    val mustRetire = retainMs > 0 ||
+      (victims.nonEmpty && activePins(fs, root, now).nonEmpty)
+    if (mustRetire) {
       if (victims.nonEmpty) writeRetired(spark, root.toString,
         ledger ++ victims.map(_.getPath.getName -> now))
     } else victims.foreach { st =>
       require(fs.delete(st.getPath, false),
         s"compact: could not delete replaced file ${st.getPath}")
     }
+  }
 
   /** Widen a clustered layout's schema IN METADATA — no table rewrite:
     * `added`'s columns join the declared schema, and every pre-

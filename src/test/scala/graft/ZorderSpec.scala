@@ -1286,6 +1286,38 @@ class ZorderSpec extends SparkSpec {
       "_graft_retired.00000000000000ff.deadbeef"), false)
   }
 
+  test("DECIMAL clustering columns: footer stats descale, box pruning stays row-exact") {
+    // DECIMAL(p<=18) footers hold the UNSCALED integer (12.34 at scale
+    // 2 is 1234) — without descaling, recorded bounds sit 10^scale too
+    // high and a true-scale box prunes every matching file (rows
+    // silently vanish). The sharp assertion is the above-max box: with
+    // unscaled (100x) stats it would intersect everything; with
+    // descaled stats it keeps zero files.
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .withColumn("amount", col("value").cast("decimal(10,2)"))
+    val dir = Files.createTempDirectory("graft_zorder_dec_").toString
+    Zorder.writeHilbert(e, dir, Seq("user_id", "amount"), bits = 12,
+      numFiles = 4)
+    val lo = new java.math.BigDecimal("10.00")
+    val hi = new java.math.BigDecimal("200.00")
+    val expect = e.filter(col("amount") >= lo && col("amount") <= hi)
+      .count()
+    assert(expect > 0, "fixture must have rows in the decimal box")
+    val boxed = Zorder.readClustered(spark, dir,
+        Seq(("amount", lo: Any, hi: Any)))
+      .filter(col("amount") >= lo && col("amount") <= hi)
+    assert(boxed.count() == expect,
+      "descaled decimal stats must not prune matching rows")
+    val mx = e.agg(max(col("amount"))).collect()(0).getDecimal(0)
+    val (keptHigh, all) = Zorder.pruneFiles(spark, dir, Seq(
+      ("amount", mx.add(new java.math.BigDecimal(1000)): Any,
+        mx.add(new java.math.BigDecimal(2000)): Any)))
+    assert(all.nonEmpty)
+    assert(keptHigh.isEmpty,
+      "an above-max box must keep zero files — unscaled (10^scale " +
+        "too high) stats would cover it and keep everything")
+  }
+
   test("reader pins floor the vacuum: pinned generations survive any grace until unpin or TTL") {
     // epoch-pinned reads gave a long job a snapshot; the pin makes
     // vacuum RESPECT it — a cron'd vacuum with an aggressive window
@@ -1329,6 +1361,22 @@ class ZorderSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(dir), stale)),
       "vacuum must GC the expired pin file")
+    // pins protect against UNGRACEFUL sweeps too: a retainMs=0 whole
+    // compact (fresh base + immediate history GC + outright delete)
+    // under a pin upgrades its sweep to a retire AND keeps the pinned
+    // epoch's manifest chain resolvable — the pinned read survives
+    // both the file sweep and the history cut
+    val preCnt = Zorder.readClustered(spark, dir).count()
+    val (ep3, pin3) = Zorder.pinRead(spark, dir, ttlMs = 3600L * 1000)
+    Zorder.compactClustered(spark, dir) // no grace asked; pin implies one
+    assert(Zorder.readClustered(spark, dir, asOfEpoch = ep3).count() ==
+      preCnt, "an ungraceful compact must not break a pinned read")
+    assert(Zorder.readRetired(spark, dir).nonEmpty,
+      "a pinned sweep must retire, never delete")
+    Zorder.unpin(spark, dir, pin3)
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0,
+      "after release the upgraded retire reclaims on the next vacuum")
+
     // a damaged pin file refuses LOUDLY (ignoring it could reclaim a
     // live reader's generation)
     graft.operators.Layout.writeMarkerAtomic(spark, dir,
