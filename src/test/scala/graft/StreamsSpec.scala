@@ -1044,4 +1044,79 @@ class StreamsSpec extends SparkSpec {
       hi <= lo2 }, s"policy-driven folds must keep the layout clustered: " +
       ranges.mkString(","))
   }
+
+  test("foreachBatch applies a CDC stream through mergeClustered; re-applying a batch is a no-op") {
+    // the serving loop a warehouse table runs: a change feed arrives
+    // as files, each micro-batch is ONE keyed merge (update/delete/
+    // insert), later batches win on the same key, and merge's
+    // replace-by-key semantics make a replayed batch a natural no-op —
+    // the at-least-once property foreachBatch needs, with no ledger.
+    // Clustering is (user_id, event_id): the key is a clustering
+    // column, so key-addressing is immutable by construction, and
+    // updates touch only the non-clustered value column.
+    val s = spark
+    import s.implicits._
+    import graft.operators.Zorder
+    val in = Files.createTempDirectory("graft_cdc_in_").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt_").toString
+    val dir = Files.createTempDirectory("graft_cdc_lay_").toString + "/t"
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") % 3 === 0)
+    Zorder.writeHilbert(e, dir, Seq("user_id", "event_id"), bits = 16,
+      numFiles = 4)
+    val base = e.count()
+    // two resident keys with their true clustering values
+    val Array(r1, r2) = e.orderBy(col("event_id")).limit(2).collect()
+    val (k1, u1) = (r1.getLong(0), r1.getLong(1))
+    val (k2, u2) = (r2.getLong(0), r2.getLong(1))
+    def writeBatch(rows: Seq[(Long, Long, Double, String)]): Unit =
+      rows.toDF("event_id", "user_id", "value", "op")
+        .coalesce(1).write.mode("append").parquet(in)
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in,
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, op STRING"),
+      ckpt) { (batch, _) =>
+      Zorder.mergeClustered(spark, dir,
+        batch.withColumn("__del", col("op") === "D").drop("op"),
+        Seq("event_id"), deleteCol = Some("__del"))
+      ()
+    }
+    // batch 1: update k1, delete k2, insert a fresh key
+    writeBatch(Seq((k1, u1, 111.0, "U"), (k2, u2, 0.0, "D"),
+      (9000001L, 3L, 5.0, "I")))
+    ingest()
+    val t1 = Zorder.readClustered(spark, dir)
+    assert(t1.count() == base) // +1 insert, -1 delete
+    assert(t1.filter(col("event_id") === k1).select(col("value"))
+      .collect()(0).getDouble(0) == 111.0)
+    assert(t1.filter(col("event_id") === k2).count() == 0)
+    // batch 2: later batch wins on k1; the batch-1 insert is deleted
+    writeBatch(Seq((k1, u1, 222.0, "U"), (9000001L, 3L, 0.0, "D"),
+      (9000002L, 4L, 6.0, "I")))
+    ingest()
+    val t2 = Zorder.readClustered(spark, dir)
+    assert(t2.count() == base)
+    assert(t2.filter(col("event_id") === k1).select(col("value"))
+      .collect()(0).getDouble(0) == 222.0)
+    assert(t2.filter(col("event_id") === 9000001L).count() == 0)
+    assert(t2.filter(col("event_id") === 9000002L).count() == 1)
+    // at-least-once: re-applying batch 2 directly changes NOTHING —
+    // replace-by-key is idempotent (update re-replaces, delete of a
+    // gone key no-ops, insert of a present key replaces)
+    val fp1 = t2.agg(count(lit(1)),
+      sum(xxhash64(t2.columns.map(col): _*).cast("decimal(38,0)")))
+      .collect()(0)
+    Zorder.mergeClustered(spark, dir,
+      Seq((k1, u1, 222.0, "U"), (9000001L, 3L, 0.0, "D"),
+        (9000002L, 4L, 6.0, "I"))
+        .toDF("event_id", "user_id", "value", "op")
+        .withColumn("__del", col("op") === "D").drop("op"),
+      Seq("event_id"), deleteCol = Some("__del"))
+    val t3 = Zorder.readClustered(spark, dir)
+    val fp2 = t3.agg(count(lit(1)),
+      sum(xxhash64(t3.columns.map(col): _*).cast("decimal(38,0)")))
+      .collect()(0)
+    assert(fp1 == fp2, "a replayed CDC batch must be a no-op")
+  }
 }
