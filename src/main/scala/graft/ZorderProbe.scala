@@ -378,6 +378,44 @@ object ZorderProbe {
         s"deltaBytesPerAppend=${deltaBytes.mkString(",")} " +
         s"plannedFiles=${kept.length} tableFiles=${all.length}")
     }
+
+    // ----- merge scaling: rewrite ∝ touched files, not table files --
+    // The q184 claim at two grid scales: a keyed CDC batch confined to
+    // a user slice rewrites the files whose z-interval can hold that
+    // slice — as the grid refines ×8 over the same data, the REWRITTEN
+    // FRACTION for the same narrow batch falls (each file covers a
+    // narrower z-span), which is exactly the shape a 100 TB CDC apply
+    // needs: cost follows the change batch, not the table.
+    def dataFiles(dir: String): Map[String, Long] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fsx = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsx.listStatus(root).filter(st => !st.isDirectory &&
+          !graft.operators.Layout.isHidden(st.getPath.getName))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    }
+    val uMaxM = e.agg(max(col("user_id"))).collect()(0).getLong(0)
+    Seq(32, 256).foreach { nf =>
+      Seq(("user1", col("user_id") === 1),
+          ("tenpct", col("user_id") <= math.max(1L, uMaxM / 10)))
+        .foreach { case (label, pred) =>
+          val dir = s"$tmp/mergescale-$nf-$label"
+          Zorder.writeHilbert(e, dir, Seq("user_id", "ts"), bits = 16,
+            numFiles = nf)
+          val before = dataFiles(dir)
+          Zorder.mergeClustered(spark, dir,
+            e.filter(pred && col("event_id") % 2 === 0)
+              .withColumn("value", col("value") + 1.0),
+            Seq("event_id"))
+          val after = dataFiles(dir)
+          val rewritten = before.keySet -- after.keySet
+          val totB = before.values.sum
+          val rwB = rewritten.toSeq.map(before).sum
+          println(f"ZORDERPROBE mergescale files=$nf batch=$label " +
+            f"rewrittenFiles=${rewritten.size}/${before.size} " +
+            f"rewrittenBytes=$rwB/$totB " +
+            f"byteFrac=${rwB.toDouble / math.max(1L, totB)}%.4f")
+        }
+    }
     spark.stop()
   }
 }
