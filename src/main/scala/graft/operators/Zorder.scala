@@ -89,6 +89,13 @@ object Zorder {
   private[graft] val manifestDeltaPrefix = "_graft_manifestd."
   private[graft] val schemaDdlPrefix = "_graft_schemad."
 
+  /** Manifest per-file stats cover at most this many top-level
+    * primitive columns (clustering columns always first in line) —
+    * bounds manifest growth on wide tables; columns past the cap
+    * never prune (conservative keep). 16 columns ≈ 5× the name-only
+    * line, still ∝ batch per delta commit. */
+  private val statsColumnCap = 16
+
   /** Test seam: invoked with a step label at each reader-visible
     * protocol transition inside the write/append/compact forms, so the
     * reader-atomicity spec can interleave manifest resolutions
@@ -1860,10 +1867,26 @@ object Zorder {
           try {
             import scala.jdk.CollectionConverters._
             val blocks = reader.getFooter.getBlocks.asScala.toSeq
-            c.cols.flatMap { cq =>
+            // the Delta add-file stats discipline: record min/max for
+            // ALL top-level primitive leaves (clustering columns
+            // first, then footer order, capped) — data skipping then
+            // works on ANY recorded column whose values correlate
+            // with the layout (ingest-ordered ids, dates derived from
+            // a clustered timestamp), not just the clustering pair.
+            // The cap bounds manifest growth on wide tables; columns
+            // past it simply never prune (conservative keep). Nested
+            // leaves (dotted paths) are excluded: their Spark-side
+            // box spelling is ambiguous.
+            val inFooter = blocks.headOption.map(_.getColumns.asScala
+              .toSeq.map(_.getPath.toDotString)
+              .filter(!_.contains("."))).getOrElse(Seq.empty)
+            val leaves = (c.cols.map(_.name).filter(inFooter.contains)
+              ++ inFooter.filterNot(c.cols.map(_.name).contains))
+              .distinct.take(statsColumnCap)
+            leaves.flatMap { name =>
               val per = blocks.map { b =>
                 b.getColumns.asScala
-                  .find(_.getPath.toDotString == cq.name)
+                  .find(_.getPath.toDotString == name)
                   .flatMap(chunkMinMax)
               }
               if (per.isEmpty || per.exists(_.isEmpty)) None
@@ -1871,7 +1894,7 @@ object Zorder {
                 val vs = per.map(_.get)
                 val mn = vs.map(_._1).reduce(statMin)
                 val mx = vs.map(_._2).reduce(statMax)
-                Some(java.net.URLEncoder.encode(cq.name, "UTF-8") +
+                Some(java.net.URLEncoder.encode(name, "UTF-8") +
                   "=" + reprOf(mn, up = false) + "," +
                   reprOf(mx, up = true))
               }

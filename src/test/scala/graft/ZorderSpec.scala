@@ -1286,6 +1286,44 @@ class ZorderSpec extends SparkSpec {
       "_graft_retired.00000000000000ff.deadbeef"), false)
   }
 
+  test("data skipping on NON-clustering columns: layout-correlated stats prune, scattered ones keep all") {
+    // the Delta add-file stats discipline: the manifest records
+    // min/max for every top-level primitive column (capped), so a box
+    // on a column that merely CORRELATES with the layout (a date
+    // derived from the clustered timestamp) prunes files even though
+    // it is not a clustering column — and a box on a scattered column
+    // degrades to conservative keep-all, never a wrong prune.
+    val e = sources.Tables.load(spark, sfDir, "events")
+      .withColumn("d", to_date(col("ts")))
+    val dir = Files.createTempDirectory("graft_zorder_skip_").toString
+    Zorder.writeHilbert(e, dir, Seq("user_id", "ts"), bits = 16,
+      numFiles = 16)
+    // d is NOT a clustering column, but tracks ts exactly
+    val lo = java.time.LocalDate.parse("2024-01-10")
+    val hi = java.time.LocalDate.parse("2024-01-11")
+    val (kept, all) = Zorder.pruneFiles(spark, dir,
+      Seq(("d", lo: Any, hi: Any)))
+    assert(all.size == 16, s"expected the 16-grid, got ${all.size}")
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"a layout-correlated non-clustering box must skip files, " +
+        s"kept ${kept.size}/${all.size}")
+    val expect = e.filter(col("d") >= lit(lo) && col("d") <= lit(hi))
+      .count()
+    assert(expect > 0)
+    assert(Zorder.readClustered(spark, dir, Seq(("d", lo: Any, hi: Any)))
+      .filter(col("d") >= lit(lo) && col("d") <= lit(hi)).count() ==
+      expect, "non-clustering skipping must stay row-exact")
+    // a column with no layout correlation keeps everything — pruning
+    // is CONSERVATIVE, the caller's predicate stays authoritative.
+    // (event_id would be a WRONG probe here: sequential ids track ts,
+    // so they inherit the layout and legitimately prune — measured.)
+    val (keptScatter, _) = Zorder.pruneFiles(spark, dir,
+      Seq(("value", 100.0: Any, 110.0: Any)))
+    assert(keptScatter.size == all.size,
+      "scattered-column stats span every file: nothing prunes, " +
+        "nothing is lost")
+  }
+
   test("DECIMAL clustering columns: footer stats descale, box pruning stays row-exact") {
     // DECIMAL(p<=18) footers hold the UNSCALED integer (12.34 at scale
     // 2 is 1234) — without descaling, recorded bounds sit 10^scale too
