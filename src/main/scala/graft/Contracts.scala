@@ -731,6 +731,57 @@ object Contracts {
         (before -- names()).size.toDouble / before.size, 0.25, "<=")
     }
 
+    grade("q185_dv_delete") {
+      // the deletion-vector claim, graded per run: a keyed delete
+      // rewrites ZERO data files, and the tombstone bytes it writes
+      // are a rounding error next to the bytes the rewrite-merge form
+      // (q184's verb) touches for the SAME keys — the two verbs run
+      // side by side on identical bootstraps and the ratio is
+      // measured, not asserted. Measured band sf0.1: ~1.5 KB of
+      // tombstones vs ~1.9 MB of merge rewrite ≈ 0.001; threshold
+      // carries wide margin for parquet's fixed per-file overhead at
+      // smaller sf.
+      val pathA = queries.scratchPath("contracts_dv_a")
+      val pathB = queries.scratchPath("contracts_dv_b")
+      val z = graft.operators.Zorder
+      def filesOf(path: String): Map[String, Long] = {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).filter(st => !st.isDirectory &&
+          !graft.operators.Layout.isHidden(st.getPath.getName))
+          .map(st => st.getPath.getName -> st.getLen).toMap
+      }
+      z.writeHilbert(events, pathA, Seq("user_id", "ts"), bits = 16,
+        numFiles = 32)
+      z.writeHilbert(events, pathB, Seq("user_id", "ts"), bits = 16,
+        numFiles = 32)
+      val hot = events
+        .filter(col("user_id") === 1 && col("event_id") % 2 === 0)
+      require(!hot.isEmpty, "no user-1 rows to delete — fixture broke")
+      val beforeA = filesOf(pathA)
+      require(z.deleteClustered(spark, pathA,
+        hot.select(col("event_id"), col("user_id"), col("ts")),
+        Seq("event_id")) > 0, "the delete must tombstone rows")
+      val afterA = filesOf(pathA)
+      val rewrittenData = (beforeA.keySet -- afterA.keySet)
+        .count(!_.startsWith("dv-"))
+      val dvBytes = afterA.collect {
+        case (n, len) if n.startsWith("dv-") => len }.sum
+      val beforeB = filesOf(pathB)
+      z.mergeClustered(spark, pathB,
+        hot.withColumn("__del", lit(true)), Seq("event_id"),
+        deleteCol = Some("__del"))
+      val afterBNames = filesOf(pathB).keySet
+      val mergeBytes = beforeB.collect {
+        case (n, len) if !afterBNames(n) => len }.sum
+      require(mergeBytes > 0, "the merge-delete rewrote nothing — " +
+        "the comparison fixture broke")
+      Contract("q185_dv_delete",
+        "dv write cost: data files rewritten (must be 0) + tombstone bytes / merge-rewrite bytes for the same keys",
+        rewrittenData.toDouble + dvBytes.toDouble / mergeBytes,
+        0.05, "<=")
+    }
+
     grade("q183_retention_vacuum") {
       // the grace discipline, graded per run: a retention fold retires
       // (never deletes) its victims; a vacuum INSIDE the grace window

@@ -96,6 +96,37 @@ object Zorder {
     * line, still ∝ batch per delta commit. */
   private val statsColumnCap = 16
 
+  // ----- deletion vectors: row-level deletes without rewrite -------
+  //
+  // A narrow CDC delete through [[mergeClustered]] still REWRITES the
+  // files the keys live in — correct, but write cost ∝ victim file
+  // bytes, not ∝ deleted rows. A deletion vector (DV) is the
+  // Delta/Iceberg-v2 answer: a tiny parquet file of (data file name,
+  // row position) tombstones, committed as an ordinary manifest entry
+  // (name prefix `dv-`), that every manifest read applies as an
+  // anti-join before returning rows. Because DV files ARE manifest
+  // entries and root files, they inherit the ENTIRE existing
+  // protocol with no new protocol code: delta commits make a delete
+  // cost ∝ the batch, epoch-pinned reads see the DV set as of their
+  // epoch (a pre-delete pin still serves the undeleted rows), the
+  // whole compact's victim sweep retires/deletes superseded DVs under
+  // the same grace as data files, and vacuum's self-heal ages out a
+  // crashed delete's orphans. Both fold forms apply DVs to their
+  // INPUTS (a fold must not resurrect deleted rows), so any compact
+  // MATERIALIZES the tombstones it folds over; the whole compact's
+  // fresh base manifest then carries no dv- entries at all.
+  //
+  // Row identity is parquet physical position (`_metadata.row_index`):
+  // deterministic per file, stable under splits and row-group
+  // pruning, and file names embed write-job UUIDs, so a (name, pos)
+  // pair can never address different bytes. The documented trade
+  // (same as retention): DVs live in the manifest, so plain DIRECTORY
+  // reads of the layout do not see deletes — DV layouts are
+  // manifest-readers-only ([[readClustered]]).
+  private[graft] val dvPrefix = "dv-"
+  private val dvTmpDir = "_graft_dv_tmp"
+  private[graft] def isDvName(n: String): Boolean = n.startsWith(dvPrefix)
+
   /** Test seam: invoked with a step label at each reader-visible
     * protocol transition inside the write/append/compact forms, so the
     * reader-atomicity spec can interleave manifest resolutions
@@ -371,8 +402,12 @@ object Zorder {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      // isDvName guard is defensive only: the rebuild purged the old
+      // layout's files, and a leftover dv- orphan entering the fresh
+      // base would APPLY old-generation deletes to the new rows
       stampManifest(spark, fs, root, footerStats(spark, fs, root,
-        listDataFiles(fs, root).map(_.getPath.getName), Some(cl)))
+        listDataFiles(fs, root).map(_.getPath.getName)
+          .filterNot(isDvName), Some(cl)))
       cl
     }
 
@@ -626,13 +661,23 @@ object Zorder {
     // old-generation rows whose fold-in would duplicate every one.
     val retiredM = readRetired(spark, path)
     val retired0 = retiredM.keySet
+    // DV files are excluded as fold SOURCES and applied as the fold's
+    // FILTER (from the manifest, never the directory — an orphan DV
+    // from a crashed delete commit must not delete anything): the
+    // whole compact MATERIALIZES every tombstone, its fresh base
+    // manifest carries no dv- entries, and the victim sweep below
+    // reclaims the superseded DV files like any old-generation file
+    val dvNames0 = currentManifest(spark, fs, root)
+      .map(_._2.filter(isDvName)).getOrElse(Seq.empty)
     val livePaths = listDataFiles(fs, root)
-      .filterNot(st => retired0(st.getPath.getName)).map(_.getPath)
+      .filterNot(st => retired0(st.getPath.getName))
+      .filterNot(st => isDvName(st.getPath.getName)).map(_.getPath)
     require(livePaths.nonEmpty,
       s"compactClustered: no live data files at $path — nothing to fold")
     val (staged, z, drop) = clusteredFrame(
-      spark.read.option("mergeSchema", "true")
-        .parquet(livePaths.map(_.toString): _*), cl)
+      applyDvs(spark, fs, root,
+        spark.read.option("mergeSchema", "true")
+          .parquet(livePaths.map(_.toString): _*), dvNames0), cl)
     withStatsTimestamps(spark) {
       staged.repartitionByRange(cl.numFiles, z)
         .sortWithinPartitions(z)
@@ -875,6 +920,162 @@ object Zorder {
       } finally keyed.unpersist()
     }
 
+  /** Row-level DELETE by key WITHOUT rewriting any data file — the
+    * deletion-vector verb ([[mergeClustered]] with `deleteCol` is the
+    * rewrite form; this one writes tombstones). Write cost is ∝ the
+    * KEY BATCH — one narrow scan of the files the keys can live in
+    * (located by clustering-value containment, the shared
+    * [[locateByValue]] primitive), a semi-join producing (file name,
+    * parquet row position) pairs, one tiny parquet file of those
+    * pairs published under `dv-<token>-`, and one manifest DELTA
+    * commit — while a merge-delete rewrites victim file BYTES. At
+    * 100 TB a trickle of CDC deletes costs megabytes a day instead of
+    * rewriting gigabyte files per batch; any later fold or compact
+    * MATERIALIZES the tombstones it touches, and the whole compact
+    * clears the DV set entirely.
+    *
+    * Semantics: every resident row matching some key row on `keyCols`
+    * is deleted, everywhere it resides (tails included). Key rows
+    * must also carry the layout's CLUSTERING columns — a key's
+    * clustering values are its address (the [[mergeClustered]]
+    * immutability contract); deleting a row whose clustering values
+    * moved requires the OLD values. Deleting an absent key is a
+    * no-op; re-running a committed delete is a no-op (already-deleted
+    * positions are excluded from the fresh tombstone set, so the
+    * call is idempotent by construction — no batchId needed). NULL in
+    * a key column refuses loudly (the anti/semi-join is null-UNsafe —
+    * a NULL key addresses nothing and would silently no-op).
+    *
+    * Protocol: the DV file is an ordinary manifest ENTRY, so the
+    * commit inherits the whole existing discipline — the delta
+    * commit is atomic (readers see all tombstones or none), a pinned
+    * pre-delete epoch keeps serving the undeleted rows, retention
+    * and vacuum govern superseded DV files exactly like data files.
+    * Crash windows: before publish → stale `_graft_dv_tmp`, swept
+    * here under the lease; after publish, before commit → orphan
+    * `dv-` files no resolve can reach, swept here and aged out by
+    * vacuum's self-heal; after commit → the delete IS committed.
+    *
+    * Returns the number of row positions tombstoned by THIS call. */
+  def deleteClustered(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String]): Long =
+    Layout.withWriterLease(spark, path, "deleteClustered") {
+      val (fs, root, cl, retiredM, tails, mains) =
+        tailFoldPreamble(spark, path, "deleteClustered", 0L)
+      require(keyCols.nonEmpty, "deleteClustered: keyCols is empty")
+      keyCols.foreach(k => require(keys.columns.contains(k),
+        s"deleteClustered: key column $k is not in the keys frame"))
+      cl.cols.map(_.name).foreach(c => require(keys.columns.contains(c),
+        s"deleteClustered: clustering column $c is not in the keys " +
+          "frame — a key's clustering values are its address (the " +
+          "mergeClustered contract); carry the OLD clustering values " +
+          "in every key row"))
+      Seq("__graft_dv_file", "__graft_dv_pos").foreach(c => require(
+        !keys.columns.contains(c) && !keyCols.contains(c),
+        s"deleteClustered: $c is a reserved column name"))
+      val manifested = currentManifest(spark, fs, root).getOrElse(
+        sys.error(s"deleteClustered: $path has no generation manifest " +
+          "— bootstrap or append once first (deletion vectors commit " +
+          "through the manifest; a directory read cannot see them)"))
+        ._2.toSet
+      // crashed-delete debris, swept under the lease: stale staging
+      // (pre-publish crash) and published-but-uncommitted dv- files
+      // (pre-commit crash — unreachable by any resolve; ledgered ones
+      // are a PREVIOUS compact's grace and stay)
+      val tmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
+      if (fs.exists(tmp)) require(fs.delete(tmp, true),
+        s"deleteClustered: could not clear stale staging $tmp")
+      listDataFiles(fs, root).map(_.getPath.getName)
+        .filter(n => isDvName(n) && !manifested(n) &&
+          !retiredM.contains(n))
+        .foreach(n => require(
+          fs.delete(new org.apache.hadoop.fs.Path(root, n), false),
+          s"deleteClustered: could not sweep orphan $n"))
+      val dvLive = manifested.filter(isDvName).toSeq.sorted
+      val keyed = keys.select(
+        (keyCols ++ cl.cols.map(_.name).filterNot(keyCols.contains))
+          .map(col): _*).distinct()
+      keyed.cache()
+      try {
+        require(keyed.filter(keyCols.map(col(_).isNull)
+          .reduce(_ || _)).isEmpty,
+          s"deleteClustered: the keys frame carries NULL in a key " +
+            s"column (${keyCols.mkString(", ")}) — a NULL key cannot " +
+            "address a resident row; filter or repair the batch first")
+        if (keyed.isEmpty) 0L
+        else {
+          val ivs = residentIvs(spark, path, cl, tails ++ mains, mains)
+          def realIv(n: String): Option[(Long, Long)] =
+            ivs.get(n).filter(iv => iv._1 <= iv._2)
+          val mainIvsSorted = mains.flatMap(st =>
+            realIv(st.getPath.getName)
+              .map(iv => (st.getPath.getName, iv))).sortBy(_._2)
+          val (hit, _) = locateByValue(spark, cl, mainIvsSorted,
+            Seq(keyed))
+          // tails always scan: every b<id>- file overlaps by
+          // construction, so any of them could hold a touched key
+          val victims = tails ++ mains.filter(st =>
+            hit(st.getPath.getName))
+          if (victims.isEmpty) 0L
+          else {
+            // ONE narrow scan of the victims: key columns + row
+            // identity; existing tombstones are excluded so a
+            // replayed delete finds nothing fresh
+            val narrow = spark.read.option("mergeSchema", "true")
+              .parquet(victims.map(_.getPath.toString): _*)
+              .select(Seq(
+                element_at(split(col("_metadata.file_path"), "/"), -1)
+                  .as("__graft_dv_file"),
+                col("_metadata.row_index").as("__graft_dv_pos")) ++
+                keyCols.map(col): _*)
+            val undeleted =
+              if (dvLive.isEmpty) narrow
+              else narrow.join(
+                broadcast(spark.read.schema("file STRING, pos BIGINT")
+                  .parquet(dvLive.map(n => new org.apache.hadoop.fs
+                    .Path(root, n).toString): _*)
+                  .withColumnRenamed("file", "__graft_dv_file")
+                  .withColumnRenamed("pos", "__graft_dv_pos")),
+                Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+            val fresh = undeleted
+              .join(keyed.select(keyCols.map(col): _*).distinct(),
+                keyCols, "left_semi")
+              .select(col("__graft_dv_file").as("file"),
+                col("__graft_dv_pos").as("pos"))
+            // repartition(1): the tombstone set is batch-sized; one
+            // file keeps the read side's broadcast build trivial
+            // (repartition, not coalesce — the join above keeps its
+            // parallelism)
+            fresh.repartition(1).write.mode("overwrite")
+              .parquet(tmp.toString)
+            val token = java.util.UUID.randomUUID.toString.take(8)
+            publishFlattened(fs, tmp, root, s"$dvPrefix$token-")
+            val added = listDataFiles(fs, root).map(_.getPath.getName)
+              .filter(_.startsWith(s"$dvPrefix$token-"))
+            val cnt = if (added.isEmpty) 0L
+              else spark.read.schema("file STRING, pos BIGINT")
+                .parquet(added.map(n => new org.apache.hadoop.fs
+                  .Path(root, n).toString): _*).count()
+            if (cnt == 0L) {
+              // nothing matched (absent keys, or a replay): publish
+              // nothing, burn no epoch
+              added.foreach(n => require(fs.delete(
+                new org.apache.hadoop.fs.Path(root, n), false),
+                s"deleteClustered: could not remove empty $n"))
+              if (fs.exists(tmp)) fs.delete(tmp, true)
+              0L
+            } else {
+              commitManifestDelta(spark, fs, root,
+                added.map(_ -> "").toMap, Set.empty,
+                deferGc = retiredM.nonEmpty)
+              if (fs.exists(tmp)) fs.delete(tmp, true)
+              cnt
+            }
+          }
+        }
+      } finally keyed.unpersist()
+    }
+
   /** The shared entry discipline of the tail-fold protocol family
     * ([[compactTail]], [[mergeClustered]]): refuse under a crashed
     * WHOLE compaction (its sentinel describes a full-generation swap
@@ -907,8 +1108,12 @@ object Zorder {
         "graft layout (or a crashed rebuild); rebuild with a write* " +
         "form first"))
     val retiredM = readRetired(spark, path)
+    // DV files are manifest entries, not fold inputs: they filter the
+    // fold's READ (deleted rows must not resurrect into replacements)
+    // but are never residents or tails themselves
     val files = listDataFiles(fs, root)
       .filterNot(st => retiredM.keySet(st.getPath.getName))
+      .filterNot(st => isDvName(st.getPath.getName))
     val (tails, mains) = files.partition(st =>
       st.getPath.getName.matches("b\\d+-.*"))
     (fs, root, cl, retiredM, tails, mains)
@@ -924,6 +1129,115 @@ object Zorder {
     * change rows); `transform` receives the fold frame (None when the
     * probe touched no file — a pure gap insert) and returns the rows
     * to publish in the fold set's place. */
+  /** Value-level containment over the sorted resident interval list —
+    * the ONE location primitive the fold forms and [[deleteClustered]]
+    * share: (residents holding at least one probe row's clustering
+    * value, probe value spans falling in inter-resident GAPS). One job
+    * over the probe rows: each value binary-searches a broadcast
+    * boundary list of the sorted resident intervals and lands in a
+    * resident slot or a gap slot; per-slot min/max come back in one
+    * tiny aggregate. A deliberate udf: a maintenance job over probe
+    * rows only (never a benched query path), EXACT long arithmetic (a
+    * double spelling corrupts codes past 2^53), O(log M) per row over
+    * a boundary list with no codegen-expressible spelling at 10^5
+    * residents.
+    *
+    * `mainIvsSorted` must be sorted by (lo, hi) — lo alone is not
+    * enough: sorted-run file splitting can put a single-value file
+    * (0,0) NEXT TO the wider run file (0,2) that shares its boundary
+    * value, and a lo-tie ordered (0,2),(0,0) would read as genuine
+    * overlap. The binary search needs the layout near-invariant
+    * (residents pairwise disjoint EXCEPT at shared BOUNDARY values —
+    * legal under range-task output splitting); boundary ties are
+    * handled by the containment EXPANSION (a probe value ON a shared
+    * endpoint lives in BOTH residents, but the search returned only
+    * one slot — every resident whose interval contains the slot's
+    * boundary values is selected; an interior value is contained only
+    * by its own slot, so expanding unconditionally is exact). GENUINE
+    * interior overlap (foreign writes) makes the boundary sequence
+    * decrease somewhere and selects EVERY resident — for a fold that
+    * full rewrite restores the invariant; for a delete it degrades to
+    * a conservative all-file scan, never a missed row. */
+  /** Resident per-file z-ranges for exactly `files` (`mains` ⊆
+    * `files` are the ones that get entries): cached and self-healing —
+    * cache entries whose file vanished are dropped, residents without
+    * entries get ONE targeted narrow scan. File names are unique
+    * forever (every write embeds a job UUID), so a named entry can
+    * never describe different bytes. Tail files need no range
+    * entries: the callers test them by VALUE. A ZERO-ROW data file
+    * yields no range entry from the stats pass, so it caches an
+    * inverted sentinel (lo > hi, unreachable for a real file) rather
+    * than paying a targeted scan on EVERY call; callers exclude
+    * sentinel entries from interval computations (no rows → nothing
+    * to fold or match, nothing to block a junction). */
+  private def residentIvs(spark: SparkSession, path: String,
+      cl: Clustering, files: Seq[org.apache.hadoop.fs.FileStatus],
+      mains: Seq[org.apache.hadoop.fs.FileStatus])
+      : Map[String, (Long, Long)] = {
+    val names = files.map(_.getPath.getName).toSet
+    val cached = readZranges(spark, path).filter(e => names.contains(e._1))
+    val missing = mains.filter(st => !cached.contains(st.getPath.getName))
+    val computed = computeZranges(spark, cl, missing.map(_.getPath))
+    val emptySentinels = missing.map(_.getPath.getName)
+      .filterNot(computed.contains).map(_ -> (1L, 0L)).toMap
+    cached ++ computed ++ emptySentinels
+  }
+
+  private def locateByValue(spark: SparkSession, cl: Clustering,
+      mainIvsSorted: Seq[(String, (Long, Long))],
+      probeParts: Seq[DataFrame]): (Set[String], Seq[(Long, Long)]) = {
+    val flat = mainIvsSorted
+      .flatMap { case (_, (lo, hi)) => Seq(lo, hi) }.toArray
+    val m = mainIvsSorted.length
+    val invariantHolds = flat.indices.drop(1).forall(i =>
+      flat(i - 1) <= flat(i))
+    if (!invariantHolds) (mainIvsSorted.map(_._1).toSet, Seq.empty)
+    else {
+      val bcFlat = spark.sparkContext.broadcast(flat)
+      val slotOf = udf { (zv: Long) =>
+        val a = bcFlat.value
+        val p = java.util.Arrays.binarySearch(a, zv)
+        if (p >= 0) (p / 2).toLong // on a bound => inside resident p/2
+        else {
+          val q = -p - 1
+          if (q % 2 == 1) (q / 2).toLong // strictly inside resident
+          else (a.length / 2 + q / 2).toLong // gap before resident q/2
+        }
+      }
+      val probeZ = probeParts.map { p =>
+        val (stagedP, zP, _) = clusteredFrame(
+          p.select(cl.cols.map(c => col(c.name)): _*), cl)
+        stagedP.select(zP.as("__z"))
+      }.reduce(_ unionByName _)
+      val slots = probeZ
+        .groupBy(slotOf(col("__z")).as("__slot"))
+        .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      bcFlat.destroy()
+      // los is sorted; residents containing v form a contiguous run
+      // ending at the last lo <= v
+      val los = mainIvsSorted.map(_._2._1).toArray
+      def containing(v: Long): Seq[Int] = {
+        var j = java.util.Arrays.binarySearch(los, v)
+        if (j < 0) j = -j - 2 // last lo <= v
+        else while (j + 1 < m && los(j + 1) == v) j += 1
+        val out = Seq.newBuilder[Int]
+        var i = j
+        while (i >= 0 && mainIvsSorted(i)._2._2 >= v) {
+          out += i; i -= 1
+        }
+        out.result()
+      }
+      // (the slot itself is always in containing(lo) — its probe
+      // min lies inside its own interval)
+      val selected = slots.collect { case (s, lo, hi) if s < m =>
+        containing(lo) ++ containing(hi)
+      }.flatten.toSet
+      (selected.map(i => mainIvsSorted(i)._1),
+        slots.collect { case (s, lo, hi) if s >= m => (lo, hi) }.toSeq)
+    }
+  }
+
   private def foldAndPublish(spark: SparkSession, path: String,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       cl: Clustering, retainMs: Long, retiredM: Map[String, Long],
@@ -934,127 +1248,29 @@ object Zorder {
     val retired0 = retiredM.keySet
     val files = tails ++ mains
     locally {
-      // resident per-file z-ranges: cached and self-healing — entries
-      // whose file vanished are dropped, residents without entries get
-      // ONE targeted narrow scan. File names are unique forever (every
-      // write embeds a job UUID), so a named entry can never describe
-      // different bytes. Tail files need no range entries: the fold
-      // tests them by VALUE below.
-      val names = files.map(_.getPath.getName).toSet
-      val cached = readZranges(spark, path).filter(e => names.contains(e._1))
-      val missing = mains.filter(st => !cached.contains(st.getPath.getName))
-      val computed = computeZranges(spark, cl, missing.map(_.getPath))
-      // a ZERO-ROW data file yields no range entry (the stats pass
-      // groups by file over rows), so without a cache entry it would
-      // land in `missing` and pay a targeted scan on EVERY compact —
-      // a small but unbounded recurring cost. Cache an inverted
-      // sentinel (lo > hi, unreachable for a real file); sentinel
-      // entries are excluded from every interval computation below
-      // (no rows → nothing to fold, nothing to block a junction).
-      val emptySentinels = missing.map(_.getPath.getName)
-        .filterNot(computed.contains).map(_ -> (1L, 0L)).toMap
-      val ivs = cached ++ computed ++ emptySentinels
+      val ivs = residentIvs(spark, path, cl, files, mains)
       def realIv(n: String): Option[(Long, Long)] =
         ivs.get(n).filter(iv => iv._1 <= iv._2)
       // fold selection by VALUE-level overlap, never per-tail-file
       // hulls: a resident folds iff at least one tail z-VALUE lands
-      // inside its interval. A hull test over-folds badly — a spread
-      // batch landed in few files BRIDGES the curve segments it
-      // occupies and drags every resident in between into the rewrite
-      // (measured in ZorderProbe's first cut: 50 of 128 residents for
-      // a 6.5% time slab; value-level folds only the residents the
-      // slab actually crosses, independent of the append's
-      // batchFiles). One job over the tail's z-values: each value
-      // binary-searches a broadcast boundary list of the sorted
-      // resident intervals and lands in a resident slot or an
-      // inter-resident GAP slot; per-slot min/max come back in one
-      // tiny aggregate. A deliberate udf: a maintenance job over tail
-      // rows only (never a benched query path), EXACT long arithmetic
-      // (a double spelling corrupts codes past 2^53), O(log M) per row
-      // over a boundary list with no codegen-expressible spelling at
-      // 10^5 residents.
-      // sorted by (lo, hi) — lo alone is not enough: sorted-run file
-      // splitting can put a single-value file (0,0) NEXT TO the wider
-      // run file (0,2) that shares its boundary value, and a lo-tie
-      // ordered (0,2),(0,0) would read as genuine overlap below
+      // inside its interval (a hull test lets a spread batch's few
+      // files BRIDGE the curve segments they occupy and drag every
+      // resident in between into the rewrite — measured in
+      // ZorderProbe's first cut: 50 of 128 residents for a 6.5% time
+      // slab). The location primitive is [[locateByValue]], shared
+      // with [[deleteClustered]].
       val mainIvsSorted = mains.flatMap(st =>
         realIv(st.getPath.getName).map(iv => (st.getPath.getName, iv)))
         .sortBy(_._2)
-      val flat = mainIvsSorted
-        .flatMap { case (_, (lo, hi)) => Seq(lo, hi) }.toArray
-      val m = mainIvsSorted.length
-      // the binary search needs the layout near-invariant: residents
-      // pairwise disjoint EXCEPT at shared BOUNDARY values — a range
-      // task's sorted output split across files (e.g. under
-      // spark.sql.files.maxRecordsPerFile) legally puts one z value on
-      // both sides of a cut, including single-value files inside a
-      // wider neighbor's boundary ((0,0) beside (0,2)). Under the
-      // (lo, hi) sort these all keep `flat` non-decreasing and are
-      // handled by the containment expansion below, never by the
-      // repair arm (a repair that whole-folds a healthy tie layout
-      // would pay a full-table rewrite EVERY cycle, and the rewrite
-      // under the same config regenerates the tie). GENUINE interior
-      // overlap makes `flat` decrease somewhere (hi_k > lo_{k+1}) and
-      // folds EVERYTHING — that fold restores the invariant.
-      val invariantHolds = flat.indices.drop(1).forall(i =>
-        flat(i - 1) <= flat(i))
-      val (foldMainNames, gapIvs): (Set[String], Seq[(Long, Long)]) =
-        if (!invariantHolds) (mainIvsSorted.map(_._1).toSet, Seq.empty)
-        else {
-          val bcFlat = spark.sparkContext.broadcast(flat)
-          val slotOf = udf { (zv: Long) =>
-            val a = bcFlat.value
-            val p = java.util.Arrays.binarySearch(a, zv)
-            if (p >= 0) (p / 2).toLong // on a bound => inside resident p/2
-            else {
-              val q = -p - 1
-              if (q % 2 == 1) (q / 2).toLong // strictly inside resident
-              else (a.length / 2 + q / 2).toLong // gap before resident q/2
-            }
-          }
-          val probeParts = (if (tails.isEmpty) Seq.empty[DataFrame]
-            else Seq(spark.read.option("mergeSchema", "true")
-              .parquet(tails.map(_.getPath.toString): _*))) ++
-            extraProbe.toSeq
-          val probeZ = probeParts.map { p =>
-            val (stagedP, zP, _) = clusteredFrame(
-              p.select(cl.cols.map(c => col(c.name)): _*), cl)
-            stagedP.select(zP.as("__z"))
-          }.reduceOption(_ unionByName _).getOrElse(sys.error(
-            "foldAndPublish: nothing to probe — no tails and no extra " +
-              "probe (caller bug)"))
-          val slots = probeZ
-            .groupBy(slotOf(col("__z")).as("__slot"))
-            .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
-            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-          bcFlat.destroy()
-          // containment EXPANSION for endpoint ties: a tail value ON a
-          // shared endpoint lives in BOTH residents, but the search
-          // returned only one slot — fold every resident whose interval
-          // contains the slot's boundary values (an interior value is
-          // contained only by its own slot, so expanding unconditionally
-          // is exact). los is sorted; residents containing v form a
-          // contiguous run ending at the last lo <= v.
-          val los = mainIvsSorted.map(_._2._1).toArray
-          def containing(v: Long): Seq[Int] = {
-            var j = java.util.Arrays.binarySearch(los, v)
-            if (j < 0) j = -j - 2 // last lo <= v
-            else while (j + 1 < m && los(j + 1) == v) j += 1
-            val out = Seq.newBuilder[Int]
-            var i = j
-            while (i >= 0 && mainIvsSorted(i)._2._2 >= v) {
-              out += i; i -= 1
-            }
-            out.result()
-          }
-          // (the slot itself is always in containing(lo) — its tail
-          // min lies inside its own interval)
-          val folded = slots.collect { case (s, lo, hi) if s < m =>
-            containing(lo) ++ containing(hi)
-          }.flatten.toSet
-          (folded.map(i => mainIvsSorted(i)._1),
-            slots.collect { case (s, lo, hi) if s >= m => (lo, hi) }.toSeq)
-        }
+      val probeParts = (if (tails.isEmpty) Seq.empty[DataFrame]
+        else Seq(spark.read.option("mergeSchema", "true")
+          .parquet(tails.map(_.getPath.toString): _*))) ++
+        extraProbe.toSeq
+      require(probeParts.nonEmpty,
+        "foldAndPublish: nothing to probe — no tails and no extra " +
+          "probe (caller bug)")
+      val (foldMainNames, gapIvs) =
+        locateByValue(spark, cl, mainIvsSorted, probeParts)
       val foldMains = mains.filter(st => foldMainNames(st.getPath.getName))
       val foldSet = tails ++ foldMains
       val foldNames = foldSet.map(_.getPath.getName).toSet
@@ -1086,10 +1302,17 @@ object Zorder {
       val k = math.max(1, math.min(cl.numFiles,
         math.round(foldBytes.toDouble / meanMain).toInt))
       val tmp = new org.apache.hadoop.fs.Path(root, tailTmpDir)
+      // fold inputs apply the generation's deletion vectors: a fold
+      // over a DV'd file MATERIALIZES the tombstones (the rewritten
+      // rows exclude deleted positions), and the dead DV records —
+      // addressing names the flip removes — never match again
+      val dvNames = currentManifest(spark, fs, root)
+        .map(_._2.filter(isDvName)).getOrElse(Seq.empty)
       val foldDf =
         if (foldSet.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true")
-          .parquet(foldSet.map(_.getPath.toString): _*))
+        else Some(applyDvs(spark, fs, root,
+          spark.read.option("mergeSchema", "true")
+            .parquet(foldSet.map(_.getPath.toString): _*), dvNames))
       val rewritten = transform(foldDf)
       require(!rewritten.columns.contains(regionCol),
         s"compactTail: input already carries a $regionCol column — a " +
@@ -1225,6 +1448,7 @@ object Zorder {
     val retired0 = readRetired(spark, path).keySet
     val files = listDataFiles(fs, root)
       .filterNot(st => retired0(st.getPath.getName))
+      .filterNot(st => isDvName(st.getPath.getName))
     val (tails, mains) = files.partition(
       _.getPath.getName.matches("b\\d+-.*"))
     tails.nonEmpty && {
@@ -1788,8 +2012,12 @@ object Zorder {
         // start empty for legacy residents (conservative — they gain
         // stats when a fold rewrites them); `added` keeps its own.
         val retired = readRetired(spark, root.toString).keySet
+        // dv- files cannot be LIVE without a manifest (deletes commit
+        // through one) — any present here is a crashed commit's
+        // orphan, and entering the first base would make reads APPLY
+        // deletes that never committed
         val legacy = listDataFiles(fs, root).map(_.getPath.getName)
-          .filterNot(retired).filter { n =>
+          .filterNot(retired).filterNot(isDvName).filter { n =>
             val m = "^b(\\d+)-.*".r.findFirstMatchIn(n)
             m.forall(mm => Layout.batchApplied(spark, root.toString,
               mm.group(1).toLong))
@@ -2093,7 +2321,9 @@ object Zorder {
     resolveGeneration(fs, root, None) match {
       case None => (Seq.empty, Seq.empty)
       case Some(g) =>
-        val all = g.entries.keys.toSeq.sorted
+        // DATA files only: DV entries carry no stats and are not
+        // scanned as data — callers fetch and apply them separately
+        val all = g.entries.keys.toSeq.filter(!isDvName(_)).sorted
         (all.filter(n =>
           statsIntersect(parseStatsPayload(g.entries(n)), box)), all)
     }
@@ -2523,6 +2753,44 @@ object Zorder {
     reader.parquet(paths: _*)
   }
 
+  /** Apply a generation's deletion vectors to a scan over its data
+    * files: anti-join on (file name, parquet row position). The DV
+    * side is ∝ deletes since the last whole compact — BROADCAST when
+    * plainly small (the overwhelmingly common case: the scan side
+    * gains a codegen'd hash probe and no exchange); past the bound a
+    * shuffled anti-join is still correct. Row identity is
+    * `_metadata.row_index` (physical position: deterministic per
+    * file, stable under splits and row-group pruning) + the file's
+    * base name (names embed write-job UUIDs — a (name, pos) pair can
+    * never address different bytes). No-op without DVs: the plain
+    * scan relation is returned untouched. */
+  private def applyDvs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      data: DataFrame, dvNames: Seq[String]): DataFrame =
+    if (dvNames.isEmpty) data
+    else {
+      Seq("__graft_dv_file", "__graft_dv_pos").foreach(c =>
+        require(!data.columns.contains(c),
+          s"readClustered: the layout's schema carries the reserved " +
+            s"column name $c — deletion-vector application joins on " +
+            "it; rename the data column"))
+      val dv = spark.read.schema("file STRING, pos BIGINT")
+        .parquet(dvNames.map(n =>
+          new org.apache.hadoop.fs.Path(root, n).toString): _*)
+        .withColumnRenamed("file", "__graft_dv_file")
+        .withColumnRenamed("pos", "__graft_dv_pos")
+      val bytes = dvNames.map(n => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, n)).getLen).sum
+      val dvSide = if (bytes <= (64L << 20)) broadcast(dv) else dv
+      data
+        .withColumn("__graft_dv_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+        .join(dvSide, Seq("__graft_dv_file", "__graft_dv_pos"),
+          "left_anti")
+        .drop("__graft_dv_file", "__graft_dv_pos")
+    }
+
   /** Read a clustered layout through its generation manifest — the
     * reader-side API with the atomicity guarantee the directory read
     * lacks: the resolved file set is exactly one complete generation,
@@ -2544,9 +2812,19 @@ object Zorder {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     currentManifest(spark, fs, root) match {
+      case Some((_, names)) if names.exists(!isDvName(_)) =>
+        val (dataNames, dvNames) = names.partition(!isDvName(_))
+        applyDvs(spark, fs, root,
+          readDeclared(spark, fs, root, dataNames.map(n =>
+            new org.apache.hadoop.fs.Path(root, n).toString)), dvNames)
       case Some((_, names)) if names.nonEmpty =>
-        readDeclared(spark, fs, root, names.map(n =>
-          new org.apache.hadoop.fs.Path(root, n).toString))
+        // dv-only generation: unreachable by construction (every DV
+        // commit adds to a generation with data files, and folds
+        // publish at least one file) — refusing beats a directory
+        // fallback that would serve rows the DVs deleted
+        sys.error(s"readClustered: generation at $path lists only " +
+          "deletion vectors and no data files — a damaged manifest; " +
+          "rebuild the layout")
       case _ =>
         // legacy layout (no manifest yet), or an empty generation
         // (bootstrap purged, nothing landed): the directory read is
@@ -2588,14 +2866,19 @@ object Zorder {
     val g = resolveGeneration(fs, root, Some(asOfEpoch)).getOrElse(
       sys.error(s"readClustered: $path has no generation manifest — a " +
         "legacy pre-manifest layout has no epochs to pin"))
-    require(g.entries.nonEmpty,
+    val (dataNames, dvNames) =
+      g.entries.keys.toSeq.sorted.partition(!isDvName(_))
+    require(dataNames.nonEmpty,
       s"readClustered: generation $asOfEpoch at $path is empty — " +
         "nothing to read at that epoch")
     // the CURRENT declared schema on purpose: the pin is a row-set
     // pin, and the schema is table-level metadata (a pinned read after
-    // a widening sees the new column as NULL, never a schema error)
-    readDeclared(spark, fs, root, g.entries.keys.toSeq.sorted.map(n =>
-      new org.apache.hadoop.fs.Path(root, n).toString))
+    // a widening sees the new column as NULL, never a schema error).
+    // DVs are THAT generation's: a pin taken before a delete serves
+    // the undeleted rows — the delete is a later epoch's entry.
+    applyDvs(spark, fs, root,
+      readDeclared(spark, fs, root, dataNames.map(n =>
+        new org.apache.hadoop.fs.Path(root, n).toString)), dvNames)
   }
 
   /** [[readClustered]] restricted by a conjunctive BOX — `(column,
@@ -2628,8 +2911,15 @@ object Zorder {
       readDeclared(spark, fs, root, Seq(
         new org.apache.hadoop.fs.Path(root, all.head).toString))
         .where(lit(false))
-    else readDeclared(spark, fs, root, kept.map(n =>
-      new org.apache.hadoop.fs.Path(root, n).toString))
+    else {
+      // the full DV set against the pruned subset: DV rows for
+      // skipped files simply never match the anti-join
+      val dvNames = currentManifest(spark, fs, root)
+        .map(_._2.filter(isDvName)).getOrElse(Seq.empty)
+      applyDvs(spark, fs, root,
+        readDeclared(spark, fs, root, kept.map(n =>
+          new org.apache.hadoop.fs.Path(root, n).toString)), dvNames)
+    }
   }
 
   /** Exact per-file [zmin, zmax] under the PINNED clustering for

@@ -56,6 +56,17 @@ object Io {
           AND ts <  TIMESTAMP '2024-01-15 00:00:00'
         GROUP BY event_type"""
 
+  /** q185 and q186 share this on purpose: the fold between them must
+    * change bytes on disk, never a visible row. */
+  private val dvDeleteOracle = """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM events
+        WHERE user_id BETWEEN 2 AND 8
+          AND event_id % 10 <> 5
+        GROUP BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- S4+S6+S7: partitioned write → read back → CTAS → SQL -----
@@ -455,6 +466,86 @@ object Io {
                CAST(sum(event_id) AS BIGINT) AS id_sum
         FROM merged
         WHERE user_id BETWEEN 2 AND 8
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ----- Deletion vectors: row-level DELETE without rewrite -----
+    // The merge-delete (q184) rewrites the files the keys live in —
+    // correct, but write cost ∝ victim file bytes. deleteClustered
+    // writes TOMBSTONES instead: one narrow scan of the located
+    // victims, a (file, row position) parquet a few KB big, one
+    // manifest delta commit — no data file touched (CONTRACTS.json
+    // grades rewritten-files == 0 and tombstone-bytes/victim-bytes
+    // per bench run). Every manifest read then anti-joins the DV set.
+    // Lifecycle per rep: bootstrap 6/7, append 1/7 (tail UNfolded —
+    // deletes must hunt tails too), delete every event_id % 10 == 5
+    // key (plus a batch of ABSENT keys — the no-op arm) and verify a
+    // REPLAY tombstones nothing (idempotent by construction: already-
+    // deleted positions are excluded from the fresh set). The box
+    // scan hash-matches DuckDB on `events` minus the deleted keys —
+    // the anti-join read serves exactly the undeleted rows.
+    QueryDef(
+      "q185_dv_delete",
+      (spark, dir) => {
+        import graft.operators.Zorder
+        val e = Tables.load(spark, dir, "events")
+        val tmp = scratchPath("dv_events")
+        Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), tmp,
+          Seq("user_id", "ts"), bits = 16, numFiles = 32)
+        Zorder.appendClustered(e.filter(col("event_id") % 7 === 0), tmp,
+          batchId = 1)
+        val delKeys = e.filter(col("event_id") % 10 === 5)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val absent = delKeys
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+        val n = Zorder.deleteClustered(spark, tmp,
+          delKeys.unionByName(absent), keyCols = Seq("event_id"))
+        require(n > 0, "the delete batch must tombstone rows")
+        require(Zorder.deleteClustered(spark, tmp, delKeys,
+          keyCols = Seq("event_id")) == 0L,
+          "a replayed delete must tombstone nothing")
+        Zorder.readClustered(spark, tmp, Seq(("user_id", 2: Any, 8: Any)))
+          .filter(col("user_id").between(2, 8))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            sum(col("event_id")).as("id_sum"))
+      },
+      Some(dvDeleteOracle)),
+
+    // ----- DV materialization: a fold makes tombstones physical -----
+    // Same lifecycle as q185 through the delete, then compactTail
+    // folds the tail and the residents it overlaps — the fold READS
+    // its inputs through the DV anti-join, so the rewritten files
+    // physically exclude the deleted positions while untouched files
+    // keep relying on their (still-manifested) tombstones. The scan
+    // after the fold hash-matches the SAME oracle as q185: the
+    // rewrite changed bytes on disk, not one visible row. (The
+    // whole-compact arm — DV set cleared from the manifest entirely —
+    // is spec-pinned in ZorderSpec.)
+    QueryDef(
+      "q186_dv_materialize",
+      (spark, dir) => {
+        import graft.operators.Zorder
+        val e = Tables.load(spark, dir, "events")
+        val tmp = scratchPath("dvmat_events")
+        Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), tmp,
+          Seq("user_id", "ts"), bits = 16, numFiles = 32)
+        Zorder.appendClustered(e.filter(col("event_id") % 7 === 0), tmp,
+          batchId = 1)
+        Zorder.deleteClustered(spark, tmp,
+          e.filter(col("event_id") % 10 === 5)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          keyCols = Seq("event_id"))
+        Zorder.compactTail(spark, tmp)
+        Zorder.readClustered(spark, tmp, Seq(("user_id", 2: Any, 8: Any)))
+          .filter(col("user_id").between(2, 8))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            sum(col("event_id")).as("id_sum"))
+      },
+      Some(dvDeleteOracle))
   )
 }

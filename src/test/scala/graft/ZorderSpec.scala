@@ -1286,6 +1286,163 @@ class ZorderSpec extends SparkSpec {
       "_graft_retired.00000000000000ff.deadbeef"), false)
   }
 
+  test("deletion vectors: keyed delete rewrites nothing; reads, pins, folds and compacts all honor the tombstones") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_dv_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    def dataNames: Set[String] = fs.listStatus(root).toSeq
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName) &&
+        !st.getPath.getName.startsWith("dv-"))
+      .map(_.getPath.getName).toSet
+    Zorder.writeHilbert(e.filter(col("event_id") % 4 =!= 0), dir,
+      Seq("user_id", "value"), bits = 8, numFiles = 8)
+    // tail left UNfolded: deletes must hunt b<id>- files too
+    assert(Zorder.appendClustered(e.filter(col("event_id") % 4 === 0),
+      dir, batchId = 1))
+    val preNames = dataNames
+    val preEpoch = Zorder.currentEpoch(spark, dir).get
+    val delKeys = e.filter(col("event_id") % 6 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val remain = e.filter(col("event_id") % 6 =!= 0)
+    val n = Zorder.deleteClustered(spark, dir, delKeys, Seq("event_id"))
+    assert(n == e.count() - remain.count(),
+      s"every keyed row tombstones exactly once, got $n")
+    // the DV promise: not one data file rewritten — only dv- files
+    // and manifest state changed
+    assert(dataNames == preNames,
+      "a deletion-vector delete must not touch a data file")
+    assert(Zorder.currentManifest(spark, fs, root).get._2
+      .exists(_.startsWith("dv-")), "the tombstones are manifest entries")
+    // all three read arms apply the DVs
+    assert(fp(Zorder.readClustered(spark, dir)) == fp(remain),
+      "the manifest read must serve exactly the undeleted rows")
+    val boxGot = Zorder.readClustered(spark, dir,
+      Seq(("user_id", 2: Any, 8: Any)))
+      .filter(col("user_id").between(2, 8)).count()
+    assert(boxGot == remain.filter(col("user_id").between(2, 8)).count(),
+      "the box read must apply DVs to the pruned subset")
+    assert(Zorder.readClustered(spark, dir, preEpoch).count() == e.count(),
+      "a pre-delete pinned epoch serves the undeleted rows — the " +
+        "delete is a later epoch's entry")
+    assert(Zorder.readClustered(spark, dir,
+      Zorder.currentEpoch(spark, dir).get).count() == remain.count())
+    // idempotent by construction: a replay tombstones nothing and an
+    // absent-keys batch burns no epoch
+    assert(Zorder.deleteClustered(spark, dir, delKeys,
+      Seq("event_id")) == 0L, "replayed delete must be a no-op")
+    val ep0 = Zorder.currentEpoch(spark, dir).get
+    assert(Zorder.deleteClustered(spark, dir,
+      delKeys.withColumn("event_id", col("event_id") + lit(2000000000L)),
+      Seq("event_id")) == 0L)
+    assert(Zorder.currentEpoch(spark, dir).get == ep0,
+      "an all-absent delete must not burn a manifest epoch")
+    // NULL keys refuse loudly (the semi-join is null-unsafe)
+    val exNull = intercept[IllegalArgumentException](
+      Zorder.deleteClustered(spark, dir,
+        e.limit(1).select(lit(null).cast("long").as("event_id"),
+          col("user_id"), col("value")), Seq("event_id")))
+    assert(exNull.getMessage.contains("NULL"), exNull.getMessage)
+    // a tail fold MATERIALIZES the tombstones it touches and must not
+    // resurrect a deleted row
+    assert(Zorder.compactTail(spark, dir))
+    assert(fp(Zorder.readClustered(spark, dir)) == fp(remain),
+      "the fold must materialize, not resurrect")
+    // the whole compact clears the DV set entirely: fresh base, no
+    // dv- entries, superseded dv files swept from disk
+    Zorder.compactClustered(spark, dir)
+    assert(fp(Zorder.readClustered(spark, dir)) == fp(remain))
+    assert(!Zorder.currentManifest(spark, fs, root).get._2
+      .exists(_.startsWith("dv-")),
+      "a whole compact's fresh base carries no deletion vectors")
+    assert(!fs.listStatus(root).exists(st =>
+      st.getPath.getName.startsWith("dv-")),
+      "superseded DV files are swept with the old generation")
+    assert(disjoint(zRanges(dir)))
+  }
+
+  test("deletion vectors: crash debris is swept and an orphan DV never deletes a row") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_dvc_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    Zorder.writeHilbert(e, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    val count0 = Zorder.readClustered(spark, dir).count()
+    // a pre-commit crash window: a dv- file published into the root
+    // but never committed — address rows 0..4 of a LIVE file, so
+    // wrongly applying it would visibly drop rows
+    val victim = Zorder.currentManifest(spark, fs, root).get._2.head
+    val s = spark
+    import s.implicits._
+    (0L until 5L).map(p => (victim, p)).toDF("file", "pos")
+      .repartition(1).write.parquet(dir + "/orphan_src")
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(dir,
+      "orphan_src")).filter(st => !st.isDirectory &&
+      !graft.operators.Layout.isHidden(st.getPath.getName)).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      "dv-deadbeef-orphan.parquet")
+    assert(fs.rename(src, orphan))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "orphan_src"), true)
+    assert(Zorder.readClustered(spark, dir).count() == count0,
+      "an uncommitted (orphan) DV must never be applied — deletes " +
+        "live in the manifest, not the directory")
+    // a stale staging dir from a pre-publish crash
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_graft_dv_tmp"))
+    // the next delete call sweeps both debris forms, even when it
+    // itself commits nothing
+    assert(Zorder.deleteClustered(spark, dir,
+      e.limit(3).select((col("event_id") + lit(3000000000L))
+        .as("event_id"), col("user_id"), col("value")),
+      Seq("event_id")) == 0L)
+    assert(!fs.exists(orphan), "the orphan DV is crash debris — swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      "_graft_dv_tmp")), "stale DV staging is swept")
+    assert(Zorder.readClustered(spark, dir).count() == count0)
+  }
+
+  test("deletion vectors: retention grace and reader pins govern DV files like data files") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_dvr_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val hour = 3600L * 1000
+    Zorder.writeHilbert(e, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    val remain = e.filter(col("event_id") % 6 =!= 0)
+    assert(Zorder.deleteClustered(spark, dir,
+      e.filter(col("event_id") % 6 === 0)
+        .select(col("event_id"), col("user_id"), col("value")),
+      Seq("event_id")) > 0)
+    val (pinnedEpoch, pinId) = Zorder.pinRead(spark, dir, ttlMs = hour)
+    // whole compact under grace: the old generation's data AND dv
+    // files are retired together, so the pinned epoch still resolves
+    // AND still applies its tombstones
+    Zorder.compactClustered(spark, dir, retainMs = hour)
+    assert(Zorder.readClustered(spark, dir, pinnedEpoch).count() ==
+      remain.count(),
+      "a pinned pre-compact epoch must keep applying its DV set " +
+        "from the retired files")
+    assert(!Zorder.currentManifest(spark, fs, root).get._2
+      .exists(_.startsWith("dv-")))
+    // the pin floor protects the retired dv file from an aggressive
+    // vacuum exactly like a data file
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) == 0,
+      "an unexpired pin must hold the retired generation, DVs included")
+    assert(fs.listStatus(root).exists(st =>
+      st.getPath.getName.startsWith("dv-")))
+    Zorder.unpin(spark, dir, pinId)
+    assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0)
+    assert(!fs.listStatus(root).exists(st =>
+      st.getPath.getName.startsWith("dv-")),
+      "past the grace the DV files vacuum with their generation")
+    assert(Zorder.readClustered(spark, dir).count() == remain.count())
+  }
+
   test("data skipping on NON-clustering columns: layout-correlated stats prune, scattered ones keep all") {
     // the Delta add-file stats discipline: the manifest records
     // min/max for every top-level primitive column (capped), so a box
