@@ -737,10 +737,11 @@ object Contracts {
       // are a rounding error next to the bytes the rewrite-merge form
       // (q184's verb) touches for the SAME keys — the two verbs run
       // side by side on identical bootstraps and the ratio is
-      // measured, not asserted. Measured band sf0.1: ~1.5 KB of
-      // tombstones vs ~1.9 MB of merge rewrite ≈ 0.001; threshold
-      // carries wide margin for parquet's fixed per-file overhead at
-      // smaller sf.
+      // measured, not asserted. Measured: 0.0041 at sf0.1, 0.030 at
+      // sf0.01 (2026-08-16) — the ratio falls as files grow because
+      // the tombstone side is rows-deleted × ~16 B plus ONE parquet
+      // file's fixed overhead while the merge side rewrites whole
+      // files; threshold carries margin for the small-sf floor.
       val pathA = queries.scratchPath("contracts_dv_a")
       val pathB = queries.scratchPath("contracts_dv_b")
       val z = graft.operators.Zorder

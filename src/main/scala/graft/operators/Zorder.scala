@@ -2838,6 +2838,15 @@ object Zorder {
             "non-empty retire ledger — a directory read would serve " +
             "retired (old-generation) rows; rebuild the layout or " +
             "vacuum past the grace first")
+        // same refusal for deletion vectors: a hand-deleted manifest
+        // family over a DV'd layout must not degrade to a directory
+        // read that parses dv- tombstone files as data rows (declared
+        // schema → null-filled garbage) AND serves the deleted rows
+        require(!listDataFiles(fs, root).exists(st =>
+          isDvName(st.getPath.getName)),
+          s"readClustered: $path has no resolvable generation but " +
+            "deletion-vector files present — a directory read cannot " +
+            "apply (or even skip) them; rebuild the layout")
         readDeclared(spark, fs, root, Seq(path))
     }
   }
@@ -3407,8 +3416,18 @@ object Zorder {
       cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(path)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
+    // explicit non-dv file list on flat layouts: a tombstone file
+    // read as data would contribute an all-NULL phantom box; falls
+    // back to the directory read for non-flat (partitioned) inputs
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val flat = listDataFiles(fs, root)
+      .filterNot(st => isDvName(st.getPath.getName))
+      .map(_.getPath.toString)
+    val src = if (flat.nonEmpty) spark.read.parquet(flat: _*)
+      else spark.read.parquet(path)
+    src.select(input_file_name().as("file") +: cols.map(col): _*)
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
   }

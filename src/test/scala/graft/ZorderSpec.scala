@@ -1361,6 +1361,21 @@ class ZorderSpec extends SparkSpec {
       st.getPath.getName.startsWith("dv-")),
       "superseded DV files are swept with the old generation")
     assert(disjoint(zRanges(dir)))
+    // a hand-deleted manifest family over a STANDING DV set must
+    // refuse the legacy directory fallback — it can neither apply
+    // the tombstones nor even skip the dv- files as data
+    assert(Zorder.deleteClustered(spark, dir,
+      e.filter(col("event_id") % 6 === 1)
+        .select(col("event_id"), col("user_id"), col("value")),
+      Seq("event_id")) > 0)
+    fs.listStatus(root).foreach { st =>
+      if (!st.isDirectory &&
+          st.getPath.getName.startsWith("_graft_manifest"))
+        fs.delete(st.getPath, false)
+    }
+    val exDv = intercept[IllegalArgumentException](
+      Zorder.readClustered(spark, dir))
+    assert(exDv.getMessage.contains("deletion-vector"), exDv.getMessage)
   }
 
   test("deletion vectors: crash debris is swept and an orphan DV never deletes a row") {
