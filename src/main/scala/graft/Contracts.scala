@@ -783,6 +783,53 @@ object Contracts {
         0.05, "<=")
     }
 
+    grade("q187_merge_on_read") {
+      // the merge-on-read claim, graded per run: an UPDATE batch
+      // (tombstone + re-insert) rewrites ZERO data files and writes
+      // bytes ∝ the batch — tombstones plus the upsert rows
+      // themselves — while the copy-on-write merge rewrites the
+      // victim files for the same batch. Measured 0.234 at sf0.01
+      // (2026-08-17) — parquet per-file fixed overhead dominates the
+      // batch-shaped numerator at tiny files; the ratio falls with
+      // file size (the denominator is file-shaped).
+      val pathC = queries.scratchPath("contracts_mor_c")
+      val pathD = queries.scratchPath("contracts_mor_d")
+      val z = graft.operators.Zorder
+      def filesOf(path: String): Map[String, Long] = {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).filter(st => !st.isDirectory &&
+          !graft.operators.Layout.isHidden(st.getPath.getName))
+          .map(st => st.getPath.getName -> st.getLen).toMap
+      }
+      z.writeHilbert(events, pathC, Seq("user_id", "ts"), bits = 16,
+        numFiles = 32)
+      z.writeHilbert(events, pathD, Seq("user_id", "ts"), bits = 16,
+        numFiles = 32)
+      val upd = events
+        .filter(col("user_id") === 1 && col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 100.0)
+      require(!upd.isEmpty, "no user-1 rows to update — fixture broke")
+      val beforeC = filesOf(pathC)
+      require(z.mergeOnRead(spark, pathC, upd, Seq("event_id"),
+        batchId = 2) > 0, "the update batch must tombstone old copies")
+      val afterC = filesOf(pathC)
+      val rewrittenData = (beforeC.keySet -- afterC.keySet).size
+      val bytesWritten = afterC.collect {
+        case (n, len) if !beforeC.contains(n) => len }.sum
+      val beforeD = filesOf(pathD)
+      z.mergeClustered(spark, pathD, upd, Seq("event_id"))
+      val afterDNames = filesOf(pathD).keySet
+      val mergeBytes = beforeD.collect {
+        case (n, len) if !afterDNames(n) => len }.sum
+      require(mergeBytes > 0, "the rewrite merge rewrote nothing — " +
+        "the comparison fixture broke")
+      Contract("q187_merge_on_read",
+        "mor write cost: data files rewritten (must be 0) + bytes written / merge-rewrite bytes for the same update batch",
+        rewrittenData.toDouble + bytesWritten.toDouble / mergeBytes,
+        0.30, "<=")
+    }
+
     grade("q183_retention_vacuum") {
       // the grace discipline, graded per run: a retention fold retires
       // (never deletes) its victims; a vacuum INSIDE the grace window

@@ -125,6 +125,8 @@ object Zorder {
   // manifest-readers-only ([[readClustered]]).
   private[graft] val dvPrefix = "dv-"
   private val dvTmpDir = "_graft_dv_tmp"
+  private val morTmpDir = "_graft_mor_tmp"
+  private val morCommittingFile = "_graft_mor_committing"
   private[graft] def isDvName(n: String): Boolean = n.startsWith(dvPrefix)
 
   /** Test seam: invoked with a step label at each reader-visible
@@ -614,6 +616,10 @@ object Zorder {
     // set's files are deleted-but-unreplaced until its staged files
     // publish, and this whole-layout fold must see the completed state
     recoverTailCrash(spark, fs, root)
+    // and a crashed merge-on-read commit: its published tombstones /
+    // insert files are unmanifested until its recorded commit resumes,
+    // and this fold must see the completed batch
+    recoverMorCrash(spark, fs, root)
     // finish a crashed compaction before starting this one — the same
     // publish → FLIP MANIFEST → delete order as the main path, so a
     // reader resolving at any recovery step still sees one complete
@@ -978,19 +984,7 @@ object Zorder {
           "— bootstrap or append once first (deletion vectors commit " +
           "through the manifest; a directory read cannot see them)"))
         ._2.toSet
-      // crashed-delete debris, swept under the lease: stale staging
-      // (pre-publish crash) and published-but-uncommitted dv- files
-      // (pre-commit crash — unreachable by any resolve; ledgered ones
-      // are a PREVIOUS compact's grace and stay)
-      val tmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
-      if (fs.exists(tmp)) require(fs.delete(tmp, true),
-        s"deleteClustered: could not clear stale staging $tmp")
-      listDataFiles(fs, root).map(_.getPath.getName)
-        .filter(n => isDvName(n) && !manifested(n) &&
-          !retiredM.contains(n))
-        .foreach(n => require(
-          fs.delete(new org.apache.hadoop.fs.Path(root, n), false),
-          s"deleteClustered: could not sweep orphan $n"))
+      sweepDvDebris(spark, fs, root, manifested, retiredM)
       val dvLive = manifested.filter(isDvName).toSeq.sorted
       val keyed = keys.select(
         (keyCols ++ cl.cols.map(_.name).filterNot(keyCols.contains))
@@ -1004,77 +998,397 @@ object Zorder {
             "address a resident row; filter or repair the batch first")
         if (keyed.isEmpty) 0L
         else {
-          val ivs = residentIvs(spark, path, cl, tails ++ mains, mains)
-          def realIv(n: String): Option[(Long, Long)] =
-            ivs.get(n).filter(iv => iv._1 <= iv._2)
-          val mainIvsSorted = mains.flatMap(st =>
-            realIv(st.getPath.getName)
-              .map(iv => (st.getPath.getName, iv))).sortBy(_._2)
-          val (hit, _) = locateByValue(spark, cl, mainIvsSorted,
-            Seq(keyed))
-          // tails always scan: every b<id>- file overlaps by
-          // construction, so any of them could hold a touched key
-          val victims = tails ++ mains.filter(st =>
-            hit(st.getPath.getName))
-          if (victims.isEmpty) 0L
+          val cnt = stageTombstones(spark, path, fs, root, cl, dvLive,
+            tails, mains, keyed, keyCols)
+          if (cnt == 0L) 0L
           else {
-            // ONE narrow scan of the victims: key columns + row
-            // identity; existing tombstones are excluded so a
-            // replayed delete finds nothing fresh
-            val narrow = spark.read.option("mergeSchema", "true")
-              .parquet(victims.map(_.getPath.toString): _*)
-              .select(Seq(
-                element_at(split(col("_metadata.file_path"), "/"), -1)
-                  .as("__graft_dv_file"),
-                col("_metadata.row_index").as("__graft_dv_pos")) ++
-                keyCols.map(col): _*)
-            val undeleted =
-              if (dvLive.isEmpty) narrow
-              else narrow.join(
-                broadcast(spark.read.schema("file STRING, pos BIGINT")
-                  .parquet(dvLive.map(n => new org.apache.hadoop.fs
-                    .Path(root, n).toString): _*)
-                  .withColumnRenamed("file", "__graft_dv_file")
-                  .withColumnRenamed("pos", "__graft_dv_pos")),
-                Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
-            val fresh = undeleted
-              .join(keyed.select(keyCols.map(col): _*).distinct(),
-                keyCols, "left_semi")
-              .select(col("__graft_dv_file").as("file"),
-                col("__graft_dv_pos").as("pos"))
-            // repartition(1): the tombstone set is batch-sized; one
-            // file keeps the read side's broadcast build trivial
-            // (repartition, not coalesce — the join above keeps its
-            // parallelism)
-            fresh.repartition(1).write.mode("overwrite")
-              .parquet(tmp.toString)
-            val token = java.util.UUID.randomUUID.toString.take(8)
-            publishFlattened(fs, tmp, root, s"$dvPrefix$token-")
-            val added = listDataFiles(fs, root).map(_.getPath.getName)
-              .filter(_.startsWith(s"$dvPrefix$token-"))
-            val cnt = if (added.isEmpty) 0L
-              else spark.read.schema("file STRING, pos BIGINT")
-                .parquet(added.map(n => new org.apache.hadoop.fs
-                  .Path(root, n).toString): _*).count()
-            if (cnt == 0L) {
-              // nothing matched (absent keys, or a replay): publish
-              // nothing, burn no epoch
-              added.foreach(n => require(fs.delete(
-                new org.apache.hadoop.fs.Path(root, n), false),
-                s"deleteClustered: could not remove empty $n"))
-              if (fs.exists(tmp)) fs.delete(tmp, true)
-              0L
-            } else {
-              commitManifestDelta(spark, fs, root,
-                added.map(_ -> "").toMap, Set.empty,
-                deferGc = retiredM.nonEmpty)
-              if (fs.exists(tmp)) fs.delete(tmp, true)
-              cnt
-            }
+            val added = publishStagedDvs(spark, fs, root,
+              java.util.UUID.randomUUID.toString.take(8))
+            commitManifestDelta(spark, fs, root,
+              added.map(_ -> "").toMap, Set.empty,
+              deferGc = retiredM.nonEmpty)
+            cnt
           }
         }
       } finally keyed.unpersist()
     }
+
+  /** Sweep crashed-delete/upsert debris under the writer lease: stale
+    * `_graft_dv_tmp` staging (pre-publish crash) and
+    * published-but-uncommitted dv- orphans (pre-commit crash —
+    * unreachable by any resolve; ledgered ones are a previous
+    * compact's grace and stay). */
+  private def sweepDvDebris(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      manifested: Set[String], retired: Map[String, Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
+    if (fs.exists(tmp)) require(fs.delete(tmp, true),
+      s"deleteClustered: could not clear stale staging $tmp")
+    listDataFiles(fs, root).map(_.getPath.getName)
+      .filter(n => isDvName(n) && !manifested(n) && !retired.contains(n))
+      .foreach(n => require(
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), false),
+        s"deleteClustered: could not sweep orphan $n"))
+  }
+
+  /** STAGE fresh tombstones for every resident copy (in `tails` +
+    * the located `mains`) of a key row in `keyed` — the core
+    * [[deleteClustered]] and [[mergeOnRead]] share. `keyed` must be
+    * distinct, NULL-free over `keyCols`, and carry the clustering
+    * columns (the address contract). Already-deleted positions
+    * (`dvLive`) are excluded, which is what makes a retry find
+    * nothing fresh. Returns the fresh tombstone count; on 0 (absent
+    * keys, or a retry) NOTHING is left staged. On > 0 the tombstone
+    * parquet sits under `_graft_dv_tmp` awaiting [[publishStagedDvs]]
+    * — staging and publishing are split so [[mergeOnRead]] can put
+    * its commit sentinel between them. */
+  private def stageTombstones(spark: SparkSession, path: String,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      cl: Clustering, dvLive: Seq[String],
+      tails: Seq[org.apache.hadoop.fs.FileStatus],
+      mains: Seq[org.apache.hadoop.fs.FileStatus],
+      keyed: DataFrame, keyCols: Seq[String]): Long = {
+    val tmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
+    // defensive: a stale staging from a pre-commit crash must never
+    // ride along into a caller's later publish (the victims-empty arm
+    // below would otherwise leave it standing)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val ivs = residentIvs(spark, path, cl, tails ++ mains, mains)
+    def realIv(n: String): Option[(Long, Long)] =
+      ivs.get(n).filter(iv => iv._1 <= iv._2)
+    val mainIvsSorted = mains.flatMap(st =>
+      realIv(st.getPath.getName)
+        .map(iv => (st.getPath.getName, iv))).sortBy(_._2)
+    val (hit, _) = locateByValue(spark, cl, mainIvsSorted, Seq(keyed))
+    // tails always scan: every b<id>- file overlaps by construction,
+    // so any of them could hold a touched key
+    val victims = tails ++ mains.filter(st => hit(st.getPath.getName))
+    if (victims.isEmpty) 0L
+    else {
+      // ONE narrow scan of the victims: key columns + row identity;
+      // existing tombstones are excluded so a retry finds nothing
+      // fresh
+      val narrow = spark.read.option("mergeSchema", "true")
+        .parquet(victims.map(_.getPath.toString): _*)
+        .select(Seq(
+          element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as("__graft_dv_file"),
+          col("_metadata.row_index").as("__graft_dv_pos")) ++
+          keyCols.map(col): _*)
+      val undeleted =
+        if (dvLive.isEmpty) narrow
+        else narrow.join(
+          broadcast(spark.read.schema("file STRING, pos BIGINT")
+            .parquet(dvLive.map(n => new org.apache.hadoop.fs
+              .Path(root, n).toString): _*)
+            .withColumnRenamed("file", "__graft_dv_file")
+            .withColumnRenamed("pos", "__graft_dv_pos")),
+          Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+      val fresh = undeleted
+        .join(keyed.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_semi")
+        .select(col("__graft_dv_file").as("file"),
+          col("__graft_dv_pos").as("pos"))
+      // repartition(1): the tombstone set is batch-sized; one file
+      // keeps the read side's broadcast build trivial (repartition,
+      // not coalesce — the join above keeps its parallelism)
+      fresh.repartition(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val cnt = spark.read.schema("file STRING, pos BIGINT")
+        .parquet(tmp.toString).count()
+      if (cnt == 0L && fs.exists(tmp)) fs.delete(tmp, true)
+      cnt
+    }
+  }
+
+  /** Publish the staged tombstone parquet into the root under
+    * `dv-<token>-` and return the published names. Idempotent per
+    * token (the publishFlattened rename discipline — files already
+    * published survive, their staged copies are gone). Callers commit
+    * the returned names into the manifest themselves. */
+  private def publishStagedDvs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      token: String): Seq[String] = {
+    val tmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
+    publishFlattened(fs, tmp, root, s"$dvPrefix$token-")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    listDataFiles(fs, root).map(_.getPath.getName)
+      .filter(_.startsWith(s"$dvPrefix$token-"))
+  }
+
+  /** Keyed MERGE in the MERGE-ON-READ discipline — [[mergeClustered]]
+    * semantics (update / delete / insert, last-write `versionCol`
+    * arbitration, the clustering-immutability contract) with
+    * [[deleteClustered]] economics: NO data file is rewritten. Old
+    * copies of every change key are TOMBSTONED (one narrow scan of
+    * the located victims), surviving upsert rows land as an ordinary
+    * ledgered `b<batchId>-` tail batch through the pinned
+    * quantization, and ONE manifest delta commit publishes both sides
+    * together — a reader resolves either the full old state or
+    * tombstones AND inserts at once, never a half-applied batch. At
+    * 100 TB this is the CDC steady state: per-batch write cost is
+    * ∝ the batch (tombstone rows + insert rows), the read side pays
+    * one broadcast anti-join plus the tail overlap the trigger policy
+    * already bounds, and the standing folds ([[compactTail]] /
+    * [[compactClustered]]) amortize both debts on their own schedule
+    * — the rewrite-now form ([[mergeClustered]]) remains for when
+    * read amplification matters more than write cost.
+    *
+    * ==Why this verb has its own commit sentinel==
+    * Key-addressed tombstones are NOT state-idempotent the way the
+    * rewrite merge is: once a batch's inserts are visible (committed,
+    * or folded into replacements), re-running the tombstone pass
+    * would address the batch's own NEW copies — the ledger blocks the
+    * re-insert, and the replay would destroy the data it delivered.
+    * So replays must never re-run a completed batch, and a crashed
+    * one must be COMPLETED, not redone: `_graft_mor_committing`
+    * records the planned dv and insert file names (atomic,
+    * length-checked — the tail-fold sentinel discipline), and every
+    * fold-family entry recovers it by resuming publish → ledger →
+    * commit, all idempotent set operations. Before the sentinel,
+    * nothing is durable (stagings are swept); from the sentinel on,
+    * recovery finishes the batch exactly once; the manifest delta
+    * stays the single reader-visible atom (a reader resolves the full
+    * old state or tombstones AND inserts together at every crash
+    * window). A replayed `batchId` whose ledger entry stands returns
+    * 0 and touches nothing. The batchId namespace is shared with
+    * [[appendClustered]] — use distinct ids across both verbs.
+    *
+    * Returns the number of positions tombstoned by THIS call (0 for
+    * a replay or a pure-insert batch). */
+  def mergeOnRead(spark: SparkSession, path: String, changes: DataFrame,
+      keyCols: Seq[String], batchId: Long,
+      deleteCol: Option[String] = None, versionCol: Option[String] = None,
+      batchFiles: Int = 4): Long =
+    Layout.withWriterLease(spark, path, "mergeOnRead") {
+      val (fs, root, cl, retiredM, tails, mains) =
+        tailFoldPreamble(spark, path, "mergeOnRead", 0L)
+      require(batchFiles >= 1, s"batchFiles must be >= 1, got $batchFiles")
+      require(keyCols.nonEmpty, "mergeOnRead: keyCols is empty")
+      val metaCols = deleteCol.toSeq ++ versionCol.toSeq
+      metaCols.foreach(c => require(changes.columns.contains(c),
+        s"mergeOnRead: marker column $c is not in the changes batch"))
+      require(!keyCols.exists(metaCols.contains),
+        s"mergeOnRead: keyCols and marker columns overlap")
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        changes.schema.fields.filterNot(f => metaCols.contains(f.name)))
+      keyCols.foreach(k => require(dataSchema.fieldNames.contains(k),
+        s"mergeOnRead: key column $k is not in the changes batch"))
+      Layout.readMarker(spark, path, schemaFile).foreach { rp =>
+        require(rp == schemaPayload(dataSchema),
+          s"mergeOnRead: change schema [${schemaPayload(dataSchema)
+            .replace("\n", ", ")}] does not match the resident " +
+            s"layout's [${rp.replace("\n", ", ")}] at $path (marker " +
+            "columns excluded); run migrateSchemaWiden first if this " +
+            "is a widening")
+      }
+      val manifested = currentManifest(spark, fs, root).getOrElse(
+        sys.error(s"mergeOnRead: $path has no generation manifest — " +
+          "bootstrap or append once first (tombstones commit through " +
+          "the manifest)"))._2.toSet
+      sweepDvDebris(spark, fs, root, manifested, retiredM)
+      // exactly-once: an applied batch is a COMPLETED batch (the
+      // sentinel protocol guarantees ledger ⇒ published + committed,
+      // or recovered by the preamble above) — a replay must not re-run
+      // the tombstone pass, which would address the batch's own
+      // inserts wherever a fold has moved them
+      if (Layout.batchApplied(spark, path, batchId)) 0L
+      else {
+      val dvLive = manifested.filter(isDvName).toSeq.sorted
+      // survivor rule within the batch — the mergeClustered spelling
+      val keyed = versionCol match {
+        case Some(v) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy(col(v).desc)
+          changes.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        case None =>
+          val dup = changes.groupBy(keyCols.map(col): _*)
+            .count().filter(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"mergeOnRead: duplicate key ${dup.headOption} in the " +
+              "changes batch and no versionCol to arbitrate — dedupe " +
+              "first or pass versionCol (last-write wins)")
+          changes
+      }
+      keyed.cache()
+      try {
+        require(keyed.filter(keyCols.map(col(_).isNull)
+          .reduce(_ || _)).isEmpty,
+          s"mergeOnRead: the changes batch carries NULL in a key " +
+            s"column (${keyCols.mkString(", ")}) — a NULL key cannot " +
+            "address a resident row; filter or repair the batch first")
+        if (keyed.isEmpty) 0L
+        else {
+          val isDelete = deleteCol.map(c =>
+            coalesce(col(c).cast("boolean"), lit(false)))
+            .getOrElse(lit(false))
+          val upserts = keyed.filter(!isDelete).drop(metaCols: _*)
+          // 1. STAGE tombstones for every resident copy of every
+          // change key — updates AND deletes (the change rows carry
+          // the full data schema, so the clustering address is
+          // present). Nothing durable happens before the sentinel.
+          val keysOnly = keyed.select(
+            (keyCols ++ cl.cols.map(_.name).filterNot(keyCols.contains))
+              .map(col): _*).distinct()
+          val nTomb = stageTombstones(spark, path, fs, root, cl,
+            dvLive, tails, mains, keysOnly, keyCols)
+          // 2. STAGE the surviving upsert rows through the pinned
+          // quantization (the appendClustered write body, into this
+          // verb's own hidden staging)
+          val morTmp = new org.apache.hadoop.fs.Path(root, morTmpDir)
+          if (fs.exists(morTmp)) fs.delete(morTmp, true)
+          val (staged, z, drop) = clusteredFrame(upserts, cl)
+          withStatsTimestamps(spark) {
+            staged.repartitionByRange(
+                math.min(batchFiles, cl.numFiles), z)
+              .sortWithinPartitions(z)
+              .drop(drop: _*)
+              .write.mode("overwrite").parquet(morTmp.toString)
+          }
+          onProtocolStep("mor-staged")
+          // planned names: both stagings are FLAT, so the publish
+          // destination is prefix + staged name — computable here,
+          // recordable in the sentinel, reproducible in recovery
+          val token = java.util.UUID.randomUUID.toString.take(8)
+          def stagedNames(d: org.apache.hadoop.fs.Path): Seq[String] =
+            if (!fs.exists(d)) Seq.empty
+            else fs.listStatus(d).toSeq.filter(st => !st.isDirectory &&
+              !Layout.isHidden(st.getPath.getName))
+              .map(_.getPath.getName).sorted
+          val dvTmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
+          val dvPlanned = if (nTomb == 0L) Seq.empty
+            else stagedNames(dvTmp).map(n => s"$dvPrefix$token-$n")
+          val bPlanned = stagedNames(morTmp)
+            .map(n => s"b$batchId-m$token-$n")
+          if (dvPlanned.isEmpty && bPlanned.isEmpty) {
+            // a batch that changes nothing (all-absent deletes):
+            // nothing to publish, nothing to ledger — NOT applied, so
+            // a later batch reusing the id is not silently swallowed
+            if (fs.exists(morTmp)) fs.delete(morTmp, true)
+            0L
+          } else {
+            // 3. the writer-side commit point: sentinel records the
+            // FULL planned name lists (length-checked — acting on a
+            // prefix would commit a partial batch)
+            Layout.writeMarkerAtomic(spark, path, morCommittingFile,
+              (s"v1 $batchId ${dvPlanned.length} ${bPlanned.length}" +:
+                (dvPlanned ++ bPlanned).map(
+                  java.net.URLEncoder.encode(_, "UTF-8")))
+                .mkString("\n"))
+            onProtocolStep("mor-sentinel")
+            // 4–6. publish → ledger → ONE manifest delta commit (the
+            // reader-visible atom), shared verbatim with recovery
+            finishMorCommit(spark, fs, root, batchId, token,
+              dvPlanned, bPlanned)
+            nTomb
+          }
+        }
+      } finally keyed.unpersist()
+      }
+    }
+
+  /** The publish → ledger → commit tail of a merge-on-read, shared by
+    * the live path and [[recoverMorCrash]] — every step is an
+    * idempotent set operation, so a crash at ANY point re-runs
+    * through recovery to the same state: staged files not yet
+    * published are renamed (already-published ones survive, their
+    * staged copies gone), the batch ledger entry is created if
+    * absent, the single delta commit adds exactly the planned names
+    * (a no-op if already committed), and the sentinel clears last. */
+  private def finishMorCommit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      batchId: Long, token: String,
+      dvPlanned: Seq[String], bPlanned: Seq[String]): Unit = {
+    val dvTmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
+    val morTmp = new org.apache.hadoop.fs.Path(root, morTmpDir)
+    publishFlattened(fs, dvTmp, root, s"$dvPrefix$token-")
+    publishFlattened(fs, morTmp, root, s"b$batchId-m$token-")
+    (dvPlanned ++ bPlanned).foreach(n => require(
+      fs.exists(new org.apache.hadoop.fs.Path(root, n)),
+      s"mergeOnRead: planned file $n is neither staged nor published " +
+        "— foreign deletion mid-commit; resolve manually"))
+    onProtocolStep("mor-published")
+    val ledger = new org.apache.hadoop.fs.Path(root,
+      s"_graft_batches/$batchId")
+    if (!fs.exists(ledger)) {
+      fs.mkdirs(ledger.getParent)
+      fs.create(ledger, false).close()
+    }
+    onProtocolStep("mor-ledger")
+    val cl = clusteringOf(spark, root.toString)
+    val retiredA = readRetired(spark, root.toString).keySet
+    commitManifestDelta(spark, fs, root,
+      footerStats(spark, fs, root,
+        bPlanned.filterNot(retiredA), cl) ++
+        dvPlanned.map(_ -> "").toMap,
+      Set.empty, deferGc = retiredA.nonEmpty)
+    onProtocolStep("mor-manifest")
+    if (fs.exists(dvTmp)) fs.delete(dvTmp, true)
+    if (fs.exists(morTmp)) fs.delete(morTmp, true)
+    require(fs.delete(
+      new org.apache.hadoop.fs.Path(root, morCommittingFile), false),
+      s"mergeOnRead: could not clear the $morCommittingFile sentinel")
+    onProtocolStep("mor-done")
+  }
+
+  /** Recovery for [[mergeOnRead]]'s crash windows — run under the
+    * writer lease by every fold-family entry. Sentinel present → the
+    * batch committed writer-side: resume publish → ledger → commit
+    * with the RECORDED names ([[finishMorCommit]] — all idempotent).
+    * Stagings without a sentinel → a pre-commit crash: nothing
+    * durable happened, the stagings are discarded (`_graft_dv_tmp`
+    * doubles as [[deleteClustered]] staging and is swept by its own
+    * entry too). */
+  private def recoverMorCrash(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val sentinel = new org.apache.hadoop.fs.Path(root, morCommittingFile)
+    if (fs.exists(sentinel)) {
+      val lines = Layout.readMarker(spark, root.toString,
+        morCommittingFile).get.split('\n').map(_.trim)
+      val header = lines.headOption.getOrElse("").split(' ')
+      require(header.length == 4 && header(0) == "v1" &&
+        header(1).matches("\\d{1,18}") && header(2).matches("\\d{1,9}") &&
+        header(3).matches("\\d{1,9}"),
+        s"mergeOnRead: unparseable $morCommittingFile sentinel at " +
+          s"$root — cannot tell the crashed commit's files apart; " +
+          "resolve manually")
+      val names = lines.drop(1).filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      val (nDv, nB) = (header(2).toInt, header(3).toInt)
+      require(names.length == nDv + nB,
+        s"mergeOnRead: $morCommittingFile sentinel at $root lists " +
+          s"${names.length} files but records $nDv+$nB — damaged; " +
+          "resolve manually (acting on a prefix would commit a " +
+          "partial batch)")
+      val dvPlanned = names.take(nDv).toSeq
+      val bPlanned = names.drop(nDv).toSeq
+      // the token is embedded in every planned name; recover it from
+      // either list (b names: b<id>-m<token>-…, dv names:
+      // dv-<token>-…)
+      val token = dvPlanned.headOption
+        .map(_.stripPrefix(dvPrefix).takeWhile(_ != '-'))
+        .orElse(bPlanned.headOption.map(
+          _.dropWhile(_ != 'm').drop(1).takeWhile(_ != '-')))
+        .getOrElse(sys.error(
+          s"mergeOnRead: $morCommittingFile sentinel at $root lists " +
+            "no files — damaged; resolve manually"))
+      finishMorCommit(spark, fs, root, header(1).toLong, token,
+        dvPlanned, bPlanned)
+    } else {
+      // pre-sentinel crash: nothing durable happened — both stagings
+      // are debris (under the lease a standing staging IS crashed;
+      // deleteClustered re-stages its own from scratch)
+      val morTmp = new org.apache.hadoop.fs.Path(root, morTmpDir)
+      if (fs.exists(morTmp)) require(fs.delete(morTmp, true),
+        s"mergeOnRead: could not clear stale staging $morTmp")
+      val dvTmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
+      if (fs.exists(dvTmp)) require(fs.delete(dvTmp, true),
+        s"mergeOnRead: could not clear stale staging $dvTmp")
+    }
+  }
 
   /** The shared entry discipline of the tail-fold protocol family
     * ([[compactTail]], [[mergeClustered]]): refuse under a crashed
@@ -1102,6 +1416,7 @@ object Zorder {
         "compactClustered (it recovers the crashed whole-layout swap, " +
         "then compacts)")
     recoverTailCrash(spark, fs, root)
+    recoverMorCrash(spark, fs, root)
     Layout.rollbackUnledgered(spark, path)
     val cl = clusteringOf(spark, path).getOrElse(sys.error(
       s"$what: no $markerFile marker at $path — not a clustered " +
@@ -1119,16 +1434,6 @@ object Zorder {
     (fs, root, cl, retiredM, tails, mains)
   }
 
-  /** The staged-fold core [[compactTail]] and [[mergeClustered]]
-    * share: select the fold set by VALUE-level containment (all tails
-    * + every main whose z-interval holds a probe value), rewrite
-    * `transform(foldDf)` through the region-split staged swap, and
-    * publish under the tail-fold crash protocol (sentinel → publish →
-    * manifest flip → delete-or-retire). `extraProbe` adds rows whose
-    * clustering values must be covered beyond the tail's (a merge's
-    * change rows); `transform` receives the fold frame (None when the
-    * probe touched no file — a pure gap insert) and returns the rows
-    * to publish in the fold set's place. */
   /** Value-level containment over the sorted resident interval list —
     * the ONE location primitive the fold forms and [[deleteClustered]]
     * share: (residents holding at least one probe row's clustering
@@ -1238,6 +1543,16 @@ object Zorder {
     }
   }
 
+  /** The staged-fold core [[compactTail]] and [[mergeClustered]]
+    * share: select the fold set by VALUE-level containment (all tails
+    * + every main whose z-interval holds a probe value), rewrite
+    * `transform(foldDf)` through the region-split staged swap, and
+    * publish under the tail-fold crash protocol (sentinel → publish →
+    * manifest flip → delete-or-retire). `extraProbe` adds rows whose
+    * clustering values must be covered beyond the tail's (a merge's
+    * change rows); `transform` receives the fold frame (None when the
+    * probe touched no file — a pure gap insert) and returns the rows
+    * to publish in the fold set's place. */
   private def foldAndPublish(spark: SparkSession, path: String,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       cl: Clustering, retainMs: Long, retiredM: Map[String, Long],
@@ -3063,6 +3378,11 @@ object Zorder {
       s"$what: $path carries a $tailCompactingFile sentinel — a tail " +
         "compaction is in flight or crashed mid-swap; run compactTail " +
         "or compactClustered (both recover it) before appending")
+    require(Layout.readMarker(spark, path, morCommittingFile).isEmpty,
+      s"$what: $path carries a $morCommittingFile sentinel — a " +
+        "merge-on-read is in flight or crashed mid-commit; run any " +
+        "fold-family form (mergeOnRead, compactTail, compactClustered, " +
+        "deleteClustered — all recover it) first")
   }
 
   // ----- marker payload (bit-exact, versioned, human-inspectable) -----

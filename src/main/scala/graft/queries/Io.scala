@@ -56,6 +56,33 @@ object Io {
           AND ts <  TIMESTAMP '2024-01-15 00:00:00'
         GROUP BY event_type"""
 
+  /** q184 and q187 share this on purpose: the rewrite merge and the
+    * merge-on-read are the same CDC apply — copy-on-write vs
+    * merge-on-read is a cost trade, never a semantics change. */
+  private val mergeOracle = """
+        WITH upd AS (
+          SELECT event_id, ts, user_id, 'merged' AS event_type,
+                 value * 2 AS value, props
+          FROM events WHERE event_id % 10 = 0
+        ),
+        ins AS (
+          SELECT event_id + 1000000000 AS event_id, ts, user_id,
+                 event_type, value + 1.5 AS value, props
+          FROM events WHERE event_id % 10 = 7
+        ),
+        merged AS (
+          SELECT event_id, ts, user_id, event_type, value, props
+          FROM events WHERE event_id % 10 NOT IN (0, 5)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM merged
+        WHERE user_id BETWEEN 2 AND 8
+        GROUP BY event_type"""
+
   /** q185 and q186 share this on purpose: the fold between them must
     * change bytes on disk, never a visible row. */
   private val dvDeleteOracle = """
@@ -444,29 +471,53 @@ object Io {
               .cast("double").as("total"),
             sum(col("event_id")).as("id_sum"))
       },
-      Some("""
-        WITH upd AS (
-          SELECT event_id, ts, user_id, 'merged' AS event_type,
-                 value * 2 AS value, props
-          FROM events WHERE event_id % 10 = 0
-        ),
-        ins AS (
-          SELECT event_id + 1000000000 AS event_id, ts, user_id,
-                 event_type, value + 1.5 AS value, props
-          FROM events WHERE event_id % 10 = 7
-        ),
-        merged AS (
-          SELECT event_id, ts, user_id, event_type, value, props
-          FROM events WHERE event_id % 10 NOT IN (0, 5)
-          UNION ALL SELECT * FROM upd
-          UNION ALL SELECT * FROM ins
-        )
-        SELECT event_type, count(*) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
-               CAST(sum(event_id) AS BIGINT) AS id_sum
-        FROM merged
-        WHERE user_id BETWEEN 2 AND 8
-        GROUP BY event_type""")),
+      Some(mergeOracle)),
+
+    // ----- MERGE-ON-READ: the same CDC apply, zero rewrites -----
+    // q184's exact change batch and oracle, applied through
+    // mergeOnRead: old copies of every change key are TOMBSTONED
+    // (deletion vectors), the surviving upserts land as an ordinary
+    // tail batch, and ONE manifest delta commit publishes both —
+    // no data file is rewritten (CONTRACTS.json grades write bytes
+    // vs the rewrite merge per run). The box scan hash-matching the
+    // SAME oracle as q184 proves the two merge disciplines are
+    // semantically identical — rewrite-now vs merge-on-read is purely
+    // a write-cost/read-amplification trade, which is the Delta/
+    // Iceberg copy-on-write vs merge-on-read distinction.
+    QueryDef(
+      "q187_merge_on_read",
+      (spark, dir) => {
+        import graft.operators.Zorder
+        val e = Tables.load(spark, dir, "events")
+        val tmp = scratchPath("mor_events")
+        Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), tmp,
+          Seq("user_id", "ts"), bits = 16, numFiles = 32)
+        Zorder.appendClustered(e.filter(col("event_id") % 7 === 0), tmp,
+          batchId = 1)
+        val updates = e.filter(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+          .withColumn("event_type", lit("merged"))
+          .withColumn("__del", lit(false))
+        val deletes = e.filter(col("event_id") % 10 === 5)
+          .withColumn("__del", lit(true))
+        val inserts = e.filter(col("event_id") % 10 === 7)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("value", col("value") + 1.5)
+          .withColumn("__del", lit(false))
+        val n = Zorder.mergeOnRead(spark, tmp,
+          updates.unionByName(deletes).unionByName(inserts),
+          keyCols = Seq("event_id"), batchId = 2,
+          deleteCol = Some("__del"))
+        require(n > 0, "updates and deletes must tombstone rows")
+        Zorder.readClustered(spark, tmp, Seq(("user_id", 2: Any, 8: Any)))
+          .filter(col("user_id").between(2, 8))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("total"),
+            sum(col("event_id")).as("id_sum"))
+      },
+      Some(mergeOracle)),
 
     // ----- Deletion vectors: row-level DELETE without rewrite -----
     // The merge-delete (q184) rewrites the files the keys live in —

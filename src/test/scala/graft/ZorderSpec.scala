@@ -1458,6 +1458,154 @@ class ZorderSpec extends SparkSpec {
     assert(Zorder.readClustered(spark, dir).count() == remain.count())
   }
 
+  test("mergeOnRead: mergeClustered semantics at deleteClustered cost — one commit, no rewrites, replay-safe") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dirA = Files.createTempDirectory("graft_zorder_morA_").toString
+    val dirB = Files.createTempDirectory("graft_zorder_morB_").toString
+    val fsA = new org.apache.hadoop.fs.Path(dirA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootA = fsA.makeQualified(new org.apache.hadoop.fs.Path(dirA))
+    def namesA: Set[String] = fsA.listStatus(rootA).toSeq
+      .filter(st => !st.isDirectory &&
+        !graft.operators.Layout.isHidden(st.getPath.getName))
+      .map(_.getPath.getName).toSet
+    Seq(dirA, dirB).foreach { d =>
+      Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), d,
+        Seq("user_id", "ts"), bits = 12, numFiles = 8)
+      assert(Zorder.appendClustered(e.filter(col("event_id") % 7 === 0),
+        d, batchId = 1))
+    }
+    // the q184 change shape: updates (non-clustering columns only —
+    // the immutability contract), deletes, inserts
+    val changes = e.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("event_type", lit("merged"))
+      .withColumn("__del", lit(false))
+      .unionByName(e.filter(col("event_id") % 10 === 5)
+        .withColumn("__del", lit(true)))
+      .unionByName(e.filter(col("event_id") % 10 === 7)
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+        .withColumn("value", col("value") + 1.5)
+        .withColumn("__del", lit(false)))
+    val preNames = namesA
+    val nT = Zorder.mergeOnRead(spark, dirA, changes, Seq("event_id"),
+      batchId = 2, deleteCol = Some("__del"))
+    assert(nT > 0, "updates and deletes must tombstone resident copies")
+    Zorder.mergeClustered(spark, dirB, changes, Seq("event_id"),
+      deleteCol = Some("__del"))
+    assert(fp(Zorder.readClustered(spark, dirA)) ==
+      fp(Zorder.readClustered(spark, dirB)),
+      "merge-on-read must produce mergeClustered's exact row set")
+    // the cost claim: nothing rewritten — every pre-merge file still
+    // present, additions are only the insert batch and tombstones
+    val after = namesA
+    assert(preNames.subsetOf(after),
+      "mergeOnRead must not delete or rewrite any data file")
+    assert((after -- preNames).forall(n =>
+      n.startsWith("b2-") || n.startsWith("dv-")),
+      s"unexpected additions: ${(after -- preNames).take(4)}")
+    // replay: ledger no-op + zero fresh tombstones + no epoch burn
+    val ep = Zorder.currentEpoch(spark, dirA).get
+    assert(Zorder.mergeOnRead(spark, dirA, changes, Seq("event_id"),
+      batchId = 2, deleteCol = Some("__del")) == 0L)
+    assert(Zorder.currentEpoch(spark, dirA).get == ep,
+      "a replayed merge-on-read must not burn a manifest epoch")
+    assert(fp(Zorder.readClustered(spark, dirA)) ==
+      fp(Zorder.readClustered(spark, dirB)))
+    // folds materialize both debts without changing a visible row
+    assert(Zorder.compactTail(spark, dirA))
+    assert(fp(Zorder.readClustered(spark, dirA)) ==
+      fp(Zorder.readClustered(spark, dirB)),
+      "the fold after a merge-on-read changes bytes, not rows")
+  }
+
+  test("mergeOnRead: every crash window serves a consistent state and recovery completes the batch exactly once") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_morc_").toString
+    Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), dir,
+      Seq("user_id", "ts"), bits = 12, numFiles = 8)
+    assert(Zorder.appendClustered(e.filter(col("event_id") % 7 === 0),
+      dir, batchId = 1))
+    val changes = e.filter(col("event_id") % 10 === 0)
+      .withColumn("event_type", lit("merged"))
+      .withColumn("__del", lit(false))
+      .unionByName(e.filter(col("event_id") % 10 === 5)
+        .withColumn("__del", lit(true)))
+    val expected = e.filter(col("event_id") % 10 =!= 0 &&
+        col("event_id") % 10 =!= 5)
+      .unionByName(e.filter(col("event_id") % 10 === 0)
+        .withColumn("event_type", lit("merged")))
+      .select(e.columns.map(col): _*)
+    val before = fp(Zorder.readClustered(spark, dir))
+    case class Crash() extends RuntimeException("simulated crash")
+    def crashAt(label: String, batch: Long): Unit = {
+      Zorder.onProtocolStep = l => if (l == label) throw Crash()
+      try intercept[Crash](Zorder.mergeOnRead(spark, dir, changes,
+        Seq("event_id"), batchId = batch, deleteCol = Some("__del")))
+      finally Zorder.onProtocolStep = _ => ()
+    }
+    // window 1: both sides staged, NO sentinel — nothing durable;
+    // readers see the old state and the replay redoes the batch
+    crashAt("mor-staged", 2)
+    assert(fp(Zorder.readClustered(spark, dir)) == before,
+      "a pre-sentinel crash must leave the exact old state visible")
+    assert(Zorder.mergeOnRead(spark, dir, changes, Seq("event_id"),
+      batchId = 2, deleteCol = Some("__del")) > 0L,
+      "the replay after a pre-sentinel crash redoes the batch")
+    assert(fp(Zorder.readClustered(spark, dir)) == fp(expected))
+    // reset to a fresh layout for the post-sentinel windows
+    val dir2 = Files.createTempDirectory("graft_zorder_morc2_").toString
+    Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), dir2,
+      Seq("user_id", "ts"), bits = 12, numFiles = 8)
+    assert(Zorder.appendClustered(e.filter(col("event_id") % 7 === 0),
+      dir2, batchId = 1))
+    def crashAt2(label: String): Unit = {
+      Zorder.onProtocolStep = l => if (l == label) throw Crash()
+      try intercept[Crash](Zorder.mergeOnRead(spark, dir2, changes,
+        Seq("event_id"), batchId = 2, deleteCol = Some("__del")))
+      finally Zorder.onProtocolStep = _ => ()
+    }
+    // window 2: sentinel written, nothing published — readers still
+    // resolve the old generation; appends REFUSE under the sentinel;
+    // any fold-family entry completes the batch
+    crashAt2("mor-sentinel")
+    assert(fp(Zorder.readClustered(spark, dir2)) == before,
+      "a post-sentinel pre-publish crash still serves the old state")
+    val exApp = intercept[IllegalArgumentException](
+      Zorder.appendClustered(e.limit(3), dir2, batchId = 9))
+    assert(exApp.getMessage.contains("merge-on-read"), exApp.getMessage)
+    assert(Zorder.deleteClustered(spark, dir2,
+      e.limit(3).select((col("event_id") + lit(3000000000L))
+        .as("event_id"), col("user_id"), col("ts")),
+      Seq("event_id")) == 0L) // any fold-family entry recovers first
+    assert(fp(Zorder.readClustered(spark, dir2)) == fp(expected),
+      "recovery must complete the crashed batch from the sentinel")
+    // the batch is ledgered by recovery: a replay is a pure no-op
+    assert(Zorder.mergeOnRead(spark, dir2, changes, Seq("event_id"),
+      batchId = 2, deleteCol = Some("__del")) == 0L,
+      "a recovered batch must never re-run (its tombstones would " +
+        "address its own inserts)")
+    assert(fp(Zorder.readClustered(spark, dir2)) == fp(expected))
+    // window 3 (fresh layout): published + ledgered, manifest commit
+    // never ran — the commit is the one reader-visible atom
+    val dir3 = Files.createTempDirectory("graft_zorder_morc3_").toString
+    Zorder.writeHilbert(e.filter(col("event_id") % 7 =!= 0), dir3,
+      Seq("user_id", "ts"), bits = 12, numFiles = 8)
+    assert(Zorder.appendClustered(e.filter(col("event_id") % 7 === 0),
+      dir3, batchId = 1))
+    Zorder.onProtocolStep = l => if (l == "mor-ledger") throw Crash()
+    try intercept[Crash](Zorder.mergeOnRead(spark, dir3, changes,
+      Seq("event_id"), batchId = 2, deleteCol = Some("__del")))
+    finally Zorder.onProtocolStep = _ => ()
+    assert(fp(Zorder.readClustered(spark, dir3)) == before,
+      "published-but-uncommitted: readers still resolve the old " +
+        "generation exactly")
+    assert(Zorder.compactTail(spark, dir3),
+      "the fold entry recovers the crashed commit, then folds")
+    assert(fp(Zorder.readClustered(spark, dir3)) == fp(expected),
+      "recovery + fold must converge to the merged row set")
+  }
+
   test("data skipping on NON-clustering columns: layout-correlated stats prune, scattered ones keep all") {
     // the Delta add-file stats discipline: the manifest records
     // min/max for every top-level primitive column (capped), so a box
