@@ -416,6 +416,84 @@ object ZorderProbe {
             f"byteFrac=${rwB.toDouble / math.max(1L, totB)}%.4f")
         }
     }
+
+    // ----- deletion vectors: read overhead ≈ nil, write ∝ batch -----
+    // Two claims measured. (1) READ: an identical full-domain scan on
+    // a layout carrying a committed tombstone set vs a DV-less twin —
+    // the anti-join is a broadcast hash probe inside the scan stage,
+    // so the median wall-time ratio should sit near 1 (the probe
+    // prints both medians; the ratio is the number PLANS.md records).
+    // (2) WRITE: the same single-user update batch applied via
+    // mergeOnRead at two grid scales — bytes WRITTEN stay ∝ the batch
+    // as the grid refines ×8 (and rewrittenFiles stays 0), where the
+    // copy-on-write mergescale table above shows file-shaped bytes.
+    locally {
+      def scanMed(d: String): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Zorder.readClustered(spark, d)
+            .agg(count(lit(1)), sum(col("value"))).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm (footer cache, codegen)
+        (1 to 5).map(_ => once()).sorted.apply(2)
+      }
+      // two scan sizes tell fixed cost (broadcast build + extra
+      // stage) apart from per-row probe cost: if the absolute delta
+      // stays flat as the scan grows ×8, the anti-join's per-row
+      // share is negligible and the ratio on a REAL scan tends to 1
+      Seq(1, 8).foreach { mult =>
+        val src = if (mult == 1) e
+          else e.withColumn("__rep",
+            explode(lit((0 until 8).toArray))).drop("__rep")
+        val plain = s"$tmp/dvprobe-plain-$mult"
+        val dvd = s"$tmp/dvprobe-dv-$mult"
+        Seq(plain, dvd).foreach(d => Zorder.writeHilbert(src, d,
+          Seq("user_id", "ts"), bits = 16, numFiles = 32))
+        val nDel = Zorder.deleteClustered(spark, dvd,
+          e.filter(col("event_id") % 17 === 0)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Seq("event_id"))
+        val mp = scanMed(plain)
+        val md = scanMed(dvd)
+        println(f"ZORDERPROBE dvread scanScale=$mult tomb=$nDel " +
+          f"plainMed=$mp%.3fs dvMed=$md%.3fs ratio=${md / mp}%.3f " +
+          f"deltaMs=${(md - mp) * 1000}%.0f")
+      }
+      // the common CDC shape: a KEY-LOCAL delete (one user) touches
+      // few files, and every other file rides the clean branch with
+      // zero per-row cost — the ratio should collapse toward 1
+      // (contrast with the %17 delete above, which scatters
+      // tombstones into every file by construction)
+      val dvn = s"$tmp/dvprobe-narrow"
+      Zorder.writeHilbert(e, dvn, Seq("user_id", "ts"), bits = 16,
+        numFiles = 32)
+      val nNarrow = Zorder.deleteClustered(spark, dvn,
+        e.filter(col("user_id") === 1)
+          .select(col("event_id"), col("user_id"), col("ts")),
+        Seq("event_id"))
+      val mn = scanMed(dvn)
+      val mpRef = scanMed(s"$tmp/dvprobe-plain-1")
+      println(f"ZORDERPROBE dvread narrow tomb=$nNarrow " +
+        f"dvMed=$mn%.3fs plainMed=$mpRef%.3fs ratio=${mn / mpRef}%.3f")
+      Seq(32, 256).foreach { nf =>
+        val d = s"$tmp/morscale-$nf"
+        Zorder.writeHilbert(e, d, Seq("user_id", "ts"), bits = 16,
+          numFiles = nf)
+        val before = dataFiles(d)
+        Zorder.mergeOnRead(spark, d,
+          e.filter(col("user_id") === 1 && col("event_id") % 2 === 0)
+            .withColumn("value", col("value") + 1.0),
+          Seq("event_id"), batchId = 2)
+        val after = dataFiles(d)
+        val rewritten = before.keySet -- after.keySet
+        val written = after.collect {
+          case (n, len) if !before.contains(n) => len }.sum
+        println(f"ZORDERPROBE morscale files=$nf batch=user1 " +
+          f"rewrittenFiles=${rewritten.size} writtenBytes=$written " +
+          f"tableBytes=${before.values.sum}")
+      }
+    }
     spark.stop()
   }
 }

@@ -1065,14 +1065,15 @@ object Zorder {
     val victims = tails ++ mains.filter(st => hit(st.getPath.getName))
     if (victims.isEmpty) 0L
     else {
-      // ONE narrow scan of the victims: key columns + row identity;
+      // ONE narrow scan of the victims: key columns + row identity
+      // (the raw metadata path — the basename is cut only from the
+      // MATCHED rows below, batch-sized, never per scanned row);
       // existing tombstones are excluded so a retry finds nothing
       // fresh
       val narrow = spark.read.option("mergeSchema", "true")
         .parquet(victims.map(_.getPath.toString): _*)
         .select(Seq(
-          element_at(split(col("_metadata.file_path"), "/"), -1)
-            .as("__graft_dv_file"),
+          col("_metadata.file_path").as("__graft_dv_file"),
           col("_metadata.row_index").as("__graft_dv_pos")) ++
           keyCols.map(col): _*)
       val undeleted =
@@ -1081,14 +1082,15 @@ object Zorder {
           broadcast(spark.read.schema("file STRING, pos BIGINT")
             .parquet(dvLive.map(n => new org.apache.hadoop.fs
               .Path(root, n).toString): _*)
-            .withColumnRenamed("file", "__graft_dv_file")
-            .withColumnRenamed("pos", "__graft_dv_pos")),
+            .select(concat(lit(root.toString + "/"), col("file"))
+              .as("__graft_dv_file"),
+              col("pos").as("__graft_dv_pos"))),
           Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
       val fresh = undeleted
         .join(keyed.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_semi")
-        .select(col("__graft_dv_file").as("file"),
-          col("__graft_dv_pos").as("pos"))
+        .select(element_at(split(col("__graft_dv_file"), "/"), -1)
+          .as("file"), col("__graft_dv_pos").as("pos"))
       // repartition(1): the tombstone set is batch-sized; one file
       // keeps the read side's broadcast build trivial (repartition,
       // not coalesce — the join above keeps its parallelism)
@@ -1772,6 +1774,64 @@ object Zorder {
       tails.length >= maxTailFiles ||
         tailBytes.toDouble >= maxTailFraction * total
     }
+  }
+
+  /** Tombstone DEBT of a clustered layout: committed tombstone rows /
+    * physical data rows, both read from parquet FOOTERS on the driver
+    * (O(manifest files) metadata reads, no Spark job — the
+    * [[tailCompactDue]] discipline applied to the DV dimension). Debt
+    * is what a merge-on-read steady state accumulates: every read
+    * pays the anti-join over it, and only a fold materializes it
+    * away. Counts come from the MANIFEST's entries (never the
+    * directory — an orphan tombstone must not count); dead tombstones
+    * (addressing files a tail fold already rewrote) count as debt
+    * too, deliberately — they still ride every read's broadcast, and
+    * only the whole compact clears them. Advisory by design (the
+    * [[tailCompactDue]] contract): 0.0 for a legacy or DV-less
+    * layout; an unreadable footer lenient-parses to 0 rows rather
+    * than failing a maintenance cron. */
+  def dvDebt(spark: SparkSession, path: String): Double = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    currentManifest(spark, fs, root) match {
+      case None => 0.0
+      case Some((_, names)) =>
+        val (dataNames, dvNames) = names.partition(!isDvName(_))
+        if (dvNames.isEmpty) 0.0
+        else {
+          val conf = spark.sparkContext.hadoopConfiguration
+          def rowsOf(n: String): Long =
+            try {
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(root, n), conf))
+              try r.getRecordCount finally r.close()
+            } catch { case scala.util.control.NonFatal(_) => 0L }
+          val tomb = dvNames.map(rowsOf).sum
+          val data = dataNames.map(rowsOf).sum
+          if (data <= 0L || tomb <= 0L) 0.0 else tomb.toDouble / data
+        }
+    }
+  }
+
+  /** Should a maintenance cycle MATERIALIZE the tombstone debt now?
+    * True once [[dvDebt]] crosses `maxDebt` — run
+    * [[compactClustered]] (clears the whole DV set and restores the
+    * grid) or [[compactTail]] (materializes the overlapped share).
+    * The merge-on-read loop shape:
+    * {{{
+    *   Zorder.mergeOnRead(spark, path, batch, keys, batchId)
+    *   if (Zorder.tailCompactDue(spark, path)) Zorder.compactTail(spark, path)
+    *   if (Zorder.dvCompactDue(spark, path)) Zorder.compactClustered(spark, path)
+    * }}}
+    * Advisory like [[tailCompactDue]]: a concurrent writer may change
+    * the answer before the compact runs, which is safe. */
+  def dvCompactDue(spark: SparkSession, path: String,
+      maxDebt: Double = 0.05): Boolean = {
+    require(maxDebt > 0.0 && maxDebt <= 1.0,
+      s"maxDebt must be in (0, 1], got $maxDebt")
+    dvDebt(spark, path) >= maxDebt
   }
 
   /** Recovery for [[compactTail]]'s crash windows — run under the
@@ -3068,6 +3128,53 @@ object Zorder {
     reader.parquet(paths: _*)
   }
 
+  /** Distinct data-file names a dv set addresses, cached per (root,
+    * dv name set) — dv names embed tokens and are unique forever, so
+    * a hit can never be stale. The ONE tiny driver-side job a DV'd
+    * read pays on first resolve; every later read splits its scan
+    * for free. Bounded like [[genCache]]. */
+  private val dvFilesCache =
+    new scala.collection.concurrent.TrieMap[(String, Seq[String]),
+      Set[String]]()
+
+  /** The generation's data scan with deletion vectors applied — the
+    * composition every manifest read arm shares. Files WITHOUT
+    * tombstones bypass the anti-join ENTIRELY (their rows never pay
+    * the per-row probe): the dv set's distinct victim names — one
+    * tiny cached driver job — split the scan into a clean branch and
+    * an anti-joined branch, unioned. A narrow (key-local) delete
+    * leaves most of a 100 TB table in the clean branch, and dead
+    * tombstones (files a fold rewrote) match nothing, so their cost
+    * at read time is zero. */
+  private def readWithDvs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      dataNames: Seq[String], dvNames: Seq[String]): DataFrame = {
+    def declared(ns: Seq[String]): DataFrame =
+      readDeclared(spark, fs, root, ns.map(n =>
+        new org.apache.hadoop.fs.Path(root, n).toString))
+    if (dvNames.isEmpty) declared(dataNames)
+    else {
+      val key = (root.toString, dvNames.sorted)
+      val victims = dvFilesCache.getOrElse(key, {
+        val v = spark.read.schema("file STRING, pos BIGINT")
+          .parquet(dvNames.map(n => new org.apache.hadoop.fs
+            .Path(root, n).toString): _*)
+          .select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (dvFilesCache.size >= 64 && !dvFilesCache.contains(key))
+          dvFilesCache.remove(dvFilesCache.keysIterator.next())
+        dvFilesCache.put(key, v)
+        v
+      })
+      val (dvd, clean) = dataNames.partition(victims)
+      if (dvd.isEmpty) declared(dataNames) // only dead tombstones
+      else if (clean.isEmpty)
+        applyDvs(spark, fs, root, declared(dataNames), dvNames)
+      else declared(clean).unionByName(
+        applyDvs(spark, fs, root, declared(dvd), dvNames))
+    }
+  }
+
   /** Apply a generation's deletion vectors to a scan over its data
     * files: anti-join on (file name, parquet row position). The DV
     * side is ∝ deletes since the last whole compact — BROADCAST when
@@ -3078,7 +3185,10 @@ object Zorder {
     * file, stable under splits and row-group pruning) + the file's
     * base name (names embed write-job UUIDs — a (name, pos) pair can
     * never address different bytes). No-op without DVs: the plain
-    * scan relation is returned untouched. */
+    * scan relation is returned untouched. Hot read paths go through
+    * [[readWithDvs]], which routes only tombstone-bearing files here;
+    * the fold forms apply this over their whole fold frame (a
+    * maintenance rewrite, not a serving read). */
   private def applyDvs(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       data: DataFrame, dvNames: Seq[String]): DataFrame =
@@ -3089,17 +3199,24 @@ object Zorder {
           s"readClustered: the layout's schema carries the reserved " +
             s"column name $c — deletion-vector application joins on " +
             "it; rename the data column"))
+      // tombstones store the BASE name (the protocol identity); the
+      // join lifts the TINY dv side to full paths — `root + "/" +
+      // name` — instead of cutting the basename out of the scan
+      // side's `_metadata.file_path` PER ROW (a string split per row
+      // measured ×1.5 on a metadata-light scan; the lift is sound
+      // because [[readDeclared]] builds the scan's file list from the
+      // very same `new Path(root, name)` strings, so the scan's
+      // file_path is that string verbatim)
       val dv = spark.read.schema("file STRING, pos BIGINT")
         .parquet(dvNames.map(n =>
           new org.apache.hadoop.fs.Path(root, n).toString): _*)
-        .withColumnRenamed("file", "__graft_dv_file")
-        .withColumnRenamed("pos", "__graft_dv_pos")
+        .select(concat(lit(root.toString + "/"), col("file"))
+          .as("__graft_dv_file"), col("pos").as("__graft_dv_pos"))
       val bytes = dvNames.map(n => fs.getFileStatus(
         new org.apache.hadoop.fs.Path(root, n)).getLen).sum
       val dvSide = if (bytes <= (64L << 20)) broadcast(dv) else dv
       data
-        .withColumn("__graft_dv_file",
-          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__graft_dv_file", col("_metadata.file_path"))
         .withColumn("__graft_dv_pos", col("_metadata.row_index"))
         .join(dvSide, Seq("__graft_dv_file", "__graft_dv_pos"),
           "left_anti")
@@ -3129,9 +3246,7 @@ object Zorder {
     currentManifest(spark, fs, root) match {
       case Some((_, names)) if names.exists(!isDvName(_)) =>
         val (dataNames, dvNames) = names.partition(!isDvName(_))
-        applyDvs(spark, fs, root,
-          readDeclared(spark, fs, root, dataNames.map(n =>
-            new org.apache.hadoop.fs.Path(root, n).toString)), dvNames)
+        readWithDvs(spark, fs, root, dataNames, dvNames)
       case Some((_, names)) if names.nonEmpty =>
         // dv-only generation: unreachable by construction (every DV
         // commit adds to a generation with data files, and folds
@@ -3200,9 +3315,7 @@ object Zorder {
     // a widening sees the new column as NULL, never a schema error).
     // DVs are THAT generation's: a pin taken before a delete serves
     // the undeleted rows — the delete is a later epoch's entry.
-    applyDvs(spark, fs, root,
-      readDeclared(spark, fs, root, dataNames.map(n =>
-        new org.apache.hadoop.fs.Path(root, n).toString)), dvNames)
+    readWithDvs(spark, fs, root, dataNames, dvNames)
   }
 
   /** [[readClustered]] restricted by a conjunctive BOX — `(column,
@@ -3236,13 +3349,12 @@ object Zorder {
         new org.apache.hadoop.fs.Path(root, all.head).toString))
         .where(lit(false))
     else {
-      // the full DV set against the pruned subset: DV rows for
-      // skipped files simply never match the anti-join
+      // the full DV set against the pruned subset: kept files without
+      // tombstones ride the clean branch, and DV rows for skipped
+      // files never match
       val dvNames = currentManifest(spark, fs, root)
         .map(_._2.filter(isDvName)).getOrElse(Seq.empty)
-      applyDvs(spark, fs, root,
-        readDeclared(spark, fs, root, kept.map(n =>
-          new org.apache.hadoop.fs.Path(root, n).toString)), dvNames)
+      readWithDvs(spark, fs, root, kept, dvNames)
     }
   }
 

@@ -1606,6 +1606,31 @@ class ZorderSpec extends SparkSpec {
       "recovery + fold must converge to the merged row set")
   }
 
+  test("dvDebt: footer-exact tombstone fraction drives the materialization trigger") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_zorder_dvd_").toString
+    Zorder.writeHilbert(e, dir, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    assert(Zorder.dvDebt(spark, dir) == 0.0, "a DV-less layout owes nothing")
+    val total = e.count()
+    val nDel = Zorder.deleteClustered(spark, dir,
+      e.filter(col("event_id") % 6 === 0)
+        .select(col("event_id"), col("user_id"), col("value")),
+      Seq("event_id"))
+    assert(nDel > 0)
+    // footer row counts are exact: debt == tombstones / PHYSICAL rows
+    // (deleted rows still occupy their files until a fold)
+    val debt = Zorder.dvDebt(spark, dir)
+    assert(math.abs(debt - nDel.toDouble / total) < 1e-12,
+      s"debt $debt != $nDel/$total")
+    assert(Zorder.dvCompactDue(spark, dir, maxDebt = debt / 2),
+      "debt past the threshold must advise a materializing compact")
+    assert(!Zorder.dvCompactDue(spark, dir, maxDebt = debt * 2))
+    Zorder.compactClustered(spark, dir)
+    assert(Zorder.dvDebt(spark, dir) == 0.0,
+      "the whole compact clears the debt entirely")
+  }
+
   test("data skipping on NON-clustering columns: layout-correlated stats prune, scattered ones keep all") {
     // the Delta add-file stats discipline: the manifest records
     // min/max for every top-level primitive column (capped), so a box
