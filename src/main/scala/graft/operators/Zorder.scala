@@ -1176,6 +1176,9 @@ object Zorder {
         changes.schema.fields.filterNot(f => metaCols.contains(f.name)))
       keyCols.foreach(k => require(dataSchema.fieldNames.contains(k),
         s"mergeOnRead: key column $k is not in the changes batch"))
+      Seq("__graft_dv_file", "__graft_dv_pos", "__graft_rn").foreach(c =>
+        require(!changes.columns.contains(c),
+          s"mergeOnRead: $c is a reserved column name"))
       Layout.readMarker(spark, path, schemaFile).foreach { rp =>
         require(rp == schemaPayload(dataSchema),
           s"mergeOnRead: change schema [${schemaPayload(dataSchema)

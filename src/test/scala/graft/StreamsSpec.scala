@@ -1119,4 +1119,85 @@ class StreamsSpec extends SparkSpec {
       .collect()(0)
     assert(fp1 == fp2, "a replayed CDC batch must be a no-op")
   }
+
+  test("foreachBatch applies a CDC stream through mergeOnRead; debt triggers materialize inside the loop") {
+    // the merge-on-read serving loop: each micro-batch is ONE
+    // tombstone+insert commit (no file rewritten on the ingest path),
+    // foreachBatch's batchId keys the exactly-once ledger (a replayed
+    // batch returns 0 and touches nothing — key-tombstones are NOT
+    // state-idempotent, so the sentinel protocol, not replay-redo, is
+    // what makes at-least-once safe here), and the two debt policies
+    // drive the folds with no human in the loop: tailCompactDue
+    // bounds the standing insert tail, dvCompactDue bounds the
+    // tombstone fraction every read anti-joins over.
+    val s = spark
+    import s.implicits._
+    import graft.operators.Zorder
+    val in = Files.createTempDirectory("graft_morcdc_in_").toString
+    val ckpt = Files.createTempDirectory("graft_morcdc_ckpt_").toString
+    val dir = Files.createTempDirectory("graft_morcdc_lay_").toString + "/t"
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") % 3 === 0)
+    Zorder.writeHilbert(e, dir, Seq("user_id", "event_id"), bits = 16,
+      numFiles = 4)
+    val base = e.count()
+    val Array(r1, r2) = e.orderBy(col("event_id")).limit(2).collect()
+    val (k1, u1) = (r1.getLong(0), r1.getLong(1))
+    val (k2, u2) = (r2.getLong(0), r2.getLong(1))
+    def writeBatch(rows: Seq[(Long, Long, Double, String)]): Unit =
+      rows.toDF("event_id", "user_id", "value", "op")
+        .coalesce(1).write.mode("append").parquet(in)
+    var lastBatch = -1L
+    def ingest(): Unit = Streams.runForeachBatch(
+      Streams.fileArrival(spark, in,
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, op STRING"),
+      ckpt) { (batch, bid) =>
+      lastBatch = bid
+      Zorder.mergeOnRead(spark, dir,
+        batch.withColumn("__del", col("op") === "D").drop("op"),
+        Seq("event_id"), batchId = bid, deleteCol = Some("__del"))
+      // the maintenance half of the loop: both debts self-bound
+      if (Zorder.tailCompactDue(spark, dir, maxTailFiles = 64))
+        Zorder.compactTail(spark, dir)
+      if (Zorder.dvCompactDue(spark, dir, maxDebt = 0.2))
+        Zorder.compactClustered(spark, dir)
+      ()
+    }
+    // batch: update k1, delete k2, insert a fresh key
+    writeBatch(Seq((k1, u1, 111.0, "U"), (k2, u2, 0.0, "D"),
+      (9000001L, 3L, 5.0, "I")))
+    ingest()
+    val t1 = Zorder.readClustered(spark, dir)
+    assert(t1.count() == base)
+    assert(t1.filter(col("event_id") === k1).select(col("value"))
+      .collect()(0).getDouble(0) == 111.0)
+    assert(t1.filter(col("event_id") === k2).count() == 0)
+    // at-least-once: re-running the SAME ledgered batch directly is a
+    // pure no-op — 0 tombstones, no epoch burned
+    val ep1 = Zorder.currentEpoch(spark, dir).get
+    assert(Zorder.mergeOnRead(spark, dir,
+      Seq((k1, u1, 111.0, "U"), (k2, u2, 0.0, "D"),
+        (9000001L, 3L, 5.0, "I"))
+        .toDF("event_id", "user_id", "value", "op")
+        .withColumn("__del", col("op") === "D").drop("op"),
+      Seq("event_id"), batchId = lastBatch,
+      deleteCol = Some("__del")) == 0L)
+    assert(Zorder.currentEpoch(spark, dir).get == ep1)
+    // debt-triggered materialization: a delete-heavy batch pushes
+    // dvDebt past the loop's threshold, the IN-LOOP compact clears it
+    val heavy = e.filter(col("event_id") % 9 === 0 &&
+        col("event_id") =!= k1 && col("event_id") =!= k2)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("op", lit("D")).as[(Long, Long, Double, String)]
+      .collect().toSeq
+    val expect2 = base - heavy.size
+    writeBatch(heavy)
+    ingest()
+    assert(Zorder.dvDebt(spark, dir) == 0.0,
+      "the delete-heavy batch must trip the in-loop materialize, " +
+        "which clears the debt entirely")
+    assert(Zorder.readClustered(spark, dir).count() == expect2,
+      "debt materialization must not change a visible row")
+  }
 }

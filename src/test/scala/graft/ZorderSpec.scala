@@ -1517,6 +1517,23 @@ class ZorderSpec extends SparkSpec {
     assert(fp(Zorder.readClustered(spark, dirA)) ==
       fp(Zorder.readClustered(spark, dirB)),
       "the fold after a merge-on-read changes bytes, not rows")
+    // versionCol arbitration rides through unchanged (the
+    // mergeClustered last-write rule): a dup-key batch where v=2
+    // must beat v=1 through BOTH merge disciplines identically
+    val dup = e.filter(col("event_id") % 11 === 3)
+      .withColumn("event_type", lit("v1")).withColumn("__v", lit(1))
+      .unionByName(e.filter(col("event_id") % 11 === 3)
+        .withColumn("event_type", lit("v2")).withColumn("__v", lit(2)))
+    assert(Zorder.mergeOnRead(spark, dirA, dup, Seq("event_id"),
+      batchId = 3, versionCol = Some("__v")) > 0L)
+    Zorder.mergeClustered(spark, dirB, dup, Seq("event_id"),
+      versionCol = Some("__v"))
+    assert(fp(Zorder.readClustered(spark, dirA)) ==
+      fp(Zorder.readClustered(spark, dirB)),
+      "versionCol last-write arbitration must agree across disciplines")
+    assert(Zorder.readClustered(spark, dirA)
+      .filter(col("event_type") === "v1").count() == 0,
+      "the losing version must not survive")
   }
 
   test("mergeOnRead: every crash window serves a consistent state and recovery completes the batch exactly once") {
