@@ -788,10 +788,11 @@ object Contracts {
       // (tombstone + re-insert) rewrites ZERO data files and writes
       // bytes ∝ the batch — tombstones plus the upsert rows
       // themselves — while the copy-on-write merge rewrites the
-      // victim files for the same batch. Measured 0.234 at sf0.01
-      // (2026-08-17) — parquet per-file fixed overhead dominates the
-      // batch-shaped numerator at tiny files; the ratio falls with
-      // file size (the denominator is file-shaped).
+      // victim files for the same batch. Measured 0.234 at sf0.01 /
+      // 0.0377 at sf0.1 (2026-08-17, idle window) — parquet per-file
+      // fixed overhead dominates the batch-shaped numerator at tiny
+      // files, and the ratio falls ×6 with one 10× file-size step
+      // because the denominator is file-shaped.
       val pathC = queries.scratchPath("contracts_mor_c")
       val pathD = queries.scratchPath("contracts_mor_d")
       val z = graft.operators.Zorder
