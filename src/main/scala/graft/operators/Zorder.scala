@@ -1078,13 +1078,7 @@ object Zorder {
           keyCols.map(col): _*)
       val undeleted =
         if (dvLive.isEmpty) narrow
-        else narrow.join(
-          broadcast(spark.read.schema("file STRING, pos BIGINT")
-            .parquet(dvLive.map(n => new org.apache.hadoop.fs
-              .Path(root, n).toString): _*)
-            .select(concat(lit(root.toString + "/"), col("file"))
-              .as("__graft_dv_file"),
-              col("pos").as("__graft_dv_pos"))),
+        else narrow.join(broadcast(dvFrame(spark, root, dvLive)),
           Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
       val fresh = undeleted
         .join(keyed.select(keyCols.map(col): _*).distinct(),
@@ -1166,6 +1160,11 @@ object Zorder {
       val (fs, root, cl, retiredM, tails, mains) =
         tailFoldPreamble(spark, path, "mergeOnRead", 0L)
       require(batchFiles >= 1, s"batchFiles must be >= 1, got $batchFiles")
+      // a negative id would escape the b\d+- tail classification AND
+      // brick recovery (the sentinel header check is \d{1,18}) — the
+      // idempotentAppend gate, enforced before anything durable
+      require(batchId >= 0, s"mergeOnRead: batchId must be >= 0, " +
+        s"got $batchId")
       require(keyCols.nonEmpty, "mergeOnRead: keyCols is empty")
       val metaCols = deleteCol.toSeq ++ versionCol.toSeq
       metaCols.foreach(c => require(changes.columns.contains(c),
@@ -1241,16 +1240,23 @@ object Zorder {
             dvLive, tails, mains, keysOnly, keyCols)
           // 2. STAGE the surviving upsert rows through the pinned
           // quantization (the appendClustered write body, into this
-          // verb's own hidden staging)
+          // verb's own hidden staging). A pure-delete batch (the
+          // common CDC delete shape) skips the staging entirely —
+          // Spark writes a footer-only file even for zero rows, and
+          // committing one per delete batch would inflate the tail
+          // file count (tripping tailCompactDue early, joining every
+          // fold scan) for no row
           val morTmp = new org.apache.hadoop.fs.Path(root, morTmpDir)
           if (fs.exists(morTmp)) fs.delete(morTmp, true)
-          val (staged, z, drop) = clusteredFrame(upserts, cl)
-          withStatsTimestamps(spark) {
-            staged.repartitionByRange(
-                math.min(batchFiles, cl.numFiles), z)
-              .sortWithinPartitions(z)
-              .drop(drop: _*)
-              .write.mode("overwrite").parquet(morTmp.toString)
+          if (!upserts.isEmpty) {
+            val (staged, z, drop) = clusteredFrame(upserts, cl)
+            withStatsTimestamps(spark) {
+              staged.repartitionByRange(
+                  math.min(batchFiles, cl.numFiles), z)
+                .sortWithinPartitions(z)
+                .drop(drop: _*)
+                .write.mode("overwrite").parquet(morTmp.toString)
+            }
           }
           onProtocolStep("mor-staged")
           // planned names: both stagings are FLAT, so the publish
@@ -1484,12 +1490,22 @@ object Zorder {
       cl: Clustering, files: Seq[org.apache.hadoop.fs.FileStatus],
       mains: Seq[org.apache.hadoop.fs.FileStatus])
       : Map[String, (Long, Long)] = {
+    val full = readZranges(spark, path)
     val names = files.map(_.getPath.getName).toSet
-    val cached = readZranges(spark, path).filter(e => names.contains(e._1))
+    val cached = full.filter(e => names.contains(e._1))
     val missing = mains.filter(st => !cached.contains(st.getPath.getName))
     val computed = computeZranges(spark, cl, missing.map(_.getPath))
     val emptySentinels = missing.map(_.getPath.getName)
       .filterNot(computed.contains).map(_ -> (1L, 0L)).toMap
+    // PERSIST what the targeted scan just paid for (additive — stale
+    // entries for vanished files are filtered on every read): without
+    // this, a bootstrapped layout that only ever sees the delete/
+    // merge-on-read verbs re-scans the whole resident grid on EVERY
+    // batch (writeHilbert stamps no cache; only folds did), which
+    // contradicts the cost-∝-batch claim. Best-effort like the fold's
+    // own refresh — a lost write just means the next call re-scans.
+    if (missing.nonEmpty)
+      writeZranges(spark, path, full ++ computed ++ emptySentinels)
     cached ++ computed ++ emptySentinels
   }
 
@@ -1811,8 +1827,20 @@ object Zorder {
                   new org.apache.hadoop.fs.Path(root, n), conf))
               try r.getRecordCount finally r.close()
             } catch { case scala.util.control.NonFatal(_) => 0L }
-          val tomb = dvNames.map(rowsOf).sum
-          val data = dataNames.map(rowsOf).sum
+          // bounded pool, the footerStats lesson: a serial footer
+          // pass costs ~tens of ms per open — at 10^4+ manifest
+          // files a per-micro-batch advisory check must not serialize
+          val all = (dvNames ++ dataNames).toSeq
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, all.length))
+          val counts =
+            try all.map(n => n -> pool.submit(
+              new java.util.concurrent.Callable[java.lang.Long] {
+                def call(): java.lang.Long = rowsOf(n)
+              })).map { case (n, f) => n -> f.get().longValue() }.toMap
+            finally pool.shutdown()
+          val tomb = dvNames.iterator.map(counts).sum
+          val data = dataNames.iterator.map(counts).sum
           if (data <= 0L || tomb <= 0L) 0.0 else tomb.toDouble / data
         }
     }
@@ -2693,17 +2721,31 @@ object Zorder {
     * names) for the CURRENT generation. */
   private[graft] def pruneFiles(spark: SparkSession, path: String,
       box: Seq[(String, Any, Any)]): (Seq[String], Seq[String]) = {
+    val (kept, all, _) = pruneFilesDv(spark, path, box)
+    (kept, all)
+  }
+
+  /** [[pruneFiles]] plus the SAME resolve's dv names — the box read
+    * arm must take its file list and its tombstone set from ONE
+    * generation: two independent resolves can straddle a concurrent
+    * compact and pair a pre-compact file list (tombstoned rows still
+    * physically present) with a post-compact manifest (dv- entries
+    * cleared because the compact materialized them) — serving deleted
+    * rows, a state no single generation ever exposed. */
+  private def pruneFilesDv(spark: SparkSession, path: String,
+      box: Seq[(String, Any, Any)])
+      : (Seq[String], Seq[String], Seq[String]) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     resolveGeneration(fs, root, None) match {
-      case None => (Seq.empty, Seq.empty)
+      case None => (Seq.empty, Seq.empty, Seq.empty)
       case Some(g) =>
-        // DATA files only: DV entries carry no stats and are not
-        // scanned as data — callers fetch and apply them separately
-        val all = g.entries.keys.toSeq.filter(!isDvName(_)).sorted
+        val (dvs, datas) = g.entries.keys.toSeq.partition(isDvName)
+        val all = datas.sorted
         (all.filter(n =>
-          statsIntersect(parseStatsPayload(g.entries(n)), box)), all)
+          statsIntersect(parseStatsPayload(g.entries(n)), box)), all,
+          dvs.sorted)
     }
   }
 
@@ -3131,6 +3173,26 @@ object Zorder {
     reader.parquet(paths: _*)
   }
 
+  /** The tombstone frame as join input, ONE constructor for every
+    * consumer ([[applyDvs]] and [[stageTombstones]]): tombstones
+    * store the BASE name (the protocol identity), and this lifts the
+    * TINY dv side to full paths — `root + "/" + name` — instead of
+    * cutting the basename out of the scan side's
+    * `_metadata.file_path` PER ROW (a string split per row measured
+    * ×1.5 on a metadata-light scan). The lift is sound because
+    * [[readDeclared]] and the victim scans build their file lists
+    * from the very same `new Path(root, name)` strings, so the
+    * scan's file_path is that string verbatim — a soundness argument
+    * that must hold at ONE site, which is why the constructor is
+    * shared. */
+  private def dvFrame(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, dvNames: Seq[String]): DataFrame =
+    spark.read.schema("file STRING, pos BIGINT")
+      .parquet(dvNames.map(n =>
+        new org.apache.hadoop.fs.Path(root, n).toString): _*)
+      .select(concat(lit(root.toString + "/"), col("file"))
+        .as("__graft_dv_file"), col("pos").as("__graft_dv_pos"))
+
   /** Distinct data-file names a dv set addresses, cached per (root,
     * dv name set) — dv names embed tokens and are unique forever, so
     * a hit can never be stale. The ONE tiny driver-side job a DV'd
@@ -3202,19 +3264,7 @@ object Zorder {
           s"readClustered: the layout's schema carries the reserved " +
             s"column name $c — deletion-vector application joins on " +
             "it; rename the data column"))
-      // tombstones store the BASE name (the protocol identity); the
-      // join lifts the TINY dv side to full paths — `root + "/" +
-      // name` — instead of cutting the basename out of the scan
-      // side's `_metadata.file_path` PER ROW (a string split per row
-      // measured ×1.5 on a metadata-light scan; the lift is sound
-      // because [[readDeclared]] builds the scan's file list from the
-      // very same `new Path(root, name)` strings, so the scan's
-      // file_path is that string verbatim)
-      val dv = spark.read.schema("file STRING, pos BIGINT")
-        .parquet(dvNames.map(n =>
-          new org.apache.hadoop.fs.Path(root, n).toString): _*)
-        .select(concat(lit(root.toString + "/"), col("file"))
-          .as("__graft_dv_file"), col("pos").as("__graft_dv_pos"))
+      val dv = dvFrame(spark, root, dvNames)
       val bytes = dvNames.map(n => fs.getFileStatus(
         new org.apache.hadoop.fs.Path(root, n)).getLen).sum
       val dvSide = if (bytes <= (64L << 20)) broadcast(dv) else dv
@@ -3340,7 +3390,10 @@ object Zorder {
     require(clusteringOf(spark, path).nonEmpty,
       s"readClustered: no $markerFile marker at $path — not a clustered " +
         "graft layout, or a rebuild is in flight/crashed")
-    val (kept, all) = pruneFiles(spark, path, box)
+    // ONE resolve for the file list AND the tombstone set — a second
+    // resolve could straddle a concurrent compact and pair a stale
+    // file list with a DV-cleared manifest (serving deleted rows)
+    val (kept, all, dvNames) = pruneFilesDv(spark, path, box)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
@@ -3351,14 +3404,11 @@ object Zorder {
       readDeclared(spark, fs, root, Seq(
         new org.apache.hadoop.fs.Path(root, all.head).toString))
         .where(lit(false))
-    else {
+    else
       // the full DV set against the pruned subset: kept files without
       // tombstones ride the clean branch, and DV rows for skipped
       // files never match
-      val dvNames = currentManifest(spark, fs, root)
-        .map(_._2.filter(isDvName)).getOrElse(Seq.empty)
       readWithDvs(spark, fs, root, kept, dvNames)
-    }
   }
 
   /** Exact per-file [zmin, zmax] under the PINNED clustering for

@@ -1534,6 +1534,29 @@ class ZorderSpec extends SparkSpec {
     assert(Zorder.readClustered(spark, dirA)
       .filter(col("event_type") === "v1").count() == 0,
       "the losing version must not survive")
+    // a PURE-DELETE batch (the common CDC delete shape) publishes NO
+    // insert file: Spark writes a footer-only file even for zero
+    // rows, and committing one per delete batch would inflate the
+    // tail count for nothing
+    val bBefore = namesA.count(_.matches("b\\d+-.*"))
+    assert(Zorder.mergeOnRead(spark, dirA,
+      e.filter(col("event_id") % 11 === 5).withColumn("__del", lit(true)),
+      Seq("event_id"), batchId = 4, deleteCol = Some("__del")) > 0L)
+    assert(namesA.count(_.matches("b\\d+-.*")) == bBefore,
+      "a pure-delete merge-on-read must publish no insert file")
+    // negative batchId refuses BEFORE anything durable: it would
+    // escape the b\d+- tail classification and brick sentinel
+    // recovery (\d{1,18} header check)
+    val exNeg = intercept[IllegalArgumentException](
+      Zorder.mergeOnRead(spark, dirA,
+        e.limit(2).withColumn("__del", lit(false)),
+        Seq("event_id"), batchId = -1, deleteCol = Some("__del")))
+    assert(exNeg.getMessage.contains("batchId"), exNeg.getMessage)
+    // the targeted z-range scan the delete paid is PERSISTED (a
+    // bootstrapped layout must not re-scan the grid per CDC batch)
+    assert(fsA.exists(new org.apache.hadoop.fs.Path(rootA,
+      "_graft_zranges")),
+      "residentIvs must persist what its targeted scan computed")
   }
 
   test("mergeOnRead: every crash window serves a consistent state and recovery completes the batch exactly once") {
