@@ -45,16 +45,27 @@ object Ivf {
     if (n == 0.0) c else c.map(_ / n)
   }
 
-  /** Array of cosine similarities from `vec` to every centroid.
+  /** Array of cosine similarities from `vec` to every centroid, via
+    * the native fused-loop kernel [[graft.functions.CentroidSims]]
+    * (centroids pre-normalized driver-side, so cosine reduces to
+    * dot(unitCentroid, vec) / ‖vec‖ with ‖vec‖ computed once).
     *
-    * The centroid matrix is ONE nested literal and the per-centroid
-    * loop is a single `transform` lambda — not k unrolled expression
-    * trees. Centroids are pre-normalized driver-side, so cosine
-    * reduces to dot(unitCentroid, vec) / ‖vec‖ and ‖vec‖ is computed
-    * once. (The first, unrolled formulation compiled k×dim literal
-    * subtrees per reference and made plan compilation — not execution —
-    * the dominant cost.) */
-  private def simsToCentroids(centroids: Seq[Seq[Double]], vec: Column): Column = {
+    * The composable HigherOrderFunction form is kept as
+    * [[simsToCentroidsRef]]: HOFs never enter whole-stage codegen, so
+    * the assignment scan paid interpreted lambda frames and boxing
+    * k×dim times per vector — at 100 TB the full-corpus assignment
+    * projection is THE index-build cost. Bit-identical results
+    * (AnnKernelsSpec pins equality on the real corpus). */
+  private[graft] def simsToCentroids(centroids: Seq[Seq[Double]], vec: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.functions.CentroidSims(
+        org.apache.spark.sql.GraftColumn.expr(vec), centroids.map(unit)))
+
+  /** Reference (HigherOrderFunction) form of [[simsToCentroids]] —
+    * interpreted, k×dim lambda frames per row; retained for
+    * AnnKernelsSpec's bit-equality pin. */
+  private[graft] def simsToCentroidsRef(centroids: Seq[Seq[Double]],
+      vec: Column): Column = {
     val cn = typedlit(centroids.map(unit))
     val nv = sqrt(aggregate(
       zip_with(vec, vec, (x, y) => x.cast("double") * y.cast("double")),

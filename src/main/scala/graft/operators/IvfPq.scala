@@ -169,7 +169,22 @@ object IvfPq {
     * the same m×k codebook budget quantizes them with far less error,
     * which tightens the ADC shortlist and lifts recall at identical
     * index size (PLANS.md records the measured uplift). */
-  private def residualCol(centroids: Seq[Seq[Double]],
+  private[graft] def residualCol(centroids: Seq[Seq[Double]],
+      vec: org.apache.spark.sql.Column,
+      cluster: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // native fused loop ([[graft.functions.CentroidResidual]]): the
+    // residual projection runs once per corpus vector in every
+    // residual index build — the zip_with form paid interpreted
+    // lambda frames per element (AnnKernelsSpec pins bit-equality
+    // against [[residualColRef]])
+    org.apache.spark.sql.GraftColumn.of(
+      graft.functions.CentroidResidual(
+        org.apache.spark.sql.GraftColumn.expr(vec),
+        org.apache.spark.sql.GraftColumn.expr(cluster), centroids))
+
+  /** Reference (HigherOrderFunction) form of [[residualCol]] —
+    * retained for AnnKernelsSpec's bit-equality pin. */
+  private[graft] def residualColRef(centroids: Seq[Seq[Double]],
       vec: org.apache.spark.sql.Column,
       cluster: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     zip_with(vec, element_at(typedlit(centroids), cluster + 1),

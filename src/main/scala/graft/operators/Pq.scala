@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Nearest codebook entry for one subvector by squared L2 (lowest
-    * index wins ties). `codebook` is k × (dim/m). */
+    * index wins ties). `codebook` is k × (dim/m). Reference form for
+    * [[encodeRef]] only — the hot path is the native [[encode]]. */
   private def assignSub(codebook: Seq[Seq[Double]], sub: Column): Column = {
     val cb = typedlit(codebook)
     val dists = transform(cb, c =>
@@ -48,8 +49,24 @@ object Pq {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** `m` codes for a full vector under `codebooks` (m × k × dim/m). */
+  /** `m` codes for a full vector under `codebooks` (m × k × dim/m),
+    * via the native fused-loop kernel [[graft.functions.PqEncode]].
+    * The HigherOrderFunction form ([[encodeRef]]) paid interpreted
+    * lambda frames and boxing m×k×(dim/m) times per vector — encoding
+    * is the one full-corpus projection of every PQ index build, so it
+    * is THE index cost at 100 TB. Bit-identical results
+    * (AnnKernelsSpec pins equality, ties included). */
   def encode(codebooks: Seq[Seq[Seq[Double]]], vec: Column): Column = {
+    require(codebooks.nonEmpty, "need at least one subspace")
+    org.apache.spark.sql.GraftColumn.of(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumn.expr(vec), codebooks))
+  }
+
+  /** Reference (HigherOrderFunction) form of [[encode]] — retained for
+    * AnnKernelsSpec's bit-equality pin. */
+  private[graft] def encodeRef(codebooks: Seq[Seq[Seq[Double]]],
+      vec: Column): Column = {
     val m = codebooks.length
     require(m > 0, "need at least one subspace")
     val sub = codebooks.head.head.length
@@ -109,8 +126,21 @@ object Pq {
   }
 
   /** ADC inner product of a float query against a coded candidate:
-    * `Σ_j dot(slice(q, j), codebooks[j][codes[j]])`. */
-  private[operators] def adcDot(codebooks: Seq[Seq[Seq[Double]]], qvec: Column,
+    * `Σ_j dot(slice(q, j), codebooks[j][codes[j]])`, via the native
+    * fused-loop kernel [[graft.functions.AdcDotExpr]] — this runs once
+    * per (query, candidate) pair in every shortlist scan, the highest
+    * row-count expression of the PQ serving path. Bit-identical to the
+    * HigherOrderFunction form [[adcDotRef]] (AnnKernelsSpec). */
+  private[graft] def adcDot(codebooks: Seq[Seq[Seq[Double]]], qvec: Column,
+                     codes: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.functions.AdcDotExpr(
+        org.apache.spark.sql.GraftColumn.expr(qvec),
+        org.apache.spark.sql.GraftColumn.expr(codes), codebooks))
+
+  /** Reference (HigherOrderFunction) form of [[adcDot]] — retained for
+    * AnnKernelsSpec's bit-equality pin. */
+  private[graft] def adcDotRef(codebooks: Seq[Seq[Seq[Double]]], qvec: Column,
                      codes: Column): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
