@@ -124,6 +124,27 @@ object Session {
         graft.functions.MergeTokens(args(0),
           stringSeqLiteral(args(1), "merge_tokens: phrases"))
       }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.TokenWindows].getName, "word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_ngrams(arrayOfStrings, n)")
+        graft.functions.TokenWindows(args(0),
+          intLiteral(args(1), "word_ngrams: n"), 1, partial = false, distinct = false)
+      }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.TokenWindows].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(arrayOfStrings, n)")
+        graft.functions.TokenWindows(args(0),
+          intLiteral(args(1), "word_shingles: n"), 1, partial = false, distinct = true)
+      }),
+    (FunctionIdentifier("token_chunks"),
+      new ExpressionInfo(classOf[graft.functions.TokenWindows].getName, "token_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "token_chunks(arrayOfStrings, width)")
+        val w = intLiteral(args(1), "token_chunks: width")
+        graft.functions.TokenWindows(args(0), w, w, partial = true, distinct = false)
+      }),
     (FunctionIdentifier("hilbert_d2"),
       new ExpressionInfo(classOf[graft.functions.HilbertCode].getName, "hilbert_d2"),
       (args: Seq[Expression]) => {

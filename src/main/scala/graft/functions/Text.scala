@@ -57,18 +57,23 @@ object Text {
       collect_list(when(piece.isNotNull, struct(pos, piece.as("piece")))),
       "piece"), " ")
 
-  /** Distinct word n-gram shingles (the unit of near-dup detection).
-    * 1-based `element_at`; `sequence` is empty when the doc is shorter
-    * than n, yielding an empty shingle set (never null).
-    *
-    * PERF: pass `toks` as a BOUND COLUMN (stage `tokens(...)` in its
-    * own projection first), not as the raw `tokens(text)` expression —
-    * the lambda's `element_at(toks, …)` copies the argument tree into
-    * the per-element path, so an unbound tree re-runs its regex+split
-    * once per shingle position (quadratic per doc; HOFs evaluate
-    * interpreted, with no codegen subexpression elimination). */
+  /** Distinct word n-gram shingles (the unit of near-dup detection):
+    * [[wordNgrams]] with first-occurrence dedup fused into the same
+    * native single pass ([[TokenWindows]] — array_distinct semantics).
+    * Empty shingle set (never null) when the doc is shorter than n. */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(wordNgrams(toks, n))
+    windowsNative(toks, n, 1, partial = false, distinct = true)
+
+  /** Composable (lambda-HOF) parity reference for [[shingles]], kept
+    * for TokenWindowsSpec. */
+  private[graft] def shinglesFold(toks: Column, n: Int): Column =
+    array_distinct(wordNgramsFold(toks, n))
+
+  private def windowsNative(toks: Column, width: Int, stride: Int,
+      partial: Boolean, distinct: Boolean): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      TokenWindows(org.apache.spark.sql.GraftColumn.expr(toks),
+        width, stride, partial, distinct))
 
   /** MD5 of the normalized content — the exact-dedup key. (Content
     * hashing beats raw-string grouping at scale: fixed-width shuffle
@@ -165,6 +170,13 @@ object Text {
     * `range(1, 1)` yields none. */
   def tokenChunks(toks: Column, width: Int = 8): Column = {
     require(width >= 1)
+    windowsNative(toks, width, width, partial = true, distinct = false)
+  }
+
+  /** Composable (lambda-HOF) parity reference for [[tokenChunks]],
+    * kept for TokenWindowsSpec. */
+  private[graft] def tokenChunksFold(toks: Column, width: Int = 8): Column = {
+    require(width >= 1)
     val n = greatest(
       coalesce(ceil(size(toks) / lit(width.toDouble)).cast("int"), lit(0)), lit(0))
     when(n > 0,
@@ -183,9 +195,18 @@ object Text {
         / size(lines).cast("double"))
 
   /** All word n-grams WITH repeats (unlike [[shingles]], counts matter
-    * here). Same binding caveat as [[shingles]]: stage `toks` in its
-    * own projection first. */
+    * here). Native single pass ([[TokenWindows]]); empty array for
+    * NULL or shorter-than-n input, like the composable form. */
   def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    windowsNative(toks, n, 1, partial = false, distinct = false)
+  }
+
+  /** Composable (lambda-HOF) parity reference for [[wordNgrams]], kept
+    * for TokenWindowsSpec — the native expression must return
+    * bit-identical arrays (same strings, same order, same null-token
+    * skipping). */
+  private[graft] def wordNgramsFold(toks: Column, n: Int): Column = {
     require(n >= 1)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
