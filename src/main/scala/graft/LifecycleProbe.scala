@@ -43,7 +43,20 @@ object LifecycleProbe {
       }
       time("append b1") { Zorder.appendClustered(b1, tmp, batchId = 1) }
       time("replay b1 (no-op)") { Zorder.appendClustered(b1, tmp, batchId = 1) }
-      time("tail compact") { Zorder.compactTail(spark, tmp) }
+      time("tail compact") {
+        // step-level anatomy via the protocol test hook: the delta up
+        // to "tail-sentinel" is the Spark work (locate + fold write),
+        // the rest is protocol FS work (publish/manifest/sweep)
+        val t0 = System.nanoTime()
+        var last = t0
+        Zorder.onProtocolStep = { step =>
+          val now = System.nanoTime()
+          println(f"[lifecycle]   tail step $step%-16s +${(now - last) / 1e9}%.3f s (t=${(now - t0) / 1e9}%.3f)")
+          last = now
+        }
+        try Zorder.compactTail(spark, tmp)
+        finally Zorder.onProtocolStep = _ => ()
+      }
       time("append b2") { Zorder.appendClustered(b2, tmp, batchId = 2) }
       time("whole compact") { Zorder.compactClustered(spark, tmp) }
       time("box scan") {

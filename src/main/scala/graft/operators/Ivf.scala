@@ -400,8 +400,8 @@ object Ivf {
     val lists = spark.read.parquet(path)
       .filter(col("cluster").isin(probed.map(Int.box): _*))
       .select(col("cluster"), col("neighbor_id"),
-        transform(Quantize.dequantize(col("codes"), col("mn"), col("qscale")),
-          x => x.cast("float")).as("cvec"))
+        Quantize.dequantizeF(col("codes"), col("mn"), col("qscale"))
+          .as("cvec"))
     topKOverCandidates(lists.join(broadcast(probes), Seq("cluster")), k)
   }
 

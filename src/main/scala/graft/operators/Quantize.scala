@@ -27,14 +27,22 @@ object Quantize {
 
   /** uint8 codes: round((x − min)/scale), HALF_UP — identical to SQL
     * round() on the non-negative operand. Constant vectors (scale 0)
-    * code to all-zeros.
-    *
-    * `mn` and `s` must be BOUND attributes (stage [[scale]] and
-    * `array_min` in their own projection first): anything in the
-    * transform lambda's body evaluates once per ELEMENT, so an inline
-    * `array_min(vec)` tree would make the projection O(dim²) per
-    * vector — the Text.shingles binding rule again. */
+    * code to all-zeros. Native single pass ([[graft.functions
+    * .Sq8Encode]]) — `mn`/`s` evaluate once per ROW, so the old
+    * bound-attribute requirement of the lambda form (which evaluated
+    * its body once per ELEMENT) no longer binds; callers that stage
+    * them keep doing so for readability. */
   def codes(vec: Column, mn: Column, s: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(graft.functions.Sq8Encode(
+      org.apache.spark.sql.GraftColumn.expr(vec),
+      org.apache.spark.sql.GraftColumn.expr(mn),
+      org.apache.spark.sql.GraftColumn.expr(s)))
+
+  /** Composable (lambda-HOF) parity reference for [[codes]], kept for
+    * Sq8KernelsSpec — the native expression must return bit-identical
+    * arrays (same HALF_UP rounding, same all-zeros scale-0 arm, same
+    * per-element null propagation). */
+  private[graft] def codesFold(vec: Column, mn: Column, s: Column): Column =
     when(s === 0.0, transform(vec, _ => lit(0)))
       .otherwise(transform(vec,
         x => round((x.cast("double") - mn) / s, 0).cast("int")))
@@ -42,6 +50,22 @@ object Quantize {
   /** Reconstruction: min + code × scale, as double. `mn`/`s` are the
     * stored per-vector parameters. */
   def dequantize(codes: Column, mn: Column, s: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(graft.functions.Sq8Decode(
+      org.apache.spark.sql.GraftColumn.expr(codes),
+      org.apache.spark.sql.GraftColumn.expr(mn),
+      org.apache.spark.sql.GraftColumn.expr(s)))
+
+  /** [[dequantize]] emitting FLOATS directly — fuses the probe path's
+    * trailing `transform(_, cast("float"))` into the same native pass
+    * (bit-identical: `(mn + c·s).toFloat` per element). */
+  def dequantizeF(codes: Column, mn: Column, s: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(graft.functions.Sq8Decode(
+      org.apache.spark.sql.GraftColumn.expr(codes),
+      org.apache.spark.sql.GraftColumn.expr(mn),
+      org.apache.spark.sql.GraftColumn.expr(s), toFloat = true))
+
+  /** Composable parity reference for [[dequantize]]/[[dequantizeF]]. */
+  private[graft] def dequantizeFold(codes: Column, mn: Column, s: Column): Column =
     transform(codes, c => mn + c.cast("double") * s)
 
   /** Largest per-dimension absolute reconstruction error — bounded by
