@@ -53,6 +53,13 @@ object Text {
     * every positioned string reassembly (span corruption, MLM) so a
     * fix here reaches all of them. */
   def positionedConcat(pos: Column, piece: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(PositionedConcat(
+      org.apache.spark.sql.GraftColumn.expr(
+        collect_list(when(piece.isNotNull, struct(pos, piece.as("piece")))))))
+
+  /** Composable (lambda-HOF) parity reference for [[positionedConcat]],
+    * kept for PositionedConcatSpec. */
+  private[graft] def positionedConcatFold(pos: Column, piece: Column): Column =
     array_join(inPositionOrder(
       collect_list(when(piece.isNotNull, struct(pos, piece.as("piece")))),
       "piece"), " ")
