@@ -383,10 +383,25 @@ object Text {
 
   private val AllStops = StopEn ++ StopDe ++ StopEs ++ StopFr
 
+  /** The fused per-token battery counts ([[TokenStats]] — one native
+    * pass instead of three interpreted HOF walks); identical trees for
+    * the same `toks` dedupe under codegen subexpression elimination,
+    * so a battery projection using all three signals pays ONE walk. */
+  private def tokenStats(toks: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(TokenStats(
+      org.apache.spark.sql.GraftColumn.expr(toks), AllStops))
+
   /** Fraction of token OCCURRENCES that are stopwords (C4/Gopher's
     * stop-word fraction; occurrence-weighted, unlike [[qualityScore]]'s
     * distinct-intersect hit count). */
   def stopwordFraction(toks: Column): Column =
+    when(coalesce(size(toks), lit(0)) <= 0, 0.0).otherwise(
+      tokenStats(toks).getField("stop_cnt")
+        .cast("double") / size(toks).cast("double"))
+
+  /** Composable (lambda-HOF) parity reference for [[stopwordFraction]],
+    * kept for TokenStatsSpec. */
+  private[graft] def stopwordFractionFold(toks: Column): Column =
     when(coalesce(size(toks), lit(0)) <= 0, 0.0).otherwise(
       size(filter(toks, t => AllStops.map(w => t === lit(w)).reduce(_ || _)))
         .cast("double") / size(toks).cast("double"))
@@ -397,12 +412,23 @@ object Text {
     * combined gate NULL rather than false — same filter outcome, but a
     * three-valued surprise for any consumer reading the signal). */
   def meanWordLength(toks: Column): Column =
+    coalesce(tokenStats(toks).getField("sum_len"), lit(0L))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
+
+  /** Composable parity reference for [[meanWordLength]]. */
+  private[graft] def meanWordLengthFold(toks: Column): Column =
     coalesce(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), lit(0L))
       .cast("double") / greatest(size(toks), lit(1)).cast("double")
 
   /** Fraction of tokens containing at least one alphabetic character
     * (C4 drops pages where this is low — symbol soup / data dumps). */
   def alphaTokenFraction(toks: Column): Column =
+    when(coalesce(size(toks), lit(0)) <= 0, 0.0).otherwise(
+      tokenStats(toks).getField("alpha_cnt")
+        .cast("double") / size(toks).cast("double"))
+
+  /** Composable parity reference for [[alphaTokenFraction]]. */
+  private[graft] def alphaTokenFractionFold(toks: Column): Column =
     when(coalesce(size(toks), lit(0)) <= 0, 0.0).otherwise(
       size(filter(toks, t => t.rlike("[A-Za-z]")))
         .cast("double") / size(toks).cast("double"))
