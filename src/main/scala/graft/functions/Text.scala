@@ -30,10 +30,22 @@ object Text {
     * every DuckDB oracle spelling (same trim semantics there);
     * BoundarySpec pins the trailing-newline dedup case. */
   def normalize(c: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(NormalizeText(
+      org.apache.spark.sql.GraftColumn.expr(c), tokenize = false))
+
+  /** Whitespace tokens of the normalized text — fused with the
+    * normalization into one native byte pass ([[NormalizeText]]). */
+  def tokens(c: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(NormalizeText(
+      org.apache.spark.sql.GraftColumn.expr(c), tokenize = true))
+
+  /** Composable parity reference for [[normalize]], kept for
+    * NormalizeTextSpec (and the form every DuckDB oracle mirrors). */
+  private[graft] def normalizeFold(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(c: Column): Column = split(normalize(c), " ")
+  /** Composable parity reference for [[tokens]]. */
+  private[graft] def tokensFold(c: Column): Column = split(normalizeFold(c), " ")
 
   /** Sort an array of (position, value) structs by position and
     * project the value — the order-restoring half of the reassemble
