@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,27 +47,38 @@ case class NormalizeText(child: Expression, tokenize: Boolean)
 
   @transient private lazy val normalizer = new TextNormalizer(tokenize)
 
-  override def nullSafeEval(input: Any): Any =
-    normalizer.apply(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (tokenize) normalizer.tokens(s) else normalizer.normalize(s)
+  }
 
+  // The helper methods are TYPED (UTF8String / ArrayData): generated
+  // code assigns the call result straight into the declared slot, and
+  // an Object-returning signature would fail Janino's assignment check
+  // ("Assignment conversion not possible from Object to ArrayData"),
+  // silently dropping every stage containing tokens/normalize out of
+  // whole-stage codegen (observed in BENCH_r16's tail).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("textNormalizer", normalizer,
       classOf[TextNormalizer].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.apply($c)")
+    val m = if (tokenize) "tokens" else "normalize"
+    defineCodeGen(ctx, ev, c => s"$ref.$m($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }
 
-/** The compiled pass (one virtual call per row from generated code). */
+/** The compiled pass (one virtual call per row from generated code).
+  * `tokenize` is kept only for serialized-instance compatibility; the
+  * expression picks the typed entry point at codegen time. */
 final class TextNormalizer(tokenize: Boolean) extends Serializable {
 
   // Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  def apply(s: UTF8String): Any = {
+  def normalize(s: UTF8String): UTF8String = {
     val n = s.numBytes()
     val in = s.getBytes // may copy; one copy replaces regexp_replace's two
     val out = new Array[Byte](n)
@@ -85,33 +96,34 @@ final class TextNormalizer(tokenize: Boolean) extends Serializable {
     }
     // pendingSpace true at end == trailing run: dropped (trim)
     val collapsed = UTF8String.fromBytes(out, 0, o)
-    val lowered = collapsed.toLowerCase
-    if (!tokenize) lowered
+    collapsed.toLowerCase
+  }
+
+  def tokens(s: UTF8String): ArrayData = {
+    val lowered = normalize(s)
+    // byte-level split on the single-space separators; empty input
+    // yields [""], java-split limit -1 semantics
+    val lb = lowered.getBytes
+    val ln = lb.length
+    if (ln == 0) new GenericArrayData(Array[AnyRef](UTF8String.EMPTY_UTF8))
     else {
-      // byte-level split on the single-space separators; empty input
-      // yields [""], java-split limit -1 semantics
-      val lb = lowered.getBytes
-      val ln = lb.length
-      if (ln == 0) new GenericArrayData(Array[AnyRef](UTF8String.EMPTY_UTF8))
-      else {
-        var parts = 1
-        var j = 0
-        while (j < ln) { if (lb(j) == ' ') parts += 1; j += 1 }
-        val arr = new Array[AnyRef](parts)
-        var start = 0
-        var p = 0
-        j = 0
-        while (j < ln) {
-          if (lb(j) == ' ') {
-            arr(p) = UTF8String.fromBytes(lb, start, j - start)
-            p += 1
-            start = j + 1
-          }
-          j += 1
+      var parts = 1
+      var j = 0
+      while (j < ln) { if (lb(j) == ' ') parts += 1; j += 1 }
+      val arr = new Array[AnyRef](parts)
+      var start = 0
+      var p = 0
+      j = 0
+      while (j < ln) {
+        if (lb(j) == ' ') {
+          arr(p) = UTF8String.fromBytes(lb, start, j - start)
+          p += 1
+          start = j + 1
         }
-        arr(p) = UTF8String.fromBytes(lb, start, ln - start)
-        new GenericArrayData(arr)
+        j += 1
       }
+      arr(p) = UTF8String.fromBytes(lb, start, ln - start)
+      new GenericArrayData(arr)
     }
   }
 }

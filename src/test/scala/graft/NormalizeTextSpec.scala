@@ -56,6 +56,25 @@ class NormalizeTextSpec extends SparkSpec {
     assert(mismatches == 0L, s"$mismatches corpus rows disagree with the folds")
   }
 
+  test("kernels COMPILE under whole-stage codegen (no interpreted fallback)") {
+    // Regression: TextNormalizer.apply once returned Any (Java Object),
+    // so the generated `UTF8String v = ref.apply(c)` / `ArrayData v =
+    // ...` failed Janino's assignment check and EVERY stage containing
+    // tokens/normalize silently fell back to interpreted execution
+    // (1,483 CompileExceptions in one bench run). fallback=false turns
+    // that silent deoptimization into a test failure.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d = graft.sources.Tables.load(spark, sfDir, "documents")
+      val n = d.select(Text.normalize(col("text")).as("n"),
+          Text.tokens(col("text")).as("t"))
+        .filter(length(col("n")) >= 0 && size(col("t")) >= 0)
+        .count()
+      assert(n > 0L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("content hash (md5 over the native normalize) is fold-identical") {
     val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
         "documents")
