@@ -85,6 +85,22 @@ object Zorder {
   private val tailCompactingFile = "_graft_tail_compacting"
   private val tailTmpDir = "_graft_tail_tmp"
   private[graft] val zrangesFile = "_graft_zranges"
+
+  /** The curve value, MATERIALIZED as a physical column in every
+    * clustered data file (since round 17). The write pipelines compute
+    * z once per row into this column (the range shuffle, the local
+    * sort and the parquet writer's stats all read the materialized
+    * value instead of re-evaluating the bucketing/interleave tree),
+    * and the parquet footer then carries the file's EXACT
+    * [zmin, zmax] as ordinary int64 column statistics — so
+    * [[residentIvs]]' interval lookups are served by a driver-side
+    * footer read at COMMIT time ([[zrangesFromFooters]] →
+    * `_graft_zranges`), never by the per-fold Spark scan
+    * ([[computeZranges]], now the legacy fallback). Readers never see
+    * the column: every manifest read drops it after the scan (column
+    * pruning makes that free), and the write gates refuse user
+    * columns with this name. */
+  private[graft] val zColName = "__graft_z"
   private[graft] val manifestPrefix = "_graft_manifest."
   private[graft] val manifestDeltaPrefix = "_graft_manifestd."
   private[graft] val schemaDdlPrefix = "_graft_schemad."
@@ -221,6 +237,10 @@ object Zorder {
     cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"clustered column name '$c' must match [A-Za-z0-9_]+ (it is " +
         "serialized into the layout marker)"))
+    require(!df.columns.contains(zColName),
+      s"input carries the reserved column name $zColName — the write " +
+        "pipeline materializes the curve value under it; rename the " +
+        "data column")
     validateTypes(df, cols, allowStrings)
   }
 
@@ -389,8 +409,9 @@ object Zorder {
       val spark = df.sparkSession
       val (staged, z, drop) = clusteredFrame(df, cl)
       withStatsTimestamps(spark) {
-        staged.repartitionByRange(cl.numFiles, z)
-          .sortWithinPartitions(z)
+        staged.withColumn(zColName, z)
+          .repartitionByRange(cl.numFiles, col(zColName))
+          .sortWithinPartitions(col(zColName))
           .drop(drop: _*)
           .write.mode("append").parquet(path)
       }
@@ -407,6 +428,10 @@ object Zorder {
       // isDvName guard is defensive only: the rebuild purged the old
       // layout's files, and a leftover dv- orphan entering the fresh
       // base would APPLY old-generation deletes to the new rows
+      // no eager z-range capture here: the materialized curve column
+      // means the FIRST fold's residentIvs serves its cache misses
+      // from these footers (driver-only, ~ms) — bootstrap-only
+      // lifecycles (q175/q177/q180) never pay for ranges nothing reads
       stampManifest(spark, fs, root, footerStats(spark, fs, root,
         listDataFiles(fs, root).map(_.getPath.getName)
           .filterNot(isDvName), Some(cl)))
@@ -507,8 +532,10 @@ object Zorder {
     val (staged, z, drop) = clusteredFrame(batch, cl)
     val applied = Layout.idempotentAppend(spark, path, batchId) { stg =>
       withStatsTimestamps(spark) {
-        staged.repartitionByRange(math.min(batchFiles, cl.numFiles), z)
-          .sortWithinPartitions(z)
+        staged.withColumn(zColName, z)
+          .repartitionByRange(math.min(batchFiles, cl.numFiles),
+            col(zColName))
+          .sortWithinPartitions(col(zColName))
           .drop(drop: _*)
           .write.mode("overwrite").parquet(stg)
       }
@@ -680,13 +707,17 @@ object Zorder {
       .filterNot(st => isDvName(st.getPath.getName)).map(_.getPath)
     require(livePaths.nonEmpty,
       s"compactClustered: no live data files at $path — nothing to fold")
+    // the materialized curve column is WRITE-pipeline state, never fold
+    // input: dropped here (free — column pruning), recomputed below
     val (staged, z, drop) = clusteredFrame(
       applyDvs(spark, fs, root,
         spark.read.option("mergeSchema", "true")
-          .parquet(livePaths.map(_.toString): _*), dvNames0), cl)
+          .parquet(livePaths.map(_.toString): _*), dvNames0)
+        .drop(zColName), cl)
     withStatsTimestamps(spark) {
-      staged.repartitionByRange(cl.numFiles, z)
-        .sortWithinPartitions(z)
+      staged.withColumn(zColName, z)
+        .repartitionByRange(cl.numFiles, col(zColName))
+        .sortWithinPartitions(col(zColName))
         .drop(drop: _*)
         .write.mode("overwrite").parquet(tmp.toString)
     }
@@ -713,8 +744,10 @@ object Zorder {
       s"compactClustered: could not clear $sentinel after publish")
     onProtocolStep("whole-done")
     // the z-range cache describes files the swap just deleted — drop
-    // it (it is a pure cache: a missing entry is recomputed by the
-    // next compactTail from a targeted scan, never trusted stale)
+    // it (a pure cache: the next fold's residentIvs re-fills misses
+    // from the fresh grid's FOOTERS — driver-only, ~ms — thanks to
+    // the materialized curve column; the Spark-scan fallback only
+    // ever runs for legacy files)
     val zr = new org.apache.hadoop.fs.Path(root, zrangesFile)
     if (fs.exists(zr)) fs.delete(zr, false)
   }
@@ -976,7 +1009,7 @@ object Zorder {
           "frame — a key's clustering values are its address (the " +
           "mergeClustered contract); carry the OLD clustering values " +
           "in every key row"))
-      Seq("__graft_dv_file", "__graft_dv_pos").foreach(c => require(
+      Seq("__graft_dv_file", "__graft_dv_pos", zColName).foreach(c => require(
         !keys.columns.contains(c) && !keyCols.contains(c),
         s"deleteClustered: $c is a reserved column name"))
       val manifested = currentManifest(spark, fs, root).getOrElse(
@@ -1251,9 +1284,10 @@ object Zorder {
           if (!upserts.isEmpty) {
             val (staged, z, drop) = clusteredFrame(upserts, cl)
             withStatsTimestamps(spark) {
-              staged.repartitionByRange(
-                  math.min(batchFiles, cl.numFiles), z)
-                .sortWithinPartitions(z)
+              staged.withColumn(zColName, z)
+                .repartitionByRange(
+                  math.min(batchFiles, cl.numFiles), col(zColName))
+                .sortWithinPartitions(col(zColName))
                 .drop(drop: _*)
                 .write.mode("overwrite").parquet(morTmp.toString)
             }
@@ -1494,8 +1528,24 @@ object Zorder {
     val names = files.map(_.getPath.getName).toSet
     val cached = full.filter(e => names.contains(e._1))
     val missing = mains.filter(st => !cached.contains(st.getPath.getName))
-    val computed = computeZranges(spark, cl, missing.map(_.getPath))
-    val emptySentinels = missing.map(_.getPath.getName)
+    // a cache miss tries the FOOTERS first (exact, driver-only — new-
+    // format files carry the materialized curve column, so a lost
+    // best-effort cache write costs a metadata read, not a scan); the
+    // targeted Spark scan remains for legacy files only
+    val fromFooters =
+      if (missing.isEmpty) Map.empty[String, (Long, Long)]
+      else {
+        val fsF = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        zrangesFromFooters(spark, fsF,
+          fsF.makeQualified(new org.apache.hadoop.fs.Path(path)),
+          missing.map(_.getPath.getName))
+      }
+    val still = missing.filterNot(st =>
+      fromFooters.contains(st.getPath.getName))
+    val computed = fromFooters ++
+      computeZranges(spark, cl, still.map(_.getPath))
+    val emptySentinels = still.map(_.getPath.getName)
       .filterNot(computed.contains).map(_ -> (1L, 0L)).toMap
     // PERSIST what the targeted scan just paid for (additive — stale
     // entries for vanished files are filtered on every read): without
@@ -1650,7 +1700,8 @@ object Zorder {
         if (foldSet.isEmpty) None
         else Some(applyDvs(spark, fs, root,
           spark.read.option("mergeSchema", "true")
-            .parquet(foldSet.map(_.getPath.toString): _*), dvNames))
+            .parquet(foldSet.map(_.getPath.toString): _*), dvNames)
+          .drop(zColName))
       val rewritten = transform(foldDf)
       require(!rewritten.columns.contains(regionCol),
         s"compactTail: input already carries a $regionCol column — a " +
@@ -1666,7 +1717,9 @@ object Zorder {
       // region there is nothing to split, skip the partition dirs.
       withStatsTimestamps(spark) {
         if (regions.length <= 1)
-          staged.repartitionByRange(k, z).sortWithinPartitions(z)
+          staged.withColumn(zColName, z)
+            .repartitionByRange(k, col(zColName))
+            .sortWithinPartitions(col(zColName))
             .drop(drop: _*)
             .write.mode("overwrite").parquet(tmp.toString)
         else
@@ -1675,9 +1728,11 @@ object Zorder {
           // inserts no sort of its own (which would not preserve the
           // z order within regions); region is monotone in z, so
           // (region, z) IS the z order
-          staged.withColumn(regionCol, regionBucket(z, regions.map(_._2)))
-            .repartitionByRange(k, z)
-            .sortWithinPartitions(col(regionCol), z)
+          staged.withColumn(zColName, z)
+            .withColumn(regionCol,
+              regionBucket(col(zColName), regions.map(_._2)))
+            .repartitionByRange(k, col(zColName))
+            .sortWithinPartitions(col(regionCol), col(zColName))
             .drop(drop: _*)
             .write.mode("overwrite").partitionBy(regionCol)
             .parquet(tmp.toString)
@@ -1697,7 +1752,9 @@ object Zorder {
         }
       if (!stagingHasData(tmp))
         withStatsTimestamps(spark) {
-          staged.repartitionByRange(k, z).sortWithinPartitions(z)
+          staged.withColumn(zColName, z)
+            .repartitionByRange(k, col(zColName))
+            .sortWithinPartitions(col(zColName))
             .drop(drop: _*)
             .write.mode("overwrite").parquet(tmp.toString)
         }
@@ -1740,15 +1797,12 @@ object Zorder {
         s"compactTail: could not clear the sentinel after publish")
       onProtocolStep("tail-done")
       // prune the z-range cache: untouched entries kept, folded ones
-      // dropped. Replacement ranges are NOT eagerly scanned here — the
-      // next fold's [[residentIvs]] computes exactly the missing
-      // entries (and persists them), so the scan is paid LAZILY, once,
-      // and only if another fold ever runs. Eager refresh charged a
-      // full replacement scan (~a Spark job, measured 0.29 s at sf0.1)
-      // to EVERY fold, including one-shot lifecycles where no later
-      // fold consumes it; deferral is the same total cost at the same
-      // once-per-fold frequency for a steady maintenance loop, and
-      // free for everything else. Best-effort AFTER the swap committed.
+      // dropped. Replacement ranges are NOT captured here — the next
+      // fold's residentIvs serves its misses from the replacements'
+      // FOOTERS (driver-only, ~ms, via the materialized curve column)
+      // and persists them, so a one-shot lifecycle pays nothing and a
+      // steady loop pays metadata reads, never a scan. Best-effort
+      // AFTER the swap committed.
       writeZranges(spark, path, ivs -- foldNames)
     }
   }
@@ -3172,6 +3226,17 @@ object Zorder {
     * read. */
   private def readDeclared(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      paths: Seq[String]): DataFrame =
+    // the materialized curve column is layout-internal: dropped from
+    // every reader-visible frame (free — column pruning removes it
+    // from the scan; a no-op on legacy files without the column)
+    readDeclaredRaw(spark, fs, root, paths).drop(zColName)
+
+  /** [[readDeclared]] WITHOUT the curve-column drop — for internal
+    * consumers that need the raw scan relation (the DV anti-join
+    * resolves `_metadata` directly off it). */
+  private def readDeclaredRaw(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       paths: Seq[String]): DataFrame = {
     val reader = readerSchema(spark, fs, root) match {
       case Some(s) => spark.read.schema(s)
@@ -3221,10 +3286,12 @@ object Zorder {
   private def readWithDvs(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       dataNames: Seq[String], dvNames: Seq[String]): DataFrame = {
+    // raw scans internally (the anti-join reads _metadata off them);
+    // the curve column is dropped ONCE from the final frame below
     def declared(ns: Seq[String]): DataFrame =
-      readDeclared(spark, fs, root, ns.map(n =>
+      readDeclaredRaw(spark, fs, root, ns.map(n =>
         new org.apache.hadoop.fs.Path(root, n).toString))
-    if (dvNames.isEmpty) declared(dataNames)
+    if (dvNames.isEmpty) declared(dataNames).drop(zColName)
     else {
       val key = (root.toString, dvNames.sorted)
       val victims = dvFilesCache.getOrElse(key, {
@@ -3239,11 +3306,12 @@ object Zorder {
         v
       })
       val (dvd, clean) = dataNames.partition(victims)
-      if (dvd.isEmpty) declared(dataNames) // only dead tombstones
+      (if (dvd.isEmpty) declared(dataNames) // only dead tombstones
       else if (clean.isEmpty)
         applyDvs(spark, fs, root, declared(dataNames), dvNames)
       else declared(clean).unionByName(
-        applyDvs(spark, fs, root, declared(dvd), dvNames))
+        applyDvs(spark, fs, root, declared(dvd), dvNames)))
+        .drop(zColName)
     }
   }
 
@@ -3438,6 +3506,60 @@ object Zorder {
           f.substring(f.lastIndexOf('/') + 1) -> (r.getLong(1), r.getLong(2))
         }.toMap
     }
+
+  /** Exact per-file [zmin, zmax] from the parquet footers' int64
+    * statistics of the materialized [[zColName]] column — the
+    * write-time capture feeding the `_graft_zranges` cache: driver-only
+    * metadata reads (bounded parallel pool, the [[footerStats]]
+    * discipline), no Spark job, and EXACT values (parquet int64 stats
+    * are full-precision longs, unlike the manifest stats' double
+    * spelling, which loses bits past 2^53 — z codes reach 2^63).
+    * Files without the column or with a stats gap (legacy layouts)
+    * get NO entry — [[residentIvs]]' targeted-scan fallback covers
+    * them; zero-row files record the inverted sentinel residentIvs
+    * already caches. */
+  private def zrangesFromFooters(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      names: Seq[String]): Map[String, (Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def ivOf(n: String): Option[(Long, Long)] =
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(root, n), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          if (blocks.isEmpty) Some((1L, 0L)) // zero-row file: sentinel
+          else {
+            val per = blocks.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == zColName)
+              .flatMap { cc =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                else (st.genericGetMin.asInstanceOf[AnyRef],
+                    st.genericGetMax.asInstanceOf[AnyRef]) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    Some((mn.longValue, mx.longValue))
+                  case _ => None
+                }
+              })
+            if (per.exists(_.isEmpty)) None // legacy file / stats gap
+            else Some((per.map(_.get._1).min, per.map(_.get._2).max))
+          }
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (names.isEmpty) Map.empty
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, names.length))
+      try names.map(n => n -> pool.submit(
+          new java.util.concurrent.Callable[Option[(Long, Long)]] {
+            def call(): Option[(Long, Long)] = ivOf(n)
+          })).flatMap { case (n, f) => f.get().map(n -> _) }.toMap
+      finally pool.shutdown()
+    }
+  }
 
   /** The `_graft_zranges` cache: `urlenc(name)=hexlo,hexhi` per line.
     * A PURE cache — unparseable content reads as empty and missing

@@ -15,6 +15,14 @@ import graft.operators.Zorder
   */
 class ZorderSpec extends SparkSpec {
 
+  /** Raw DIRECTORY read of a clustered layout for the white-box
+    * assertions below, with the layout-internal materialized curve
+    * column shed — the specs compare DATA rows/schemas; the
+    * `__graft_z` column is write-pipeline state every production
+    * reader ([[Zorder.readClustered]]) also drops. */
+  private def rawLayout(paths: String*): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(paths: _*).drop(Zorder.zColName)
+
   /** Order-insensitive content fingerprint (count + decimal-summed
     * row hash) — the one round-trip check both rewrite tests share. */
   private def fp(df: org.apache.spark.sql.DataFrame) =
@@ -75,7 +83,7 @@ class ZorderSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_zorder_rt_").toString
     Zorder.writeZordered(e, dir, Seq("user_id", "ts"), bits = 16,
       numFiles = 8)
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
       "z-ordered layout must hold exactly the source rows")
@@ -213,7 +221,7 @@ class ZorderSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_hilbert_rt_").toString
     Zorder.writeHilbert(e, dir, Seq("user_id", "value"), bits = 16,
       numFiles = 8)
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
       "hilbert layout must hold exactly the source rows")
@@ -330,7 +338,7 @@ class ZorderSpec extends SparkSpec {
     assert(Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2))
     assert(Zorder.compactTail(spark, dir))
     Zorder.compactClustered(spark, dir)
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
       "string-clustered lifecycle must hold exactly the source rows")
@@ -355,7 +363,7 @@ class ZorderSpec extends SparkSpec {
     * pairwise disjoint; an appended tail OVERLAPS the main grid. */
   private def zRanges(dir: String): Seq[(Long, Long)] = {
     val cl = Zorder.clusteringOf(spark, dir).get
-    Zorder.curveValues(spark.read.parquet(dir), cl, "__z")
+    Zorder.curveValues(rawLayout(dir), cl, "__z")
       .select(input_file_name().as("f"), col("__z"))
       .groupBy(col("f")).agg(min("__z").as("lo"), max("__z").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
@@ -381,7 +389,7 @@ class ZorderSpec extends SparkSpec {
       "replaying a committed batchId must be a no-op")
     assert(Zorder.appendClustered(b2, dir, batchId = 2, batchFiles = 2))
     // rows: base + both batches, exactly, including the replay window
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val (a0, b0) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a0.getLong(0) == b0.getLong(0) && a0.getDecimal(1) == b0.getDecimal(1),
       "appended layout must hold exactly source ∪ batches")
@@ -397,7 +405,7 @@ class ZorderSpec extends SparkSpec {
     assert(disjoint(post),
       "compacted files must have pairwise-disjoint z-ranges — the " +
         "structural equality with a pinned-parameter full rewrite")
-    val back2 = spark.read.parquet(dir)
+    val back2 = rawLayout(dir)
     val (a1, b1f) = (fp(e.select(back2.columns.map(col): _*)), fp(back2))
     assert(a1.getLong(0) == b1f.getLong(0) && a1.getDecimal(1) == b1f.getDecimal(1),
       "compaction must preserve every row exactly")
@@ -444,7 +452,7 @@ class ZorderSpec extends SparkSpec {
     assert(after.exists(_.startsWith("t")), "replacement files must publish")
     // rows exact, clustering unchanged, and the layout is STILL fully
     // clustered: pairwise-disjoint z-ranges including the replacements
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
       "tail compact must hold exactly source ∪ batches")
@@ -466,7 +474,7 @@ class ZorderSpec extends SparkSpec {
       batchId = 3, batchFiles = 2))
     assert(Zorder.compactTail(spark, dir))
     assert(disjoint(zRanges(dir)), "fold under a corrupt cache must still cluster")
-    assert(spark.read.parquet(dir).count() == e.count() + b1.count() + b2.count())
+    assert(rawLayout(dir).count() == e.count() + b1.count() + b2.count())
     // and the whole-layout compact still restores the exact grid on top
     Zorder.compactClustered(spark, dir)
     val post = zRanges(dir)
@@ -505,7 +513,7 @@ class ZorderSpec extends SparkSpec {
     // assertion a spanning replacement file would break); rows exact
     assert(disjoint(zRanges(dir)),
       "replacements must not span the untouched middle")
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
       "two-ended tail compact must hold exactly the source rows")
@@ -552,14 +560,14 @@ class ZorderSpec extends SparkSpec {
     // (b) containment expansion: NO surviving old resident still
     // contains z = 0 — both sides of every 0-tie folded
     val cl = Zorder.clusteringOf(spark, dir).get
-    val survivors = Zorder.curveValues(spark.read.parquet(dir), cl, "__z")
+    val survivors = Zorder.curveValues(rawLayout(dir), cl, "__z")
       .select(input_file_name().as("f"), col("__z"))
       .groupBy(col("f")).agg(min("__z").as("lo"))
       .collect().filter(r => (mains & after)(r.getString(0).split('/').last))
     assert(survivors.forall(_.getLong(1) > 0L),
       "every resident containing the tied z=0 must have folded")
     // rows exact through the tie fold; no overlap beyond ties remains
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val expect = e.unionByName(b)
     val (a2, b2) = (fp(expect.select(back.columns.map(col): _*)), fp(back))
     assert(a2.getLong(0) == b2.getLong(0) && a2.getDecimal(1) == b2.getDecimal(1),
@@ -603,7 +611,7 @@ class ZorderSpec extends SparkSpec {
     assert(Zorder.compactTail(spark, dir))
     assert(disjoint(zRanges(dir)),
       "the repair fold must restore pairwise-disjoint residents")
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val expect = e1.unionByName(e2).unionByName(b1)
     val (a, b) = (fp(expect.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
@@ -622,7 +630,7 @@ class ZorderSpec extends SparkSpec {
     Zorder.appendClustered(e.filter(col("user_id") < 5), d1, batchId = 1)
     e.limit(3).write.parquet(s"$d1/_graft_tail_tmp")
     assert(Zorder.compactTail(spark, d1))
-    assert(spark.read.parquet(d1).count() == e.count(),
+    assert(rawLayout(d1).count() == e.count(),
       "pre-commit staging must be discarded, not published")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d1, "_graft_tail_tmp")))
 
@@ -641,7 +649,7 @@ class ZorderSpec extends SparkSpec {
     // stage the fold of exactly the tail rows, commit the sentinel
     // listing them, then "crash" after deleting only ONE of them
     graft.operators.Zorder
-      .curveValues(spark.read.parquet(tails.map(_.toString): _*), cl2, "__z")
+      .curveValues(rawLayout(tails.map(_.toString): _*), cl2, "__z")
       .repartitionByRange(2, col("__z")).sortWithinPartitions(col("__z"))
       .drop("__z").write.parquet(s"$d2/_graft_tail_tmp")
     graft.operators.Layout.writeMarker(spark, d2, "_graft_tail_compacting",
@@ -655,7 +663,7 @@ class ZorderSpec extends SparkSpec {
     // recovery (via the fresh compact) completes the crashed fold
     assert(!Zorder.compactTail(spark, d2),
       "after recovery the recovered layout has no tail left")
-    assert(spark.read.parquet(d2).count() == e.count(),
+    assert(rawLayout(d2).count() == e.count(),
       "recovery must complete the staged generation exactly")
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(d2))
       .filter(st => !st.isDirectory &&
@@ -673,7 +681,7 @@ class ZorderSpec extends SparkSpec {
       numFiles = 4)
     e.limit(3).write.parquet(s"$d3/_graft_tail_tmp")
     Zorder.compactClustered(spark, d3)
-    assert(spark.read.parquet(d3).count() == e.count())
+    assert(rawLayout(d3).count() == e.count())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d3, "_graft_tail_tmp")))
 
     // a TORN/damaged fold list (count mismatch) must refuse loudly —
@@ -704,7 +712,7 @@ class ZorderSpec extends SparkSpec {
       numFiles = 4)
     assert(Zorder.appendClustered(batch, dir, batchId = 1, batchFiles = 2))
     Zorder.compactTail(spark, dir)
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
       "date-clustered lifecycle must hold exactly the source rows")
@@ -727,7 +735,7 @@ class ZorderSpec extends SparkSpec {
     val dr = Files.createTempDirectory("graft_zorder_dater_").toString
     Zorder.writeZorderedByRank(e, dr, Seq("user_id", "d"), bits = 4,
       numFiles = 2)
-    assert(spark.read.parquet(dr).count() == e.count())
+    assert(rawLayout(dr).count() == e.count())
     // NTZ: refused with the column and type named
     val ntz = e.withColumn("tn", col("ts").cast("timestamp_ntz"))
     val err = intercept[IllegalArgumentException](Zorder.writeZordered(
@@ -812,7 +820,7 @@ class ZorderSpec extends SparkSpec {
       .toDF("id", "user_id", "value", "tag")
     assert(Zorder.appendClustered(b, dir, batchId = 0, batchFiles = 1),
       "corrected replay over a rowless layout must RE-APPLY, not no-op")
-    assert(spark.read.parquet(dir).count() == 2)
+    assert(rawLayout(dir).count() == 2)
     assert(graft.operators.Layout.readMarker(spark, dir, "_graft_schema")
       .exists(_.contains("tag")), "landed schema must be re-stamped")
     // and the schema gate bites again on the now-populated layout
@@ -861,12 +869,12 @@ class ZorderSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "_graft_staging/1"))
     Zorder.compactClustered(spark, dir)
     // the fold must NOT contain the unledgered batch
-    assert(spark.read.parquet(dir).count() == base.count(),
+    assert(rawLayout(dir).count() == base.count(),
       "compaction must roll back, not absorb, a crashed unledgered append")
     // the stream's replay then applies it exactly once
     assert(Zorder.appendClustered(b1, dir, batchId = 1),
       "rolled-back batch must be redoable")
-    assert(spark.read.parquet(dir).count() == base.count() + b1.count(),
+    assert(rawLayout(dir).count() == base.count() + b1.count(),
       "replay after rollback must land the batch exactly once")
   }
 
@@ -883,7 +891,7 @@ class ZorderSpec extends SparkSpec {
     Zorder.appendClustered(e.limit(50), d1, batchId = 1)
     e.limit(3).write.parquet(s"$d1/_graft_compact_tmp")
     Zorder.compactClustered(spark, d1)
-    val n1 = spark.read.parquet(d1).count()
+    val n1 = rawLayout(d1).count()
     assert(n1 == e.count() + 50,
       s"pre-commit staging must be discarded, not published (got $n1)")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d1, "_graft_compact_tmp")))
@@ -908,7 +916,7 @@ class ZorderSpec extends SparkSpec {
         !graft.operators.Layout.isHidden(st.getPath.getName)).head.getPath
     fs.delete(oldFile, false)
     Zorder.compactClustered(spark, d2)
-    val back2 = spark.read.parquet(d2)
+    val back2 = rawLayout(d2)
     assert(back2.count() == gen.count(),
       "recovery must complete the staged generation, then compact it")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_graft_compacting")))
@@ -946,7 +954,7 @@ class ZorderSpec extends SparkSpec {
     Zorder.compactClustered(spark, d3)
     assert(Zorder.readClustered(spark, d3).count() == gen3.count(),
       "after recovery the reader must resolve the staged generation")
-    assert(spark.read.parquet(d3).count() == gen3.count(),
+    assert(rawLayout(d3).count() == gen3.count(),
       "recovery must sweep the old generation from disk")
     assert(disjoint(zRanges(d3)))
   }
@@ -976,7 +984,7 @@ class ZorderSpec extends SparkSpec {
     // both layouts hold the rows exactly, and the 3-D layout is
     // genuinely clustered (disjoint z-ranges across its files)
     Seq(d2, d3).foreach { d =>
-      assert(spark.read.parquet(d).count() == e.count())
+      assert(rawLayout(d).count() == e.count())
     }
     assert(disjoint(zRanges(d3)), "3-D hilbert layout must be clustered")
   }
@@ -998,7 +1006,7 @@ class ZorderSpec extends SparkSpec {
     assert(Zorder.clusteringOf(spark, dir).contains(cl))
     assert(Zorder.appendClustered(b1, dir, batchId = 1, batchFiles = 2))
     Zorder.compactClustered(spark, dir)
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     assert(back.columns.sorted.sameElements(e.columns.sorted))
     val (a, b) = (fp(e.select(back.columns.map(col): _*)), fp(back))
     assert(a.getLong(0) == b.getLong(0) && a.getDecimal(1) == b.getDecimal(1),
@@ -1021,7 +1029,7 @@ class ZorderSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_zorder_rank_").toString
     Zorder.writeZorderedByRank(e, dir, Seq("user_id", "heat"), bits = 6,
       numFiles = 8)
-    val back = spark.read.parquet(dir)
+    val back = rawLayout(dir)
     // content fingerprint, not just count — equal-count corruption
     // (dropped+duplicated rows, mangled values, a leaked __graft_zb_*
     // stage column) must fail
@@ -1104,7 +1112,7 @@ class ZorderSpec extends SparkSpec {
     } finally Zorder.onProtocolStep = _ => ()
     // post-lifecycle: manifest read == directory read == all rows
     assert(key(Zorder.readClustered(spark, dir)) == kAll)
-    assert(key(spark.read.parquet(dir)) == kAll)
+    assert(key(rawLayout(dir)) == kAll)
     // plan parity: the explicit-file-list scan still pushes predicates
     // down to parquet (PushedFilters) and prunes columns (ReadSchema) —
     // the properties every pruning contract rides on; a manifest
@@ -1130,7 +1138,7 @@ class ZorderSpec extends SparkSpec {
       .map(_.getPath).toSeq
     assert(tails.nonEmpty)
     graft.operators.Zorder
-      .curveValues(spark.read.parquet(tails.map(_.toString): _*), cl, "__z")
+      .curveValues(rawLayout(tails.map(_.toString): _*), cl, "__z")
       .repartitionByRange(2, col("__z")).sortWithinPartitions(col("__z"))
       .drop("__z").write.parquet(s"$dir/_graft_tail_tmp")
     graft.operators.Layout.writeMarker(spark, dir, "_graft_tail_compacting",
@@ -1188,12 +1196,12 @@ class ZorderSpec extends SparkSpec {
     // paths NOW, read it AFTER the swap
     val oldGen = Zorder.currentManifest(spark, fs, root).get._2
       .map(n => new org.apache.hadoop.fs.Path(root, n).toString)
-    val preCount = spark.read.parquet(oldGen: _*).count()
+    val preCount = rawLayout(oldGen: _*).count()
     assert(preCount == e.count())
     val hour = 3600L * 1000
     assert(Zorder.compactTail(spark, dir, retainMs = hour))
     // grace: the resolved old generation still reads, byte-complete
-    assert(spark.read.parquet(oldGen: _*).count() == preCount,
+    assert(rawLayout(oldGen: _*).count() == preCount,
       "a retention fold must leave the old generation readable")
     // new resolves see exactly the new generation (rows identical)
     assert(Zorder.readClustered(spark, dir).count() == e.count())
@@ -1220,10 +1228,10 @@ class ZorderSpec extends SparkSpec {
       false)
     // a live grace window vacuums nothing
     assert(Zorder.vacuumClustered(spark, dir, olderThanMs = hour) == 0)
-    assert(spark.read.parquet(oldGen: _*).count() == preCount)
+    assert(rawLayout(oldGen: _*).count() == preCount)
     // expired grace: retired files deleted; directory == manifest
     assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0)
-    assert(spark.read.parquet(dir).count() == e.count(),
+    assert(rawLayout(dir).count() == e.count(),
       "post-vacuum the directory holds exactly the live generation")
     assert(Zorder.readClustered(spark, dir).count() == e.count())
     assert(disjoint(zRanges(dir)), "retention fold must stay clustered")
@@ -1236,7 +1244,7 @@ class ZorderSpec extends SparkSpec {
       .map(n => new org.apache.hadoop.fs.Path(root, n).toString)
     val expect2 = e.count() + e.filter(col("event_id") % 9 === 0).count()
     Zorder.compactClustered(spark, dir, retainMs = hour)
-    assert(spark.read.parquet(gen2: _*).count() == expect2,
+    assert(rawLayout(gen2: _*).count() == expect2,
       "whole-compact retention must leave the old generation readable")
     assert(Zorder.readClustered(spark, dir).count() == expect2)
     // a SECOND retention compact while the first's grace stands must
@@ -1246,7 +1254,7 @@ class ZorderSpec extends SparkSpec {
     assert(Zorder.readClustered(spark, dir).count() == expect2,
       "re-compacting under grace must not duplicate retired rows")
     assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) > 0)
-    assert(spark.read.parquet(dir).count() == expect2)
+    assert(rawLayout(dir).count() == expect2)
     assert(disjoint(zRanges(dir)))
 
     // self-heal: an unmanifested foreign file is STAMPED (not deleted)
@@ -2043,7 +2051,7 @@ class ZorderSpec extends SparkSpec {
     val preEpoch = Zorder.currentEpoch(spark, dir).get
     val oldGen = Zorder.currentManifest(spark, fs, root).get._2
       .map(n => new org.apache.hadoop.fs.Path(root, n).toString)
-    val preCount = spark.read.parquet(oldGen: _*).count()
+    val preCount = rawLayout(oldGen: _*).count()
     assert(preCount == e.count())
     // crash the REAL code path right after the sentinel commit: the
     // widest recovery window (publish + manifest flip + sweep all
@@ -2073,7 +2081,7 @@ class ZorderSpec extends SparkSpec {
       s"retired victim $n must survive on disk through the grace"))
     // grace holds: the pre-fold generation stays readable, by explicit
     // paths and by epoch pin; the live read is exact (no duplication)
-    assert(spark.read.parquet(oldGen: _*).count() == preCount,
+    assert(rawLayout(oldGen: _*).count() == preCount,
       "the crashed fold's grace must survive recovery")
     assert(Zorder.readClustered(spark, dir, asOfEpoch = preEpoch)
       .count() == preCount,
@@ -2084,7 +2092,7 @@ class ZorderSpec extends SparkSpec {
     assert(Zorder.vacuumClustered(spark, dir, olderThanMs = hour) == 0)
     assert(Zorder.vacuumClustered(spark, dir, olderThanMs = 0L) ==
       retired.size)
-    assert(spark.read.parquet(dir).count() == e.count())
+    assert(rawLayout(dir).count() == e.count())
   }
 
   /** (bases, deltas) of the manifest family at `dir`, by file name. */
