@@ -1031,8 +1031,8 @@ object Zorder {
             "address a resident row; filter or repair the batch first")
         if (keyed.isEmpty) 0L
         else {
-          val cnt = stageTombstones(spark, path, fs, root, cl, dvLive,
-            tails, mains, keyed, keyCols)
+          val (cnt, victimFiles) = stageTombstones(spark, path, fs, root,
+            cl, dvLive, tails, mains, keyed, keyCols)
           if (cnt == 0L) 0L
           else {
             val added = publishStagedDvs(spark, fs, root,
@@ -1040,6 +1040,12 @@ object Zorder {
             commitManifestDelta(spark, fs, root,
               added.map(_ -> "").toMap, Set.empty,
               deferGc = retiredM.nonEmpty)
+            // pre-warm the read side's victim cache when this batch IS
+            // the generation's whole DV set (the common first-delete
+            // case) — the first manifest read then skips its
+            // distinct-victims job entirely
+            if (dvLive.isEmpty)
+              cacheDvFiles(root.toString, added.sorted, victimFiles)
             cnt
           }
         }
@@ -1070,7 +1076,9 @@ object Zorder {
     * distinct, NULL-free over `keyCols`, and carry the clustering
     * columns (the address contract). Already-deleted positions
     * (`dvLive`) are excluded, which is what makes a retry find
-    * nothing fresh. Returns the fresh tombstone count; on 0 (absent
+    * nothing fresh. Returns (fresh tombstone count, distinct victim
+    * data-file base names) — both observed from the staging WRITE job
+    * itself (no re-read job); on 0 (absent
     * keys, or a retry) NOTHING is left staged. On > 0 the tombstone
     * parquet sits under `_graft_dv_tmp` awaiting [[publishStagedDvs]]
     * — staging and publishing are split so [[mergeOnRead]] can put
@@ -1080,7 +1088,7 @@ object Zorder {
       cl: Clustering, dvLive: Seq[String],
       tails: Seq[org.apache.hadoop.fs.FileStatus],
       mains: Seq[org.apache.hadoop.fs.FileStatus],
-      keyed: DataFrame, keyCols: Seq[String]): Long = {
+      keyed: DataFrame, keyCols: Seq[String]): (Long, Set[String]) = {
     val tmp = new org.apache.hadoop.fs.Path(root, dvTmpDir)
     // defensive: a stale staging from a pre-commit crash must never
     // ride along into a caller's later publish (the victims-empty arm
@@ -1096,7 +1104,7 @@ object Zorder {
     // tails always scan: every b<id>- file overlaps by construction,
     // so any of them could hold a touched key
     val victims = tails ++ mains.filter(st => hit(st.getPath.getName))
-    if (victims.isEmpty) 0L
+    if (victims.isEmpty) (0L, Set.empty[String])
     else {
       // ONE narrow scan of the victims: key columns + row identity
       // (the raw metadata path — the basename is cut only from the
@@ -1120,13 +1128,20 @@ object Zorder {
           .as("file"), col("__graft_dv_pos").as("pos"))
       // repartition(1): the tombstone set is batch-sized; one file
       // keeps the read side's broadcast build trivial (repartition,
-      // not coalesce — the join above keeps its parallelism)
-      fresh.repartition(1).write.mode("overwrite")
+      // not coalesce — the join above keeps its parallelism).
+      // The count and the distinct victim set ride the WRITE job as
+      // observed metrics (exact — internal SQL accumulators exclude
+      // failed/retried tasks) instead of a re-read job per delete,
+      // and the victim set pre-warms the read side's dvFilesCache.
+      val obs = new org.apache.spark.sql.Observation()
+      fresh.observe(obs, count(lit(1)).as("cnt"),
+          collect_set(col("file")).as("victims"))
+        .repartition(1).write.mode("overwrite")
         .parquet(tmp.toString)
-      val cnt = spark.read.schema("file STRING, pos BIGINT")
-        .parquet(tmp.toString).count()
+      val row = obs.get
+      val cnt = row("cnt").asInstanceOf[Long]
       if (cnt == 0L && fs.exists(tmp)) fs.delete(tmp, true)
-      cnt
+      (cnt, row("victims").asInstanceOf[scala.collection.Seq[String]].toSet)
     }
   }
 
@@ -1269,8 +1284,8 @@ object Zorder {
           val keysOnly = keyed.select(
             (keyCols ++ cl.cols.map(_.name).filterNot(keyCols.contains))
               .map(col): _*).distinct()
-          val nTomb = stageTombstones(spark, path, fs, root, cl,
-            dvLive, tails, mains, keysOnly, keyCols)
+          val (nTomb, morVictims) = stageTombstones(spark, path, fs,
+            root, cl, dvLive, tails, mains, keysOnly, keyCols)
           // 2. STAGE the surviving upsert rows through the pinned
           // quantization (the appendClustered write body, into this
           // verb's own hidden staging). A pure-delete batch (the
@@ -1327,6 +1342,11 @@ object Zorder {
             // reader-visible atom), shared verbatim with recovery
             finishMorCommit(spark, fs, root, batchId, token,
               dvPlanned, bPlanned)
+            // pre-warm the read side's victim cache (the
+            // deleteClustered discipline) when this batch's DVs are
+            // the generation's whole DV set
+            if (dvLive.isEmpty && dvPlanned.nonEmpty)
+              cacheDvFiles(root.toString, dvPlanned.sorted, morVictims)
             nTomb
           }
         }
@@ -3274,6 +3294,17 @@ object Zorder {
     new scala.collection.concurrent.TrieMap[(String, Seq[String]),
       Set[String]]()
 
+  /** Bounded insert into [[dvFilesCache]] — the ONE eviction spelling
+    * for the read-side resolve and the writer-side pre-warm (a delete
+    * that just staged its tombstones already knows the victim set). */
+  private def cacheDvFiles(root: String, dvNamesSorted: Seq[String],
+      victims: Set[String]): Unit = {
+    val key = (root, dvNamesSorted)
+    if (dvFilesCache.size >= 64 && !dvFilesCache.contains(key))
+      dvFilesCache.remove(dvFilesCache.keysIterator.next())
+    dvFilesCache.put(key, victims)
+  }
+
   /** The generation's data scan with deletion vectors applied — the
     * composition every manifest read arm shares. Files WITHOUT
     * tombstones bypass the anti-join ENTIRELY (their rows never pay
@@ -3300,9 +3331,7 @@ object Zorder {
             .Path(root, n).toString): _*)
           .select(col("file")).distinct()
           .collect().map(_.getString(0)).toSet
-        if (dvFilesCache.size >= 64 && !dvFilesCache.contains(key))
-          dvFilesCache.remove(dvFilesCache.keysIterator.next())
-        dvFilesCache.put(key, v)
+        cacheDvFiles(root.toString, dvNames.sorted, v)
         v
       })
       val (dvd, clean) = dataNames.partition(victims)
