@@ -20,7 +20,11 @@ object BenchProbe {
     require(args.nonEmpty, "usage: BenchProbe <queryName> [more...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.builder("graft-bench-probe").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOGLEVEL=INFO turns on DAGScheduler per-job timing
+    // lines ("Job N finished: …, took X s") — the cheapest per-job
+    // anatomy of a single query without instrumenting the operators
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     val byName = SparkEntry.all.map(q => q.name -> q).toMap
     args.foreach { name =>
       val q = byName.getOrElse(name,
