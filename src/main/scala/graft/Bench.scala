@@ -57,10 +57,16 @@ object Bench {
     * (e.g. q62's fixed-overhead level shift) cannot masquerade as a
     * host window. Floors are sf0.1 idle medians; normalization is
     * sf0.1-only (the floors mean nothing at another scale). */
+  // Floors RE-REGISTERED in round 17 (old: 0.52 / 0.12 / 0.87): the
+  // per-path schema-inference cache (Tables.load) removed one footer-
+  // reading Spark job from every query execution, canaries included —
+  // keeping the stale floors would make every future factor read ~1.1
+  // and value_normalized overstate the suite. Basis in PLANS.md
+  // ("Canary floors re-registered, r17").
   private val canaryExpected: Seq[(String, Double)] = Seq(
-    "q42_predicates" -> 0.52,
-    "q44_scalar_breadth" -> 0.12,
-    "q128_rm3_expansion" -> 0.87)
+    "q42_predicates" -> 0.46,
+    "q44_scalar_breadth" -> 0.075,
+    "q128_rm3_expansion" -> 0.85)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
