@@ -1111,7 +1111,13 @@ object Zorder {
       // MATCHED rows below, batch-sized, never per scanned row);
       // existing tombstones are excluded so a retry finds nothing
       // fresh
-      val narrow = spark.read.option("mergeSchema", "true")
+      // select-only scan: the declared schema (when one stands) skips
+      // mergeSchema's per-call footer-merging Spark job
+      val vReader = selectScanSchema(spark, path, fs, root) match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read.option("mergeSchema", "true")
+      }
+      val narrow = vReader
         .parquet(victims.map(_.getPath.toString): _*)
         .select(Seq(
           col("_metadata.file_path").as("__graft_dv_file"),
@@ -1579,6 +1585,33 @@ object Zorder {
     cached ++ computed ++ emptySentinels
   }
 
+  /** The layout's declared column schema for SELECT-ONLY scans (the
+    * tombstone victim scan, the fold's tail probe): the widened DDL if
+    * one stands, else the `_graft_schema` marker's fields (the append
+    * gate enforces every file matches it, so per-call mergeSchema —
+    * a footer-merging Spark JOB per read — proves nothing there), else
+    * None (legacy layout: callers keep the mergeSchema read). NOT for
+    * rewrite reads (folds/compacts), which keep mergeSchema so a
+    * legacy layout surfaces its full width and the rewrite preserves
+    * the files' column order (the marker payload is name-sorted). */
+  private def selectScanSchema(spark: SparkSession, path: String,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path)
+      : Option[org.apache.spark.sql.types.StructType] =
+    readerSchema(spark, fs, root).orElse(
+      Layout.readMarker(spark, path, schemaFile).flatMap { payload =>
+        try Some(org.apache.spark.sql.types.StructType(
+          payload.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+            .map { line =>
+              val i = line.indexOf('=')
+              org.apache.spark.sql.types.StructField(
+                java.net.URLDecoder.decode(line.substring(0, i), "UTF-8"),
+                org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                  .parseDataType(line.substring(i + 1)),
+                nullable = true)
+            }.toArray))
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
+
   private def locateByValue(spark: SparkSession, cl: Clustering,
       mainIvsSorted: Seq[(String, (Long, Long))],
       probeParts: Seq[DataFrame]): (Set[String], Seq[(Long, Long)]) = {
@@ -1668,8 +1701,14 @@ object Zorder {
       val mainIvsSorted = mains.flatMap(st =>
         realIv(st.getPath.getName).map(iv => (st.getPath.getName, iv)))
         .sortBy(_._2)
+      // select-only scan (locateByValue reads the clustering columns):
+      // the declared schema skips mergeSchema's per-call footer job
+      val tailReader = selectScanSchema(spark, path, fs, root) match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read.option("mergeSchema", "true")
+      }
       val probeParts = (if (tails.isEmpty) Seq.empty[DataFrame]
-        else Seq(spark.read.option("mergeSchema", "true")
+        else Seq(tailReader
           .parquet(tails.map(_.getPath.toString): _*))) ++
         extraProbe.toSeq
       require(probeParts.nonEmpty,
