@@ -237,12 +237,22 @@ object Zorder {
     cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"clustered column name '$c' must match [A-Za-z0-9_]+ (it is " +
         "serialized into the layout marker)"))
-    require(!df.columns.contains(zColName),
-      s"input carries the reserved column name $zColName — the write " +
-        "pipeline materializes the curve value under it; rename the " +
-        "data column")
+    requireNoReservedZ(df.columns, "input")
     validateTypes(df, cols, allowStrings)
   }
+
+  /** Reserved-name gate for the materialized curve column, CASE-
+    * INSENSITIVE like Spark's own column resolution (default
+    * spark.sql.caseSensitive=false): a user column `__GRAFT_Z` would
+    * pass an exact-case check and then be silently REPLACED by
+    * `withColumn(zColName, z)`, which resolves case-insensitively —
+    * data loss with no error. Applied by every verb a user frame
+    * enters through (write forms, appends, merges, deletes). */
+  private def requireNoReservedZ(cols: Seq[String], what: String): Unit =
+    require(!cols.exists(_.equalsIgnoreCase(zColName)),
+      s"$what carries the reserved column name $zColName — the write " +
+        "pipeline materializes the curve value under it (resolved " +
+        "case-insensitively); rename the data column")
 
   /** The TYPE gate, the same loud style as the empty-frame refusal: a
     * non-numeric column (StringType, binary, arrays…) would either
@@ -472,6 +482,7 @@ object Zorder {
     // compaction starting between the check and the append would
     // otherwise sweep files this append is publishing
     Layout.withWriterLease(spark, path, "appendClustered") {
+    requireNoReservedZ(batch.columns, "appendClustered: batch")
     requireNotCompacting(spark, path, "appendClustered")
     val cl = clusteringOf(spark, path).getOrElse(sys.error(
       s"appendClustered: no $markerFile marker at $path — either a " +
@@ -498,8 +509,14 @@ object Zorder {
     // the legacy-fallback frame is built ONCE and reused by the
     // mismatch arm's row probe
     lazy val residentDf = spark.read.option("mergeSchema", "true").parquet(path)
+    // the fallback schema sheds the materialized curve column: a crash
+    // between the two marker stamps of a rebuild leaves marker-present
+    // schema-absent data WITH __graft_z, and deriving the payload from
+    // the raw footers would mismatch every legitimate batch forever
+    // (pre-r17 this arm self-healed; the drop restores that)
     val resident = markerSchema.orElse {
-      if (hasFiles) Some(schemaPayload(residentDf.schema)) else None
+      if (hasFiles) Some(schemaPayload(residentDf.drop(zColName).schema))
+      else None
     }
     val incoming = schemaPayload(batch.schema)
     if (resident.exists(_ != incoming)) {
@@ -886,6 +903,7 @@ object Zorder {
       val (fs, root, cl, retiredM, tails, mains) =
         tailFoldPreamble(spark, path, "mergeClustered", retainMs)
       require(keyCols.nonEmpty, "mergeClustered: keyCols is empty")
+      requireNoReservedZ(changes.columns, "mergeClustered: changes")
       val metaCols = deleteCol.toSeq ++ versionCol.toSeq
       metaCols.foreach(c => require(changes.columns.contains(c),
         s"mergeClustered: marker column $c is not in the changes batch"))
@@ -1009,9 +1027,10 @@ object Zorder {
           "frame — a key's clustering values are its address (the " +
           "mergeClustered contract); carry the OLD clustering values " +
           "in every key row"))
-      Seq("__graft_dv_file", "__graft_dv_pos", zColName).foreach(c => require(
+      Seq("__graft_dv_file", "__graft_dv_pos").foreach(c => require(
         !keys.columns.contains(c) && !keyCols.contains(c),
         s"deleteClustered: $c is a reserved column name"))
+      requireNoReservedZ(keys.columns ++ keyCols, "deleteClustered: keys")
       val manifested = currentManifest(spark, fs, root).getOrElse(
         sys.error(s"deleteClustered: $path has no generation manifest " +
           "— bootstrap or append once first (deletion vectors commit " +
@@ -1135,19 +1154,30 @@ object Zorder {
       // repartition(1): the tombstone set is batch-sized; one file
       // keeps the read side's broadcast build trivial (repartition,
       // not coalesce — the join above keeps its parallelism).
-      // The count and the distinct victim set ride the WRITE job as
-      // observed metrics (exact — internal SQL accumulators exclude
-      // failed/retried tasks) instead of a re-read job per delete,
-      // and the victim set pre-warms the read side's dvFilesCache.
+      // The distinct victim set rides the WRITE job as an observed
+      // metric (SET semantics, so a re-executed map task after a
+      // fetch failure cannot change it) and pre-warms the read side's
+      // dvFilesCache; the COUNT comes from the staged parquet's own
+      // footer record counts — driver-only metadata, no re-read job,
+      // and exact under ANY task re-execution (an observed count()
+      // would double-apply re-run map tasks' updates; the pre-r17
+      // re-read job was exact, and the count gates the idempotency
+      // arm, so it must stay exact).
       val obs = new org.apache.spark.sql.Observation()
-      fresh.observe(obs, count(lit(1)).as("cnt"),
-          collect_set(col("file")).as("victims"))
+      fresh.observe(obs, collect_set(col("file")).as("victims"))
         .repartition(1).write.mode("overwrite")
         .parquet(tmp.toString)
-      val row = obs.get
-      val cnt = row("cnt").asInstanceOf[Long]
+      val victimSet =
+        obs.get("victims").asInstanceOf[scala.collection.Seq[String]].toSet
+      val conf = spark.sparkContext.hadoopConfiguration
+      val cnt = listDataFiles(fs, tmp).map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
       if (cnt == 0L && fs.exists(tmp)) fs.delete(tmp, true)
-      (cnt, row("victims").asInstanceOf[scala.collection.Seq[String]].toSet)
+      (cnt, victimSet)
     }
   }
 
@@ -1220,6 +1250,7 @@ object Zorder {
       require(batchId >= 0, s"mergeOnRead: batchId must be >= 0, " +
         s"got $batchId")
       require(keyCols.nonEmpty, "mergeOnRead: keyCols is empty")
+      requireNoReservedZ(changes.columns, "mergeOnRead: changes")
       val metaCols = deleteCol.toSeq ++ versionCol.toSeq
       metaCols.foreach(c => require(changes.columns.contains(c),
         s"mergeOnRead: marker column $c is not in the changes batch"))
@@ -1563,7 +1594,7 @@ object Zorder {
       else {
         val fsF = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        zrangesFromFooters(spark, fsF,
+        zrangesFromFooters(spark,
           fsF.makeQualified(new org.apache.hadoop.fs.Path(path)),
           missing.map(_.getPath.getName))
       }
@@ -3587,7 +3618,7 @@ object Zorder {
     * them; zero-row files record the inverted sentinel residentIvs
     * already caches. */
   private def zrangesFromFooters(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      root: org.apache.hadoop.fs.Path,
       names: Seq[String]): Map[String, (Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     def ivOf(n: String): Option[(Long, Long)] =
@@ -3617,7 +3648,7 @@ object Zorder {
           }
         } finally reader.close()
       } catch { case scala.util.control.NonFatal(_) => None }
-    if (names.isEmpty) Map.empty
+    if (names.length <= 1) names.flatMap(n => ivOf(n).map(n -> _)).toMap
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, names.length))

@@ -27,11 +27,19 @@ object Tables {
     * deployment declares table schemas once in a catalog; this cache
     * is that declaration, keyed by path. */
   private val schemaCache = new scala.collection.concurrent.TrieMap[
-    String, org.apache.spark.sql.types.StructType]
+    (String, Long, Long), org.apache.spark.sql.types.StructType]
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     val path = s"$dir/$table.parquet"
-    val schema = schemaCache.getOrElseUpdate(path,
+    // cache key carries the file's (mtime, length) identity: test data
+    // regenerated in-process (a different events.ts vintage, say) must
+    // re-infer, or the stale schema would mis-dispatch the ts
+    // normalization below — one FS stat per load buys that safety
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(hp)
+    val schema = schemaCache.getOrElseUpdate(
+      (path, st.getModificationTime, st.getLen),
       spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     // events.ts has shipped as parquet TIMESTAMP(NANOS) (reads as long

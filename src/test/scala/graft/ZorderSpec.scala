@@ -744,6 +744,49 @@ class ZorderSpec extends SparkSpec {
       err.getMessage.contains("timestamp_ntz"), err.getMessage)
   }
 
+  test("the reserved curve column is refused CASE-INSENSITIVELY; a " +
+      "lost schema marker over curve-bearing data still self-heals") {
+    val e = sources.Tables.load(spark, sfDir, "events")
+    // Spark resolves columns case-insensitively by default, so an
+    // exact-case gate would let `__GRAFT_Z` through and
+    // withColumn(zColName, z) would silently REPLACE the user's data
+    val poisoned = e.withColumn("__GRAFT_Z", lit("user data"))
+    val dirP = Files.createTempDirectory("graft_zorder_zres_").toString
+    // merge/delete gate AFTER the layout checks — give them a real one
+    Zorder.writeZordered(e.limit(200), dirP + "/lay",
+      Seq("user_id", "value"), bits = 8, numFiles = 2)
+    Seq[(String, () => Unit)](
+      ("writeZordered", () => Zorder.writeZordered(poisoned, dirP + "/w",
+        Seq("user_id", "value"), bits = 8, numFiles = 4)),
+      ("appendClustered", () => { Zorder.appendClustered(poisoned,
+        dirP + "/lay", batchId = 0); () }),
+      ("mergeClustered", () => Zorder.mergeClustered(spark, dirP + "/lay",
+        poisoned, keyCols = Seq("event_id"))),
+      ("deleteClustered", () => { Zorder.deleteClustered(spark,
+        dirP + "/lay", poisoned, keyCols = Seq("event_id")); () })
+    ).foreach { case (verb, run) =>
+      val err = intercept[Exception](run())
+      assert(err.getMessage.contains("__graft_z"),
+        s"$verb must refuse the reserved curve column: ${err.getMessage}")
+    }
+    // heal arm: a crash between a rebuild's two marker stamps leaves
+    // marker-present schema-absent data that PHYSICALLY carries
+    // __graft_z; the fallback-derived payload must shed it or every
+    // legitimate batch mismatches forever (the pre-r17 self-heal)
+    val dirH = Files.createTempDirectory("graft_zorder_heal_").toString
+    Zorder.writeZordered(e.limit(500), dirH, Seq("user_id", "value"),
+      bits = 8, numFiles = 2)
+    val fsH = new org.apache.hadoop.fs.Path(dirH)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsH.delete(new org.apache.hadoop.fs.Path(dirH, "_graft_schema"),
+      false))
+    assert(Zorder.appendClustered(e.limit(100), dirH, batchId = 7),
+      "append over a lost schema marker must self-heal, not refuse")
+    assert(graft.operators.Layout.readMarker(spark, dirH, "_graft_schema")
+      .exists(!_.toLowerCase.contains("__graft_z")),
+      "the re-stamped schema marker must not carry the curve column")
+  }
+
   test("append refuses markerless, missing-column, and mid-compaction layouts") {
     val e = sources.Tables.load(spark, sfDir, "events")
     // fresh empty path: no marker to pin against
